@@ -1,0 +1,47 @@
+"""Exact (decimal-backed) money arithmetic.
+
+Cross-engine float determinism: Spark's ``round()`` converts a double
+through Java's shortest-decimal string before rounding HALF_UP, while
+DuckDB rounds the raw binary value — they disagree exactly on decimal
+boundaries (x.xx5), which structurally-2-decimal money data hits all the
+time. And double SUMs are order-dependent, so a Spark partial-aggregate
+sum and a DuckDB sequential sum can differ in the last ulp.
+
+Both problems vanish if money flows through DECIMAL:
+- a 2-dp double cast to DECIMAL(18,2) recovers the exact decimal value
+  identically in both engines (the binary double is within 1e-11 of the
+  true 2-dp value; the nearest-decimal boundary is 0.005 away);
+- DECIMAL SUM is exact and order-independent;
+- the final cast back to DOUBLE is correctly rounded from an exact
+  decimal — bitwise identical in both engines.
+
+Oracle-SQL twins (write these literally in the DuckDB SQL):
+  dsum_money(x)    ≡ CAST(SUM(CAST(x AS DECIMAL(18,2))) AS DOUBLE)
+  dsum_product(x)  ≡ CAST(SUM(CAST(x AS DECIMAL(28,8))) AS DOUBLE)
+  dmoney(x)        ≡ CAST(CAST(x AS DECIMAL(28,8)) AS DOUBLE)
+
+Scale guard: DECIMAL(28,8) holds |x| < 1e20 — a 100 TB-scale sum of
+1e5-magnitude values is ~1e17, still inside; Spark widens sums to
+precision 38 anyway.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def dsum_money(col: Column | str) -> Column:
+    """Exact sum of a structurally-2-decimal column, as double."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.sum(c.cast("decimal(18,2)")).cast("double")
+
+
+def dsum_product(col: Column) -> Column:
+    """Exact sum of a derived money product (≤8 decimal places)."""
+    return F.sum(col.cast("decimal(28,8)")).cast("double")
+
+
+def dmoney(col: Column) -> Column:
+    """Exact per-row decimal snap of a derived money product."""
+    return col.cast("decimal(28,8)").cast("double")
