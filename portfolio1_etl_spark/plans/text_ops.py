@@ -1,1 +1,192 @@
-"""Placeholder — filled in this round."""
+"""[ext] Text-analysis operators over the ``documents`` table —
+the training-data-pipeline surface mandated beyond the reference
+(SURVEY.md §2.13): token statistics, quality scoring, language-ID
+heuristic, document fingerprinting.
+
+All operators are pure built-in column expressions (split / transform /
+filter / regexp / md5) — JVM-side, whole-stage-codegen, no Python in
+the hot path. At 100 TB each is a narrow map over the corpus followed
+by (at most) one aggregate shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from portfolio1_etl_spark import catalog
+from portfolio1_etl_spark.plans.registry import query
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return catalog.load(spark, sf_dir, "documents")
+
+
+#: BPE-ish subtoken pattern: letter runs, digit runs, single symbols.
+#: Kept to portable character classes (same regex semantics in Java and
+#: RE2/DuckDB).
+_SUBTOKEN_RE = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+
+
+@query(
+    "q60_token_stats",
+    sql=f"""
+    SELECT
+      doc_id,
+      len(string_split(text, ' '))                    AS n_tokens,
+      length(text)                                    AS n_chars_calc,
+      len(regexp_extract_all(text, '{_SUBTOKEN_RE}')) AS n_subtokens,
+      CAST(length(text) - len(string_split(text, ' ')) + 1 AS DOUBLE)
+        / len(string_split(text, ' '))                AS avg_token_len
+    FROM documents
+    """,
+    operators=("X-tokens", "C15"),
+)
+def q60_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace tokens plus a BPE-ish regex subtoken
+    count. avg_token_len exploits single-space joining:
+    sum(len(token)) = len(text) − (n−1)."""
+    d = _docs(spark, sf_dir)
+    n_tokens = F.size(F.split("text", " "))
+    return d.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        F.length("text").alias("n_chars_calc"),
+        F.size(F.regexp_extract_all("text", F.lit(_SUBTOKEN_RE), 0)).alias(
+            "n_subtokens"
+        ),
+        (
+            (F.length("text") - n_tokens + 1).cast("double") / n_tokens
+        ).alias("avg_token_len"),
+    )
+
+
+@query(
+    "q61_word_frequency",
+    sql="""
+    SELECT word, count(*) AS n_occurrences, count(DISTINCT doc_id) AS n_docs
+    FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents)
+    GROUP BY word
+    """,
+    operators=("X-wordcount", "F3", "A1"),
+)
+def q61_word_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus word frequency: explode(split) → groupBy — the classic
+    wide aggregation. Document frequency via exact distinct count."""
+    d = _docs(spark, sf_dir)
+    return (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
+        .groupBy("word")
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+    )
+
+
+@query(
+    "q62_quality_score",
+    sql="""
+    WITH scored AS (
+      SELECT
+        doc_id,
+        len(string_split(text, ' ')) AS n_tokens,
+        len(list_filter(string_split(text, ' '),
+            x -> x = 'the' OR x = 'a' OR x = 'of' OR x = 'and')) AS n_stop,
+        len(list_distinct(string_split(text, ' '))) AS n_distinct
+      FROM documents
+    )
+    SELECT
+      doc_id, n_tokens,
+      CAST(n_stop AS DOUBLE) / n_tokens                         AS stop_ratio,
+      CAST(n_distinct AS DOUBLE) / n_tokens                     AS uniq_ratio,
+      0.5 * (CAST(n_distinct AS DOUBLE) / n_tokens)
+        + 0.5 * (1.0 - CAST(n_stop AS DOUBLE) / n_tokens)       AS quality,
+      (0.5 * (CAST(n_distinct AS DOUBLE) / n_tokens)
+        + 0.5 * (1.0 - CAST(n_stop AS DOUBLE) / n_tokens)) >= 0.5 AS keep
+    FROM scored
+    """,
+    operators=("X-quality",),
+)
+def q62_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document quality scoring for corpus filtering: stopword ratio +
+    lexical diversity (distinct/total tokens) combined into a keep/drop
+    score. All lambda higher-order functions (filter / array_distinct)
+    — no UDF."""
+    d = _docs(spark, sf_dir)
+    toks = F.split("text", " ")
+    n_tokens = F.size(toks)
+    is_stop = lambda x: (x == "the") | (x == "a") | (x == "of") | (x == "and")  # noqa: E731
+    n_stop = F.size(F.filter(toks, is_stop))
+    n_distinct = F.size(F.array_distinct(toks))
+    stop_ratio = n_stop.cast("double") / n_tokens
+    uniq_ratio = n_distinct.cast("double") / n_tokens
+    quality = 0.5 * uniq_ratio + 0.5 * (1.0 - stop_ratio)
+    return d.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        stop_ratio.alias("stop_ratio"),
+        uniq_ratio.alias("uniq_ratio"),
+        quality.alias("quality"),
+        (quality >= 0.5).alias("keep"),
+    )
+
+
+@query(
+    "q63_lang_id",
+    sql="""
+    SELECT
+      lang,
+      CASE WHEN contains(text, ' der ') OR contains(text, ' und ') THEN 'de'
+           WHEN contains(text, ' le ')  OR contains(text, ' et ')  THEN 'fr'
+           WHEN contains(text, ' el ')  OR contains(text, ' y ')   THEN 'es'
+           WHEN contains(text, ' the ') OR contains(text, ' a ')   THEN 'en'
+           ELSE 'und' END AS lang_guess,
+      count(*) AS n_docs
+    FROM documents
+    GROUP BY 1, 2
+    """,
+    operators=("X-langid",),
+)
+def q63_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-marker language-ID heuristic, reported as a confusion
+    matrix against the labeled ``lang`` column. (The synthetic corpus
+    shares one vocabulary across langs, so the interesting output is
+    the deterministic classifier disagreement, not accuracy.)"""
+    d = _docs(spark, sf_dir)
+    t = F.col("text")
+    guess = (
+        F.when(t.contains(" der ") | t.contains(" und "), "de")
+        .when(t.contains(" le ") | t.contains(" et "), "fr")
+        .when(t.contains(" el ") | t.contains(" y "), "es")
+        .when(t.contains(" the ") | t.contains(" a "), "en")
+        .otherwise("und")
+    )
+    return d.groupBy("lang", guess.alias("lang_guess")).agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+
+
+@query(
+    "q64_fingerprint",
+    sql="""
+    SELECT
+      md5(lower(trim(text))) AS fingerprint,
+      count(*)               AS n_docs,
+      min(doc_id)            AS keep_doc_id
+    FROM documents
+    GROUP BY 1
+    """,
+    operators=("X-fingerprint", "C1", "C2"),
+)
+def q64_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content fingerprinting: md5 over normalized text → cluster by
+    digest with a deterministic survivor (min doc_id). The grouped form
+    is exactly the exact-dedup reducer at any scale."""
+    d = _docs(spark, sf_dir)
+    return d.groupBy(
+        F.md5(F.lower(F.trim(F.col("text")))).alias("fingerprint")
+    ).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("doc_id").alias("keep_doc_id"),
+    )
