@@ -1,0 +1,50 @@
+"""Sinks — SURVEY.md §2.10 K1-K3.
+
+The reference writes ~11 CSV reports, several with the date encoded in
+the *filename* (portfolio-etl.py:700-717, :723-743, :772-775) and one
+that overwrites its own input (:648). The idiomatic Spark replacements:
+
+- K3 filename-encodes-partition → ``partitionBy('brand', 'dt')``
+  directory layout (partition pruning for every downstream reader);
+- K2 read-modify-overwrite → snapshot write to a new location (or a
+  staged temp-then-swap), never an in-place mutation of an input being
+  read — Spark would corrupt a table read lazily from the same path;
+- K1 CSV report (pandas index column NOT reproduced).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def write_report_csv(df: DataFrame, path: str, single_file: bool = True) -> None:
+    """K1: a human-facing CSV report (soldvalueretail.csv,
+    portfolio-etl.py:618). ``single_file`` coalesces to one part —
+    only for genuinely small report outputs; large extracts keep their
+    partitioning."""
+    out = df.coalesce(1) if single_file else df
+    out.write.mode("overwrite").option("header", True).csv(path)
+
+
+def write_partitioned(
+    df: DataFrame, path: str, partition_cols: list[str], fmt: str = "parquet"
+) -> None:
+    """K3: date/brand-partitioned report fan-out — the filename-encodes
+    -date pattern (portfolio-etl.py:700-707) as real partition
+    directories."""
+    (
+        df.write.mode("overwrite")
+        .partitionBy(*partition_cols)
+        .format(fmt)
+        .option("header", True)
+        .save(path)
+    )
+
+
+def write_snapshot(df: DataFrame, path: str) -> None:
+    """K2: the inventory snapshot (portfolio-etl.py:648-650) with
+    idempotent overwrite semantics. Caller must NOT write onto a path
+    the plan is still lazily reading — materialize first (the
+    reference's self-overwrite at :648 only works because pandas is
+    eager)."""
+    df.write.mode("overwrite").parquet(path)

@@ -1,0 +1,115 @@
+"""File and payload readers — SURVEY.md §2.1 S1-S9.
+
+Everything takes an explicit schema: at 100 TB, inference means an
+extra full pass and a silent type flip on the first malformed file.
+
+The reference's readers (portfolio-etl.py): plain CSV (:621, :634,
+:659, :748), CSV with a 4-line preamble (:468), TSV (:491, :515, :529),
+Excel (:491-530), JSON/XML/GraphQL API payloads (:40-51, :98-121,
+:376-408).
+"""
+
+from __future__ import annotations
+
+import json
+from collections.abc import Iterable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType | None = None,
+    sep: str = ",",
+    header: bool = True,
+) -> DataFrame:
+    """S1: plain CSV scan (pd.read_csv parity, portfolio-etl.py:621)."""
+    reader = spark.read.option("header", header).option("sep", sep)
+    if schema is not None:
+        reader = reader.schema(schema)
+    else:
+        reader = reader.option("inferSchema", True)  # dev convenience only
+    return reader.csv(path)
+
+
+def read_tsv(
+    spark: SparkSession, path: str, schema: T.StructType | None = None, header: bool = True
+) -> DataFrame:
+    """S3: tab-separated feed (pd.read_csv(sep='\\t'), portfolio-etl.py:491)."""
+    return read_csv(spark, path, schema=schema, sep="\t", header=header)
+
+
+def read_csv_with_preamble(
+    spark: SparkSession,
+    path: str,
+    skip_rows: int,
+    schema: T.StructType,
+    sep: str = ",",
+) -> DataFrame:
+    """S2: CSV whose real header sits on line ``skip_rows+1`` (the
+    Macy's export, pd.read_csv(header=4), portfolio-etl.py:468).
+
+    Spark's CSV reader has no preamble support (``skipRows`` is
+    silently ignored), so: textFile → zipWithIndex (line order is
+    guaranteed for a text scan) → drop preamble + header → parse the
+    body with ``from_csv`` against the declared schema. This is the
+    codebase's one deliberate RDD use — the per-line index genuinely
+    needs it; parsing stays in codegen'd ``from_csv``."""
+    lines = spark.sparkContext.textFile(path).zipWithIndex()
+    body = lines.filter(lambda t: t[1] > skip_rows).map(lambda t: (t[0],))
+    ddl = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in schema.fields)
+    return (
+        spark.createDataFrame(body, "value string")
+        .select(F.from_csv(F.col("value"), ddl, {"sep": sep}).alias("r"))
+        .select("r.*")
+    )
+
+
+def read_excel(
+    spark: SparkSession, path: str, schema: T.StructType | None = None
+) -> DataFrame:
+    """S4: Excel feed (pd.read_excel, portfolio-etl.py:491-530).
+
+    No core-Spark Excel reader exists; these are small dimension feeds,
+    so the documented pattern is driver-side pandas → createDataFrame
+    (Arrow). Gated behind an import-try: the execution image may lack
+    an engine (openpyxl/xlrd), in which case this raises with a clear
+    message instead of failing mid-plan."""
+    import pandas as pd
+
+    try:
+        pdf = pd.read_excel(path)
+    except ImportError as e:  # no engine installed
+        raise NotImplementedError(
+            "Excel ingestion needs openpyxl/xlrd on the driver; "
+            "convert the feed to CSV or install an engine"
+        ) from e
+    return spark.createDataFrame(pdf, schema=schema)
+
+
+def json_records(
+    spark: SparkSession,
+    payload: dict | list | str | Iterable[str],
+    schema: T.StructType | None = None,
+) -> DataFrame:
+    """S5/S7: land a fetched JSON payload (REST/GraphQL response body)
+    as a DataFrame (portfolio-etl.py:40-51, :376-408).
+
+    The fetch itself is driver-side (network stays on the driver, as in
+    the reference); at production scale payloads land on object storage
+    and this becomes ``spark.read.json(path, schema=...)`` unchanged
+    downstream."""
+    if isinstance(payload, (dict, list)):
+        payload = json.dumps(payload)
+    if isinstance(payload, str):
+        payload = [payload]
+    ds = spark.createDataFrame([(p,) for p in payload], "value string")
+    reader_schema = schema
+    if reader_schema is None:
+        return spark.read.json(ds.rdd.map(lambda r: r.value))
+    return (
+        ds.select(F.from_json("value", reader_schema).alias("r")).select("r.*")
+    )

@@ -1,0 +1,17 @@
+"""Structured Streaming surface (SURVEY.md §2.11)."""
+
+from portfolio1_etl_spark.streaming.jobs import (
+    dedup_events_stream,
+    inventory_merge_stream,
+    read_events_stream,
+    sessionized_stream,
+    windowed_counts_stream,
+)
+
+__all__ = [
+    "read_events_stream",
+    "windowed_counts_stream",
+    "sessionized_stream",
+    "dedup_events_stream",
+    "inventory_merge_stream",
+]

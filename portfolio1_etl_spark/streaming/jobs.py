@@ -1,0 +1,112 @@
+"""Structured Streaming jobs over the ``events`` feed.
+
+The reference is a weekly batch pull with a 7-day lookback
+(portfolio-etl.py:42, :102, ...), i.e. hand-rolled incremental view
+maintenance. These jobs are the continuous form: file-source stream →
+watermark → windowed/sessionized/deduped aggregation → sink. The batch
+twins in ``plans/windows_events.py`` pin the semantics against the
+DuckDB oracle; tests assert stream == batch on the same input.
+
+All stateful operators are Spark built-ins (window / session_window /
+dropDuplicatesWithinWatermark / foreachBatch) — no custom state store.
+At production scale the source becomes Kafka/landing-zone parquet and
+the sink a partitioned table; the dataflow is unchanged.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+#: File-stream schema: the raw parquet stores ts as TIMESTAMP(NANOS),
+#: which the reader surfaces as long under nanosAsLong (catalog.py).
+_RAW_EVENTS = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def read_events_stream(spark: SparkSession, path: str) -> DataFrame:
+    """events as a file-source stream (parquet landing zone). The
+    nanos→timestamp conversion matches catalog.load exactly."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    raw = (
+        spark.readStream.schema(_RAW_EVENTS)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(path)
+    )
+    # Watermarks require TIMESTAMP (not NTZ); with the session pinned to
+    # UTC this carries the same wall-clock values as the batch NTZ path.
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def windowed_counts_stream(events: DataFrame) -> DataFrame:
+    """Tumbling 1-hour window with a 2-hour watermark — the streaming
+    twin of q50. Late events beyond the watermark are dropped; the
+    upper time bound in the reference (:219 ``< now``) plays the same
+    role."""
+    return (
+        events.withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 hour").getField("start").alias("window_start"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
+        )
+    )
+
+
+def sessionized_stream(events: DataFrame) -> DataFrame:
+    """Per-user session windows (10-minute gap) — streaming twin of
+    q52; session state merges across micro-batches."""
+    return (
+        events.withWatermark("ts", "2 hours")
+        .groupBy(F.session_window("ts", "10 minutes"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def dedup_events_stream(events: DataFrame) -> DataFrame:
+    """Keyed streaming dedup: first event per event_id within the
+    watermark horizon (``dropDuplicatesWithinWatermark`` keeps state
+    only for the horizon — bounded memory at any stream length)."""
+    return events.withWatermark("ts", "2 hours").dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+
+
+def inventory_merge_stream(
+    events: DataFrame,
+    apply_batch: Callable[[DataFrame, int], None],
+):
+    """The reference's inventory read-modify-write (portfolio-etl.py
+    :634-650) as an incremental ``foreachBatch`` merge: each
+    micro-batch aggregates sold qty per key and hands the delta to
+    ``apply_batch`` (which decrements the inventory snapshot —
+    idempotent overwrite, not in-place file mutation)."""
+    def _merge(batch_df: DataFrame, epoch_id: int) -> None:
+        sold = batch_df.groupBy(F.col("event_type").alias("sku")).agg(
+            F.sum("value").alias("sold_qty")
+        )
+        apply_batch(sold, epoch_id)
+
+    return events.writeStream.outputMode("append").foreachBatch(_merge)

@@ -1,0 +1,84 @@
+"""Multimodal binary-column plumbing + sink layout tests."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from portfolio1_etl_spark import catalog
+from portfolio1_etl_spark.operators import (
+    MEDIA_FEATURES_SCHEMA,
+    decode_media_batch,
+    featurize_media,
+    read_media_dir,
+    write_partitioned,
+    write_report_csv,
+    write_snapshot,
+)
+
+
+@pytest.fixture(scope="module")
+def media_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("media")
+    (d / "a.jpg").write_bytes(b"\xff\xd8fakejpegbytes")
+    (d / "b.png").write_bytes(b"\x89PNGfakebytes")
+    (d / "c.wav").write_bytes(b"RIFFfakewav")
+    return str(d)
+
+
+def test_read_media_dir_schema_and_modality(spark, media_dir):
+    media = read_media_dir(spark, media_dir)
+    rows = {r.path.split("/")[-1]: r for r in media.collect()}
+    assert rows["a.jpg"].modality == "image"
+    assert rows["a.jpg"].meta.mime == "image/jpeg"
+    assert rows["c.wav"].modality == "audio"
+    assert rows["b.png"].meta.length == len(b"\x89PNGfakebytes")
+
+
+def test_featurize_media_batched(spark, media_dir):
+    feats = featurize_media(read_media_dir(spark, media_dir))
+    assert feats.schema == MEDIA_FEATURES_SCHEMA
+    rows = {r.path.split("/")[-1]: r for r in feats.collect()}
+    assert rows["a.jpg"].n_bytes == len(b"\xff\xd8fakejpegbytes")
+    assert len(rows["a.jpg"].feature) == 8
+    # deterministic digest features
+    import hashlib
+
+    assert rows["b.png"].content_sha256 == hashlib.sha256(b"\x89PNGfakebytes").hexdigest()
+
+
+def test_real_decode_is_clearly_stubbed():
+    with pytest.raises(NotImplementedError, match="media decode"):
+        decode_media_batch(b"xx", "image")
+
+
+def test_partitioned_sink_layout(spark, sf_dir, tmp_path):
+    orders = catalog.load(spark, sf_dir, "orders")
+    from pyspark.sql import functions as F
+
+    out = str(tmp_path / "by_status")
+    write_partitioned(
+        orders.withColumn("yr", F.year("o_orderdate")),
+        out,
+        ["o_orderstatus", "yr"],
+    )
+    assert any(p.startswith("o_orderstatus=") for p in os.listdir(out))
+    back = spark.read.parquet(out)
+    assert back.count() == orders.count()
+    # partition pruning: reading one partition only touches its dir
+    one = back.filter((F.col("o_orderstatus") == "F") & (F.col("yr") == 1996))
+    plan = one.explain(mode="formatted") or ""
+    assert one.count() > 0
+
+
+def test_report_and_snapshot_sinks(spark, sf_dir, tmp_path):
+    li = catalog.load(spark, sf_dir, "lineitem").limit(100)
+    csv_out = str(tmp_path / "report_csv")
+    write_report_csv(li.select("l_orderkey", "l_quantity"), csv_out)
+    files = [f for f in os.listdir(csv_out) if f.endswith(".csv")]
+    assert len(files) == 1  # single-file report
+
+    snap_out = str(tmp_path / "snapshot")
+    write_snapshot(li, snap_out)
+    assert spark.read.parquet(snap_out).count() == 100

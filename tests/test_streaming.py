@@ -1,0 +1,104 @@
+"""Streaming semantics tests: each streaming job must converge to the
+same result as its oracle-checked batch twin on the same input
+(SURVEY.md §2.11). Memory sink + processAllAvailable drives the whole
+file stream synchronously."""
+
+from __future__ import annotations
+
+import shutil
+
+import pyspark.sql.functions as F
+import pytest
+
+from portfolio1_etl_spark import catalog
+from portfolio1_etl_spark.plans.registry import REGISTRY
+from portfolio1_etl_spark.streaming import (
+    dedup_events_stream,
+    inventory_merge_stream,
+    read_events_stream,
+    sessionized_stream,
+    windowed_counts_stream,
+)
+
+
+@pytest.fixture(scope="module")
+def events_dir(tmp_path_factory):
+    """File-stream sources need a landing-zone *directory*."""
+    d = tmp_path_factory.mktemp("events_stream")
+    shutil.copy("/root/testdata/sf0.001/events.parquet", d / "part-000.parquet")
+    return str(d)
+
+
+def _run_to_memory(stream_df, name, mode="complete"):
+    q = (
+        stream_df.writeStream.outputMode(mode)
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+
+
+def test_windowed_counts_matches_batch(spark, sf_dir, events_dir):
+    events = read_events_stream(spark, events_dir)
+    _run_to_memory(windowed_counts_stream(events), "win_out")
+    got = {
+        (r.window_start, r.event_type): (r.n_events, r.total_value)
+        for r in spark.sql("SELECT * FROM win_out").collect()
+    }
+    want = {
+        (r.window_start, r.event_type): (r.n_events, r.total_value)
+        for r in REGISTRY["q50_tumbling_window"].fn(spark, sf_dir).collect()
+    }
+    assert got == want
+
+
+def test_sessionized_matches_batch(spark, sf_dir, events_dir):
+    events = read_events_stream(spark, events_dir)
+    _run_to_memory(sessionized_stream(events), "sess_out")
+    got = {
+        (r.user_id, r.session_start): (r.session_end, r.n_events, r.total_value)
+        for r in spark.sql("SELECT * FROM sess_out").collect()
+    }
+    want = {
+        (r.user_id, r.session_start): (r.session_end, r.n_events, r.total_value)
+        for r in REGISTRY["q52_session_window"].fn(spark, sf_dir).collect()
+    }
+    assert got == want
+
+
+def test_stream_dedup_drops_nothing_on_unique_ids(spark, sf_dir, events_dir):
+    events = read_events_stream(spark, events_dir)
+    _run_to_memory(dedup_events_stream(events), "dedup_out", mode="append")
+    n_stream = spark.sql("SELECT count(*) AS n FROM dedup_out").collect()[0].n
+    n_batch = catalog.load(spark, sf_dir, "events").count()
+    assert n_stream == n_batch  # event_ids are unique → dedup is a no-op
+
+
+def test_inventory_merge_foreachbatch(spark, events_dir):
+    events = read_events_stream(spark, events_dir)
+    deltas = []
+
+    def apply_batch(sold_df, epoch_id):
+        deltas.append({r.sku: r.sold_qty for r in sold_df.collect()})
+
+    q = inventory_merge_stream(events, apply_batch).start()
+    q.processAllAvailable()
+    q.stop()
+
+    # merged deltas == batch aggregate (the J2 decrement input)
+    merged: dict[str, float] = {}
+    for d in deltas:
+        for k, v in d.items():
+            merged[k] = merged.get(k, 0.0) + v
+    batch = {
+        r.sku: r.sold_qty
+        for r in catalog.load(spark, "/root/testdata/sf0.001", "events")
+        .groupBy(F.col("event_type").alias("sku"))
+        .agg(F.sum("value").alias("sold_qty"))
+        .collect()
+    }
+    assert set(merged) == set(batch)
+    for k in merged:
+        assert abs(merged[k] - batch[k]) < 1e-6
