@@ -1,0 +1,287 @@
+"""Advanced engine capabilities beyond the reference's operator set:
+full/cross joins, statistical and percentile aggregates, ordered
+collect aggregates, unpivot, and the two classic time-series operators
+Spark lacks natively — as-of join and range (interval) join — composed
+from shuffles + windows so they scale (SURVEY.md §2.5/§2.6 capability
+parity; pyspark guide "As-of / range join" pattern).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from portfolio1_etl_spark import catalog
+from portfolio1_etl_spark.plans.registry import query
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return catalog.load(spark, sf_dir, name)
+
+
+@query(
+    "q31_full_outer_join",
+    sql="""
+    WITH big_cust AS (
+      SELECT c_custkey, c_name FROM customer WHERE c_acctbal > 5000
+    ),
+    ordered AS (
+      SELECT o_custkey, count(*) AS n_orders
+      FROM orders WHERE o_orderpriority = '1-URGENT' GROUP BY o_custkey
+    )
+    SELECT
+      coalesce(b.c_custkey, o.o_custkey) AS custkey,
+      b.c_name  AS name,
+      o.n_orders AS n_orders
+    FROM big_cust b FULL OUTER JOIN ordered o ON b.c_custkey = o.o_custkey
+    """,
+    operators=("J-full",),
+)
+def q31_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join: both unmatched sides survive with NULLs."""
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 5000)
+    o = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+    return c.join(o, c.c_custkey == o.o_custkey, "full_outer").select(
+        F.coalesce(F.col("c_custkey"), F.col("o_custkey")).alias("custkey"),
+        F.col("c_name").alias("name"),
+        F.col("n_orders"),
+    )
+
+
+@query(
+    "q32_cross_join",
+    sql="""
+    SELECT r.r_name AS region, s.status
+    FROM region r CROSS JOIN (SELECT DISTINCT o_orderstatus AS status FROM orders) s
+    """,
+    operators=("J-cross",),
+)
+def q32_cross_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit cross join (dimension grid) — only ever between
+    dimension-sized inputs; both sides here are tiny and broadcast."""
+    r = _t(spark, sf_dir, "region").select(F.col("r_name").alias("region"))
+    s = (
+        _t(spark, sf_dir, "orders")
+        .select(F.col("o_orderstatus").alias("status"))
+        .distinct()
+    )
+    return r.crossJoin(F.broadcast(s))
+
+
+@query(
+    "q33_stats_agg",
+    sql="""
+    SELECT
+      l_returnflag AS returnflag,
+      round(stddev_samp(l_quantity), 4)                 AS sd_qty,
+      round(var_samp(l_quantity), 4)                    AS var_qty,
+      round(corr(l_quantity, l_extendedprice), 6)       AS corr_qty_price,
+      round(covar_samp(l_quantity, l_extendedprice), 2) AS covar_qty_price
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    operators=("A-stats",),
+)
+def q33_stats_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates (sample stddev/variance, correlation,
+    covariance). Rounded coarsely: the running-moment accumulations are
+    order-dependent across engines at the 1e-9 level."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy(F.col("l_returnflag").alias("returnflag")).agg(
+        F.round(F.stddev_samp("l_quantity"), 4).alias("sd_qty"),
+        F.round(F.var_samp("l_quantity"), 4).alias("var_qty"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 2).alias(
+            "covar_qty_price"
+        ),
+    )
+
+
+@query(
+    "q34_percentiles",
+    sql="""
+    SELECT
+      l_returnflag AS returnflag,
+      round(quantile_cont(l_extendedprice, 0.25), 4) AS p25,
+      round(quantile_cont(l_extendedprice, 0.50), 4) AS p50,
+      round(quantile_cont(l_extendedprice, 0.75), 4) AS p75
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    operators=("A-percentile",),
+)
+def q34_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (both engines use the same
+    (n−1)·q linear interpolation over the sorted values)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy(F.col("l_returnflag").alias("returnflag")).agg(
+        F.round(F.percentile("l_extendedprice", F.lit(0.25)), 4).alias("p25"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.50)), 4).alias("p50"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.75)), 4).alias("p75"),
+    )
+
+
+@query("q35_approx_aggregates", sql=None, operators=("A-approx",))
+def q35_approx_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate aggregates: HLL distinct + approximate quantiles.
+    Deliberately rows-only: Spark's HyperLogLog++ and DuckDB's HLL are
+    different sketches, so cross-engine value equality is impossible by
+    construction; the companion exact values (q16, q34) gate
+    correctness instead. At 100 TB these are the default — exact
+    distinct over a high-cardinality key is a full shuffle, the sketch
+    is a map-side merge."""
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy(F.col("o_orderpriority").alias("priority")).agg(
+        F.approx_count_distinct("o_custkey").alias("approx_customers"),
+        F.percentile_approx("o_totalprice", 0.5, 1000).alias("approx_median_price"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+@query(
+    "q36_collect_agg",
+    sql="""
+    SELECT
+      c_mktsegment AS segment,
+      array_to_string(list_sort(list(DISTINCT c_nationkey)), ',') AS nations,
+      count(*) AS n_customers
+    FROM customer GROUP BY c_mktsegment
+    """,
+    operators=("A-collect",),
+)
+def q36_collect_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collect-to-array aggregate, made deterministic (and engine-
+    comparable) by sorting and joining to a string."""
+    c = _t(spark, sf_dir, "customer")
+    return c.groupBy(F.col("c_mktsegment").alias("segment")).agg(
+        F.concat_ws(",", F.sort_array(F.collect_set("c_nationkey"))).alias("nations"),
+        F.count(F.lit(1)).alias("n_customers"),
+    )
+
+
+@query(
+    "q37_asof_join",
+    sql="""
+    SELECT e.event_id, e.user_id, o.o_orderdate AS last_order_ts
+    FROM events e
+    ASOF LEFT JOIN orders o
+      ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+    """,
+    operators=("J-asof",),
+)
+def q37_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (each event ↔ the latest order at or before it) —
+    Spark has no native ASOF, so this is the scalable composition: tag
+    and union both streams, sort within each key partition, and carry
+    the last seen order timestamp forward with last(ignorenulls) over
+    an unbounded-preceding window. ONE shuffle on the join key — no
+    per-group pandas, no broadcast of either side (pyspark guide's
+    merge_asof alternative is the non-scalable fallback). Ties
+    (order and event at the same instant) sort the order first,
+    matching ASOF's >= semantics."""
+    e = _t(spark, sf_dir, "events").select(
+        F.col("user_id").alias("k"),
+        F.col("ts").alias("t"),
+        "event_id",
+        F.lit(None).cast("timestamp_ntz").alias("o_ts"),
+        F.lit(1).alias("is_event"),
+    )
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("k"),
+        F.col("o_orderdate").alias("t"),
+        F.lit(None).cast("long").alias("event_id"),
+        F.col("o_orderdate").alias("o_ts"),
+        F.lit(0).alias("is_event"),
+    )
+    tagged = e.unionByName(o)
+    w = (
+        W.partitionBy("k")
+        .orderBy(F.col("t").asc(), F.col("is_event").asc())
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        tagged.withColumn("last_order_ts", F.last("o_ts", ignorenulls=True).over(w))
+        .filter(F.col("is_event") == 1)
+        .select("event_id", F.col("k").alias("user_id"), "last_order_ts")
+    )
+
+
+@query(
+    "q38_range_join",
+    sql="""
+    SELECT a.event_id AS event_a, b.event_id AS event_b, a.user_id
+    FROM events a JOIN events b
+      ON a.user_id = b.user_id
+     AND b.ts > a.ts
+     AND b.ts <= a.ts + INTERVAL '10 minutes'
+    """,
+    operators=("J-range",),
+)
+def q38_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (interval) join: ordered event pairs of the same user
+    within 10 minutes. The naive form is an inequality join (a per-key
+    cross product); the scalable composition buckets time into
+    10-minute cells and joins on (key, cell) with each left row probing
+    its own and the next cell — candidates shrink from O(n²) per key to
+    the events in two cells, then the exact predicate filters."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts",
+        F.floor(F.col("ts").cast("timestamp").cast("double") / 600).alias("cell"),
+    )
+    left = ev.select(
+        F.col("event_id").alias("event_a"),
+        "user_id",
+        F.col("ts").alias("ts_a"),
+        F.explode(F.array(F.col("cell"), F.col("cell") + 1)).alias("probe_cell"),
+    )
+    right = ev.select(
+        F.col("event_id").alias("event_b"),
+        F.col("user_id").alias("user_b"),
+        F.col("ts").alias("ts_b"),
+        F.col("cell").alias("cell_b"),
+    )
+    return (
+        left.join(
+            right,
+            (F.col("user_id") == F.col("user_b"))
+            & (F.col("probe_cell") == F.col("cell_b")),
+        )
+        .filter(
+            (F.col("ts_b") > F.col("ts_a"))
+            & (F.col("ts_b") <= F.col("ts_a") + F.expr("INTERVAL 10 MINUTES"))
+        )
+        .select("event_a", "event_b", "user_id")
+    )
+
+
+@query(
+    "q39_unpivot",
+    sql="""
+    WITH agg AS (
+      SELECT l_returnflag AS returnflag,
+             sum(l_quantity) AS qty,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS price
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT returnflag, 'qty' AS measure, qty AS value FROM agg
+    UNION ALL
+    SELECT returnflag, 'price' AS measure, price AS value FROM agg
+    """,
+    operators=("A-unpivot",),
+)
+def q39_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (wide→long) via stack()."""
+    from portfolio1_etl_spark.functions import dsum_money
+
+    li = _t(spark, sf_dir, "lineitem")
+    agg = li.groupBy(F.col("l_returnflag").alias("returnflag")).agg(
+        F.sum("l_quantity").alias("qty"),
+        dsum_money("l_extendedprice").alias("price"),
+    )
+    return agg.selectExpr(
+        "returnflag", "stack(2, 'qty', qty, 'price', price) AS (measure, value)"
+    )
