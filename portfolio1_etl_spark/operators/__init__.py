@@ -14,6 +14,21 @@ from portfolio1_etl_spark.operators.sinks import (
     write_report_csv,
     write_snapshot,
 )
+from portfolio1_etl_spark.operators.dedup import (
+    jaccard_pairs,
+    lsh_candidates,
+    minhash_signatures,
+    shingle_hashes,
+    simhash,
+    verify_candidates,
+)
+from portfolio1_etl_spark.operators.similarity import (
+    brute_force_topk,
+    signbit_lsh_topk,
+    threshold_pairs,
+    with_norms,
+)
+from portfolio1_etl_spark.operators.bucketing import bucketed, write_bucketed
 
 __all__ = [
     "MEDIA_SCHEMA",
@@ -24,4 +39,16 @@ __all__ = [
     "write_partitioned",
     "write_report_csv",
     "write_snapshot",
+    "shingle_hashes",
+    "jaccard_pairs",
+    "minhash_signatures",
+    "lsh_candidates",
+    "verify_candidates",
+    "simhash",
+    "with_norms",
+    "brute_force_topk",
+    "threshold_pairs",
+    "signbit_lsh_topk",
+    "write_bucketed",
+    "bucketed",
 ]

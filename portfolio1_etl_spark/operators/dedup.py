@@ -1,0 +1,173 @@
+"""Deduplication operator library (generic, DataFrame-in/DataFrame-out).
+
+The oracle-checked query forms live in ``plans/dedup_ops``; these are
+the building blocks a pipeline author composes directly:
+
+    sh    = shingle_hashes(docs, "text", id_col="doc_id")
+    pairs = jaccard_pairs(sh, threshold=0.8)             # exact near-dup
+    sigs  = minhash_signatures(sh)                        # 16-perm MinHash
+    cand  = lsh_candidates(sigs)                          # banded LSH
+    fp    = simhash(docs, "text")                         # 16-bit SimHash
+
+All hashing is md5-derived and deterministic (no RNG, reproducible
+across runs and engines). Scale properties are documented per function
+and in ARCHITECTURE.md §5.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: Deterministic 48-bit hash of a string column (identical in DuckDB
+#: as ``('0x' || substr(md5(c),1,12))::BIGINT``).
+H48 = "cast(conv(substring(md5({c}), 1, 12), 16, 10) as bigint)"
+
+#: MinHash family: h_i(x) = (a_i·H + b_i) mod (2^31−1); a_i < 64 keeps
+#: a_i·H < 2^54 — no int64 overflow on 48-bit H.
+MINHASH_PARAMS = [(i, 2 * i + 3, 104729 * (i + 1) + 7) for i in range(16)]
+MINHASH_MOD = 2147483647
+
+
+def shingle_hashes(
+    docs: DataFrame, text_col: str, id_col: str = "doc_id", n: int = 3
+) -> DataFrame:
+    """(id, h): 48-bit hashes of each document's distinct n-word
+    shingles. Tokens are materialized once (an inline split in the
+    lambda would re-split per shingle index); output rows carry long
+    keys so every downstream shuffle/join is fixed-width."""
+    shingle_expr = f"""
+    array_distinct(transform(
+      sequence(1, greatest(size(toks) - {n - 1}, 0)),
+      i -> concat_ws(' ', slice(toks, i, {n}))
+    ))
+    """
+    d = docs.repartition(
+        docs.sparkSession.sparkContext.defaultParallelism, id_col
+    )
+    return (
+        d.withColumn("toks", F.split(text_col, " "))
+        .select(id_col, F.explode(F.expr(shingle_expr)).alias("s"))
+        .select(id_col, F.expr(H48.format(c="s")).alias("h"))
+    )
+
+
+def jaccard_pairs(
+    sh: DataFrame, threshold: float | None = None, id_col: str = "doc_id"
+) -> DataFrame:
+    """(doc_a, doc_b, jaccard) for every pair sharing ≥1 shingle hash —
+    inverted-index self-join on long keys; pairs that share nothing
+    never meet. Optional threshold filter."""
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
+    a, b = sh.alias("a"), sh.alias("b")
+    common = (
+        a.join(
+            b,
+            (F.col("a.h") == F.col("b.h"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .groupBy(
+            F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    jac = F.col("c").cast("double") / (F.col("sa.n") + F.col("sb.n") - F.col("c"))
+    out = (
+        common.join(sizes.alias("sa"), F.col("doc_a") == F.col(f"sa.{id_col}"))
+        .join(sizes.alias("sb"), F.col("doc_b") == F.col(f"sb.{id_col}"))
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+    )
+    return out.filter(F.col("jaccard") >= threshold) if threshold else out
+
+
+def minhash_signatures(sh: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """One grouped aggregate → 16 min-hash columns h0..h15 per doc
+    (no hash-family crossJoin; md5 was computed once in
+    ``shingle_hashes``)."""
+    return sh.groupBy(id_col).agg(
+        *[
+            F.min((F.lit(a) * F.col("h") + F.lit(b)) % MINHASH_MOD).alias(f"h{i}")
+            for i, a, b in MINHASH_PARAMS
+        ]
+    )
+
+
+def lsh_candidates(
+    sigs: DataFrame, n_bands: int = 4, id_col: str = "doc_id"
+) -> DataFrame:
+    """(doc_a, doc_b) pairs agreeing on at least one full band
+    signature. The join key is (band, signature) — a pure equi-join;
+    the result is eagerly materialized (localCheckpoint) because LSH
+    survivor sets are tiny and always feed multiple consumers."""
+    rows_per_band = len(MINHASH_PARAMS) // n_bands
+    band_exprs = [
+        F.struct(
+            F.lit(band).alias("band"),
+            F.concat_ws(
+                ",",
+                *[
+                    F.col(f"h{rows_per_band * band + j}").cast("string")
+                    for j in range(rows_per_band)
+                ],
+            ).alias("sig"),
+        )
+        for band in range(n_bands)
+    ]
+    bands = sigs.select(
+        id_col, F.explode(F.array(*band_exprs)).alias("bs")
+    ).select(id_col, "bs.band", "bs.sig")
+    ba, bb = bands.alias("ba"), bands.alias("bb")
+    return (
+        ba.join(
+            bb,
+            (F.col("ba.band") == F.col("bb.band"))
+            & (F.col("ba.sig") == F.col("bb.sig"))
+            & (F.col(f"ba.{id_col}") < F.col(f"bb.{id_col}")),
+        )
+        .select(
+            F.col(f"ba.{id_col}").alias("doc_a"), F.col(f"bb.{id_col}").alias("doc_b")
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+
+def verify_candidates(
+    sh: DataFrame, cand: DataFrame, threshold: float, id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact-Jaccard verification restricted to LSH survivors: the
+    shingle set shrinks to candidate documents (broadcast semi-join)
+    BEFORE pair enumeration — the verify join never sees the rest of
+    the corpus."""
+    cand_docs = (
+        cand.select(F.col("doc_a").alias(id_col))
+        .union(cand.select(F.col("doc_b").alias(id_col)))
+        .distinct()
+    )
+    sh_c = sh.join(F.broadcast(cand_docs), id_col, "left_semi")
+    verified = jaccard_pairs(sh_c, threshold, id_col=id_col)
+    return cand.join(verified, ["doc_a", "doc_b"]).select(
+        "doc_a", "doc_b", "jaccard"
+    )
+
+
+def simhash(
+    docs: DataFrame, text_col: str, id_col: str = "doc_id", bits: int = 16
+) -> DataFrame:
+    """16-bit (default) SimHash fingerprint per document: md5-derived
+    token hashes vote ±1 per bit, the majority sign survives. One
+    explode + one grouped aggregate."""
+    d = docs.repartition(
+        docs.sparkSession.sparkContext.defaultParallelism, id_col
+    )
+    toks = d.select(
+        id_col, F.explode(F.array_distinct(F.split(text_col, " "))).alias("w")
+    )
+    hashed = toks.select(id_col, F.expr(H48.format(c="w")).alias("h"))
+    n = F.count(F.lit(1))
+    fingerprint = None
+    for b in range(bits):
+        bit_sum = F.sum(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)))
+        term = F.when(2 * bit_sum > n, F.lit(1 << b)).otherwise(F.lit(0))
+        fingerprint = term if fingerprint is None else fingerprint + term
+    return hashed.groupBy(id_col).agg(fingerprint.alias(f"simhash{bits}"))

@@ -1,0 +1,139 @@
+"""Similarity-search operator library (generic, DataFrame-based).
+
+Oracle-checked query forms live in ``plans/similarity_ops``; these are
+the composable primitives:
+
+    vecs = with_norms(embeddings, "embedding", id_col="vec_id")
+    knn  = brute_force_topk(vecs, vecs.filter(...), k=5)   # exact baseline
+    nd   = threshold_pairs(vecs, 0.9, block_col="label")    # near-dup pairs
+    ann  = signbit_lsh_topk(vecs, queries, k=3)             # scale path
+
+Numerics: element-wise float→double casts + sequential folds — bitwise
+equal to DuckDB's ``list_dot_product`` over DOUBLE[], so similarity
+values are exact across engines (no rounding).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+DOT = (
+    "aggregate(zip_with({a}, {b}, (x, y) -> x * y), "
+    "cast(0.0 as double), (acc, x) -> acc + x)"
+)
+
+
+def with_norms(
+    emb: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id"
+) -> DataFrame:
+    """(id, *, v double[], nrm): double-cast vectors with precomputed
+    L2 norms — norms are computed once per vector, not per pair."""
+    others = [c for c in emb.columns if c != vec_col]
+    return emb.select(
+        *others,
+        F.expr(f"transform({vec_col}, x -> cast(x as double))").alias("v"),
+    ).withColumn("nrm", F.expr("sqrt(" + DOT.format(a="v", b="v") + ")"))
+
+
+def _queries_view(queries: DataFrame, id_col: str) -> DataFrame:
+    return queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qnrm"),
+    )
+
+
+def cosine(a: str, b: str, anrm: str, bnrm: str):
+    return F.expr(DOT.format(a=a, b=b)) / (F.col(anrm) * F.col(bnrm))
+
+
+def brute_force_topk(
+    corpus: DataFrame, queries: DataFrame, k: int = 5, id_col: str = "vec_id"
+) -> DataFrame:
+    """Exact cosine top-k per query: query set broadcast, corpus
+    streams; ranking is a per-query window (per-partition top-k before
+    the final shuffle). The correctness baseline for the ANN variants."""
+    q = _queries_view(queries, id_col)
+    sims = corpus.join(
+        F.broadcast(q), F.col("query_id") != F.col(id_col)
+    ).select(
+        "query_id",
+        F.col(id_col).alias("neighbor_id"),
+        cosine("qv", "v", "qnrm", "nrm").alias("sim"),
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        sims.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "sim", "rank")
+    )
+
+
+def threshold_pairs(
+    vecs: DataFrame, threshold: float, block_col: str, id_col: str = "vec_id"
+) -> DataFrame:
+    """All pairs above a cosine threshold within a blocking key — the
+    block turns O(n²) into per-block joins (with no natural key, use a
+    signbit bucket as the block)."""
+    a, b = vecs.alias("a"), vecs.alias("b")
+    sim = F.expr(DOT.format(a="a.v", b="b.v")) / (F.col("a.nrm") * F.col("b.nrm"))
+    return (
+        a.join(
+            b,
+            (F.col(f"a.{block_col}") == F.col(f"b.{block_col}"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("vec_a"),
+            F.col(f"b.{id_col}").alias("vec_b"),
+            F.col(f"a.{block_col}").alias(block_col),
+            sim.alias("sim"),
+        )
+        .filter(F.col("sim") >= threshold)
+    )
+
+
+def signbit_bucket(n_bits: int = 8):
+    """Bit-sampling LSH bucket: sign pattern of the first n dims."""
+    return F.expr(
+        f"concat_ws('', transform(slice(v, 1, {n_bits}), "
+        "x -> if(x >= 0.0d, '1', '0')))"
+    )
+
+
+def signbit_lsh_topk(
+    corpus: DataFrame, queries: DataFrame, k: int = 3, n_bits: int = 8,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Approximate top-k: candidates share the query's signbit bucket
+    (pure equi-join — no cross product at any corpus size), exact
+    cosine re-ranks within the bucket."""
+    bucketed = corpus.withColumn("bucket", signbit_bucket(n_bits))
+    q = queries.withColumn("qbucket", signbit_bucket(n_bits)).select(
+        F.col(id_col).alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qnrm"),
+        "qbucket",
+    )
+    sims = bucketed.join(
+        F.broadcast(q),
+        (F.col("qbucket") == F.col("bucket"))
+        & (F.col("query_id") != F.col(id_col)),
+    ).select(
+        "query_id",
+        F.col(id_col).alias("neighbor_id"),
+        F.col("qbucket").alias("bucket"),
+        cosine("qv", "v", "qnrm", "nrm").alias("sim"),
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        sims.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "bucket", "sim", "rank")
+    )

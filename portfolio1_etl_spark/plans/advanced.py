@@ -259,6 +259,134 @@ def q38_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q55_window_range_frame",
+    sql="""
+    SELECT
+      o_custkey  AS custkey,
+      o_orderkey AS order_id,
+      CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+        PARTITION BY o_custkey
+        ORDER BY epoch(o_orderdate)::BIGINT
+        RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW) AS DOUBLE) AS trailing_30d
+    FROM orders
+    """,
+    operators=("Window-rangeframe",),
+)
+def q55_window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE frame: per-customer trailing-30-day revenue. A RANGE frame
+    (unlike ROWS) includes every peer with the same ordering value, so
+    same-day ties are frame-safe and the result is deterministic
+    without a tie-break column. Ordering key is epoch seconds (both
+    engines); the sum is decimal-exact."""
+    o = _t(spark, sf_dir, "orders")
+    epoch = F.col("o_orderdate").cast("timestamp").cast("long")
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy(epoch)
+        .rangeBetween(-30 * 86400, 0)
+    )
+    return o.select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderkey").alias("order_id"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .over(w)
+        .cast("double")
+        .alias("trailing_30d"),
+    )
+
+
+@query(
+    "q56_window_navigation",
+    sql="""
+    SELECT
+      o_custkey  AS custkey,
+      o_orderkey AS order_id,
+      first_value(o_orderkey) OVER w AS first_order,
+      last_value(o_orderkey)  OVER (PARTITION BY o_custkey
+                                    ORDER BY o_orderdate ASC, o_orderkey ASC
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                             AND UNBOUNDED FOLLOWING) AS last_order,
+      dense_rank()   OVER w AS drank,
+      ntile(4)       OVER w AS quartile,
+      round(percent_rank() OVER w, 6) AS prank,
+      round(cume_dist()    OVER w, 6) AS cdist
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC)
+    """,
+    operators=("Window-nav",),
+)
+def q56_window_navigation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Navigation + distribution window functions: first/last value,
+    dense_rank, ntile, percent_rank, cume_dist — fully ordered (orderkey
+    tie-break) so every function is deterministic."""
+    o = _t(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").asc(), F.col("o_orderkey").asc()
+    )
+    w_full = w.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    return o.select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderkey").alias("order_id"),
+        F.first("o_orderkey").over(w).alias("first_order"),
+        F.last("o_orderkey").over(w_full).alias("last_order"),
+        F.dense_rank().over(w).alias("drank"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("prank"),
+        F.round(F.cume_dist().over(w), 6).alias("cdist"),
+    )
+
+
+@query(
+    "q57_date_spine",
+    sql="""
+    WITH spine AS (
+      SELECT unnest(generate_series(TIMESTAMP '1996-01-01 00:00:00',
+                                    TIMESTAMP '1996-01-31 00:00:00',
+                                    INTERVAL 1 DAY)) AS day
+    ),
+    daily AS (
+      SELECT date_trunc('day', o_orderdate) AS day, count(*) AS n
+      FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND o_orderdate <  TIMESTAMP '1996-02-01 00:00:00'
+      GROUP BY 1
+    )
+    SELECT s.day AS day, coalesce(d.n, 0) AS n_orders
+    FROM spine s LEFT JOIN daily d ON s.day = d.day
+    """,
+    operators=("C-generate", "J2", "C13"),
+)
+def q57_date_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generated date spine LEFT-joined to per-day order counts — the
+    gaps-get-zero report shape (sequence() + explode is Spark's
+    generate_series). The spine is generated, broadcastable, and
+    pruned; the fact side keeps its pushed-down date window."""
+    o = _t(spark, sf_dir, "orders")
+    spine = spark.range(1).select(
+        F.explode(
+            F.sequence(
+                F.lit("1996-01-01").cast("timestamp_ntz"),
+                F.lit("1996-01-31").cast("timestamp_ntz"),
+                F.expr("INTERVAL 1 DAY"),
+            )
+        ).alias("day")
+    )
+    daily = (
+        o.filter(
+            (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+            & (F.col("o_orderdate") < F.lit("1996-02-01").cast("timestamp_ntz"))
+        )
+        .groupBy(
+            F.date_trunc("day", "o_orderdate").cast("timestamp_ntz").alias("day")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return spine.join(daily, "day", "left").select(
+        "day", F.coalesce(F.col("n"), F.lit(0)).alias("n_orders")
+    )
+
+
+@query(
     "q39_unpivot",
     sql="""
     WITH agg AS (

@@ -930,13 +930,16 @@ def q29_star_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q30_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GROUPING SETS via the engine's SQL path (parser → same Catalyst
-    pipeline as the DataFrame API)."""
-    catalog.load(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    pipeline as the DataFrame API). The temp view gets an engine-scoped
+    name so we never clobber a view the caller's session may own."""
+    catalog.load(spark, sf_dir, "lineitem").createOrReplaceTempView(
+        "_p1etl_lineitem_v"
+    )
     return spark.sql(
         """
         SELECT l_returnflag AS returnflag, l_linestatus AS linestatus,
                sum(l_quantity) AS sum_qty
-        FROM lineitem
+        FROM _p1etl_lineitem_v
         GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
         """
     )

@@ -21,19 +21,19 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from portfolio1_etl_spark import catalog
+from portfolio1_etl_spark.operators.similarity import (
+    DOT as _DOT,
+    brute_force_topk,
+    signbit_lsh_topk,
+    threshold_pairs,
+    with_norms,
+)
 from portfolio1_etl_spark.plans.registry import query
-
-_DOT = "aggregate(zip_with({a}, {b}, (x, y) -> x * y), cast(0.0 as double), (acc, x) -> acc + x)"
 
 
 def _vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(vec_id, label, v double[], nrm) with precomputed L2 norm."""
-    e = catalog.load(spark, sf_dir, "embeddings")
-    return e.select(
-        "vec_id",
-        "label",
-        F.expr("transform(embedding, x -> cast(x as double))").alias("v"),
-    ).withColumn("nrm", F.expr("sqrt(" + _DOT.format(a="v", b="v") + ")"))
+    return with_norms(catalog.load(spark, sf_dir, "embeddings"))
 
 
 _VECTORS_SQL = """
@@ -69,29 +69,7 @@ def q80_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     at scale the corpus side stays partitioned and only per-partition
     top-k survives to the final shuffle."""
     vecs = _vectors(spark, sf_dir)
-    q = vecs.filter(F.col("vec_id") < 8).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("v").alias("qv"),
-        F.col("nrm").alias("qnrm"),
-    )
-    sims = (
-        vecs.join(F.broadcast(q), F.col("query_id") != F.col("vec_id"))
-        .select(
-            "query_id",
-            F.col("vec_id").alias("neighbor_id"),
-            (
-                F.expr(_DOT.format(a="qv", b="v")) / (F.col("qnrm") * F.col("nrm"))
-            ).alias("sim"),
-        )
-    )
-    w = W.partitionBy("query_id").orderBy(
-        F.col("sim").desc(), F.col("neighbor_id").asc()
-    )
-    return (
-        sims.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= 5)
-        .select("query_id", "neighbor_id", "sim", "rank")
-    )
+    return brute_force_topk(vecs, vecs.filter(F.col("vec_id") < 8), k=5)
 
 
 @query(
@@ -110,24 +88,7 @@ def q81_threshold_pairs_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     by label — the blocking key turns an all-pairs O(n²) into
     per-block joins (the same trick as partition-level dedup in corpus
     pipelines; with no natural key, q82's LSH bucket plays this role)."""
-    vecs = _vectors(spark, sf_dir)
-    a = vecs.alias("a")
-    b = vecs.alias("b")
-    sim = F.expr(_DOT.format(a="a.v", b="b.v")) / (F.col("a.nrm") * F.col("b.nrm"))
-    return (
-        a.join(
-            b,
-            (F.col("a.label") == F.col("b.label"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
-        )
-        .select(
-            F.col("a.vec_id").alias("vec_a"),
-            F.col("b.vec_id").alias("vec_b"),
-            F.col("a.label").alias("label"),
-            sim.alias("sim"),
-        )
-        .filter(F.col("sim") >= 0.35)
-    )
+    return threshold_pairs(_vectors(spark, sf_dir), 0.35, block_col="label")
 
 
 _BUCKET_SPARK = (
@@ -166,27 +127,122 @@ def q82_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket. Trades recall for a pure equi-join shape that scales to
     any corpus size; more planes / multi-probe raise recall."""
     vecs = _vectors(spark, sf_dir)
-    bucketed = vecs.withColumn("bucket", F.expr(_BUCKET_SPARK.format(v="v")))
-    q = bucketed.filter(F.col("vec_id") < 8).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("v").alias("qv"),
-        F.col("nrm").alias("qnrm"),
-        F.col("bucket").alias("qbucket"),
+    return signbit_lsh_topk(vecs, vecs.filter(F.col("vec_id") < 8), k=3)
+
+
+_DIST2_SPARK = (
+    "round(aggregate(zip_with(v, cvec, (a, b) -> (a - b) * (a - b)), "
+    "cast(0.0 as double), (acc, x) -> acc + x), 6)"
+)
+_DIST2_SQL = (
+    "round(list_sum(list_transform(generate_series(1, 64), "
+    "i -> (v.v[i] - c.cvec[i]) * (v.v[i] - c.cvec[i]))), 6)"
+)
+
+
+@query(
+    "q83_ivf_ann",
+    sql=f"""
+    WITH vecs AS ({_VECTORS_SQL}),
+    expl AS (
+      SELECT vec_id, label, unnest(v) AS x, generate_subscripts(v, 1) AS i
+      FROM vecs
+    ),
+    cent AS (
+      SELECT label AS c_label, list(c ORDER BY i) AS cvec
+      FROM (SELECT label, i, round(avg(x), 4) AS c FROM expl GROUP BY label, i)
+      GROUP BY label
+    ),
+    assigned AS (
+      SELECT vec_id, label, v, nrm, cell FROM (
+        SELECT v.vec_id, v.label, v.v, v.nrm, c.c_label AS cell,
+               row_number() OVER (PARTITION BY v.vec_id
+                                  ORDER BY {_DIST2_SQL} ASC, c.c_label ASC) AS rn
+        FROM vecs v CROSS JOIN cent c
+      ) WHERE rn = 1
+    ),
+    probes AS (
+      SELECT query_id, qv, qnrm, probe_cell FROM (
+        SELECT v.vec_id AS query_id, v.v AS qv, v.nrm AS qnrm,
+               c.c_label AS probe_cell,
+               row_number() OVER (PARTITION BY v.vec_id
+                                  ORDER BY {_DIST2_SQL} ASC, c.c_label ASC) AS rn
+        FROM vecs v CROSS JOIN cent c WHERE v.vec_id < 8
+      ) WHERE rn <= 2
+    ),
+    sims AS (
+      SELECT p.query_id, a.vec_id AS neighbor_id, a.cell,
+             list_dot_product(p.qv, a.v) / (p.qnrm * a.nrm) AS sim
+      FROM probes p JOIN assigned a
+        ON a.cell = p.probe_cell AND p.query_id <> a.vec_id
     )
-    sims = (
-        bucketed.join(
-            F.broadcast(q),
-            (F.col("qbucket") == F.col("bucket"))
-            & (F.col("query_id") != F.col("vec_id")),
+    SELECT query_id, neighbor_id, cell, sim, rank FROM (
+      SELECT query_id, neighbor_id, cell, sim,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY sim DESC, neighbor_id ASC) AS rank
+      FROM sims
+    ) WHERE rank <= 3
+    """,
+    operators=("X-sim-ivf",),
+)
+def q83_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: an inverted-file index with deterministic
+    centroids (per-label mean vectors — a stand-in for a k-means
+    codebook, chosen so the oracle can recompute them), nearest-cell
+    assignment for every vector, and queries probing their top-2 cells
+    before exact cosine re-ranking.
+
+    Scale shape: the codebook is tiny and broadcast; assignment is a
+    narrow map over the corpus; the search space per query shrinks to
+    two cells joined by an equi-key. Determinism: centroid components
+    round to 4 dp (averaging order differs across engines at 1e-16)
+    and cell distances round to 6 dp before ranking, so assignments
+    and probe choices are bitwise-reproducible; the output ``sim`` is
+    the exact sequential-fold cosine (bitwise equal cross-engine)."""
+    vecs = _vectors(spark, sf_dir)
+    expl = vecs.select("vec_id", "label", F.posexplode("v").alias("i", "x"))
+    cent = (
+        expl.groupBy("label", "i")
+        .agg(F.round(F.avg("x"), 4).alias("c"))
+        .groupBy("label")
+        .agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(i, c))), s -> s.c)"
+            ).alias("cvec")
         )
+        .select(F.col("label").alias("c_label"), "cvec")
+    )
+    dist2 = F.expr(_DIST2_SPARK)
+    rn_w = W.partitionBy("vec_id").orderBy(dist2.asc(), F.col("c_label").asc())
+    assigned = (
+        vecs.crossJoin(F.broadcast(cent))
+        .withColumn("rn", F.row_number().over(rn_w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "v", "nrm", F.col("c_label").alias("cell"))
+    )
+    probes = (
+        vecs.filter(F.col("vec_id") < 8)
+        .crossJoin(F.broadcast(cent))
+        .withColumn("rn", F.row_number().over(rn_w))
+        .filter(F.col("rn") <= 2)
         .select(
-            "query_id",
-            F.col("vec_id").alias("neighbor_id"),
-            F.col("qbucket").alias("bucket"),
-            (
-                F.expr(_DOT.format(a="qv", b="v")) / (F.col("qnrm") * F.col("nrm"))
-            ).alias("sim"),
+            F.col("vec_id").alias("query_id"),
+            F.col("v").alias("qv"),
+            F.col("nrm").alias("qnrm"),
+            F.col("c_label").alias("probe_cell"),
         )
+    )
+    sims = assigned.join(
+        F.broadcast(probes),
+        (F.col("probe_cell") == F.col("cell"))
+        & (F.col("query_id") != F.col("vec_id")),
+    ).select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        "cell",
+        (F.expr(_DOT.format(a="qv", b="v")) / (F.col("qnrm") * F.col("nrm"))).alias(
+            "sim"
+        ),
     )
     w = W.partitionBy("query_id").orderBy(
         F.col("sim").desc(), F.col("neighbor_id").asc()
@@ -194,5 +250,5 @@ def q82_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         sims.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= 3)
-        .select("query_id", "neighbor_id", "bucket", "sim", "rank")
+        .select("query_id", "neighbor_id", "cell", "sim", "rank")
     )

@@ -168,6 +168,48 @@ def q63_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q65_char_ngram_profile",
+    sql="""
+    WITH grams AS (
+      SELECT lang,
+             unnest(list_transform(generate_series(1, greatest(length(text) - 1, 1)),
+                                   i -> substr(text, i, 2))) AS gram
+      FROM documents
+    )
+    SELECT lang, gram, count(*) AS n
+    FROM grams
+    WHERE gram NOT LIKE '% %'
+    GROUP BY lang, gram
+    HAVING count(*) >= 100
+    """,
+    operators=("X-langid", "X-tokens"),
+)
+def q65_char_ngram_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-bigram frequency profile per language label — the
+    feature table a statistical language-ID model trains on (the
+    n-gram heuristic from the extension mandate). Substring generation
+    happens engine-side (sequence + transform), then one aggregate;
+    space-crossing grams are dropped and rare grams cut at a fixed
+    support threshold to bound output deterministically."""
+    d = _docs(spark, sf_dir)
+    grams = d.select(
+        "lang",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, greatest(length(text) - 1, 1)),"
+                " i -> substring(text, i, 2))"
+            )
+        ).alias("gram"),
+    )
+    return (
+        grams.filter(~F.col("gram").contains(" "))
+        .groupBy("lang", "gram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 100)
+    )
+
+
+@query(
     "q64_fingerprint",
     sql="""
     SELECT
