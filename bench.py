@@ -32,6 +32,7 @@ HEADLINE = [
     "q24_having",
     "q29_star_join",
     "q37_asof_join",
+    "q59_shipping_priority",
     "q38_range_join",
     "q41_soldvalue_retail",
     "q43_enriched_sales",

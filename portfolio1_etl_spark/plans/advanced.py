@@ -387,6 +387,105 @@ def q57_date_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q58_timestamp_parse",
+    sql="""
+    WITH strs AS (
+      SELECT o_orderkey, strftime(o_orderdate, '%m-%d-%Y') AS date_str,
+             o_orderpriority
+      FROM orders
+    )
+    SELECT
+      strptime(date_str, '%m-%d-%Y') AS parsed_ts,
+      count(*) AS n_orders,
+      count(try_strptime(o_orderpriority, '%m-%d-%Y')) AS n_bad_parses
+    FROM strs
+    GROUP BY 1
+    """,
+    operators=("C7", "C8", "C10"),
+)
+def q58_timestamp_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String→timestamp parsing with an explicit format (the
+    reference's ``to_datetime(format='%m-%d-%Y')``, portfolio-etl.py
+    :695) plus the coercing variant on garbage input
+    (``errors='coerce'`` ≡ try_to_timestamp → NULL, counted as 0 by
+    count())."""
+    o = _t(spark, sf_dir, "orders")
+    strs = o.select(
+        F.date_format("o_orderdate", "MM-dd-yyyy").alias("date_str"),
+        "o_orderpriority",
+    )
+    return (
+        strs.groupBy(
+            F.to_timestamp("date_str", "MM-dd-yyyy")
+            .cast("timestamp_ntz")
+            .alias("parsed_ts")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.count(
+                F.expr("try_to_timestamp(o_orderpriority, 'MM-dd-yyyy')")
+            ).alias("n_bad_parses"),
+        )
+    )
+
+
+@query(
+    "q59_shipping_priority",
+    sql="""
+    SELECT
+      l.l_orderkey AS order_id,
+      CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(28,8))) AS DOUBLE) AS revenue,
+      o.o_orderdate AS orderdate,
+      o.o_orderpriority AS priority
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+      AND l.l_shipdate  > TIMESTAMP '1998-03-15 00:00:00'
+    GROUP BY 1, 3, 4
+    ORDER BY revenue DESC, orderdate ASC, order_id ASC
+    LIMIT 10
+    """,
+    operators=("J2", "J3", "A3", "O2", "W2", "W4"),
+)
+def q59_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape — the flagship composite: segment-filtered
+    customer dim (broadcast) × orders × lineitem (key-shuffled), date
+    predicates pushed into both fact scans, grouped revenue, top-10
+    with a fully deterministic sort (exact decimal revenue, then
+    date/key). TakeOrderedAndProject keeps only 10×partitions rows."""
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp_ntz")
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-03-15").cast("timestamp_ntz")
+    )
+    from portfolio1_etl_spark.functions import dsum_product
+
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy(
+            F.col("l_orderkey").alias("order_id"),
+            F.col("o_orderdate").alias("orderdate"),
+            F.col("o_orderpriority").alias("priority"),
+        )
+        .agg(
+            dsum_product(
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
+            ).alias("revenue")
+        )
+        .orderBy(
+            F.col("revenue").desc(), F.col("orderdate").asc(), F.col("order_id").asc()
+        )
+        .limit(10)
+        .select("order_id", "revenue", "orderdate", "priority")
+    )
+
+
+@query(
     "q39_unpivot",
     sql="""
     WITH agg AS (
