@@ -12,5 +12,6 @@ from portfolio1_etl_spark.plans import text_ops  # noqa: F401,E402
 from portfolio1_etl_spark.plans import dedup_ops  # noqa: F401,E402
 from portfolio1_etl_spark.plans import similarity_ops  # noqa: F401,E402
 from portfolio1_etl_spark.plans import advanced  # noqa: F401,E402
+from portfolio1_etl_spark.plans import multimodal_ops  # noqa: F401,E402
 
 __all__ = ["REGISTRY", "Query", "query"]
