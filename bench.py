@@ -61,9 +61,17 @@ def main() -> None:
     names = [n for n in HEADLINE if n in REGISTRY]
     timings: dict[str, float] = {}
     for name in names:
-        t0 = time.time()
-        REGISTRY[name].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.time() - t0, 3)
+        # min of 2 runs: the host is shared, and a single sample can
+        # catch an external load spike (observed 5x swings on an
+        # otherwise-idle container).
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.time()
+            REGISTRY[name].fn(spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            best = min(best, time.time() - t0)
+        timings[name] = round(best, 3)
         # Release plan/broadcast/shuffle references between queries so
         # the ContextCleaner reclaims them — measured cross-query JVM
         # degradation otherwise (30s queries that run in 2s clean).

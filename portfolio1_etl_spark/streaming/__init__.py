@@ -4,6 +4,7 @@ from portfolio1_etl_spark.streaming.jobs import (
     dedup_events_stream,
     inventory_merge_stream,
     read_events_stream,
+    running_user_totals_stream,
     sessionized_stream,
     windowed_counts_stream,
 )
@@ -14,4 +15,5 @@ __all__ = [
     "sessionized_stream",
     "dedup_events_stream",
     "inventory_merge_stream",
+    "running_user_totals_stream",
 ]

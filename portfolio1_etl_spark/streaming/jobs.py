@@ -94,6 +94,36 @@ def dedup_events_stream(events: DataFrame) -> DataFrame:
     )
 
 
+def running_user_totals_stream(events: DataFrame) -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState``: a
+    per-user running (total value, event count) accumulator that
+    survives across micro-batches — the kind of bespoke state
+    (per-entity counters, session enrichment, fraud scores) the
+    built-in windowed aggregations can't express. State is one tiny
+    tuple per user; batches arrive as pandas frames via Arrow."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def fn(key, pdfs, state):
+        (user_id,) = key
+        total, count = state.get if state.exists else (0.0, 0)
+        for pdf in pdfs:
+            total += float(pdf["value"].sum())
+            count += len(pdf)
+        state.update((total, count))
+        yield pd.DataFrame(
+            {"user_id": [user_id], "total": [total], "n_events": [count]}
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        fn,
+        outputStructType="user_id long, total double, n_events long",
+        stateStructType="total double, n_events long",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def inventory_merge_stream(
     events: DataFrame,
     apply_batch: Callable[[DataFrame, int], None],

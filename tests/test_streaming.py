@@ -102,3 +102,36 @@ def test_inventory_merge_foreachbatch(spark, events_dir):
     assert set(merged) == set(batch)
     for k in merged:
         assert abs(merged[k] - batch[k]) < 1e-6
+
+
+def test_custom_stateful_running_totals(spark, sf_dir, events_dir):
+    """applyInPandasWithState accumulator converges to the batch
+    per-user totals (last emitted row per user == full aggregate)."""
+    import math
+
+    from portfolio1_etl_spark.streaming import running_user_totals_stream
+
+    events = read_events_stream(spark, events_dir)
+    _run_to_memory(running_user_totals_stream(events), "state_out", mode="append")
+    # one file -> one batch -> one row per user; with more batches the
+    # LAST row per user is the running total, so take max(n_events).
+    got = {
+        r.user_id: (r.total, r.n_events)
+        for r in spark.sql(
+            """SELECT user_id, total, n_events FROM (
+                 SELECT *, row_number() OVER (PARTITION BY user_id
+                                              ORDER BY n_events DESC) AS rn
+                 FROM state_out) WHERE rn = 1"""
+        ).collect()
+    }
+    want = {
+        r.user_id: (r.total, r.n_events)
+        for r in catalog.load(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.sum("value").alias("total"), F.count(F.lit(1)).alias("n_events"))
+        .collect()
+    }
+    assert set(got) == set(want)
+    for u in got:
+        assert got[u][1] == want[u][1]
+        assert math.isclose(got[u][0], want[u][0], rel_tol=1e-9)
