@@ -67,7 +67,7 @@ def brute_force_topk(
         F.col("sim").desc(), F.col("neighbor_id").asc()
     )
     return (
-        sims.withColumn("rank", F.row_number().over(w))
+        sims.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "sim", "rank")
     )
@@ -133,7 +133,7 @@ def signbit_lsh_topk(
         F.col("sim").desc(), F.col("neighbor_id").asc()
     )
     return (
-        sims.withColumn("rank", F.row_number().over(w))
+        sims.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "bucket", "sim", "rank")
     )

@@ -50,7 +50,7 @@ def q31_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return c.join(o, c.c_custkey == o.o_custkey, "full_outer").select(
         F.coalesce(F.col("c_custkey"), F.col("o_custkey")).alias("custkey"),
         F.col("c_name").alias("name"),
-        F.col("n_orders"),
+        F.col("n_orders").cast("double").alias("n_orders"),
     )
 
 
@@ -329,8 +329,8 @@ def q56_window_navigation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderkey").alias("order_id"),
         F.first("o_orderkey").over(w).alias("first_order"),
         F.last("o_orderkey").over(w_full).alias("last_order"),
-        F.dense_rank().over(w).alias("drank"),
-        F.ntile(4).over(w).alias("quartile"),
+        F.dense_rank().over(w).cast("long").alias("drank"),
+        F.ntile(4).over(w).cast("long").alias("quartile"),
         F.round(F.percent_rank().over(w), 6).alias("prank"),
         F.round(F.cume_dist().over(w), 6).alias("cdist"),
     )

@@ -186,7 +186,7 @@ def q43_enriched_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy(
             F.col("brand"),
-            F.year("ship_ts").alias("yr"),
+            F.year("ship_ts").cast("long").alias("yr"),
             F.date_format("ship_ts", "MMMM").alias("month_name"),
         )
         .agg(

@@ -182,7 +182,7 @@ def q04_string_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     return p.filter(F.col("p_name").contains("a")).select(
         F.lower(F.trim(F.col("p_name"))).alias("sku"),
         F.upper(F.col("p_brand")).alias("brand_uc"),
-        F.length(F.col("p_name")).alias("name_len"),
+        F.length(F.col("p_name")).cast("long").alias("name_len"),
         F.substring(F.col("p_type"), 1, 5).alias("type_prefix"),
         F.concat(F.col("p_name"), F.lit("/"), F.col("p_brand")).alias("tagged"),
         F.regexp_replace(F.col("p_brand"), "Brand#", "B").alias("brand_short"),
@@ -242,7 +242,7 @@ def q06_date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("o_orderdate") < _ntz("1996-04-01"))
         )
         .groupBy(
-            F.year("o_orderdate").alias("yr"),
+            F.year("o_orderdate").cast("long").alias("yr"),
             F.date_format("o_orderdate", "MMMM").alias("month_name"),
             F.date_format("o_orderdate", "MM-dd-yyyy").alias("date_str"),
             F.date_trunc("month", F.col("o_orderdate")).cast("timestamp_ntz").alias("month_start"),
@@ -357,7 +357,7 @@ def q09_sortmerge_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(o, li.l_orderkey == o.o_orderkey)
         .groupBy(
             F.col("o_orderstatus").alias("status"),
-            F.year("o_orderdate").alias("yr"),
+            F.year("o_orderdate").cast("long").alias("yr"),
         )
         .agg(
             F.count(F.lit(1)).alias("n_lines"),
@@ -631,7 +631,7 @@ def q19_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
     )
     return (
-        o.withColumn("rn", F.row_number().over(w))
+        o.withColumn("rn", F.row_number().over(w).cast("long"))
         .filter(F.col("rn") <= 3)
         .select(
             F.col("o_custkey").alias("custkey"),

@@ -248,7 +248,7 @@ def q83_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("sim").desc(), F.col("neighbor_id").asc()
     )
     return (
-        sims.withColumn("rank", F.row_number().over(w))
+        sims.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= 3)
         .select("query_id", "neighbor_id", "cell", "sim", "rank")
     )

@@ -50,9 +50,9 @@ def q60_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_tokens = F.size(F.split("text", " "))
     return d.select(
         "doc_id",
-        n_tokens.alias("n_tokens"),
-        F.length("text").alias("n_chars_calc"),
-        F.size(F.regexp_extract_all("text", F.lit(_SUBTOKEN_RE), 0)).alias(
+        n_tokens.cast("long").alias("n_tokens"),
+        F.length("text").cast("long").alias("n_chars_calc"),
+        F.size(F.regexp_extract_all("text", F.lit(_SUBTOKEN_RE), 0)).cast("long").alias(
             "n_subtokens"
         ),
         (
@@ -124,7 +124,7 @@ def q62_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     quality = 0.5 * uniq_ratio + 0.5 * (1.0 - stop_ratio)
     return d.select(
         "doc_id",
-        n_tokens.alias("n_tokens"),
+        n_tokens.cast("long").alias("n_tokens"),
         stop_ratio.alias("stop_ratio"),
         uniq_ratio.alias("uniq_ratio"),
         quality.alias("quality"),
