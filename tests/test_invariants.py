@@ -69,3 +69,48 @@ def test_wholesale_right_join_keeps_every_map_row(spark, mults):
     ws = wholesale(soldvalue(clean_sales(sales)), skus_map)
     want_groups = {f"W{i % 2}" for i in range(len(mults))}
     assert {r.sku for r in ws.collect()} == want_groups
+
+
+@given(
+    base=st.text(alphabet="abcdef ", min_size=30, max_size=60),
+    n_copies=st.integers(2, 4),
+)
+@_SETTINGS
+def test_minhash_lsh_finds_exact_duplicates(spark, base, n_copies):
+    """An exact duplicate has Jaccard 1.0 and identical MinHash
+    signatures — LSH candidates MUST contain every exact-dup pair."""
+    from portfolio1_etl_spark.operators.dedup import (
+        jaccard_pairs, lsh_candidates, minhash_signatures, shingle_hashes,
+        verify_candidates,
+    )
+
+    text = " ".join(w for w in base.split() if w) or "a b c d"
+    if len(text.split()) < 3:
+        text = text + " x y z"
+    docs = spark.createDataFrame(
+        [(i, text) for i in range(n_copies)] + [(99, "totally different words here now")],
+        "doc_id long, text string",
+    )
+    sh = shingle_hashes(docs, "text")
+    cand = lsh_candidates(minhash_signatures(sh))
+    got_pairs = {(r.doc_a, r.doc_b) for r in verify_candidates(sh, cand, 0.99).collect()}
+    want_pairs = {(i, j) for i in range(n_copies) for j in range(i + 1, n_copies)}
+    assert want_pairs <= got_pairs
+
+
+@given(vals=st.lists(st.floats(-1, 1, allow_nan=False, width=32), min_size=4, max_size=4))
+@_SETTINGS
+def test_cosine_topk_self_similarity_bound(spark, vals):
+    """cosine(sim) of any pair lies in [-1, 1] + identical vectors rank
+    first (sim == 1 within fp tolerance)."""
+    from portfolio1_etl_spark.operators.similarity import brute_force_topk, with_norms
+
+    if all(abs(v) < 1e-6 for v in vals):
+        vals = [1.0, 0.0, 0.0, 0.0]
+    rows = [(0, vals), (1, vals), (2, [vals[1], vals[0], vals[3], vals[2]])]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    vecs = with_norms(emb)
+    out = brute_force_topk(vecs, vecs.filter(F.col("vec_id") == 0), k=2).collect()
+    assert all(-1.0 - 1e-9 <= r.sim <= 1.0 + 1e-9 for r in out)
+    top = [r for r in out if r.rank == 1][0]
+    assert top.neighbor_id == 1 and abs(top.sim - 1.0) < 1e-9

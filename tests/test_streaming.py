@@ -135,3 +135,29 @@ def test_custom_stateful_running_totals(spark, sf_dir, events_dir):
     for u in got:
         assert got[u][1] == want[u][1]
         assert math.isclose(got[u][0], want[u][0], rel_tol=1e-9)
+
+
+def test_sliding_window_matches_batch(spark, sf_dir, events_dir):
+    """Streaming sliding window (1h size / 30min slide) converges to
+    the oracle-checked batch twin q51."""
+    from pyspark.sql import functions as SF
+
+    events = read_events_stream(spark, events_dir)
+    sliding = (
+        events.withWatermark("ts", "2 hours")
+        .groupBy(SF.window("ts", "1 hour", "30 minutes").getField("start").alias("window_start"))
+        .agg(
+            SF.count(SF.lit(1)).alias("n_events"),
+            SF.sum(SF.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
+        )
+    )
+    _run_to_memory(sliding, "slide_out")
+    got = {
+        r.window_start: (r.n_events, r.total_value)
+        for r in spark.sql("SELECT * FROM slide_out").collect()
+    }
+    want = {
+        r.window_start: (r.n_events, r.total_value)
+        for r in REGISTRY["q51_sliding_window"].fn(spark, sf_dir).collect()
+    }
+    assert got == want
