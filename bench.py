@@ -45,6 +45,8 @@ HEADLINE = [
     "q74_simhash",
     "q80_cosine_topk",
     "q82_lsh_ann",
+    "q83_ivf_ann",
+    "q90_multimodal_featurize",
 ]
 
 

@@ -512,3 +512,93 @@ def q39_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.selectExpr(
         "returnflag", "stack(2, 'qty', qty, 'price', price) AS (measure, value)"
     )
+
+
+@query(
+    "q66_array_functions",
+    sql="""
+    SELECT
+      vec_id,
+      len(list_filter(embedding::DOUBLE[], x -> x > 0.1))      AS n_above,
+      len(list_filter(embedding::DOUBLE[], x -> x > 0.1)) > 0  AS any_above,
+      len(list_filter(embedding::DOUBLE[], x -> abs(x) >= 1.0)) = 0 AS all_below_one,
+      list_sum(list_transform(embedding::DOUBLE[], x -> abs(x))) AS l1_norm
+    FROM embeddings
+    """,
+    operators=("A-array", "C-hof"),
+)
+def q66_array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array functions over the embedding column:
+    filter/exists/forall/aggregate — all JVM-side lambdas, the idiom
+    that replaces per-row Python loops on array columns. l1_norm is a
+    sequential fold → bitwise-identical to DuckDB's list_sum."""
+    e = _t(spark, sf_dir, "embeddings")
+    v = "transform(embedding, x -> cast(x as double))"
+    return e.select(
+        "vec_id",
+        F.expr(f"size(filter({v}, x -> x > 0.1))").cast("long").alias("n_above"),
+        F.expr(f"exists({v}, x -> x > 0.1)").alias("any_above"),
+        F.expr(f"forall({v}, x -> abs(x) < 1.0)").alias("all_below_one"),
+        F.expr(
+            f"aggregate({v}, cast(0.0 as double), (acc, x) -> acc + abs(x))"
+        ).alias("l1_norm"),
+    )
+
+
+@query(
+    "q67_string_extras",
+    sql="""
+    SELECT
+      p_partkey AS sku,
+      lpad(CAST(p_partkey AS VARCHAR), 8, '0')   AS padded_id,
+      split_part(p_type, ' ', 1)                 AS type_head,
+      left(p_name, 4)                            AS name_prefix,
+      right(p_brand, 2)                          AS brand_tail,
+      translate(p_brand, '#', '-')               AS brand_dashed,
+      repeat('*', p_size % 5)                    AS stars
+    FROM part
+    """,
+    operators=("C1", "C3", "C4"),
+)
+def q67_string_extras(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extended string surface: lpad, split_part, left/right, translate,
+    repeat — the remainder of the cleaning toolbox beyond q04."""
+    p = _t(spark, sf_dir, "part")
+    return p.select(
+        F.col("p_partkey").alias("sku"),
+        F.lpad(F.col("p_partkey").cast("string"), 8, "0").alias("padded_id"),
+        F.split_part(F.col("p_type"), F.lit(" "), F.lit(1)).alias("type_head"),
+        F.substring(F.col("p_name"), 1, 4).alias("name_prefix"),
+        F.substring(F.col("p_brand"), -2, 2).alias("brand_tail"),
+        F.translate(F.col("p_brand"), "#", "-").alias("brand_dashed"),
+        F.repeat(F.lit("*"), (F.col("p_size") % 5)).alias("stars"),
+    )
+
+
+@query(
+    "q68_null_functions",
+    sql="""
+    SELECT
+      o_orderkey AS order_id,
+      nullif(o_orderstatus, 'O')                     AS status_or_null,
+      ifnull(nullif(o_orderstatus, 'O'), 'OPEN')     AS status_filled,
+      greatest(o_totalprice, 100000.0)               AS floored_price,
+      least(o_totalprice, 100000.0)                  AS capped_price,
+      o_totalprice IS NULL                           AS price_missing
+    FROM orders
+    """,
+    operators=("C13", "C-null"),
+)
+def q68_null_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL-handling surface: nullif / ifnull / greatest / least /
+    IS NULL — the coalesce family beyond q05's fillna."""
+    o = _t(spark, sf_dir, "orders")
+    status_or_null = F.nullif(F.col("o_orderstatus"), F.lit("O"))
+    return o.select(
+        F.col("o_orderkey").alias("order_id"),
+        status_or_null.alias("status_or_null"),
+        F.ifnull(status_or_null, F.lit("OPEN")).alias("status_filled"),
+        F.greatest(F.col("o_totalprice"), F.lit(100000.0)).alias("floored_price"),
+        F.least(F.col("o_totalprice"), F.lit(100000.0)).alias("capped_price"),
+        F.isnull(F.col("o_totalprice")).alias("price_missing"),
+    )
