@@ -1,0 +1,55 @@
+"""The Python UDF surface (SURVEY.md §2.12) — the engine's *slow
+path*, kept Arrow-vectorized and used only where built-ins genuinely
+cannot express the logic.
+
+The reference's "UDFs" were plain Python row loops (the whole-frame
+lowercase lambda portfolio-etl.py:605, per-row XML extraction
+:129-133, ``apply(pd.Series)`` :327) — all of those became built-in
+expressions in this engine. What remains Python-worthy is logic that
+needs a real Python library or stateful per-group computation:
+
+- ``scalar pandas_udf``  — batch-vectorized column function
+- ``applyInPandas``      — grouped-map (whole group in, whole group out)
+- ``mapInPandas``        — per-partition batch stream (see multimodal)
+- ``applyInPandasWithState`` — streaming state (see streaming.jobs)
+
+Each demo here has a built-in twin; tests assert equality so the UDF
+path is pinned to the declarative semantics it must mimic.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+@F.pandas_udf(T.LongType())
+def token_count_udf(text: pd.Series) -> pd.Series:
+    """Vectorized token counter (Arrow batch in/out). Equivalent to the
+    built-in ``size(split(text, ' '))`` — exists to exercise/measure the
+    pandas_udf path; prefer the built-in in production plans."""
+    return text.str.split(" ").str.len().astype("int64")
+
+
+def zscore_per_group(df: DataFrame, group_col: str, value_col: str) -> DataFrame:
+    """Grouped-map normalization via applyInPandas: each group arrives
+    as one pandas DataFrame (so the group's mean/std are computable in
+    one place), returns the rows with a ``zscore`` column.
+
+    Scale note: a group must fit in one task's memory — correct tool
+    for bounded groups (per-user, per-sku), wrong tool for power-law
+    keys (use built-in window mean/stddev there, which this function's
+    test is pinned against)."""
+    out_schema = T.StructType(
+        df.schema.fields + [T.StructField("zscore", T.DoubleType())]
+    )
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        mu = pdf[value_col].mean()
+        sd = pdf[value_col].std(ddof=1)
+        z = (pdf[value_col] - mu) / sd if sd and sd > 0 else pdf[value_col] * 0.0
+        return pdf.assign(zscore=z)
+
+    return df.groupBy(group_col).applyInPandas(fn, out_schema)

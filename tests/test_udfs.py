@@ -1,0 +1,49 @@
+"""UDF-surface tests: every Python path is pinned to its built-in
+(declarative) twin — the UDFs must mimic exactly what codegen'd
+expressions produce (SURVEY.md §2.12)."""
+
+from __future__ import annotations
+
+import math
+
+import pyspark.sql.functions as F
+
+from portfolio1_etl_spark import catalog
+from portfolio1_etl_spark.operators.udfs import token_count_udf, zscore_per_group
+
+
+def test_pandas_udf_matches_builtin(spark, sf_dir):
+    d = catalog.load(spark, sf_dir, "documents")
+    both = d.select(
+        "doc_id",
+        token_count_udf(F.col("text")).alias("udf_n"),
+        F.size(F.split("text", " ")).cast("long").alias("builtin_n"),
+    )
+    assert both.filter(F.col("udf_n") != F.col("builtin_n")).count() == 0
+
+
+def test_apply_in_pandas_zscore_matches_window(spark, sf_dir):
+    o = catalog.load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    grouped = {
+        r.o_orderkey: r.zscore
+        for r in zscore_per_group(o, "o_custkey", "o_totalprice").collect()
+    }
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("o_custkey")
+    windowed = {
+        r.o_orderkey: r.z
+        for r in o.withColumn(
+            "z",
+            F.when(
+                F.stddev_samp("o_totalprice").over(w) > 0,
+                (F.col("o_totalprice") - F.avg("o_totalprice").over(w))
+                / F.stddev_samp("o_totalprice").over(w),
+            ).otherwise(F.lit(0.0)),
+        ).collect()
+    }
+    assert set(grouped) == set(windowed)
+    for k in grouped:
+        assert math.isclose(grouped[k], windowed[k], rel_tol=1e-9, abs_tol=1e-12), k
