@@ -20,6 +20,7 @@ from pyspark.sql import functions as F
 
 from portfolio1_etl_spark import catalog
 from portfolio1_etl_spark.operators.dedup import (
+    H48 as _H48_SPARK,
     MINHASH_MOD,
     MINHASH_PARAMS,
     jaccard_pairs,
@@ -219,3 +220,165 @@ def q74_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """16-bit SimHash fingerprints via the library ``simhash``
     operator (majority-sign bit votes from md5-derived token hashes)."""
     return simhash(_docs(spark, sf_dir), "text")
+
+
+# --- SimHash hamming pairs (pigeonhole-blocked) ----------------------------
+
+
+def _simhash_pairs_sql() -> str:
+    # chunks: 5+5+6 bits; hamming <= 2 => at least one chunk equal
+    return f"""
+    WITH fp AS ({_simhash_sql()}),
+    chunks AS (
+      SELECT doc_id, simhash16, 0 AS chunk_id, simhash16 % 32 AS chunk_val FROM fp
+      UNION ALL
+      SELECT doc_id, simhash16, 1, (simhash16 // 32) % 32 FROM fp
+      UNION ALL
+      SELECT doc_id, simhash16, 2, simhash16 // 1024 FROM fp
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, a.simhash16 AS ha,
+                      b.doc_id AS doc_b, b.simhash16 AS hb
+      FROM chunks a JOIN chunks b
+        ON a.chunk_id = b.chunk_id AND a.chunk_val = b.chunk_val
+       AND a.doc_id < b.doc_id
+    )
+    SELECT CAST(bit_count(xor(ha::BIGINT, hb::BIGINT)) AS BIGINT) AS hamming,
+           count(*) AS n_pairs,
+           min(doc_a) AS min_doc_a
+    FROM cand
+    WHERE bit_count(xor(ha::BIGINT, hb::BIGINT)) <= 2
+    GROUP BY 1
+    """
+
+
+@query("q75_simhash_pairs", sql=_simhash_pairs_sql(), operators=("X-dedup-simhash", "J-range"))
+def q75_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance ≤ 2, with pigeonhole
+    blocking: the 16-bit fingerprint splits into 3 chunks (5+5+6 bits);
+    any pair within distance 2 agrees on ≥1 whole chunk, so candidates
+    come from an equi-join on (chunk_id, chunk_value) — never an
+    all-pairs scan — and the exact bit_count(xor) check runs only on
+    candidates. This is the standard multi-index Hamming search shape
+    at any corpus size."""
+    fp = simhash(_docs(spark, sf_dir), "text")
+    chunks = fp.select(
+        "doc_id",
+        "simhash16",
+        F.explode(
+            F.array(
+                F.struct(F.lit(0).alias("chunk_id"), (F.col("simhash16") % 32).alias("chunk_val")),
+                F.struct(F.lit(1).alias("chunk_id"), ((F.col("simhash16") / 32).cast("int") % 32).alias("chunk_val")),
+                F.struct(F.lit(2).alias("chunk_id"), (F.col("simhash16") / 1024).cast("int").alias("chunk_val")),
+            )
+        ).alias("c"),
+    ).select("doc_id", "simhash16", "c.chunk_id", "c.chunk_val")
+    a, b = chunks.alias("a"), chunks.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.chunk_id") == F.col("b.chunk_id"))
+            & (F.col("a.chunk_val") == F.col("b.chunk_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("a.simhash16").alias("ha"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("b.simhash16").alias("hb"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(
+        F.col("ha").cast("long").bitwiseXOR(F.col("hb").cast("long"))
+    ).cast("long")
+    return (
+        cand.withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= 2)
+        .groupBy("hamming")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.min("doc_a").alias("min_doc_a"),
+        )
+    )
+
+
+# --- Winnowing fingerprints (rolling-hash document fingerprinting) ---------
+
+_POSITIONAL_SH_SQL = f"""
+  SELECT doc_id, i AS pos, {_H48_SQL.format(c='s')} AS h
+  FROM (
+    SELECT doc_id, i,
+           toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS s
+    FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         unnest(generate_series(1, greatest(len(toks) - 2, 0))) AS t(i)
+  )
+"""
+
+
+def _winnow_sql() -> str:
+    return f"""
+    WITH psh AS ({_POSITIONAL_SH_SQL}),
+    counts AS (SELECT doc_id, count(*) AS n_sh FROM psh GROUP BY doc_id),
+    wmins AS (
+      SELECT p.doc_id, p.pos,
+             min(p2.h) AS wmin
+      FROM psh p JOIN psh p2
+        ON p.doc_id = p2.doc_id AND p2.pos BETWEEN p.pos AND p.pos + 3
+      JOIN counts c ON p.doc_id = c.doc_id
+      WHERE p.pos <= c.n_sh - 3
+      GROUP BY p.doc_id, p.pos
+    ),
+    fps AS (SELECT DISTINCT doc_id, wmin FROM wmins)
+    SELECT doc_id, count(*) AS n_fingerprints,
+           min(wmin) AS min_fp, max(wmin) AS max_fp
+    FROM fps GROUP BY doc_id
+    """
+
+
+@query("q76_winnowing", sql=_winnow_sql(), operators=("X-fingerprint", "Window-frame"))
+def q76_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing document fingerprints (the MOSS scheme): positional
+    3-gram rolling hashes, a sliding window of 4 positions keeps each
+    window's minimum hash, distinct minima are the document's
+    fingerprint set. Sparse (≈ n/w fingerprints per doc), robust to
+    local edits, and the fingerprint is a long — matching documents at
+    scale is an equi-join on fingerprint value. Spark computes the
+    window minimum with a ROWS frame (one shuffle per doc partition);
+    the oracle's self-join formulation is semantically identical."""
+    from pyspark.sql import Window as W
+
+    d = _docs(spark, sf_dir).repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
+    psh = (
+        d.withColumn("toks", F.split("text", " "))
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.expr(
+                    "transform(sequence(1, greatest(size(toks) - 2, 0)),"
+                    " i -> concat_ws(' ', slice(toks, i, 3)))"
+                )
+            ).alias("pos0", "s"),
+        )
+        .select(
+            "doc_id",
+            (F.col("pos0") + 1).alias("pos"),
+            F.expr(_H48_SPARK.format(c="s")).alias("h"),
+        )
+    )
+    n_sh = psh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    w = W.partitionBy("doc_id").orderBy("pos").rowsBetween(0, 3)
+    wmins = (
+        psh.withColumn("wmin", F.min("h").over(w))
+        .join(n_sh, "doc_id")
+        .filter(F.col("pos") <= F.col("n_sh") - 3)
+        .select("doc_id", "wmin")
+        .distinct()
+    )
+    return wmins.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_fingerprints"),
+        F.min("wmin").alias("min_fp"),
+        F.max("wmin").alias("max_fp"),
+    )
