@@ -36,11 +36,15 @@ def shingle_hashes(
     shingles. Tokens are materialized once (an inline split in the
     lambda would re-split per shingle index); output rows carry long
     keys so every downstream shuffle/join is fixed-width."""
+    # NB: Spark's sequence(1, 0) is DESCENDING [1, 0] — short documents
+    # need an explicit emptiness guard, not a greatest() clamp.
     shingle_expr = f"""
-    array_distinct(transform(
-      sequence(1, greatest(size(toks) - {n - 1}, 0)),
-      i -> concat_ws(' ', slice(toks, i, {n}))
-    ))
+    CASE WHEN size(toks) >= {n} THEN
+      array_distinct(transform(
+        sequence(1, size(toks) - {n - 1}),
+        i -> concat_ws(' ', slice(toks, i, {n}))
+      ))
+    ELSE array() END
     """
     d = docs.repartition(
         docs.sparkSession.sparkContext.defaultParallelism, id_col

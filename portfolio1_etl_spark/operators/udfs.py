@@ -53,3 +53,25 @@ def zscore_per_group(df: DataFrame, group_col: str, value_col: str) -> DataFrame
         return pdf.assign(zscore=z)
 
     return df.groupBy(group_col).applyInPandas(fn, out_schema)
+
+
+def ngram_udtf():
+    """Python UDTF (Spark 4): one input row → many output rows — the
+    table-function shape of the shingle generator. The engine's
+    production path is the expression form (``transform(sequence(...))``
+    in operators.dedup, codegen'd); this UDTF exists as the §2.12
+    surface for logic that genuinely needs Python per-row expansion
+    (e.g. a real tokenizer library). Registered per-call (UDTFs bind to
+    a session)."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="pos int, ngram string")
+    class NgramUDTF:
+        def eval(self, text: str, n: int):
+            if text is None:
+                return
+            toks = text.split(" ")
+            for i in range(max(len(toks) - n + 1, 0)):
+                yield i + 1, " ".join(toks[i : i + n])
+
+    return NgramUDTF

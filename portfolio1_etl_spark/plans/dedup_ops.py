@@ -357,8 +357,10 @@ def q76_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             F.posexplode(
                 F.expr(
-                    "transform(sequence(1, greatest(size(toks) - 2, 0)),"
+                    "CASE WHEN size(toks) >= 3 THEN"
+                    " transform(sequence(1, size(toks) - 2),"
                     " i -> concat_ws(' ', slice(toks, i, 3)))"
+                    " ELSE array() END"
                 )
             ).alias("pos0", "s"),
         )

@@ -2,6 +2,7 @@
 
 from portfolio1_etl_spark.streaming.jobs import (
     dedup_events_stream,
+    paired_events_stream,
     inventory_merge_stream,
     read_events_stream,
     running_user_totals_stream,
@@ -14,6 +15,7 @@ __all__ = [
     "windowed_counts_stream",
     "sessionized_stream",
     "dedup_events_stream",
+    "paired_events_stream",
     "inventory_merge_stream",
     "running_user_totals_stream",
 ]

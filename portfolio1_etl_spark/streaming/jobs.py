@@ -94,6 +94,36 @@ def dedup_events_stream(events: DataFrame) -> DataFrame:
     )
 
 
+def paired_events_stream(events: DataFrame) -> DataFrame:
+    """Stream-stream self-join: ordered pairs of same-user events
+    within 10 minutes — the streaming twin of the q38 range join.
+    Both sides carry watermarks and the join predicate bounds event
+    time on both ends, so Spark can expire join state (unbounded
+    stream-stream joins are rejected otherwise)."""
+    a = (
+        events.withWatermark("ts", "1 hour")
+        .select(
+            F.col("event_id").alias("event_a"),
+            F.col("user_id"),
+            F.col("ts").alias("ts_a"),
+        )
+    )
+    b = (
+        events.withWatermark("ts", "1 hour")
+        .select(
+            F.col("event_id").alias("event_b"),
+            F.col("user_id").alias("user_b"),
+            F.col("ts").alias("ts_b"),
+        )
+    )
+    return a.join(
+        b,
+        (F.col("user_id") == F.col("user_b"))
+        & (F.col("ts_b") > F.col("ts_a"))
+        & (F.col("ts_b") <= F.col("ts_a") + F.expr("INTERVAL 10 MINUTES")),
+    ).select("event_a", "event_b", "user_id")
+
+
 def running_user_totals_stream(events: DataFrame) -> DataFrame:
     """Custom stateful operator via ``applyInPandasWithState``: a
     per-user running (total value, event count) accumulator that

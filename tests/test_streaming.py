@@ -161,3 +161,21 @@ def test_sliding_window_matches_batch(spark, sf_dir, events_dir):
         for r in REGISTRY["q51_sliding_window"].fn(spark, sf_dir).collect()
     }
     assert got == want
+
+
+def test_stream_stream_join_matches_range_join(spark, sf_dir, events_dir):
+    """Watermarked stream-stream self-join converges to the batch
+    range join q38 (same predicate, same pairs)."""
+    from portfolio1_etl_spark.streaming import paired_events_stream
+
+    events = read_events_stream(spark, events_dir)
+    _run_to_memory(paired_events_stream(events), "ss_out", mode="append")
+    got = {
+        (r.event_a, r.event_b)
+        for r in spark.sql("SELECT event_a, event_b FROM ss_out").collect()
+    }
+    want = {
+        (r.event_a, r.event_b)
+        for r in REGISTRY["q38_range_join"].fn(spark, sf_dir).collect()
+    }
+    assert got == want

@@ -47,3 +47,35 @@ def test_apply_in_pandas_zscore_matches_window(spark, sf_dir):
     assert set(grouped) == set(windowed)
     for k in grouped:
         assert math.isclose(grouped[k], windowed[k], rel_tol=1e-9, abs_tol=1e-12), k
+
+
+def test_udtf_matches_expression_shingles(spark):
+    """The Python UDTF's row expansion equals the codegen'd
+    transform(sequence(...)) shingle expression."""
+    from portfolio1_etl_spark.operators.udfs import ngram_udtf
+
+    NgramUDTF = ngram_udtf()
+    spark.udtf.register("ngrams", NgramUDTF)
+    docs = spark.createDataFrame(
+        [(1, "a b c d"), (2, "x y"), (3, "solo")], "doc_id long, text string"
+    )
+    docs.createOrReplaceTempView("_udtf_docs")
+    got = {
+        (r.doc_id, r.pos, r.ngram)
+        for r in spark.sql(
+            "SELECT d.doc_id, t.pos, t.ngram FROM _udtf_docs d, "
+            "LATERAL ngrams(d.text, 2) t"
+        ).collect()
+    }
+    want = {
+        (r.doc_id, r.pos + 1, r.ngram)
+        for r in docs.selectExpr(
+            "doc_id",
+            "posexplode(CASE WHEN size(split(text,' ')) >= 2 THEN"
+            " transform(sequence(1, size(split(text,' '))-1),"
+            " i -> concat_ws(' ', slice(split(text,' '), i, 2)))"
+            " ELSE array() END) AS (pos, ngram)",
+        ).collect()
+    }
+    assert got == want
+    assert (1, 1, "a b") in got and (3, 1, "solo") not in got
