@@ -8,6 +8,8 @@ from portfolio1_etl_spark.operators.multimodal import (
     decode_media_batch,
     featurize_media,
     read_media_dir,
+    resize_media,
+    sample_frames,
 )
 from portfolio1_etl_spark.operators.sinks import (
     write_partitioned,
@@ -36,6 +38,8 @@ __all__ = [
     "read_media_dir",
     "featurize_media",
     "decode_media_batch",
+    "resize_media",
+    "sample_frames",
     "write_partitioned",
     "write_report_csv",
     "write_snapshot",

@@ -120,6 +120,92 @@ def _fake_features(content: bytes, dim: int = 8) -> list[float]:
     ]
 
 
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("path", T.StringType()),
+        T.StructField("modality", T.StringType()),
+        T.StructField("content", T.BinaryType()),
+        T.StructField(
+            "meta",
+            T.StructType(
+                [
+                    T.StructField("length", T.LongType()),
+                    T.StructField("mime", T.StringType()),
+                    T.StructField("target_px", T.IntegerType()),
+                ]
+            ),
+        ),
+    ]
+)
+
+FRAMES_SCHEMA = T.StructType(
+    [
+        T.StructField("path", T.StringType()),
+        T.StructField("frame_no", T.IntegerType()),
+        T.StructField("frame", T.BinaryType()),
+        T.StructField("n_bytes", T.LongType()),
+    ]
+)
+
+
+def resize_media(media: DataFrame, target_px: int = 256) -> DataFrame:
+    """Resize/transcode pass over a media column via mapInPandas. The
+    pixel work is the stubbed part (no image libs in this image — a
+    real decoder replaces ``_fake_resize`` verbatim); the Spark-side
+    contract — binary in / smaller binary out per Arrow batch, metadata
+    struct rewritten — is real and tested."""
+
+    def _fake_resize(b: bytes) -> bytes:
+        # deterministic stand-in: a resize produces smaller content
+        # derived from the original (here: every other byte).
+        return bytes(b[::2])
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            resized = pdf["content"].map(lambda b: _fake_resize(bytes(b)))
+            yield pd.DataFrame(
+                {
+                    "path": pdf["path"],
+                    "modality": pdf["modality"],
+                    "content": resized,
+                    "meta": [
+                        {
+                            "length": len(rb),
+                            "mime": m["mime"],
+                            "target_px": target_px,
+                        }
+                        for rb, m in zip(resized, pdf["meta"])
+                    ],
+                }
+            )
+
+    return media.repartition("modality").mapInPandas(op, RESIZED_SCHEMA)
+
+
+def sample_frames(media: DataFrame, n_frames: int = 4) -> DataFrame:
+    """Frame sampling for video/audio: one media row fans out to
+    ``n_frames`` rows via mapInPandas (batch iterator in, exploded
+    batch out — the one-to-many UDF shape). Frame extraction is the
+    stubbed part (fixed-stride byte chunks stand in for decoded
+    frames); the fan-out schema and batching are real."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: dict[str, list] = {"path": [], "frame_no": [], "frame": [], "n_bytes": []}
+            for path, content in zip(pdf["path"], pdf["content"]):
+                b = bytes(content)
+                stride = max(len(b) // n_frames, 1)
+                for i in range(n_frames):
+                    frame = b[i * stride : (i + 1) * stride]
+                    rows["path"].append(path)
+                    rows["frame_no"].append(i)
+                    rows["frame"].append(frame)
+                    rows["n_bytes"].append(len(frame))
+            yield pd.DataFrame(rows)
+
+    return media.repartition("modality").mapInPandas(op, FRAMES_SCHEMA)
+
+
 def featurize_media(media: DataFrame, batch_hint: int = 64) -> DataFrame:
     """Feature-extract every media row via mapInPandas: Arrow batches
     in, Arrow batches out. Repartitioned by modality so a real decoder

@@ -232,3 +232,72 @@ def q64_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.min("doc_id").alias("keep_doc_id"),
     )
+
+
+_GRAMS_SQL = """
+  SELECT doc_id, lang,
+         unnest(list_transform(generate_series(1, greatest(length(text) - 1, 1)),
+                               i -> substr(text, i, 2))) AS gram
+  FROM documents
+"""
+
+
+@query(
+    "q69_langid_classifier",
+    sql=f"""
+    WITH grams AS ({_GRAMS_SQL}),
+    clean AS (SELECT * FROM grams WHERE gram NOT LIKE '% %'),
+    profile AS (
+      SELECT lang AS p_lang, gram, count(*) AS w
+      FROM clean GROUP BY lang, gram
+    ),
+    scores AS (
+      SELECT g.doc_id, g.lang, p.p_lang, CAST(sum(p.w) AS BIGINT) AS score
+      FROM clean g JOIN profile p ON g.gram = p.gram
+      GROUP BY g.doc_id, g.lang, p.p_lang
+    )
+    SELECT doc_id, lang, p_lang AS lang_pred, score FROM (
+      SELECT doc_id, lang, p_lang, score,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY score DESC, p_lang ASC) AS rn
+      FROM scores
+    ) WHERE rn = 1
+    """,
+    operators=("X-langid", "J2", "A1", "Window-rank"),
+)
+def q69_langid_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical n-gram language-ID: character-bigram frequency
+    profiles per language (trained on the labeled corpus itself — the
+    q65 feature table) score each document by the summed profile
+    weights of its bigrams; argmax wins. All-integer scoring keeps the
+    math bit-exact cross-engine (no log-probabilities — Java and libm
+    ln() can differ in the last ulp). Scale shape: the profile is a
+    broadcastable dim, document grams join it on the gram key, one
+    grouped sum + one ranking window."""
+    d = _docs(spark, sf_dir)
+    grams = d.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, greatest(length(text) - 1, 1)),"
+                " i -> substring(text, i, 2))"
+            )
+        ).alias("gram"),
+    ).filter(~F.col("gram").contains(" "))
+    profile = grams.groupBy(
+        F.col("lang").alias("p_lang"), "gram"
+    ).agg(F.count(F.lit(1)).alias("w"))
+    scores = (
+        grams.join(F.broadcast(profile), "gram")
+        .groupBy("doc_id", "lang", "p_lang")
+        .agg(F.sum("w").alias("score"))
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("doc_id").orderBy(F.col("score").desc(), F.col("p_lang").asc())
+    return (
+        scores.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "lang", F.col("p_lang").alias("lang_pred"), "score")
+    )

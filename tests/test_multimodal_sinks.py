@@ -82,3 +82,32 @@ def test_report_and_snapshot_sinks(spark, sf_dir, tmp_path):
     snap_out = str(tmp_path / "snapshot")
     write_snapshot(li, snap_out)
     assert spark.read.parquet(snap_out).count() == 100
+
+
+def test_resize_media_batched(spark, media_dir):
+    from portfolio1_etl_spark.operators.multimodal import resize_media, read_media_dir as rmd
+
+    media = rmd(spark, media_dir)
+    resized = resize_media(media, target_px=128)
+    rows = {r.path.split("/")[-1]: r for r in resized.collect()}
+    orig = {r.path.split("/")[-1]: r for r in media.collect()}
+    for name, r in rows.items():
+        assert r.meta.target_px == 128
+        assert r.meta.length == len(bytes(r.content))
+        assert len(bytes(r.content)) == len(bytes(orig[name].content)[::2])
+        assert r.modality == orig[name].modality
+
+
+def test_sample_frames_fanout(spark, media_dir):
+    from portfolio1_etl_spark.operators.multimodal import read_media_dir as rmd, sample_frames
+
+    media = rmd(spark, media_dir)
+    frames = sample_frames(media, n_frames=4)
+    assert frames.count() == media.count() * 4
+    one = sorted(
+        (r.frame_no, r.n_bytes)
+        for r in frames.collect()
+        if r.path.endswith("a.jpg")
+    )
+    assert [f for f, _ in one] == [0, 1, 2, 3]
+    assert all(n >= 0 for _, n in one)
