@@ -35,7 +35,10 @@ def shingle_hashes(
     """(id, h): 48-bit hashes of each document's distinct n-word
     shingles. Tokens are materialized once (an inline split in the
     lambda would re-split per shingle index); output rows carry long
-    keys so every downstream shuffle/join is fixed-width."""
+    keys so every downstream shuffle/join is fixed-width. No explicit
+    repartition: the explode preserves the scan's partitioning and AQE
+    sizes the downstream shuffles — a pinned count would defeat AQE
+    coalescing and be wrong at any other scale."""
     # NB: Spark's sequence(1, 0) is DESCENDING [1, 0] — short documents
     # need an explicit emptiness guard, not a greatest() clamp.
     shingle_expr = f"""
@@ -46,11 +49,8 @@ def shingle_hashes(
       ))
     ELSE array() END
     """
-    d = docs.repartition(
-        docs.sparkSession.sparkContext.defaultParallelism, id_col
-    )
     return (
-        d.withColumn("toks", F.split(text_col, " "))
+        docs.withColumn("toks", F.split(text_col, " "))
         .select(id_col, F.explode(F.expr(shingle_expr)).alias("s"))
         .select(id_col, F.expr(H48.format(c="s")).alias("h"))
     )
@@ -160,11 +160,8 @@ def simhash(
 ) -> DataFrame:
     """16-bit (default) SimHash fingerprint per document: md5-derived
     token hashes vote ±1 per bit, the majority sign survives. One
-    explode + one grouped aggregate."""
-    d = docs.repartition(
-        docs.sparkSession.sparkContext.defaultParallelism, id_col
-    )
-    toks = d.select(
+    explode + one grouped aggregate; AQE sizes the shuffle."""
+    toks = docs.select(
         id_col, F.explode(F.array_distinct(F.split(text_col, " "))).alias("w")
     )
     hashed = toks.select(id_col, F.expr(H48.format(c="w")).alias("h"))

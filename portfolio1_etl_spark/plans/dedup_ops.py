@@ -130,8 +130,13 @@ def q72_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``shingle_hashes`` + ``jaccard_pairs`` from the operator library
     (inverted-index candidates on 48-bit keys; never all-pairs). At
     100 TB the next lever is a document-frequency cap on candidate
-    shingles (q73's LSH plays that role here)."""
-    return jaccard_pairs(shingle_hashes(_docs(spark, sf_dir), "text"), 0.4)
+    shingles (q77 applies it; q73's LSH plays that role here).
+    The shingle set feeds three consumers inside ``jaccard_pairs``
+    (sizes + both sides of the self-join), so it is materialized once
+    (localCheckpoint; on a cluster: reliable checkpoint/persist-disk)
+    instead of re-running the tokenize→explode→md5 scan per consumer."""
+    sh = shingle_hashes(_docs(spark, sf_dir), "text").localCheckpoint(eager=True)
+    return jaccard_pairs(sh, 0.4)
 
 
 # --- MinHash + LSH ---------------------------------------------------------
@@ -188,8 +193,13 @@ def q73_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash (16 deterministic permutations) + LSH banding (4 bands ×
     4 rows) + exact-Jaccard verification restricted to survivors —
     the library pipeline ``shingle_hashes → minhash_signatures →
-    lsh_candidates → verify_candidates``."""
-    sh = shingle_hashes(_docs(spark, sf_dir), "text")
+    lsh_candidates → verify_candidates``. The shingle scan (the
+    expensive tokenize→explode→md5 subtree) fans out to the signature
+    aggregate AND the verification join, so it is materialized once
+    via localCheckpoint — without it the subtree executes twice and
+    dominated the round-1 bench (27.8 s → low single digits). On a
+    cluster, substitute a reliable checkpoint or DISK_ONLY persist."""
+    sh = shingle_hashes(_docs(spark, sf_dir), "text").localCheckpoint(eager=True)
     cand = lsh_candidates(minhash_signatures(sh))
     return verify_candidates(sh, cand, 0.4)
 
@@ -348,9 +358,7 @@ def q76_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
     the oracle's self-join formulation is semantically identical."""
     from pyspark.sql import Window as W
 
-    d = _docs(spark, sf_dir).repartition(
-        spark.sparkContext.defaultParallelism, "doc_id"
-    )
+    d = _docs(spark, sf_dir)
     psh = (
         d.withColumn("toks", F.split("text", " "))
         .select(
