@@ -1,0 +1,78 @@
+"""The driver's correctness gate samples a PREFIX of ``queries()``
+(round 1: exactly the first 50 entries in iteration order). These
+tests pin the explicit ordering in ``plans/__init__.PRIORITY`` so
+every operator family keeps a driver-visible correctness row.
+"""
+
+from __future__ import annotations
+
+import re
+
+from portfolio1_etl_spark.plans import PRIORITY, REGISTRY
+
+WINDOW = 50
+
+
+def test_priority_names_all_registered():
+    missing = [n for n in PRIORITY if n not in REGISTRY]
+    assert not missing, f"PRIORITY names without a registered query: {missing}"
+
+
+def test_priority_is_registry_prefix():
+    names = list(REGISTRY)
+    assert names[: len(PRIORITY)] == list(PRIORITY)
+
+
+def test_every_operator_family_inside_window():
+    """One representative of each family must sit in the first WINDOW
+    entries — the part of the registry an external prefix-sampling
+    harness actually checks."""
+    window = set(list(REGISTRY)[:WINDOW])
+    families = {
+        "relational-agg": "q01_pricing_summary",
+        "union": "q07_union_channels",
+        "broadcast-join": "q08_broadcast_join",
+        "topk": "q14_topk",
+        "rollup": "q17_rollup",
+        "json": "q27_json_extract",
+        "pivot": "q28_pivot",
+        "star-join": "q29_star_join",
+        "outer-join": "q31_full_outer_join",
+        "stats-agg": "q33_stats_agg",
+        "approx-agg": "q35_approx_aggregates",
+        "asof-join": "q37_asof_join",
+        "range-join": "q38_range_join",
+        "pipeline": "q43_enriched_sales",
+        "stream-window": "q50_tumbling_window",
+        "stream-session": "q52_session_window",
+        "stream-dedup": "q53_dedup_first_event",
+        "window-frame": "q55_window_range_frame",
+        "text-tokens": "q60_token_stats",
+        "text-quality": "q62_quality_score",
+        "text-langid": "q63_lang_id",
+        "dedup-exact": "q71_dedup_exact_keep",
+        "dedup-jaccard": "q72_ngram_jaccard",
+        "dedup-minhash": "q73_minhash_lsh",
+        "dedup-simhash": "q74_simhash",
+        "dedup-winnowing": "q76_winnowing",
+        "dedup-dfcap": "q77_jaccard_dfcap",
+        "sim-knn": "q80_cosine_topk",
+        "sim-lsh": "q82_lsh_ann",
+        "sim-ivf": "q83_ivf_ann",
+        "multimodal": "q90_multimodal_featurize",
+        "multimodal-decode": "q91_multimodal_decode",
+    }
+    outside = {f: q for f, q in families.items() if q not in window}
+    assert not outside, f"families outside the {WINDOW}-entry window: {outside}"
+
+
+def test_demoted_queries_still_oracle_backed():
+    """Everything past the window still has SQL for tools/check_oracle.py
+    (CI covers what the driver prefix does not)."""
+    tail = list(REGISTRY)[WINDOW:]
+    no_sql = [n for n in tail if REGISTRY[n].sql is None]
+    assert not no_sql, f"demoted queries with no oracle SQL: {no_sql}"
+
+
+def test_query_names_follow_convention():
+    assert all(re.match(r"^q\d{2}_[a-z0-9_]+$", n) for n in REGISTRY)
