@@ -43,11 +43,60 @@ HEADLINE = [
     "q72_ngram_jaccard",
     "q73_minhash_lsh",
     "q74_simhash",
+    "q77_jaccard_dfcap",
     "q80_cosine_topk",
     "q82_lsh_ann",
     "q83_ivf_ann",
     "q90_multimodal_featurize",
+    "q91_multimodal_decode",
 ]
+
+
+def _previous_round_timings(here: str) -> tuple[str, dict[str, float]] | None:
+    """Latest driver-recorded BENCH_r{N}.json, if any — the per-query
+    baseline for the regression guard."""
+    import glob
+    import re
+
+    benches = sorted(
+        glob.glob(os.path.join(here, "BENCH_r*.json")),
+        key=lambda p: int(re.search(r"BENCH_r(\d+)", p).group(1)),
+    )
+    if not benches:
+        return None
+    try:
+        with open(benches[-1]) as f:
+            data = json.load(f)
+        parsed = data.get("parsed") or data
+        return os.path.basename(benches[-1]), dict(parsed["queries"])
+    except (OSError, KeyError, ValueError, json.JSONDecodeError):
+        return None
+
+
+def _regression_report(timings: dict[str, float], here: str) -> None:
+    """Per-query delta vs the previous round, >2x regressions called
+    out — machine-checkable round-over-round perf, on stderr so the
+    stdout contract stays ONE JSON line."""
+    prev = _previous_round_timings(here)
+    if prev is None:
+        return
+    fname, base = prev
+    print(f"# regression check vs {fname}", file=sys.stderr)
+    regressions = []
+    for name, t in timings.items():
+        if name not in base:
+            print(f"#   {name}: {t:.3f}s (new — no baseline)", file=sys.stderr)
+            continue
+        ratio = t / base[name] if base[name] > 0 else float("inf")
+        flag = " REGRESSION(>2x)" if ratio > 2.0 else ""
+        print(
+            f"#   {name}: {t:.3f}s vs {base[name]:.3f}s ({ratio:.2f}x){flag}",
+            file=sys.stderr,
+        )
+        if ratio > 2.0:
+            regressions.append(name)
+    if regressions:
+        print(f"# WARNING: >2x regressions: {regressions}", file=sys.stderr)
 
 
 def main() -> None:
@@ -83,6 +132,7 @@ def main() -> None:
         spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 3)
+    _regression_report(timings, os.path.dirname(os.path.abspath(__file__)))
     print(
         json.dumps(
             {

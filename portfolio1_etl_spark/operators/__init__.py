@@ -5,7 +5,12 @@ primitives in oracle-checked form)."""
 from portfolio1_etl_spark.operators.multimodal import (
     MEDIA_FEATURES_SCHEMA,
     MEDIA_SCHEMA,
-    decode_media_batch,
+    decode_media,
+    decode_media_features,
+    decode_ppm,
+    decode_wav,
+    encode_ppm,
+    encode_wav,
     featurize_media,
     read_media_dir,
     resize_media,
@@ -17,6 +22,7 @@ from portfolio1_etl_spark.operators.sinks import (
     write_snapshot,
 )
 from portfolio1_etl_spark.operators.dedup import (
+    hot_shingles,
     jaccard_pairs,
     lsh_candidates,
     minhash_signatures,
@@ -37,13 +43,19 @@ __all__ = [
     "MEDIA_FEATURES_SCHEMA",
     "read_media_dir",
     "featurize_media",
-    "decode_media_batch",
+    "decode_media",
+    "decode_media_features",
+    "encode_ppm",
+    "decode_ppm",
+    "encode_wav",
+    "decode_wav",
     "resize_media",
     "sample_frames",
     "write_partitioned",
     "write_report_csv",
     "write_snapshot",
     "shingle_hashes",
+    "hot_shingles",
     "jaccard_pairs",
     "minhash_signatures",
     "lsh_candidates",

@@ -56,12 +56,43 @@ def shingle_hashes(
     )
 
 
+def hot_shingles(sh: DataFrame, df_cap: int, id_col: str = "doc_id") -> DataFrame:
+    """(h, df): shingle hashes whose document frequency exceeds
+    ``df_cap``. ``shingle_hashes`` emits distinct (id, h) rows, so a
+    plain count is the document frequency. Heavy hitters are few by
+    construction (a Zipf head), so the result is broadcastable at any
+    corpus size even when the shingle table itself is not."""
+    return (
+        sh.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") > df_cap)
+    )
+
+
 def jaccard_pairs(
-    sh: DataFrame, threshold: float | None = None, id_col: str = "doc_id"
+    sh: DataFrame,
+    threshold: float | None = None,
+    id_col: str = "doc_id",
+    df_cap: int | None = None,
 ) -> DataFrame:
     """(doc_a, doc_b, jaccard) for every pair sharing ≥1 shingle hash —
     inverted-index self-join on long keys; pairs that share nothing
-    never meet. Optional threshold filter."""
+    never meet. Optional threshold filter.
+
+    ``df_cap`` drops shingle hashes shared by more than ``df_cap``
+    documents BEFORE pair enumeration (broadcast anti-join against the
+    heavy-hitter set). Without it, one ubiquitous shingle shared by
+    10^6 docs yields ~10^12 candidate rows — the cap is the scale
+    guard for real corpora. Capped shingles are removed from the sets
+    themselves (stop-shingle semantics): sizes and intersections are
+    both computed on the capped sets, so the reported Jaccard is the
+    similarity of the informative shingles."""
+    if df_cap is not None:
+        sh = sh.join(
+            F.broadcast(hot_shingles(sh, df_cap, id_col).select("h")),
+            "h",
+            "left_anti",
+        )
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
     a, b = sh.alias("a"), sh.alias("b")
     common = (
@@ -97,12 +128,22 @@ def minhash_signatures(sh: DataFrame, id_col: str = "doc_id") -> DataFrame:
 
 
 def lsh_candidates(
-    sigs: DataFrame, n_bands: int = 4, id_col: str = "doc_id"
+    sigs: DataFrame,
+    n_bands: int = 4,
+    id_col: str = "doc_id",
+    bucket_cap: int | None = None,
 ) -> DataFrame:
     """(doc_a, doc_b) pairs agreeing on at least one full band
     signature. The join key is (band, signature) — a pure equi-join;
     the result is eagerly materialized (localCheckpoint) because LSH
-    survivor sets are tiny and always feed multiple consumers."""
+    survivor sets are tiny and always feed multiple consumers.
+
+    ``bucket_cap`` drops (band, signature) buckets holding more than
+    ``bucket_cap`` documents before the self-join — the band-join
+    analogue of the shingle df-cap: a bucket of B docs emits B² pairs,
+    so one degenerate signature (e.g. from boilerplate documents)
+    otherwise dominates the join. Dropped buckets mean those documents
+    can still pair through their other bands."""
     rows_per_band = len(MINHASH_PARAMS) // n_bands
     band_exprs = [
         F.struct(
@@ -120,6 +161,14 @@ def lsh_candidates(
     bands = sigs.select(
         id_col, F.explode(F.array(*band_exprs)).alias("bs")
     ).select(id_col, "bs.band", "bs.sig")
+    if bucket_cap is not None:
+        hot = (
+            bands.groupBy("band", "sig")
+            .agg(F.count(F.lit(1)).alias("bn"))
+            .filter(F.col("bn") > bucket_cap)
+            .select("band", "sig")
+        )
+        bands = bands.join(F.broadcast(hot), ["band", "sig"], "left_anti")
     ba, bb = bands.alias("ba"), bands.alias("bb")
     return (
         ba.join(

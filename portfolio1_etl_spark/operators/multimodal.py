@@ -12,19 +12,25 @@ Spark-side design (all real and tested):
 - partitioning by modality keeps decoder state (codec contexts) warm
   per task.
 
-The actual pixel/sample decode is STUBBED: the execution image has no
-image/audio libraries. ``decode_media_batch`` raises
-``NotImplementedError`` for real decoding unless a library is present,
-and the tested path uses a deterministic fake (content digest + length
--derived pseudo-features) — the plumbing (schema, batching, UDF
-signature) is exactly what a real decoder drops into.
+Decode support is two-tier:
+- **Real, dependency-free decoders** for PPM (P6) images and WAV
+  (RIFF/PCM16) audio — pure numpy header parsing + frombuffer, no
+  image/audio library needed (``decode_ppm`` / ``decode_wav`` /
+  ``decode_media``), exercised end-to-end by the oracle-checked
+  q91 encode→decode round trip.
+- Compressed formats (JPEG/PNG/MP3/MP4) need PIL/soundfile/av, which
+  this image does not ship: ``decode_media`` raises a clearly-marked
+  ``NotImplementedError`` for those, and the digest-feature path
+  (``featurize_media``) remains the library-free fallback.
 """
 
 from __future__ import annotations
 
 import hashlib
+import struct
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -93,22 +99,144 @@ def read_media_dir(spark: SparkSession, path: str, glob: str = "*") -> DataFrame
     )
 
 
-def decode_media_batch(content: bytes, modality: str) -> list[float]:
-    """Decode one media object into a feature vector.
+# --- real dependency-free codecs (PPM P6 images, WAV PCM16 audio) ----------
 
-    STUB: real decoding needs PIL / soundfile / av, which this image
-    does not ship. If a library is importable we'd decode for real;
-    otherwise callers must use the deterministic fake in
-    ``featurize_media`` (or hit this clearly-marked wall)."""
-    try:
-        import PIL.Image  # noqa: F401
-    except ImportError:
-        raise NotImplementedError(
-            "real media decode requires an image/audio library "
-            "(PIL/soundfile/av) — not available in this image; "
-            "use featurize_media's deterministic digest features"
-        ) from None
-    raise NotImplementedError("real decoder integration point")
+
+def encode_ppm(pixels: np.ndarray) -> bytes:
+    """Encode an (h, w, 3) uint8 array as a binary PPM (P6) file."""
+    if pixels.ndim != 3 or pixels.shape[2] != 3 or pixels.dtype != np.uint8:
+        raise ValueError("encode_ppm expects (h, w, 3) uint8")
+    h, w, _ = pixels.shape
+    return f"P6\n{w} {h}\n255\n".encode("ascii") + pixels.tobytes()
+
+
+def decode_ppm(b: bytes) -> tuple[np.ndarray, int, int]:
+    """Parse a binary PPM (P6): magic, whitespace/comment-tolerant
+    header (width height maxval), then raw RGB bytes. Returns
+    (pixels (h, w, 3) uint8, width, height)."""
+    if b[:2] != b"P6":
+        raise ValueError("not a P6 PPM")
+    pos, fields = 2, []
+    while len(fields) < 3:
+        while pos < len(b) and b[pos : pos + 1].isspace():
+            pos += 1
+        if b[pos : pos + 1] == b"#":  # comment to end of line
+            while pos < len(b) and b[pos : pos + 1] != b"\n":
+                pos += 1
+            continue
+        start = pos
+        while pos < len(b) and not b[pos : pos + 1].isspace():
+            pos += 1
+        fields.append(int(b[start:pos]))
+    pos += 1  # single whitespace after maxval
+    w, h, maxval = fields
+    if maxval != 255:
+        raise ValueError(f"only maxval=255 supported, got {maxval}")
+    pixels = np.frombuffer(b, dtype=np.uint8, count=w * h * 3, offset=pos)
+    return pixels.reshape(h, w, 3), w, h
+
+
+def encode_wav(samples: np.ndarray, sample_rate: int = 8000) -> bytes:
+    """Encode int16 mono samples as a RIFF/WAVE PCM16 file (44-byte
+    canonical header + little-endian samples)."""
+    if samples.dtype != np.int16:
+        raise ValueError("encode_wav expects int16 samples")
+    data = samples.astype("<i2").tobytes()
+    hdr = struct.pack(
+        "<4sI4s4sIHHIIHH4sI",
+        b"RIFF", 36 + len(data), b"WAVE",
+        b"fmt ", 16, 1, 1, sample_rate, sample_rate * 2, 2, 16,
+        b"data", len(data),
+    )
+    return hdr + data
+
+
+def decode_wav(b: bytes) -> tuple[np.ndarray, int]:
+    """Parse a RIFF/WAVE file: walk the chunk list, read the fmt
+    chunk (PCM16 mono only), return (int16 samples, sample_rate)."""
+    if b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE file")
+    pos, sample_rate, data = 12, None, None
+    while pos + 8 <= len(b):
+        cid, size = b[pos : pos + 4], struct.unpack("<I", b[pos + 4 : pos + 8])[0]
+        body = b[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt, channels, sample_rate = struct.unpack("<HHI", body[:8])
+            bits = struct.unpack("<H", body[14:16])[0]
+            if (fmt, channels, bits) != (1, 1, 16):
+                raise NotImplementedError(
+                    f"only PCM16 mono supported (fmt={fmt}, ch={channels}, bits={bits})"
+                )
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if sample_rate is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    return np.frombuffer(data, dtype="<i2"), sample_rate
+
+
+def decode_media(content: bytes) -> tuple[str, np.ndarray, str]:
+    """Decode one media object by magic bytes. Returns
+    (modality, values int64, dims) where values are pixel bytes
+    (image) or PCM16 samples (audio) and dims is '{w}x{h}' or
+    '{rate}Hz'.
+
+    Compressed formats (JPEG/PNG/MP3/MP4) require PIL/soundfile/av —
+    not shipped in this image — and raise ``NotImplementedError`` as
+    a documented capability boundary."""
+    if content[:2] == b"P6":
+        pixels, w, h = decode_ppm(content)
+        return "image", pixels.reshape(-1).astype(np.int64), f"{w}x{h}"
+    if content[:4] == b"RIFF":
+        samples, rate = decode_wav(content)
+        return "audio", samples.astype(np.int64), f"{rate}Hz"
+    raise NotImplementedError(
+        "compressed media decode (JPEG/PNG/MP3/MP4) requires an "
+        "image/audio library (PIL/soundfile/av) — not available in "
+        "this image; PPM and WAV decode natively"
+    )
+
+
+DECODED_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("path", T.StringType()),
+        T.StructField("modality", T.StringType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("n_units", T.LongType()),
+        T.StructField("dims", T.StringType()),
+        T.StructField("mean_val", T.DoubleType()),
+        T.StructField("rms", T.DoubleType()),
+    ]
+)
+
+
+def decode_media_features(media: DataFrame) -> DataFrame:
+    """REAL decode pass: parse each binary object (PPM/WAV via the
+    native codecs), then aggregate the decoded pixel/sample values to
+    per-object features — unit count, dims string ('8x8' / '8000Hz'),
+    mean value, RMS. Arrow batches in/out via mapInPandas; sums run in
+    int64 (exact up to ~2^33 PCM16 samples per object), so the final
+    double division and sqrt are bit-reproducible across engines."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: dict[str, list] = {k.name: [] for k in DECODED_FEATURES_SCHEMA}
+            for path, content in zip(pdf["path"], pdf["content"]):
+                b = bytes(content)
+                modality, vals, dims = decode_media(b)
+                n = len(vals)
+                s = int(vals.sum())
+                s2 = int((vals * vals).sum())
+                rows["path"].append(path)
+                rows["modality"].append(modality)
+                rows["n_bytes"].append(len(b))
+                rows["n_units"].append(n)
+                rows["dims"].append(dims)
+                rows["mean_val"].append(s / n if n else 0.0)
+                rows["rms"].append(float(np.sqrt(s2 / n)) if n else 0.0)
+            yield pd.DataFrame(rows)
+
+    return media.repartition("modality").mapInPandas(op, DECODED_FEATURES_SCHEMA)
 
 
 def _fake_features(content: bytes, dim: int = 8) -> list[float]:

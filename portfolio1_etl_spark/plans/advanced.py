@@ -125,20 +125,49 @@ def q34_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q35_approx_aggregates", sql=None, operators=("A-approx",))
+@query(
+    "q35_approx_aggregates",
+    sql="""
+    SELECT o_orderpriority AS priority,
+           count(*) AS n_orders,
+           count(DISTINCT o_custkey) AS exact_customers,
+           TRUE AS distinct_within_bound,
+           TRUE AS median_within_bound
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+    operators=("A-approx",),
+)
 def q35_approx_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate aggregates: HLL distinct + approximate quantiles.
-    Deliberately rows-only: Spark's HyperLogLog++ and DuckDB's HLL are
-    different sketches, so cross-engine value equality is impossible by
-    construction; the companion exact values (q16, q34) gate
-    correctness instead. At 100 TB these are the default — exact
-    distinct over a high-cardinality key is a full shuffle, the sketch
-    is a map-side merge."""
+    Spark's HyperLogLog++ and DuckDB's HLL are different sketches, so
+    raw sketch values can never agree cross-engine; instead the query
+    outputs the documented ERROR-BOUND CHECKS as booleans — HLL within
+    3·rsd of the exact distinct (rsd=0.05), approx-median (rank error
+    1/accuracy = 1e-3) inside the exact p40–p60 band — plus the exact
+    values themselves. The oracle recomputes the exact values and
+    asserts the bounds as literal TRUE, so a sketch drifting out of
+    its guarantee fails the hash gate. At 100 TB the sketches are the
+    default: exact distinct over a high-cardinality key is a full
+    shuffle, the sketch is a map-side merge."""
     o = _t(spark, sf_dir, "orders")
+    rsd = 0.05
     return o.groupBy(F.col("o_orderpriority").alias("priority")).agg(
-        F.approx_count_distinct("o_custkey").alias("approx_customers"),
-        F.percentile_approx("o_totalprice", 0.5, 1000).alias("approx_median_price"),
         F.count(F.lit(1)).alias("n_orders"),
+        F.countDistinct("o_custkey").alias("exact_customers"),
+        (
+            F.abs(
+                F.approx_count_distinct("o_custkey", rsd)
+                - F.countDistinct("o_custkey")
+            )
+            <= 3 * rsd * F.countDistinct("o_custkey")
+        ).alias("distinct_within_bound"),
+        F.percentile_approx("o_totalprice", 0.5, 1000)
+        .between(
+            F.expr("percentile(o_totalprice, 0.4)"),
+            F.expr("percentile(o_totalprice, 0.6)"),
+        )
+        .alias("median_within_bound"),
     )
 
 

@@ -139,6 +139,49 @@ def q72_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jaccard_pairs(sh, 0.4)
 
 
+_DF_CAP = 4
+
+_CAPPED_PAIR_SQL = f"""
+    sh0 AS ({_HASHED_SQL}),
+    hot AS (SELECT h FROM sh0 GROUP BY h HAVING count(*) > {_DF_CAP}),
+    sh AS (SELECT * FROM sh0 WHERE h NOT IN (SELECT h FROM hot)),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    common AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+      FROM sh a JOIN sh b ON a.h = b.h AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT doc_a, doc_b,
+             CAST(c AS DOUBLE) / (sa.n + sb.n - c) AS jaccard
+      FROM common
+      JOIN sizes sa ON doc_a = sa.doc_id
+      JOIN sizes sb ON doc_b = sb.doc_id
+    )
+"""
+
+
+@query(
+    "q77_jaccard_dfcap",
+    sql=f"""
+    WITH {_CAPPED_PAIR_SQL}
+    SELECT doc_a, doc_b, jaccard FROM pairs WHERE jaccard >= 0.4
+    """,
+    operators=("X-dedup-ngram", "X-dedup-dfcap"),
+)
+def q77_jaccard_dfcap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q72 with the document-frequency cap engaged (df_cap=4): shingle
+    hashes shared by more than 4 documents are dropped (broadcast
+    anti-join against the heavy-hitter set) before pair enumeration.
+    This is THE scale guard for the inverted-index join — one
+    boilerplate shingle shared by 10^6 docs would otherwise enumerate
+    ~10^12 candidate pairs. Stop-shingle semantics: sizes and
+    intersections both use the capped sets, so Spark and the oracle
+    agree exactly."""
+    sh = shingle_hashes(_docs(spark, sf_dir), "text").localCheckpoint(eager=True)
+    return jaccard_pairs(sh, 0.4, df_cap=_DF_CAP)
+
+
 # --- MinHash + LSH ---------------------------------------------------------
 
 

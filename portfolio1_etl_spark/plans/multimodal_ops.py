@@ -19,8 +19,19 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+
 from portfolio1_etl_spark import catalog
-from portfolio1_etl_spark.operators.multimodal import featurize_media
+from portfolio1_etl_spark.operators.multimodal import (
+    MEDIA_SCHEMA,
+    decode_media_features,
+    encode_ppm,
+    encode_wav,
+    featurize_media,
+)
 from portfolio1_etl_spark.plans.registry import query
 
 
@@ -71,4 +82,98 @@ def q90_multimodal_featurize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "content_sha256",
         F.element_at("feature", 1).cast("double").alias("f0"),
         F.element_at("feature", 2).cast("double").alias("f1"),
+    )
+
+
+# --- q91: REAL encode→decode round trip ------------------------------------
+
+#: even doc_id → 8×8 RGB PPM image (192 pixel bytes), odd → 256-sample
+#: PCM16 WAV. Value generators are integer-exact so the oracle can
+#: recompute every feature analytically (no bytes cross into SQL).
+_IMG_N, _AUD_N = 8 * 8 * 3, 256
+
+
+def _synthesize_media(docs):
+    """doc_id → real media bytes (PPM P6 / WAV PCM16) via mapInPandas.
+    The pixel/sample generators are pure integer functions of
+    (doc_id, index), mirroring the oracle's generate_series twin."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: dict[str, list] = {"path": [], "modality": [], "content": [], "meta": []}
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                if d % 2 == 0:
+                    i = np.arange(_IMG_N, dtype=np.int64)
+                    px = ((d * 7 + i * 13) % 256).astype(np.uint8)
+                    content = encode_ppm(px.reshape(8, 8, 3))
+                    modality, mime = "image", "image/x-portable-pixmap"
+                else:
+                    i = np.arange(_AUD_N, dtype=np.int64)
+                    smp = (((d * 31 + i * 17) % 65536) - 32768).astype(np.int16)
+                    content = encode_wav(smp, sample_rate=8000)
+                    modality, mime = "audio", "audio/wav"
+                rows["path"].append(str(d))
+                rows["modality"].append(modality)
+                rows["content"].append(content)
+                rows["meta"].append({"length": len(content), "mime": mime})
+            yield pd.DataFrame(rows)
+
+    return docs.select("doc_id").mapInPandas(op, MEDIA_SCHEMA)
+
+
+@query(
+    "q91_multimodal_decode",
+    sql=f"""
+    WITH params AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END AS modality,
+             CASE WHEN doc_id % 2 = 0 THEN {_IMG_N} ELSE {_AUD_N} END AS n
+      FROM documents
+    ),
+    idx AS (
+      SELECT doc_id, modality, n,
+             unnest(generate_series(0, n - 1)) AS i
+      FROM params
+    ),
+    vals AS (
+      SELECT doc_id, modality, n,
+             CASE WHEN modality = 'image'
+                  THEN (doc_id * 7 + i * 13) % 256
+                  ELSE ((doc_id * 31 + i * 17) % 65536) - 32768
+             END AS v
+      FROM idx
+    )
+    SELECT doc_id,
+           modality,
+           CAST(CASE WHEN modality = 'image' THEN 203 ELSE 556 END AS BIGINT) AS n_bytes,
+           CAST(n AS BIGINT) AS n_units,
+           CASE WHEN modality = 'image' THEN '8x8' ELSE '8000Hz' END AS dims,
+           CAST(sum(v) AS DOUBLE) / n AS mean_val,
+           sqrt(CAST(sum(v * v) AS DOUBLE) / n) AS rms
+    FROM vals
+    GROUP BY doc_id, modality, n
+    """,
+    operators=("X-multimodal", "X-multimodal-decode"),
+)
+def q91_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL media decode, end-to-end: synthesize an actual PPM (P6)
+    image or WAV (PCM16) file per document, then parse it back with the
+    dependency-free codecs (header walk + numpy frombuffer) and reduce
+    the decoded pixels/samples to features (count, dims, mean, RMS) —
+    all inside Arrow-batched ``mapInPandas``. The oracle recomputes
+    every feature analytically from the integer generators, so a
+    single wrong header byte, stride, or endianness flip fails the
+    hash gate. Compressed formats (JPEG/MP3) remain a documented
+    NotImplementedError boundary in ``operators.multimodal``."""
+    docs = catalog.load(spark, sf_dir, "documents")
+    feats = decode_media_features(_synthesize_media(docs))
+    return feats.select(
+        F.col("path").cast("long").alias("doc_id"),
+        "modality",
+        "n_bytes",
+        "n_units",
+        "dims",
+        "mean_val",
+        "rms",
     )

@@ -106,12 +106,20 @@ def make_parse_mirakl(site: str) -> Callable[[SparkSession, Any], DataFrame]:
 
 
 def parse_wayfair(spark: SparkSession, payload: Any) -> DataFrame:
-    """GraphQL purchaseOrders→products (portfolio-etl.py:411-437); the
+    """GraphQL purchase orders→products (portfolio-etl.py:411-437); the
     API-side limit-1000 DESC (:385-388) maps to orderBy+limit before
-    the product explode."""
-    orders = json_records(spark, payload).select(
-        F.explode("data.purchaseOrders").alias("o")
+    the product explode. The real GraphQL response nests orders under
+    ``data.getDropshipPurchaseOrders`` (the operation name,
+    portfolio-etl.py:413-414); the generic ``data.purchaseOrders``
+    shape is accepted as a fallback for re-keyed payloads."""
+    raw = json_records(spark, payload)
+    data_fields = {f.name for f in raw.schema["data"].dataType.fields}
+    record_key = (
+        "getDropshipPurchaseOrders"
+        if "getDropshipPurchaseOrders" in data_fields
+        else "purchaseOrders"
     )
+    orders = raw.select(F.explode(f"data.{record_key}").alias("o"))
     latest = orders.orderBy(F.col("o.poDate").desc()).limit(1000)
     return latest.select(F.explode("o.products").alias("p")).select(
         F.col("p.partNumber").cast("string").alias("sku"),

@@ -68,25 +68,85 @@ def read_csv_with_preamble(
     )
 
 
+def _read_xlsx_minimal(path: str):
+    """Dependency-free .xlsx reader: an xlsx file is a ZIP of OOXML
+    parts (ECMA-376), so stdlib ``zipfile`` + ``ElementTree`` suffice
+    for the feeds this engine ingests — one sheet, a header row,
+    string/number cells (shared, inline, and formula-cached strings).
+    Returns a pandas DataFrame shaped like ``pd.read_excel``'s."""
+    import re
+    import zipfile
+    import xml.etree.ElementTree as ET
+
+    import pandas as pd
+
+    ns = {"m": "http://schemas.openxmlformats.org/spreadsheetml/2006/main"}
+    with zipfile.ZipFile(path) as z:
+        shared: list[str] = []
+        if "xl/sharedStrings.xml" in z.namelist():
+            root = ET.fromstring(z.read("xl/sharedStrings.xml"))
+            shared = ["".join(t.text or "" for t in si.iter(f"{{{ns['m']}}}t"))
+                      for si in root.findall("m:si", ns)]
+        sheet_names = sorted(
+            n for n in z.namelist() if re.fullmatch(r"xl/worksheets/sheet\d+\.xml", n)
+        )
+        if not sheet_names:
+            raise ValueError(f"no worksheet found in {path}")
+        root = ET.fromstring(z.read(sheet_names[0]))
+
+    def cell_col(ref: str) -> int:
+        col = 0
+        for ch in ref:
+            if ch.isalpha():
+                col = col * 26 + (ord(ch.upper()) - 64)
+        return col - 1
+
+    rows: list[dict[int, object]] = []
+    for row in root.iter(f"{{{ns['m']}}}row"):
+        vals: dict[int, object] = {}
+        for c in row.findall("m:c", ns):
+            idx = cell_col(c.get("r", ""))
+            ctype = c.get("t", "n")
+            if ctype == "inlineStr":
+                vals[idx] = "".join(
+                    t.text or "" for t in c.iter(f"{{{ns['m']}}}t")
+                )
+                continue
+            v = c.find("m:v", ns)
+            if v is None or v.text is None:
+                continue
+            if ctype == "s":
+                vals[idx] = shared[int(v.text)]
+            elif ctype in ("str", "b"):
+                vals[idx] = v.text if ctype == "str" else bool(int(v.text))
+            else:
+                f = float(v.text)
+                vals[idx] = int(f) if f.is_integer() else f
+        rows.append(vals)
+    if not rows:
+        return pd.DataFrame()
+    width = max(max(r) + 1 for r in rows if r)
+    grid = [[r.get(i) for i in range(width)] for r in rows]
+    return pd.DataFrame(grid[1:], columns=[str(h) for h in grid[0]])
+
+
 def read_excel(
     spark: SparkSession, path: str, schema: T.StructType | None = None
 ) -> DataFrame:
     """S4: Excel feed (pd.read_excel, portfolio-etl.py:491-530).
 
     No core-Spark Excel reader exists; these are small dimension feeds,
-    so the documented pattern is driver-side pandas → createDataFrame
-    (Arrow). Gated behind an import-try: the execution image may lack
-    an engine (openpyxl/xlrd), in which case this raises with a clear
-    message instead of failing mid-plan."""
+    so the documented pattern is driver-side parse → createDataFrame
+    (Arrow). ``pd.read_excel`` is preferred when an engine
+    (openpyxl/xlrd) is installed; otherwise the built-in minimal OOXML
+    parser (``_read_xlsx_minimal``) handles .xlsx natively, so Excel
+    ingestion works on a bare image too."""
     import pandas as pd
 
     try:
         pdf = pd.read_excel(path)
-    except ImportError as e:  # no engine installed
-        raise NotImplementedError(
-            "Excel ingestion needs openpyxl/xlrd on the driver; "
-            "convert the feed to CSV or install an engine"
-        ) from e
+    except ImportError:  # no engine installed — use the native parser
+        pdf = _read_xlsx_minimal(path)
     return spark.createDataFrame(pdf, schema=schema)
 
 

@@ -21,8 +21,15 @@ WALMART = {"list": {"elements": {"order": [
 HOUZZ = "<Orders><Order><OrderItem><SKU>H-1</SKU><Quantity>1</Quantity></OrderItem></Order></Orders>"
 FAIRE = {"orders": [{"items": [{"sku": "F-1", "quantity": 3}]}]}
 WOO = {"orders": [{"line_items": [{"sku": "B-1", "quantity": 1}]}]}
-WAYFAIR = {"data": {"purchaseOrders": [
+# Real response shape: orders nest under the GraphQL operation name
+# (reference portfolio-etl.py:413-414).
+WAYFAIR = {"data": {"getDropshipPurchaseOrders": [
     {"poDate": "2024-01-05", "products": [{"partNumber": "WF-1", "quantity": 2}]},
+]}}
+
+# Legacy/re-keyed payload shape, still accepted.
+WAYFAIR_LEGACY = {"data": {"purchaseOrders": [
+    {"poDate": "2024-01-05", "products": [{"partNumber": "WF-2", "quantity": 3}]},
 ]}}
 
 
@@ -59,6 +66,15 @@ def test_all_api_channels(spark):
     assert unioned.filter(unioned.sku == "nope").count() == 0
     # each channel contributes exactly once (no double-counted walmart)
     assert unioned.filter(unioned.site == "walmart").count() == 1
+
+
+def test_wayfair_accepts_both_payload_shapes(spark):
+    from portfolio1_etl_spark.sources.channels import parse_wayfair
+
+    real = parse_wayfair(spark, WAYFAIR).collect()
+    assert [(r.sku, r.qty) for r in real] == [("WF-1", 2.0)]
+    legacy = parse_wayfair(spark, WAYFAIR_LEGACY).collect()
+    assert [(r.sku, r.qty) for r in legacy] == [("WF-2", 3.0)]
 
 
 def test_file_feeds_with_partial_availability(spark, tmp_path):

@@ -114,3 +114,44 @@ def test_cosine_topk_self_similarity_bound(spark, vals):
     assert all(-1.0 - 1e-9 <= r.sim <= 1.0 + 1e-9 for r in out)
     top = [r for r in out if r.rank == 1][0]
     assert top.neighbor_id == 1 and abs(top.sim - 1.0) < 1e-9
+
+
+def test_df_cap_bounds_hot_shingle_candidates(spark):
+    """A shingle shared by every document otherwise enumerates O(n²)
+    candidate pairs; the df-cap drops it before pair enumeration while
+    genuinely similar pairs (sharing informative shingles) survive."""
+    from portfolio1_etl_spark.operators.dedup import (
+        hot_shingles, jaccard_pairs, shingle_hashes,
+    )
+
+    hot = "common boiler plate"  # one 3-gram shared by ALL docs
+    docs = spark.createDataFrame(
+        [(i, f"{hot} unique{i} token{i} filler{i}") for i in range(40)]
+        + [(100, f"{hot} twin alpha beta"), (101, f"{hot} twin alpha beta")],
+        "doc_id long, text string",
+    )
+    sh = shingle_hashes(docs, "text")
+    assert hot_shingles(sh, df_cap=4).count() >= 1
+    uncapped = jaccard_pairs(sh).count()
+    capped_pairs = jaccard_pairs(sh, df_cap=4)
+    assert capped_pairs.count() < uncapped / 10  # 861+ pairs -> ~1
+    # the true twin pair still survives with high similarity
+    twins = {(r.doc_a, r.doc_b): r.jaccard for r in capped_pairs.collect()}
+    assert (100, 101) in twins and twins[(100, 101)] == 1.0
+
+
+def test_lsh_bucket_cap_drops_degenerate_buckets(spark):
+    """bucket_cap bounds the band self-join: identical boilerplate docs
+    collapse into one (band, sig) bucket whose pair count is quadratic;
+    capping drops that bucket entirely."""
+    from portfolio1_etl_spark.operators.dedup import (
+        lsh_candidates, minhash_signatures, shingle_hashes,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "same exact boiler plate text everywhere") for i in range(30)],
+        "doc_id long, text string",
+    )
+    sigs = minhash_signatures(shingle_hashes(docs, "text"))
+    assert lsh_candidates(sigs).count() == 30 * 29 // 2
+    assert lsh_candidates(sigs, bucket_cap=10).count() == 0

@@ -9,7 +9,11 @@ import pytest
 from portfolio1_etl_spark import catalog
 from portfolio1_etl_spark.operators import (
     MEDIA_FEATURES_SCHEMA,
-    decode_media_batch,
+    decode_media,
+    decode_ppm,
+    decode_wav,
+    encode_ppm,
+    encode_wav,
     featurize_media,
     read_media_dir,
     write_partitioned,
@@ -48,9 +52,38 @@ def test_featurize_media_batched(spark, media_dir):
     assert rows["b.png"].content_sha256 == hashlib.sha256(b"\x89PNGfakebytes").hexdigest()
 
 
-def test_real_decode_is_clearly_stubbed():
+def test_compressed_decode_is_clearly_bounded():
+    """JPEG/PNG/MP3 need real codec libraries — the boundary stays an
+    explicit NotImplementedError, not a silent wrong answer."""
     with pytest.raises(NotImplementedError, match="media decode"):
-        decode_media_batch(b"xx", "image")
+        decode_media(b"\xff\xd8fakejpegbytes")
+
+
+def test_ppm_round_trip():
+    import numpy as np
+
+    px = np.arange(2 * 3 * 3, dtype=np.uint8).reshape(2, 3, 3)
+    b = encode_ppm(px)
+    back, w, h = decode_ppm(b)
+    assert (w, h) == (3, 2) and (back == px).all()
+    # comment + extra whitespace tolerance in the header
+    commented = b"P6\n# a comment\n 3  2\n255\n" + px.tobytes()
+    back2, w2, h2 = decode_ppm(commented)
+    assert (w2, h2) == (3, 2) and (back2 == px).all()
+
+
+def test_wav_round_trip():
+    import numpy as np
+
+    smp = (np.arange(100, dtype=np.int64) * 321 - 16000).astype(np.int16)
+    b = encode_wav(smp, sample_rate=44100)
+    back, rate = decode_wav(b)
+    assert rate == 44100 and (back == smp).all()
+    modality, vals, dims = decode_media(b)
+    assert modality == "audio" and dims == "44100Hz" and len(vals) == 100
+    # odd-length data chunks are word-aligned per RIFF
+    odd = encode_wav(smp[:1])  # 2-byte data chunk, already even
+    assert decode_wav(odd)[0].tolist() == smp[:1].tolist()
 
 
 def test_partitioned_sink_layout(spark, sf_dir, tmp_path):

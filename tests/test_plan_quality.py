@@ -68,3 +68,46 @@ def test_whole_stage_codegen_covers_scan_and_agg(spark, sf_dir):
         assert "Found 0 WholeStageCodegen" not in plan
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+
+#: BroadcastNestedLoopJoin is sanctioned ONLY where the broadcast side
+#: is tiny by construction and the scan side streams linearly:
+#: q32 crosses two 1-row aggregates; q80 broadcasts the 8-vector query
+#: set over the corpus (the documented exact brute-force baseline);
+#: q83 broadcasts the centroid codebook for the IVF argmin assignment.
+_SANCTIONED_BNLJ = {"q32_cross_join", "q80_cosine_topk", "q83_ivf_ann"}
+
+
+def test_no_cartesian_product_in_any_registered_query(spark, sf_dir):
+    """No registered query may plan a CartesianProduct (ever) or an
+    unsanctioned nested-loop join — at 100 TB either one is a
+    run-forever plan."""
+    offenders = {}
+    for name, q in REGISTRY.items():
+        plan = _formatted_plan(q.fn(spark, sf_dir))
+        if "CartesianProduct" in plan:
+            offenders[name] = "CartesianProduct"
+        elif "BroadcastNestedLoopJoin" in plan and name not in _SANCTIONED_BNLJ:
+            offenders[name] = "BroadcastNestedLoopJoin"
+    assert not offenders, f"scale-killer join nodes: {offenders}"
+
+
+def test_lsh_verify_uses_broadcast_semi_join(spark, sf_dir):
+    """verify_candidates must shrink the shingle table with a broadcast
+    semi-join on the (tiny) LSH survivor set before pair enumeration."""
+    plan = _formatted_plan(REGISTRY["q73_minhash_lsh"].fn(spark, sf_dir))
+    assert "LeftSemi" in plan and "BroadcastHashJoin" in plan
+
+
+def test_ivf_probe_is_broadcast(spark, sf_dir):
+    """IVF ANN: the centroid codebook is tiny and must broadcast to the
+    corpus side — never shuffle the embeddings for the probe join."""
+    plan = _formatted_plan(REGISTRY["q83_ivf_ann"].fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_dfcap_filter_is_broadcast_anti_join(spark, sf_dir):
+    """The heavy-hitter shingle set is small by construction; dropping
+    capped shingles must be a broadcast anti-join, not a shuffle."""
+    plan = _formatted_plan(REGISTRY["q77_jaccard_dfcap"].fn(spark, sf_dir))
+    assert "LeftAnti" in plan and "BroadcastHashJoin" in plan

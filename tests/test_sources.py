@@ -190,3 +190,87 @@ def test_wayfair_graphql_shape_topk(spark):
         F.col("p.partNumber").alias("sku"), F.col("p.quantity").cast("double").alias("qty")
     )
     assert {r.sku for r in lines.collect()} == {"WF-1", "WF-2"}
+
+
+# --- S4: Excel ingestion ----------------------------------------------------
+
+
+def _write_min_xlsx(path, header, rows, inline=False):
+    """Write a real (minimal, spec-conformant) .xlsx: a ZIP of OOXML
+    parts. Strings go through sharedStrings (like openpyxl) or inline
+    (like some exporters) to exercise both parser paths."""
+    import zipfile
+
+    def esc(s):
+        return (str(s).replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;"))
+
+    all_rows = [header] + rows
+    shared, cells_xml = [], []
+    for r_i, row in enumerate(all_rows, start=1):
+        cs = []
+        for c_i, v in enumerate(row):
+            ref = f"{chr(65 + c_i)}{r_i}"
+            if isinstance(v, str):
+                if inline:
+                    cs.append(f'<c r="{ref}" t="inlineStr"><is><t>{esc(v)}</t></is></c>')
+                else:
+                    if v not in shared:
+                        shared.append(v)
+                    cs.append(f'<c r="{ref}" t="s"><v>{shared.index(v)}</v></c>')
+            else:
+                cs.append(f'<c r="{ref}"><v>{v}</v></c>')
+        cells_xml.append(f'<row r="{r_i}">{"".join(cs)}</row>')
+    M = "http://schemas.openxmlformats.org/spreadsheetml/2006/main"
+    R = "http://schemas.openxmlformats.org/officeDocument/2006/relationships"
+    CT = "http://schemas.openxmlformats.org/package/2006/content-types"
+    PR = "http://schemas.openxmlformats.org/package/2006/relationships"
+    with zipfile.ZipFile(path, "w") as z:
+        z.writestr("[Content_Types].xml",
+            f'<?xml version="1.0"?><Types xmlns="{CT}">'
+            '<Default Extension="xml" ContentType="application/xml"/>'
+            '<Default Extension="rels" ContentType="application/vnd.openxmlformats-package.relationships+xml"/>'
+            '<Override PartName="/xl/workbook.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.sheet.main+xml"/>'
+            '<Override PartName="/xl/worksheets/sheet1.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.worksheet+xml"/>'
+            '<Override PartName="/xl/sharedStrings.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.sharedStrings+xml"/>'
+            "</Types>")
+        z.writestr("_rels/.rels",
+            f'<?xml version="1.0"?><Relationships xmlns="{PR}">'
+            f'<Relationship Id="rId1" Type="{R}/officeDocument" Target="xl/workbook.xml"/>'
+            "</Relationships>")
+        z.writestr("xl/workbook.xml",
+            f'<?xml version="1.0"?><workbook xmlns="{M}" xmlns:r="{R}">'
+            '<sheets><sheet name="Sheet1" sheetId="1" r:id="rId1"/></sheets></workbook>')
+        z.writestr("xl/_rels/workbook.xml.rels",
+            f'<?xml version="1.0"?><Relationships xmlns="{PR}">'
+            f'<Relationship Id="rId1" Type="{R}/worksheet" Target="worksheets/sheet1.xml"/>'
+            f'<Relationship Id="rId2" Type="{R}/sharedStrings" Target="sharedStrings.xml"/>'
+            "</Relationships>")
+        z.writestr("xl/sharedStrings.xml",
+            f'<?xml version="1.0"?><sst xmlns="{M}" count="{len(shared)}" uniqueCount="{len(shared)}">'
+            + "".join(f"<si><t>{esc(s)}</t></si>" for s in shared) + "</sst>")
+        z.writestr("xl/worksheets/sheet1.xml",
+            f'<?xml version="1.0"?><worksheet xmlns="{M}"><sheetData>'
+            + "".join(cells_xml) + "</sheetData></worksheet>")
+
+
+def test_read_excel_real_workbook(spark, tmp_path):
+    """S4 end-to-end with a real .xlsx on disk — works with or without
+    a pandas Excel engine (native OOXML fallback)."""
+    from portfolio1_etl_spark.sources.readers import read_excel
+
+    p = str(tmp_path / "feed.xlsx")
+    _write_min_xlsx(p, ["sku", "qty", "price"],
+                    [["SKU-1", 2, 9.99], ["SKU-2", 5, 19.5]])
+    df = read_excel(spark, p)
+    rows = {r.sku: r for r in df.collect()}
+    assert set(rows) == {"SKU-1", "SKU-2"}
+    assert rows["SKU-1"].qty == 2 and abs(rows["SKU-2"].price - 19.5) < 1e-9
+
+
+def test_read_excel_inline_strings(spark, tmp_path):
+    from portfolio1_etl_spark.sources.readers import read_excel
+
+    p = str(tmp_path / "inline.xlsx")
+    _write_min_xlsx(p, ["sku", "qty"], [["A&B <x>", 1]], inline=True)
+    rows = read_excel(spark, p).collect()
+    assert rows[0].sku == "A&B <x>" and rows[0].qty == 1
