@@ -17,6 +17,7 @@ from portfolio1_etl_spark.operators.multimodal import (
     sample_frames,
 )
 from portfolio1_etl_spark.operators.sinks import (
+    compact_parquet,
     write_partitioned,
     write_report_csv,
     write_snapshot,
@@ -51,6 +52,7 @@ __all__ = [
     "decode_wav",
     "resize_media",
     "sample_frames",
+    "compact_parquet",
     "write_partitioned",
     "write_report_csv",
     "write_snapshot",

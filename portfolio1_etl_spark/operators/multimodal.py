@@ -276,21 +276,43 @@ FRAMES_SCHEMA = T.StructType(
 )
 
 
-def resize_media(media: DataFrame, target_px: int = 256) -> DataFrame:
-    """Resize/transcode pass over a media column via mapInPandas. The
-    pixel work is the stubbed part (no image libs in this image — a
-    real decoder replaces ``_fake_resize`` verbatim); the Spark-side
-    contract — binary in / smaller binary out per Arrow batch, metadata
-    struct rewritten — is real and tested."""
+def resize_ppm(b: bytes, target_px: int) -> bytes:
+    """REAL image resize for PPM content: decode, nearest-neighbor
+    downsample to at most ``target_px`` on the long edge (pure numpy
+    index striding — deterministic, no interpolation library), then
+    re-encode. Upscaling is a no-op (training pipelines shrink)."""
+    pixels, w, h = decode_ppm(b)
+    scale = max(w, h) / target_px
+    if scale <= 1.0:
+        return b
+    nw, nh = max(int(w / scale), 1), max(int(h / scale), 1)
+    rows = (np.arange(nh) * h) // nh
+    cols = (np.arange(nw) * w) // nw
+    return encode_ppm(pixels[rows][:, cols])
 
-    def _fake_resize(b: bytes) -> bytes:
-        # deterministic stand-in: a resize produces smaller content
-        # derived from the original (here: every other byte).
+
+def resize_media(media: DataFrame, target_px: int = 256) -> DataFrame:
+    """Resize/transcode pass over a media column via mapInPandas.
+    PPM images resize for REAL (decode → nearest-neighbor downsample →
+    re-encode, ``resize_ppm``); other formats fall back to a
+    deterministic byte-decimation stand-in (compressed codecs need
+    PIL/av, absent in this image). The Spark-side contract — binary in
+    / smaller binary out per Arrow batch, metadata struct rewritten —
+    is identical on both paths."""
+
+    def _resize_one(b: bytes) -> bytes:
+        if b[:2] == b"P6":
+            try:
+                return resize_ppm(b, target_px)
+            except (ValueError, IndexError):
+                pass  # malformed P6 → fall through, don't kill the job
+        # deterministic stand-in for codec-backed formats: a resize
+        # produces smaller content derived from the original.
         return bytes(b[::2])
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            resized = pdf["content"].map(lambda b: _fake_resize(bytes(b)))
+            resized = pdf["content"].map(lambda b: _resize_one(bytes(b)))
             yield pd.DataFrame(
                 {
                     "path": pdf["path"],
@@ -313,18 +335,31 @@ def resize_media(media: DataFrame, target_px: int = 256) -> DataFrame:
 def sample_frames(media: DataFrame, n_frames: int = 4) -> DataFrame:
     """Frame sampling for video/audio: one media row fans out to
     ``n_frames`` rows via mapInPandas (batch iterator in, exploded
-    batch out — the one-to-many UDF shape). Frame extraction is the
-    stubbed part (fixed-stride byte chunks stand in for decoded
-    frames); the fan-out schema and batching are real."""
+    batch out — the one-to-many UDF shape). WAV audio samples for
+    REAL: the PCM stream splits into ``n_frames`` equal windows, each
+    re-encoded as a standalone WAV clip at the source sample rate.
+    Codec-backed formats (MP4 video) fall back to fixed-stride byte
+    chunks; the fan-out schema and batching are identical."""
+
+    def _frames_of(b: bytes) -> list[bytes]:
+        if b[:4] == b"RIFF":
+            try:
+                samples, rate = decode_wav(b)
+                stride = max(len(samples) // n_frames, 1)
+                return [
+                    encode_wav(samples[i * stride : (i + 1) * stride], rate)
+                    for i in range(n_frames)
+                ]
+            except (ValueError, NotImplementedError, struct.error):
+                pass  # malformed/unsupported RIFF → byte chunks
+        stride = max(len(b) // n_frames, 1)
+        return [b[i * stride : (i + 1) * stride] for i in range(n_frames)]
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows: dict[str, list] = {"path": [], "frame_no": [], "frame": [], "n_bytes": []}
             for path, content in zip(pdf["path"], pdf["content"]):
-                b = bytes(content)
-                stride = max(len(b) // n_frames, 1)
-                for i in range(n_frames):
-                    frame = b[i * stride : (i + 1) * stride]
+                for i, frame in enumerate(_frames_of(bytes(content))):
                     rows["path"].append(path)
                     rows["frame_no"].append(i)
                     rows["frame"].append(frame)

@@ -14,7 +14,9 @@ that overwrites its own input (:648). The idiomatic Spark replacements:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+import os
+
+from pyspark.sql import DataFrame, SparkSession
 
 
 def write_report_csv(df: DataFrame, path: str, single_file: bool = True) -> None:
@@ -48,3 +50,39 @@ def write_snapshot(df: DataFrame, path: str) -> None:
     reference's self-overwrite at :648 only works because pandas is
     eager)."""
     df.write.mode("overwrite").parquet(path)
+
+
+def compact_parquet(
+    spark: SparkSession,
+    path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    sort_within_by: list[str] | None = None,
+) -> int:
+    """Small-file compaction — the table-maintenance job every
+    long-running parquet lake needs: streaming/incremental writers
+    leave thousands of KB-sized part files, and at 100 TB the
+    per-file open/footer overhead dominates scan time. Rewrites the
+    dataset into ceil(bytes/target) files via ``repartition`` (with
+    optional ``sortWithinPartitions`` so min/max footer stats stay
+    selective for downstream pushdown), staging to a sibling temp dir
+    and atomically renaming — the source is never read and overwritten
+    in the same job. Returns the new file count."""
+    size = sum(
+        os.path.getsize(os.path.join(dp, f))
+        for dp, _, fs in os.walk(path)
+        for f in fs
+        if f.endswith(".parquet")
+    )
+    n_files = max(1, -(-size // target_file_bytes))
+    df = spark.read.parquet(path).repartition(n_files)
+    if sort_within_by:
+        df = df.sortWithinPartitions(*sort_within_by)
+    staged = path.rstrip("/") + "._compacting"
+    df.write.mode("overwrite").parquet(staged)
+    backup = path.rstrip("/") + "._precompact"
+    os.rename(path, backup)
+    os.rename(staged, path)
+    import shutil
+
+    shutil.rmtree(backup)
+    return n_files

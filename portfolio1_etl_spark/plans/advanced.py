@@ -631,3 +631,62 @@ def q68_null_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.least(F.col("o_totalprice"), F.lit(100000.0)).alias("capped_price"),
         F.isnull(F.col("o_totalprice")).alias("price_missing"),
     )
+
+
+@query(
+    "q48_map_functions",
+    sql="""
+    WITH per_type AS (
+      SELECT user_id, event_type, count(*) AS c,
+             sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_sum
+      FROM events GROUP BY user_id, event_type
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_types,
+           CAST(coalesce(sum(CASE WHEN event_type = 'click' THEN c END), 0)
+                AS BIGINT) AS clicks,
+           coalesce(string_agg(CASE WHEN c >= 5 THEN event_type END, ','
+                               ORDER BY event_type), '') AS hot_types,
+           CAST(sum(c) AS BIGINT) AS total_events,
+           CAST(sum(k_sum) AS BIGINT) AS props_k_total
+    FROM per_type
+    GROUP BY user_id
+    """,
+    operators=("C-map", "C15", "A-collect"),
+)
+def q48_map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-typed column surface: per-user event-type counts become a
+    real ``map<string,bigint>`` (map_from_entries over sorted
+    entries), then every downstream result is computed THROUGH map
+    operators — size, element_at lookup, map_filter + map_keys
+    (threshold selection), aggregate over map_values — plus a
+    from_json ``map<string,bigint>`` parse of the props column. The
+    oracle recomputes each result relationally, so the map semantics
+    (entry order, missing-key lookup, lambda filters) are all value
+    -checked. Maps shuffle as compact binary structs — at scale this
+    is the pattern for per-entity feature bundles."""
+    e = _t(spark, sf_dir, "events").withColumn(
+        "props_map", F.from_json("props", "map<string,bigint>")
+    )
+    per_type = e.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("c"),
+        F.sum(F.element_at("props_map", "k")).alias("k_sum"),
+    )
+    m = per_type.groupBy("user_id").agg(
+        F.map_from_entries(
+            F.sort_array(F.collect_list(F.struct("event_type", "c")))
+        ).alias("tc"),
+        F.sum("k_sum").alias("props_k_total"),
+    )
+    return m.select(
+        "user_id",
+        F.size("tc").cast("long").alias("n_types"),
+        F.coalesce(F.element_at("tc", "click"), F.lit(0)).cast("long").alias("clicks"),
+        F.concat_ws(
+            ",", F.map_keys(F.map_filter("tc", lambda k, v: v >= F.lit(5)))
+        ).alias("hot_types"),
+        F.aggregate(
+            F.map_values("tc"), F.lit(0).cast("long"), lambda acc, x: acc + x
+        ).alias("total_events"),
+        F.col("props_k_total").cast("long"),
+    )

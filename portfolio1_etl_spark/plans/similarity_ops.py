@@ -100,6 +100,34 @@ _BUCKET_SQL = (
 
 
 @query(
+    "q78_embedding_neardup",
+    sql=f"""
+    WITH vecs AS ({_VECTORS_SQL}),
+    b AS (SELECT vec_id, v, nrm, {_BUCKET_SQL} AS bucket FROM vecs)
+    SELECT a.vec_id AS vec_a, b2.vec_id AS vec_b, a.bucket AS bucket,
+           list_dot_product(a.v, b2.v) / (a.nrm * b2.nrm) AS sim
+    FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id
+    WHERE list_dot_product(a.v, b2.v) / (a.nrm * b2.nrm) >= 0.3
+    """,
+    operators=("X-dedup-embedding", "X-sim-threshold"),
+)
+def q78_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate detection with NO metadata
+    blocking key — the missing-label case a real corpus dedup faces.
+    The sign-bit LSH bucket (first 8 dims) is the blocking key: the
+    self-join is a pure equi-join on an 8-bit signature (≤256
+    buckets), never all-pairs, and exact cosine filters within the
+    bucket. Registered under dedup (vs q81's label-blocked variant and
+    q82's top-k ANN) because its output is the near-dup PAIR SET a
+    dedup survivor pass consumes. Recall knob at scale: multiple
+    independent bucket families (OR of equi-joins), same plan shape."""
+    vecs = _vectors(spark, sf_dir).withColumn(
+        "bucket", F.expr(_BUCKET_SPARK.format(v="v"))
+    )
+    return threshold_pairs(vecs, 0.3, block_col="bucket")
+
+
+@query(
     "q82_lsh_ann",
     sql=f"""
     WITH vecs AS ({_VECTORS_SQL}),

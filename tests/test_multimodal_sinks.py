@@ -144,3 +144,67 @@ def test_sample_frames_fanout(spark, media_dir):
     )
     assert [f for f, _ in one] == [0, 1, 2, 3]
     assert all(n >= 0 for _, n in one)
+
+
+def test_resize_ppm_real(spark, tmp_path):
+    """PPM content resizes for real: decoded dims shrink, pixel values
+    come from the source image (nearest-neighbor), format survives."""
+    import numpy as np
+
+    from portfolio1_etl_spark.operators.multimodal import (
+        decode_ppm, encode_ppm, read_media_dir, resize_media, resize_ppm,
+    )
+
+    px = (np.arange(16 * 16 * 3, dtype=np.int64) % 256).astype(np.uint8).reshape(16, 16, 3)
+    b = encode_ppm(px)
+    small = resize_ppm(b, 4)
+    back, w, h = decode_ppm(small)
+    assert (w, h) == (4, 4)
+    assert (back == px[::4][:, ::4]).all()  # exact nearest-neighbor grid
+    assert resize_ppm(b, 64) == b  # upscale is a no-op
+    # and through the DataFrame operator
+    d = tmp_path / "imgs"; d.mkdir()
+    (d / "x.ppm").write_bytes(b)
+    out = resize_media(read_media_dir(spark, str(d)), target_px=8).collect()
+    assert decode_ppm(bytes(out[0].content))[1:] == (8, 8)
+
+
+def test_sample_frames_wav_real(spark, tmp_path):
+    """WAV frames are standalone decodable clips covering the stream."""
+    import numpy as np
+
+    from portfolio1_etl_spark.operators.multimodal import (
+        decode_wav, encode_wav, read_media_dir, sample_frames,
+    )
+
+    smp = (np.arange(400, dtype=np.int64) % 2000 - 1000).astype(np.int16)
+    d = tmp_path / "auds"; d.mkdir()
+    (d / "x.wav").write_bytes(encode_wav(smp, 16000))
+    frames = sample_frames(read_media_dir(spark, str(d)), n_frames=4).collect()
+    assert len(frames) == 4
+    rebuilt = []
+    for r in sorted(frames, key=lambda r: r.frame_no):
+        clip, rate = decode_wav(bytes(r.frame))
+        assert rate == 16000 and len(clip) == 100
+        rebuilt.extend(clip.tolist())
+    assert rebuilt == smp.tolist()
+
+
+def test_compact_parquet_small_files(spark, sf_dir, tmp_path):
+    """Compaction collapses a many-small-files dataset to the computed
+    target count, preserves every row, and survives a re-read."""
+    from portfolio1_etl_spark.operators import compact_parquet
+
+    li = catalog.load(spark, sf_dir, "lineitem")
+    path = str(tmp_path / "frag")
+    li.repartition(64).write.parquet(path)  # simulate streaming fragments
+    n_before = len([f for f in os.listdir(path) if f.endswith(".parquet")])
+    assert n_before >= 32
+    n_rows = li.count()
+    n_after = compact_parquet(
+        spark, path, target_file_bytes=64 * 1024 * 1024,
+        sort_within_by=["l_orderkey"],
+    )
+    files = [f for f in os.listdir(path) if f.endswith(".parquet")]
+    assert len(files) == n_after < n_before
+    assert spark.read.parquet(path).count() == n_rows

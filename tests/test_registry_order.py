@@ -32,7 +32,7 @@ def test_every_operator_family_inside_window():
         "relational-agg": "q01_pricing_summary",
         "union": "q07_union_channels",
         "broadcast-join": "q08_broadcast_join",
-        "topk": "q14_topk",
+        "topk": "q59_shipping_priority",  # TakeOrderedAndProject shape
         "rollup": "q17_rollup",
         "json": "q27_json_extract",
         "pivot": "q28_pivot",
@@ -43,6 +43,8 @@ def test_every_operator_family_inside_window():
         "asof-join": "q37_asof_join",
         "range-join": "q38_range_join",
         "pipeline": "q43_enriched_sales",
+        "scd2": "q46_scd2_intervals",
+        "merge-upsert": "q47_merge_upsert",
         "stream-window": "q50_tumbling_window",
         "stream-session": "q52_session_window",
         "stream-dedup": "q53_dedup_first_event",
@@ -56,6 +58,7 @@ def test_every_operator_family_inside_window():
         "dedup-simhash": "q74_simhash",
         "dedup-winnowing": "q76_winnowing",
         "dedup-dfcap": "q77_jaccard_dfcap",
+        "dedup-embedding": "q78_embedding_neardup",
         "sim-knn": "q80_cosine_topk",
         "sim-lsh": "q82_lsh_ann",
         "sim-ivf": "q83_ivf_ann",
