@@ -170,3 +170,108 @@ def q53_dedup_first_event(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("event_id").alias("first_event_id"),
         )
     )
+
+
+@query(
+    "q49_cohort_retention",
+    sql="""
+    WITH wk AS (
+      SELECT user_id,
+             CAST((ts::DATE - DATE '1970-01-01') // 7 AS BIGINT) AS wk
+      FROM events
+    ),
+    cohort AS (SELECT user_id, min(wk) AS cohort_wk FROM wk GROUP BY user_id)
+    SELECT c.cohort_wk,
+           w.wk - c.cohort_wk AS week_offset,
+           CAST(count(DISTINCT w.user_id) AS BIGINT) AS n_active
+    FROM wk w JOIN cohort c ON w.user_id = c.user_id
+    WHERE w.wk - c.cohort_wk <= 3
+    GROUP BY 1, 2
+    """,
+    operators=("X-cohort", "A-distinct", "A3"),
+)
+def q49_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users grouped by first-activity week, counted
+    distinct in each subsequent week offset (0..3). Week buckets are
+    integer epoch-week indexes (floor(days-since-epoch / 7)) — NOT
+    date_trunc/time_bucket, whose week origins differ between engines
+    (Spark windows align to 1970-01-01, DuckDB time_bucket to
+    2000-01-03). Scale shape: one shuffle on user_id for the cohort
+    min, the activity join reuses that key, and the final distinct
+    aggregates on (cohort, offset) — a tiny result."""
+    e = _events(spark, sf_dir).select(
+        "user_id",
+        F.floor(
+            F.datediff(F.to_date("ts"), F.lit("1970-01-01").cast("date")) / 7
+        ).alias("wk"),
+    )
+    cohort = e.groupBy("user_id").agg(F.min("wk").alias("cohort_wk"))
+    joined = e.join(cohort, "user_id").withColumn(
+        "week_offset", F.col("wk") - F.col("cohort_wk")
+    )
+    return (
+        joined.filter(F.col("week_offset") <= 3)
+        .groupBy("cohort_wk", "week_offset")
+        .agg(F.countDistinct("user_id").alias("n_active"))
+    )
+
+
+@query(
+    "q54_funnel",
+    sql="""
+    WITH v AS (
+      SELECT user_id, min(ts) AS t_view FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ),
+    c AS (
+      SELECT e.user_id, min(e.ts) AS t_click
+      FROM events e JOIN v ON e.user_id = v.user_id
+      WHERE e.event_type = 'click' AND e.ts > v.t_view
+      GROUP BY e.user_id
+    ),
+    p AS (
+      SELECT e.user_id, min(e.ts) AS t_purchase
+      FROM events e JOIN c ON e.user_id = c.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+      GROUP BY e.user_id
+    )
+    SELECT (SELECT count(DISTINCT user_id) FROM events) AS n_users,
+           (SELECT count(*) FROM v) AS reached_view,
+           (SELECT count(*) FROM c) AS reached_click,
+           (SELECT count(*) FROM p) AS reached_purchase
+    """,
+    operators=("X-funnel", "J-semi", "A4"),
+)
+def q54_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel view → click → purchase: each stage keeps users
+    whose first qualifying event strictly follows the previous stage's
+    first event. Every stage is a groupBy+join on user_id (one shared
+    shuffle key end-to-end); stage outputs shrink monotonically, so
+    later joins broadcast under AQE. The classic event-analytics
+    sequence operator a sessionized event lake runs daily."""
+    e = _events(spark, sf_dir)
+    v = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    c = (
+        e.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    return (
+        e.agg(F.countDistinct("user_id").alias("n_users"))
+        .crossJoin(v.agg(F.count(F.lit(1)).alias("reached_view")))
+        .crossJoin(c.agg(F.count(F.lit(1)).alias("reached_click")))
+        .crossJoin(p.agg(F.count(F.lit(1)).alias("reached_purchase")))
+    )

@@ -75,7 +75,8 @@ def test_whole_stage_codegen_covers_scan_and_agg(spark, sf_dir):
 #: q32 crosses two 1-row aggregates; q80 broadcasts the 8-vector query
 #: set over the corpus (the documented exact brute-force baseline);
 #: q83 broadcasts the centroid codebook for the IVF argmin assignment.
-_SANCTIONED_BNLJ = {"q32_cross_join", "q80_cosine_topk", "q83_ivf_ann"}
+#: q54 crosses four single-row funnel-stage counts.
+_SANCTIONED_BNLJ = {"q32_cross_join", "q54_funnel", "q80_cosine_topk", "q83_ivf_ann"}
 
 
 def test_no_cartesian_product_in_any_registered_query(spark, sf_dir):
