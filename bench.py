@@ -32,6 +32,7 @@ HEADLINE = [
     "q24_having",
     "q29_star_join",
     "q37_asof_join",
+    "q84_local_supplier_volume",
     "q59_shipping_priority",
     "q38_range_join",
     "q41_soldvalue_retail",

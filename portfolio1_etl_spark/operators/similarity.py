@@ -105,19 +105,49 @@ def signbit_bucket(n_bits: int = 8):
     )
 
 
+def _probe_buckets(bucket_col, n_bits: int, n_probes: int):
+    """Array of bucket signatures to probe: the exact bucket plus the
+    ``n_probes - 1`` single-bit-flip neighbors (standard multi-probe
+    LSH — nearby buckets catch vectors that straddle a hyperplane).
+    Probing stays an equi-join: the query side fans out ×n_probes
+    (still tiny), the corpus is untouched."""
+    probes = [bucket_col]
+    for i in range(1, min(n_probes, n_bits + 1)):
+        flipped = F.when(
+            F.substring(bucket_col, i, 1) == "1", F.lit("0")
+        ).otherwise(F.lit("1"))
+        probes.append(
+            F.concat(
+                F.substring(bucket_col, 1, i - 1),
+                flipped,
+                F.substring(bucket_col, i + 1, n_bits - i),
+            )
+        )
+    return F.array(*probes)
+
+
 def signbit_lsh_topk(
     corpus: DataFrame, queries: DataFrame, k: int = 3, n_bits: int = 8,
-    id_col: str = "vec_id",
+    id_col: str = "vec_id", n_probes: int = 1,
 ) -> DataFrame:
     """Approximate top-k: candidates share the query's signbit bucket
     (pure equi-join — no cross product at any corpus size), exact
-    cosine re-ranks within the bucket."""
+    cosine re-ranks within the bucket. ``n_probes > 1`` enables
+    multi-probe LSH: the query also probes single-bit-flip neighbor
+    buckets (recall knob — trades ×n_probes candidate volume for the
+    vectors a single hyperplane split hides); candidates reached via
+    multiple probes dedup before ranking."""
     bucketed = corpus.withColumn("bucket", signbit_bucket(n_bits))
-    q = queries.withColumn("qbucket", signbit_bucket(n_bits)).select(
-        F.col(id_col).alias("query_id"),
-        F.col("v").alias("qv"),
-        F.col("nrm").alias("qnrm"),
-        "qbucket",
+    q = (
+        queries.withColumn("qbucket0", signbit_bucket(n_bits))
+        .select(
+            F.col(id_col).alias("query_id"),
+            F.col("v").alias("qv"),
+            F.col("nrm").alias("qnrm"),
+            F.explode(
+                _probe_buckets(F.col("qbucket0"), n_bits, n_probes)
+            ).alias("qbucket"),
+        )
     )
     sims = bucketed.join(
         F.broadcast(q),
@@ -126,9 +156,11 @@ def signbit_lsh_topk(
     ).select(
         "query_id",
         F.col(id_col).alias("neighbor_id"),
-        F.col("qbucket").alias("bucket"),
+        F.col("bucket"),
         cosine("qv", "v", "qnrm", "nrm").alias("sim"),
     )
+    if n_probes > 1:
+        sims = sims.dropDuplicates(["query_id", "neighbor_id"])
     w = W.partitionBy("query_id").orderBy(
         F.col("sim").desc(), F.col("neighbor_id").asc()
     )

@@ -690,3 +690,60 @@ def q48_map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("total_events"),
         F.col("props_k_total").cast("long"),
     )
+
+
+@query(
+    "q84_local_supplier_volume",
+    sql="""
+    SELECT n_name AS nation,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,8)))
+                AS DOUBLE) AS revenue,
+           count(*) AS n_lineitems
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= DATE '1996-01-01'
+      AND o_orderdate <  DATE '1997-01-01'
+    GROUP BY n_name
+    """,
+    operators=("J3", "J-star", "A1", "W2", "P5"),
+)
+def q84_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape — the 6-table join that stress-tests join
+    ordering at scale: two facts (orders⋈lineitem) sort-merge on the
+    order key; customer/supplier/nation/region are broadcast dims; the
+    region filter prunes before any fact shuffles; revenue is the
+    decimal-exact discounted price. The same-nation predicate
+    (c_nationkey = s_nationkey) rides on the supplier join, not a
+    post-filter, so mismatched rows never materialize."""
+    from portfolio1_etl_spark.functions import dsum_product
+
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("date"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("date"))
+    )
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    joined = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(
+            F.broadcast(s),
+            (li.l_suppkey == s.s_suppkey)
+            & (c.c_nationkey == s.s_nationkey),
+        )
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+    )
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return joined.groupBy(F.col("n_name").alias("nation")).agg(
+        dsum_product(disc_price).alias("revenue"),
+        F.count(F.lit(1)).alias("n_lineitems"),
+    )

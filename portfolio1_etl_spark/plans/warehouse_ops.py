@@ -21,6 +21,7 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from portfolio1_etl_spark import catalog
+from portfolio1_etl_spark.operators.scd import scd2_rebuild
 from portfolio1_etl_spark.plans.registry import query
 
 
@@ -59,32 +60,11 @@ def q46_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
     (change detection via lag), each surviving change opens a validity
     interval closed by the next change's timestamp; the open interval
     is the current row. One shuffle on user_id serves all three window
-    passes. This is the batch rebuild; an incremental run unions the
-    previous current rows with new events and reruns the same plan on
-    the affected entities only."""
-    ordered = W.partitionBy("user_id").orderBy("ts", "event_id")
-    by_from = W.partitionBy("user_id").orderBy("valid_from")
-    changes = (
-        _t(spark, sf_dir, "events")
-        .withColumn("prev_type", F.lag("event_type").over(ordered))
-        .filter(
-            F.col("prev_type").isNull()
-            | (F.col("event_type") != F.col("prev_type"))
-        )
-        .select(
-            "user_id",
-            F.col("event_type").alias("state"),
-            F.col("ts").alias("valid_from"),
-        )
-    )
-    return changes.select(
-        "user_id",
-        "state",
-        "valid_from",
-        F.lead("valid_from").over(by_from).alias("valid_to"),
-        F.lead("valid_from").over(by_from).isNull().alias("is_current"),
-        F.row_number().over(by_from).cast("long").alias("version"),
-    )
+    passes. This is the batch rebuild (operators/scd.scd2_rebuild);
+    the incremental daily form is operators/scd.scd2_apply — replayed
+    history of touched entities + new events through the same plan,
+    equivalence asserted in tests/test_scd2.py."""
+    return scd2_rebuild(_t(spark, sf_dir, "events"))
 
 
 #: Merge cutoff: customers below it form the base dimension; order

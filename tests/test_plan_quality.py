@@ -112,3 +112,12 @@ def test_dfcap_filter_is_broadcast_anti_join(spark, sf_dir):
     capped shingles must be a broadcast anti-join, not a shuffle."""
     plan = _formatted_plan(REGISTRY["q77_jaccard_dfcap"].fn(spark, sf_dir))
     assert "LeftAnti" in plan and "BroadcastHashJoin" in plan
+
+
+def test_q5_shape_broadcasts_all_dims(spark, sf_dir):
+    """The 6-table TPC-H Q5 shape: exactly one sort-merge (the
+    fact×fact lineitem⋈orders) and broadcast joins for all four
+    dimensions — the fact side shuffles once, never for dims."""
+    plan = _formatted_plan(REGISTRY["q84_local_supplier_volume"].fn(spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 4
+    assert plan.count("SortMergeJoin") <= 2  # tree + details sections
