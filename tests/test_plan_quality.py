@@ -121,3 +121,13 @@ def test_q5_shape_broadcasts_all_dims(spark, sf_dir):
     plan = _formatted_plan(REGISTRY["q84_local_supplier_volume"].fn(spark, sf_dir))
     assert plan.count("BroadcastHashJoin") >= 4
     assert plan.count("SortMergeJoin") <= 2  # tree + details sections
+
+
+def test_scd2_single_shuffle(spark, sf_dir):
+    """All three SCD2 window passes (lag change-detect, lead close,
+    row_number version) must share ONE exchange on the entity key."""
+    plan = _formatted_plan(REGISTRY["q46_scd2_intervals"].fn(spark, sf_dir))
+    # formatted mode prints the node tree + a details section; each
+    # Exchange appears once per section.
+    tree = plan.split("\n\n")[0]
+    assert tree.count("Exchange") == 1
