@@ -9,6 +9,7 @@ expressions in this engine. What remains Python-worthy is logic that
 needs a real Python library or stateful per-group computation:
 
 - ``scalar pandas_udf``  — batch-vectorized column function
+- ``grouped-agg pandas_udf`` (UDAF) — Series in, scalar out per group
 - ``applyInPandas``      — grouped-map (whole group in, whole group out)
 - ``mapInPandas``        — per-partition batch stream (see multimodal)
 - ``applyInPandasWithState`` — streaming state (see streaming.jobs)
@@ -31,6 +32,24 @@ def token_count_udf(text: pd.Series) -> pd.Series:
     built-in ``size(split(text, ' '))`` — exists to exercise/measure the
     pandas_udf path; prefer the built-in in production plans."""
     return text.str.split(" ").str.len().astype("int64")
+
+
+@F.pandas_udf(T.DoubleType())
+def geometric_mean_udaf(values: pd.Series) -> float:
+    """Grouped-agg pandas UDF — the UDAF shape of §2.12: each group's
+    column arrives as ONE pandas Series, a scalar returns. Geometric
+    mean is a genuine UDAF example (no built-in equivalent as a single
+    aggregate); the test pins it to the exp(avg(ln(x))) expression
+    twin. Works in ``groupBy().agg()`` and as an unbounded window
+    aggregate. Scale note: grouped-agg buffers one group's column per
+    task — right for bounded groups, wrong for power-law keys (use the
+    expression twin there, which runs map-side partial aggregation)."""
+    import numpy as np
+
+    pos = values[values > 0]
+    if len(pos) == 0:
+        return float("nan")
+    return float(np.exp(np.log(pos.astype("float64")).mean()))
 
 
 def zscore_per_group(df: DataFrame, group_col: str, value_col: str) -> DataFrame:

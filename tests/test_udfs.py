@@ -79,3 +79,27 @@ def test_udtf_matches_expression_shingles(spark):
     }
     assert got == want
     assert (1, 1, "a b") in got and (3, 1, "solo") not in got
+
+
+def test_grouped_agg_udaf_matches_expression_twin(spark, sf_dir):
+    """UDAF (grouped-agg pandas_udf) pinned to exp(avg(ln(x)))."""
+    from portfolio1_etl_spark import catalog
+    from portfolio1_etl_spark.operators.udfs import geometric_mean_udaf
+
+    li = catalog.load(spark, sf_dir, "lineitem").limit(2000)
+    got = {
+        r.l_returnflag: r.gm
+        for r in li.groupBy("l_returnflag")
+        .agg(geometric_mean_udaf("l_quantity").alias("gm"))
+        .collect()
+    }
+    want = {
+        r.l_returnflag: r.gm
+        for r in li.filter(F.col("l_quantity") > 0)
+        .groupBy("l_returnflag")
+        .agg(F.exp(F.avg(F.log("l_quantity"))).alias("gm"))
+        .collect()
+    }
+    assert set(got) == set(want)
+    for k in want:
+        assert abs(got[k] - want[k]) < 1e-9
