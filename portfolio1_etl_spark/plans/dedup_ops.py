@@ -435,3 +435,108 @@ def q76_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("wmin").alias("min_fp"),
         F.max("wmin").alias("max_fp"),
     )
+
+
+def _winnow_match_sql() -> str:
+    return f"""
+    WITH psh AS ({_POSITIONAL_SH_SQL}),
+    counts AS (SELECT doc_id, count(*) AS n_sh FROM psh GROUP BY doc_id),
+    wmins AS (
+      SELECT p.doc_id, p.pos,
+             min(p2.h) AS wmin
+      FROM psh p JOIN psh p2
+        ON p.doc_id = p2.doc_id AND p2.pos BETWEEN p.pos AND p.pos + 3
+      JOIN counts c ON p.doc_id = c.doc_id
+      WHERE p.pos <= c.n_sh - 3
+      GROUP BY p.doc_id, p.pos
+    ),
+    fps AS (SELECT DISTINCT doc_id, wmin FROM wmins),
+    nfp AS (SELECT doc_id, count(*) AS n FROM fps GROUP BY doc_id),
+    shared AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+      FROM fps a JOIN fps b ON a.wmin = b.wmin AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT s.doc_a, s.doc_b, s.n_shared,
+           round(CAST(s.n_shared AS DOUBLE)
+                 / least(na.n, nb.n), 6) AS containment
+    FROM shared s
+    JOIN nfp na ON s.doc_a = na.doc_id
+    JOIN nfp nb ON s.doc_b = nb.doc_id
+    WHERE s.n_shared >= 2
+    """
+
+
+@query(
+    "q79_fingerprint_match",
+    sql=_winnow_match_sql(),
+    operators=("X-fingerprint", "X-dedup-ngram"),
+)
+def q79_fingerprint_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The winnowing MATCH step (the second half of the MOSS scheme):
+    documents pair when they share ≥2 winnowing fingerprints; the
+    match strength is containment — shared fingerprints over the
+    smaller document's fingerprint count. Pure equi-join on the long
+    fingerprint value (the sparse ≈n/w fingerprint sets make this
+    cheap at corpus scale); same inverted-index shape as q72 but over
+    winnowed minima instead of all shingles."""
+    from pyspark.sql import Window as W
+
+    d = _docs(spark, sf_dir)
+    psh = (
+        d.withColumn("toks", F.split("text", " "))
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.expr(
+                    "CASE WHEN size(toks) >= 3 THEN"
+                    " transform(sequence(1, size(toks) - 2),"
+                    " i -> concat_ws(' ', slice(toks, i, 3)))"
+                    " ELSE array() END"
+                )
+            ).alias("pos0", "s"),
+        )
+        .select(
+            "doc_id",
+            (F.col("pos0") + 1).alias("pos"),
+            F.expr(_H48_SPARK.format(c="s")).alias("h"),
+        )
+    )
+    n_sh = psh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    w = W.partitionBy("doc_id").orderBy("pos").rowsBetween(0, 3)
+    fps = (
+        psh.withColumn("wmin", F.min("h").over(w))
+        .join(n_sh, "doc_id")
+        .filter(F.col("pos") <= F.col("n_sh") - 3)
+        .select("doc_id", "wmin")
+        .distinct()
+        .localCheckpoint(eager=True)  # feeds sizes AND both join sides
+    )
+    nfp = fps.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a, b = fps.alias("a"), fps.alias("b")
+    shared = (
+        a.join(
+            b,
+            (F.col("a.wmin") == F.col("b.wmin"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= 2)
+    )
+    return (
+        shared.join(nfp.alias("na"), F.col("doc_a") == F.col("na.doc_id"))
+        .join(nfp.alias("nb"), F.col("doc_b") == F.col("nb.doc_id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_shared",
+            F.round(
+                F.col("n_shared").cast("double")
+                / F.least(F.col("na.n"), F.col("nb.n")),
+                6,
+            ).alias("containment"),
+        )
+    )
