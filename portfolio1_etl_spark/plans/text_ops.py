@@ -301,3 +301,139 @@ def q69_langid_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("doc_id", "lang", F.col("p_lang").alias("lang_pred"), "score")
     )
+
+
+@query(
+    "q85_stratified_sample",
+    sql="""
+    SELECT doc_id, lang, source
+    FROM documents
+    WHERE CAST(('0x' || substr(md5('sample-' || doc_id::VARCHAR), 1, 12))::BIGINT
+               AS DOUBLE) / 281474976710656.0
+          < (CASE WHEN lang = 'en' THEN 0.5 ELSE 1.0 END)
+    """,
+    operators=("X-sample", "W1"),
+)
+def q85_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling — the source/language
+    rebalancing pass a training-data pipeline runs to downsample
+    over-represented strata (here: keep 50% of English, 100% of the
+    rest). The keep decision is a pure function of the row key — a
+    salted md5 mapped to [0,1) — NOT rand() or TABLESAMPLE, so the
+    sample is reproducible across runs/engines/partitionings, stable
+    under re-partitioning, and needs no shuffle at all (a map-only
+    filter at any corpus size). Different salts give independent
+    samples."""
+    d = _docs(spark, sf_dir)
+    u = (
+        F.expr(
+            "cast(conv(substring(md5(concat('sample-', cast(doc_id as string))), 1, 12), 16, 10) as bigint)"
+        ).cast("double")
+        / F.lit(float(2**48))
+    )
+    rate = F.when(F.col("lang") == "en", F.lit(0.5)).otherwise(F.lit(1.0))
+    return d.filter(u < rate).select("doc_id", "lang", "source")
+
+
+@query(
+    "q86_corpus_clean",
+    sql="""
+    WITH scored AS (
+      SELECT doc_id, lang, source, n_chars,
+             md5(text) AS text_hash,
+             len(string_split(text, ' ')) AS n_tokens,
+             len(list_filter(string_split(text, ' '),
+                 x -> x = 'the' OR x = 'a' OR x = 'of' OR x = 'and')) AS n_stop,
+             len(list_distinct(string_split(text, ' '))) AS n_distinct
+      FROM documents
+    ),
+    flagged AS (
+      SELECT doc_id, lang, source, n_tokens,
+             doc_id = min(doc_id) OVER (PARTITION BY text_hash) AS dup_keep,
+             (0.5 * (CAST(n_distinct AS DOUBLE) / n_tokens)
+              + 0.5 * (1.0 - CAST(n_stop AS DOUBLE) / n_tokens)) >= 0.5
+               AS quality_keep,
+             n_chars BETWEEN 20 AND 100000 AS length_keep
+      FROM scored
+    )
+    SELECT doc_id, lang, source, n_tokens,
+           dup_keep, quality_keep, length_keep,
+           dup_keep AND quality_keep AND length_keep AS keep
+    FROM flagged
+    """,
+    operators=("X-clean-pipeline", "X-dedup-exact", "X-quality"),
+)
+def q86_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The C4-style corpus-cleaning decision log, composed from the
+    engine's own pieces in ONE plan: exact-dup survivor election
+    (min doc_id per content hash, a window over the digest — uniform
+    shuffle key), quality gate (q62's stopword + lexical-diversity
+    score), and a length gate. Each document carries its per-filter
+    flags plus the final keep — the audit artifact a data pipeline
+    materializes next to the cleaned corpus so every drop is
+    attributable."""
+    from pyspark.sql import Window as W
+
+    d = _docs(spark, sf_dir)
+    toks = F.split("text", " ")
+    n_tokens = F.size(toks)
+    is_stop = lambda x: (x == "the") | (x == "a") | (x == "of") | (x == "and")  # noqa: E731
+    quality = (
+        0.5 * (F.size(F.array_distinct(toks)).cast("double") / n_tokens)
+        + 0.5 * (1.0 - F.size(F.filter(toks, is_stop)).cast("double") / n_tokens)
+    )
+    w = W.partitionBy(F.md5("text"))
+    return d.select(
+        "doc_id",
+        "lang",
+        "source",
+        n_tokens.cast("long").alias("n_tokens"),
+        (F.col("doc_id") == F.min("doc_id").over(w)).alias("dup_keep"),
+        (quality >= 0.5).alias("quality_keep"),
+        F.col("n_chars").between(20, 100000).alias("length_keep"),
+    ).withColumn(
+        "keep",
+        F.col("dup_keep") & F.col("quality_keep") & F.col("length_keep"),
+    )
+
+
+@query(
+    "q87_token_histogram",
+    sql="""
+    WITH t AS (
+      SELECT len(string_split(text, ' ')) AS n_tokens FROM documents
+    )
+    SELECT CASE WHEN n_tokens < 16 THEN '<16'
+                WHEN n_tokens < 32 THEN '16-31'
+                WHEN n_tokens < 64 THEN '32-63'
+                WHEN n_tokens < 128 THEN '64-127'
+                ELSE '128+' END AS bucket,
+           count(*) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+    FROM t
+    GROUP BY 1
+    """,
+    operators=("X-histogram", "A1", "C-case"),
+)
+def q87_token_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-count histogram — the training-data budget summary (how
+    many documents/tokens land in each length band; the stat that
+    drives packing and truncation decisions). Fixed CASE bands rather
+    than log2 buckets: integer-exact in both engines, no float
+    boundary risk. Map-side partial aggregation; output is 5 rows at
+    any corpus size."""
+    d = _docs(spark, sf_dir)
+    n = F.size(F.split("text", " "))
+    bucket = (
+        F.when(n < 16, "<16")
+        .when(n < 32, "16-31")
+        .when(n < 64, "32-63")
+        .when(n < 128, "64-127")
+        .otherwise("128+")
+    )
+    return d.select(n.alias("n_tokens"), bucket.alias("bucket")).groupBy(
+        "bucket"
+    ).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+    )
