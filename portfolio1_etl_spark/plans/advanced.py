@@ -747,3 +747,42 @@ def q84_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         dsum_product(disc_price).alias("revenue"),
         F.count(F.lit(1)).alias("n_lineitems"),
     )
+
+
+@query(
+    "q88_lateral_topn",
+    sql="""
+    SELECT c.c_custkey AS custkey, t.o_orderkey AS orderkey,
+           t.o_totalprice AS totalprice
+    FROM customer c,
+    LATERAL (
+      SELECT o_orderkey, o_totalprice FROM orders
+      WHERE o_custkey = c.c_custkey
+      ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 2
+    ) t
+    WHERE c.c_mktsegment = 'BUILDING'
+    """,
+    operators=("J-lateral", "O2", "W4"),
+)
+def q88_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery (top-2 orders per customer) through
+    the SQL entry path — the one registered query issued via
+    ``spark.sql`` rather than the DataFrame builder, proving both
+    front-ends hit the same Catalyst plans. Spark de-correlates the
+    lateral into a ranked window join (no per-row re-execution);
+    deterministic via the (price DESC, orderkey ASC) tie-break."""
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("q88_customer")
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("q88_orders")
+    return spark.sql(
+        """
+        SELECT c.c_custkey AS custkey, t.o_orderkey AS orderkey,
+               t.o_totalprice AS totalprice
+        FROM q88_customer c,
+        LATERAL (
+          SELECT o_orderkey, o_totalprice FROM q88_orders
+          WHERE o_custkey = c.c_custkey
+          ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 2
+        ) t
+        WHERE c.c_mktsegment = 'BUILDING'
+        """
+    )
