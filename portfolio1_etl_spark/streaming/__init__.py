@@ -6,6 +6,7 @@ from portfolio1_etl_spark.streaming.jobs import (
     inventory_merge_stream,
     read_events_stream,
     running_user_totals_stream,
+    scd2_maintenance_stream,
     sessionized_stream,
     windowed_counts_stream,
 )
@@ -18,4 +19,5 @@ __all__ = [
     "paired_events_stream",
     "inventory_merge_stream",
     "running_user_totals_stream",
+    "scd2_maintenance_stream",
 ]

@@ -170,3 +170,26 @@ def inventory_merge_stream(
         apply_batch(sold, epoch_id)
 
     return events.writeStream.outputMode("append").foreachBatch(_merge)
+
+
+def scd2_maintenance_stream(events: DataFrame, state: dict):
+    """Streaming SCD2 maintenance: each micro-batch merges into the
+    running history table via the incremental ``operators.scd.
+    scd2_apply`` (untouched entities pass through; touched entities
+    replay + rebuild). ``state['current']`` holds the maintained
+    table, eagerly materialized per epoch so lineage stays bounded —
+    in production the epoch result is written to the warehouse path
+    (same pattern as ``inventory_merge_stream``) instead of held in
+    memory. Convergence to the batch rebuild is asserted in
+    tests/test_streaming.py."""
+    from portfolio1_etl_spark.operators.scd import scd2_apply, scd2_rebuild
+
+    def _merge(batch_df: DataFrame, epoch_id: int) -> None:
+        cur = state.get("current")
+        if cur is None:
+            nxt = scd2_rebuild(batch_df, tiebreak_col="event_id")
+        else:
+            nxt = scd2_apply(cur, batch_df, tiebreak_col="event_id")
+        state["current"] = nxt.localCheckpoint(eager=True)
+
+    return events.writeStream.outputMode("append").foreachBatch(_merge)

@@ -179,3 +179,59 @@ def test_stream_stream_join_matches_range_join(spark, sf_dir, events_dir):
         for r in REGISTRY["q38_range_join"].fn(spark, sf_dir).collect()
     }
     assert got == want
+
+
+def test_scd2_maintenance_stream_converges(spark, tmp_path):
+    """Multi-batch streaming SCD2 == batch rebuild over all events.
+    Events split into 3 time-ordered files; maxFilesPerTrigger=1
+    makes each file its own micro-batch through scd2_apply."""
+    from portfolio1_etl_spark.operators.scd import scd2_rebuild
+    from portfolio1_etl_spark.streaming import (
+        read_events_stream, scd2_maintenance_stream,
+    )
+
+    land = tmp_path / "scd2_events"
+    land.mkdir()
+    # slice the RAW file (ts = nanos long) so the landing zone carries
+    # exactly the schema read_events_stream expects
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    import datetime as _dt
+
+    def _ns(day):
+        return int(_dt.datetime(2024, 1, day).timestamp()) * 10**9
+
+    slices = [
+        raw.filter(F.col("ts") < _ns(10)),
+        raw.filter((F.col("ts") >= _ns(10)) & (F.col("ts") < _ns(20))),
+        raw.filter(F.col("ts") >= _ns(20)),
+    ]
+    for i, s in enumerate(slices):
+        s.coalesce(1).write.parquet(str(land / f"slice{i}"))
+        import glob as _g, shutil as _sh
+        part = _g.glob(str(land / f"slice{i}" / "part-*.parquet"))[0]
+        _sh.move(part, str(land / f"file-{i}.parquet"))
+        _sh.rmtree(str(land / f"slice{i}"))
+
+    state: dict = {}
+    q = scd2_maintenance_stream(
+        read_events_stream(spark, str(land)), state
+    ).start()
+    q.processAllAvailable()
+    q.stop()
+
+    def canon(df):
+        return sorted(
+            (r.user_id, r.state,
+             str(r.valid_from), str(r.valid_to), r.is_current, r.version)
+            for r in df.collect()
+        )
+
+    # batch twin over the SAME landing files through the SAME ts
+    # conversion as the stream
+    batch_input = spark.read.parquet(str(land)).withColumn(
+        "ts", F.timestamp_micros(F.expr("ts div 1000"))
+    )
+    got = canon(state["current"])
+    want = canon(scd2_rebuild(batch_input))
+    assert len(got) > 0 and got == want
