@@ -56,10 +56,11 @@ def shingle_hashes(
     )
 
 
-def hot_shingles(sh: DataFrame, df_cap: int, id_col: str = "doc_id") -> DataFrame:
+def hot_shingles(sh: DataFrame, df_cap: int) -> DataFrame:
     """(h, df): shingle hashes whose document frequency exceeds
-    ``df_cap``. ``shingle_hashes`` emits distinct (id, h) rows, so a
-    plain count is the document frequency. Heavy hitters are few by
+    ``df_cap``. PRECONDITION: ``sh`` holds distinct (id, h) rows —
+    ``shingle_hashes`` guarantees this via array_distinct — so a plain
+    count per h IS the document frequency. Heavy hitters are few by
     construction (a Zipf head), so the result is broadcastable at any
     corpus size even when the shingle table itself is not."""
     return (
@@ -89,7 +90,7 @@ def jaccard_pairs(
     similarity of the informative shingles."""
     if df_cap is not None:
         sh = sh.join(
-            F.broadcast(hot_shingles(sh, df_cap, id_col).select("h")),
+            F.broadcast(hot_shingles(sh, df_cap).select("h")),
             "h",
             "left_anti",
         )

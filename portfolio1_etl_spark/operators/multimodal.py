@@ -187,7 +187,9 @@ def decode_media(content: bytes) -> tuple[str, np.ndarray, str]:
     if content[:2] == b"P6":
         pixels, w, h = decode_ppm(content)
         return "image", pixels.reshape(-1).astype(np.int64), f"{w}x{h}"
-    if content[:4] == b"RIFF":
+    # RIFF alone is not enough — WebP/AVI are RIFF containers too;
+    # only RIFF/WAVE routes to the WAV decoder.
+    if content[:4] == b"RIFF" and content[8:12] == b"WAVE":
         samples, rate = decode_wav(content)
         return "audio", samples.astype(np.int64), f"{rate}Hz"
     raise NotImplementedError(
@@ -221,12 +223,19 @@ def decode_media_features(media: DataFrame) -> DataFrame:
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows: dict[str, list] = {k.name: [] for k in DECODED_FEATURES_SCHEMA}
-            for path, content in zip(pdf["path"], pdf["content"]):
+            for path, in_modality, content in zip(
+                pdf["path"], pdf["modality"], pdf["content"]
+            ):
                 b = bytes(content)
-                modality, vals, dims = decode_media(b)
-                n = len(vals)
-                s = int(vals.sum())
-                s2 = int((vals * vals).sum())
+                try:
+                    modality, vals, dims = decode_media(b)
+                    n = len(vals)
+                    s = int(vals.sum())
+                    s2 = int((vals * vals).sum())
+                except (ValueError, NotImplementedError, struct.error, IndexError):
+                    # one undecodable object must not kill a corpus-wide
+                    # job; the row survives, attributably marked.
+                    modality, n, s, s2, dims = in_modality, 0, 0, 0, "undecodable"
                 rows["path"].append(path)
                 rows["modality"].append(modality)
                 rows["n_bytes"].append(len(b))
@@ -342,18 +351,26 @@ def sample_frames(media: DataFrame, n_frames: int = 4) -> DataFrame:
     chunks; the fan-out schema and batching are identical."""
 
     def _frames_of(b: bytes) -> list[bytes]:
-        if b[:4] == b"RIFF":
+        # the LAST frame always extends to the end so the frames cover
+        # the whole stream for non-divisible lengths too
+        def _bounds(length: int, i: int) -> tuple[int, int]:
+            stride = max(length // n_frames, 1)
+            return i * stride, (i + 1) * stride if i < n_frames - 1 else length
+
+        if b[:4] == b"RIFF" and b[8:12] == b"WAVE":
             try:
                 samples, rate = decode_wav(b)
-                stride = max(len(samples) // n_frames, 1)
                 return [
-                    encode_wav(samples[i * stride : (i + 1) * stride], rate)
-                    for i in range(n_frames)
+                    encode_wav(samples[lo:hi], rate)
+                    for lo, hi in (
+                        _bounds(len(samples), i) for i in range(n_frames)
+                    )
                 ]
             except (ValueError, NotImplementedError, struct.error):
-                pass  # malformed/unsupported RIFF → byte chunks
-        stride = max(len(b) // n_frames, 1)
-        return [b[i * stride : (i + 1) * stride] for i in range(n_frames)]
+                pass  # malformed WAV → byte chunks
+        return [
+            b[lo:hi] for lo, hi in (_bounds(len(b), i) for i in range(n_frames))
+        ]
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

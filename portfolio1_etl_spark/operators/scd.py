@@ -33,9 +33,13 @@ def scd2_rebuild(
     interval per surviving change, close it with the next change."""
     order_cols = [ts_col] + ([tiebreak_col] if tiebreak_col else [])
     ordered = W.partitionBy(entity_col).orderBy(*order_cols)
-    by_from = W.partitionBy(entity_col).orderBy("valid_from")
+    # carry the arrival order into the second window pass so two
+    # surviving changes with the SAME timestamp still close/version
+    # deterministically (ties broken by the original event order).
+    by_from = W.partitionBy(entity_col).orderBy("valid_from", "_seq")
     changes = (
         events.withColumn("prev_state", F.lag(state_col).over(ordered))
+        .withColumn("_seq", F.row_number().over(ordered))
         .filter(
             F.col("prev_state").isNull()
             | (F.col(state_col) != F.col("prev_state"))
@@ -44,6 +48,7 @@ def scd2_rebuild(
             F.col(entity_col),
             F.col(state_col).alias("state"),
             F.col(ts_col).alias("valid_from"),
+            "_seq",
         )
     )
     return changes.select(
@@ -68,7 +73,14 @@ def scd2_apply(
     through untouched (anti-join); touched entities rebuild from their
     replayed change rows + the new events. A new event repeating the
     entity's current state collapses in the rebuild's change
-    detection, so re-delivered batches are idempotent."""
+    detection, so re-delivered batches are idempotent.
+
+    Timestamp ties resolve deterministically: replayed history rows
+    order by their committed version, new events by ``tiebreak_col``,
+    and at an exact (entity, ts) collision across the boundary the
+    replayed row sorts first (history precedes the new arrival) —
+    matching a full rebuild whenever the batch split respects event
+    order, which is the contract of a time-partitioned ingest."""
     affected = new_events.select(entity_col).distinct()
     untouched = current.join(F.broadcast(affected), entity_col, "left_anti")
     replayed = current.join(
@@ -77,13 +89,19 @@ def scd2_apply(
         entity_col,
         F.col("state").alias(state_col),
         F.col("valid_from").alias(ts_col),
+        (F.col("version") - F.lit(2**62)).alias("_ord"),
     )
-    incoming = new_events.select(entity_col, state_col, ts_col)
+    new_ord = (
+        F.col(tiebreak_col).cast("long") if tiebreak_col else F.lit(0).cast("long")
+    )
+    incoming = new_events.select(
+        entity_col, state_col, ts_col, new_ord.alias("_ord")
+    )
     rebuilt = scd2_rebuild(
         replayed.unionByName(incoming),
         entity_col=entity_col,
         state_col=state_col,
         ts_col=ts_col,
-        tiebreak_col=None,
+        tiebreak_col="_ord",
     )
     return untouched.unionByName(rebuilt)

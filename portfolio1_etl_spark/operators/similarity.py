@@ -135,8 +135,9 @@ def signbit_lsh_topk(
     cosine re-ranks within the bucket. ``n_probes > 1`` enables
     multi-probe LSH: the query also probes single-bit-flip neighbor
     buckets (recall knob — trades ×n_probes candidate volume for the
-    vectors a single hyperplane split hides); candidates reached via
-    multiple probes dedup before ranking."""
+    vectors a single hyperplane split hides). No dedup is needed: a
+    corpus row has exactly one bucket and the probe signatures are
+    distinct, so each (query, neighbor) pair matches at most once."""
     bucketed = corpus.withColumn("bucket", signbit_bucket(n_bits))
     q = (
         queries.withColumn("qbucket0", signbit_bucket(n_bits))
@@ -159,8 +160,6 @@ def signbit_lsh_topk(
         F.col("bucket"),
         cosine("qv", "v", "qnrm", "nrm").alias("sim"),
     )
-    if n_probes > 1:
-        sims = sims.dropDuplicates(["query_id", "neighbor_id"])
     w = W.partitionBy("query_id").orderBy(
         F.col("sim").desc(), F.col("neighbor_id").asc()
     )

@@ -65,8 +65,22 @@ def compact_parquet(
     dataset into ceil(bytes/target) files via ``repartition`` (with
     optional ``sortWithinPartitions`` so min/max footer stats stay
     selective for downstream pushdown), staging to a sibling temp dir
-    and atomically renaming — the source is never read and overwritten
-    in the same job. Returns the new file count."""
+    and swapping via rename — the source is never read and overwritten
+    in the same job. A crash between the two renames leaves the data
+    intact at ``path._precompact``; the next run recovers it before
+    doing anything else (single-writer assumption, as for any
+    parquet-directory overwrite). Returns the new file count."""
+    import shutil
+
+    staged = path.rstrip("/") + "._compacting"
+    backup = path.rstrip("/") + "._precompact"
+    if os.path.exists(backup):
+        if os.path.exists(path):  # crashed before the backup was removed
+            shutil.rmtree(backup)
+        else:  # crashed mid-swap: restore the original dataset
+            os.rename(backup, path)
+    if os.path.exists(staged):  # incomplete prior staging
+        shutil.rmtree(staged)
     size = sum(
         os.path.getsize(os.path.join(dp, f))
         for dp, _, fs in os.walk(path)
@@ -77,12 +91,8 @@ def compact_parquet(
     df = spark.read.parquet(path).repartition(n_files)
     if sort_within_by:
         df = df.sortWithinPartitions(*sort_within_by)
-    staged = path.rstrip("/") + "._compacting"
     df.write.mode("overwrite").parquet(staged)
-    backup = path.rstrip("/") + "._precompact"
     os.rename(path, backup)
     os.rename(staged, path)
-    import shutil
-
     shutil.rmtree(backup)
     return n_files

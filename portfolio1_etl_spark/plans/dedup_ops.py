@@ -502,11 +502,14 @@ def q79_fingerprint_match(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(_H48_SPARK.format(c="s")).alias("h"),
         )
     )
-    n_sh = psh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    # n_sh via a count window over the SAME partition key as the
+    # min-window: one shuffle, one scan — no self-join back onto psh
+    # (which would re-execute the tokenize→posexplode→md5 subtree).
     w = W.partitionBy("doc_id").orderBy("pos").rowsBetween(0, 3)
+    w_all = W.partitionBy("doc_id")
     fps = (
         psh.withColumn("wmin", F.min("h").over(w))
-        .join(n_sh, "doc_id")
+        .withColumn("n_sh", F.count(F.lit(1)).over(w_all))
         .filter(F.col("pos") <= F.col("n_sh") - 3)
         .select("doc_id", "wmin")
         .distinct()

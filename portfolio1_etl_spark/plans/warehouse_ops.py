@@ -34,23 +34,22 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     sql="""
     WITH ordered AS (
       SELECT user_id, event_type, ts,
-             lag(event_type) OVER w AS prev_type
+             lag(event_type) OVER w AS prev_type,
+             row_number() OVER w AS seq
       FROM events
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ),
     changes AS (
-      SELECT user_id, event_type AS state, ts AS valid_from
+      SELECT user_id, event_type AS state, ts AS valid_from, seq
       FROM ordered
       WHERE prev_type IS NULL OR event_type <> prev_type
     )
     SELECT user_id, state, valid_from,
-           lead(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from)
-             AS valid_to,
-           lead(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from)
-             IS NULL AS is_current,
-           CAST(row_number() OVER (PARTITION BY user_id ORDER BY valid_from)
-             AS BIGINT) AS version
+           lead(valid_from) OVER w2 AS valid_to,
+           lead(valid_from) OVER w2 IS NULL AS is_current,
+           CAST(row_number() OVER w2 AS BIGINT) AS version
     FROM changes
+    WINDOW w2 AS (PARTITION BY user_id ORDER BY valid_from, seq)
     """,
     operators=("X-scd2", "Window-nav", "W-dedup-consecutive"),
 )

@@ -208,3 +208,65 @@ def test_compact_parquet_small_files(spark, sf_dir, tmp_path):
     files = [f for f in os.listdir(path) if f.endswith(".parquet")]
     assert len(files) == n_after < n_before
     assert spark.read.parquet(path).count() == n_rows
+
+
+def test_wav_frames_cover_non_divisible_streams(spark, tmp_path):
+    """402 % 4 != 0: the last frame extends to the end — concatenated
+    clips always reconstruct the full stream."""
+    import numpy as np
+
+    from portfolio1_etl_spark.operators.multimodal import (
+        decode_wav, encode_wav, read_media_dir, sample_frames,
+    )
+
+    smp = (np.arange(402, dtype=np.int64) % 1000 - 500).astype(np.int16)
+    d = tmp_path / "odd"; d.mkdir()
+    (d / "x.wav").write_bytes(encode_wav(smp, 8000))
+    frames = sorted(
+        sample_frames(read_media_dir(spark, str(d)), n_frames=4).collect(),
+        key=lambda r: r.frame_no,
+    )
+    rebuilt = [v for r in frames for v in decode_wav(bytes(r.frame))[0].tolist()]
+    assert rebuilt == smp.tolist()
+
+
+def test_decode_features_survive_undecodable_content(spark, tmp_path):
+    """A WebP (RIFF but not WAVE) and a truncated P6 must not kill the
+    featurize job — rows come back marked undecodable."""
+    import numpy as np
+
+    from portfolio1_etl_spark.operators.multimodal import (
+        decode_media, decode_media_features, encode_wav, read_media_dir,
+    )
+
+    with pytest.raises(NotImplementedError):
+        decode_media(b"RIFF\x04\x00\x00\x00WEBPfake")
+    d = tmp_path / "mixed"; d.mkdir()
+    (d / "bad.wav").write_bytes(b"RIFF\x04\x00\x00\x00WEBPfake")
+    (d / "trunc.ppm").write_bytes(b"P6\n9999 9999\n255\n\x00\x01")
+    (d / "good.wav").write_bytes(
+        encode_wav((np.arange(10) * 7 % 100).astype("int16"), 8000)
+    )
+    rows = {r.path.split("/")[-1]: r
+            for r in decode_media_features(read_media_dir(spark, str(d))).collect()}
+    assert rows["good.wav"].n_units == 10 and rows["good.wav"].dims == "8000Hz"
+    assert rows["bad.wav"].dims == "undecodable" and rows["bad.wav"].n_units == 0
+    assert rows["trunc.ppm"].dims == "undecodable"
+
+
+def test_compact_parquet_recovers_from_crashed_swap(spark, sf_dir, tmp_path):
+    """A leftover ._precompact with the dataset missing at path (crash
+    between the two renames) is restored before compacting."""
+    import shutil as _sh
+
+    from portfolio1_etl_spark.operators import compact_parquet
+
+    li = catalog.load(spark, sf_dir, "lineitem").limit(500)
+    path = str(tmp_path / "tbl")
+    li.repartition(8).write.parquet(path)
+    n = spark.read.parquet(path).count()
+    _sh.move(path, path + "._precompact")  # simulate mid-swap crash
+    assert not os.path.exists(path)
+    compact_parquet(spark, path, target_file_bytes=1 << 30)
+    assert spark.read.parquet(path).count() == n
+    assert not os.path.exists(path + "._precompact")

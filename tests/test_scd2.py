@@ -59,3 +59,28 @@ def test_untouched_entities_pass_through(spark):
     assert by_user[(1, 3)].is_current and by_user[(1, 3)].state == "c"
     assert not by_user[(1, 2)].is_current
     assert by_user[(1, 2)].valid_to == by_user[(1, 3)].valid_from
+
+
+def test_timestamp_ties_resolve_deterministically(spark):
+    """Two surviving changes at the SAME timestamp must close/version
+    by the original event order (tiebreak), in both the batch rebuild
+    and the incremental path."""
+    rows = [
+        (1, "a", "2024-01-01 00:00:00", 1),
+        (1, "b", "2024-01-02 00:00:00", 2),  # tie on ts with next
+        (1, "c", "2024-01-02 00:00:00", 3),
+    ]
+    events = spark.createDataFrame(
+        rows, "user_id long, event_type string, ts string, event_id long"
+    ).withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+    full = {r.version: r for r in scd2_rebuild(events).collect()}
+    assert [full[v].state for v in sorted(full)] == ["a", "b", "c"]
+    assert full[2].valid_to == full[3].valid_from and not full[2].is_current
+    assert full[3].is_current
+    # incremental with the tie arriving in the second batch
+    first = events.filter(F.col("event_id") <= 2)
+    second = events.filter(F.col("event_id") == 3)
+    inc = {r.version: r for r in scd2_apply(scd2_rebuild(first), second).collect()}
+    assert {v: (inc[v].state, inc[v].is_current) for v in inc} == {
+        v: (full[v].state, full[v].is_current) for v in full
+    }
