@@ -17,12 +17,23 @@ Both problems vanish if money flows through DECIMAL:
 
 Oracle-SQL twins (write these literally in the DuckDB SQL):
   dsum_money(x)    ≡ CAST(SUM(CAST(x AS DECIMAL(18,2))) AS DOUBLE)
-  dsum_product(x)  ≡ CAST(SUM(CAST(x AS DECIMAL(28,8))) AS DOUBLE)
+  dsum_product(x)  ≡ CAST(round(SUM(CAST(x AS DECIMAL(28,8))), 2) AS DOUBLE)
   dmoney(x)        ≡ CAST(CAST(x AS DECIMAL(28,8)) AS DOUBLE)
 
 Scale guard: DECIMAL(28,8) holds |x| < 1e20 — a 100 TB-scale sum of
 1e5-magnitude values is ~1e17, still inside; Spark widens sums to
 precision 38 anyway.
+
+2^53 guard (why dsum_product snaps the exact sum to 2 dp): a decimal
+with scale 8 whose magnitude exceeds 2^53/1e8 ≈ 9e7 no longer fits a
+double exactly, and the two engines' decimal→double casts round
+DIFFERENTLY there (Spark: one correctly-rounded conversion; DuckDB:
+scaled-int→double then /1e8 — two roundings). Rounding the exact sum
+to 2 dp first (money semantics; ``round`` on DECIMAL is HALF_UP in
+both engines, verified including ties — their CAST tie-breaking
+differs, so CAST must not be used for this) keeps the value ≤ 2^53
+units up to ~9e13 and the final double bit-identical. The same limit
+applies to dsum_money only past ~9e13 absolute.
 """
 
 from __future__ import annotations
@@ -38,8 +49,10 @@ def dsum_money(col: Column | str) -> Column:
 
 
 def dsum_product(col: Column) -> Column:
-    """Exact sum of a derived money product (≤8 decimal places)."""
-    return F.sum(col.cast("decimal(28,8)")).cast("double")
+    """Exact sum of a derived money product (≤8 decimal places),
+    snapped to 2 dp (still exact — see the 2^53 guard above) before
+    the double conversion."""
+    return F.round(F.sum(col.cast("decimal(28,8)")), 2).cast("double")
 
 
 def dmoney(col: Column) -> Column:

@@ -463,7 +463,7 @@ def q58_timestamp_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     sql="""
     SELECT
       l.l_orderkey AS order_id,
-      CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(28,8))) AS DOUBLE) AS revenue,
+      CAST(round(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(28,8))), 2) AS DOUBLE) AS revenue,
       o.o_orderdate AS orderdate,
       o.o_orderpriority AS priority
     FROM customer c
@@ -696,8 +696,7 @@ def q48_map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q84_local_supplier_volume",
     sql="""
     SELECT n_name AS nation,
-           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,8)))
-                AS DOUBLE) AS revenue,
+           CAST(round(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,8))), 2) AS DOUBLE) AS revenue,
            count(*) AS n_lineitems
     FROM customer
     JOIN orders   ON c_custkey = o_custkey

@@ -159,7 +159,7 @@ def q42_wholesale_multiplier(spark: SparkSession, sf_dir: str) -> DataFrame:
       year(s.ship_ts)      AS yr,
       monthname(s.ship_ts) AS month_name,
       count(*)             AS n_lines,
-      CAST(SUM(CAST(s.qty * m.cost AS DECIMAL(28,8))) AS DOUBLE) AS total
+      CAST(round(SUM(CAST(s.qty * m.cost AS DECIMAL(28,8))), 2) AS DOUBLE) AS total
     FROM sales s LEFT JOIN sales_map m ON trim(s.sku) = trim(m.map_sku)
     GROUP BY 1, 2, 3
     """,
@@ -210,7 +210,7 @@ def q43_enriched_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM sales s LEFT JOIN sales_map m ON s.sku = m.map_sku
     )
     SELECT sku, cost, sum(qty) AS qty,
-           CAST(SUM(CAST(qty * cost AS DECIMAL(28,8))) AS DOUBLE) AS total
+           CAST(round(SUM(CAST(qty * cost AS DECIMAL(28,8))), 2) AS DOUBLE) AS total
     FROM enriched
     WHERE brand IN ('Brand#1', 'Brand#2', 'Brand#3')
     GROUP BY sku, cost

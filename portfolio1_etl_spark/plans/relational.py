@@ -54,9 +54,9 @@ def _ntz(s: str):
       l_returnflag, l_linestatus,
       sum(l_quantity)                                                 AS sum_qty,
       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)     AS sum_base_price,
-      CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,8))) AS DOUBLE)
+      CAST(round(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,8))), 2) AS DOUBLE)
                                                                       AS sum_disc_price,
-      CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(28,8))) AS DOUBLE)
+      CAST(round(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(28,8))), 2) AS DOUBLE)
                                                                       AS sum_charge,
       sum(l_quantity) / count(*)                                      AS avg_qty,
       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_price,
@@ -97,7 +97,7 @@ def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT
       count(*)          AS n_rows,
       sum(l_quantity)   AS sum_qty,
-      CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(28,8))) AS DOUBLE) AS revenue_lost
+      CAST(round(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(28,8))), 2) AS DOUBLE) AS revenue_lost
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
       AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
@@ -307,7 +307,7 @@ def q07_union_channels(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT
       p.p_brand AS brand,
       count(*)  AS n_lines,
-      CAST(SUM(CAST(l.l_quantity * p.p_retailprice AS DECIMAL(28,8))) AS DOUBLE) AS total_cost
+      CAST(round(SUM(CAST(l.l_quantity * p.p_retailprice AS DECIMAL(28,8))), 2) AS DOUBLE) AS total_cost
     FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
     GROUP BY p.p_brand
     """,
@@ -339,7 +339,7 @@ def q08_broadcast_join(spark: SparkSession, sf_dir: str) -> DataFrame:
       o.o_orderstatus AS status,
       year(o.o_orderdate) AS yr,
       count(*) AS n_lines,
-      CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(28,8))) AS DOUBLE) AS revenue
+      CAST(round(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(28,8))), 2) AS DOUBLE) AS revenue
     FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
     GROUP BY 1, 2
     """,
