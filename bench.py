@@ -45,6 +45,8 @@ HEADLINE = [
     "q73_minhash_lsh",
     "q74_simhash",
     "q77_jaccard_dfcap",
+    "q89_dup_clusters",
+    "q92_cms_heavy_hitters",
     "q80_cosine_topk",
     "q82_lsh_ann",
     "q83_ivf_ann",

@@ -186,6 +186,100 @@ def lsh_candidates(
     )
 
 
+def connected_components(
+    pairs: DataFrame,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """(node, component) for every node appearing in ``pairs``; the
+    component label is the minimum node id in its connected component
+    — the step that turns pairwise near-dup output (q72/q73/q75/q78)
+    into duplicate CLUSTERS with a deterministic survivor.
+
+    Algorithm: alternating Large-Star / Small-Star (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond", SoCC'14) — each
+    round is two grouped aggregates + two equi-joins, converging in
+    O(log n) rounds regardless of component diameter. Naive min-label
+    propagation needs O(diameter) rounds, which on a chain-shaped
+    cluster (common with boilerplate docs: A~B~C~... without A~C) is
+    a scale-killer; the star algorithm contracts paths exponentially.
+    Each round's edge set is eagerly materialized (localCheckpoint) to
+    truncate lineage — on a cluster, substitute reliable checkpoints.
+    Driver involvement is one tiny (count, checksum) action per round
+    for the convergence test; edge data never leaves the executors.
+    """
+    e = (
+        pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
+        .select(F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    def _digest(edges: DataFrame) -> tuple:
+        row = edges.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(
+                F.sum(F.xxhash64("u", "v") % F.lit(1_000_000_007)), F.lit(0)
+            ).alias("s"),
+        ).first()
+        return (row["n"], row["s"])
+
+    prev = _digest(e)
+    for _ in range(max_iter):
+        # Large-star: every neighbor LARGER than u links to the
+        # minimum of u's neighborhood (including u itself).
+        both = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        mins = both.groupBy("u").agg(F.min("v").alias("mn"))
+        mins = mins.select("u", F.least("mn", F.col("u")).alias("m"))
+        ls = (
+            both.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("a"), F.col("m").alias("b"))
+        )
+        e = (
+            ls.select(F.least("a", "b").alias("u"), F.greatest("a", "b").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        # Small-star: key each edge at its larger endpoint; all its
+        # (smaller) neighbors and the node itself link to the minimum.
+        by_larger = e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        smins = by_larger.groupBy("u").agg(F.min("v").alias("m"))
+        ss = (
+            by_larger.join(smins, "u")
+            .select(F.col("v").alias("a"), F.col("m").alias("b"))
+            .union(smins.select(F.col("u").alias("a"), F.col("m").alias("b")))
+        )
+        e = (
+            ss.select(F.least("a", "b").alias("u"), F.greatest("a", "b").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        cur = _digest(e)
+        if cur == prev:
+            break
+        prev = cur
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds"
+        )
+    # Fixpoint is a star per component centered at its minimum: each
+    # member's sole neighbor is the center; the center's label is
+    # itself. One grouped min covers both cases.
+    both = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    return (
+        both.groupBy("u")
+        .agg(F.min("v").alias("mn"))
+        .select(
+            F.col("u").alias("node"),
+            F.least("mn", F.col("u")).alias("component"),
+        )
+    )
+
+
 def verify_candidates(
     sh: DataFrame, cand: DataFrame, threshold: float, id_col: str = "doc_id"
 ) -> DataFrame:

@@ -23,6 +23,7 @@ from portfolio1_etl_spark.operators.dedup import (
     H48 as _H48_SPARK,
     MINHASH_MOD,
     MINHASH_PARAMS,
+    connected_components,
     jaccard_pairs,
     lsh_candidates,
     minhash_signatures,
@@ -180,6 +181,73 @@ def q77_jaccard_dfcap(spark: SparkSession, sf_dir: str) -> DataFrame:
     agree exactly."""
     sh = shingle_hashes(_docs(spark, sf_dir), "text").localCheckpoint(eager=True)
     return jaccard_pairs(sh, 0.4, df_cap=_DF_CAP)
+
+
+# --- duplicate clusters (connected components over near-dup pairs) --------
+
+
+def _dup_clusters_sql() -> str:
+    # Oracle: min-label reachability via a recursive CTE — the label
+    # (always a component minimum along the winning path) propagates
+    # outward; min(label) per node is the component minimum. The
+    # `r.label < e.dst` guard prunes non-minimal labels without ever
+    # blocking the true minimum (which is smaller than every other
+    # member by definition).
+    return f"""
+    WITH RECURSIVE {_CAPPED_PAIR_SQL},
+    p AS (SELECT doc_a, doc_b FROM pairs WHERE jaccard >= 0.4),
+    nodes AS (SELECT doc_a AS node FROM p UNION SELECT doc_b FROM p),
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM p
+      UNION SELECT doc_b, doc_a FROM p
+    ),
+    reach(node, label) AS (
+      SELECT node, node FROM nodes
+      UNION
+      SELECT e.dst, r.label
+      FROM reach r JOIN edges e ON e.src = r.node
+      WHERE r.label < e.dst
+    ),
+    cc AS (SELECT node AS doc_id, min(label) AS cluster_id FROM reach GROUP BY node),
+    csizes AS (SELECT cluster_id, count(*) AS cluster_size FROM cc GROUP BY cluster_id)
+    SELECT cc.doc_id, cc.cluster_id, s.cluster_size,
+           (cc.doc_id = cc.cluster_id) AS is_survivor
+    FROM cc JOIN csizes s USING (cluster_id)
+    """
+
+
+@query(
+    "q89_dup_clusters",
+    sql=_dup_clusters_sql(),
+    operators=("X-dedup-cc", "X-dedup-ngram", "X-dedup-dfcap"),
+)
+def q89_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERS: the df-capped Jaccard pairs (q77's shape)
+    contracted into connected components via the library's alternating
+    large-star/small-star ``connected_components`` operator, labeling
+    every paired document with its cluster minimum. The per-cluster
+    minimum doc_id is the deterministic survivor (is_survivor) — the
+    step a real corpus-dedup pipeline runs after ANY pairwise stage
+    (q72/q73/q75/q78): pairs alone over-delete (B~A and C~B would drop
+    both B and C even when keeping B is enough) and under-group
+    (transitive duplicates land in different "keep" decisions). Output
+    covers documents appearing in ≥1 pair; all others are trivially
+    their own cluster."""
+    sh = shingle_hashes(_docs(spark, sf_dir), "text").localCheckpoint(eager=True)
+    pairs = jaccard_pairs(sh, 0.4, df_cap=_DF_CAP)
+    cc = connected_components(pairs).select(
+        F.col("node").alias("doc_id"), F.col("component").alias("cluster_id")
+    )
+    # cc feeds the size aggregate AND the final join; it is already
+    # materialized (the operator localCheckpoints its fixpoint), so the
+    # fan-out re-reads the checkpoint, not the iteration.
+    sizes = cc.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return cc.join(F.broadcast(sizes), "cluster_id").select(
+        "doc_id",
+        "cluster_id",
+        "cluster_size",
+        (F.col("doc_id") == F.col("cluster_id")).alias("is_survivor"),
+    )
 
 
 # --- MinHash + LSH ---------------------------------------------------------

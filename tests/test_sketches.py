@@ -1,0 +1,56 @@
+"""Count-min sketch — build/estimate invariants behind q92."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from portfolio1_etl_spark.operators.sketches import (
+    CMS_PARAMS,
+    CMS_WIDTH,
+    cms_build,
+    cms_estimate,
+)
+
+WORDS = (
+    ["the"] * 40 + ["quick"] * 10 + ["brown"] * 5 + ["fox"] * 3
+    + [f"rare{i}" for i in range(30)]
+)
+
+
+def _stream(spark):
+    return spark.createDataFrame([(w,) for w in WORDS], "w string")
+
+
+def test_sketch_shape_and_mass(spark):
+    sk = cms_build(_stream(spark), "w").collect()
+    # every row of the stream lands in exactly one bucket per depth row
+    per_depth = {}
+    for r in sk:
+        assert 0 <= r["bucket"] < CMS_WIDTH
+        per_depth[r["j"]] = per_depth.get(r["j"], 0) + r["cnt"]
+    assert set(per_depth) == {j for j, _, _ in CMS_PARAMS}
+    assert all(total == len(WORDS) for total in per_depth.values())
+
+
+def test_estimate_never_undercounts(spark):
+    s = _stream(spark)
+    sk = cms_build(s, "w")
+    est = {r["w"]: r["est"] for r in cms_estimate(sk, s, "w").collect()}
+    exact = {}
+    for w in WORDS:
+        exact[w] = exact.get(w, 0) + 1
+    assert set(est) == set(exact)
+    for w, n in exact.items():
+        assert est[w] >= n, f"CMS undercounted {w}: {est[w]} < {n}"
+    # with 88 items in a 4x512 sketch, the heavy hitter is exact
+    assert est["the"] == 40
+
+
+def test_estimate_of_absent_item_is_bounded(spark):
+    s = _stream(spark)
+    sk = cms_build(s, "w")
+    probe = spark.createDataFrame([("never-seen",)], "w string")
+    [row] = cms_estimate(sk, probe, "w").collect()
+    # absent items may collide but never exceed the CMS error bound by
+    # construction; with this tiny stream the estimate must be small
+    assert 0 <= row["est"] <= 2 * len(WORDS) // CMS_WIDTH + 1
