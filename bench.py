@@ -47,6 +47,7 @@ HEADLINE = [
     "q77_jaccard_dfcap",
     "q89_dup_clusters",
     "q92_cms_heavy_hitters",
+    "q93_kmeans",
     "q80_cosine_topk",
     "q82_lsh_ann",
     "q83_ivf_ann",

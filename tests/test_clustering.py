@@ -1,0 +1,68 @@
+"""Lloyd's k-means operator — invariants behind q93."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from portfolio1_etl_spark import catalog
+from portfolio1_etl_spark.operators.clustering import (
+    assign_cells,
+    lloyd_kmeans,
+    update_centroids,
+)
+from portfolio1_etl_spark.operators.similarity import with_norms
+
+
+def _vecs(spark, sf_dir):
+    return with_norms(catalog.load(spark, sf_dir, "embeddings")).select(
+        "vec_id", "v"
+    )
+
+
+def test_every_vector_assigned_once(spark, sf_dir):
+    vecs = _vecs(spark, sf_dir)
+    assigned, cent = lloyd_kmeans(vecs, k=4, iters=2)
+    n = vecs.count()
+    assert assigned.count() == n
+    assert assigned.select("vec_id").distinct().count() == n
+    assert cent.count() <= 4
+
+
+def test_lloyd_objective_non_increasing(spark, sf_dir):
+    """Each assign+update round must not increase total within-cluster
+    squared distance (Lloyd's monotonicity, modulo the 4/6 dp
+    rounding — tolerance covers it)."""
+    vecs = _vecs(spark, sf_dir).localCheckpoint(eager=True)
+    cent = vecs.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("c_id"), F.col("v").alias("cvec")
+    )
+    objectives = []
+    assigned = assign_cells(vecs, cent)
+    for _ in range(3):
+        objectives.append(assigned.agg(F.sum("d2")).first()[0])
+        cent = update_centroids(assigned).localCheckpoint(eager=True)
+        assigned = assign_cells(vecs, cent)
+    objectives.append(assigned.agg(F.sum("d2")).first()[0])
+    for before, after in zip(objectives, objectives[1:]):
+        assert after <= before * 1.0001, objectives
+
+
+def test_assignment_picks_nearest(spark):
+    vecs = spark.createDataFrame(
+        [(0, [0.0, 0.0]), (1, [10.0, 10.0]), (2, [0.5, 0.0]), (3, [9.0, 10.0])],
+        "vec_id long, v array<double>",
+    )
+    cent = spark.createDataFrame(
+        [(0, [0.0, 0.0]), (1, [10.0, 10.0])], "c_id long, cvec array<double>"
+    )
+    got = {r["vec_id"]: r["cell"] for r in assign_cells(vecs, cent).collect()}
+    assert got == {0: 0, 1: 1, 2: 0, 3: 1}
+
+
+def test_update_is_cellwise_mean(spark):
+    assigned = spark.createDataFrame(
+        [(0, [0.0, 2.0], 7, 0.0), (1, [2.0, 4.0], 7, 0.0), (2, [5.0, 5.0], 9, 0.0)],
+        "vec_id long, v array<double>, cell long, d2 double",
+    )
+    got = {r["c_id"]: r["cvec"] for r in update_centroids(assigned).collect()}
+    assert got == {7: [1.0, 3.0], 9: [5.0, 5.0]}

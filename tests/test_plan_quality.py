@@ -76,7 +76,15 @@ def test_whole_stage_codegen_covers_scan_and_agg(spark, sf_dir):
 #: set over the corpus (the documented exact brute-force baseline);
 #: q83 broadcasts the centroid codebook for the IVF argmin assignment.
 #: q54 crosses four single-row funnel-stage counts.
-_SANCTIONED_BNLJ = {"q32_cross_join", "q54_funnel", "q80_cosine_topk", "q83_ivf_ann"}
+_SANCTIONED_BNLJ = {
+    "q32_cross_join",
+    "q54_funnel",
+    "q80_cosine_topk",
+    "q83_ivf_ann",
+    # k-means assignment: corpus × broadcast k-row codebook — the
+    # nested loop's inner side is k rows by construction.
+    "q93_kmeans",
+}
 
 
 def test_no_cartesian_product_in_any_registered_query(spark, sf_dir):

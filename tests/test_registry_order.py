@@ -61,6 +61,7 @@ def test_every_operator_family_inside_window():
         "dedup-embedding": "q78_embedding_neardup",
         "dedup-cc": "q89_dup_clusters",
         "sketch-cms": "q92_cms_heavy_hitters",
+        "cluster-kmeans": "q93_kmeans",
         "sim-knn": "q80_cosine_topk",
         "sim-lsh": "q82_lsh_ann",
         "sim-ivf": "q83_ivf_ann",
