@@ -61,6 +61,18 @@ def cms_build(items: DataFrame, col: str) -> DataFrame:
     )
 
 
+def cms_merge(*sketches: DataFrame) -> DataFrame:
+    """Merge sketches built with the same parameters: cell-wise sum.
+    This linearity is WHY the sketch works distributed — partitions,
+    micro-batches, or whole days can sketch independently and fold
+    together later with no loss vs sketching the concatenated stream
+    (``streaming.jobs.cms_maintenance_stream`` relies on it)."""
+    merged = sketches[0]
+    for s in sketches[1:]:
+        merged = merged.unionByName(s)
+    return merged.groupBy("j", "bucket").agg(F.sum("cnt").alias("cnt"))
+
+
 def cms_estimate(sketch: DataFrame, items: DataFrame, col: str) -> DataFrame:
     """(col, est): the sketch estimate for each DISTINCT item in
     ``items[col]``. The sketch side is tiny by construction and is

@@ -42,7 +42,8 @@ PRIORITY: tuple[str, ...] = (
     "q36_collect_agg",
     "q37_asof_join",
     "q38_range_join",
-    "q39_unpivot",
+    # (q39_unpivot sits past the window — its pivot-family
+    # representative q28 stays in; CI covers it)
     # reference EP3 pipeline + warehouse maintenance
     "q40_canonical_sales",
     "q43_enriched_sales",
@@ -63,6 +64,7 @@ PRIORITY: tuple[str, ...] = (
     "q60_token_stats",
     "q62_quality_score",
     "q63_lang_id",
+    "q94_tfidf",
     # clustering (scalar families q66/q67/q68 sit past the window,
     # CI-covered by tools/check_oracle.py)
     "q93_kmeans",

@@ -437,3 +437,69 @@ def q87_token_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_tokens").cast("long").alias("total_tokens"),
     )
+
+
+@query(
+    "q94_tfidf",
+    sql="""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+    ),
+    tf AS (SELECT doc_id, w, count(*) AS tf FROM toks GROUP BY 1, 2),
+    dfc AS (SELECT w, count(DISTINCT doc_id) AS df FROM toks GROUP BY w),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.w AS term, tf.tf, dfc.df,
+             round(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / dfc.df), 6) AS tfidf
+      FROM tf JOIN dfc ON tf.w = dfc.w CROSS JOIN n
+    )
+    SELECT doc_id, term, tf, df, tfidf, rank FROM (
+      SELECT doc_id, term, tf, df, tfidf,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY tfidf DESC, term ASC) AS rank
+      FROM scored
+    ) WHERE rank <= 3
+    """,
+    operators=("X-text-tfidf", "A1", "Window-rank"),
+)
+def q94_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document — the classic term-weighting
+    signal a corpus pipeline uses for keyword extraction and
+    quality/topic features. One explode feeds both the per-doc term
+    frequency and the document frequency; the corpus size joins in as
+    a broadcast one-row aggregate (never a driver-side count), and the
+    vocabulary join shuffles on the term — at 100 TB AQE broadcasts
+    the df side iff the vocabulary is small enough, otherwise it is a
+    well-keyed shuffle. Scores round to 6 dp before ranking (ln last-
+    ulp differs across engines), ties break on the term."""
+    from pyspark.sql import Window as W
+
+    d = catalog.load(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+    # df derives FROM tf (one row per (doc, term) ⇒ count(*) per term
+    # IS the document frequency): the corpus is scanned and exploded
+    # exactly once, and tf — which fans out to the scoring join and
+    # the df aggregate — is materialized instead of the token stream.
+    tf = toks.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("tf"))
+    tf = tf.localCheckpoint(eager=True)
+    dfc = tf.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
+    n = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(dfc, "w")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            F.col("w").alias("term"),
+            "tf",
+            "df",
+            F.round(
+                F.col("tf") * F.log(F.col("n_docs").cast("double") / F.col("df")), 6
+            ).alias("tfidf"),
+        )
+    )
+    w = W.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 3)
+        .select("doc_id", "term", "tf", "df", "tfidf", "rank")
+    )

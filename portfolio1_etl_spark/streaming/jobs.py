@@ -172,6 +172,26 @@ def inventory_merge_stream(
     return events.writeStream.outputMode("append").foreachBatch(_merge)
 
 
+def cms_maintenance_stream(events: DataFrame, state: dict):
+    """Streaming count-min sketch maintenance over the event_type
+    stream: each micro-batch sketches independently and folds into the
+    running sketch via ``operators.sketches.cms_merge`` — the sketch's
+    linearity makes the streaming fold EXACTLY equal to sketching the
+    whole history in one batch (asserted in tests/test_streaming.py).
+    The running sketch is ≤ depth·width rows, so the per-epoch
+    localCheckpoint is a few KB; in production it lands in the
+    warehouse and any consumer broadcasts it for frequency probes."""
+    from portfolio1_etl_spark.operators.sketches import cms_build, cms_merge
+
+    def _merge(batch_df: DataFrame, epoch_id: int) -> None:
+        batch_sketch = cms_build(batch_df.select("event_type"), "event_type")
+        cur = state.get("sketch")
+        nxt = batch_sketch if cur is None else cms_merge(cur, batch_sketch)
+        state["sketch"] = nxt.localCheckpoint(eager=True)
+
+    return events.writeStream.outputMode("append").foreachBatch(_merge)
+
+
 def scd2_maintenance_stream(events: DataFrame, state: dict):
     """Streaming SCD2 maintenance: each micro-batch merges into the
     running history table via the incremental ``operators.scd.

@@ -84,6 +84,9 @@ _SANCTIONED_BNLJ = {
     # k-means assignment: corpus × broadcast k-row codebook — the
     # nested loop's inner side is k rows by construction.
     "q93_kmeans",
+    # tf-idf: cross of the scored terms with the broadcast ONE-ROW
+    # corpus-size aggregate.
+    "q94_tfidf",
 }
 
 

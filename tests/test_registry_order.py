@@ -52,6 +52,7 @@ def test_every_operator_family_inside_window():
         "text-tokens": "q60_token_stats",
         "text-quality": "q62_quality_score",
         "text-langid": "q63_lang_id",
+        "text-tfidf": "q94_tfidf",
         "dedup-exact": "q71_dedup_exact_keep",
         "dedup-jaccard": "q72_ngram_jaccard",
         "dedup-minhash": "q73_minhash_lsh",

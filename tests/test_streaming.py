@@ -235,3 +235,45 @@ def test_scd2_maintenance_stream_converges(spark, tmp_path):
     got = canon(state["current"])
     want = canon(scd2_rebuild(batch_input))
     assert len(got) > 0 and got == want
+
+
+def test_cms_maintenance_stream_equals_batch_sketch(spark, tmp_path):
+    """Streaming CMS fold == one-shot batch sketch over the full
+    stream — the merge-linearity property, end to end. Events split
+    into 3 files; maxFilesPerTrigger=1 in read_events_stream makes
+    each its own micro-batch."""
+    from portfolio1_etl_spark.operators.sketches import cms_build
+    from portfolio1_etl_spark.streaming import (
+        cms_maintenance_stream,
+        read_events_stream,
+    )
+
+    land = tmp_path / "cms_events"
+    land.mkdir()
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    n = raw.count()
+    slices = [
+        raw.filter(F.col("event_id") % 3 == i).coalesce(1) for i in range(3)
+    ]
+    for i, s in enumerate(slices):
+        s.write.parquet(str(land / f"slice{i}"))
+        import glob as _g
+        import shutil as _sh
+
+        part = _g.glob(str(land / f"slice{i}" / "part-*.parquet"))[0]
+        _sh.move(part, str(land / f"file-{i}.parquet"))
+        _sh.rmtree(str(land / f"slice{i}"))
+
+    state: dict = {}
+    q = cms_maintenance_stream(read_events_stream(spark, str(land)), state).start()
+    q.processAllAvailable()
+    q.stop()
+
+    got = {(r.j, r.bucket): r.cnt for r in state["sketch"].collect()}
+    want = {
+        (r.j, r.bucket): r.cnt
+        for r in cms_build(raw.select("event_type"), "event_type").collect()
+    }
+    assert got == want
+    assert sum(v for (j, _), v in got.items() if j == 0) == n
