@@ -51,6 +51,7 @@ HEADLINE = [
     "q80_cosine_topk",
     "q82_lsh_ann",
     "q83_ivf_ann",
+    "q95_quantized_ann",
     "q90_multimodal_featurize",
     "q91_multimodal_decode",
 ]

@@ -97,6 +97,108 @@ def threshold_pairs(
     )
 
 
+#: Integer squared L2 distance between two quantized int arrays.
+QDIST2 = (
+    "aggregate(zip_with({a}, {b}, (x, y) -> (x - y) * (x - y)), "
+    "cast(0 as bigint), (acc, x) -> acc + x)"
+)
+
+
+def scalar_quantize(vecs: DataFrame, id_col: str = "vec_id") -> DataFrame:
+    """(id, qv bigint[]): 8-bit scalar quantization with global
+    per-dimension bounds — bucket = clamp(⌊(x−mn)/(mx−mn)·256⌋, 0, 255).
+    This is the 100 TB embedding-storage path: 4× smaller vectors whose
+    distances are exact integer arithmetic (SIMD-friendly, and — here —
+    bit-reproducible across engines with NO rounding recipe, unlike
+    float folds). The 64-row bounds table broadcasts; quantization is
+    one explode + join + regroup. Constant dims quantize to 0."""
+    expl = vecs.select(id_col, F.posexplode("v").alias("i", "x"))
+    bounds = expl.groupBy("i").agg(F.min("x").alias("mn"), F.max("x").alias("mx"))
+    q = (
+        expl.join(F.broadcast(bounds), "i")
+        .select(
+            id_col,
+            "i",
+            F.when(
+                F.col("mx") > F.col("mn"),
+                F.least(
+                    F.floor(
+                        (F.col("x") - F.col("mn"))
+                        / (F.col("mx") - F.col("mn"))
+                        * 256
+                    ),
+                    F.lit(255),
+                ),
+            )
+            .otherwise(0)
+            .cast("long")
+            .alias("q"),
+        )
+    )
+    return q.groupBy(id_col).agg(
+        F.expr("transform(array_sort(collect_list(struct(i, q))), s -> s.q)").alias(
+            "qv"
+        )
+    )
+
+
+def quantized_topk(
+    vecs: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    shortlist: int = 32,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Two-stage ANN over scalar-quantized vectors: a cheap integer-L2
+    pass over the int8 corpus shortlists ``shortlist`` candidates per
+    query, then the exact cosine re-ranks only the shortlist (joined
+    back to the full-precision corpus by id — the wide float vectors
+    never ride through the shortlist shuffle). At scale the quantized
+    corpus is the only full scan; the re-rank touches
+    queries × shortlist rows."""
+    # the quantized table feeds both join sides — materialize once
+    qv = scalar_quantize(vecs, id_col).localCheckpoint(eager=True)
+    corpus_q = qv
+    queries_q = queries.select(F.col(id_col).alias("query_id")).join(
+        qv.select(F.col(id_col).alias("query_id"), F.col("qv").alias("qqv")),
+        "query_id",
+    )
+    qd2 = F.expr(QDIST2.format(a="qqv", b="qv"))
+    cand = corpus_q.join(
+        F.broadcast(queries_q), F.col("query_id") != F.col(id_col)
+    ).select("query_id", F.col(id_col).alias("neighbor_id"), qd2.alias("qd2"))
+    w_q = W.partitionBy("query_id").orderBy(
+        F.col("qd2").asc(), F.col("neighbor_id").asc()
+    )
+    short = (
+        cand.withColumn("srn", F.row_number().over(w_q))
+        .filter(F.col("srn") <= shortlist)
+        .select("query_id", "neighbor_id", "qd2")
+    )
+    qside = _queries_view(queries, id_col)
+    rerank = (
+        short.join(
+            vecs.select(id_col, "v", "nrm"),
+            short.neighbor_id == F.col(id_col),
+        )
+        .join(F.broadcast(qside), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            "qd2",
+            cosine("qv", "v", "qnrm", "nrm").alias("sim"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        rerank.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "qd2", "sim", "rank")
+    )
+
+
 def signbit_bucket(n_bits: int = 8):
     """Bit-sampling LSH bucket: sign pattern of the first n dims."""
     return F.expr(

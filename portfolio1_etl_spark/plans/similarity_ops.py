@@ -24,6 +24,7 @@ from portfolio1_etl_spark import catalog
 from portfolio1_etl_spark.operators.similarity import (
     DOT as _DOT,
     brute_force_topk,
+    quantized_topk,
     signbit_lsh_topk,
     threshold_pairs,
     with_norms,
@@ -280,3 +281,67 @@ def q83_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 3)
         .select("query_id", "neighbor_id", "cell", "sim", "rank")
     )
+
+
+def _quantized_sql() -> str:
+    return f"""
+    WITH vecs AS ({_VECTORS_SQL}),
+    expl AS (
+      SELECT vec_id, unnest(v) AS x, generate_subscripts(v, 1) AS i FROM vecs
+    ),
+    bounds AS (SELECT i, min(x) AS mn, max(x) AS mx FROM expl GROUP BY i),
+    qs AS (
+      SELECT vec_id, i,
+             CASE WHEN mx > mn
+                  THEN CAST(least(floor((x - mn) / (mx - mn) * 256), 255) AS BIGINT)
+                  ELSE 0 END AS q
+      FROM expl JOIN bounds USING (i)
+    ),
+    qvt AS (SELECT vec_id, list(q ORDER BY i) AS qv FROM qs GROUP BY vec_id),
+    cand AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             CAST(list_sum(list_transform(generate_series(1, 64),
+               i -> (q.qv[i] - c.qv[i]) * (q.qv[i] - c.qv[i]))) AS BIGINT) AS qd2
+      FROM qvt q JOIN qvt c ON q.vec_id <> c.vec_id
+      WHERE q.vec_id < 8
+    ),
+    short AS (
+      SELECT query_id, neighbor_id, qd2 FROM (
+        SELECT query_id, neighbor_id, qd2,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY qd2 ASC, neighbor_id ASC) AS srn
+        FROM cand
+      ) WHERE srn <= 32
+    ),
+    rerank AS (
+      SELECT s.query_id, s.neighbor_id, s.qd2,
+             list_dot_product(qv2.v, c.v) / (qv2.nrm * c.nrm) AS sim
+      FROM short s
+      JOIN vecs c   ON s.neighbor_id = c.vec_id
+      JOIN vecs qv2 ON s.query_id = qv2.vec_id
+    )
+    SELECT query_id, neighbor_id, qd2, sim, rank FROM (
+      SELECT query_id, neighbor_id, qd2, sim,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY sim DESC, neighbor_id ASC) AS rank
+      FROM rerank
+    ) WHERE rank <= 3
+    """
+
+
+@query(
+    "q95_quantized_ann",
+    sql=_quantized_sql(),
+    operators=("X-sim-quantized", "X-sim-topk"),
+)
+def q95_quantized_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage ANN over 8-bit scalar-quantized vectors: global
+    per-dim bounds (broadcast, 64 rows) quantize the corpus to int
+    codes (4× smaller — at 100 TB the quantized table is the ONLY
+    full scan); an exact integer-L2 pass shortlists 32 candidates per
+    query; exact cosine re-ranks the shortlist after joining back to
+    the full-precision vectors by id. Unlike the float paths, the
+    quantized distances are integer arithmetic — bit-reproducible
+    across engines with no rounding recipe at all."""
+    vecs = _vectors(spark, sf_dir)
+    return quantized_topk(vecs, vecs.filter(F.col("vec_id") < 8), k=3, shortlist=32)

@@ -87,6 +87,9 @@ _SANCTIONED_BNLJ = {
     # tf-idf: cross of the scored terms with the broadcast ONE-ROW
     # corpus-size aggregate.
     "q94_tfidf",
+    # quantized ANN stage 1: corpus × broadcast query set (queries ≪
+    # corpus by construction), like the brute-force baseline.
+    "q95_quantized_ann",
 }
 
 

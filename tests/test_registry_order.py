@@ -66,6 +66,7 @@ def test_every_operator_family_inside_window():
         "sim-knn": "q80_cosine_topk",
         "sim-lsh": "q82_lsh_ann",
         "sim-ivf": "q83_ivf_ann",
+        "sim-quantized": "q95_quantized_ann",
         "multimodal": "q90_multimodal_featurize",
         "multimodal-decode": "q91_multimodal_decode",
     }
