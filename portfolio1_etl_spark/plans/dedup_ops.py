@@ -611,3 +611,47 @@ def q79_fingerprint_match(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("containment"),
         )
     )
+
+
+# --- decontamination (eval-set n-gram overlap) ------------------------------
+
+
+@query(
+    "q97_decontaminate",
+    sql=f"""
+    WITH sh AS ({_HASHED_SQL}),
+    eval_sh AS (SELECT DISTINCT h FROM sh WHERE doc_id % 50 = 0),
+    hits AS (
+      SELECT s.doc_id, count(*) AS n_shared
+      FROM sh s JOIN eval_sh e ON s.h = e.h
+      WHERE s.doc_id % 50 <> 0
+      GROUP BY s.doc_id
+    )
+    SELECT doc_id, n_shared, (n_shared >= 3) AS is_contaminated
+    FROM hits
+    """,
+    operators=("X-dedup-decontaminate", "X-dedup-ngram", "J-semi"),
+)
+def q97_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: training documents sharing 3-gram
+    shingles with a held-out eval set (here the deterministic
+    doc_id % 50 == 0 slice) are flagged — the overlap check every
+    serious training corpus runs before training. The eval shingle
+    set is DISTINCT and small relative to the corpus, so the overlap
+    join broadcasts it (an equi-join on the 48-bit hash — the corpus
+    side is never self-joined, unlike near-dup detection); at real
+    scale with a huge eval suite the same plan degrades gracefully to
+    a shuffled hash join on the uniform digest key. Flag threshold:
+    ≥3 shared shingles (one shared phrase is noise)."""
+    sh = shingle_hashes(_docs(spark, sf_dir), "text").localCheckpoint(eager=True)
+    is_eval = F.col("doc_id") % 50 == 0
+    eval_sh = sh.filter(is_eval).select("h").distinct()
+    hits = (
+        sh.filter(~is_eval)
+        .join(F.broadcast(eval_sh), "h")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    return hits.select(
+        "doc_id", "n_shared", (F.col("n_shared") >= 3).alias("is_contaminated")
+    )

@@ -503,3 +503,56 @@ def q94_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 3)
         .select("doc_id", "term", "tf", "df", "tfidf", "rank")
     )
+
+
+@query(
+    "q96_repetition_filter",
+    sql="""
+    WITH sh AS (
+      SELECT doc_id,
+             len(toks) - 2 AS n_shingles,
+             len(list_distinct(list_transform(
+               generate_series(1, len(toks) - 2),
+               i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS n_distinct
+      FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+      WHERE len(toks) >= 3
+    )
+    SELECT doc_id, n_shingles, n_distinct,
+           1.0 - CAST(n_distinct AS DOUBLE) / n_shingles AS rep_ratio,
+           (CAST(n_distinct AS DOUBLE) / n_shingles < 0.6) AS is_repetitive
+    FROM sh
+    """,
+    operators=("X-text-repetition", "X-dedup-ngram"),
+)
+def q96_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition ratio (the Gopher/C4 quality rule:
+    documents whose 3-grams repeat heavily are boilerplate/spam):
+    1 − distinct/total 3-grams per doc, flag when the distinct share
+    drops below 0.6. Pure narrow map — the shingle set is computed
+    inside one higher-order expression per row, no explode, no
+    shuffle, and the ratio is an exact rational so the oracle needs
+    no rounding at all."""
+    d = catalog.load(spark, sf_dir, "documents")
+    shingles = (
+        "transform(sequence(1, size(toks) - 2), "
+        "i -> concat_ws(' ', slice(toks, i, 3)))"
+    )
+    out = (
+        d.withColumn("toks", F.split("text", " "))
+        .filter(F.size("toks") >= 3)
+        .select(
+            "doc_id",
+            (F.size("toks") - 2).cast("long").alias("n_shingles"),
+            F.size(F.array_distinct(F.expr(shingles))).cast("long").alias(
+                "n_distinct"
+            ),
+        )
+    )
+    share = F.col("n_distinct").cast("double") / F.col("n_shingles")
+    return out.select(
+        "doc_id",
+        "n_shingles",
+        "n_distinct",
+        (F.lit(1.0) - share).alias("rep_ratio"),
+        (share < 0.6).alias("is_repetitive"),
+    )
