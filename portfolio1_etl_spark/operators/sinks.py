@@ -96,3 +96,21 @@ def compact_parquet(
     os.rename(staged, path)
     shutil.rmtree(backup)
     return n_files
+
+
+def write_orc(df: DataFrame, path: str, partition_by: list[str] | None = None) -> None:
+    """Columnar ORC sink (Spark-native, zlib by default) — for
+    consumers standardized on the Hive/ORC stack. Same partition-layout
+    semantics as ``write_partitioned``."""
+    w = df.write.mode("overwrite")
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.orc(path)
+
+
+def write_jsonl(df: DataFrame, path: str) -> None:
+    """JSON-lines sink — the interchange format most LLM-data tooling
+    consumes. One JSON object per row, per-partition files (no
+    driver-side coalesce; at scale the output is sharded like any
+    columnar sink, just line-oriented)."""
+    df.write.mode("overwrite").json(path)

@@ -173,3 +173,25 @@ def json_records(
     return (
         ds.select(F.from_json("value", reader_schema).alias("r")).select("r.*")
     )
+
+
+def read_orc(
+    spark: SparkSession, path: str, schema: T.StructType | None = None
+) -> DataFrame:
+    """ORC scan — same pushdown/pruning behavior as parquet (ORC
+    carries min/max stripe statistics Spark's reader uses)."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.orc(path)
+
+
+def read_jsonl(
+    spark: SparkSession, path: str, schema: T.StructType | None = None
+) -> DataFrame:
+    """JSON-lines scan with an explicit schema (inference on JSON means
+    a full extra pass at scale — callers pass the schema)."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.json(path)
