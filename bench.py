@@ -48,6 +48,7 @@ HEADLINE = [
     "q89_dup_clusters",
     "q92_cms_heavy_hitters",
     "q93_kmeans",
+    "q98_pagerank",
     "q80_cosine_topk",
     "q82_lsh_ann",
     "q83_ivf_ann",

@@ -1,0 +1,105 @@
+"""[ext] Graph-analytics queries: weighted PageRank over an entity
+graph derived from the relational tables, via the generic operator
+library (``portfolio1_etl_spark.operators.graph``).
+
+The graph: nation → nation trade edges (customer's nation →
+supplier's nation, weighted by lineitem count) — the classic
+"derive a graph from fact tables, then run link analysis" pipeline.
+
+Determinism: per-iteration ranks round to 10 dp (fold order differs
+across engines at ~1e-16); the damping base is written ``(1.0 - 0.85)``
+in BOTH engines because the IEEE result of that subtraction is NOT the
+literal 0.15 — spelling them differently would diverge in the last ulp
+before the round.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from portfolio1_etl_spark import catalog
+from portfolio1_etl_spark.operators.graph import pagerank
+from portfolio1_etl_spark.plans.registry import query
+
+_ITERS = 3
+_DAMP = 0.85
+
+_EDGES_SQL = """
+      SELECT cn.n_name AS src, sn.n_name AS dst, count(*) AS w
+      FROM lineitem l
+      JOIN orders o    ON l.l_orderkey = o.o_orderkey
+      JOIN customer c  ON o.o_custkey = c.c_custkey
+      JOIN nation cn   ON c.c_nationkey = cn.n_nationkey
+      JOIN supplier s  ON l.l_suppkey = s.s_suppkey
+      JOIN nation sn   ON s.s_nationkey = sn.n_nationkey
+      GROUP BY 1, 2
+"""
+
+
+def _pagerank_sql() -> str:
+    ctes = [
+        f"edges AS ({_EDGES_SQL})",
+        "nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges)",
+        "nn AS (SELECT count(*) AS n FROM nodes)",
+        "ow AS (SELECT src, sum(w) AS outw FROM edges GROUP BY src)",
+        "ce AS (SELECT e.src, e.dst, e.w / o.outw AS share FROM edges e JOIN ow o ON e.src = o.src)",
+        "r0 AS (SELECT node, round(1.0 / nn.n, 10) AS rank FROM nodes CROSS JOIN nn)",
+    ]
+    for t in range(1, _ITERS + 1):
+        ctes.append(
+            f"""r{t} AS (
+      SELECT n.node,
+             round((1.0 - {_DAMP}) / nn.n
+                   + {_DAMP} * coalesce(c.inflow, 0.0), 10) AS rank
+      FROM nodes n CROSS JOIN nn
+      LEFT JOIN (
+        SELECT ce.dst, sum(r.rank * ce.share) AS inflow
+        FROM ce JOIN r{t - 1} r ON ce.src = r.node
+        GROUP BY ce.dst
+      ) c ON n.node = c.dst
+    )"""
+        )
+    body = ",\n    ".join(ctes)
+    return f"""
+    WITH {body}
+    SELECT node AS nation, rank FROM r{_ITERS}
+    """
+
+
+@query(
+    "q98_pagerank",
+    sql=_pagerank_sql(),
+    operators=("X-graph-pagerank", "J-star", "A1"),
+)
+def q98_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted PageRank (3 synchronous rounds, damping 0.85) over the
+    nation-level trade graph. The edge derivation is a star join over
+    the fact tables (the expensive part at 100 TB — dims broadcast);
+    each PageRank round is an equi-join of the rank vector onto the
+    edge list plus one grouped sum, ranks checkpointed per round. The
+    entity graph here is small, but the plan is the one that runs on a
+    billion-node graph — per-round cost is two shuffles on uniform
+    keys, and nothing ever collects to the driver."""
+    ln = catalog.load(spark, sf_dir, "lineitem")
+    o = catalog.load(spark, sf_dir, "orders")
+    c = catalog.load(spark, sf_dir, "customer")
+    s = catalog.load(spark, sf_dir, "supplier")
+    n = catalog.load(spark, sf_dir, "nation")
+    cn = n.select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("src")
+    )
+    sn = n.select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("dst")
+    )
+    edges = (
+        ln.join(o, ln.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("c_nk"))
+        .join(F.broadcast(s), ln.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("s_nk"))
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    ranks = pagerank(edges, iters=_ITERS, damping=_DAMP)
+    return ranks.select(F.col("node").alias("nation"), "rank")

@@ -61,6 +61,7 @@ def test_every_operator_family_inside_window():
         "dedup-dfcap": "q77_jaccard_dfcap",
         "dedup-embedding": "q78_embedding_neardup",
         "dedup-cc": "q89_dup_clusters",
+        "graph-pagerank": "q98_pagerank",
         "sketch-cms": "q92_cms_heavy_hitters",
         "cluster-kmeans": "q93_kmeans",
         "sim-knn": "q80_cosine_topk",
