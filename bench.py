@@ -53,6 +53,7 @@ HEADLINE = [
     "q82_lsh_ann",
     "q83_ivf_ann",
     "q95_quantized_ann",
+    "q99_pq_ann",
     "q90_multimodal_featurize",
     "q91_multimodal_decode",
 ]

@@ -68,6 +68,7 @@ def test_every_operator_family_inside_window():
         "sim-lsh": "q82_lsh_ann",
         "sim-ivf": "q83_ivf_ann",
         "sim-quantized": "q95_quantized_ann",
+        "sim-pq": "q99_pq_ann",
         "multimodal": "q90_multimodal_featurize",
         "multimodal-decode": "q91_multimodal_decode",
     }
