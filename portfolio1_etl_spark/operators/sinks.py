@@ -114,3 +114,22 @@ def write_jsonl(df: DataFrame, path: str) -> None:
     driver-side coalesce; at scale the output is sharded like any
     columnar sink, just line-oriented)."""
     df.write.mode("overwrite").json(path)
+
+
+def overwrite_partitions(
+    df: DataFrame, path: str, partition_by: list[str]
+) -> None:
+    """Idempotent partition-level backfill: with DYNAMIC partition
+    overwrite, only the partitions present in ``df`` are replaced —
+    re-running yesterday's job rewrites yesterday's directories and
+    leaves the rest of the table untouched. (STATIC mode — the
+    default — would truncate the whole table first; at 100 TB that
+    difference is the whole ballgame.) The mode is set per-write via
+    option, not globally, so concurrent writers keep their own
+    semantics."""
+    (
+        df.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(*partition_by)
+        .parquet(path)
+    )

@@ -195,3 +195,13 @@ def read_jsonl(
     if schema is not None:
         reader = reader.schema(schema)
     return reader.json(path)
+
+
+def read_parquet_evolving(spark: SparkSession, path: str) -> DataFrame:
+    """Parquet scan across files written under EVOLVING schemas:
+    ``mergeSchema`` unions the per-file footers (added columns come
+    back NULL for old files) — the read side of additive schema
+    evolution. Costs a footer scan per file, so production tables
+    cache the merged schema in a catalog; semantics here are what
+    matters."""
+    return spark.read.option("mergeSchema", "true").parquet(path)

@@ -82,3 +82,37 @@ def test_jsonl_roundtrip(spark, tmp_path):
     write_jsonl(df, path)
     back = read_jsonl(spark, path, schema=df.schema)
     assert sorted(map(tuple, back.collect())) == sorted(map(tuple, df.collect()))
+
+
+def test_dynamic_partition_overwrite_leaves_others_intact(spark, tmp_path):
+    from portfolio1_etl_spark.operators.sinks import overwrite_partitions
+
+    path = str(tmp_path / "dyn")
+    day1 = spark.createDataFrame(
+        [(1, "2024-01-01"), (2, "2024-01-02")], "k long, dt string"
+    )
+    overwrite_partitions(day1, path, ["dt"])
+    # backfill ONLY day 2 with corrected data
+    fix = spark.createDataFrame([(99, "2024-01-02")], "k long, dt string")
+    overwrite_partitions(fix, path, ["dt"])
+    # partition values type-infer back as dates — compare as strings
+    got = {
+        (str(r["dt"]), r["k"]) for r in spark.read.parquet(path).collect()
+    }
+    assert got == {("2024-01-01", 1), ("2024-01-02", 99)}
+
+
+def test_merge_schema_reads_evolved_files(spark, tmp_path):
+    from portfolio1_etl_spark.sources.readers import read_parquet_evolving
+
+    path = tmp_path / "evolve"
+    spark.createDataFrame([(1, "a")], "k long, s string").write.parquet(
+        str(path / "p1")
+    )
+    spark.createDataFrame(
+        [(2, "b", 1.5)], "k long, s string, x double"
+    ).write.parquet(str(path / "p2"))
+    got = read_parquet_evolving(spark, str(path / "*"))
+    assert set(got.columns) == {"k", "s", "x"}
+    rows = {r["k"]: r["x"] for r in got.collect()}
+    assert rows[1] is None and rows[2] == 1.5
