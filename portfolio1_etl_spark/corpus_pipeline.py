@@ -30,6 +30,7 @@ from portfolio1_etl_spark.functions.redact import pii_counts, redact_pii
 from portfolio1_etl_spark.operators.dedup import (
     connected_components,
     jaccard_pairs,
+    repetition_cols,
     shingle_hashes,
 )
 
@@ -51,14 +52,17 @@ def prepare_corpus(
     contamination_min_shingles: int = 3,
     max_repetition: float = 0.4,
     out_path: str | None = None,
+    docs: DataFrame | None = None,
 ) -> CorpusPrepResult:
     """Run the full prep over ``documents``. Order matters and is the
     production order: exact dedup first (cheapest, biggest win),
     near-dup second (works on survivors only), decontamination third,
     per-doc quality gates last (narrow maps). The eval slice
     (doc_id % eval_mod == 0) is excluded from the training output by
-    definition. First drop reason wins in the decision log."""
-    docs = catalog.load(spark, sf_dir, "documents")
+    definition. First drop reason wins in the decision log. ``docs``
+    overrides the table for testing (schema: doc_id, text, lang)."""
+    if docs is None:
+        docs = catalog.load(spark, sf_dir, "documents")
     n_input = docs.count()
 
     # -- stage 1: exact dedup (q71 semantics) ---------------------------
@@ -69,43 +73,42 @@ def prepare_corpus(
     )
     survivors = docs.join(exact_keep, "doc_id", "left_semi")
 
-    # -- shared shingle table (computed once, two consumers) ------------
-    sh = shingle_hashes(survivors, "text").localCheckpoint(eager=True)
+    # -- shared shingle table: ALL docs, computed once ------------------
+    # The eval side of decontamination MUST see every eval document's
+    # shingles — an eval doc dropped as an exact duplicate still
+    # contaminates the surviving copy of its text. (Shingling only
+    # survivors would let such text leak into the training output.)
+    sh_all = shingle_hashes(docs, "text").localCheckpoint(eager=True)
+    sh_surv = sh_all.join(
+        survivors.select("doc_id"), "doc_id", "left_semi"
+    )
 
-    # -- stage 2: near-dup clusters (q77 + q89 semantics) ---------------
-    pairs = jaccard_pairs(sh, jaccard_threshold, df_cap=df_cap)
+    # -- stage 2: near-dup clusters over survivors (q77 + q89) ----------
+    pairs = jaccard_pairs(sh_surv, jaccard_threshold, df_cap=df_cap)
     cc = connected_components(pairs)
     near_dupes = cc.filter(F.col("node") != F.col("component")).select(
         F.col("node").alias("doc_id")
     )
 
-    # -- stage 3: decontamination (q97 semantics) -----------------------
+    # -- stage 3: decontamination (q97 semantics: all docs shingled) ----
+    # No explicit broadcast hint: the shingle table is checkpointed so
+    # its stats are known, and the join degrades to a shuffled hash
+    # join when the eval suite is too large to broadcast.
     is_eval = F.col("doc_id") % eval_mod == 0
-    eval_sh = sh.filter(is_eval).select("h").distinct()
+    eval_sh = sh_all.filter(is_eval).select("h").distinct()
     contaminated = (
-        sh.filter(~is_eval)
-        .join(F.broadcast(eval_sh), "h")
+        sh_all.filter(~is_eval)
+        .join(eval_sh, "h")
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("n_shared"))
         .filter(F.col("n_shared") >= contamination_min_shingles)
         .select("doc_id")
     )
 
-    # -- stage 4: per-doc quality gates (q96 + q62 semantics) -----------
-    toks = F.split("text", " ")
-    n_tok = F.size(toks)
-    n_sh = F.greatest(n_tok - 2, F.lit(0))
+    # -- stage 4: per-doc quality gates (q96 semantics, shared expr) ----
+    n_sh, n_distinct = repetition_cols("text")
     distinct_share = F.when(
-        n_sh > 0,
-        F.size(
-            F.array_distinct(
-                F.expr(
-                    "transform(sequence(1, greatest(size(split(text, ' ')) - 2, 1)),"
-                    " i -> concat_ws(' ', slice(split(text, ' '), i, 3)))"
-                )
-            )
-        ).cast("double")
-        / n_sh,
+        n_sh > 0, n_distinct.cast("double") / n_sh
     )
     quality_flags = docs.select(
         "doc_id",

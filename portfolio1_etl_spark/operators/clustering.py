@@ -71,10 +71,12 @@ def lloyd_kmeans(
     vecs: DataFrame, k: int = 8, iters: int = 3
 ) -> tuple[DataFrame, DataFrame]:
     """Run ``iters`` Lloyd rounds from the deterministic seed set (the
-    k smallest vec_ids) and return ``(assigned, cent)``: the FINAL
+    k smallest vec_ids — computed, not assumed: id spaces need not be
+    dense or zero-based) and return ``(assigned, cent)``: the FINAL
     assignment (vec_id, v, cell, d2) against the last-updated codebook,
     and that codebook (c_id, cvec)."""
-    cent = vecs.filter(F.col("vec_id") < k).select(
+    seed_ids = vecs.select("vec_id").orderBy("vec_id").limit(k)
+    cent = vecs.join(F.broadcast(seed_ids), "vec_id", "left_semi").select(
         F.col("vec_id").alias("c_id"), F.col("v").alias("cvec")
     )
     assigned = assign_cells(vecs, cent)

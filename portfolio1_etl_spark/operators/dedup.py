@@ -56,6 +56,28 @@ def shingle_hashes(
     )
 
 
+def repetition_cols(text_col: str = "text", n: int = 3):
+    """(n_shingles, n_distinct) long column pair for the within-doc
+    repetition signal (q96 and the corpus pipeline share this — the
+    two MUST stay expression-identical or their keep decisions
+    drift). n_shingles is 0 for docs shorter than n tokens; the
+    distinct count is only meaningful when n_shingles > 0 (the inner
+    sequence is clamped so short docs do not error)."""
+    toks = f"split({text_col}, ' ')"
+    n_sh = F.greatest(
+        F.size(F.split(text_col, " ")) - (n - 1), F.lit(0)
+    ).cast("long")
+    n_distinct = F.size(
+        F.array_distinct(
+            F.expr(
+                f"transform(sequence(1, greatest(size({toks}) - {n - 1}, 1)),"
+                f" i -> concat_ws(' ', slice({toks}, i, {n})))"
+            )
+        )
+    ).cast("long")
+    return n_sh, n_distinct
+
+
 def hot_shingles(sh: DataFrame, df_cap: int) -> DataFrame:
     """(h, df): shingle hashes whose document frequency exceeds
     ``df_cap``. PRECONDITION: ``sh`` holds distinct (id, h) rows —

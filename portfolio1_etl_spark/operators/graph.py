@@ -45,6 +45,10 @@ def pagerank(
         .localCheckpoint(eager=True)
     )
     n_nodes = nodes.count()
+    if n_nodes == 0:
+        return nodes.select(
+            "node", F.lit(0.0).alias("rank")
+        )  # empty graph → empty ranks, schema intact
     base = (1.0 - damping) / n_nodes
     ranks = nodes.select(
         "node", F.round(F.lit(1.0 / n_nodes), 10).alias("rank")

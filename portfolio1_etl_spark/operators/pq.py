@@ -74,8 +74,9 @@ def train_codebook(
     """(sub, c_id, cvec): per-subspace k-means codebook — one GROUPED
     Lloyd's run (subspace is a grouping key everywhere, so all
     subspaces train in the same jobs). Seeds: subvectors of the k
-    smallest ids."""
-    cent = sub.filter(F.col(id_col) < k).select(
+    smallest ids (computed — id spaces need not be dense/zero-based)."""
+    seed_ids = sub.select(id_col).distinct().orderBy(id_col).limit(k)
+    cent = sub.join(F.broadcast(seed_ids), id_col, "left_semi").select(
         "sub", F.col(id_col).alias("c_id"), F.col("sv").alias("cvec")
     )
     for _ in range(iters - 1):
@@ -108,7 +109,12 @@ def pq_topk(
 ) -> DataFrame:
     """Two-stage PQ/ADC search: approximate distances from the byte
     codes + broadcast query distance table, exact cosine re-rank on
-    the shortlist (joined back to full vectors by id)."""
+    the shortlist (joined back to full vectors by id).
+
+    PRECONDITION: ``queries`` rows must be a subset of ``vecs`` (with
+    a ``nrm`` column, as produced by ``with_norms``) — query
+    subvectors are looked up by id in the corpus split; external
+    query vectors would need their own split/normalize pass."""
     sub = split_subspaces(vecs, n_sub, sub_dim, id_col).localCheckpoint(eager=True)
     cent = train_codebook(sub, n_cent, id_col=id_col)
     codes = _assign(sub, cent, id_col).select(id_col, "sub", "code")

@@ -155,7 +155,13 @@ def quantized_topk(
     back to the full-precision corpus by id — the wide float vectors
     never ride through the shortlist shuffle). At scale the quantized
     corpus is the only full scan; the re-rank touches
-    queries × shortlist rows."""
+    queries × shortlist rows.
+
+    PRECONDITION: ``queries`` rows must be a subset of ``vecs`` (the
+    query side is matched by id against the corpus quantization —
+    external query vectors would need their own quantize pass against
+    the corpus bounds; ids absent from the corpus contribute no
+    results)."""
     # the quantized table feeds both join sides — materialize once
     qv = scalar_quantize(vecs, id_col).localCheckpoint(eager=True)
     corpus_q = qv

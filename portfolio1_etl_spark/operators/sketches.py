@@ -73,34 +73,40 @@ def cms_merge(*sketches: DataFrame) -> DataFrame:
     return merged.groupBy("j", "bucket").agg(F.sum("cnt").alias("cnt"))
 
 
+def cms_build_weighted(
+    items: DataFrame, col: str, weight_col: str
+) -> DataFrame:
+    """(j, bucket, cnt): the sketch of a PRE-AGGREGATED stream —
+    ``items`` holds (item, occurrence count). Produces the identical
+    sketch to ``cms_build`` over the raw stream (cell counts are
+    linear in occurrences), but lets a caller who already has the
+    counts table avoid a second full-corpus scan (q92 does this: the
+    exact-counts aggregate is checkpointed once and feeds the sketch,
+    the probes, AND the comparison column)."""
+    hashed = items.select(
+        F.expr(H48.format(c=col)).alias("h"), F.col(weight_col).alias("wt")
+    )
+    return (
+        hashed.select(F.explode(_cells("h")).alias("c"), "wt")
+        .select("c.j", "c.bucket", "wt")
+        .groupBy("j", "bucket")
+        .agg(F.sum("wt").alias("cnt"))
+    )
+
+
 def cms_estimate(sketch: DataFrame, items: DataFrame, col: str) -> DataFrame:
     """(col, est): the sketch estimate for each DISTINCT item in
     ``items[col]``. The sketch side is tiny by construction and is
-    broadcast — probing N items costs no shuffle beyond the distinct."""
+    broadcast — probing N items costs no shuffle beyond the distinct.
+    The item hash is computed once per probe row, then fanned out to
+    the depth cells."""
     probes = items.select(col).distinct()
+    probes = probes.select(col, F.expr(H48.format(c=col)).alias("h"))
     probes = probes.select(
-        col, F.explode(_cells_for(col)).alias("c")
+        col, F.explode(_cells("h")).alias("c")
     ).select(col, "c.j", "c.bucket")
     return (
         probes.join(F.broadcast(sketch), ["j", "bucket"], "left")
         .groupBy(col)
         .agg(F.min(F.coalesce("cnt", F.lit(0))).alias("est"))
-    )
-
-
-def _cells_for(col: str):
-    """depth structs (j, bucket) hashing a raw string column inline."""
-    return F.array(
-        *[
-            F.struct(
-                F.lit(j).alias("j"),
-                (
-                    (
-                        (F.lit(a) * F.expr(H48.format(c=col)) + F.lit(b)) % CMS_MOD
-                    )
-                    % CMS_WIDTH
-                ).alias("bucket"),
-            )
-            for j, a, b in CMS_PARAMS
-        ]
     )

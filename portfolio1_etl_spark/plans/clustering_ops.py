@@ -31,7 +31,10 @@ _DIST2_SQL = (
 def _kmeans_sql() -> str:
     ctes = [
         "vecs AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)",
-        f"cent0 AS (SELECT vec_id AS c_id, v AS cvec FROM vecs WHERE vec_id < {_K})",
+        # seeds: the k smallest ids (matches the operator's computed
+        # seed set — not an assumption of dense zero-based ids)
+        f"cent0 AS (SELECT vec_id AS c_id, v AS cvec FROM vecs "
+        f"WHERE vec_id IN (SELECT vec_id FROM vecs ORDER BY vec_id LIMIT {_K}))",
     ]
     for t in range(1, _ITERS + 1):
         ctes.append(

@@ -637,18 +637,20 @@ def q97_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingles with a held-out eval set (here the deterministic
     doc_id % 50 == 0 slice) are flagged — the overlap check every
     serious training corpus runs before training. The eval shingle
-    set is DISTINCT and small relative to the corpus, so the overlap
-    join broadcasts it (an equi-join on the 48-bit hash — the corpus
-    side is never self-joined, unlike near-dup detection); at real
-    scale with a huge eval suite the same plan degrades gracefully to
-    a shuffled hash join on the uniform digest key. Flag threshold:
-    ≥3 shared shingles (one shared phrase is noise)."""
+    set is DISTINCT and usually small relative to the corpus; no
+    explicit broadcast hint is forced — the shingle table is
+    checkpointed so its size is known, Catalyst broadcasts the eval
+    side when it fits and otherwise degrades to a shuffled hash join
+    on the uniform 48-bit digest key (a forced hint would OOM on a
+    huge eval suite). The corpus side is never self-joined, unlike
+    near-dup detection. Flag threshold: ≥3 shared shingles (one
+    shared phrase is noise)."""
     sh = shingle_hashes(_docs(spark, sf_dir), "text").localCheckpoint(eager=True)
     is_eval = F.col("doc_id") % 50 == 0
     eval_sh = sh.filter(is_eval).select("h").distinct()
     hits = (
         sh.filter(~is_eval)
-        .join(F.broadcast(eval_sh), "h")
+        .join(eval_sh, "h")
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("n_shared"))
     )

@@ -34,7 +34,8 @@ def _pq_sql() -> str:
       FROM embeddings
     ),
     sub AS ({sub_rows}),
-    cent0 AS (SELECT sub, vec_id AS c_id, sv AS cvec FROM sub WHERE vec_id < {_K}),
+    cent0 AS (SELECT sub, vec_id AS c_id, sv AS cvec FROM sub
+              WHERE vec_id IN (SELECT vec_id FROM vecs ORDER BY vec_id LIMIT {_K})),
     a1 AS (
       SELECT vec_id, sub, sv, code FROM (
         SELECT s.vec_id, s.sub, s.sv, c.c_id AS code,

@@ -18,7 +18,7 @@ from portfolio1_etl_spark.operators.sketches import (
     CMS_MOD,
     CMS_PARAMS,
     CMS_WIDTH,
-    cms_build,
+    cms_build_weighted,
     cms_estimate,
 )
 from portfolio1_etl_spark.plans.registry import query
@@ -74,13 +74,22 @@ def q92_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``cms_estimate`` broadcasts the finished sketch and probes every
     distinct token; top-20 by estimate with the exact count alongside
     (the CMS guarantee est ≥ exact is visible in the overestimate
-    column). At 100 TB the exact side would be the expensive branch —
-    it exists here to make the sketch's accuracy oracle-checkable; the
-    sketch path alone never materializes a distinct-key aggregate."""
+    column). Because this query ALSO reports exact counts, it builds
+    the sketch from the checkpointed counts aggregate
+    (``cms_build_weighted`` — same sketch, one corpus scan); a
+    sketch-only pipeline uses ``cms_build`` on the raw stream and
+    never materializes the distinct-key aggregate at all."""
     d = catalog.load(spark, sf_dir, "documents")
     toks = d.select(F.explode(F.split("text", " ")).alias("w"))
-    sketch = cms_build(toks, "w")
-    exact = toks.groupBy("w").agg(F.count(F.lit(1)).alias("exact_count"))
+    # ONE corpus scan: the exact-counts aggregate materializes once and
+    # feeds the (weighted) sketch build, the probe side, and the
+    # comparison column — the raw token stream is never re-exploded.
+    exact = (
+        toks.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("exact_count"))
+        .localCheckpoint(eager=True)
+    )
+    sketch = cms_build_weighted(exact, "w", "exact_count")
     est = cms_estimate(sketch, exact, "w").withColumnRenamed("est", "est_count")
     return (
         exact.join(est, "w")

@@ -66,3 +66,17 @@ def test_update_is_cellwise_mean(spark):
     )
     got = {r["c_id"]: r["cvec"] for r in update_centroids(assigned).collect()}
     assert got == {7: [1.0, 3.0], 9: [5.0, 5.0]}
+
+
+def test_seeds_work_with_non_dense_ids(spark):
+    # ids far from zero: 'vec_id < k' seeding would produce an empty
+    # codebook; the computed k-smallest seeding must not
+    vecs = spark.createDataFrame(
+        [(1000 + i, [float(i), float(i % 3)]) for i in range(12)],
+        "vec_id long, v array<double>",
+    )
+    assigned, cent = lloyd_kmeans(vecs, k=3, iters=2)
+    assert cent.count() >= 1
+    assert assigned.count() == 12
+    seeds = {r["c_id"] for r in cent.collect()}
+    assert seeds <= {1000, 1001, 1002}

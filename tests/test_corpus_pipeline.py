@@ -57,3 +57,24 @@ def test_jsonl_sink_round_trip(spark, tmp_path):
             lines += [json.loads(line) for line in fh if line.strip()]
     assert len(lines) == res.n_kept
     assert {"doc_id", "text", "lang", "pii"} <= set(lines[0])
+
+
+def test_eval_exact_dup_still_contaminates(spark):
+    """A training doc byte-identical to an eval doc must be dropped
+    even though exact dedup removes the eval copy first — the eval
+    shingle set comes from ALL documents, not survivors."""
+    shared = "alpha beta gamma delta epsilon zeta eta theta"
+    rows = [
+        (10, shared, "en"),                     # training, dup of eval 100
+        (100, shared, "en"),                    # eval slice (100 % 50 == 0)
+        (11, "one two three four five six seven eight", "en"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    res = prepare_corpus(spark, SF, docs=docs)
+    verdicts = {
+        r["doc_id"]: r["drop_reason"] for r in res.decisions.collect()
+    }
+    # 100 loses exact dedup to min-id 10, but 10 must NOT reach training
+    assert verdicts[100] == "exact_duplicate"
+    assert verdicts[10] == "contaminated"
+    assert verdicts[11] is None

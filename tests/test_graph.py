@@ -52,3 +52,10 @@ def test_weights_matter(spark):
     )
     got = {r["node"]: r["rank"] for r in pagerank(e, iters=6).collect()}
     assert got["b"] > got["c"]
+
+
+def test_empty_edges(spark):
+    e = _edges(spark, [])
+    out = pagerank(e, iters=2)
+    assert out.columns == ["node", "rank"]
+    assert out.count() == 0

@@ -54,3 +54,16 @@ def test_estimate_of_absent_item_is_bounded(spark):
     # absent items may collide but never exceed the CMS error bound by
     # construction; with this tiny stream the estimate must be small
     assert 0 <= row["est"] <= 2 * len(WORDS) // CMS_WIDTH + 1
+
+
+def test_weighted_build_equals_raw_build(spark):
+    from portfolio1_etl_spark.operators.sketches import cms_build_weighted
+
+    s = _stream(spark)
+    raw = {(r["j"], r["bucket"]): r["cnt"] for r in cms_build(s, "w").collect()}
+    counts = s.groupBy("w").agg(F.count(F.lit(1)).alias("n"))
+    weighted = {
+        (r["j"], r["bucket"]): r["cnt"]
+        for r in cms_build_weighted(counts, "w", "n").collect()
+    }
+    assert raw == weighted
