@@ -190,3 +190,70 @@ def test_multiprobe_lsh_recall_dominates_single_probe(spark, sf_dir):
     # (absolute recall is corpus-dependent: these embeddings are near-
     # random, max same-label cosine ≈ 0.47, so sign bits of true
     # neighbors legitimately differ in > 1 position)
+
+
+_edge_ids = st.integers(min_value=0, max_value=30)
+_edge_lists = st.lists(
+    st.tuples(_edge_ids, _edge_ids), min_size=0, max_size=40
+)
+
+
+@given(edges=_edge_lists)
+@_SETTINGS
+def test_connected_components_matches_union_find(spark, edges):
+    """Property: the distributed star-contraction labeling equals a
+    driver-side union-find on ANY random multigraph (self-loops,
+    duplicates, reversed edges included)."""
+    from portfolio1_etl_spark.operators.dedup import connected_components
+
+    df = spark.createDataFrame(
+        edges or [(0, 0)], "doc_a long, doc_b long"
+    )
+    got = {
+        (r["node"], r["component"])
+        for r in connected_components(df).collect()
+    }
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        if a != b:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+    want = {
+        (n, find(n))
+        for n in parent
+        if any(a != b and n in (a, b) for a, b in edges)
+    }
+    assert got == want
+
+
+_words = st.lists(
+    st.sampled_from(["a", "bb", "ccc", "dd dd", "e5", "", "zzz"]),
+    min_size=1,
+    max_size=40,
+)
+
+
+@given(words=_words)
+@_SETTINGS
+def test_cms_never_undercounts_property(spark, words):
+    """Property: count-min estimates dominate exact counts for every
+    item of ANY stream (the one-sided CMS error guarantee)."""
+    from portfolio1_etl_spark.operators.sketches import cms_build, cms_estimate
+
+    s = spark.createDataFrame([(w,) for w in words], "w string")
+    sk = cms_build(s, "w")
+    est = {r["w"]: r["est"] for r in cms_estimate(sk, s, "w").collect()}
+    exact: dict[str, int] = {}
+    for w in words:
+        exact[w] = exact.get(w, 0) + 1
+    assert set(est) == set(exact)
+    assert all(est[w] >= n for w, n in exact.items())
