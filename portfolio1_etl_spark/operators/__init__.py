@@ -18,24 +18,48 @@ from portfolio1_etl_spark.operators.multimodal import (
 )
 from portfolio1_etl_spark.operators.sinks import (
     compact_parquet,
+    overwrite_partitions,
+    write_jsonl,
+    write_orc,
     write_partitioned,
     write_report_csv,
     write_snapshot,
 )
 from portfolio1_etl_spark.operators.dedup import (
+    connected_components,
     hot_shingles,
     jaccard_pairs,
     lsh_candidates,
     minhash_signatures,
+    repetition_cols,
     shingle_hashes,
     simhash,
     verify_candidates,
 )
 from portfolio1_etl_spark.operators.similarity import (
     brute_force_topk,
+    quantized_topk,
+    scalar_quantize,
     signbit_lsh_topk,
     threshold_pairs,
     with_norms,
+)
+from portfolio1_etl_spark.operators.sketches import (
+    cms_build,
+    cms_build_weighted,
+    cms_estimate,
+    cms_merge,
+)
+from portfolio1_etl_spark.operators.clustering import (
+    assign_cells,
+    lloyd_kmeans,
+    update_centroids,
+)
+from portfolio1_etl_spark.operators.graph import out_weights, pagerank
+from portfolio1_etl_spark.operators.pq import (
+    pq_topk,
+    split_subspaces,
+    train_codebook,
 )
 from portfolio1_etl_spark.operators.bucketing import bucketed, write_bucketed
 
@@ -69,4 +93,23 @@ __all__ = [
     "signbit_lsh_topk",
     "write_bucketed",
     "bucketed",
+    "write_orc",
+    "write_jsonl",
+    "overwrite_partitions",
+    "connected_components",
+    "repetition_cols",
+    "scalar_quantize",
+    "quantized_topk",
+    "cms_build",
+    "cms_build_weighted",
+    "cms_estimate",
+    "cms_merge",
+    "assign_cells",
+    "lloyd_kmeans",
+    "update_centroids",
+    "out_weights",
+    "pagerank",
+    "pq_topk",
+    "split_subspaces",
+    "train_codebook",
 ]
