@@ -30,8 +30,8 @@ from portfolio1_etl_spark.functions.redact import pii_counts, redact_pii
 from portfolio1_etl_spark.operators.dedup import (
     connected_components,
     jaccard_pairs,
-    repetition_cols,
     shingle_hashes,
+    with_repetition_cols,
 )
 
 
@@ -71,7 +71,6 @@ def prepare_corpus(
         .agg(F.min("doc_id").alias("keep_doc_id"))
         .select(F.col("keep_doc_id").alias("doc_id"))
     )
-    survivors = docs.join(exact_keep, "doc_id", "left_semi")
 
     # -- shared shingle table: ALL docs, computed once ------------------
     # The eval side of decontamination MUST see every eval document's
@@ -79,9 +78,7 @@ def prepare_corpus(
     # contaminates the surviving copy of its text. (Shingling only
     # survivors would let such text leak into the training output.)
     sh_all = shingle_hashes(docs, "text").localCheckpoint(eager=True)
-    sh_surv = sh_all.join(
-        survivors.select("doc_id"), "doc_id", "left_semi"
-    )
+    sh_surv = sh_all.join(exact_keep, "doc_id", "left_semi")
 
     # -- stage 2: near-dup clusters over survivors (q77 + q89) ----------
     pairs = jaccard_pairs(sh_surv, jaccard_threshold, df_cap=df_cap)
@@ -106,11 +103,11 @@ def prepare_corpus(
     )
 
     # -- stage 4: per-doc quality gates (q96 semantics, shared expr) ----
-    n_sh, n_distinct = repetition_cols("text")
     distinct_share = F.when(
-        n_sh > 0, n_distinct.cast("double") / n_sh
+        F.col("n_shingles") > 0,
+        F.col("n_distinct").cast("double") / F.col("n_shingles"),
     )
-    quality_flags = docs.select(
+    quality_flags = with_repetition_cols(docs).select(
         "doc_id",
         (F.coalesce(distinct_share, F.lit(1.0)) < 1.0 - max_repetition).alias(
             "too_repetitive"

@@ -31,8 +31,8 @@ from portfolio1_etl_spark.operators.dedup import (
     jaccard_pairs,
     lsh_candidates,
     minhash_signatures,
-    repetition_cols,
     shingle_hashes,
+    with_repetition_cols,
     simhash,
     verify_candidates,
 )
@@ -97,7 +97,7 @@ __all__ = [
     "write_jsonl",
     "overwrite_partitions",
     "connected_components",
-    "repetition_cols",
+    "with_repetition_cols",
     "scalar_quantize",
     "quantized_topk",
     "cms_build",

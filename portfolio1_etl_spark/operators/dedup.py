@@ -56,26 +56,37 @@ def shingle_hashes(
     )
 
 
-def repetition_cols(text_col: str = "text", n: int = 3):
-    """(n_shingles, n_distinct) long column pair for the within-doc
-    repetition signal (q96 and the corpus pipeline share this — the
+def with_repetition_cols(
+    df: DataFrame, text_col: str = "text", n: int = 3
+) -> DataFrame:
+    """Adds (n_shingles, n_distinct) long columns — the within-doc
+    repetition signal (q96 and the corpus pipeline share this; the
     two MUST stay expression-identical or their keep decisions
-    drift). n_shingles is 0 for docs shorter than n tokens; the
-    distinct count is only meaningful when n_shingles > 0 (the inner
-    sequence is clamped so short docs do not error)."""
-    toks = f"split({text_col}, ' ')"
-    n_sh = F.greatest(
-        F.size(F.split(text_col, " ")) - (n - 1), F.lit(0)
-    ).cast("long")
-    n_distinct = F.size(
-        F.array_distinct(
-            F.expr(
-                f"transform(sequence(1, greatest(size({toks}) - {n - 1}, 1)),"
-                f" i -> concat_ws(' ', slice({toks}, i, {n})))"
-            )
+    drift). The token array is materialized once per row (same
+    discipline as ``shingle_hashes`` — an inline split in the lambda
+    would re-split per shingle index). n_shingles is 0 for docs
+    shorter than n tokens; the distinct count is only meaningful when
+    n_shingles > 0 (the inner sequence is clamped so short docs do
+    not error)."""
+    return (
+        df.withColumn("__toks", F.split(text_col, " "))
+        .withColumn(
+            "n_shingles",
+            F.greatest(F.size("__toks") - (n - 1), F.lit(0)).cast("long"),
         )
-    ).cast("long")
-    return n_sh, n_distinct
+        .withColumn(
+            "n_distinct",
+            F.size(
+                F.array_distinct(
+                    F.expr(
+                        f"transform(sequence(1, greatest(size(__toks) - {n - 1}, 1)),"
+                        f" i -> concat_ws(' ', slice(__toks, i, {n})))"
+                    )
+                )
+            ).cast("long"),
+        )
+        .drop("__toks")
+    )
 
 
 def hot_shingles(sh: DataFrame, df_cap: int) -> DataFrame:

@@ -94,13 +94,19 @@ def cms_build_weighted(
     )
 
 
-def cms_estimate(sketch: DataFrame, items: DataFrame, col: str) -> DataFrame:
+def cms_estimate(
+    sketch: DataFrame, items: DataFrame, col: str, assume_distinct: bool = False
+) -> DataFrame:
     """(col, est): the sketch estimate for each DISTINCT item in
     ``items[col]``. The sketch side is tiny by construction and is
     broadcast — probing N items costs no shuffle beyond the distinct.
     The item hash is computed once per probe row, then fanned out to
-    the depth cells."""
-    probes = items.select(col).distinct()
+    the depth cells. Pass ``assume_distinct=True`` when ``items`` is
+    distinct-by-construction (e.g. the output of a groupBy on the
+    item) to skip a redundant full-vocabulary re-shuffle."""
+    probes = items.select(col)
+    if not assume_distinct:
+        probes = probes.distinct()
     probes = probes.select(col, F.expr(H48.format(c=col)).alias("h"))
     probes = probes.select(
         col, F.explode(_cells("h")).alias("c")

@@ -90,7 +90,9 @@ def q92_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=True)
     )
     sketch = cms_build_weighted(exact, "w", "exact_count")
-    est = cms_estimate(sketch, exact, "w").withColumnRenamed("est", "est_count")
+    est = cms_estimate(
+        sketch, exact, "w", assume_distinct=True
+    ).withColumnRenamed("est", "est_count")
     return (
         exact.join(est, "w")
         .select(

@@ -532,13 +532,14 @@ def q96_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     inside one higher-order expression per row, no explode, no
     shuffle, and the ratio is an exact rational so the oracle needs
     no rounding at all."""
-    from portfolio1_etl_spark.operators.dedup import repetition_cols
+    from portfolio1_etl_spark.operators.dedup import with_repetition_cols
 
     d = catalog.load(spark, sf_dir, "documents")
-    n_sh, n_distinct = repetition_cols("text")
-    out = d.select(
-        "doc_id", n_sh.alias("n_shingles"), n_distinct.alias("n_distinct")
-    ).filter(F.col("n_shingles") >= 1)
+    out = (
+        with_repetition_cols(d)
+        .select("doc_id", "n_shingles", "n_distinct")
+        .filter(F.col("n_shingles") >= 1)
+    )
     share = F.col("n_distinct").cast("double") / F.col("n_shingles")
     return out.select(
         "doc_id",

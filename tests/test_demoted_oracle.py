@@ -9,14 +9,11 @@ import duckdb
 import pytest
 
 from portfolio1_etl_spark.plans import REGISTRY
+from portfolio1_etl_spark.schemas import DRIVER_TABLES
 from tools.check_oracle import _compare
 
 WINDOW = 50
 SF = "/root/testdata/sf0.001"
-TABLES = [
-    "region", "nation", "customer", "supplier", "part",
-    "orders", "lineitem", "events", "documents", "embeddings",
-]
 
 _TAIL = list(REGISTRY)[WINDOW:]
 
@@ -24,7 +21,7 @@ _TAIL = list(REGISTRY)[WINDOW:]
 @pytest.fixture(scope="module")
 def oracle():
     con = duckdb.connect()
-    for t in TABLES:
+    for t in DRIVER_TABLES:
         con.sql(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')"
         )
