@@ -9,8 +9,14 @@ Spark-side design (all real and tested):
 - decode / feature-extraction runs in ``mapInPandas`` — Arrow batches
   of binary columns in, Arrow batches of features out, so the Python
   boundary is crossed per *batch*, never per row;
-- partitioning by modality keeps decoder state (codec contexts) warm
-  per task.
+- NO repartition before the map: every decode/resize/featurize pass
+  dispatches per row on magic bytes, so mixed-modality batches are
+  fine and the pass is a pure narrow map over however many partitions
+  the scan produced. (An earlier revision repartitioned on
+  ``modality`` — a 2-3-distinct-value key that routes a whole corpus
+  through 2-3 tasks at scale; if modality-homogeneous batches ever
+  pay for a codec context, salt with a high-cardinality second key:
+  ``repartition(col("modality"), pmod(xxhash64("path"), lit(N)))``.)
 
 Decode support is two-tier:
 - **Real, dependency-free decoders** for PPM (P6) images and WAV
@@ -245,7 +251,7 @@ def decode_media_features(media: DataFrame) -> DataFrame:
                 rows["rms"].append(float(np.sqrt(s2 / n)) if n else 0.0)
             yield pd.DataFrame(rows)
 
-    return media.repartition("modality").mapInPandas(op, DECODED_FEATURES_SCHEMA)
+    return media.mapInPandas(op, DECODED_FEATURES_SCHEMA)
 
 
 def _fake_features(content: bytes, dim: int = 8) -> list[float]:
@@ -338,7 +344,7 @@ def resize_media(media: DataFrame, target_px: int = 256) -> DataFrame:
                 }
             )
 
-    return media.repartition("modality").mapInPandas(op, RESIZED_SCHEMA)
+    return media.mapInPandas(op, RESIZED_SCHEMA)
 
 
 def sample_frames(media: DataFrame, n_frames: int = 4) -> DataFrame:
@@ -383,13 +389,13 @@ def sample_frames(media: DataFrame, n_frames: int = 4) -> DataFrame:
                     rows["n_bytes"].append(len(frame))
             yield pd.DataFrame(rows)
 
-    return media.repartition("modality").mapInPandas(op, FRAMES_SCHEMA)
+    return media.mapInPandas(op, FRAMES_SCHEMA)
 
 
 def featurize_media(media: DataFrame, batch_hint: int = 64) -> DataFrame:
     """Feature-extract every media row via mapInPandas: Arrow batches
-    in, Arrow batches out. Repartitioned by modality so a real decoder
-    initializes once per (task, codec) instead of per row."""
+    in, Arrow batches out — a pure narrow map, no pre-shuffle (the
+    digest featurizer is modality-agnostic)."""
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

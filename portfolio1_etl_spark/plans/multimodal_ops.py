@@ -61,9 +61,9 @@ def _feature_sql(i: int) -> str:
 def q90_multimodal_featurize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-column featurization through the real multimodal
     plumbing: typed media rows (path/modality/content/meta) →
-    repartition by modality → ``mapInPandas`` digest features → typed
-    feature rows. Python sees Arrow batches only; the oracle recomputes
-    every output from the same bytes in SQL."""
+    ``mapInPandas`` digest features (a narrow map — no pre-shuffle) →
+    typed feature rows. Python sees Arrow batches only; the oracle
+    recomputes every output from the same bytes in SQL."""
     docs = catalog.load(spark, sf_dir, "documents")
     media = docs.select(
         F.col("doc_id").cast("string").alias("path"),

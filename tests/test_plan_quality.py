@@ -137,6 +137,19 @@ def test_q5_shape_broadcasts_all_dims(spark, sf_dir):
     assert plan.count("SortMergeJoin") <= 2  # tree + details sections
 
 
+def test_multimodal_paths_have_no_skewed_exchange(spark, sf_dir):
+    """The decode/featurize passes are narrow maps: no Exchange at all
+    between the scan and the Python map. (An Exchange keyed on
+    ``modality`` — 2-3 distinct values — would funnel a 100 TB corpus
+    through 2-3 tasks; the per-row magic-byte dispatch makes any
+    pre-shuffle unnecessary.)"""
+    for name in ("q90_multimodal_featurize", "q91_multimodal_decode"):
+        plan = _formatted_plan(REGISTRY[name].fn(spark, sf_dir))
+        tree = plan.split("\n\n")[0]
+        assert "Exchange" not in tree, f"{name} plans a shuffle:\n{tree}"
+        assert "hashpartitioning(modality" not in plan
+
+
 def test_scd2_single_shuffle(spark, sf_dir):
     """All three SCD2 window passes (lag change-detect, lead close,
     row_number version) must share ONE exchange on the entity key."""
