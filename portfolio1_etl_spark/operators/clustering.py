@@ -3,14 +3,18 @@ k-means over an embedding column — the "train the codebook" step that
 IVF indexing (plans/similarity_ops.q83) stands in for with per-label
 means.
 
-Scale shape per iteration: the codebook (k rows) is BROADCAST, the
-assignment is a narrow map over the corpus (cross join against k
-broadcast rows + a per-vector top-1 window keyed by vec_id — no
-corpus shuffle beyond the window's hash partition on vec_id), and the
-update is one explode + groupBy (cell, dim) aggregate whose map-side
-partial aggregation caps shuffle traffic at k·dim rows per partition.
-Centroids are localCheckpoint-ed each round (k·dim values — tiny) so
-the unrolled lineage never re-executes earlier rounds.
+Scale shape per iteration: the codebook (k rows) folds into ONE
+array-of-structs row that a broadcast nested-loop join appends to
+every corpus partition, and the assignment is then a ZERO-SHUFFLE
+narrow map — ``array_min(transform(cents, ...))`` computes the
+argmin per vector inside whole-stage codegen, so the corpus is never
+hash-partitioned (the earlier revision ranked a k×n crossJoin with a
+``row_number`` window on vec_id, which shuffled n·k rows every
+round). The update is one explode + groupBy (cell, dim) aggregate
+whose map-side partial aggregation caps shuffle traffic at k·dim rows
+per partition. Centroids are localCheckpoint-ed each round (k·dim
+values — tiny) so the unrolled lineage never re-executes earlier
+rounds.
 
 Determinism (the q83 recipe): centroid components round to 4 dp
 (per-dimension mean order differs across engines at ~1e-16) and
@@ -25,7 +29,6 @@ iteration shape is identical.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
-from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 #: Squared L2 distance between the vector column `v` and the broadcast
@@ -35,18 +38,37 @@ DIST2 = (
     "cast(0.0 as double), (acc, x) -> acc + x), 6)"
 )
 
+#: Argmin over the folded codebook column `cents`
+#: (array<struct<c_id, cvec>>): 6 dp squared distance per centroid,
+#: then `array_min` on (d2, c_id) structs — struct ordering compares
+#: d2 first, c_id second, so ties break on centroid id exactly like
+#: the old (dist asc, c_id asc) window rank, with zero shuffle.
+BEST_CELL = (
+    "array_min(transform(cents, c -> struct("
+    "round(aggregate(zip_with(v, c.cvec, (a, b) -> (a - b) * (a - b)), "
+    "cast(0.0 as double), (acc, x) -> acc + x), 6) as d2, "
+    "c.c_id as c_id)))"
+)
+
 
 def assign_cells(vecs: DataFrame, cent: DataFrame) -> DataFrame:
     """(vec_id, v, cell, d2): nearest centroid per vector; ties break
-    on centroid id. ``cent`` is (c_id, cvec) and is broadcast."""
-    dist2 = F.expr(DIST2)
-    rn_w = W.partitionBy("vec_id").orderBy(dist2.asc(), F.col("c_id").asc())
+    on centroid id. ``cent`` (c_id, cvec) folds into one
+    array-of-structs row — broadcast-appended to every partition — so
+    the argmin is a narrow map: no corpus shuffle, no window."""
+    cents = cent.agg(
+        F.collect_list(F.struct("c_id", "cvec")).alias("cents")
+    )
     return (
         vecs.select("vec_id", "v")
-        .crossJoin(F.broadcast(cent))
-        .withColumn("rn", F.row_number().over(rn_w))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "v", F.col("c_id").alias("cell"), dist2.alias("d2"))
+        .crossJoin(F.broadcast(cents))
+        .withColumn("best", F.expr(BEST_CELL))
+        .select(
+            "vec_id",
+            "v",
+            F.col("best.c_id").alias("cell"),
+            F.col("best.d2").alias("d2"),
+        )
     )
 
 

@@ -412,4 +412,4 @@ def featurize_media(media: DataFrame, batch_hint: int = 64) -> DataFrame:
                 }
             )
 
-    return media.repartition("modality").mapInPandas(op, MEDIA_FEATURES_SCHEMA)
+    return media.mapInPandas(op, MEDIA_FEATURES_SCHEMA)

@@ -11,10 +11,12 @@ approximate distance is the SUM of table lookups selected by its code
 
 Scale shape: codebook training is ONE grouped k-means (the subspace id
 is just another grouping key — no per-subspace loop); encoding is a
-narrow map + per-(vector, subspace) top-1 window; the ADC scan joins
-the byte-code table against the broadcast distance table and group-sums
-— the full-precision corpus is read only by the final re-rank join on
-the shortlist ids.
+ZERO-SHUFFLE narrow map (the codebook folds to one array row per
+subspace, broadcast, and ``array_min(transform(...))`` takes the
+argmin in codegen — no window); the ADC scan joins the byte-code
+table against the broadcast distance table and group-sums — the
+full-precision corpus is read only by the final re-rank join on the
+shortlist ids.
 
 Determinism: centroid means round to 4 dp and distances to 6 dp (the
 q83/q93 recipe); ADC sums run in DECIMAL(18,6) so the 8-term addition
@@ -33,6 +35,17 @@ from portfolio1_etl_spark.operators.similarity import _queries_view, cosine
 _SUBDIST = (
     "round(aggregate(zip_with(sv, cvec, (a, b) -> (a - b) * (a - b)), "
     "cast(0.0 as double), (acc, x) -> acc + x), 6)"
+)
+
+#: Argmin over the per-subspace folded codebook `cents`
+#: (array<struct<c_id, cvec>>): 6 dp distance per centroid, then
+#: `array_min` on (d, c_id) structs — ties break on centroid id, same
+#: ranking as the old (dist asc, c_id asc) window, with zero shuffle.
+_BEST_CODE = (
+    "array_min(transform(cents, c -> struct("
+    "round(aggregate(zip_with(sv, c.cvec, (a, b) -> (a - b) * (a - b)), "
+    "cast(0.0 as double), (acc, x) -> acc + x), 6) as d, "
+    "c.c_id as c_id)))"
 )
 
 
@@ -56,15 +69,19 @@ def split_subspaces(
 
 
 def _assign(sub: DataFrame, cent: DataFrame, id_col: str) -> DataFrame:
-    """(id, sub, sv, code): nearest centroid per (vector, subspace) —
-    the codebook is broadcast; ties break on centroid id."""
-    dist = F.expr(_SUBDIST)
-    w = W.partitionBy(id_col, "sub").orderBy(dist.asc(), F.col("c_id").asc())
+    """(id, sub, sv, code): nearest centroid per (vector, subspace).
+    The codebook folds to one array-of-structs row PER SUBSPACE
+    (n_sub rows, broadcast hash join on sub), so the argmin is a
+    narrow map over the split corpus — no shuffle, no window (the
+    earlier revision ranked an n·k join with a row_number window on
+    (id, sub), hash-partitioning n·k·n_sub rows per training round)."""
+    folded = cent.groupBy("sub").agg(
+        F.collect_list(F.struct("c_id", "cvec")).alias("cents")
+    )
     return (
-        sub.join(F.broadcast(cent), "sub")
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select(id_col, "sub", "sv", F.col("c_id").alias("code"))
+        sub.join(F.broadcast(folded), "sub")
+        .withColumn("best", F.expr(_BEST_CODE))
+        .select(id_col, "sub", "sv", F.col("best.c_id").alias("code"))
     )
 
 
