@@ -239,8 +239,14 @@ def connected_components(
     a scale-killer; the star algorithm contracts paths exponentially.
     Each round's edge set is eagerly materialized (localCheckpoint) to
     truncate lineage — on a cluster, substitute reliable checkpoints.
-    Driver involvement is one tiny (count, checksum) action per round
-    for the convergence test; edge data never leaves the executors.
+    Convergence is an EXACT fixpoint test — the round's edge set equals
+    the previous round's (both directions of ``exceptAll`` empty, both
+    sides already-materialized checkpoints) — not a probabilistic
+    (count, checksum) digest: a digest collision between two distinct
+    edge sets would end the loop early with wrong labels, and at
+    corpus scale "negligible probability × every run forever" is a
+    correctness bug, not a tradeoff. Edge data never leaves the
+    executors; the driver sees only the boolean.
     """
     e = (
         pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
@@ -250,16 +256,13 @@ def connected_components(
         .localCheckpoint(eager=True)
     )
 
-    def _digest(edges: DataFrame) -> tuple:
-        row = edges.agg(
-            F.count(F.lit(1)).alias("n"),
-            F.coalesce(
-                F.sum(F.xxhash64("u", "v") % F.lit(1_000_000_007)), F.lit(0)
-            ).alias("s"),
-        ).first()
-        return (row["n"], row["s"])
+    def _same_edges(cur: DataFrame, prev: DataFrame) -> bool:
+        # both are distinct sets, so set-equality needs both directions
+        return (
+            cur.exceptAll(prev).isEmpty() and prev.exceptAll(cur).isEmpty()
+        )
 
-    prev = _digest(e)
+    prev_e = e
     for _ in range(max_iter):
         # Large-star: every neighbor LARGER than u links to the
         # minimum of u's neighborhood (including u itself).
@@ -291,10 +294,9 @@ def connected_components(
             .distinct()
             .localCheckpoint(eager=True)
         )
-        cur = _digest(e)
-        if cur == prev:
+        if _same_edges(e, prev_e):
             break
-        prev = cur
+        prev_e = e
     else:
         raise RuntimeError(
             f"connected_components did not converge in {max_iter} rounds"

@@ -11,7 +11,9 @@ destination — two shuffles, both on uniform entity keys; the rank
 vector is localCheckpoint-ed per round so the unrolled lineage never
 replays earlier rounds. O(iters) rounds with no driver-side data
 movement (ranks stay distributed; only the loop counter lives on the
-driver).
+driver). Optional dangling-mass redistribution adds one tiny 1-row
+aggregate per round; optional early exit stops at the exact 10 dp
+fixpoint (see ``pagerank``).
 
 Determinism: contribution sums are floating-point and engine fold
 order differs at ~1e-16, so ranks round to 10 dp per iteration (the
@@ -31,13 +33,35 @@ def out_weights(edges: DataFrame) -> DataFrame:
 
 
 def pagerank(
-    edges: DataFrame, iters: int = 3, damping: float = 0.85
+    edges: DataFrame,
+    iters: int = 3,
+    damping: float = 0.85,
+    redistribute_dangling: bool = False,
+    stop_when_stable: bool = True,
 ) -> DataFrame:
-    """(node, rank): weighted PageRank after ``iters`` synchronous
-    rounds from a uniform start. ``edges`` is (src, dst, w). Nodes are
-    the union of sources and destinations; dangling nodes (no
-    out-edges) keep receiving but leak their mass — acceptable for
-    ranking, documented, and identical in the oracle."""
+    """(node, rank): weighted PageRank after at most ``iters``
+    synchronous rounds from a uniform start. ``edges`` is
+    (src, dst, w). Nodes are the union of sources and destinations.
+
+    ``redistribute_dangling=False``: dangling nodes (no out-edges)
+    keep receiving but leak their mass — acceptable for ranking,
+    documented, and identical in the oracle.
+
+    ``redistribute_dangling=True``: each round the rank mass sitting
+    on dangling nodes is summed (ONE extra tiny aggregate — a 1-row
+    DataFrame broadcast back onto the rank update; nothing collects
+    to the driver) and redistributed uniformly, so the rank vector
+    conserves total mass ≈ 1 round over round (the standard
+    formulation, Page et al. 1999 §2.7). The dangling sum rounds to
+    10 dp before redistribution so engine fold order cannot diverge.
+
+    ``stop_when_stable=True``: exit early when a round leaves every
+    10 dp-rounded rank unchanged. The rounded rank vector IS the
+    whole iteration state, so a stable round is an exact fixpoint —
+    further rounds reproduce it bit-for-bit, and early exit never
+    changes the result vs a fixed-``iters`` oracle; it only skips
+    provably-idempotent work. The check is an exact ``exceptAll``
+    emptiness test on the rank vector, not a probabilistic digest."""
     nodes = (
         edges.select(F.col("src").alias("node"))
         .union(edges.select(F.col("dst").alias("node")))
@@ -59,7 +83,10 @@ def pagerank(
         .select("src", "dst", (F.col("w") / F.col("outw")).alias("share"))
         .localCheckpoint(eager=True)
     )
-    for _ in range(iters):
+    dangling = nodes.join(
+        ow.select(F.col("src").alias("node")), "node", "left_anti"
+    ).localCheckpoint(eager=True)
+    for it in range(iters):
         contribs = (
             contrib_edges.join(
                 ranks.select(F.col("node").alias("src"), "rank"), "src"
@@ -67,16 +94,28 @@ def pagerank(
             .groupBy("dst")
             .agg(F.sum(F.col("rank") * F.col("share")).alias("inflow"))
         )
-        ranks = (
-            nodes.join(contribs, nodes.node == contribs.dst, "left")
-            .select(
-                "node",
-                F.round(
-                    F.lit(base)
-                    + F.lit(damping) * F.coalesce("inflow", F.lit(0.0)),
-                    10,
-                ).alias("rank"),
+        inflow_term = F.coalesce("inflow", F.lit(0.0))
+        joined = nodes.join(contribs, nodes.node == contribs.dst, "left")
+        if redistribute_dangling:
+            dm = ranks.join(dangling, "node", "left_semi").agg(
+                F.round(F.coalesce(F.sum("rank"), F.lit(0.0)), 10).alias("dm")
             )
-            .localCheckpoint(eager=True)
-        )
+            joined = joined.crossJoin(F.broadcast(dm))
+            inflow_term = inflow_term + F.col("dm") / F.lit(n_nodes)
+        new_ranks = joined.select(
+            "node",
+            F.round(
+                F.lit(base) + F.lit(damping) * inflow_term,
+                10,
+            ).alias("rank"),
+        ).localCheckpoint(eager=True)
+        # the check is pointless after the final round — we return
+        # new_ranks either way, so only pay for it mid-run
+        if (
+            stop_when_stable
+            and it < iters - 1
+            and new_ranks.exceptAll(ranks).isEmpty()
+        ):
+            return new_ranks
+        ranks = new_ranks
     return ranks

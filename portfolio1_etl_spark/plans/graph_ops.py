@@ -103,3 +103,94 @@ def q98_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ranks = pagerank(edges, iters=_ITERS, damping=_DAMP)
     return ranks.select(F.col("node").alias("nation"), "rank")
+
+
+# --- q101: dangling-mass redistribution ------------------------------------
+#
+# The trade graph restricted to src < dst (lexicographic) is a DAG in
+# which the lexicographically-last nations have NO out-edges — real
+# dangling nodes. With redistribute_dangling=True their rank mass is
+# summed each round (one 1-row aggregate) and returned uniformly, so
+# sum(rank) conserves ≈ 1 (q98's leaky variant would bleed it).
+
+_DAG_EDGES_SQL = f"""
+      SELECT src, dst, w FROM ({_EDGES_SQL}) WHERE src < dst
+"""
+
+
+def _pagerank_dangling_sql() -> str:
+    ctes = [
+        f"edges AS ({_DAG_EDGES_SQL})",
+        "nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges)",
+        "nn AS (SELECT count(*) AS n FROM nodes)",
+        "ow AS (SELECT src, sum(w) AS outw FROM edges GROUP BY src)",
+        "ce AS (SELECT e.src, e.dst, e.w / o.outw AS share FROM edges e JOIN ow o ON e.src = o.src)",
+        "r0 AS (SELECT node, round(1.0 / nn.n, 10) AS rank FROM nodes CROSS JOIN nn)",
+    ]
+    for t in range(1, _ITERS + 1):
+        ctes.append(
+            f"""dm{t} AS (
+      SELECT round(coalesce(sum(r.rank), 0.0), 10) AS dm
+      FROM r{t - 1} r LEFT JOIN ow o ON r.node = o.src
+      WHERE o.src IS NULL
+    )"""
+        )
+        ctes.append(
+            f"""r{t} AS (
+      SELECT n.node,
+             round((1.0 - {_DAMP}) / nn.n
+                   + {_DAMP} * (coalesce(c.inflow, 0.0) + d.dm / nn.n),
+                   10) AS rank
+      FROM nodes n CROSS JOIN nn CROSS JOIN dm{t} d
+      LEFT JOIN (
+        SELECT ce.dst, sum(r.rank * ce.share) AS inflow
+        FROM ce JOIN r{t - 1} r ON ce.src = r.node
+        GROUP BY ce.dst
+      ) c ON n.node = c.dst
+    )"""
+        )
+    body = ",\n    ".join(ctes)
+    return f"""
+    WITH {body}
+    SELECT node AS nation, rank FROM r{_ITERS}
+    """
+
+
+@query(
+    "q101_pagerank_dangling",
+    sql=_pagerank_dangling_sql(),
+    operators=("X-graph-pagerank", "J-star", "A1"),
+)
+def q101_pagerank_dangling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank with dangling-mass redistribution over the src<dst
+    DAG restriction of the trade graph (guaranteed dangling nodes).
+    Per round: the two standard shuffles PLUS one 1-row dangling-sum
+    aggregate broadcast back onto the update — total mass conserves
+    at ≈ 1 instead of leaking through sink nodes. Early exit fires
+    only at the exact 10 dp fixpoint, so the fixed-3-round oracle
+    replays identically."""
+    ln = catalog.load(spark, sf_dir, "lineitem")
+    o = catalog.load(spark, sf_dir, "orders")
+    c = catalog.load(spark, sf_dir, "customer")
+    s = catalog.load(spark, sf_dir, "supplier")
+    n = catalog.load(spark, sf_dir, "nation")
+    cn = n.select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("src")
+    )
+    sn = n.select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("dst")
+    )
+    edges = (
+        ln.join(o, ln.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("c_nk"))
+        .join(F.broadcast(s), ln.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("s_nk"))
+        .filter(F.col("src") < F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    ranks = pagerank(
+        edges, iters=_ITERS, damping=_DAMP, redistribute_dangling=True
+    )
+    return ranks.select(F.col("node").alias("nation"), "rank")

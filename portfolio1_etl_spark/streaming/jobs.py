@@ -21,33 +21,43 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-#: File-stream schema: the raw parquet stores ts as TIMESTAMP(NANOS),
-#: which the reader surfaces as long under nanosAsLong (catalog.py).
-_RAW_EVENTS = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
+def _raw_events_schema(ts_type: T.DataType) -> T.StructType:
+    """File-stream schema; ``ts`` depends on the landing zone's parquet
+    encoding (TIMESTAMP(NANOS) surfaces as long under nanosAsLong,
+    TIMESTAMP(MICROS, isAdjustedToUTC=false) as TIMESTAMP_NTZ)."""
+    return T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", ts_type),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
 
 
 def read_events_stream(spark: SparkSession, path: str) -> DataFrame:
-    """events as a file-source stream (parquet landing zone). The
-    nanos→timestamp conversion matches catalog.load exactly."""
+    """events as a file-source stream (parquet landing zone). A
+    streaming source needs a declared schema, so the footer's ``ts``
+    encoding is probed ONCE with a batch metadata read (driver-only,
+    no data scan) and the stream adapts: nanos-as-long converts with
+    integer division exactly like catalog.load; native micros NTZ
+    passes through. Hardcoding either encoding breaks when the
+    landing-zone writer changes its timestamp unit."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    probed = spark.read.parquet(path).schema["ts"].dataType
     raw = (
-        spark.readStream.schema(_RAW_EVENTS)
+        spark.readStream.schema(_raw_events_schema(probed))
         .option("maxFilesPerTrigger", 1)
         .parquet(path)
     )
     # Watermarks require TIMESTAMP (not NTZ); with the session pinned to
     # UTC this carries the same wall-clock values as the batch NTZ path.
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if isinstance(probed, T.LongType):  # TIMESTAMP(NANOS) under nanosAsLong
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def windowed_counts_stream(events: DataFrame) -> DataFrame:

@@ -73,3 +73,22 @@ def test_empty_input(spark):
 def test_self_pairs_only(spark):
     df = spark.createDataFrame([(4, 4), (7, 7)], "doc_a long, doc_b long")
     assert connected_components(df).count() == 0
+
+
+def test_convergence_is_exact_not_digest(spark):
+    # The old stopping rule compared a (count, hash-sum) digest of the
+    # edge set between rounds — two DIFFERENT edge sets with a digest
+    # collision would end the loop early with wrong labels. The check
+    # is now exact set equality (both exceptAll directions empty), so
+    # count-preserving rounds must NOT stop early: long paths keep the
+    # edge COUNT roughly stable across star rounds while the edge SET
+    # changes every round — exactly the count-collision shape.
+    for length in (16, 31):
+        _check(spark, [(i, i + 1) for i in range(length)])
+
+
+def test_many_small_components_converge_exactly(spark):
+    # hundreds of 2-cliques: per-round edge count is constant from the
+    # start (every round maps each pair onto itself) — termination must
+    # come from true set equality, never from count equality alone.
+    _check(spark, [(2 * i, 2 * i + 1) for i in range(200)])

@@ -59,3 +59,44 @@ def test_empty_edges(spark):
     out = pagerank(e, iters=2)
     assert out.columns == ["node", "rank"]
     assert out.count() == 0
+
+
+def test_dangling_redistribution_conserves_mass(spark):
+    # sink has no out-edges; with redistribution its mass returns
+    # uniformly each round instead of leaking, so sum(rank) ≈ 1.
+    e = _edges(spark, [("a", "sink", 1), ("a", "b", 1), ("b", "a", 1)])
+    ranks = pagerank(e, iters=6, redistribute_dangling=True)
+    total = ranks.agg(F.sum("rank")).first()[0]
+    assert abs(total - 1.0) < 1e-6
+    # and the redistributed variant dominates the leaky one everywhere
+    leaky = {
+        r["node"]: r["rank"]
+        for r in pagerank(e, iters=6, redistribute_dangling=False).collect()
+    }
+    full = {r["node"]: r["rank"] for r in ranks.collect()}
+    assert all(full[n] >= leaky[n] for n in full)
+
+
+def test_early_exit_matches_fixed_iteration_count(spark):
+    # symmetric cycle reaches its 10 dp fixpoint after round 1; early
+    # exit must return the SAME vector a fixed 6-round run produces.
+    e = _edges(spark, [("a", "b", 1), ("b", "a", 1)])
+    stable = {
+        r["node"]: r["rank"]
+        for r in pagerank(e, iters=6, stop_when_stable=True).collect()
+    }
+    fixed = {
+        r["node"]: r["rank"]
+        for r in pagerank(e, iters=6, stop_when_stable=False).collect()
+    }
+    assert stable == fixed == {"a": 0.5, "b": 0.5}
+
+
+def test_no_out_edges_at_all_redistributes_uniformly(spark):
+    # every node is dangling (edges exist but... impossible: edges
+    # imply out-edges). Closest degenerate case: one edge, two nodes,
+    # dst dangling — redistribution keeps the 2-node system at mass 1.
+    e = _edges(spark, [("a", "b", 1)])
+    ranks = pagerank(e, iters=4, redistribute_dangling=True)
+    total = ranks.agg(F.sum("rank")).first()[0]
+    assert abs(total - 1.0) < 1e-6

@@ -192,19 +192,24 @@ def test_scd2_maintenance_stream_converges(spark, tmp_path):
 
     land = tmp_path / "scd2_events"
     land.mkdir()
-    # slice the RAW file (ts = nanos long) so the landing zone carries
-    # exactly the schema read_events_stream expects
+    # slice the RAW file so the landing zone carries exactly the
+    # schema read_events_stream expects; the cut points adapt to the
+    # writer's ts encoding (nanos-as-long vs native micros NTZ)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     raw = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
     import datetime as _dt
 
-    def _ns(day):
-        return int(_dt.datetime(2024, 1, day).timestamp()) * 10**9
+    is_nanos = dict(raw.dtypes).get("ts") == "bigint"
+
+    def _cut(day):
+        if is_nanos:
+            return F.lit(int(_dt.datetime(2024, 1, day).timestamp()) * 10**9)
+        return F.to_timestamp_ntz(F.lit(f"2024-01-{day:02d}"))
 
     slices = [
-        raw.filter(F.col("ts") < _ns(10)),
-        raw.filter((F.col("ts") >= _ns(10)) & (F.col("ts") < _ns(20))),
-        raw.filter(F.col("ts") >= _ns(20)),
+        raw.filter(F.col("ts") < _cut(10)),
+        raw.filter((F.col("ts") >= _cut(10)) & (F.col("ts") < _cut(20))),
+        raw.filter(F.col("ts") >= _cut(20)),
     ]
     for i, s in enumerate(slices):
         s.coalesce(1).write.parquet(str(land / f"slice{i}"))
@@ -229,9 +234,13 @@ def test_scd2_maintenance_stream_converges(spark, tmp_path):
 
     # batch twin over the SAME landing files through the SAME ts
     # conversion as the stream
-    batch_input = spark.read.parquet(str(land)).withColumn(
-        "ts", F.timestamp_micros(F.expr("ts div 1000"))
-    )
+    batch_input = spark.read.parquet(str(land))
+    if is_nanos:
+        batch_input = batch_input.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000"))
+        )
+    else:
+        batch_input = batch_input.withColumn("ts", F.col("ts").cast("timestamp"))
     got = canon(state["current"])
     want = canon(scd2_rebuild(batch_input))
     assert len(got) > 0 and got == want
