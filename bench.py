@@ -56,6 +56,9 @@ HEADLINE = [
     "q99_pq_ann",
     "q90_multimodal_featurize",
     "q91_multimodal_decode",
+    "q100_corpus_prep",
+    "q101_pagerank_dangling",
+    "q102_png_decode",
 ]
 
 
@@ -65,9 +68,14 @@ def _previous_round_timings(here: str) -> tuple[str, dict[str, float]] | None:
     import glob
     import re
 
+    def _round_no(p: str) -> int | None:
+        m = re.search(r"BENCH_r(\d+)\.json$", os.path.basename(p))
+        return int(m.group(1)) if m else None
+
     benches = sorted(
-        glob.glob(os.path.join(here, "BENCH_r*.json")),
-        key=lambda p: int(re.search(r"BENCH_r(\d+)", p).group(1)),
+        (p for p in glob.glob(os.path.join(here, "BENCH_r*.json"))
+         if _round_no(p) is not None),
+        key=_round_no,
     )
     if not benches:
         return None

@@ -31,13 +31,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-#: Squared L2 distance between the vector column `v` and the broadcast
-#: centroid column `cvec`, rounded to 6 dp for cross-engine ranking.
-DIST2 = (
-    "round(aggregate(zip_with(v, cvec, (a, b) -> (a - b) * (a - b)), "
-    "cast(0.0 as double), (acc, x) -> acc + x), 6)"
-)
-
 #: Argmin over the folded codebook column `cents`
 #: (array<struct<c_id, cvec>>): 6 dp squared distance per centroid,
 #: then `array_min` on (d2, c_id) structs — struct ordering compares
@@ -55,7 +48,11 @@ def assign_cells(vecs: DataFrame, cent: DataFrame) -> DataFrame:
     """(vec_id, v, cell, d2): nearest centroid per vector; ties break
     on centroid id. ``cent`` (c_id, cvec) folds into one
     array-of-structs row — broadcast-appended to every partition — so
-    the argmin is a narrow map: no corpus shuffle, no window."""
+    the argmin is a narrow map: no corpus shuffle, no window.
+
+    An EMPTY codebook yields zero rows (``array_min`` over the empty
+    folded array is null and the null-best filter drops every vector)
+    — the same contract as the pre-fold crossJoin implementation."""
     cents = cent.agg(
         F.collect_list(F.struct("c_id", "cvec")).alias("cents")
     )
@@ -63,6 +60,7 @@ def assign_cells(vecs: DataFrame, cent: DataFrame) -> DataFrame:
         vecs.select("vec_id", "v")
         .crossJoin(F.broadcast(cents))
         .withColumn("best", F.expr(BEST_CELL))
+        .filter(F.col("best").isNotNull())
         .select(
             "vec_id",
             "v",
@@ -70,6 +68,26 @@ def assign_cells(vecs: DataFrame, cent: DataFrame) -> DataFrame:
             F.col("best.d2").alias("d2"),
         )
     )
+
+
+def sample_for_training(
+    vecs: DataFrame, fraction: float | None, id_col: str = "vec_id"
+) -> DataFrame:
+    """Deterministic map-only training sample: keep ids whose 48-bit
+    md5 hash lands in the first ``fraction`` of 10,000 buckets (the
+    q85 salted-hash recipe — no RNG, stable across runs and engines,
+    no shuffle). ``None`` or ≥1.0 keeps everything. Codebook TRAINING
+    is the only consumer — a k-means codebook estimates k·dim means,
+    so a small uniform sample trains a statistically-identical
+    codebook at a fraction of the per-iteration cost; the final
+    ASSIGNMENT still covers every vector."""
+    if fraction is None or fraction >= 1.0:
+        return vecs
+    bucket = F.expr(
+        f"cast(conv(substring(md5(cast({id_col} as string)), 1, 12), 16, 10)"
+        " as bigint) % 10000"
+    )
+    return vecs.filter(bucket < int(fraction * 10000))
 
 
 def update_centroids(assigned: DataFrame) -> DataFrame:
@@ -90,19 +108,34 @@ def update_centroids(assigned: DataFrame) -> DataFrame:
 
 
 def lloyd_kmeans(
-    vecs: DataFrame, k: int = 8, iters: int = 3
+    vecs: DataFrame,
+    k: int = 8,
+    iters: int = 3,
+    train_fraction: float | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Run ``iters`` Lloyd rounds from the deterministic seed set (the
     k smallest vec_ids — computed, not assumed: id spaces need not be
     dense or zero-based) and return ``(assigned, cent)``: the FINAL
     assignment (vec_id, v, cell, d2) against the last-updated codebook,
-    and that codebook (c_id, cvec)."""
-    seed_ids = vecs.select("vec_id").orderBy("vec_id").limit(k)
-    cent = vecs.join(F.broadcast(seed_ids), "vec_id", "left_semi").select(
+    and that codebook (c_id, cvec).
+
+    ``train_fraction`` (``sample_for_training``) runs every training
+    round — seeding, assignment, update — on a deterministic hash
+    sample; only the single final assignment touches the full corpus.
+    At 100 TB that turns O(iters) full-corpus passes into O(iters)
+    sample passes + ONE full pass, which is the difference between a
+    codebook you can afford to retrain and one you can't. ``None``
+    (the default) trains on everything — bit-identical to the
+    unsampled implementation."""
+    train = sample_for_training(vecs, train_fraction)
+    seed_ids = train.select("vec_id").orderBy("vec_id").limit(k)
+    cent = train.join(F.broadcast(seed_ids), "vec_id", "left_semi").select(
         F.col("vec_id").alias("c_id"), F.col("v").alias("cvec")
     )
-    assigned = assign_cells(vecs, cent)
+    assigned = assign_cells(train, cent)
     for _ in range(iters - 1):
         cent = update_centroids(assigned).localCheckpoint(eager=True)
+        assigned = assign_cells(train, cent)
+    if train is not vecs:  # sampled: assignment must cover every vector
         assigned = assign_cells(vecs, cent)
     return assigned, cent

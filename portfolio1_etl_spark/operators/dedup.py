@@ -257,10 +257,11 @@ def connected_components(
     )
 
     def _same_edges(cur: DataFrame, prev: DataFrame) -> bool:
-        # both are distinct sets, so set-equality needs both directions
-        return (
-            cur.exceptAll(prev).isEmpty() and prev.exceptAll(cur).isEmpty()
-        )
+        # both are DISTINCT sets, so |cur| == |prev| plus cur ⊆ prev is
+        # full set equality; the count probe (cheap — both sides are
+        # materialized checkpoints) short-circuits the exceptAll
+        # shuffle on every still-shrinking round
+        return cur.count() == prev.count() and cur.exceptAll(prev).isEmpty()
 
     prev_e = e
     for _ in range(max_iter):

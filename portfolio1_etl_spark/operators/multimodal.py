@@ -19,12 +19,14 @@ Spark-side design (all real and tested):
   ``repartition(col("modality"), pmod(xxhash64("path"), lit(N)))``.)
 
 Decode support is two-tier:
-- **Real, dependency-free decoders** for PPM (P6) images and WAV
-  (RIFF/PCM16) audio — pure numpy header parsing + frombuffer, no
-  image/audio library needed (``decode_ppm`` / ``decode_wav`` /
-  ``decode_media``), exercised end-to-end by the oracle-checked
-  q91 encode→decode round trip.
-- Compressed formats (JPEG/PNG/MP3/MP4) need PIL/soundfile/av, which
+- **Real, dependency-free decoders** for PPM (P6) images, PNG (8-bit
+  gray/RGB[A], non-interlaced — stdlib zlib inflate + full
+  None/Sub/Up/Average/Paeth unfiltering, ``decode_png``), and WAV
+  (RIFF/PCM16) audio — no image/audio library needed (``decode_ppm``
+  / ``decode_png`` / ``decode_wav`` / ``decode_media``), exercised
+  end-to-end by the oracle-checked q91/q102 encode→decode round
+  trips.
+- Lossy codec formats (JPEG/MP3/MP4) need PIL/soundfile/av, which
   this image does not ship: ``decode_media`` raises a clearly-marked
   ``NotImplementedError`` for those, and the digest-feature path
   (``featurize_media``) remains the library-free fallback.
@@ -34,6 +36,7 @@ from __future__ import annotations
 
 import hashlib
 import struct
+import zlib
 from collections.abc import Iterator
 
 import numpy as np
@@ -142,6 +145,142 @@ def decode_ppm(b: bytes) -> tuple[np.ndarray, int, int]:
     return pixels.reshape(h, w, 3), w, h
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+#: PNG color type → samples per pixel (8-bit depth only)
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
+
+
+def _png_chunk(typ: bytes, data: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(data))
+        + typ
+        + data
+        + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+    )
+
+
+def _png_filter_row(
+    ftype: int, row: np.ndarray, prev: np.ndarray, bpp: int
+) -> np.ndarray:
+    """Apply PNG filter ``ftype`` to one unfiltered scanline (int32 in,
+    uint8 out). ``prev`` is the previous UNfiltered scanline."""
+    left = np.concatenate([np.zeros(bpp, np.int32), row[:-bpp]])
+    upleft = np.concatenate([np.zeros(bpp, np.int32), prev[:-bpp]])
+    if ftype == 0:
+        out = row
+    elif ftype == 1:  # Sub
+        out = row - left
+    elif ftype == 2:  # Up
+        out = row - prev
+    elif ftype == 3:  # Average
+        out = row - (left + prev) // 2
+    elif ftype == 4:  # Paeth
+        p = left + prev - upleft
+        pa, pb, pc = np.abs(p - left), np.abs(p - prev), np.abs(p - upleft)
+        pred = np.where(
+            (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, prev, upleft)
+        )
+        out = row - pred
+    else:
+        raise ValueError(f"unknown PNG filter {ftype}")
+    return (out % 256).astype(np.uint8)
+
+
+def encode_png(pixels: np.ndarray, filters: list[int] | None = None) -> bytes:
+    """Encode an (h, w, 3) uint8 array as a non-interlaced 8-bit RGB
+    PNG — stdlib zlib only. ``filters`` picks the per-row filter type
+    (default all 0); passing varied types makes round-trip tests
+    exercise every unfilter branch (Sub/Up/Average/Paeth)."""
+    if pixels.ndim != 3 or pixels.shape[2] != 3 or pixels.dtype != np.uint8:
+        raise ValueError("encode_png expects (h, w, 3) uint8")
+    h, w, _ = pixels.shape
+    stride, bpp = w * 3, 3
+    rows = pixels.reshape(h, stride).astype(np.int32)
+    raw = bytearray()
+    prev = np.zeros(stride, np.int32)
+    for y in range(h):
+        ftype = filters[y % len(filters)] if filters else 0
+        raw.append(ftype)
+        raw += _png_filter_row(ftype, rows[y], prev, bpp).tobytes()
+        prev = rows[y]
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def decode_png(b: bytes) -> tuple[np.ndarray, int, int]:
+    """Dependency-free PNG decode: chunk walk (CRC-checked), stdlib
+    zlib inflate of the concatenated IDAT stream, then per-scanline
+    unfilter (None/Sub/Up/Average/Paeth). Supports 8-bit depth,
+    gray / gray+alpha / RGB / RGBA, non-interlaced. Returns
+    (pixels (h, w, channels) uint8, width, height)."""
+    if b[:8] != _PNG_SIG:
+        raise ValueError("not a PNG file")
+    pos, idat, meta = 8, bytearray(), None
+    while pos + 8 <= len(b):
+        size = struct.unpack(">I", b[pos : pos + 4])[0]
+        typ = b[pos + 4 : pos + 8]
+        data = b[pos + 8 : pos + 8 + size]
+        crc = struct.unpack(">I", b[pos + 8 + size : pos + 12 + size])[0]
+        if zlib.crc32(typ + data) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG chunk {typ!r} CRC mismatch")
+        if typ == b"IHDR":
+            meta = struct.unpack(">IIBBBBB", data)
+        elif typ == b"IDAT":
+            idat += data
+        elif typ == b"IEND":
+            break
+        pos += 12 + size
+    if meta is None or not idat:
+        raise ValueError("missing IHDR/IDAT chunk")
+    w, h, depth, ctype, comp, filt, interlace = meta
+    if depth != 8 or ctype not in _PNG_CHANNELS or comp or filt or interlace:
+        raise NotImplementedError(
+            f"only 8-bit non-interlaced gray/RGB[A] PNGs supported "
+            f"(depth={depth}, color={ctype}, interlace={interlace})"
+        )
+    ch = _PNG_CHANNELS[ctype]
+    stride, bpp = w * ch, ch
+    raw = zlib.decompress(bytes(idat))
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG pixel payload has the wrong length")
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, np.int32)
+    for y in range(h):
+        ftype = raw[y * (stride + 1)]
+        row = np.frombuffer(
+            raw, np.uint8, stride, y * (stride + 1) + 1
+        ).astype(np.int32)
+        if ftype == 0:
+            cur = row
+        elif ftype == 2:  # Up
+            cur = (row + prev) % 256
+        elif ftype in (1, 3, 4):  # Sub/Average/Paeth need the running left
+            cur = np.zeros(stride, np.int32)
+            for x in range(stride):
+                a = cur[x - bpp] if x >= bpp else 0
+                up = int(prev[x])
+                c = int(prev[x - bpp]) if x >= bpp else 0
+                if ftype == 1:
+                    pred = a
+                elif ftype == 3:
+                    pred = (a + up) // 2
+                else:
+                    p = a + up - c
+                    pa, pb, pc = abs(p - a), abs(p - up), abs(p - c)
+                    pred = a if pa <= pb and pa <= pc else (up if pb <= pc else c)
+                cur[x] = (row[x] + pred) % 256
+        else:
+            raise ValueError(f"unknown PNG filter {ftype}")
+        out[y] = cur.astype(np.uint8)
+        prev = cur
+    return out.reshape(h, w, ch), w, h
+
+
 def encode_wav(samples: np.ndarray, sample_rate: int = 8000) -> bytes:
     """Encode int16 mono samples as a RIFF/WAVE PCM16 file (44-byte
     canonical header + little-endian samples)."""
@@ -187,11 +326,15 @@ def decode_media(content: bytes) -> tuple[str, np.ndarray, str]:
     (image) or PCM16 samples (audio) and dims is '{w}x{h}' or
     '{rate}Hz'.
 
-    Compressed formats (JPEG/PNG/MP3/MP4) require PIL/soundfile/av —
-    not shipped in this image — and raise ``NotImplementedError`` as
-    a documented capability boundary."""
+    PNG decodes natively too (stdlib zlib inflate + unfilter,
+    ``decode_png``). Lossy codec formats (JPEG/MP3/MP4) require
+    PIL/soundfile/av — not shipped in this image — and raise
+    ``NotImplementedError`` as a documented capability boundary."""
     if content[:2] == b"P6":
         pixels, w, h = decode_ppm(content)
+        return "image", pixels.reshape(-1).astype(np.int64), f"{w}x{h}"
+    if content[:8] == _PNG_SIG:
+        pixels, w, h = decode_png(content)
         return "image", pixels.reshape(-1).astype(np.int64), f"{w}x{h}"
     # RIFF alone is not enough — WebP/AVI are RIFF containers too;
     # only RIFF/WAVE routes to the WAV decoder.
@@ -199,9 +342,9 @@ def decode_media(content: bytes) -> tuple[str, np.ndarray, str]:
         samples, rate = decode_wav(content)
         return "audio", samples.astype(np.int64), f"{rate}Hz"
     raise NotImplementedError(
-        "compressed media decode (JPEG/PNG/MP3/MP4) requires an "
-        "image/audio library (PIL/soundfile/av) — not available in "
-        "this image; PPM and WAV decode natively"
+        "lossy media decode (JPEG/MP3/MP4) requires an image/audio "
+        "library (PIL/soundfile/av) — not available in this image; "
+        "PPM, PNG, and WAV decode natively"
     )
 
 
@@ -308,11 +451,11 @@ def resize_ppm(b: bytes, target_px: int) -> bytes:
 
 def resize_media(media: DataFrame, target_px: int = 256) -> DataFrame:
     """Resize/transcode pass over a media column via mapInPandas.
-    PPM images resize for REAL (decode → nearest-neighbor downsample →
-    re-encode, ``resize_ppm``); other formats fall back to a
-    deterministic byte-decimation stand-in (compressed codecs need
-    PIL/av, absent in this image). The Spark-side contract — binary in
-    / smaller binary out per Arrow batch, metadata struct rewritten —
+    PPM and RGB PNG images resize for REAL (decode → nearest-neighbor
+    downsample → re-encode); other formats fall back to a
+    deterministic byte-decimation stand-in (lossy codecs need PIL/av,
+    absent in this image). The Spark-side contract — binary in /
+    smaller binary out per Arrow batch, metadata struct rewritten —
     is identical on both paths."""
 
     def _resize_one(b: bytes) -> bytes:
@@ -321,6 +464,19 @@ def resize_media(media: DataFrame, target_px: int = 256) -> DataFrame:
                 return resize_ppm(b, target_px)
             except (ValueError, IndexError):
                 pass  # malformed P6 → fall through, don't kill the job
+        if b[:8] == _PNG_SIG:
+            try:
+                pixels, w, h = decode_png(b)
+                if pixels.shape[2] == 3:  # RGB re-encodes natively
+                    scale = max(w, h) / target_px
+                    if scale <= 1.0:
+                        return b
+                    nw, nh = max(int(w / scale), 1), max(int(h / scale), 1)
+                    rows = (np.arange(nh) * h) // nh
+                    cols = (np.arange(nw) * w) // nw
+                    return encode_png(pixels[rows][:, cols])
+            except (ValueError, NotImplementedError, zlib.error):
+                pass  # unsupported/malformed PNG → stand-in path
         # deterministic stand-in for codec-backed formats: a resize
         # produces smaller content derived from the original.
         return bytes(b[::2])

@@ -29,6 +29,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
+from portfolio1_etl_spark.operators.clustering import sample_for_training
 from portfolio1_etl_spark.operators.similarity import _queries_view, cosine
 
 #: distance between a subvector and a subspace centroid, 6 dp.
@@ -86,16 +87,29 @@ def _assign(sub: DataFrame, cent: DataFrame, id_col: str) -> DataFrame:
 
 
 def train_codebook(
-    sub: DataFrame, k: int, iters: int = 2, id_col: str = "vec_id"
+    sub: DataFrame,
+    k: int,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    train_fraction: float | None = None,
 ) -> DataFrame:
     """(sub, c_id, cvec): per-subspace k-means codebook — one GROUPED
     Lloyd's run (subspace is a grouping key everywhere, so all
     subspaces train in the same jobs). Seeds: subvectors of the k
-    smallest ids (computed — id spaces need not be dense/zero-based)."""
-    seed_ids = sub.select(id_col).distinct().orderBy(id_col).limit(k)
-    cent = sub.join(F.broadcast(seed_ids), id_col, "left_semi").select(
+    smallest ids (computed — id spaces need not be dense/zero-based).
+
+    ``train_fraction`` trains on a deterministic hash sample of the
+    VECTOR ids (sampling by id keeps all of a vector's subvectors
+    together — ``sample_for_training``); encoding afterwards still
+    covers the full corpus. At 100 TB the codebook needs n_sub·k·dim
+    means, not a full-corpus pass per training round. ``None`` trains
+    on everything — bit-identical to the unsampled implementation."""
+    train = sample_for_training(sub, train_fraction, id_col=id_col)
+    seed_ids = train.select(id_col).distinct().orderBy(id_col).limit(k)
+    cent = train.join(F.broadcast(seed_ids), id_col, "left_semi").select(
         "sub", F.col(id_col).alias("c_id"), F.col("sv").alias("cvec")
     )
+    sub = train
     for _ in range(iters - 1):
         assigned = _assign(sub, cent, id_col)
         cent = (
@@ -123,6 +137,7 @@ def pq_topk(
     n_cent: int = 16,
     shortlist: int = 32,
     id_col: str = "vec_id",
+    train_fraction: float | None = None,
 ) -> DataFrame:
     """Two-stage PQ/ADC search: approximate distances from the byte
     codes + broadcast query distance table, exact cosine re-rank on
@@ -133,7 +148,7 @@ def pq_topk(
     subvectors are looked up by id in the corpus split; external
     query vectors would need their own split/normalize pass."""
     sub = split_subspaces(vecs, n_sub, sub_dim, id_col).localCheckpoint(eager=True)
-    cent = train_codebook(sub, n_cent, id_col=id_col)
+    cent = train_codebook(sub, n_cent, id_col=id_col, train_fraction=train_fraction)
     codes = _assign(sub, cent, id_col).select(id_col, "sub", "code")
     qids = queries.select(F.col(id_col).alias("query_id"))
     qsub = sub.join(

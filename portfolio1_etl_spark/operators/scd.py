@@ -91,8 +91,13 @@ def scd2_apply(
         F.col("valid_from").alias(ts_col),
         (F.col("version") - F.lit(2**62)).alias("_ord"),
     )
+    # a NULL tiebreak must not sort a new arrival ahead of replayed
+    # history (nulls-first in the rebuild's ordering) — missing order
+    # keys mean "no preference", i.e. 0
     new_ord = (
-        F.col(tiebreak_col).cast("long") if tiebreak_col else F.lit(0).cast("long")
+        F.coalesce(F.col(tiebreak_col).cast("long"), F.lit(0))
+        if tiebreak_col
+        else F.lit(0).cast("long")
     )
     incoming = new_events.select(
         entity_col, state_col, ts_col, new_ord.alias("_ord")

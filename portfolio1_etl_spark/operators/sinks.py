@@ -69,9 +69,23 @@ def compact_parquet(
     in the same job. A crash between the two renames leaves the data
     intact at ``path._precompact``; the next run recovers it before
     doing anything else (single-writer assumption, as for any
-    parquet-directory overwrite). Returns the new file count."""
+    parquet-directory overwrite). Returns the new file count.
+
+    LOCAL-FILESYSTEM ONLY: the stage-and-swap runs on ``os.rename`` —
+    on HDFS/S3 those calls would silently operate on the driver's
+    local disk while Spark reads the remote store, so URI-scheme paths
+    are rejected loudly. A cluster deployment routes compaction
+    through the Hadoop FileSystem API (rename is atomic on HDFS) or a
+    table format's native compaction (Iceberg rewrite_data_files /
+    Delta OPTIMIZE), which also removes the single-writer caveat."""
     import shutil
 
+    if "://" in path:
+        raise NotImplementedError(
+            "compact_parquet stages via local-filesystem renames; "
+            f"cannot compact {path!r} — use the Hadoop FileSystem API "
+            "or a table-format compaction for remote stores"
+        )
     staged = path.rstrip("/") + "._compacting"
     backup = path.rstrip("/") + "._precompact"
     if os.path.exists(backup):

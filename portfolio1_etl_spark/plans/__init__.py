@@ -18,6 +18,7 @@ from portfolio1_etl_spark.plans import sketch_ops  # noqa: F401,E402
 from portfolio1_etl_spark.plans import clustering_ops  # noqa: F401,E402
 from portfolio1_etl_spark.plans import graph_ops  # noqa: F401,E402
 from portfolio1_etl_spark.plans import pq_ops  # noqa: F401,E402
+from portfolio1_etl_spark.plans import corpus_ops  # noqa: F401,E402
 
 #: Explicit registry order. External correctness harnesses may sample a
 #: prefix of ``queries()`` (round 1 checked exactly the first 50 entries),
@@ -75,8 +76,10 @@ PRIORITY: tuple[str, ...] = (
     "q93_kmeans",
     # frequency sketches
     "q92_cms_heavy_hitters",
-    # deduplication layer
-    "q70_dedup_exact_stats",
+    # deduplication layer (q70_dedup_exact_stats yields its slot to the
+    # corpus-prep composite — q71 keeps the exact-dedup representative,
+    # and q100 exercises the same census through the full pipeline)
+    "q100_corpus_prep",
     "q71_dedup_exact_keep",
     "q72_ngram_jaccard",
     "q73_minhash_lsh",

@@ -28,6 +28,7 @@ from portfolio1_etl_spark import catalog
 from portfolio1_etl_spark.operators.multimodal import (
     MEDIA_SCHEMA,
     decode_media_features,
+    encode_png,
     encode_ppm,
     encode_wav,
     featurize_media,
@@ -172,6 +173,81 @@ def q91_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("path").cast("long").alias("doc_id"),
         "modality",
         "n_bytes",
+        "n_units",
+        "dims",
+        "mean_val",
+        "rms",
+    )
+
+
+# --- q102: REAL PNG (zlib-compressed) encode→decode round trip -------------
+
+#: 8×8 RGB PNG per document; rows cycle through ALL FIVE PNG filter
+#: types (None/Sub/Up/Average/Paeth), so every unfilter branch of
+#: ``decode_png`` is on the oracle-checked path. Pixel values are an
+#: integer function of (doc_id, index) the oracle replays exactly.
+_PNG_N = 8 * 8 * 3
+
+
+def _synthesize_png(docs):
+    """doc_id → real zlib-compressed PNG bytes via mapInPandas."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: dict[str, list] = {"path": [], "modality": [], "content": [], "meta": []}
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                i = np.arange(_PNG_N, dtype=np.int64)
+                px = ((d * 11 + i * 19) % 256).astype(np.uint8)
+                content = encode_png(
+                    px.reshape(8, 8, 3), filters=[0, 1, 2, 3, 4]
+                )
+                rows["path"].append(str(d))
+                rows["modality"].append("image")
+                rows["content"].append(content)
+                rows["meta"].append({"length": len(content), "mime": "image/png"})
+            yield pd.DataFrame(rows)
+
+    return docs.select("doc_id").mapInPandas(op, MEDIA_SCHEMA)
+
+
+@query(
+    "q102_png_decode",
+    sql=f"""
+    WITH idx AS (
+      SELECT doc_id, unnest(generate_series(0, {_PNG_N} - 1)) AS i
+      FROM documents
+    ),
+    vals AS (
+      SELECT doc_id, (doc_id * 11 + i * 19) % 256 AS v FROM idx
+    )
+    SELECT doc_id,
+           'image' AS modality,
+           CAST({_PNG_N} AS BIGINT) AS n_units,
+           '8x8' AS dims,
+           CAST(sum(v) AS DOUBLE) / {_PNG_N} AS mean_val,
+           sqrt(CAST(sum(v * v) AS DOUBLE) / {_PNG_N}) AS rms
+    FROM vals
+    GROUP BY doc_id
+    """,
+    operators=("X-multimodal", "X-multimodal-decode"),
+)
+def q102_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compressed-image decode, end-to-end and dependency-free: a real
+    zlib-compressed PNG is synthesized per document (rows cycle
+    through all five PNG filter types), then parsed back by
+    ``decode_png`` (chunk walk + CRC check + inflate + unfilter)
+    inside Arrow-batched ``mapInPandas``, and the decoded pixels
+    reduce to analytic features. The oracle recomputes mean/RMS from
+    the integer pixel generator — any inflate, unfilter, or stride bug
+    fails the hash gate. (Byte length is NOT part of the contract:
+    zlib stream size is an implementation detail, unlike the decoded
+    pixels.)"""
+    docs = catalog.load(spark, sf_dir, "documents")
+    feats = decode_media_features(_synthesize_png(docs))
+    return feats.select(
+        F.col("path").cast("long").alias("doc_id"),
+        "modality",
         "n_units",
         "dims",
         "mean_val",

@@ -127,7 +127,19 @@ def _read_xlsx_minimal(path: str):
         return pd.DataFrame()
     width = max(max(r) + 1 for r in rows if r)
     grid = [[r.get(i) for i in range(width)] for r in rows]
-    return pd.DataFrame(grid[1:], columns=[str(h) for h in grid[0]])
+    df = pd.DataFrame(grid[1:], columns=[str(h) for h in grid[0]])
+    # pd.read_excel dtype parity: a numeric column with ANY fractional
+    # cell is float64 throughout — per-cell int narrowing would leave a
+    # mixed int/float object column that breaks Arrow schema inference.
+    for c in df.columns:
+        col = df[c]
+        numeric = col.map(
+            lambda x: x is None
+            or (isinstance(x, (int, float)) and not isinstance(x, bool))
+        ).all()
+        if numeric and col.map(lambda x: isinstance(x, float)).any():
+            df[c] = col.astype("float64")
+    return df
 
 
 def read_excel(

@@ -68,6 +68,44 @@ def test_update_is_cellwise_mean(spark):
     assert got == {7: [1.0, 3.0], 9: [5.0, 5.0]}
 
 
+def test_empty_codebook_assigns_nothing(spark):
+    # contract parity with the pre-fold crossJoin implementation:
+    # an empty codebook yields zero assignment rows, not null cells
+    vecs = spark.createDataFrame(
+        [(0, [0.0, 1.0]), (1, [2.0, 3.0])], "vec_id long, v array<double>"
+    )
+    cent = spark.createDataFrame([], "c_id long, cvec array<double>")
+    out = assign_cells(vecs, cent)
+    assert out.columns == ["vec_id", "v", "cell", "d2"]
+    assert out.count() == 0
+
+
+def test_sampled_training_still_assigns_everyone(spark, sf_dir):
+    from portfolio1_etl_spark.operators.clustering import sample_for_training
+
+    vecs = _vecs(spark, sf_dir).localCheckpoint(eager=True)
+    n = vecs.count()
+    n_train = sample_for_training(vecs, 0.3).count()
+    assert 0 < n_train < n  # the sample is real and proper
+    assigned, cent = lloyd_kmeans(vecs, k=4, iters=3, train_fraction=0.3)
+    # codebook trained on the sample, but EVERY vector gets a cell
+    assert assigned.count() == n
+    assert assigned.select("vec_id").distinct().count() == n
+    assert 1 <= cent.count() <= 4
+
+
+def test_sampled_objective_close_to_full(spark, sf_dir):
+    # a codebook trained on 30% of the corpus must land within 2x of
+    # the full-training within-cluster objective (same seeds recipe,
+    # deterministic hash sample — no flakiness)
+    vecs = _vecs(spark, sf_dir).localCheckpoint(eager=True)
+    full_assigned, _ = lloyd_kmeans(vecs, k=4, iters=3)
+    samp_assigned, _ = lloyd_kmeans(vecs, k=4, iters=3, train_fraction=0.3)
+    full_obj = full_assigned.agg(F.sum("d2")).first()[0]
+    samp_obj = samp_assigned.agg(F.sum("d2")).first()[0]
+    assert samp_obj <= full_obj * 2.0, (full_obj, samp_obj)
+
+
 def test_seeds_work_with_non_dense_ids(spark):
     # ids far from zero: 'vec_id < k' seeding would produce an empty
     # codebook; the computed k-smallest seeding must not

@@ -53,10 +53,71 @@ def test_featurize_media_batched(spark, media_dir):
 
 
 def test_compressed_decode_is_clearly_bounded():
-    """JPEG/PNG/MP3 need real codec libraries — the boundary stays an
+    """JPEG/MP3 need real codec libraries — the boundary stays an
     explicit NotImplementedError, not a silent wrong answer."""
     with pytest.raises(NotImplementedError, match="media decode"):
         decode_media(b"\xff\xd8fakejpegbytes")
+
+
+def test_png_round_trip_every_filter_type():
+    import numpy as np
+
+    from portfolio1_etl_spark.operators.multimodal import decode_png, encode_png
+
+    rng = np.random.RandomState(11)
+    px = rng.randint(0, 256, (9, 7, 3)).astype(np.uint8)
+    # each filter type alone, then all five cycling row by row — every
+    # unfilter branch (None/Sub/Up/Average/Paeth) must invert exactly
+    for filters in (None, [1], [2], [3], [4], [0, 1, 2, 3, 4]):
+        back, w, h = decode_png(encode_png(px, filters=filters))
+        assert (w, h) == (7, 9) and (back == px).all(), filters
+    modality, vals, dims = decode_media(encode_png(px))
+    assert modality == "image" and dims == "7x9" and len(vals) == 9 * 7 * 3
+
+
+def test_png_rejects_corruption_and_unsupported():
+    import struct
+
+    import numpy as np
+
+    from portfolio1_etl_spark.operators.multimodal import decode_png, encode_png
+
+    b = encode_png(np.zeros((2, 2, 3), dtype=np.uint8))
+    with pytest.raises(ValueError, match="not a PNG"):
+        decode_png(b"\x89PNX" + b[4:])
+    # flip one IDAT payload byte: the CRC check must catch it
+    corrupt = bytearray(b)
+    idat_at = b.index(b"IDAT") + 4
+    corrupt[idat_at] ^= 0xFF
+    with pytest.raises(ValueError, match="CRC mismatch"):
+        decode_png(bytes(corrupt))
+    # 16-bit depth is a documented NotImplementedError boundary
+    ihdr16 = struct.pack(">IIBBBBB", 2, 2, 16, 2, 0, 0, 0)
+    from portfolio1_etl_spark.operators.multimodal import _png_chunk, _PNG_SIG
+
+    deep = _PNG_SIG + _png_chunk(b"IHDR", ihdr16) + _png_chunk(b"IDAT", b"x") + _png_chunk(b"IEND", b"")
+    with pytest.raises(NotImplementedError, match="8-bit"):
+        decode_png(deep)
+
+
+def test_png_resize_real(spark):
+    import numpy as np
+
+    from portfolio1_etl_spark.operators.multimodal import (
+        decode_png,
+        encode_png,
+        resize_media,
+    )
+
+    px = np.arange(16 * 12 * 3, dtype=np.int64).astype(np.uint8).reshape(16, 12, 3)
+    media = spark.createDataFrame(
+        [("a.png", "image", bytearray(encode_png(px)), (int(16 * 12 * 3), "image/png"))],
+        "path string, modality string, content binary, meta struct<length: long, mime: string>",
+    )
+    out = resize_media(media, target_px=8).collect()[0]
+    back, w, h = decode_png(bytes(out["content"]))
+    assert (w, h) == (6, 8)  # long edge 16 → 8, aspect kept
+    assert back.shape == (8, 6, 3)
 
 
 def test_ppm_round_trip():
@@ -188,6 +249,16 @@ def test_sample_frames_wav_real(spark, tmp_path):
         assert rate == 16000 and len(clip) == 100
         rebuilt.extend(clip.tolist())
     assert rebuilt == smp.tolist()
+
+
+def test_compact_parquet_rejects_remote_uris(spark):
+    """os.rename staging silently diverges from a remote store — the
+    operator must refuse URI-scheme paths loudly, not corrupt data."""
+    from portfolio1_etl_spark.operators import compact_parquet
+
+    for bad in ("hdfs://nn/warehouse/t", "s3a://bucket/table"):
+        with pytest.raises(NotImplementedError, match="local-filesystem"):
+            compact_parquet(spark, bad)
 
 
 def test_compact_parquet_small_files(spark, sf_dir, tmp_path):

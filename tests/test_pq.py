@@ -62,3 +62,37 @@ def test_pq_recall_vs_exact(spark, sf_dir):
     assert len(approx) == len(exact)
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.5, f"recall {recall}"
+
+
+def test_pq_recall_with_sampled_training(spark, sf_dir):
+    # the codebook trained on a 30% deterministic hash sample must
+    # still clear the same recall bar as full training — the 100 TB
+    # configuration (sample-train, full-encode)
+    vecs = _vecs(spark, sf_dir).localCheckpoint(eager=True)
+    queries = vecs.filter(F.col("vec_id") < 8)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in brute_force_topk(vecs, queries, k=3).collect()
+    }
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in pq_topk(
+            vecs, queries, k=3, shortlist=32, train_fraction=0.3
+        ).collect()
+    }
+    assert len(approx) == len(exact)  # every query still yields full top-k
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.5, f"recall {recall}"
+
+
+def test_sampled_codebook_encodes_all_vectors(spark, sf_dir):
+    from portfolio1_etl_spark.operators.pq import _assign
+
+    vecs = _vecs(spark, sf_dir).localCheckpoint(eager=True)
+    sub = split_subspaces(vecs, 8, 8).localCheckpoint(eager=True)
+    cent = train_codebook(sub, k=16, train_fraction=0.3)
+    # sampling by id keeps subvectors aligned: every subspace trains
+    assert {r["sub"] for r in cent.select("sub").distinct().collect()} == set(range(8))
+    codes = _assign(sub, cent, "vec_id")
+    # encoding covers the FULL corpus, not just the training sample
+    assert codes.count() == vecs.count() * 8

@@ -85,4 +85,4 @@ def test_demoted_queries_still_oracle_backed():
 
 
 def test_query_names_follow_convention():
-    assert all(re.match(r"^q\d{2}_[a-z0-9_]+$", n) for n in REGISTRY)
+    assert all(re.match(r"^q\d{2,3}_[a-z0-9_]+$", n) for n in REGISTRY)
