@@ -59,6 +59,7 @@ HEADLINE = [
     "q100_corpus_prep",
     "q101_pagerank_dangling",
     "q102_png_decode",
+    "q103_pq_sampled_train",
 ]
 
 

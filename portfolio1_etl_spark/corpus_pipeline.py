@@ -53,6 +53,7 @@ def prepare_corpus(
     max_repetition: float = 0.4,
     out_path: str | None = None,
     docs: DataFrame | None = None,
+    count_rows: bool = True,
 ) -> CorpusPrepResult:
     """Run the full prep over ``documents``. Order matters and is the
     production order: exact dedup first (cheapest, biggest win),
@@ -60,10 +61,14 @@ def prepare_corpus(
     per-doc quality gates last (narrow maps). The eval slice
     (doc_id % eval_mod == 0) is excluded from the training output by
     definition. First drop reason wins in the decision log. ``docs``
-    overrides the table for testing (schema: doc_id, text, lang)."""
+    overrides the table for testing (schema: doc_id, text, lang).
+    ``count_rows=False`` skips the n_input/n_kept census actions (-1
+    in the result) — callers that only consume ``decisions`` or pipe
+    ``kept`` straight to a sink avoid two extra full passes, one of
+    which would run the PII regex chain just to count."""
     if docs is None:
         docs = catalog.load(spark, sf_dir, "documents")
-    n_input = docs.count()
+    n_input = docs.count() if count_rows else -1
 
     # -- stage 1: exact dedup (q71 semantics) ---------------------------
     exact_keep = (
@@ -151,5 +156,5 @@ def prepare_corpus(
         kept=kept,
         decisions=decisions,
         n_input=n_input,
-        n_kept=kept.count(),
+        n_kept=kept.count() if count_rows else -1,
     )

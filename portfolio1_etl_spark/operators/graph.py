@@ -83,9 +83,10 @@ def pagerank(
         .select("src", "dst", (F.col("w") / F.col("outw")).alias("share"))
         .localCheckpoint(eager=True)
     )
-    dangling = nodes.join(
-        ow.select(F.col("src").alias("node")), "node", "left_anti"
-    ).localCheckpoint(eager=True)
+    if redistribute_dangling:  # the leaky variant never reads this set
+        dangling = nodes.join(
+            ow.select(F.col("src").alias("node")), "node", "left_anti"
+        ).localCheckpoint(eager=True)
     for it in range(iters):
         contribs = (
             contrib_edges.join(
@@ -109,11 +110,13 @@ def pagerank(
                 10,
             ).alias("rank"),
         ).localCheckpoint(eager=True)
-        # the check is pointless after the final round — we return
-        # new_ranks either way, so only pay for it mid-run
+        # the check is pointless after the final round (we return
+        # new_ranks either way) and can't fire after round 0 on any
+        # non-degenerate graph (uniform start → first update moves) —
+        # only pay for it on middle rounds
         if (
             stop_when_stable
-            and it < iters - 1
+            and 1 <= it < iters - 1
             and new_ranks.exceptAll(ranks).isEmpty()
         ):
             return new_ranks

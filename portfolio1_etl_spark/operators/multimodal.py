@@ -259,15 +259,17 @@ def decode_png(b: bytes) -> tuple[np.ndarray, int, int]:
             cur = row
         elif ftype == 2:  # Up
             cur = (row + prev) % 256
-        elif ftype in (1, 3, 4):  # Sub/Average/Paeth need the running left
+        elif ftype == 1:  # Sub is a per-channel prefix sum — vectorize
+            cur = (
+                np.cumsum(row.reshape(-1, bpp), axis=0, dtype=np.int64) % 256
+            ).reshape(-1).astype(np.int32)
+        elif ftype in (3, 4):  # Average/Paeth need the running left
             cur = np.zeros(stride, np.int32)
             for x in range(stride):
                 a = cur[x - bpp] if x >= bpp else 0
                 up = int(prev[x])
                 c = int(prev[x - bpp]) if x >= bpp else 0
-                if ftype == 1:
-                    pred = a
-                elif ftype == 3:
+                if ftype == 3:
                     pred = (a + up) // 2
                 else:
                     p = a + up - c

@@ -140,7 +140,7 @@ def q100_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     The oracle replays every stage as a CTE chain over the SAME
     parameter values (Jaccard 0.4, df_cap 4, eval mod 50, ≥3 shared
     shingles, repetition cutoff 1−0.4)."""
-    res = prepare_corpus(spark, sf_dir)
+    res = prepare_corpus(spark, sf_dir, count_rows=False)
     return (
         res.decisions.select(
             "doc_id", F.coalesce("drop_reason", F.lit("kept")).alias("reason")

@@ -22,11 +22,26 @@ _SUBDIST_SQL = (
 )
 
 
-def _pq_sql() -> str:
+def _pq_sql(train_fraction: float | None = None) -> str:
     sub_rows = " UNION ALL ".join(
         f"SELECT vec_id, {s} AS sub, v[{s * _SUB_DIM + 1}:{(s + 1) * _SUB_DIM}] AS sv FROM vecs"
         for s in range(_N_SUB)
     )
+    if train_fraction is None:
+        train_cte, train_src = "", "sub"
+        seed_sql = f"SELECT vec_id FROM vecs ORDER BY vec_id LIMIT {_K}"
+    else:
+        # the SQL twin of clustering.sample_for_training's md5 bucket
+        cut = int(train_fraction * 10000)
+        train_cte = (
+            "train AS (SELECT * FROM sub WHERE "
+            f"('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 12))::BIGINT"
+            f" % 10000 < {cut}),\n    "
+        )
+        train_src = "train"
+        seed_sql = (
+            f"SELECT DISTINCT vec_id FROM train ORDER BY vec_id LIMIT {_K}"
+        )
     return f"""
     WITH vecs AS (
       SELECT vec_id, embedding::DOUBLE[] AS v,
@@ -34,14 +49,14 @@ def _pq_sql() -> str:
       FROM embeddings
     ),
     sub AS ({sub_rows}),
-    cent0 AS (SELECT sub, vec_id AS c_id, sv AS cvec FROM sub
-              WHERE vec_id IN (SELECT vec_id FROM vecs ORDER BY vec_id LIMIT {_K})),
+    {train_cte}cent0 AS (SELECT sub, vec_id AS c_id, sv AS cvec FROM {train_src}
+              WHERE vec_id IN ({seed_sql})),
     a1 AS (
       SELECT vec_id, sub, sv, code FROM (
         SELECT s.vec_id, s.sub, s.sv, c.c_id AS code,
                row_number() OVER (PARTITION BY s.vec_id, s.sub
                                   ORDER BY {_SUBDIST_SQL} ASC, c.c_id ASC) AS rn
-        FROM sub s JOIN cent0 c ON s.sub = c.sub
+        FROM {train_src} s JOIN cent0 c ON s.sub = c.sub
       ) WHERE rn = 1
     ),
     cent1 AS (
@@ -120,4 +135,37 @@ def q99_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         sub_dim=_SUB_DIM,
         n_cent=_K,
         shortlist=32,
+    )
+
+
+_TRAIN_FRACTION = 0.25
+
+
+@query(
+    "q103_pq_sampled_train",
+    sql=_pq_sql(train_fraction=_TRAIN_FRACTION),
+    operators=("X-sim-pq", "X-cluster-kmeans", "X-sim-topk", "X-sample-train"),
+)
+def q103_pq_sampled_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q99's index built the way a 100 TB corpus actually affords it:
+    the subspace codebooks train on a 25% deterministic md5-bucket
+    sample (``sample_for_training`` — seeding, assignment, and update
+    all touch only the sample) while ENCODING and the ADC scan still
+    cover every vector. The oracle replays the identical sampled
+    training (same md5 bucket arithmetic), so the codebook — and thus
+    every code, shortlist, and final ranking — must match exactly,
+    proving sampled training is a plan change, not a semantics
+    change."""
+    vecs = with_norms(catalog.load(spark, sf_dir, "embeddings")).select(
+        "vec_id", "v", "nrm"
+    )
+    return pq_topk(
+        vecs,
+        vecs.filter(F.col("vec_id") < 8),
+        k=3,
+        n_sub=_N_SUB,
+        sub_dim=_SUB_DIM,
+        n_cent=_K,
+        shortlist=32,
+        train_fraction=_TRAIN_FRACTION,
     )

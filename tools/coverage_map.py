@@ -45,9 +45,9 @@ MODULE_COVERAGE = {
     "Stream-dedup-wm": "streaming.dedup_events_stream (tests/test_streaming.py)",
     "Stream-foreachBatch": "streaming.inventory_merge_stream (tests/test_streaming.py::test_inventory_merge_foreachbatch)",
     "Stream-custom-state": "streaming.running_user_totals_stream (applyInPandasWithState) (tests/test_streaming.py::test_custom_stateful_running_totals)",
-    "X-multimodal": "operators.multimodal (binaryFile source, mapInPandas featurize; REAL PPM/WAV codecs, real resize + frame sampling; compressed formats NotImplementedError-gated) (tests/test_multimodal_sinks.py) + q90/q91",
+    "X-multimodal": "operators.multimodal (binaryFile source, mapInPandas featurize; REAL PPM/PNG/WAV codecs incl. zlib PNG with full unfiltering, real resize + frame sampling; lossy formats NotImplementedError-gated) (tests/test_multimodal_sinks.py) + q90/q91/q102",
     "X-dedup-dfcap": "operators.dedup.jaccard_pairs(df_cap)/lsh_candidates(bucket_cap) heavy-hitter guards + q77 (tests/test_invariants.py::test_df_cap_bounds_hot_shingle_candidates)",
-    "K-compact": "operators.sinks.compact_parquet small-file compaction (tests/test_multimodal_sinks.py::test_compact_parquet_small_files)",
+    "K-compact": "operators.sinks.compact_parquet small-file compaction, URI-scheme paths rejected loudly (tests/test_multimodal_sinks.py::test_compact_parquet_small_files, ::test_compact_parquet_rejects_remote_uris)",
     "EP1/EP2 channels": "sources.channels: all 13 reference channels as configured connectors/feeds (tests/test_channels.py)",
     "J-skew": "operators.joins.salted_join (tests/test_joins_robustness.py)",
     "J-bucketed": "operators.bucketing.write_bucketed (tests/test_bucketing.py)",
@@ -92,6 +92,20 @@ def main() -> None:
     lines.append(f"Total registry queries: {len(REGISTRY)} "
                  f"({sum(1 for q in REGISTRY.values() if q.sql)} oracle-checked, "
                  f"{sum(1 for q in REGISTRY.values() if not q.sql)} rows-only).")
+    lines += [
+        "",
+        "Round-5 additions: q100_corpus_prep (the full prepare_corpus",
+        "composite on the scoreboard — decision-log census with doc_id",
+        "checksums), q101_pagerank_dangling (dangling-mass-conserving",
+        "PageRank with exact 10 dp fixpoint early exit), q102_png_decode",
+        "(real zlib PNG decode, all five filter types on the oracle-checked",
+        "path), q103_pq_sampled_train (sampled codebook training itself",
+        "oracle-checked — the 25% md5-bucket sample replayed in SQL).",
+        "Supporting scale levers: sample_for_training / train_fraction on",
+        "lloyd_kmeans and pq.train_codebook, exact CC fixpoint convergence,",
+        "and adversarial skew-stress tests for the df_cap/bucket_cap guards",
+        "(tests/test_skew_stress.py).",
+    ]
     with open(os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "COVERAGE.md"), "w") as f:
         f.write("\n".join(lines) + "\n")
     print(f"wrote COVERAGE.md: {len(by_op)} query-tagged ops, {len(MODULE_COVERAGE)} module ops")
