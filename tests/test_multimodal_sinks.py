@@ -75,6 +75,34 @@ def test_png_round_trip_every_filter_type():
     assert modality == "image" and dims == "7x9" and len(vals) == 9 * 7 * 3
 
 
+def test_png_round_trip_property():
+    """Property: decode(encode(px, any filter schedule)) == px for
+    arbitrary image shapes and pixel contents."""
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from portfolio1_etl_spark.operators.multimodal import decode_png, encode_png
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        h=st.integers(1, 12),
+        w=st.integers(1, 12),
+        seed=st.integers(0, 2**31 - 1),
+        filters=st.lists(st.integers(0, 4), min_size=1, max_size=7),
+    )
+    def check(h, w, seed, filters):
+        px = (
+            np.random.RandomState(seed)
+            .randint(0, 256, (h, w, 3))
+            .astype(np.uint8)
+        )
+        back, ww, hh = decode_png(encode_png(px, filters=filters))
+        assert (ww, hh) == (w, h) and (back == px).all()
+
+    check()
+
+
 def test_png_rejects_corruption_and_unsupported():
     import struct
 

@@ -143,11 +143,37 @@ def test_multimodal_paths_have_no_skewed_exchange(spark, sf_dir):
     ``modality`` — 2-3 distinct values — would funnel a 100 TB corpus
     through 2-3 tasks; the per-row magic-byte dispatch makes any
     pre-shuffle unnecessary.)"""
-    for name in ("q90_multimodal_featurize", "q91_multimodal_decode"):
+    for name in (
+        "q90_multimodal_featurize",
+        "q91_multimodal_decode",
+        "q102_png_decode",
+    ):
         plan = _formatted_plan(REGISTRY[name].fn(spark, sf_dir))
         tree = plan.split("\n\n")[0]
         assert "Exchange" not in tree, f"{name} plans a shuffle:\n{tree}"
         assert "hashpartitioning(modality" not in plan
+
+
+def test_kmeans_assignment_has_no_window(spark, sf_dir):
+    """The argmin over the broadcast folded codebook must stay a
+    narrow map — a Window here means the corpus hash-partitions n·k
+    rows every training round (the round-3 scale-killer)."""
+    plan = _formatted_plan(REGISTRY["q93_kmeans"].fn(spark, sf_dir))
+    assert "Window" not in plan, "q93 ranks assignments with a window again"
+
+
+def test_sampled_training_filter_stays_in_scan_stage(spark, sf_dir):
+    """q103's 25% training sample must be a plain Filter (map-only,
+    md5-bucket predicate) — never a sample-then-shuffle."""
+    import re
+
+    plan = _formatted_plan(REGISTRY["q103_pq_sampled_train"].fn(spark, sf_dir))
+    assert "Sample" not in plan  # no rand()-based Sample node anywhere
+    # the PQ top-k windows (shortlist + re-rank) are the only Window
+    # nodes — training itself must not add one. (WindowGroupLimit is
+    # the rank-pushdown optimization, not a window compute node.)
+    tree = plan.split("\n\n")[0]
+    assert len(re.findall(r"\bWindow \(\d+\)", tree)) <= 2
 
 
 def test_scd2_single_shuffle(spark, sf_dir):
