@@ -275,11 +275,15 @@ def connected_components(
             .filter(F.col("v") > F.col("u"))
             .select(F.col("v").alias("a"), F.col("m").alias("b"))
         )
-        e = (
-            ls.select(F.least("a", "b").alias("u"), F.greatest("a", "b").alias("v"))
-            .filter(F.col("u") != F.col("v"))
-            .distinct()
-        )
+        # NO distinct between the stars: small-star's own min-aggregate
+        # is duplicate-blind and its output is distinct-ed anyway, so a
+        # mid-round dedup would add a full shuffle per round only to
+        # shave rows the next aggregate absorbs for free. (Duplicate
+        # inflation is bounded: large-star emits ≤ one row per directed
+        # edge.)
+        e = ls.select(
+            F.least("a", "b").alias("u"), F.greatest("a", "b").alias("v")
+        ).filter(F.col("u") != F.col("v"))
         # Small-star: key each edge at its larger endpoint; all its
         # (smaller) neighbors and the node itself link to the minimum.
         by_larger = e.select(F.col("v").alias("u"), F.col("u").alias("v"))
