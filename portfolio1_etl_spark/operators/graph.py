@@ -83,10 +83,20 @@ def pagerank(
         .select("src", "dst", (F.col("w") / F.col("outw")).alias("share"))
         .localCheckpoint(eager=True)
     )
-    if redistribute_dangling:  # the leaky variant never reads this set
-        dangling = nodes.join(
-            ow.select(F.col("src").alias("node")), "node", "left_anti"
+    if redistribute_dangling:
+        # flag dangling nodes ONCE (the leaky variant never reads
+        # this); the flag rides along in the rank vector so each
+        # round's dangling sum is a filter + aggregate, not a join
+        nodes = nodes.join(
+            ow.select(F.col("src").alias("node"), F.lit(True).alias("dang")),
+            "node",
+            "left",
+        ).select(
+            "node", F.col("dang").isNull().alias("dang")
         ).localCheckpoint(eager=True)
+        ranks = nodes.select(
+            "node", "dang", F.round(F.lit(1.0 / n_nodes), 10).alias("rank")
+        )
     for it in range(iters):
         contribs = (
             contrib_edges.join(
@@ -97,14 +107,16 @@ def pagerank(
         )
         inflow_term = F.coalesce("inflow", F.lit(0.0))
         joined = nodes.join(contribs, nodes.node == contribs.dst, "left")
+        carry = ["node"]
         if redistribute_dangling:
-            dm = ranks.join(dangling, "node", "left_semi").agg(
+            dm = ranks.filter(F.col("dang")).agg(
                 F.round(F.coalesce(F.sum("rank"), F.lit(0.0)), 10).alias("dm")
             )
             joined = joined.crossJoin(F.broadcast(dm))
             inflow_term = inflow_term + F.col("dm") / F.lit(n_nodes)
+            carry = ["node", "dang"]
         new_ranks = joined.select(
-            "node",
+            *carry,
             F.round(
                 F.lit(base) + F.lit(damping) * inflow_term,
                 10,
@@ -119,6 +131,6 @@ def pagerank(
             and 1 <= it < iters - 1
             and new_ranks.exceptAll(ranks).isEmpty()
         ):
-            return new_ranks
+            return new_ranks.select("node", "rank")
         ranks = new_ranks
-    return ranks
+    return ranks.select("node", "rank")

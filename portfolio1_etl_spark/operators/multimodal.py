@@ -550,7 +550,7 @@ def sample_frames(media: DataFrame, n_frames: int = 4) -> DataFrame:
     return media.mapInPandas(op, FRAMES_SCHEMA)
 
 
-def featurize_media(media: DataFrame, batch_hint: int = 64) -> DataFrame:
+def featurize_media(media: DataFrame) -> DataFrame:
     """Feature-extract every media row via mapInPandas: Arrow batches
     in, Arrow batches out — a pure narrow map, no pre-shuffle (the
     digest featurizer is modality-agnostic)."""
