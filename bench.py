@@ -60,6 +60,7 @@ HEADLINE = [
     "q101_pagerank_dangling",
     "q102_png_decode",
     "q103_pq_sampled_train",
+    "q104_bloom_prune",
 ]
 
 

@@ -1,4 +1,4 @@
-"""Frequency-sketch operator library (count-min sketch heavy hitters).
+"""Sketch operator library: count-min (frequency) + Bloom (membership).
 
 A count-min sketch summarizes an arbitrarily large token/key stream in
 ``depth × width`` counters: cell (j, b) holds the count of every item
@@ -11,6 +11,12 @@ the sketch build is one explode + groupBy whose map-side partial
 aggregation caps per-partition traffic at depth·width rows, and the
 finished sketch (≤ depth·width rows, here 2048) broadcasts anywhere —
 including into a second pass that probes it per-row with no shuffle.
+
+The Bloom filter is the membership dual: an 8 KB bitmap of a key set
+that broadcasts anywhere and prunes a fact stream in a narrow codegen
+filter BEFORE any shuffle (``bloom_build`` / ``bloom_probe`` /
+``bloom_merge``) — no false negatives ever, false positives only cost
+wasted downstream work when an exact join follows.
 
 All hashing is md5-derived (same H48 family as the dedup layer), so a
 sketch built by Spark is bit-identical to one built by any other
@@ -91,6 +97,109 @@ def cms_build_weighted(
         .select("c.j", "c.bucket", "wt")
         .groupBy("j", "bucket")
         .agg(F.sum("wt").alias("cnt"))
+    )
+
+
+#: Bloom hash family: same md5-derived construction as CMS (a_j < 64
+#: keeps a_j·H < 2^54 — no int64 overflow on the 48-bit prefix).
+BLOOM_PARAMS = [(j, 2 * j + 3, 104729 * (j + 1) + 7) for j in range(4)]
+BLOOM_MOD = 2147483647
+#: 2^16 bits = 1024 longs = 8 KB per filter — broadcast-trivial. Size
+#: for ~1% FP at n ≈ m/16 keys (k=4): callers with bigger key sets
+#: pass a bigger m_bits (power-of-64 multiple).
+BLOOM_BITS = 65536
+
+
+def _bloom_positions(col: str, m_bits: int):
+    """k bit positions for one already-hashed long column."""
+    return F.array(
+        *[
+            ((F.lit(a) * F.col(col) + F.lit(b)) % BLOOM_MOD) % m_bits
+            for _, a, b in BLOOM_PARAMS
+        ]
+    )
+
+
+def bloom_build(keys: DataFrame, col: str, m_bits: int = BLOOM_BITS) -> DataFrame:
+    """ONE-row (bm: array<long>) Bloom bitmap of the key set — the
+    semi-join pruning sketch: build on the SMALL side (dimension keys
+    that survive a filter), broadcast the 8 KB bitmap, and drop
+    non-matching big-side rows in a narrow map BEFORE any shuffle or
+    join. No false negatives ever; false positives only cost wasted
+    downstream work, never wrong answers, when the pruned stream feeds
+    an exact join afterwards.
+
+    Build shape: explode k positions per key → distinct → pack into
+    64-bit words (bit_or) → fold the sparse words into a dense
+    array<long> in ONE final 1-row aggregate. The md5-derived hash
+    family makes the bitmap bit-identical across engines."""
+    hashed = keys.select(
+        F.expr(H48.format(c=f"cast({col} as string)")).alias("h")
+    )
+    pos = hashed.select(
+        F.explode(_bloom_positions("h", m_bits)).alias("pos")
+    ).distinct()
+    words = (
+        pos.select(
+            (F.col("pos") / 64).cast("int").alias("w"),
+            (F.col("pos") % 64).cast("int").alias("b"),
+        )
+        .groupBy("w")
+        .agg(F.expr("bit_or(shiftleft(cast(1 as bigint), b))").alias("word"))
+    )
+    return words.agg(
+        F.map_from_entries(F.collect_list(F.struct("w", "word"))).alias("wm")
+    ).select(
+        F.expr(
+            f"transform(sequence(0, {m_bits // 64 - 1}), "
+            "i -> coalesce(element_at(wm, i), cast(0 as bigint)))"
+        ).alias("bm")
+    )
+
+
+def bloom_merge(*blooms: DataFrame) -> DataFrame:
+    """Fold same-sized bitmaps with element-wise OR — the same
+    linearity as ``cms_merge``: partitions/batches/days can build
+    independently and the fold equals the one-shot build."""
+    merged = blooms[0]
+    for b in blooms[1:]:
+        merged = (
+            merged.crossJoin(b.select(F.col("bm").alias("bm2")))
+            .select(
+                F.expr("zip_with(bm, bm2, (x, y) -> x | y)").alias("bm")
+            )
+        )
+    return merged
+
+
+def bloom_might_contain(hash_col: str, m_bits: int = BLOOM_BITS):
+    """Column expression over a PRE-HASHED long column: True iff every
+    one of its k bit positions is set in the broadcast ``bm`` column —
+    pure whole-stage codegen, no shuffle, no Python."""
+    checks = [
+        f"((shiftright(element_at(bm, cast((((({a} * {hash_col} + {b})"
+        f" % {BLOOM_MOD}) % {m_bits}) div 64) as int) + 1), "
+        f"cast(((({a} * {hash_col} + {b}) % {BLOOM_MOD}) % {m_bits}) % 64 as int))"
+        f" & 1) = 1)"
+        for _, a, b in BLOOM_PARAMS
+    ]
+    return F.expr(" AND ".join(checks))
+
+
+def bloom_probe(
+    df: DataFrame, col: str, bloom: DataFrame, m_bits: int = BLOOM_BITS
+) -> DataFrame:
+    """Keep only the rows of ``df`` whose ``col`` MIGHT be in the
+    built key set (all k bits set). The 1-row bitmap cross-joins in by
+    broadcast; the md5 hash computes once per row and the membership
+    test runs inside codegen. At 100 TB this is the shuffle-avoidance
+    lever: the big fact stream thins to ~the matching fraction before
+    any Exchange."""
+    return (
+        df.crossJoin(F.broadcast(bloom))
+        .withColumn("__h", F.expr(H48.format(c=f"cast({col} as string)")))
+        .filter(bloom_might_contain("__h", m_bits))
+        .drop("bm", "__h")
     )
 
 

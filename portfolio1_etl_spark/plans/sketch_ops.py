@@ -15,9 +15,13 @@ from pyspark.sql import functions as F
 
 from portfolio1_etl_spark import catalog
 from portfolio1_etl_spark.operators.sketches import (
+    BLOOM_BITS,
+    BLOOM_MOD,
+    BLOOM_PARAMS,
     CMS_MOD,
     CMS_PARAMS,
     CMS_WIDTH,
+    bloom_build,
     cms_build_weighted,
     cms_estimate,
 )
@@ -103,4 +107,95 @@ def q92_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("est_count"), "token")
         .limit(_TOPK)
+    )
+
+
+# --- q104: Bloom-filter semi-join pruning ----------------------------------
+
+_BLOOM_CUTOFF = 480000  # high-value orders: ~4% of keys
+
+
+def _bloom_sql() -> str:
+    _H48_NUM = "('0x' || substr(md5(CAST({c} AS VARCHAR)), 1, 12))::BIGINT"
+    pos_rows = " UNION ALL ".join(
+        f"SELECT (({a} * h + {b}) % {BLOOM_MOD}) % {BLOOM_BITS} AS pos FROM bh"
+        for _, a, b in BLOOM_PARAMS
+    )
+    # a probe passes iff EVERY one of its k positions is set; "set" ⇔
+    # present in the distinct build-position set — exactly the bitmap
+    # test, including identical false positives.
+    pass_checks = " AND ".join(
+        f"(({a} * h + {b}) % {BLOOM_MOD}) % {BLOOM_BITS}"
+        f" IN (SELECT pos FROM pos)"
+        for _, a, b in BLOOM_PARAMS
+    )
+    return f"""
+    WITH bk AS (
+      SELECT DISTINCT o_orderkey AS key FROM orders
+      WHERE o_totalprice > {_BLOOM_CUTOFF}
+    ),
+    bh AS (SELECT {_H48_NUM.format(c='key')} AS h FROM bk),
+    pos AS (SELECT DISTINCT pos FROM ({pos_rows})),
+    probe AS (
+      SELECT l_orderkey,
+             ({pass_checks}) AS pass,
+             l_orderkey IN (SELECT key FROM bk) AS is_member
+      FROM (SELECT l_orderkey, {_H48_NUM.format(c='l_orderkey')} AS h
+            FROM lineitem)
+    )
+    SELECT CAST(count(*) FILTER (pass) AS BIGINT) AS n_pass,
+           CAST(count(*) FILTER (is_member) AS BIGINT) AS n_members,
+           CAST(count(*) FILTER (pass AND NOT is_member) AS BIGINT)
+             AS n_false_pos
+    FROM probe
+    """
+
+
+@query(
+    "q104_bloom_prune",
+    sql=_bloom_sql(),
+    operators=("X-sketch-bloom", "J-semi", "A1"),
+)
+def q104_bloom_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter semi-join pruning, measured: build an 8 KB bitmap
+    from the high-value order keys (~4% of orders), broadcast it, and
+    thin the lineitem stream in a narrow codegen filter BEFORE any
+    join — the standard trick for cutting a 100 TB fact scan down to
+    the matching fraction without shuffling either side. The output
+    row audits the filter: rows passing the bloom, true members (the
+    exact broadcast semi-join), and false positives (pass − member —
+    wasted-work overhead, never wrong answers). The md5-derived hash
+    family makes the bitmap — and therefore the exact set of false
+    positives — bit-identical in the oracle."""
+    from portfolio1_etl_spark.operators.dedup import H48
+    from portfolio1_etl_spark.operators.sketches import bloom_might_contain
+
+    o = catalog.load(spark, sf_dir, "orders")
+    ln = catalog.load(spark, sf_dir, "lineitem").select("l_orderkey")
+    bk = o.filter(F.col("o_totalprice") > _BLOOM_CUTOFF).select(
+        F.col("o_orderkey").alias("key")
+    ).distinct()
+    bloom = bloom_build(bk, "key")
+    # ONE pass over lineitem: the bitmap cross-joins in by broadcast
+    # (the pruning-production shape, `bloom_probe`), and — because this
+    # query AUDITS the filter — the exact-membership flag rides along
+    # via a broadcast left join instead of a semi-join (a semi-join
+    # can't count the misses).
+    flagged = (
+        ln.join(
+            F.broadcast(bk.withColumn("m", F.lit(1))),
+            ln.l_orderkey == F.col("key"),
+            "left",
+        )
+        .select("l_orderkey", F.col("m").isNotNull().alias("is_member"))
+        .crossJoin(F.broadcast(bloom))
+        .withColumn("__h", F.expr(H48.format(c="cast(l_orderkey as string)")))
+        .select("is_member", bloom_might_contain("__h").alias("pass"))
+    )
+    return flagged.agg(
+        F.sum(F.when(F.col("pass"), 1).otherwise(0)).alias("n_pass"),
+        F.sum(F.when(F.col("is_member"), 1).otherwise(0)).alias("n_members"),
+        F.sum(
+            F.when(F.col("pass") & ~F.col("is_member"), 1).otherwise(0)
+        ).alias("n_false_pos"),
     )

@@ -90,6 +90,8 @@ _SANCTIONED_BNLJ = {
     # quantized ANN stage 1: corpus × broadcast query set (queries ≪
     # corpus by construction), like the brute-force baseline.
     "q95_quantized_ann",
+    # bloom pruning: fact stream × the broadcast ONE-ROW 8 KB bitmap.
+    "q104_bloom_prune",
 }
 
 

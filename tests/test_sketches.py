@@ -67,3 +67,53 @@ def test_weighted_build_equals_raw_build(spark):
         for r in cms_build_weighted(counts, "w", "n").collect()
     }
     assert raw == weighted
+
+
+# --- Bloom filter ----------------------------------------------------------
+
+
+def _keys(spark, ids):
+    return spark.createDataFrame([(i,) for i in ids], "key long")
+
+
+def test_bloom_never_false_negative(spark):
+    from portfolio1_etl_spark.operators.sketches import bloom_build, bloom_probe
+
+    ids = [3, 17, 4096, 99991, 2**40 + 5]
+    bloom = bloom_build(_keys(spark, ids), "key")
+    got = {
+        r["key"]
+        for r in bloom_probe(_keys(spark, ids), "key", bloom).collect()
+    }
+    assert got == set(ids)  # every built key MUST pass — no exceptions
+
+
+def test_bloom_prunes_disjoint_keys(spark):
+    from portfolio1_etl_spark.operators.sketches import bloom_build, bloom_probe
+
+    bloom = bloom_build(_keys(spark, range(100)), "key")
+    out = bloom_probe(
+        _keys(spark, range(1_000_000, 1_002_000)), "key", bloom
+    ).count()
+    # 400 set bits in 65536 → per-probe FP ≈ (400/65536)^4; 2000 probes
+    # should essentially all prune (allow a few collisions)
+    assert out <= 5
+
+
+def test_bloom_merge_equals_oneshot_build(spark):
+    from portfolio1_etl_spark.operators.sketches import bloom_build, bloom_merge
+
+    a, b = list(range(0, 50)), list(range(50, 120))
+    merged = bloom_merge(
+        bloom_build(_keys(spark, a), "key"),
+        bloom_build(_keys(spark, b), "key"),
+    ).collect()[0]["bm"]
+    oneshot = bloom_build(_keys(spark, a + b), "key").collect()[0]["bm"]
+    assert merged == oneshot  # bitmap linearity, bit for bit
+
+
+def test_bloom_bitmap_is_broadcast_sized(spark):
+    from portfolio1_etl_spark.operators.sketches import BLOOM_BITS, bloom_build
+
+    [row] = bloom_build(_keys(spark, range(10)), "key").collect()
+    assert len(row["bm"]) == BLOOM_BITS // 64  # 1024 longs = 8 KB

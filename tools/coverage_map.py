@@ -101,6 +101,8 @@ def main() -> None:
         "(real zlib PNG decode, all five filter types on the oracle-checked",
         "path), q103_pq_sampled_train (sampled codebook training itself",
         "oracle-checked — the 25% md5-bucket sample replayed in SQL).",
+        "q104_bloom_prune adds Bloom-filter semi-join pruning (8 KB broadcast",
+        "bitmap, codegen membership test, measured FP rate).",
         "Supporting scale levers: sample_for_training / train_fraction on",
         "lloyd_kmeans and pq.train_codebook, exact CC fixpoint convergence,",
         "and adversarial skew-stress tests for the df_cap/bucket_cap guards",
