@@ -1,6 +1,7 @@
 """Structured Streaming surface (SURVEY.md §2.11)."""
 
 from portfolio1_etl_spark.streaming.jobs import (
+    bloom_maintenance_stream,
     cms_maintenance_stream,
     dedup_events_stream,
     paired_events_stream,
@@ -21,5 +22,6 @@ __all__ = [
     "inventory_merge_stream",
     "running_user_totals_stream",
     "scd2_maintenance_stream",
+    "bloom_maintenance_stream",
     "cms_maintenance_stream",
 ]

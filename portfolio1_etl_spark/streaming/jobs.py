@@ -202,6 +202,27 @@ def cms_maintenance_stream(events: DataFrame, state: dict):
     return events.writeStream.outputMode("append").foreachBatch(_merge)
 
 
+def bloom_maintenance_stream(events: DataFrame, state: dict):
+    """Streaming Bloom-filter maintenance over the user-id stream:
+    each micro-batch builds its own 8 KB bitmap and ORs into the
+    running filter via ``operators.sketches.bloom_merge`` — bitmap
+    linearity makes the streaming fold EXACTLY equal to building from
+    the whole history in one batch (asserted in
+    tests/test_streaming.py). The production use: a continuously-
+    maintained "seen user/key" filter that any batch job broadcasts
+    to prune a 100 TB scan down to the previously-seen fraction
+    before its first shuffle."""
+    from portfolio1_etl_spark.operators.sketches import bloom_build, bloom_merge
+
+    def _merge(batch_df: DataFrame, epoch_id: int) -> None:
+        batch_bloom = bloom_build(batch_df.select("user_id"), "user_id")
+        cur = state.get("bloom")
+        nxt = batch_bloom if cur is None else bloom_merge(cur, batch_bloom)
+        state["bloom"] = nxt.localCheckpoint(eager=True)
+
+    return events.writeStream.outputMode("append").foreachBatch(_merge)
+
+
 def scd2_maintenance_stream(events: DataFrame, state: dict):
     """Streaming SCD2 maintenance: each micro-batch merges into the
     running history table via the incremental ``operators.scd.

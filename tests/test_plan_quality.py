@@ -6,6 +6,7 @@ not shuffling for dimension lookups."""
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from portfolio1_etl_spark.plans import REGISTRY
 
@@ -176,6 +177,28 @@ def test_sampled_training_filter_stays_in_scan_stage(spark, sf_dir):
     # the rank-pushdown optimization, not a window compute node.)
     tree = plan.split("\n\n")[0]
     assert len(re.findall(r"\bWindow \(\d+\)", tree)) <= 2
+
+
+def test_partitioned_sink_enables_partition_pruning(spark, sf_dir, tmp_path):
+    """A filter on a partition column of a write_partitioned dataset
+    must prune at PLAN time (PartitionFilters on the scan) — at 100 TB
+    the difference between listing 1/5 of the directories and scanning
+    everything. Also asserts the pruned read returns exactly the
+    partition's rows."""
+    from portfolio1_etl_spark import catalog
+    from portfolio1_etl_spark.operators.sinks import write_partitioned
+
+    orders = catalog.load(spark, sf_dir, "orders")
+    path = str(tmp_path / "orders_by_priority")
+    write_partitioned(orders, path, ["o_orderpriority"])
+    scan = spark.read.parquet(path).filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    plan = _formatted_plan(scan)
+    pf_lines = [l for l in plan.splitlines() if "PartitionFilters" in l]
+    assert pf_lines and "o_orderpriority" in pf_lines[0]
+    want = orders.filter(F.col("o_orderpriority") == "1-URGENT").count()
+    assert scan.count() == want
 
 
 def test_scd2_single_shuffle(spark, sf_dir):

@@ -286,3 +286,44 @@ def test_cms_maintenance_stream_equals_batch_sketch(spark, tmp_path):
     }
     assert got == want
     assert sum(v for (j, _), v in got.items() if j == 0) == n
+
+
+def test_bloom_maintenance_stream_equals_batch_build(spark, tmp_path):
+    """Streaming Bloom fold == one-shot batch build over the full
+    stream (bitmap OR-linearity, end to end), and the maintained
+    filter admits every seen user with no false negatives."""
+    from portfolio1_etl_spark.operators.sketches import bloom_build, bloom_probe
+    from portfolio1_etl_spark.streaming import (
+        bloom_maintenance_stream,
+        read_events_stream,
+    )
+
+    land = tmp_path / "bloom_events"
+    land.mkdir()
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    slices = [
+        raw.filter(F.col("event_id") % 3 == i).coalesce(1) for i in range(3)
+    ]
+    for i, s in enumerate(slices):
+        s.write.parquet(str(land / f"slice{i}"))
+        import glob as _g
+        import shutil as _sh
+
+        part = _g.glob(str(land / f"slice{i}" / "part-*.parquet"))[0]
+        _sh.move(part, str(land / f"file-{i}.parquet"))
+        _sh.rmtree(str(land / f"slice{i}"))
+
+    state: dict = {}
+    q = bloom_maintenance_stream(
+        read_events_stream(spark, str(land)), state
+    ).start()
+    q.processAllAvailable()
+    q.stop()
+
+    [stream_bm] = state["bloom"].collect()
+    [batch_bm] = bloom_build(raw.select("user_id"), "user_id").collect()
+    assert stream_bm["bm"] == batch_bm["bm"]  # bit-for-bit
+    seen = raw.select("user_id").distinct()
+    admitted = bloom_probe(seen, "user_id", state["bloom"]).count()
+    assert admitted == seen.count()  # no false negatives, ever
