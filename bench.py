@@ -61,6 +61,7 @@ HEADLINE = [
     "q102_png_decode",
     "q103_pq_sampled_train",
     "q104_bloom_prune",
+    "q105_prefix_jaccard",
 ]
 
 

@@ -17,6 +17,7 @@ and in ARCHITECTURE.md §5.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 #: Deterministic 48-bit hash of a string column (identical in DuckDB
@@ -147,6 +148,59 @@ def jaccard_pairs(
         .select("doc_a", "doc_b", jac.alias("jaccard"))
     )
     return out.filter(F.col("jaccard") >= threshold) if threshold else out
+
+
+def prefix_jaccard_pairs(
+    sh: DataFrame,
+    t_num: int,
+    t_den: int,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_a, doc_b, jaccard ≥ t_num/t_den) via PREFIX FILTERING
+    (AllPairs/PPJoin, Bayardo et al. WWW'07 / Xiao et al. WWW'08) —
+    the third candidate-generation strategy next to the df-cap
+    inverted index (lossless, caps heavy hitters) and LSH (lossy,
+    probabilistic): sort every set in one GLOBAL order (ascending
+    document frequency — rarest first) and index only each set's
+    first ``n − ceil(t·n) + 1`` tokens. Two sets with Jaccard ≥ t
+    MUST share a prefix token, so the candidate join touches a small
+    slice of the index yet misses nothing — lossless like df-cap,
+    but with pruning driven by the threshold instead of a tuning cap.
+
+    The threshold is an EXACT RATIONAL (t_num/t_den) and the prefix
+    length is computed in integer arithmetic
+    (``ceil(t·n) = (t_num·n + t_den − 1) div t_den``): a float
+    ``ceil(0.4·n)`` rounds 2.0000000000000004 up to 3 when the true
+    value is 2, silently shortening the prefix below the lemma's
+    bound — a data-dependent false-negative bug that float-vs-decimal
+    engine differences make worse. Verification reuses
+    ``verify_candidates`` (exact Jaccard on the candidates only)."""
+    df_tab = sh.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
+    w_rank = W.partitionBy(id_col).orderBy("df", "h")
+    w_all = W.partitionBy(id_col)
+    ceil_tn = f"({t_num} * n + {t_den - 1}) div {t_den}"
+    prefix = (
+        sh.join(df_tab, "h")
+        .withColumn("rn", F.row_number().over(w_rank))
+        .withColumn("n", F.count(F.lit(1)).over(w_all))
+        .filter(F.col("rn") <= F.col("n") - F.expr(ceil_tn) + 1)
+        .select(id_col, "h")
+    )
+    a, b = prefix.alias("a"), prefix.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.h") == F.col("b.h"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("doc_a"),
+            F.col(f"b.{id_col}").alias("doc_b"),
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    return verify_candidates(sh, cand, t_num / t_den, id_col=id_col)
 
 
 def minhash_signatures(sh: DataFrame, id_col: str = "doc_id") -> DataFrame:

@@ -657,3 +657,32 @@ def q97_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hits.select(
         "doc_id", "n_shared", (F.col("n_shared") >= 3).alias("is_contaminated")
     )
+
+
+# --- prefix-filtered similarity join (AllPairs/PPJoin) ---------------------
+
+
+@query(
+    "q105_prefix_jaccard",
+    sql=f"""
+    WITH {_PAIR_JACCARD_SQL}
+    SELECT doc_a, doc_b, jaccard FROM pairs WHERE jaccard >= 0.4
+    """,
+    operators=("X-dedup-ngram", "X-dedup-prefix", "Window-rank"),
+)
+def q105_prefix_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q72's result via PREFIX FILTERING (AllPairs/PPJoin): sets sort
+    in ascending-document-frequency order and only each set's first
+    n − ceil(0.4·n) + 1 tokens are indexed — any pair at Jaccard ≥ 0.4
+    must collide inside the prefixes, so the candidate join reads a
+    threshold-driven slice of the inverted index instead of all of it.
+    THE ORACLE IS THE COMPLETE JOIN (q72's SQL): a single pair missed
+    by the prefix filter fails the hash gate, making the lemma — and
+    the integer-exact prefix-length arithmetic it depends on — a
+    tested invariant rather than cited theory. Scale shape: one
+    (df, h) rank window per document + a self-join on the reduced
+    index + candidate-only exact verification."""
+    from portfolio1_etl_spark.operators.dedup import prefix_jaccard_pairs
+
+    sh = shingle_hashes(_docs(spark, sf_dir), "text").localCheckpoint(eager=True)
+    return prefix_jaccard_pairs(sh, 2, 5)  # 2/5 = 0.4 exactly

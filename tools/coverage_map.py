@@ -102,7 +102,9 @@ def main() -> None:
         "path), q103_pq_sampled_train (sampled codebook training itself",
         "oracle-checked — the 25% md5-bucket sample replayed in SQL).",
         "q104_bloom_prune adds Bloom-filter semi-join pruning (8 KB broadcast",
-        "bitmap, codegen membership test, measured FP rate).",
+        "bitmap, codegen membership test, measured FP rate);",
+        "q105_prefix_jaccard adds the AllPairs/PPJoin prefix-filtered",
+        "similarity join, checked against the COMPLETE join as its oracle.",
         "Supporting scale levers: sample_for_training / train_fraction on",
         "lloyd_kmeans and pq.train_codebook, exact CC fixpoint convergence,",
         "and adversarial skew-stress tests for the df_cap/bucket_cap guards",
