@@ -52,7 +52,9 @@ PRIORITY: tuple[str, ...] = (
     # reference EP3 pipeline + warehouse maintenance
     "q40_canonical_sales",
     "q43_enriched_sales",
-    "q45_weekly_lookback",
+    # (q45_weekly_lookback yields its slot to the new Bloom family —
+    # EP3 stays repped by q40/q43/q46/q47; CI covers q45)
+    "q104_bloom_prune",
     "q46_scd2_intervals",
     "q47_merge_upsert",
     # streaming batch twins
@@ -84,7 +86,9 @@ PRIORITY: tuple[str, ...] = (
     "q72_ngram_jaccard",
     "q73_minhash_lsh",
     "q74_simhash",
-    "q75_simhash_pairs",
+    # (q75_simhash_pairs yields its slot to the new sampled-training
+    # family — simhash stays repped by q74; CI covers q75)
+    "q103_pq_sampled_train",
     "q76_winnowing",
     "q77_jaccard_dfcap",
     "q78_embedding_neardup",
