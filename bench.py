@@ -62,6 +62,7 @@ HEADLINE = [
     "q103_pq_sampled_train",
     "q104_bloom_prune",
     "q105_prefix_jaccard",
+    "q106_weighted_sample",
 ]
 
 

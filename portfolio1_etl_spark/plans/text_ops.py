@@ -336,6 +336,49 @@ def q85_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q106_weighted_sample",
+    sql="""
+    SELECT doc_id, lang, n_chars,
+           round(-ln((CAST(('0x' || substr(md5('wsample-' || doc_id::VARCHAR), 1, 12))::BIGINT
+                      AS DOUBLE) + 0.5) / 281474976710656.0)
+                 / n_chars, 9) AS es_key
+    FROM documents
+    WHERE n_chars > 0
+    ORDER BY es_key, doc_id
+    LIMIT 200
+    """,
+    operators=("X-sample", "X-sample-weighted", "O2"),
+)
+def q106_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling WITHOUT replacement (Efraimidis–Spirakis,
+    IPL 2006) — the importance-sampling pass of corpus curation:
+    draw k=200 documents with inclusion probability proportional to
+    weight (here ``n_chars``) in ONE distributed pass. Each row gets
+    the key −ln(u)/w with u a salted-md5 uniform in (0,1); the k
+    SMALLEST keys are exactly a weighted draw without replacement, so
+    the whole sampler is a narrow map + a top-k (TakeOrderedAndProject
+    — no global sort, no rand(), no shuffle beyond the k-row final).
+    Keys round to 9 dp before ranking (ties break on doc_id) so the
+    libm-computed ln cannot flip the selection between engines. The
+    same recipe with per-stratum windows gives weighted sampling per
+    language/source."""
+    d = _docs(spark, sf_dir)
+    u = (
+        F.expr(
+            "cast(conv(substring(md5(concat('wsample-', cast(doc_id as string))), 1, 12), 16, 10) as bigint)"
+        ).cast("double")
+        + F.lit(0.5)
+    ) / F.lit(float(2**48))
+    es_key = F.round(-F.log(u) / F.col("n_chars"), 9)
+    return (
+        d.filter(F.col("n_chars") > 0)
+        .select("doc_id", "lang", "n_chars", es_key.alias("es_key"))
+        .orderBy("es_key", "doc_id")
+        .limit(200)
+    )
+
+
+@query(
     "q86_corpus_clean",
     sql="""
     WITH scored AS (

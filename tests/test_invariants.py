@@ -257,3 +257,23 @@ def test_cms_never_undercounts_property(spark, words):
         exact[w] = exact.get(w, 0) + 1
     assert set(est) == set(exact)
     assert all(est[w] >= n for w, n in exact.items())
+
+
+def test_weighted_sample_biases_toward_heavy_docs(spark, sf_dir):
+    """Efraimidis-Spirakis keys: inclusion probability rises with
+    weight, so the 200 sampled docs must average MORE chars than the
+    corpus — and the draw must be deterministic across runs."""
+    from portfolio1_etl_spark.plans import REGISTRY
+
+    fn = REGISTRY["q106_weighted_sample"].fn
+    got = fn(spark, sf_dir).collect()
+    assert len(got) == 200
+    from portfolio1_etl_spark import catalog
+
+    corpus_avg = (
+        catalog.load(spark, sf_dir, "documents").agg(F.avg("n_chars")).first()[0]
+    )
+    sample_avg = sum(r["n_chars"] for r in got) / len(got)
+    assert sample_avg > corpus_avg
+    again = fn(spark, sf_dir).collect()
+    assert [r["doc_id"] for r in got] == [r["doc_id"] for r in again]

@@ -47,6 +47,16 @@ def test_topk_avoids_global_sort(spark, sf_dir):
     assert "TakeOrderedAndProject" in plan
 
 
+def test_weighted_sample_is_narrow_map_plus_topk(spark, sf_dir):
+    """The E-S weighted sampler must plan as a map + TakeOrdered —
+    a global Sort here would shuffle the whole corpus to rank keys
+    only k of which survive."""
+    plan = _formatted_plan(REGISTRY["q106_weighted_sample"].fn(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    tree = plan.split("\n\n")[0]
+    assert "Exchange" not in tree
+
+
 def test_aggregate_is_two_phase(spark, sf_dir):
     plan = _formatted_plan(REGISTRY["q01_pricing_summary"].fn(spark, sf_dir))
     # partial (map-side) + final HashAggregate around one Exchange

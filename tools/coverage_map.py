@@ -104,7 +104,9 @@ def main() -> None:
         "q104_bloom_prune adds Bloom-filter semi-join pruning (8 KB broadcast",
         "bitmap, codegen membership test, measured FP rate);",
         "q105_prefix_jaccard adds the AllPairs/PPJoin prefix-filtered",
-        "similarity join, checked against the COMPLETE join as its oracle.",
+        "similarity join, checked against the COMPLETE join as its oracle;",
+        "q106_weighted_sample adds Efraimidis-Spirakis weighted sampling",
+        "without replacement (salted-hash uniforms, narrow map + top-k).",
         "Supporting scale levers: sample_for_training / train_fraction on",
         "lloyd_kmeans and pq.train_codebook, exact CC fixpoint convergence,",
         "and adversarial skew-stress tests for the df_cap/bucket_cap guards",
