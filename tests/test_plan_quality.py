@@ -89,7 +89,6 @@ def test_whole_stage_codegen_covers_scan_and_agg(spark, sf_dir):
 #: q54 crosses four single-row funnel-stage counts.
 _SANCTIONED_BNLJ = {
     "q32_cross_join",
-    "q54_funnel",
     "q80_cosine_topk",
     "q83_ivf_ann",
     # k-means assignment: corpus × broadcast k-row codebook — the
