@@ -196,17 +196,20 @@ def q49_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer epoch-week indexes (floor(days-since-epoch / 7)) — NOT
     date_trunc/time_bucket, whose week origins differ between engines
     (Spark windows align to 1970-01-01, DuckDB time_bucket to
-    2000-01-03). Scale shape: one shuffle on user_id for the cohort
-    min, the activity join reuses that key, and the final distinct
-    aggregates on (cohort, offset) — a tiny result."""
+    2000-01-03). Scale shape: ONE scan of the event table and one
+    shuffle on user_id — the cohort week is a per-user window minimum
+    riding the same Exchange the activity rows already need, not a
+    separate aggregate joined back (which would read the fact table
+    twice); the final distinct aggregates on (cohort, offset) — a
+    tiny result."""
     e = _events(spark, sf_dir).select(
         "user_id",
         F.floor(
             F.datediff(F.to_date("ts"), F.lit("1970-01-01").cast("date")) / 7
         ).alias("wk"),
     )
-    cohort = e.groupBy("user_id").agg(F.min("wk").alias("cohort_wk"))
-    joined = e.join(cohort, "user_id").withColumn(
+    w = W.partitionBy("user_id")
+    joined = e.withColumn("cohort_wk", F.min("wk").over(w)).withColumn(
         "week_offset", F.col("wk") - F.col("cohort_wk")
     )
     return (
