@@ -221,13 +221,19 @@ def q83_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     assignment for every vector, and queries probing their top-2 cells
     before exact cosine re-ranking.
 
-    Scale shape: the codebook is tiny and broadcast; assignment is a
-    narrow map over the corpus; the search space per query shrinks to
-    two cells joined by an equi-key. Determinism: centroid components
-    round to 4 dp (averaging order differs across engines at 1e-16)
-    and cell distances round to 6 dp before ranking, so assignments
-    and probe choices are bitwise-reproducible; the output ``sim`` is
-    the exact sequential-fold cosine (bitwise equal cross-engine)."""
+    Scale shape: the codebook is tiny and broadcast; corpus-side
+    assignment folds it into ONE array-of-structs row and takes the
+    argmin per vector with ``array_min(transform(...))`` — a
+    ZERO-SHUFFLE narrow map in whole-stage codegen (an earlier
+    revision ranked the corpus × codebook join with a row_number
+    window on vec_id, hash-partitioning n·k rows — the q93
+    scale-killer shape, eliminated here the same way); the search
+    space per query shrinks to two cells joined by an equi-key.
+    Determinism: centroid components round to 4 dp (averaging order
+    differs across engines at 1e-16) and cell distances round to 6 dp
+    before ranking, so assignments and probe choices are bitwise-
+    reproducible; the output ``sim`` is the exact sequential-fold
+    cosine (bitwise equal cross-engine)."""
     vecs = _vectors(spark, sf_dir)
     expl = vecs.select("vec_id", "label", F.posexplode("v").alias("i", "x"))
     cent = (
@@ -241,14 +247,24 @@ def q83_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("label").alias("c_label"), "cvec")
     )
+    # struct ordering compares d2 first, c_label second — identical
+    # tie-break to the old (dist asc, c_label asc) window rank
+    best_cell = (
+        "array_min(transform(cents, c -> struct("
+        "round(aggregate(zip_with(v, c.cvec, (a, b) -> (a - b) * (a - b)), "
+        "cast(0.0 as double), (acc, x) -> acc + x), 6) as d2, "
+        "c.c_label as c_label)))"
+    )
+    folded = cent.agg(
+        F.collect_list(F.struct("c_label", "cvec")).alias("cents")
+    )
+    assigned = (
+        vecs.crossJoin(F.broadcast(folded))
+        .withColumn("best", F.expr(best_cell))
+        .select("vec_id", "v", "nrm", F.col("best.c_label").alias("cell"))
+    )
     dist2 = F.expr(_DIST2_SPARK)
     rn_w = W.partitionBy("vec_id").orderBy(dist2.asc(), F.col("c_label").asc())
-    assigned = (
-        vecs.crossJoin(F.broadcast(cent))
-        .withColumn("rn", F.row_number().over(rn_w))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "v", "nrm", F.col("c_label").alias("cell"))
-    )
     probes = (
         vecs.filter(F.col("vec_id") < 8)
         .crossJoin(F.broadcast(cent))
