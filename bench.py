@@ -63,6 +63,7 @@ HEADLINE = [
     "q104_bloom_prune",
     "q105_prefix_jaccard",
     "q106_weighted_sample",
+    "q107_chunking",
 ]
 
 

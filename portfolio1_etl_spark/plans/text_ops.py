@@ -378,6 +378,56 @@ def q106_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CHUNK, _STRIDE = 64, 48  # 64-token windows, 16-token overlap
+
+
+@query(
+    "q107_chunking",
+    sql=f"""
+    SELECT doc_id,
+           i AS chunk_id,
+           len(toks[i * {_STRIDE} + 1 : least(i * {_STRIDE} + {_CHUNK}, len(toks))])
+             AS n_chunk_tokens,
+           md5(array_to_string(
+             toks[i * {_STRIDE} + 1 : least(i * {_STRIDE} + {_CHUNK}, len(toks))], ' '))
+             AS chunk_hash
+    FROM (
+      SELECT doc_id, toks,
+             unnest(generate_series(0, (len(toks) - 1) // {_STRIDE})) AS i
+      FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+    )
+    """,
+    operators=("X-text-chunking", "F3", "C-generate"),
+)
+def q107_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping fixed-size token chunking — the context-window
+    packing step between cleaning and tokenization in a training
+    pipeline: every document explodes into 64-token windows advancing
+    by a 48-token stride (16-token overlap so no boundary context is
+    lost). Pure narrow map + posexplode — chunk starts come from a
+    ``sequence`` computed per row, no shuffle at any corpus size; the
+    chunk census (id, token count, content hash) is what a packing
+    job writes next to the shards. The hash makes the oracle compare
+    chunk CONTENT, not just counts — an off-by-one in the stride or
+    slice bounds changes md5s and fails the gate."""
+    d = _docs(spark, sf_dir)
+    toks = d.select("doc_id", F.split("text", " ").alias("toks"))
+    exploded = toks.select(
+        "doc_id",
+        "toks",
+        F.posexplode(
+            F.expr(f"sequence(0, (size(toks) - 1) div {_STRIDE})")
+        ).alias("chunk_id", "_s"),
+    )
+    chunk = F.expr(f"slice(toks, chunk_id * {_STRIDE} + 1, {_CHUNK})")
+    return exploded.select(
+        "doc_id",
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        F.size(chunk).cast("long").alias("n_chunk_tokens"),
+        F.md5(F.concat_ws(" ", chunk)).alias("chunk_hash"),
+    )
+
+
 @query(
     "q86_corpus_clean",
     sql="""

@@ -106,7 +106,10 @@ def main() -> None:
         "q105_prefix_jaccard adds the AllPairs/PPJoin prefix-filtered",
         "similarity join, checked against the COMPLETE join as its oracle;",
         "q106_weighted_sample adds Efraimidis-Spirakis weighted sampling",
-        "without replacement (salted-hash uniforms, narrow map + top-k).",
+        "without replacement (salted-hash uniforms, narrow map + top-k);",
+        "q107_chunking adds overlapping token chunking (context-window",
+        "packing prep) as a shuffle-free narrow map with content-hashed",
+        "oracle parity.",
         "Supporting scale levers: sample_for_training / train_fraction on",
         "lloyd_kmeans and pq.train_codebook, exact CC fixpoint convergence,",
         "and adversarial skew-stress tests for the df_cap/bucket_cap guards",
