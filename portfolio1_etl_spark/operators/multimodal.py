@@ -477,7 +477,8 @@ def resize_media(media: DataFrame, target_px: int = 256) -> DataFrame:
                     rows = (np.arange(nh) * h) // nh
                     cols = (np.arange(nw) * w) // nw
                     return encode_png(pixels[rows][:, cols])
-            except (ValueError, NotImplementedError, zlib.error):
+            except (ValueError, NotImplementedError, zlib.error,
+                    struct.error, IndexError):
                 pass  # unsupported/malformed PNG → stand-in path
         # deterministic stand-in for codec-backed formats: a resize
         # produces smaller content derived from the original.

@@ -129,15 +129,19 @@ def _read_xlsx_minimal(path: str):
     grid = [[r.get(i) for i in range(width)] for r in rows]
     df = pd.DataFrame(grid[1:], columns=[str(h) for h in grid[0]])
     # pd.read_excel dtype parity: a numeric column with ANY fractional
-    # cell is float64 throughout — per-cell int narrowing would leave a
-    # mixed int/float object column that breaks Arrow schema inference.
+    # cell — or ANY missing cell — is float64 throughout (NaN for the
+    # gaps); per-cell int narrowing would leave a mixed int/None object
+    # column that breaks Arrow schema inference.
     for c in df.columns:
         col = df[c]
         numeric = col.map(
             lambda x: x is None
             or (isinstance(x, (int, float)) and not isinstance(x, bool))
         ).all()
-        if numeric and col.map(lambda x: isinstance(x, float)).any():
+        if numeric and (
+            col.map(lambda x: isinstance(x, float)).any()
+            or col.isna().any()
+        ):
             df[c] = col.astype("float64")
     return df
 

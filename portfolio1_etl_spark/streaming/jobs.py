@@ -44,10 +44,16 @@ def read_events_stream(spark: SparkSession, path: str) -> DataFrame:
     no data scan) and the stream adapts: nanos-as-long converts with
     integer division exactly like catalog.load; native micros NTZ
     passes through. Hardcoding either encoding breaks when the
-    landing-zone writer changes its timestamp unit."""
+    landing-zone writer changes its timestamp unit. An empty landing
+    zone (stream started before the first file lands) can't be probed,
+    so the probe falls back to native micros NTZ — the writer's current
+    encoding — rather than refusing to start."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    probed = spark.read.parquet(path).schema["ts"].dataType
+    try:
+        probed = spark.read.parquet(path).schema["ts"].dataType
+    except Exception:  # empty dir → "unable to infer schema"
+        probed = T.TimestampNTZType()
     raw = (
         spark.readStream.schema(_raw_events_schema(probed))
         .option("maxFilesPerTrigger", 1)

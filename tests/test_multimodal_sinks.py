@@ -148,6 +148,26 @@ def test_png_resize_real(spark):
     assert back.shape == (8, 6, 3)
 
 
+def test_resize_media_truncated_png_falls_back(spark):
+    """A malformed (half-truncated) PNG must fall through to the
+    byte-decimation stand-in — decode_png raises struct.error on a
+    short chunk-header slice, and one bad file must not kill the Spark
+    task (the documented contract the PPM path honors)."""
+    import numpy as np
+
+    from portfolio1_etl_spark.operators.multimodal import encode_png, resize_media
+
+    px = np.arange(8 * 8 * 3, dtype=np.int64).astype(np.uint8).reshape(8, 8, 3)
+    trunc = encode_png(px)
+    trunc = trunc[: len(trunc) // 2]  # cuts mid-chunk → struct.error
+    media = spark.createDataFrame(
+        [("bad.png", "image", bytearray(trunc), (len(trunc), "image/png"))],
+        "path string, modality string, content binary, meta struct<length: long, mime: string>",
+    )
+    out = resize_media(media, target_px=8).collect()[0]
+    assert bytes(out["content"]) == trunc[::2]  # stand-in, not a crash
+
+
 def test_ppm_round_trip():
     import numpy as np
 

@@ -210,6 +210,8 @@ def _write_min_xlsx(path, header, rows, inline=False):
         cs = []
         for c_i, v in enumerate(row):
             ref = f"{chr(65 + c_i)}{r_i}"
+            if v is None:  # missing cell — no <c> element at all
+                continue
             if isinstance(v, str):
                 if inline:
                     cs.append(f'<c r="{ref}" t="inlineStr"><is><t>{esc(v)}</t></is></c>')
@@ -265,6 +267,26 @@ def test_read_excel_real_workbook(spark, tmp_path):
     rows = {r.sku: r for r in df.collect()}
     assert set(rows) == {"SKU-1", "SKU-2"}
     assert rows["SKU-1"].qty == 2 and abs(rows["SKU-2"].price - 19.5) < 1e-9
+
+
+def test_read_excel_int_column_with_gaps(spark, tmp_path):
+    """pd.read_excel parity: an integer column with a MISSING cell is
+    float64 (NaN for the gap), not an object column of ints+None —
+    mixed object columns break Arrow schema inference downstream."""
+    import math
+
+    from portfolio1_etl_spark.sources.readers import _read_xlsx_minimal
+
+    p = str(tmp_path / "gaps.xlsx")
+    _write_min_xlsx(p, ["sku", "qty"], [["A", 2], ["B", None], ["C", 7]])
+    pdf = _read_xlsx_minimal(p)
+    assert str(pdf["qty"].dtype) == "float64"
+    assert math.isnan(pdf["qty"].iloc[1]) and pdf["qty"].iloc[2] == 7.0
+    # and the Spark path ingests it without Arrow schema errors
+    from portfolio1_etl_spark.sources.readers import read_excel
+
+    rows = {r.sku: r for r in read_excel(spark, p).collect()}
+    assert rows["B"].qty is None and rows["C"].qty == 7.0
 
 
 def test_read_excel_inline_strings(spark, tmp_path):

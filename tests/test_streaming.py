@@ -40,6 +40,26 @@ def _run_to_memory(stream_df, name, mode="complete"):
     q.stop()
 
 
+def test_stream_starts_on_empty_landing_zone(spark, tmp_path):
+    """A production stream job starts against an empty landing zone —
+    the ts-encoding probe can't batch-read an empty dir, so it must
+    fall back to a default encoding instead of refusing to start."""
+    land = tmp_path / "landing"
+    land.mkdir()
+    events = read_events_stream(spark, str(land))
+    assert events.isStreaming and "ts" in events.columns
+    q = (
+        windowed_counts_stream(events)
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("empty_land_out")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    assert spark.sql("SELECT * FROM empty_land_out").count() == 0
+
+
 def test_windowed_counts_matches_batch(spark, sf_dir, events_dir):
     events = read_events_stream(spark, events_dir)
     _run_to_memory(windowed_counts_stream(events), "win_out")
