@@ -27,6 +27,7 @@ from pyspark.sql import functions as F
 
 from portfolio1_etl_spark import catalog
 from portfolio1_etl_spark.functions.redact import pii_counts, redact_pii
+from portfolio1_etl_spark.operators.checkpointing import materialize
 from portfolio1_etl_spark.operators.dedup import (
     connected_components,
     jaccard_pairs,
@@ -54,6 +55,7 @@ def prepare_corpus(
     out_path: str | None = None,
     docs: DataFrame | None = None,
     count_rows: bool = True,
+    checkpoint_mode: str = "local",
 ) -> CorpusPrepResult:
     """Run the full prep over ``documents``. Order matters and is the
     production order: exact dedup first (cheapest, biggest win),
@@ -82,12 +84,12 @@ def prepare_corpus(
     # shingles — an eval doc dropped as an exact duplicate still
     # contaminates the surviving copy of its text. (Shingling only
     # survivors would let such text leak into the training output.)
-    sh_all = shingle_hashes(docs, "text").localCheckpoint(eager=True)
+    sh_all = materialize(shingle_hashes(docs, "text"), checkpoint_mode)
     sh_surv = sh_all.join(exact_keep, "doc_id", "left_semi")
 
     # -- stage 2: near-dup clusters over survivors (q77 + q89) ----------
     pairs = jaccard_pairs(sh_surv, jaccard_threshold, df_cap=df_cap)
-    cc = connected_components(pairs)
+    cc = connected_components(pairs, checkpoint_mode=checkpoint_mode)
     near_dupes = cc.filter(F.col("node") != F.col("component")).select(
         F.col("node").alias("doc_id")
     )
@@ -135,8 +137,8 @@ def prepare_corpus(
             .when(F.col("too_repetitive"), "repetitive")
             .alias("drop_reason"),
         )
-        .localCheckpoint(eager=True)
     )
+    decisions = materialize(decisions, checkpoint_mode)
 
     # -- stage 5: redact + sink -----------------------------------------
     kept = (

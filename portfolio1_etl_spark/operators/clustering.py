@@ -31,6 +31,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from portfolio1_etl_spark.operators.checkpointing import materialize
+
 #: Argmin over the folded codebook column `cents`
 #: (array<struct<c_id, cvec>>): 6 dp squared distance per centroid,
 #: then `array_min` on (d2, c_id) structs — struct ordering compares
@@ -112,6 +114,7 @@ def lloyd_kmeans(
     k: int = 8,
     iters: int = 3,
     train_fraction: float | None = None,
+    checkpoint_mode: str = "local",
 ) -> tuple[DataFrame, DataFrame]:
     """Run ``iters`` Lloyd rounds from the deterministic seed set (the
     k smallest vec_ids — computed, not assumed: id spaces need not be
@@ -134,7 +137,7 @@ def lloyd_kmeans(
     )
     assigned = assign_cells(train, cent)
     for _ in range(iters - 1):
-        cent = update_centroids(assigned).localCheckpoint(eager=True)
+        cent = materialize(update_centroids(assigned), checkpoint_mode)
         assigned = assign_cells(train, cent)
     if train is not vecs:  # sampled: assignment must cover every vector
         assigned = assign_cells(vecs, cent)

@@ -20,6 +20,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
+from portfolio1_etl_spark.operators.checkpointing import materialize
+
 #: Deterministic 48-bit hash of a string column (identical in DuckDB
 #: as ``('0x' || substr(md5(c),1,12))::BIGINT``).
 H48 = "cast(conv(substring(md5({c}), 1, 12), 16, 10) as bigint)"
@@ -278,6 +280,7 @@ def connected_components(
     a_col: str = "doc_a",
     b_col: str = "doc_b",
     max_iter: int = 25,
+    checkpoint_mode: str = "local",
 ) -> DataFrame:
     """(node, component) for every node appearing in ``pairs``; the
     component label is the minimum node id in its connected component
@@ -291,8 +294,11 @@ def connected_components(
     propagation needs O(diameter) rounds, which on a chain-shaped
     cluster (common with boilerplate docs: A~B~C~... without A~C) is
     a scale-killer; the star algorithm contracts paths exponentially.
-    Each round's edge set is eagerly materialized (localCheckpoint) to
-    truncate lineage — on a cluster, substitute reliable checkpoints.
+    Each round's edge set is eagerly materialized to truncate lineage;
+    ``checkpoint_mode`` picks the storage (``'local'`` = executor-local
+    localCheckpoint for the test harness, ``'reliable'`` = the
+    SparkContext checkpoint dir so a lost executor cannot kill a
+    multi-hour run — see ``operators.checkpointing``).
     Convergence is an EXACT fixpoint test — the round's edge set equals
     the previous round's (both directions of ``exceptAll`` empty, both
     sides already-materialized checkpoints) — not a probabilistic
@@ -302,12 +308,12 @@ def connected_components(
     correctness bug, not a tradeoff. Edge data never leaves the
     executors; the driver sees only the boolean.
     """
-    e = (
+    e = materialize(
         pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
         .select(F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v"))
         .filter(F.col("u") != F.col("v"))
-        .distinct()
-        .localCheckpoint(eager=True)
+        .distinct(),
+        checkpoint_mode,
     )
 
     def _same_edges(cur: DataFrame, prev: DataFrame) -> bool:
@@ -347,11 +353,11 @@ def connected_components(
             .select(F.col("v").alias("a"), F.col("m").alias("b"))
             .union(smins.select(F.col("u").alias("a"), F.col("m").alias("b")))
         )
-        e = (
+        e = materialize(
             ss.select(F.least("a", "b").alias("u"), F.greatest("a", "b").alias("v"))
             .filter(F.col("u") != F.col("v"))
-            .distinct()
-            .localCheckpoint(eager=True)
+            .distinct(),
+            checkpoint_mode,
         )
         if _same_edges(e, prev_e):
             break

@@ -26,6 +26,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from portfolio1_etl_spark.operators.checkpointing import materialize
+
 
 def out_weights(edges: DataFrame) -> DataFrame:
     """(src, outw): total outgoing edge weight per source node."""
@@ -38,6 +40,7 @@ def pagerank(
     damping: float = 0.85,
     redistribute_dangling: bool = False,
     stop_when_stable: bool = True,
+    checkpoint_mode: str = "local",
 ) -> DataFrame:
     """(node, rank): weighted PageRank after at most ``iters``
     synchronous rounds from a uniform start. ``edges`` is
@@ -62,11 +65,11 @@ def pagerank(
     changes the result vs a fixed-``iters`` oracle; it only skips
     provably-idempotent work. The check is an exact ``exceptAll``
     emptiness test on the rank vector, not a probabilistic digest."""
-    nodes = (
+    nodes = materialize(
         edges.select(F.col("src").alias("node"))
         .union(edges.select(F.col("dst").alias("node")))
-        .distinct()
-        .localCheckpoint(eager=True)
+        .distinct(),
+        checkpoint_mode,
     )
     n_nodes = nodes.count()
     if n_nodes == 0:
@@ -78,22 +81,24 @@ def pagerank(
         "node", F.round(F.lit(1.0 / n_nodes), 10).alias("rank")
     )
     ow = out_weights(edges)
-    contrib_edges = (
-        edges.join(ow, "src")
-        .select("src", "dst", (F.col("w") / F.col("outw")).alias("share"))
-        .localCheckpoint(eager=True)
+    contrib_edges = materialize(
+        edges.join(ow, "src").select(
+            "src", "dst", (F.col("w") / F.col("outw")).alias("share")
+        ),
+        checkpoint_mode,
     )
     if redistribute_dangling:
         # flag dangling nodes ONCE (the leaky variant never reads
         # this); the flag rides along in the rank vector so each
         # round's dangling sum is a filter + aggregate, not a join
-        nodes = nodes.join(
-            ow.select(F.col("src").alias("node"), F.lit(True).alias("dang")),
-            "node",
-            "left",
-        ).select(
-            "node", F.col("dang").isNull().alias("dang")
-        ).localCheckpoint(eager=True)
+        nodes = materialize(
+            nodes.join(
+                ow.select(F.col("src").alias("node"), F.lit(True).alias("dang")),
+                "node",
+                "left",
+            ).select("node", F.col("dang").isNull().alias("dang")),
+            checkpoint_mode,
+        )
         ranks = nodes.select(
             "node", "dang", F.round(F.lit(1.0 / n_nodes), 10).alias("rank")
         )
@@ -115,13 +120,16 @@ def pagerank(
             joined = joined.crossJoin(F.broadcast(dm))
             inflow_term = inflow_term + F.col("dm") / F.lit(n_nodes)
             carry = ["node", "dang"]
-        new_ranks = joined.select(
-            *carry,
-            F.round(
-                F.lit(base) + F.lit(damping) * inflow_term,
-                10,
-            ).alias("rank"),
-        ).localCheckpoint(eager=True)
+        new_ranks = materialize(
+            joined.select(
+                *carry,
+                F.round(
+                    F.lit(base) + F.lit(damping) * inflow_term,
+                    10,
+                ).alias("rank"),
+            ),
+            checkpoint_mode,
+        )
         # the check is pointless after the final round (we return
         # new_ranks either way) and can't fire after round 0 on any
         # non-degenerate graph (uniform start → first update moves) —

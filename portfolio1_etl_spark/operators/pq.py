@@ -29,6 +29,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
+from portfolio1_etl_spark.operators.checkpointing import materialize
 from portfolio1_etl_spark.operators.clustering import sample_for_training
 from portfolio1_etl_spark.operators.similarity import _queries_view, cosine
 
@@ -92,6 +93,7 @@ def train_codebook(
     iters: int = 2,
     id_col: str = "vec_id",
     train_fraction: float | None = None,
+    checkpoint_mode: str = "local",
 ) -> DataFrame:
     """(sub, c_id, cvec): per-subspace k-means codebook — one GROUPED
     Lloyd's run (subspace is a grouping key everywhere, so all
@@ -123,8 +125,8 @@ def train_codebook(
                 ).alias("cvec")
             )
             .select("sub", F.col("code").alias("c_id"), "cvec")
-            .localCheckpoint(eager=True)
         )
+        cent = materialize(cent, checkpoint_mode)
     return cent
 
 
@@ -138,6 +140,7 @@ def pq_topk(
     shortlist: int = 32,
     id_col: str = "vec_id",
     train_fraction: float | None = None,
+    checkpoint_mode: str = "local",
 ) -> DataFrame:
     """Two-stage PQ/ADC search: approximate distances from the byte
     codes + broadcast query distance table, exact cosine re-rank on
@@ -147,8 +150,14 @@ def pq_topk(
     a ``nrm`` column, as produced by ``with_norms``) — query
     subvectors are looked up by id in the corpus split; external
     query vectors would need their own split/normalize pass."""
-    sub = split_subspaces(vecs, n_sub, sub_dim, id_col).localCheckpoint(eager=True)
-    cent = train_codebook(sub, n_cent, id_col=id_col, train_fraction=train_fraction)
+    sub = materialize(split_subspaces(vecs, n_sub, sub_dim, id_col), checkpoint_mode)
+    cent = train_codebook(
+        sub,
+        n_cent,
+        id_col=id_col,
+        train_fraction=train_fraction,
+        checkpoint_mode=checkpoint_mode,
+    )
     codes = _assign(sub, cent, id_col).select(id_col, "sub", "code")
     qids = queries.select(F.col(id_col).alias("query_id"))
     qsub = sub.join(

@@ -32,11 +32,17 @@ def get_spark(
     cpus: str | int | None = None,
     shuffle_partitions: int | None = None,
     extra_conf: dict[str, str] | None = None,
+    checkpoint_dir: str | None = None,
 ) -> SparkSession:
     """Build (or fetch) the tuned local SparkSession.
 
     ``cpus`` defaults to ``$SPARK_GRAFT_CPUS`` else ``*``. Shuffle
     partitions default to the core count (AQE coalesces further down).
+    ``checkpoint_dir`` (else ``$SPARK_GRAFT_CHECKPOINT_DIR``) sets the
+    SparkContext checkpoint directory for operators running with
+    ``checkpoint_mode='reliable'`` (see ``operators.checkpointing``) —
+    on a cluster this must be a durable URI (HDFS/object store), since
+    reliable checkpoints exist precisely to survive executor loss.
     """
     cpus = str(cpus) if cpus is not None else _cpus()
     if shuffle_partitions is None:
@@ -60,4 +66,7 @@ def get_spark(
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    checkpoint_dir = checkpoint_dir or os.environ.get("SPARK_GRAFT_CHECKPOINT_DIR")
+    if checkpoint_dir:
+        spark.sparkContext.setCheckpointDir(checkpoint_dir)
     return spark
