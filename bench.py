@@ -64,6 +64,8 @@ HEADLINE = [
     "q105_prefix_jaccard",
     "q106_weighted_sample",
     "q107_chunking",
+    "q108_bpe_tokenize",
+    "q109_chunking_bpe",
 ]
 
 

@@ -1,0 +1,119 @@
+"""[ext] Subword (BPE) tokenization queries over ``documents`` —
+real-token counterparts of the whitespace-token surface (q60 stats,
+q107 chunking): a training pipeline budgets context windows in
+SUBWORD tokens, so the packer must chunk by them.
+
+Both queries apply ``functions.bpe`` — greedy longest-match over a
+frozen broadcast-style vocabulary, compiled entirely to JVM
+higher-order expressions (no Python UDF). The DuckDB oracle replays
+the identical greedy walk with a recursive CTE over the same
+vocabulary VALUES, so a single wrong piece boundary anywhere in the
+corpus changes counts/hashes and fails the gate.
+
+Scale shape: tokenization itself is a narrow map (zero shuffles at
+any corpus size). q108 adds the one aggregation shuffle of a
+wordcount; q109 stays shuffle-free end-to-end like q107.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from portfolio1_etl_spark import catalog
+from portfolio1_etl_spark.functions.bpe import (
+    doc_pieces,
+    oracle_walk_ctes,
+    piece_split_sql,
+)
+from portfolio1_etl_spark.plans.registry import query
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return catalog.load(spark, sf_dir, "documents")
+
+
+_CHUNK, _STRIDE = 64, 48  # 64-token windows, 16-token overlap (as q107)
+
+
+@query(
+    "q108_bpe_tokenize",
+    sql=f"""
+    WITH RECURSIVE {oracle_walk_ctes()}
+    SELECT tok AS piece, CAST(count(*) AS BIGINT) AS n
+    FROM walk WHERE tok IS NOT NULL
+    GROUP BY tok
+    ORDER BY n DESC, piece
+    LIMIT 50
+    """,
+    operators=("X-bpe", "X-tokens", "A1", "O2"),
+)
+def q108_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus subword-piece frequency: tokenize every document with
+    the frozen greedy longest-match vocabulary, explode, count, top-50
+    (ties broken by piece). Distributionally pins the tokenizer: a
+    single mis-segmented word anywhere shifts piece counts.
+
+    Plan: narrow tokenize map → explode → ONE partial-agg shuffle →
+    TakeOrdered. The vocabulary rides in the plan as a constant-folded
+    array literal — the expression-level equivalent of a broadcast
+    map, with no join and no Python boundary."""
+    d = _docs(spark, sf_dir)
+    return (
+        d.select(F.explode(doc_pieces("text")).alias("piece"))
+        .groupBy("piece")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "piece")
+        .limit(50)
+    )
+
+
+@query(
+    "q109_chunking_bpe",
+    sql=f"""
+    WITH RECURSIVE {oracle_walk_ctes()},
+    doc_toks AS (
+      SELECT doc_id, list(tok ORDER BY wid, step) AS toks
+      FROM walk WHERE tok IS NOT NULL GROUP BY doc_id
+    )
+    SELECT doc_id,
+           i AS chunk_id,
+           len(toks[i * {_STRIDE} + 1 : least(i * {_STRIDE} + {_CHUNK}, len(toks))])
+             AS n_chunk_tokens,
+           md5(array_to_string(
+             toks[i * {_STRIDE} + 1 : least(i * {_STRIDE} + {_CHUNK}, len(toks))], ' '))
+             AS chunk_hash
+    FROM (
+      SELECT doc_id, toks,
+             unnest(generate_series(0, (len(toks) - 1) // {_STRIDE})) AS i
+      FROM doc_toks
+    )
+    """,
+    operators=("X-bpe", "X-text-chunking", "F3", "C-generate"),
+)
+def q109_chunking_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q107's context-window packer re-based on SUBWORD tokens: every
+    document's in-order piece sequence explodes into 64-piece windows
+    advancing by a 48-piece stride. The chunk hash covers piece
+    CONTENT in order, so the oracle verifies both the tokenizer (piece
+    identity and order) and the packing arithmetic in one gate.
+
+    Plan: tokenize + chunk are per-row expressions feeding one
+    posexplode — zero shuffles at any corpus size (PLANS.md-guarded),
+    exactly the production shape for sharding 100 TB into windows."""
+    d = _docs(spark, sf_dir)
+    toks = d.select("doc_id", doc_pieces("text").alias("toks"))
+    exploded = toks.select(
+        "doc_id",
+        "toks",
+        F.posexplode(
+            F.expr(f"sequence(0, (size(toks) - 1) div {_STRIDE})")
+        ).alias("chunk_id", "_s"),
+    )
+    chunk = F.expr(f"slice(toks, chunk_id * {_STRIDE} + 1, {_CHUNK})")
+    return exploded.select(
+        "doc_id",
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        F.size(chunk).cast("long").alias("n_chunk_tokens"),
+        F.md5(F.concat_ws(" ", chunk)).alias("chunk_hash"),
+    )

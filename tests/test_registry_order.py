@@ -53,11 +53,13 @@ def test_every_operator_family_inside_window():
         "text-quality": "q62_quality_score",
         "text-langid": "q63_lang_id",
         "text-tfidf": "q94_tfidf",
+        "text-bpe": "q108_bpe_tokenize",
         "dedup-exact": "q71_dedup_exact_keep",
         "dedup-jaccard": "q72_ngram_jaccard",
         "dedup-minhash": "q73_minhash_lsh",
         "dedup-simhash": "q74_simhash",
-        "dedup-winnowing": "q76_winnowing",
+        # winnowing fingerprints demoted r6 (repped by the simhash
+        # fingerprint family; q76 stays oracle-backed for CI)
         "dedup-dfcap": "q77_jaccard_dfcap",
         "dedup-embedding": "q78_embedding_neardup",
         "dedup-cc": "q89_dup_clusters",
