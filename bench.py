@@ -66,6 +66,7 @@ HEADLINE = [
     "q107_chunking",
     "q108_bpe_tokenize",
     "q109_chunking_bpe",
+    "q110_span_dedup",
 ]
 
 

@@ -416,3 +416,92 @@ def simhash(
         term = F.when(2 * bit_sum > n, F.lit(1 << b)).otherwise(F.lit(0))
         fingerprint = term if fingerprint is None else fingerprint + term
     return hashed.groupBy(id_col).agg(fingerprint.alias(f"simhash{bits}"))
+
+
+def span_occurrences(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 4
+) -> DataFrame:
+    """(id, wpos, h): EVERY n-word span occurrence with its 1-based
+    start word position and 48-bit span hash — positional and NOT
+    distinct, unlike ``shingle_hashes``: cross-doc span REMOVAL needs
+    every occurrence's location, not the per-doc span set. Narrow
+    (split + posexplode per row); rows carry a long key so every
+    downstream shuffle is fixed-width."""
+    span_expr = f"""
+    CASE WHEN size(toks) >= {n} THEN
+      transform(
+        sequence(1, size(toks) - {n - 1}),
+        i -> named_struct('wpos', i, 's', concat_ws(' ', slice(toks, i, {n})))
+      )
+    ELSE cast(array() as array<struct<wpos: int, s: string>>) END
+    """
+    return (
+        docs.withColumn("toks", F.split(text_col, " "))
+        .select(id_col, F.explode(F.expr(span_expr)).alias("sp"))
+        .select(
+            id_col,
+            F.col("sp.wpos").alias("wpos"),
+            F.expr(H48.format(c="sp.s")).alias("h"),
+        )
+    )
+
+
+def repeated_spans(occ: DataFrame, min_docs: int = 2, id_col: str = "doc_id") -> DataFrame:
+    """(h): span hashes occurring in ≥ ``min_docs`` DISTINCT documents
+    — the cross-doc boilerplate set (repeated licence headers,
+    navigation chrome, templated paragraphs). Distinct-before-count so
+    within-doc repetition (q96's signal) cannot promote a span; one
+    aggregate shuffle on the long hash."""
+    return (
+        occ.select(id_col, "h")
+        .distinct()
+        .groupBy("h")
+        .agg(F.count(F.lit(1)).alias("span_df"))
+        .filter(F.col("span_df") >= min_docs)
+        .select("h")
+    )
+
+
+def remove_repeated_spans(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 4,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Cross-doc repeated-span dedup (the corpus-scale variant of
+    Lee et al.'s repeated-substring removal, word-granular): every
+    word covered by ANY span shared by ≥ ``min_docs`` docs is removed;
+    output is (id, text_clean, n_words, n_removed).
+
+    Scale shape — everything is linear in total occurrences, never
+    quadratic in documents sharing a span (the trap exact-dup pair
+    enumeration has): occurrences ⋈ repeated-set is an equi-join on a
+    long hash (AQE skew-split handles a span present in ~every doc —
+    skew-stress-tested), covered positions explode n rows per hit,
+    and the rebuild is one per-doc aggregate + a narrow filter over
+    the original token array. No collect, no all-pairs."""
+    occ = span_occurrences(docs, text_col, id_col, n)
+    rep = repeated_spans(occ, min_docs, id_col)
+    covered = (
+        occ.join(rep, "h")
+        .select(id_col, F.explode(F.expr(f"sequence(wpos, wpos + {n - 1})")).alias("wpos"))
+        .distinct()
+    )
+    cov_per_doc = covered.groupBy(id_col).agg(
+        F.sort_array(F.collect_list("wpos")).alias("__cov")
+    )
+    kept_words = (
+        "transform(filter(transform(split({t}, ' '), (bw, bi) -> "
+        "named_struct('w', bw, 'p', bi + 1)), "
+        "bs -> __cov is null or not array_contains(__cov, bs.p)), bs -> bs.w)"
+    ).format(t=text_col)
+    return (
+        docs.join(cov_per_doc, id_col, "left")
+        .select(
+            id_col,
+            F.concat_ws(" ", F.expr(kept_words)).alias("text_clean"),
+            F.size(F.split(text_col, " ")).cast("long").alias("n_words"),
+            F.coalesce(F.size("__cov"), F.lit(0)).cast("long").alias("n_removed"),
+        )
+    )

@@ -686,3 +686,74 @@ def q105_prefix_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     sh = shingle_hashes(_docs(spark, sf_dir), "text").localCheckpoint(eager=True)
     return prefix_jaccard_pairs(sh, 2, 5)  # 2/5 = 0.4 exactly
+
+
+# --- cross-doc repeated-span removal ---------------------------------------
+
+_SPAN_N, _SPAN_MIN_DOCS = 4, 2
+
+
+@query(
+    "q110_span_dedup",
+    sql=f"""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    occ AS (
+      SELECT doc_id, p AS wpos,
+             ('0x' || substr(md5(array_to_string(t[p : p + {_SPAN_N - 1}], ' ')), 1, 12))::BIGINT AS h
+      FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - {_SPAN_N - 1})) AS p
+            FROM toks WHERE len(t) >= {_SPAN_N})
+    ),
+    rep AS (
+      SELECT h FROM (SELECT h, count(DISTINCT doc_id) AS span_df FROM occ GROUP BY h)
+      WHERE span_df >= {_SPAN_MIN_DOCS}
+    ),
+    cov AS (
+      SELECT DISTINCT doc_id, wp FROM (
+        SELECT occ.doc_id, unnest(generate_series(occ.wpos, occ.wpos + {_SPAN_N - 1})) AS wp
+        FROM occ JOIN rep USING (h))
+    ),
+    words AS (
+      SELECT doc_id, wpos, t[wpos] AS w
+      FROM (SELECT doc_id, t, unnest(generate_series(1, len(t))) AS wpos FROM toks)
+    ),
+    kept AS (
+      SELECT words.doc_id, list(words.w ORDER BY words.wpos) AS ws
+      FROM words LEFT JOIN cov
+        ON words.doc_id = cov.doc_id AND words.wpos = cov.wp
+      WHERE cov.wp IS NULL
+      GROUP BY words.doc_id
+    ),
+    ncov AS (SELECT doc_id, count(*) AS n_removed FROM cov GROUP BY doc_id)
+    SELECT t.doc_id,
+           md5(coalesce(array_to_string(kept.ws, ' '), '')) AS clean_hash,
+           CAST(len(t.t) AS BIGINT) AS n_words,
+           CAST(coalesce(ncov.n_removed, 0) AS BIGINT) AS n_removed
+    FROM toks t
+    LEFT JOIN kept ON t.doc_id = kept.doc_id
+    LEFT JOIN ncov ON t.doc_id = ncov.doc_id
+    """,
+    operators=("X-dedup-span", "X-dedup-ngram", "A1", "J2"),
+)
+def q110_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-doc repeated-span removal (word-granular Lee et al.
+    repeated-substring dedup): every word covered by a 4-word span
+    shared by ≥2 documents is cut from the corpus; the census row per
+    document carries the cleaned-text md5 (content-exact gate), word
+    count, and removed-word count. Complements whole-doc exact dedup
+    (q71) and doc-pair near-dup (q72+): boilerplate that contaminates
+    MANY otherwise-distinct documents is removed WITHIN the survivors.
+    Scale: linear in span occurrences end-to-end — hash-keyed
+    aggregate for the repeated set, equi-join back (AQE skew-split
+    when one span is in ~every doc — skew-stress-tested), n-row
+    explode per hit, one per-doc aggregate, narrow rebuild. No pair
+    enumeration anywhere."""
+    from portfolio1_etl_spark.operators.dedup import remove_repeated_spans
+
+    return remove_repeated_spans(
+        _docs(spark, sf_dir), n=_SPAN_N, min_docs=_SPAN_MIN_DOCS
+    ).select(
+        "doc_id",
+        F.md5("text_clean").alias("clean_hash"),
+        "n_words",
+        "n_removed",
+    )

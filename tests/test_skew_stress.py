@@ -104,3 +104,62 @@ def test_lsh_without_cap_would_explode(spark):
     n_uncapped = lsh_candidates(sigs).count()
     assert n_uncapped >= (100 * 99) // 2  # the degenerate bucket alone
     assert lsh_candidates(sigs, bucket_cap=BUCKET_CAP).count() == 10
+
+
+def test_span_removal_linear_under_ubiquitous_span(spark):
+    """Cross-doc span removal's degenerate shape: ONE 4-word span
+    present in every document. Unlike pair enumeration (O(n²) in
+    sharers), span removal is linear in occurrences — the repeated
+    set is keyed by hash, and each occurrence contributes exactly n
+    covered positions. Assert the ubiquitous span is removed from ALL
+    docs, the unique remainders survive verbatim, and the covered-row
+    volume is occurrence-linear."""
+    from portfolio1_etl_spark.operators.dedup import (
+        remove_repeated_spans,
+        repeated_spans,
+        span_occurrences,
+    )
+
+    n_docs = 300
+    docs = spark.createDataFrame(
+        [(i, f"the same boiler plate u{i} v{i} w{i}") for i in range(n_docs)],
+        "doc_id long, text string",
+    )
+    occ = span_occurrences(docs, n=4)
+    # 7 words → 4 span starts per doc; occurrence-linear, no blowup
+    assert occ.count() == n_docs * 4
+    rep = repeated_spans(occ, min_docs=2)
+    # only the shared span repeats ("the same boiler plate"); the
+    # u/v/w tails are unique per doc
+    assert rep.count() == 1
+    out = {r.doc_id: r for r in remove_repeated_spans(docs, n=4, min_docs=2).collect()}
+    assert len(out) == n_docs
+    for i in range(n_docs):
+        r = out[i]
+        assert r.text_clean == f"u{i} v{i} w{i}", r.text_clean
+        assert r.n_words == 7 and r.n_removed == 4
+
+
+def test_span_removal_overlapping_spans_and_untouched_docs(spark):
+    """Overlapping repeated spans union their covered positions (no
+    double-removal), docs with no repeated span pass through verbatim
+    with n_removed = 0, and a span repeated only WITHIN one doc does
+    not trigger removal (distinct-doc counting)."""
+    from portfolio1_etl_spark.operators.dedup import remove_repeated_spans
+
+    docs = spark.createDataFrame(
+        [
+            # docs 1+2 share a 5-word run -> two overlapping 4-spans
+            (1, "a b c d e tail1 x1"),
+            (2, "a b c d e tail2 x2"),
+            (3, "totally unique words only here now"),
+            # 4-span "p q r s" twice within ONE doc only
+            (4, "p q r s p q r s"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in remove_repeated_spans(docs, n=4, min_docs=2).collect()}
+    assert out[1].text_clean == "tail1 x1" and out[1].n_removed == 5
+    assert out[2].text_clean == "tail2 x2" and out[2].n_removed == 5
+    assert out[3].text_clean == docs.collect()[2].text and out[3].n_removed == 0
+    assert out[4].n_removed == 0  # within-doc repetition is q96's job
