@@ -67,6 +67,8 @@ HEADLINE = [
     "q108_bpe_tokenize",
     "q109_chunking_bpe",
     "q110_span_dedup",
+    "q111_image_dhash",
+    "q112_image_neardup",
 ]
 
 

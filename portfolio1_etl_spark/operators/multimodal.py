@@ -572,3 +572,76 @@ def featurize_media(media: DataFrame) -> DataFrame:
             )
 
     return media.mapInPandas(op, MEDIA_FEATURES_SCHEMA)
+
+
+def dhash_bits(pixels: np.ndarray) -> tuple[int, int]:
+    """64-bit difference hash (dHash) of a decoded image, returned as
+    two 32-bit halves ``(hi, lo)`` so both engines stay inside signed
+    64-bit arithmetic (bit 63 of a single word would need unsigned).
+
+    Canonical dHash geometry: a 9-wide × 8-tall grayscale thumbnail —
+    each row contributes 8 left-to-right brighter-than comparisons,
+    bit k = r·8 + c set iff gray[r][c+1] > gray[r][c]. Grayscale is
+    the integer channel mean (sum // n_channels) — integer-exact, so
+    a SQL oracle can replay the hash from a pixel generator. The
+    input must already be thumbnail-sized (production: resize_media
+    first); that is what makes the hash PERCEPTUAL — global
+    brightness shifts and sub-threshold pixel noise do not flip
+    comparisons, unlike any content-hash of the bytes."""
+    h, w = pixels.shape[0], pixels.shape[1]
+    if (w - 1) * h != 64:
+        raise ValueError(f"dhash needs (w-1)*h == 64 comparisons, got {w}x{h}")
+    gray = pixels.astype(np.int64).sum(axis=2) // pixels.shape[2]
+    bits = (gray[:, 1:] > gray[:, :-1]).flatten()  # k = r*(w-1) + c
+    ks = np.nonzero(bits)[0]
+    lo = int(np.sum(1 << ks[ks < 32].astype(np.int64))) if len(ks) else 0
+    hi = int(np.sum(1 << (ks[ks >= 32].astype(np.int64) - 32))) if len(ks) else 0
+    return hi, lo
+
+
+def dhash_media(media: DataFrame) -> DataFrame:
+    """(path, modality, dh_hi, dh_lo): perceptual dHash per media row
+    via Arrow-batched ``mapInPandas`` over the real decoders (PNG and
+    PPM by signature). Narrow map, no shuffle — hashing 100 TB of
+    thumbnails is embarrassingly parallel; the 64-bit outputs then
+    feed the SAME pigeonhole-blocked Hamming join machinery as the
+    text SimHash family (q74/q75), which is the point: one Hamming
+    index serves text and images. Undecodable rows yield NULL halves
+    (malformed media must not kill the job — resize_media contract)."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            his, los = [], []
+            for b in pdf["content"]:
+                raw = bytes(b)
+                try:
+                    if raw[:8] == _PNG_SIG:
+                        px, _w, _h = decode_png(raw)
+                    elif raw[:2] == b"P6":
+                        px, _w, _h = decode_ppm(raw)
+                    else:
+                        raise ValueError("not a decodable image")
+                    hi, lo = dhash_bits(px)
+                except (ValueError, NotImplementedError, zlib.error,
+                        struct.error, IndexError):
+                    hi = lo = None
+                his.append(hi)
+                los.append(lo)
+            yield pd.DataFrame(
+                {
+                    "path": pdf["path"],
+                    "modality": pdf["modality"],
+                    "dh_hi": pd.array(his, dtype="Int64"),
+                    "dh_lo": pd.array(los, dtype="Int64"),
+                }
+            )
+
+    schema = T.StructType(
+        [
+            T.StructField("path", T.StringType()),
+            T.StructField("modality", T.StringType()),
+            T.StructField("dh_hi", T.LongType()),
+            T.StructField("dh_lo", T.LongType()),
+        ]
+    )
+    return media.mapInPandas(op, schema)

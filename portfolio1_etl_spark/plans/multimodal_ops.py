@@ -28,6 +28,7 @@ from portfolio1_etl_spark import catalog
 from portfolio1_etl_spark.operators.multimodal import (
     MEDIA_SCHEMA,
     decode_media_features,
+    dhash_media,
     encode_png,
     encode_ppm,
     encode_wav,
@@ -252,4 +253,199 @@ def q102_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         "dims",
         "mean_val",
         "rms",
+    )
+
+
+# --- q111/q112: perceptual image hash + image near-dup join ----------------
+
+#: 9-wide × 8-tall RGB thumbnails — the canonical dHash geometry (64
+#: horizontal comparisons). Pixel values are an integer function of
+#: (doc_id, channel index): documents cluster into groups of 4
+#: (group = doc_id // 4) sharing a base image; each variant bumps ONE
+#: pixel (j = 7 + (doc_id % 4)·17) by +60 mod 256, so same-group
+#: dHashes sit within Hamming ≤ 4 of each other while the oracle can
+#: replay every bit analytically.
+_DH_W, _DH_H = 9, 8
+_DH_N = _DH_W * _DH_H * 3
+
+
+def _synthesize_thumbs(docs):
+    """doc_id → real 9×8 RGB PNG thumbnail (filters cycle all 5 types,
+    as q102) via mapInPandas."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: dict[str, list] = {"path": [], "modality": [], "content": [], "meta": []}
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                i = np.arange(_DH_N, dtype=np.int64)
+                bump = np.where(i // 3 == 7 + (d % 4) * 17, 60, 0)
+                px = (((d // 4) * 23 + i * 19 + bump) % 256).astype(np.uint8)
+                content = encode_png(
+                    px.reshape(_DH_H, _DH_W, 3), filters=[0, 1, 2, 3, 4]
+                )
+                rows["path"].append(str(d))
+                rows["modality"].append("image")
+                rows["content"].append(content)
+                rows["meta"].append({"length": len(content), "mime": "image/png"})
+            yield pd.DataFrame(rows)
+
+    return docs.select("doc_id").mapInPandas(op, MEDIA_SCHEMA)
+
+
+#: DuckDB replay of the dHash: integer grayscale per pixel from the
+#: generator, one brighter-than bit per horizontal neighbor pair,
+#: packed into two 32-bit halves.
+_DHASH_ORACLE_CTES = f"""
+    idx AS (
+      SELECT doc_id, unnest(generate_series(0, {_DH_W * _DH_H} - 1)) AS j
+      FROM documents
+    ),
+    gray AS (
+      SELECT doc_id, j,
+        ( ((doc_id // 4) * 23 + (3*j    ) * 19 + CASE WHEN j = 7 + (doc_id % 4) * 17 THEN 60 ELSE 0 END) % 256
+        + ((doc_id // 4) * 23 + (3*j + 1) * 19 + CASE WHEN j = 7 + (doc_id % 4) * 17 THEN 60 ELSE 0 END) % 256
+        + ((doc_id // 4) * 23 + (3*j + 2) * 19 + CASE WHEN j = 7 + (doc_id % 4) * 17 THEN 60 ELSE 0 END) % 256
+        ) // 3 AS g
+      FROM idx
+    ),
+    bits AS (
+      SELECT a.doc_id, (a.j // {_DH_W}) * {_DH_W - 1} + (a.j % {_DH_W}) AS k
+      FROM gray a JOIN gray b ON a.doc_id = b.doc_id AND b.j = a.j + 1
+      WHERE a.j % {_DH_W} < {_DH_W - 1} AND b.g > a.g
+    ),
+    dh AS (
+      SELECT d.doc_id,
+             CAST(coalesce(sum(CASE WHEN k >= 32 THEN 1::BIGINT << (k - 32) END), 0) AS BIGINT) AS dh_hi,
+             CAST(coalesce(sum(CASE WHEN k < 32 THEN 1::BIGINT << k END), 0) AS BIGINT) AS dh_lo
+      FROM documents d LEFT JOIN bits ON d.doc_id = bits.doc_id
+      GROUP BY d.doc_id
+    )
+"""
+
+
+@query(
+    "q111_image_dhash",
+    sql=f"""
+    WITH {_DHASH_ORACLE_CTES}
+    SELECT doc_id, 'image' AS modality, dh_hi, dh_lo FROM dh
+    """,
+    operators=("X-multimodal", "X-image-phash"),
+)
+def q111_image_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual image hash census: real 9×8 PNG thumbnails (all five
+    filter types on the decode path, as q102) → ``decode_png`` →
+    integer grayscale → 64-bit dHash as two 32-bit halves, all inside
+    one Arrow-batched mapInPandas — a narrow map; hashing never
+    shuffles. The oracle rebuilds every bit from the pixel generator,
+    so the whole decode→grayscale→compare→pack chain is value-exact.
+    Unlike content digests (q90), dHash is PERCEPTUAL: global
+    brightness shifts and sub-threshold noise leave it unchanged
+    (pinned in tests), which is what makes image near-dup possible."""
+    docs = catalog.load(spark, sf_dir, "documents")
+    dh = dhash_media(_synthesize_thumbs(docs))
+    return dh.select(
+        F.col("path").cast("long").alias("doc_id"),
+        "modality",
+        "dh_hi",
+        "dh_lo",
+    )
+
+
+@query(
+    "q112_image_neardup",
+    sql=f"""
+    WITH {_DHASH_ORACLE_CTES},
+    chunks AS (
+      SELECT doc_id, dh_hi, dh_lo, c.chunk_id,
+             CASE c.chunk_id
+               WHEN 0 THEN dh_lo & 2047
+               WHEN 1 THEN (dh_lo >> 11) & 2047
+               WHEN 2 THEN (dh_lo >> 22) & 1023
+               WHEN 3 THEN dh_hi & 2047
+               WHEN 4 THEN (dh_hi >> 11) & 2047
+               ELSE (dh_hi >> 22) & 1023
+             END AS chunk_val
+      FROM dh, (SELECT unnest(generate_series(0, 5)) AS chunk_id) c
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, a.dh_hi AS ha_hi, a.dh_lo AS ha_lo,
+                      b.doc_id AS doc_b, b.dh_hi AS hb_hi, b.dh_lo AS hb_lo
+      FROM chunks a JOIN chunks b
+        ON a.chunk_id = b.chunk_id AND a.chunk_val = b.chunk_val
+       AND a.doc_id < b.doc_id
+    )
+    SELECT CAST(bit_count(xor(ha_hi, hb_hi)) + bit_count(xor(ha_lo, hb_lo)) AS BIGINT) AS hamming,
+           count(*) AS n_pairs,
+           min(doc_a) AS min_doc_a
+    FROM cand
+    WHERE bit_count(xor(ha_hi, hb_hi)) + bit_count(xor(ha_lo, hb_lo)) <= 4
+    GROUP BY 1
+    """,
+    operators=("X-multimodal", "X-image-phash", "X-dedup-simhash", "J-range"),
+)
+def q112_image_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-dup pairs at dHash Hamming ≤ 4, with the SAME
+    multi-index pigeonhole blocking as the text SimHash family (q75),
+    widened to 64 bits: the hash splits into 6 chunks (11/11/10 bits
+    per half), any pair within distance 5 agrees on ≥1 whole chunk, so
+    candidates come from an equi-join on (chunk_id, chunk_val) — never
+    an all-pairs scan — and the exact two-half bit_count(xor) runs
+    only on candidates. One Hamming index shape serves text AND
+    images; that reuse is the point of emitting dHash as longs."""
+    docs = catalog.load(spark, sf_dir, "documents")
+    dh = dhash_media(_synthesize_thumbs(docs)).select(
+        F.col("path").cast("long").alias("doc_id"), "dh_hi", "dh_lo"
+    )
+    chunk_specs = [
+        (0, F.col("dh_lo").bitwiseAND(F.lit(2047))),
+        (1, F.shiftright("dh_lo", 11).bitwiseAND(F.lit(2047))),
+        (2, F.shiftright("dh_lo", 22).bitwiseAND(F.lit(1023))),
+        (3, F.col("dh_hi").bitwiseAND(F.lit(2047))),
+        (4, F.shiftright("dh_hi", 11).bitwiseAND(F.lit(2047))),
+        (5, F.shiftright("dh_hi", 22).bitwiseAND(F.lit(1023))),
+    ]
+    chunks = dh.select(
+        "doc_id",
+        "dh_hi",
+        "dh_lo",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(cid).alias("chunk_id"), expr.alias("chunk_val"))
+                    for cid, expr in chunk_specs
+                ]
+            )
+        ).alias("c"),
+    ).select("doc_id", "dh_hi", "dh_lo", "c.chunk_id", "c.chunk_val")
+    a, b = chunks.alias("a"), chunks.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.chunk_id") == F.col("b.chunk_id"))
+            & (F.col("a.chunk_val") == F.col("b.chunk_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("a.dh_hi").alias("ha_hi"),
+            F.col("a.dh_lo").alias("ha_lo"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("b.dh_hi").alias("hb_hi"),
+            F.col("b.dh_lo").alias("hb_lo"),
+        )
+        .distinct()
+    )
+    hamming = (
+        F.bit_count(F.col("ha_hi").bitwiseXOR(F.col("hb_hi")))
+        + F.bit_count(F.col("ha_lo").bitwiseXOR(F.col("hb_lo")))
+    ).cast("long")
+    return (
+        cand.withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= 4)
+        .groupBy("hamming")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.min("doc_a").alias("min_doc_a"),
+        )
     )

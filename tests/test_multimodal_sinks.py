@@ -389,3 +389,94 @@ def test_compact_parquet_recovers_from_crashed_swap(spark, sf_dir, tmp_path):
     compact_parquet(spark, path, target_file_bytes=1 << 30)
     assert spark.read.parquet(path).count() == n
     assert not os.path.exists(path + "._precompact")
+
+
+def test_dhash_perceptual_invariances():
+    import numpy as np
+
+    from portfolio1_etl_spark.operators.multimodal import dhash_bits
+
+    rng = np.random.default_rng(7)
+    px = rng.integers(40, 200, size=(8, 9, 3), dtype=np.int64).astype(np.uint8)
+    h0 = dhash_bits(px)
+    # global brightness shift (no clipping): hash unchanged — the
+    # perceptual property a content digest lacks
+    assert dhash_bits((px.astype(np.int64) + 30).astype(np.uint8)) == h0
+    assert dhash_bits((px.astype(np.int64) - 25).astype(np.uint8)) == h0
+    # geometry contract: not 64 comparisons -> loud error
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="64 comparisons"):
+        dhash_bits(px[:4])
+
+
+def test_dhash_neardup_recall_vs_exact_pixel_diff(spark):
+    """Recall gate: dHash Hamming <= 8 must recover >= 90% of the true
+    near-dup pairs (exact pixel-L1 ground truth) on a fixture of
+    perturbed image groups, and no far pair (different random base)
+    may sneak under the same Hamming bar."""
+    import numpy as np
+    import pandas as pd
+
+    from portfolio1_etl_spark.operators.multimodal import (
+        dhash_bits,
+        dhash_media,
+        encode_png,
+    )
+
+    rng = np.random.default_rng(11)
+    n_groups, variants = 25, 3
+    images, gid_of = {}, {}
+    for g in range(n_groups):
+        base = rng.integers(30, 220, size=(8, 9, 3), dtype=np.int64)
+        for v in range(variants):
+            noise = np.zeros_like(base)
+            # a few +-4 pixel nudges — sub-threshold for most comparisons
+            for _ in range(4):
+                r, c = rng.integers(0, 8), rng.integers(0, 9)
+                noise[r, c, :] = rng.integers(-4, 5)
+            img_id = g * variants + v
+            images[img_id] = (base + noise).clip(0, 255).astype(np.uint8)
+            gid_of[img_id] = g
+
+    # exact ground truth: mean abs pixel diff < 3 <=> same group here
+    ids = sorted(images)
+    truth = set()
+    for i in ids:
+        for j in ids:
+            if i < j:
+                d = np.abs(
+                    images[i].astype(np.int64) - images[j].astype(np.int64)
+                ).mean()
+                if d < 3.0:
+                    truth.add((i, j))
+    assert truth, "fixture produced no true near-dups"
+    same_group = {(i, j) for i in ids for j in ids if i < j and gid_of[i] == gid_of[j]}
+    assert truth == same_group  # ground truth is exactly the groups
+
+    media = spark.createDataFrame(
+        [
+            (str(i), "image", bytearray(encode_png(images[i], filters=[0, 1, 2, 3, 4])), (1, "image/png"))
+            for i in ids
+        ],
+        "path string, modality string, content binary, meta struct<length: long, mime: string>",
+    )
+    dh = {int(r.path): (r.dh_hi, r.dh_lo) for r in dhash_media(media).collect()}
+    # spark path == local twin
+    for i in ids:
+        assert dh[i] == dhash_bits(images[i])
+
+    def hamming(a, b):
+        return bin(a[0] ^ b[0]).count("1") + bin(a[1] ^ b[1]).count("1")
+
+    found = {(i, j) for (i, j) in truth if hamming(dh[i], dh[j]) <= 8}
+    recall = len(found) / len(truth)
+    assert recall >= 0.9, f"dhash recall {recall:.2f} below bar"
+    # precision side: distinct random bases must stay far apart
+    far = [
+        hamming(dh[i], dh[j])
+        for i in ids
+        for j in ids
+        if i < j and gid_of[i] != gid_of[j]
+    ]
+    assert min(far) > 8, "far pair under the near-dup bar"
