@@ -129,30 +129,24 @@ def bloom_build(keys: DataFrame, col: str, m_bits: int = BLOOM_BITS) -> DataFram
     downstream work, never wrong answers, when the pruned stream feeds
     an exact join afterwards.
 
-    Build shape: explode k positions per key → distinct → pack into
-    64-bit words (bit_or) → fold the sparse words into a dense
-    array<long> in ONE final 1-row aggregate. The md5-derived hash
-    family makes the bitmap bit-identical across engines."""
+    Build shape: explode k positions per key → ONE global
+    ``collect_set`` aggregate (partial per partition, each partial
+    bounded by m_bits entries, so the exchange carries at most
+    m_bits·partitions longs) → pack the set into the dense
+    array<long> in a narrow 1-row projection. One exchange total —
+    duplicate keys and duplicate positions are free because setting a
+    bit is idempotent. The md5-derived hash family makes the bitmap
+    bit-identical across engines."""
     hashed = keys.select(
         F.expr(H48.format(c=f"cast({col} as string)")).alias("h")
     )
-    pos = hashed.select(
-        F.explode(_bloom_positions("h", m_bits)).alias("pos")
-    ).distinct()
-    words = (
-        pos.select(
-            (F.col("pos") / 64).cast("int").alias("w"),
-            (F.col("pos") % 64).cast("int").alias("b"),
-        )
-        .groupBy("w")
-        .agg(F.expr("bit_or(shiftleft(cast(1 as bigint), b))").alias("word"))
-    )
-    return words.agg(
-        F.map_from_entries(F.collect_list(F.struct("w", "word"))).alias("wm")
-    ).select(
+    pos = hashed.select(F.explode(_bloom_positions("h", m_bits)).alias("pos"))
+    return pos.agg(F.collect_set("pos").alias("ps")).select(
         F.expr(
             f"transform(sequence(0, {m_bits // 64 - 1}), "
-            "i -> coalesce(element_at(wm, i), cast(0 as bigint)))"
+            "w -> aggregate(filter(ps, p -> cast(p div 64 as int) = w), "
+            "cast(0 as bigint), "
+            "(acc, p) -> acc | shiftleft(cast(1 as bigint), cast(p % 64 as int))))"
         ).alias("bm")
     )
 

@@ -100,8 +100,10 @@ _SANCTIONED_BNLJ = {
     # quantized ANN stage 1: corpus × broadcast query set (queries ≪
     # corpus by construction), like the brute-force baseline.
     "q95_quantized_ann",
-    # bloom pruning: fact stream × the broadcast ONE-ROW 8 KB bitmap.
+    # bloom pruning: fact stream × the broadcast ONE-ROW 8 KB bitmap
+    # (q104 = the production prune, q113 = its false-positive audit).
     "q104_bloom_prune",
+    "q113_bloom_fp_audit",
 }
 
 
@@ -218,3 +220,15 @@ def test_scd2_single_shuffle(spark, sf_dir):
     # Exchange appears once per section.
     tree = plan.split("\n\n")[0]
     assert tree.count("Exchange") == 1
+
+
+def test_bloom_prune_plan_is_production_lean(spark, sf_dir):
+    """q104 after the r6 split: the bitmap fold over the ~4% build
+    side plus the final census are the ONLY shuffles — the probe
+    itself is a broadcast + codegen filter, so the fact side never
+    exchanges. (The false-positive audit with its extra joins lives
+    in q113.)"""
+    plan = _formatted_plan(REGISTRY["q104_bloom_prune"].fn(spark, sf_dir))
+    tree = plan.split("\n\n")[0]
+    n_ex = tree.count("Exchange") - tree.count("BroadcastExchange")
+    assert n_ex <= 2, f"q104 plans {n_ex} non-broadcast exchanges:\n{tree}"
