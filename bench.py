@@ -69,6 +69,7 @@ HEADLINE = [
     "q110_span_dedup",
     "q111_image_dhash",
     "q112_image_neardup",
+    "q114_ann_recall",
 ]
 
 

@@ -64,3 +64,24 @@ def test_quantized_distance_is_integer(spark, sf_dir):
     out = quantized_topk(vecs, vecs.filter(F.col("vec_id") < 2), k=2)
     row = out.first()
     assert isinstance(row["qd2"], int) and row["qd2"] >= 0
+
+
+def test_scoreboard_recall_bars(spark, sf_dir):
+    """The documented recall floors, pinned against the ON-SCOREBOARD
+    q114 output (not a parallel reimplementation): SQ8 must be
+    near-exact (integer-L2 shortlist of 32 over ~500 vectors), PQ
+    solidly above half, IVF above a quarter at this scale (nprobe
+    trades it), and single-bucket sign-LSH is documented-lossy — its
+    floor is only that the row exists and reports. Values move ONLY
+    with an algorithm change, since every input hash is deterministic."""
+    from portfolio1_etl_spark.plans import REGISTRY
+
+    rows = {r.method: r for r in REGISTRY["q114_ann_recall"].fn(spark, sf_dir).collect()}
+    assert set(rows) == {
+        "q82_lsh_ann", "q83_ivf_ann", "q95_quantized_ann", "q99_pq_ann",
+    }
+    assert all(r.n_truth == 24 and r.k == 3 for r in rows.values())
+    assert rows["q95_quantized_ann"].recall >= 0.95
+    assert rows["q99_pq_ann"].recall >= 0.55
+    assert rows["q83_ivf_ann"].recall >= 0.25
+    assert rows["q82_lsh_ann"].recall >= 0.0  # lossy-by-design, reported
