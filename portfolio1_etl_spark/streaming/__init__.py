@@ -3,6 +3,8 @@
 from portfolio1_etl_spark.streaming.jobs import (
     bloom_maintenance_stream,
     cms_maintenance_stream,
+    corpus_prep_finalize,
+    corpus_prep_stream,
     dedup_events_stream,
     paired_events_stream,
     inventory_merge_stream,
@@ -24,4 +26,6 @@ __all__ = [
     "scd2_maintenance_stream",
     "bloom_maintenance_stream",
     "cms_maintenance_stream",
+    "corpus_prep_stream",
+    "corpus_prep_finalize",
 ]

@@ -250,3 +250,223 @@ def scd2_maintenance_stream(events: DataFrame, state: dict):
         state["current"] = nxt.localCheckpoint(eager=True)
 
     return events.writeStream.outputMode("append").foreachBatch(_merge)
+
+
+def corpus_prep_stream(
+    docs_stream: DataFrame,
+    state: dict,
+    eval_mod: int = 50,
+    df_cap: int = 4,
+    max_repetition: float = 0.4,
+):
+    """Incremental corpus-prep (r6): maintain `prepare_corpus`'s
+    decision inputs over a document STREAM so the corpus doesn't
+    re-shingle from scratch per arrival — and converge EXACTLY to the
+    batch pipeline (asserted in tests/test_streaming.py), df_cap
+    semantics included. Per micro-batch, each state piece folds:
+
+    - ``keep`` (text_hash → min doc_id): exact-dup survivor election
+      is a pure min-fold — order-independent.
+    - ``sh_acc``: accumulated distinct (doc_id, h) shingles. This is
+      the one corpus-sized state; it is exactly the shingle table the
+      batch pipeline builds anyway, amortized over arrivals.
+    - ``cand``: near-dup CANDIDATE pairs among exact-survivors,
+      discovered incrementally (new survivors' shingles ⋈ accumulated
+      survivor shingles, both thinned by the RUNNING document
+      frequency cap). Running df only grows, so everything the final
+      cap keeps has already been join-eligible in some earlier batch:
+      candidates are a superset of the batch pair set, and
+      ``corpus_prep_finalize`` verifies them against the FINAL capped
+      sets — exactness lives there, the stream only narrows the join.
+    - ``eval_sh`` + ``contam``: benchmark-contamination counts via a
+      symmetric delta join — new docs score against the full eval
+      shingle set, and the eval set's NEW shingles (ΔE) re-score all
+      previously-seen docs; the two legs are disjoint by construction
+      so counts fold additively.
+    - ``rep``: the per-doc repetition gate is stateless — decided on
+      arrival.
+
+    Assumes id-ordered ingestion (a landing zone fed in arrival
+    order), which keeps survivor status stable: the min-id copy of a
+    text lands first, so later duplicates never displace a survivor
+    whose shingles already seeded candidate discovery. Out-of-order
+    backfills need keeper-displacement compensation — a documented
+    non-goal here."""
+    from portfolio1_etl_spark.operators.dedup import (
+        hot_shingles,
+        shingle_hashes,
+        with_repetition_cols,
+    )
+
+    def _fold(batch_df: DataFrame, epoch_id: int) -> None:
+        b_docs = batch_df.localCheckpoint(eager=True)
+        b_sh = shingle_hashes(b_docs, "text").localCheckpoint(eager=True)
+        is_eval = F.col("doc_id") % eval_mod == 0
+
+        # -- exact-dup fold --------------------------------------------
+        b_keep = b_docs.groupBy(F.md5("text").alias("text_hash")).agg(
+            F.min("doc_id").alias("keep_doc_id")
+        )
+        keep_old = state.get("keep")
+        keep = (
+            b_keep
+            if keep_old is None
+            else keep_old.unionByName(b_keep)
+            .groupBy("text_hash")
+            .agg(F.min("keep_doc_id").alias("keep_doc_id"))
+        ).localCheckpoint(eager=True)
+
+        # -- candidate discovery among survivors ----------------------
+        keepers = keep.select(F.col("keep_doc_id").alias("doc_id"))
+        new_keep_sh = b_sh.join(keepers, "doc_id", "left_semi")
+        sh_acc_old = state.get("sh_acc")
+        all_keep_sh = (
+            new_keep_sh
+            if sh_acc_old is None
+            else sh_acc_old.join(keepers, "doc_id", "left_semi").unionByName(
+                new_keep_sh
+            )
+        )
+        hot = hot_shingles(all_keep_sh, df_cap).select("h")
+        a = new_keep_sh.join(F.broadcast(hot), "h", "left_anti").alias("a")
+        b = all_keep_sh.join(F.broadcast(hot), "h", "left_anti").alias("b")
+        b_cand = (
+            a.join(
+                b,
+                (F.col("a.h") == F.col("b.h"))
+                & (F.col("a.doc_id") != F.col("b.doc_id")),
+            )
+            .select(
+                F.least("a.doc_id", "b.doc_id").alias("doc_a"),
+                F.greatest("a.doc_id", "b.doc_id").alias("doc_b"),
+            )
+            .distinct()
+        )
+        cand_old = state.get("cand")
+        cand = (
+            b_cand
+            if cand_old is None
+            else cand_old.unionByName(b_cand).distinct()
+        ).localCheckpoint(eager=True)
+
+        # -- contamination fold (symmetric delta join) -----------------
+        b_eval_sh = b_sh.join(
+            b_docs.filter(is_eval).select("doc_id"), "doc_id", "left_semi"
+        ).select("h").distinct()
+        eval_old = state.get("eval_sh")
+        delta_e = (
+            b_eval_sh
+            if eval_old is None
+            else b_eval_sh.join(eval_old, "h", "left_anti")
+        ).localCheckpoint(eager=True)
+        eval_sh = (
+            delta_e if eval_old is None else eval_old.unionByName(delta_e)
+        ).localCheckpoint(eager=True)
+
+        non_eval_ids_b = b_docs.filter(~is_eval).select("doc_id")
+        inc2 = (
+            b_sh.join(non_eval_ids_b, "doc_id", "left_semi")
+            .join(eval_sh, "h")
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_shared"))
+        )
+        incs = [inc2]
+        if sh_acc_old is not None:
+            # previously-seen non-eval docs vs the eval set's NEW rows
+            inc1 = (
+                sh_acc_old.filter(~(F.col("doc_id") % eval_mod == 0))
+                .join(delta_e, "h")
+                .groupBy("doc_id")
+                .agg(F.count(F.lit(1)).alias("n_shared"))
+            )
+            incs.append(inc1)
+        contam_old = state.get("contam")
+        contam_parts = ([contam_old] if contam_old is not None else []) + incs
+        contam = contam_parts[0]
+        for part in contam_parts[1:]:
+            contam = contam.unionByName(part)
+        contam = (
+            contam.groupBy("doc_id")
+            .agg(F.sum("n_shared").alias("n_shared"))
+            .localCheckpoint(eager=True)
+        )
+
+        # -- stateless per-doc gates + accumulation --------------------
+        distinct_share = F.when(
+            F.col("n_shingles") > 0,
+            F.col("n_distinct").cast("double") / F.col("n_shingles"),
+        )
+        b_rep = with_repetition_cols(b_docs).select(
+            "doc_id",
+            (
+                F.coalesce(distinct_share, F.lit(1.0)) < 1.0 - max_repetition
+            ).alias("too_repetitive"),
+        )
+        rep_old = state.get("rep")
+        rep = (
+            b_rep if rep_old is None else rep_old.unionByName(b_rep)
+        ).localCheckpoint(eager=True)
+        sh_acc = (
+            b_sh if sh_acc_old is None else sh_acc_old.unionByName(b_sh)
+        ).localCheckpoint(eager=True)
+
+        state.update(
+            keep=keep, cand=cand, eval_sh=eval_sh, contam=contam,
+            rep=rep, sh_acc=sh_acc,
+        )
+
+    return docs_stream.writeStream.outputMode("append").foreachBatch(_fold)
+
+
+def corpus_prep_finalize(
+    state: dict,
+    jaccard_threshold: float = 0.4,
+    df_cap: int = 4,
+    eval_mod: int = 50,
+    contamination_min_shingles: int = 3,
+) -> DataFrame:
+    """Assemble the per-doc decision log from the maintained state —
+    byte-identical to ``prepare_corpus(...).decisions`` on the same
+    documents. The one non-incremental step is candidate VERIFICATION
+    + connected components: Jaccard is recomputed over the FINAL
+    df-capped survivor shingle sets (running-cap discovery may both
+    over- and under-thin relative to the final cap, so per-pair
+    similarity is only exact at finalize), and CC needs the complete
+    edge set. Both run on the small candidate/edge tables, not the
+    corpus."""
+    from portfolio1_etl_spark.operators.dedup import (
+        connected_components,
+        hot_shingles,
+        verify_candidates,
+    )
+
+    keep, sh_acc = state["keep"], state["sh_acc"]
+    cand, contam, rep = state["cand"], state["contam"], state["rep"]
+    keepers = keep.select(F.col("keep_doc_id").alias("doc_id"))
+    sh_surv = sh_acc.join(keepers, "doc_id", "left_semi")
+    sh_capped = sh_surv.join(
+        F.broadcast(hot_shingles(sh_surv, df_cap).select("h")), "h", "left_anti"
+    ).localCheckpoint(eager=True)
+    pairs = verify_candidates(sh_capped, cand, jaccard_threshold)
+    cc = connected_components(pairs)
+    near_dupes = cc.filter(F.col("node") != F.col("component")).select(
+        F.col("node").alias("doc_id")
+    )
+    contaminated = contam.filter(
+        F.col("n_shared") >= contamination_min_shingles
+    ).select("doc_id")
+    return (
+        rep.select("doc_id", "too_repetitive")
+        .join(keepers.withColumn("k", F.lit(1)), "doc_id", "left")
+        .join(near_dupes.withColumn("nd", F.lit(1)), "doc_id", "left")
+        .join(contaminated.withColumn("ct", F.lit(1)), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.when(F.col("k").isNull(), "exact_duplicate")
+            .when(F.col("nd").isNotNull(), "near_duplicate")
+            .when(F.col("doc_id") % eval_mod == 0, "eval_slice")
+            .when(F.col("ct").isNotNull(), "contaminated")
+            .when(F.col("too_repetitive"), "repetitive")
+            .alias("drop_reason"),
+        )
+    )

@@ -347,3 +347,55 @@ def test_bloom_maintenance_stream_equals_batch_build(spark, tmp_path):
     seen = raw.select("user_id").distinct()
     admitted = bloom_probe(seen, "user_id", state["bloom"]).count()
     assert admitted == seen.count()  # no false negatives, ever
+
+
+def test_corpus_prep_stream_converges_to_batch(spark, sf_dir, tmp_path):
+    """Incremental corpus-prep == one-shot batch: stream the documents
+    table through corpus_prep_stream in 4 id-ordered micro-batches,
+    finalize, and the decision log must equal prepare_corpus's —
+    every doc_id, every drop_reason, df_cap semantics included."""
+    from portfolio1_etl_spark import catalog
+    from portfolio1_etl_spark.corpus_pipeline import prepare_corpus
+    from portfolio1_etl_spark.streaming.jobs import (
+        corpus_prep_finalize,
+        corpus_prep_stream,
+    )
+
+    docs = catalog.load(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang"
+    )
+    ids = sorted(r.doc_id for r in docs.select("doc_id").collect())
+    cuts = [ids[len(ids) // 4], ids[len(ids) // 2], ids[3 * len(ids) // 4]]
+    land = tmp_path / "docs_landing"
+    land.mkdir()
+    # id-ordered landing files (the documented ingestion assumption)
+    slices = [
+        docs.filter(F.col("doc_id") < cuts[0]),
+        docs.filter((F.col("doc_id") >= cuts[0]) & (F.col("doc_id") < cuts[1])),
+        docs.filter((F.col("doc_id") >= cuts[1]) & (F.col("doc_id") < cuts[2])),
+        docs.filter(F.col("doc_id") >= cuts[2]),
+    ]
+    for i, s in enumerate(slices):
+        s.coalesce(1).write.parquet(str(land / f"part{i}"))
+    stream = (
+        spark.readStream.schema("doc_id long, text string, lang string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(land / "part*"))
+    )
+    state: dict = {}
+    q = corpus_prep_stream(stream, state).start()
+    q.processAllAvailable()
+    q.stop()
+
+    got = sorted(
+        (r.doc_id, r.drop_reason)
+        for r in corpus_prep_finalize(state).collect()
+    )
+    want = sorted(
+        (r.doc_id, r.drop_reason)
+        for r in prepare_corpus(
+            spark, sf_dir, docs=docs, count_rows=False
+        ).decisions.collect()
+    )
+    assert len(got) == len(ids)
+    assert got == want
