@@ -1,0 +1,393 @@
+"""[ext] Corpus-curation governance operators over ``documents`` —
+the policy layer of a training-data pipeline (r6): PII/entity
+redaction on the scoreboard, domain-mixture sampling to a token
+budget, cross-document sequence packing, and unigram-LM scoring
+(per-doc log-prob + per-source KL drift).
+
+Reference analogue: the canonicalization/enrichment passes of
+portfolio-etl.py:602-613 (normalize before aggregating) — here the
+"normalization" is the corpus-policy transform itself.
+
+All hot paths are built-in column expressions (split / transform /
+regexp_replace / window) — JVM-side, whole-stage codegen, no Python.
+Scale shapes are called out per query; the mixture sampler uses a
+histogram-prune so the greedy-cumsum selection never runs a window
+over a whole skewed domain.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from portfolio1_etl_spark import catalog
+from portfolio1_etl_spark.functions.redact import PII_PATTERNS
+from portfolio1_etl_spark.operators.mixture import budget_prefix_select
+from portfolio1_etl_spark.plans.registry import query
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return catalog.load(spark, sf_dir, "documents")
+
+
+# --------------------------------------------------------------------------
+# q115 — PII + entity redaction census
+# --------------------------------------------------------------------------
+
+#: dictionary deny-list (entity scrub) — whole-token matches only, so
+#: both engines apply it with a list transform, no regex dialect risk.
+_DENY = ("customer", "supplier", "spark")
+
+_DENY_SQL = ", ".join(f"'{t}'" for t in _DENY)
+_PII_COUNT_NAMES = ("n_email", "n_ip", "n_number")
+
+
+def _pii_oracle_ctes() -> str:
+    """Chained regexp CTEs replaying functions.redact exactly: count
+    pattern i on the text AFTER patterns < i were replaced (so later
+    patterns cannot re-match inside earlier redactions), DuckDB 'g'
+    flag matching Spark's always-global regexp_replace."""
+    ctes, prev = [], "t0"
+    for i, ((pattern, token), cnt) in enumerate(zip(PII_PATTERNS, _PII_COUNT_NAMES)):
+        cur = f"t{i + 1}"
+        ctes.append(
+            f"p{i} AS (SELECT *,"
+            f" len(regexp_extract_all({prev}, '{pattern}')) AS {cnt},"
+            f" regexp_replace({prev}, '{pattern}', '{token}', 'g') AS {cur}"
+            f" FROM {'red' if i == 0 else f'p{i - 1}'})"
+        )
+        prev = cur
+    return ",\n    ".join(ctes)
+
+
+@query(
+    "q115_pii_redact",
+    sql=f"""
+    WITH red AS (
+      SELECT doc_id, source,
+        array_to_string(list_transform(string_split(text, ' '),
+          t -> CASE WHEN t IN ({_DENY_SQL}) THEN '<ENT>' ELSE t END), ' ') AS t0,
+        len(list_filter(string_split(text, ' '),
+          t -> t IN ({_DENY_SQL}))) AS n_ent
+      FROM documents
+    ),
+    {_pii_oracle_ctes()}
+    SELECT doc_id, source,
+           CAST(n_ent AS BIGINT)    AS n_ent,
+           CAST(n_email AS BIGINT)  AS n_email,
+           CAST(n_ip AS BIGINT)     AS n_ip,
+           CAST(n_number AS BIGINT) AS n_number,
+           md5(t{len(PII_PATTERNS)}) AS redacted_hash,
+           CAST(length(t{len(PII_PATTERNS)}) AS BIGINT) AS n_chars_redacted
+    FROM p{len(PII_PATTERNS) - 1}
+    """,
+    operators=("X-redact", "X-quality", "C2", "C3"),
+)
+def q115_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Redaction decision log: dictionary entity scrub (whole-token
+    deny-list → <ENT>) followed by the functions.redact PII regex
+    chain (emails / IPv4 / digit runs), with per-shape counts and the
+    md5 of the final text. The deny-list has real hits on this corpus
+    (pinning the scrub through the value hash); the PII patterns count
+    zero here, which the oracle also pins — a false positive anywhere
+    IS a hash mismatch, so precision is on the scoreboard too.
+
+    Plan: one narrow map over the corpus, no shuffle at any scale —
+    the redaction pass streams 100 TB through codegen untouched by
+    Python."""
+    d = _docs(spark, sf_dir)
+    toks = F.split("text", " ")
+    deny = F.array(*[F.lit(t) for t in _DENY])
+    is_deny = lambda t: F.array_contains(deny, t)  # noqa: E731
+    t0 = F.concat_ws(
+        " ",
+        F.transform(toks, lambda t: F.when(is_deny(t), F.lit("<ENT>")).otherwise(t)),
+    )
+    n_ent = F.size(F.filter(toks, is_deny))
+    counts = []
+    remaining = t0
+    for (pattern, token), name in zip(PII_PATTERNS, _PII_COUNT_NAMES):
+        counts.append(
+            F.size(F.regexp_extract_all(remaining, F.lit(pattern), 0))
+            .cast("long")
+            .alias(name)
+        )
+        remaining = F.regexp_replace(remaining, pattern, token)
+    return d.select(
+        "doc_id",
+        "source",
+        n_ent.cast("long").alias("n_ent"),
+        *counts,
+        F.md5(remaining).alias("redacted_hash"),
+        F.length(remaining).cast("long").alias("n_chars_redacted"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q116 — domain-mixture sampling to a token budget
+# --------------------------------------------------------------------------
+
+#: per-source mixture weights (a curation config — e.g. upweight
+#: high-quality domains); budgets below are tokens, computed from ONE
+#: dict feeding both engines.
+_MIX_WEIGHTS = {f"src{i}": (3 if i < 5 else 2 if i < 10 else 1) for i in range(20)}
+_MIX_TOTAL_TOKENS = 20_000
+_W_SUM = sum(_MIX_WEIGHTS.values())
+_BUDGETS = {
+    s: (_MIX_TOTAL_TOKENS * w) // _W_SUM for s, w in _MIX_WEIGHTS.items()
+}
+
+_BUDGET_VALUES = ", ".join(f"('{s}', {b})" for s, b in sorted(_BUDGETS.items()))
+
+#: salted 48-bit doc key — identical recipe in both engines (cf. q85).
+_MIX_KEY_SQL = "('0x' || substr(md5('mix-' || doc_id::VARCHAR), 1, 12))::BIGINT"
+_MIX_KEY_SPARK = (
+    "cast(conv(substring(md5(concat('mix-', cast(doc_id as string))), 1, 12), 16, 10)"
+    " as bigint)"
+)
+#: histogram granularity: high 8 bits of the 48-bit key → 256 buckets.
+_BUCKET_DIV = 2**40
+
+
+@query(
+    "q116_mixture_sample",
+    sql=f"""
+    WITH budgets(source, budget) AS (VALUES {_BUDGET_VALUES}),
+    t AS (
+      SELECT doc_id, source,
+             len(string_split(text, ' ')) AS n_tokens,
+             {_MIX_KEY_SQL} AS k
+      FROM documents
+    ),
+    c AS (
+      SELECT t.*, coalesce(sum(n_tokens) OVER (
+               PARTITION BY source ORDER BY k, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+      FROM t
+    )
+    SELECT doc_id, source, CAST(n_tokens AS BIGINT) AS n_tokens
+    FROM c JOIN budgets USING (source)
+    WHERE cum_before < budget
+    """,
+    operators=("X-sample", "X-mixture", "A1", "J3"),
+)
+def q116_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixture sampling: select documents per source, in salted-
+    hash order, until each source's token budget is met (the doc that
+    crosses the budget is kept — greedy prefix by cum-before). The
+    budgets derive from one weights dict (upweighted "high-quality"
+    domains), the same dict the oracle's VALUES clause is printed from.
+
+    Scale shape — the oracle's naive form is a window over EVERY doc
+    of a source (one task per domain: a skew-killer at 100 TB, where
+    one domain can be half the corpus). This implementation prunes
+    with a 256-bucket token histogram per source instead:
+    (1) one small agg (source × key-bucket → token sum),
+    (2) the cut bucket per source found on that tiny table,
+    (3) docs in buckets below the cut are selected outright (map-only
+        against a broadcast), and ONLY the single cut bucket per
+    source (~1/256 of a domain, bounded) pays the ordered cumsum
+    window. Selection is exactly the greedy prefix: keys are ordered
+    by bucket-then-key, so cum_before(doc) = cum_below_cut +
+    within-bucket prefix."""
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        "source",
+        F.size(F.split("text", " ")).alias("n_tokens"),
+        F.expr(_MIX_KEY_SPARK).alias("k"),
+    )
+    budgets = spark.createDataFrame(
+        sorted(_BUDGETS.items()), "source string, budget long"
+    )
+    return budget_prefix_select(d, budgets, bucket_div=_BUCKET_DIV).select(
+        "doc_id", "source", "n_tokens"
+    )
+
+
+# --------------------------------------------------------------------------
+# q117 — cross-document sequence packing
+# --------------------------------------------------------------------------
+
+_PACK_BUDGET = 512  # tokens per training sequence
+_PACK_SHARDS = 8  # scales with corpus size in production (∝ bytes/executor)
+
+_PACK_KEY_SQL = "('0x' || substr(md5('pack-' || doc_id::VARCHAR), 1, 12))::BIGINT"
+_PACK_KEY_SPARK = (
+    "cast(conv(substring(md5(concat('pack-', cast(doc_id as string))), 1, 12), 16, 10)"
+    " as bigint)"
+)
+
+
+@query(
+    "q117_sequence_pack",
+    sql=f"""
+    WITH t AS (
+      SELECT doc_id,
+             len(string_split(text, ' ')) AS n_tokens,
+             {_PACK_KEY_SQL} AS k,
+             {_PACK_KEY_SQL} % {_PACK_SHARDS} AS shard
+      FROM documents
+    ),
+    c AS (
+      SELECT *, coalesce(sum(n_tokens) OVER (
+               PARTITION BY shard ORDER BY k, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_tok
+      FROM t
+    )
+    SELECT doc_id, CAST(shard AS BIGINT) AS shard,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(start_tok AS BIGINT) AS start_tok,
+           CAST(start_tok // {_PACK_BUDGET} AS BIGINT) AS first_pack,
+           CAST((start_tok + n_tokens - 1) // {_PACK_BUDGET} AS BIGINT) AS last_pack,
+           CAST(start_tok % {_PACK_BUDGET} AS BIGINT) AS pack_offset
+    FROM c
+    """,
+    operators=("X-packing", "X-tokens", "Window-frame"),
+)
+def q117_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document sequence packing — the concat-then-chunk layout
+    (T5/GPT-style) that turns a ragged corpus into fixed 512-token
+    training sequences with no padding: documents are concatenated in
+    salted-hash order and every doc learns its absolute token interval
+    [start, start+n), hence which pack(s) it lands in and at what
+    offset. Docs may straddle pack boundaries by design (last_pack >
+    first_pack).
+
+    Scale shape: the running total is per SHARD — a uniform hash-mod
+    partition whose count scales with the corpus (8 here; ~#cores ×
+    executors in production) — so no single ordered window ever sees
+    more than corpus/shards tokens, and shards pack independently and
+    in parallel. One shuffle (the shard window), then pure
+    arithmetic."""
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.size(F.split("text", " ")).alias("n_tokens"),
+        F.expr(_PACK_KEY_SPARK).alias("k"),
+        (F.expr(_PACK_KEY_SPARK) % _PACK_SHARDS).alias("shard"),
+    )
+    win = W.partitionBy("shard").orderBy("k", "doc_id").rowsBetween(
+        W.unboundedPreceding, -1
+    )
+    start = F.coalesce(F.sum("n_tokens").over(win), F.lit(0))
+    return d.select(
+        "doc_id",
+        F.col("shard").cast("long").alias("shard"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        start.cast("long").alias("start_tok"),
+        F.floor(start / _PACK_BUDGET).cast("long").alias("first_pack"),
+        F.floor((start + F.col("n_tokens") - 1) / _PACK_BUDGET)
+        .cast("long")
+        .alias("last_pack"),
+        (start % _PACK_BUDGET).cast("long").alias("pack_offset"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q118 — unigram-LM document scoring
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q118_unigram_logprob",
+    sql="""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+    ),
+    vocab AS (SELECT w, count(*) AS c FROM toks GROUP BY w),
+    tot AS (SELECT sum(c) AS n FROM vocab),
+    scored AS (
+      SELECT t.doc_id, ln(CAST(v.c AS DOUBLE) / tot.n) AS lp
+      FROM toks t JOIN vocab v USING (w), tot
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           round(avg(lp), 4) AS avg_logprob,
+           round(exp(-avg(lp)), 2) AS ppl
+    FROM scored GROUP BY doc_id
+    """,
+    operators=("X-lm-score", "X-quality", "A1", "J3"),
+)
+def q118_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document mean unigram log-probability under the corpus's
+    own unigram model — the cheap perplexity proxy corpus pipelines
+    use as a quality gate (gibberish and boilerplate both land in the
+    tails). ppl = exp(−avg_logprob) for readability. Rounding (4 dp on
+    an average of ~100 ln terms, each exact to the last ulp) follows
+    the registry determinism contract.
+
+    Scale shape: one explode feeds both the vocab aggregate and the
+    scoring join; the vocab (distinct words) is orders of magnitude
+    smaller than the corpus, so AQE broadcasts it — the corpus side
+    shuffles once (the per-doc re-aggregation), never on the word."""
+    d = _docs(spark, sf_dir)
+    toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+    vocab = toks.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    tot = vocab.agg(F.sum("c").alias("n"))
+    lp = F.log(F.col("c").cast("double") / F.col("n"))
+    return (
+        toks.join(F.broadcast(vocab), "w")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.round(F.avg(lp), 4).alias("avg_logprob"),
+            F.round(F.exp(-F.avg(lp)), 2).alias("ppl"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# q119 — per-source distribution drift (KL divergence)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q119_source_kl",
+    sql="""
+    WITH toks AS (
+      SELECT source, unnest(string_split(text, ' ')) AS w FROM documents
+    ),
+    sw AS (SELECT source, w, count(*) AS c FROM toks GROUP BY source, w),
+    s_tot AS (SELECT source, sum(c) AS n FROM sw GROUP BY source),
+    gw AS (SELECT w, sum(c) AS c FROM sw GROUP BY w),
+    g_tot AS (SELECT sum(c) AS n FROM gw)
+    SELECT sw.source,
+           CAST(s_tot.n AS BIGINT) AS n_tokens,
+           round(sum((CAST(sw.c AS DOUBLE) / s_tot.n)
+                 * ln((CAST(sw.c AS DOUBLE) / s_tot.n)
+                      / (CAST(gw.c AS DOUBLE) / g_tot.n))), 4) AS kl_nats
+    FROM sw
+    JOIN s_tot USING (source)
+    JOIN gw USING (w), g_tot
+    GROUP BY sw.source, s_tot.n
+    """,
+    operators=("X-lm-score", "X-mixture", "A1", "A2"),
+)
+def q119_source_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain drift monitor: KL(source ‖ corpus) over unigram
+    distributions, per source — the mixture-QA statistic a curation
+    pipeline tracks to catch a domain whose text stops looking like
+    the blend it was weighted for. KL is finite by construction
+    (every source word is in the corpus distribution).
+
+    Scale shape: one explode → one (source, word) aggregate; the
+    global word distribution derives from THAT aggregate (not a
+    second corpus scan), and the 1-row total plus per-source totals
+    broadcast. The only corpus-sized shuffle is the first
+    wordcount."""
+    d = _docs(spark, sf_dir)
+    toks = d.select("source", F.explode(F.split("text", " ")).alias("w"))
+    sw = toks.groupBy("source", "w").agg(F.count(F.lit(1)).alias("c"))
+    s_tot = sw.groupBy("source").agg(F.sum("c").alias("n"))
+    gw = sw.groupBy("w").agg(F.sum("c").alias("gc"))
+    g_tot = gw.agg(F.sum("gc").alias("gn"))
+    p_s = F.col("c").cast("double") / F.col("n")
+    p_g = F.col("gc").cast("double") / F.col("gn")
+    return (
+        sw.join(F.broadcast(s_tot), "source")
+        .join(F.broadcast(gw), "w")
+        .crossJoin(F.broadcast(g_tot))
+        .groupBy("source", "n")
+        .agg(F.round(F.sum(p_s * F.log(p_s / p_g)), 4).alias("kl_nats"))
+        .select("source", F.col("n").cast("long").alias("n_tokens"), "kl_nats")
+    )

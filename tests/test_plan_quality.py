@@ -104,6 +104,13 @@ _SANCTIONED_BNLJ = {
     # (q104 = the production prune, q113 = its false-positive audit).
     "q104_bloom_prune",
     "q113_bloom_fp_audit",
+    # recall scoreboard: composes the sanctioned ANN queries above and
+    # adds only a cross with the broadcast ONE-ROW ground-truth count.
+    "q114_ann_recall",
+    # unigram LM / KL drift: cross with the broadcast ONE-ROW corpus
+    # token total (the q94 tf-idf pattern).
+    "q118_unigram_logprob",
+    "q119_source_kl",
 }
 
 
