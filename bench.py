@@ -70,6 +70,13 @@ HEADLINE = [
     "q111_image_dhash",
     "q112_image_neardup",
     "q114_ann_recall",
+    "q115_pii_redact",
+    "q116_mixture_sample",
+    "q117_sequence_pack",
+    "q118_unigram_logprob",
+    "q119_source_kl",
+    "q120_curation_pipeline",
+    "q121_sequence_pack_bpe",
 ]
 
 

@@ -283,6 +283,80 @@ def q117_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# q121 — sequence packing budgeted in SUBWORD tokens
+# --------------------------------------------------------------------------
+
+
+def _q121_sql() -> str:
+    from portfolio1_etl_spark.functions.bpe import oracle_walk_ctes
+
+    return f"""
+    WITH RECURSIVE {oracle_walk_ctes()},
+    counts AS (
+      SELECT doc_id, count(*) AS n_tokens
+      FROM walk WHERE tok IS NOT NULL GROUP BY doc_id
+    ),
+    t AS (
+      SELECT doc_id, n_tokens,
+             {_PACK_KEY_SQL} AS k,
+             {_PACK_KEY_SQL} % {_PACK_SHARDS} AS shard
+      FROM counts
+    ),
+    c AS (
+      SELECT *, coalesce(sum(n_tokens) OVER (
+               PARTITION BY shard ORDER BY k, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_tok
+      FROM t
+    )
+    SELECT doc_id, CAST(shard AS BIGINT) AS shard,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(start_tok AS BIGINT) AS start_tok,
+           CAST(start_tok // {_PACK_BUDGET} AS BIGINT) AS first_pack,
+           CAST((start_tok + n_tokens - 1) // {_PACK_BUDGET} AS BIGINT) AS last_pack,
+           CAST(start_tok % {_PACK_BUDGET} AS BIGINT) AS pack_offset
+    FROM c
+    """
+
+
+@query(
+    "q121_sequence_pack_bpe",
+    sql=_q121_sql(),
+    operators=("X-packing", "X-bpe", "X-tokens"),
+)
+def q121_sequence_pack_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q117's cross-document packer budgeted in REAL (BPE subword)
+    tokens — the unit a context window is actually sized in. The
+    tokenizer runs as the same zero-shuffle JVM expression as
+    q108/q109; the oracle re-derives every per-doc piece count through
+    the recursive-CTE greedy walk, so a tokenizer drift moves every
+    start offset and fails the hash. Plan shape identical to q117:
+    narrow tokenize map → ONE uniform-shard window shuffle."""
+    from portfolio1_etl_spark.functions.bpe import doc_pieces
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.size(doc_pieces("text")).alias("n_tokens"),
+        F.expr(_PACK_KEY_SPARK).alias("k"),
+        (F.expr(_PACK_KEY_SPARK) % _PACK_SHARDS).alias("shard"),
+    )
+    win = W.partitionBy("shard").orderBy("k", "doc_id").rowsBetween(
+        W.unboundedPreceding, -1
+    )
+    start = F.coalesce(F.sum("n_tokens").over(win), F.lit(0))
+    return d.select(
+        "doc_id",
+        F.col("shard").cast("long").alias("shard"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        start.cast("long").alias("start_tok"),
+        F.floor(start / _PACK_BUDGET).cast("long").alias("first_pack"),
+        F.floor((start + F.col("n_tokens") - 1) / _PACK_BUDGET)
+        .cast("long")
+        .alias("last_pack"),
+        (start % _PACK_BUDGET).cast("long").alias("pack_offset"),
+    )
+
+
+# --------------------------------------------------------------------------
 # q118 — unigram-LM document scoring
 # --------------------------------------------------------------------------
 
@@ -390,4 +464,159 @@ def q119_source_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("source", "n")
         .agg(F.round(F.sum(p_s * F.log(p_s / p_g)), 4).alias("kl_nats"))
         .select("source", F.col("n").cast("long").alias("n_tokens"), "kl_nats")
+    )
+
+
+# --------------------------------------------------------------------------
+# q120 — the composed governance pipeline (redact → LM gate → mixture →
+# pack) as ONE plan with a per-document decision log
+# --------------------------------------------------------------------------
+
+#: LM quality gate on the 4-dp-rounded post-redaction mean log-prob —
+#: cuts the low-quality tail (~12% on the synthetic corpus at every sf).
+_LM_THRESH = -3.39
+
+
+@query(
+    "q120_curation_pipeline",
+    sql=f"""
+    WITH red AS (
+      SELECT doc_id, source,
+        array_to_string(list_transform(string_split(text, ' '),
+          t -> CASE WHEN t IN ({_DENY_SQL}) THEN '<ENT>' ELSE t END), ' ') AS t0,
+        len(list_filter(string_split(text, ' '),
+          t -> t IN ({_DENY_SQL}))) AS n_ent
+      FROM documents
+    ),
+    {_pii_oracle_ctes()},
+    doc AS (
+      SELECT doc_id, source, n_ent,
+             t{len(PII_PATTERNS)} AS t_final,
+             len(string_split(t{len(PII_PATTERNS)}, ' ')) AS n_tokens
+      FROM p{len(PII_PATTERNS) - 1}
+    ),
+    toks AS (SELECT doc_id, unnest(string_split(t_final, ' ')) AS w FROM doc),
+    vocab AS (SELECT w, count(*) AS c FROM toks GROUP BY w),
+    tot AS (SELECT sum(c) AS n FROM vocab),
+    lm AS (
+      SELECT t.doc_id, round(avg(ln(CAST(v.c AS DOUBLE) / tot.n)), 4) AS avg_logprob
+      FROM toks t JOIN vocab v USING (w), tot GROUP BY t.doc_id
+    ),
+    gated AS (
+      SELECT doc.*, lm.avg_logprob, lm.avg_logprob >= {_LM_THRESH} AS keep_lm
+      FROM doc JOIN lm USING (doc_id)
+    ),
+    budgets(source, budget) AS (VALUES {_BUDGET_VALUES}),
+    surv AS (
+      SELECT g.*, {_MIX_KEY_SQL} AS mk,
+             coalesce(sum(n_tokens) OVER (
+               PARTITION BY source ORDER BY {_MIX_KEY_SQL}, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+      FROM gated g WHERE keep_lm
+    ),
+    sel AS (
+      SELECT surv.* FROM surv JOIN budgets USING (source)
+      WHERE cum_before < budget
+    ),
+    packed AS (
+      SELECT doc_id,
+             {_PACK_KEY_SQL} % {_PACK_SHARDS} AS shard,
+             coalesce(sum(n_tokens) OVER (
+               PARTITION BY {_PACK_KEY_SQL} % {_PACK_SHARDS}
+               ORDER BY {_PACK_KEY_SQL}, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_tok
+      FROM sel
+    )
+    SELECT g.doc_id, g.source,
+           CAST(g.n_ent AS BIGINT) AS n_ent,
+           CAST(g.n_tokens AS BIGINT) AS n_tokens,
+           g.avg_logprob, g.keep_lm,
+           p.doc_id IS NOT NULL AS selected,
+           CAST(p.shard AS BIGINT) AS shard,
+           CAST(p.start_tok AS BIGINT) AS start_tok,
+           CAST(p.start_tok // {_PACK_BUDGET} AS BIGINT) AS first_pack
+    FROM gated g LEFT JOIN packed p USING (doc_id)
+    """,
+    operators=("X-redact", "X-lm-score", "X-mixture", "X-packing", "X-quality"),
+)
+def q120_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The governance counterpart of q100's corpus-prep composite: the
+    four curation stages composed in ONE plan, emitting the per-doc
+    decision log a pipeline materializes next to its output — redact
+    (deny-list + PII chain), unigram-LM quality gate on the REDACTED
+    text, domain-mixture selection of the survivors against per-source
+    token budgets, and sequence packing of the selected docs. Every
+    stage's verdict is a column (n_ent, avg_logprob/keep_lm, selected,
+    shard/start_tok/first_pack), so the oracle pins the WIRING — a doc
+    gated out must never pack; pack offsets must reflect exactly the
+    selected set.
+
+    Scale: redaction is the narrow full-scan; the LM model is one
+    wordcount (vocab ≪ corpus → broadcast back); mixture uses the
+    histogram-pruned greedy prefix (operators/mixture.py — no full
+    per-domain window); packing shuffles once on the uniform shard;
+    the final decision-log join is doc_id-keyed (sort-merge at scale,
+    broadcast under AQE when the selected set is small)."""
+    d = _docs(spark, sf_dir)
+    toks0 = F.split("text", " ")
+    deny = F.array(*[F.lit(t) for t in _DENY])
+    is_deny = lambda t: F.array_contains(deny, t)  # noqa: E731
+    t_red = F.concat_ws(
+        " ",
+        F.transform(toks0, lambda t: F.when(is_deny(t), F.lit("<ENT>")).otherwise(t)),
+    )
+    for pattern, token in PII_PATTERNS:
+        t_red = F.regexp_replace(t_red, pattern, token)
+    doc = d.select(
+        "doc_id",
+        "source",
+        F.size(F.filter(toks0, is_deny)).cast("long").alias("n_ent"),
+        t_red.alias("t_final"),
+        F.size(F.split(t_red, " ")).alias("n_tokens"),
+    )
+
+    toks = doc.select("doc_id", F.explode(F.split("t_final", " ")).alias("w"))
+    vocab = toks.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    tot = vocab.agg(F.sum("c").alias("n"))
+    lm = (
+        toks.join(F.broadcast(vocab), "w")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(F.round(F.avg(F.log(F.col("c").cast("double") / F.col("n"))), 4).alias("avg_logprob"))
+    )
+    gated = doc.join(lm, "doc_id").withColumn(
+        "keep_lm", F.col("avg_logprob") >= F.lit(_LM_THRESH)
+    )
+
+    budgets = spark.createDataFrame(
+        sorted(_BUDGETS.items()), "source string, budget long"
+    )
+    surv = gated.filter("keep_lm").withColumn("k", F.expr(_MIX_KEY_SPARK))
+    sel = budget_prefix_select(surv, budgets, bucket_div=_BUCKET_DIV)
+
+    pk = F.expr(_PACK_KEY_SPARK)
+    sel = sel.withColumn("pk", pk).withColumn("shard", pk % _PACK_SHARDS)
+    pwin = W.partitionBy("shard").orderBy("pk", "doc_id").rowsBetween(
+        W.unboundedPreceding, -1
+    )
+    packed = sel.select(
+        "doc_id",
+        F.col("shard").cast("long").alias("shard"),
+        F.coalesce(F.sum("n_tokens").over(pwin), F.lit(0)).alias("start_tok"),
+    )
+
+    return (
+        gated.join(packed, "doc_id", "left")
+        .select(
+            "doc_id",
+            "source",
+            "n_ent",
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            "avg_logprob",
+            "keep_lm",
+            F.col("shard").isNotNull().alias("selected"),
+            "shard",
+            F.col("start_tok").cast("long").alias("start_tok"),
+            F.floor(F.col("start_tok") / _PACK_BUDGET).cast("long").alias("first_pack"),
+        )
     )

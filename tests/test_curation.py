@@ -77,11 +77,13 @@ def test_q115_redaction_census_has_real_hits(spark, sf_dir):
     assert (agg.em, agg.ip, agg.num) == (0, 0, 0)
 
 
-def test_q117_pack_intervals_tile_each_shard(spark, sf_dir):
+@pytest.mark.parametrize("name", ["q117_sequence_pack", "q121_sequence_pack_bpe"])
+def test_pack_intervals_tile_each_shard(spark, sf_dir, name):
     """Within a shard the doc intervals [start, start+n) must tile
     [0, total) exactly — no gaps, no overlaps — or the packer would
-    drop or duplicate training tokens."""
-    out = REGISTRY["q117_sequence_pack"].fn(spark, sf_dir).collect()
+    drop or duplicate training tokens. Holds for both the whitespace
+    and the BPE-budgeted packer."""
+    out = REGISTRY[name].fn(spark, sf_dir).collect()
     by_shard: dict[int, list] = {}
     for r in out:
         by_shard.setdefault(r.shard, []).append(r)
@@ -110,6 +112,49 @@ def test_q119_kl_nonnegative_and_complete(spark, sf_dir):
     assert all(r.kl_nats >= 0 for r in out)  # Gibbs' inequality
 
 
+def test_q120_stage_wiring(spark, sf_dir):
+    """The composite's decision log must be internally consistent:
+    selection implies the LM gate passed; pack coordinates exist iff
+    selected; per-shard pack intervals tile [0, shard total) exactly
+    (no token invented or dropped between mixture and packing)."""
+    rows = REGISTRY["q120_curation_pipeline"].fn(spark, sf_dir).collect()
+    assert any(r.selected for r in rows) and any(not r.keep_lm for r in rows)
+    by_shard: dict[int, list] = {}
+    for r in rows:
+        if r.selected:
+            assert r.keep_lm
+            assert r.shard is not None and r.start_tok is not None
+            assert r.first_pack == r.start_tok // 512
+            by_shard.setdefault(r.shard, []).append(r)
+        else:
+            assert r.shard is None and r.start_tok is None and r.first_pack is None
+    for srows in by_shard.values():
+        srows.sort(key=lambda r: r.start_tok)
+        pos = 0
+        for r in srows:
+            assert r.start_tok == pos
+            pos += r.n_tokens
+
+
+def test_q120_budgets_respected(spark, sf_dir):
+    """Selected token mass per source never exceeds budget + one doc
+    (the greedy crossing row), and unselected-but-gated docs exist
+    only in sources whose budget was exhausted."""
+    from portfolio1_etl_spark.plans.curation_ops import _BUDGETS
+
+    rows = REGISTRY["q120_curation_pipeline"].fn(spark, sf_dir).collect()
+    by_src: dict[str, list] = {}
+    for r in rows:
+        if r.keep_lm:
+            by_src.setdefault(r.source, []).append(r)
+    for src, srows in by_src.items():
+        sel_tokens = sum(r.n_tokens for r in srows if r.selected)
+        max_doc = max(r.n_tokens for r in srows)
+        assert sel_tokens < _BUDGETS[src] + max_doc
+        if any(not r.selected for r in srows):
+            assert sel_tokens >= _BUDGETS[src]
+
+
 def _formatted_plan(df) -> str:
     return df._jdf.queryExecution().explainString(
         df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
@@ -125,9 +170,11 @@ def test_redaction_plan_is_narrow_map(spark, sf_dir):
     assert "Exchange" not in tree
 
 
-def test_sequence_pack_plan_has_single_shard_exchange(spark, sf_dir):
-    """q117: ONE shuffle (the shard window) and nothing keyed on a
-    low-cardinality column other than the uniform hash shard."""
-    plan = _formatted_plan(REGISTRY["q117_sequence_pack"].fn(spark, sf_dir))
+@pytest.mark.parametrize("name", ["q117_sequence_pack", "q121_sequence_pack_bpe"])
+def test_sequence_pack_plan_has_single_shard_exchange(spark, sf_dir, name):
+    """Packers: ONE shuffle (the shard window) and nothing keyed on a
+    low-cardinality column other than the uniform hash shard — the
+    BPE tokenize stage must stay a narrow map, adding no Exchange."""
+    plan = _formatted_plan(REGISTRY[name].fn(spark, sf_dir))
     tree = plan.split("\n\n")[0]
     assert tree.count("Exchange") == 1

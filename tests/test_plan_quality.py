@@ -111,6 +111,9 @@ _SANCTIONED_BNLJ = {
     # token total (the q94 tf-idf pattern).
     "q118_unigram_logprob",
     "q119_source_kl",
+    # curation composite: inherits q118's 1-row-total cross for its
+    # LM-gate stage.
+    "q120_curation_pipeline",
 }
 
 
