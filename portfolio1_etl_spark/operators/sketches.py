@@ -141,14 +141,31 @@ def bloom_build(keys: DataFrame, col: str, m_bits: int = BLOOM_BITS) -> DataFram
         F.expr(H48.format(c=f"cast({col} as string)")).alias("h")
     )
     pos = hashed.select(F.explode(_bloom_positions("h", m_bits)).alias("pos"))
-    return pos.agg(F.collect_set("pos").alias("ps")).select(
-        F.expr(
-            f"transform(sequence(0, {m_bits // 64 - 1}), "
-            "w -> aggregate(filter(ps, p -> cast(p div 64 as int) = w), "
-            "cast(0 as bigint), "
-            "(acc, p) -> acc | shiftleft(cast(1 as bigint), cast(p % 64 as int))))"
-        ).alias("bm")
+    # Pack the (deduped) position set with ONE sorted walk instead of a
+    # per-word rescan: O(|ps| + words·runs) vs the O(words·|ps|) ≈ 67M-op
+    # serial tail the naive transform/filter form pays in the final
+    # 1-row task (a measured ~2s fixed cost at any scale).
+    n_words = m_bits // 64
+    empty = "cast(array() as array<bigint>)"
+    flush = (
+        "concat(acc.packed, "
+        "if(acc.w >= 0, array(acc.bits), {empty}), "
+        "array_repeat(cast(0 as bigint), cast({next_w} - acc.w - 1 as int)))"
     )
+    pack = (
+        "aggregate(array_sort(ps), "
+        "named_struct('w', cast(-1 as bigint), 'bits', cast(0 as bigint), "
+        f"'packed', {empty}), "
+        "(acc, p) -> if(p div 64 = acc.w, "
+        "named_struct('w', acc.w, "
+        "'bits', acc.bits | shiftleft(cast(1 as bigint), cast(p % 64 as int)), "
+        "'packed', acc.packed), "
+        "named_struct('w', p div 64, "
+        "'bits', shiftleft(cast(1 as bigint), cast(p % 64 as int)), "
+        f"'packed', {flush.format(empty=empty, next_w='p div 64')})), "
+        f"acc -> {flush.format(empty=empty, next_w=n_words)})"
+    )
+    return pos.agg(F.collect_set("pos").alias("ps")).select(F.expr(pack).alias("bm"))
 
 
 def bloom_merge(*blooms: DataFrame) -> DataFrame:
@@ -169,7 +186,13 @@ def bloom_merge(*blooms: DataFrame) -> DataFrame:
 def bloom_might_contain(hash_col: str, m_bits: int = BLOOM_BITS):
     """Column expression over a PRE-HASHED long column: True iff every
     one of its k bit positions is set in the broadcast ``bm`` column —
-    pure whole-stage codegen, no shuffle, no Python."""
+    pure whole-stage codegen, no shuffle, no Python.
+
+    Perf note: evaluate this in a PROJECT (``.select(...alias('pass'))``
+    + a conditional downstream) rather than directly in ``.filter`` when
+    the row rate matters — codegen applies subexpression elimination to
+    projections but not to filter conditions, and the k checks reference
+    the hash column 2k times (measured 2x at 600k rows/task)."""
     checks = [
         f"((shiftright(element_at(bm, cast((((({a} * {hash_col} + {b})"
         f" % {BLOOM_MOD}) % {m_bits}) div 64) as int) + 1), "
