@@ -179,12 +179,15 @@ def prefix_jaccard_pairs(
     ``verify_candidates`` (exact Jaccard on the candidates only)."""
     df_tab = sh.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
     w_rank = W.partitionBy(id_col).orderBy("df", "h")
-    w_all = W.partitionBy(id_col)
+    # the set size rides the SAME sorted window pass as the rank (full
+    # frame) — same partitioning + ordering folds both functions into
+    # ONE Window node instead of two passes over the per-doc groups
+    w_size = w_rank.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
     ceil_tn = f"({t_num} * n + {t_den - 1}) div {t_den}"
     prefix = (
         sh.join(df_tab, "h")
         .withColumn("rn", F.row_number().over(w_rank))
-        .withColumn("n", F.count(F.lit(1)).over(w_all))
+        .withColumn("n", F.count(F.lit(1)).over(w_size))
         .filter(F.col("rn") <= F.col("n") - F.expr(ceil_tn) + 1)
         .select(id_col, "h")
     )
