@@ -77,6 +77,7 @@ HEADLINE = [
     "q119_source_kl",
     "q120_curation_pipeline",
     "q121_sequence_pack_bpe",
+    "q122_pack_materialize",
 ]
 
 

@@ -283,6 +283,99 @@ def q117_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# q122 — pack materialization (the training-shard writer's payload)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q122_pack_materialize",
+    sql=f"""
+    WITH t AS (
+      SELECT doc_id,
+             string_split(text, ' ') AS toks,
+             {_PACK_KEY_SQL} AS k,
+             {_PACK_KEY_SQL} % {_PACK_SHARDS} AS shard
+      FROM documents
+    ),
+    c AS (
+      SELECT *, coalesce(sum(len(toks)) OVER (
+               PARTITION BY shard ORDER BY k, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_tok
+      FROM t
+    ),
+    tok AS (
+      SELECT shard, doc_id,
+             start_tok + gs - 1 AS abs,
+             toks[gs] AS tok
+      FROM c, LATERAL unnest(generate_series(1, len(toks))) AS u(gs)
+    )
+    SELECT CAST(shard AS BIGINT) AS shard,
+           CAST(abs // {_PACK_BUDGET} AS BIGINT) AS pack,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           md5(string_agg(tok, ' ' ORDER BY abs)) AS content_hash
+    FROM tok
+    GROUP BY shard, abs // {_PACK_BUDGET}
+    """,
+    operators=("X-packing", "X-tokens", "A1", "F3"),
+)
+def q122_pack_materialize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The step after q117's layout: MATERIALIZE each fixed-budget
+    training sequence — every token lands in pack ⌊abs/512⌋ of its
+    shard at its absolute offset, and each pack reports its token
+    count, contributing-doc count, and an order-exact md5 of its
+    joined content. This is the payload a training-shard writer emits;
+    the content hash proves byte-for-byte that concat-then-chunk
+    produced identical sequences in both engines (doc order, boundary
+    splits, partial final pack included).
+
+    Scale shape: ONE per-shard window for the offsets, then ONE
+    shuffle keyed on (shard, pack) — uniform by construction — with
+    the ordered collect bounded at 512 tokens per group. The explode
+    to token granularity is the materializer's inherent cost (it IS
+    the output), not overhead."""
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.split("text", " ").alias("toks"),
+        F.expr(_PACK_KEY_SPARK).alias("k"),
+        (F.expr(_PACK_KEY_SPARK) % _PACK_SHARDS).alias("shard"),
+    )
+    win = W.partitionBy("shard").orderBy("k", "doc_id").rowsBetween(
+        W.unboundedPreceding, -1
+    )
+    c = d.withColumn(
+        "start_tok", F.coalesce(F.sum(F.size("toks")).over(win), F.lit(0))
+    )
+    tok = c.select(
+        "shard",
+        "doc_id",
+        F.posexplode("toks").alias("i", "tok"),
+        "start_tok",
+    ).select(
+        "shard",
+        "doc_id",
+        (F.col("start_tok") + F.col("i")).alias("abs"),
+        "tok",
+    )
+    return (
+        tok.groupBy(
+            F.col("shard").cast("long").alias("shard"),
+            F.expr(f"abs div {_PACK_BUDGET}").alias("pack"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.countDistinct("doc_id").cast("long").alias("n_docs"),
+            F.md5(
+                F.concat_ws(
+                    " ",
+                    F.expr("transform(sort_array(collect_list(struct(abs, tok))), s -> s.tok)"),
+                )
+            ).alias("content_hash"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
 # q121 — sequence packing budgeted in SUBWORD tokens
 # --------------------------------------------------------------------------
 

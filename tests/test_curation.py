@@ -98,6 +98,28 @@ def test_pack_intervals_tile_each_shard(spark, sf_dir, name):
             pos += r.n_tokens
 
 
+def test_q122_packs_are_full_and_consistent_with_q117(spark, sf_dir):
+    """Materialized packs must be exactly 512 tokens except the final
+    pack of each shard, cover every pack id contiguously from 0, and
+    their total token mass per shard must equal q117's interval sum —
+    the materializer and the layout can never disagree."""
+    packs = REGISTRY["q122_pack_materialize"].fn(spark, sf_dir).collect()
+    layout = REGISTRY["q117_sequence_pack"].fn(spark, sf_dir).collect()
+    shard_tokens: dict[int, int] = {}
+    for r in layout:
+        shard_tokens[r.shard] = shard_tokens.get(r.shard, 0) + r.n_tokens
+    by_shard: dict[int, list] = {}
+    for p in packs:
+        by_shard.setdefault(p.shard, []).append(p)
+    assert set(by_shard) == set(shard_tokens)
+    for shard, prows in by_shard.items():
+        prows.sort(key=lambda p: p.pack)
+        assert [p.pack for p in prows] == list(range(len(prows)))
+        assert all(p.n_tokens == 512 for p in prows[:-1])
+        assert 0 < prows[-1].n_tokens <= 512
+        assert sum(p.n_tokens for p in prows) == shard_tokens[shard]
+
+
 def test_q118_logprob_bounds(spark, sf_dir):
     """Unigram log-probs are negative; ppl ≥ 1; and a doc of only
     corpus-frequent words scores above the corpus-rare tail."""
