@@ -78,6 +78,7 @@ HEADLINE = [
     "q120_curation_pipeline",
     "q121_sequence_pack_bpe",
     "q122_pack_materialize",
+    "q123_bpe_train",
 ]
 
 

@@ -1,0 +1,109 @@
+"""BPE merge TRAINING — learn the merge table from the corpus itself
+(the counterpart of ``functions.bpe``, which APPLIES a frozen vocab).
+
+Algorithm (Sennrich et al., ACL 2016): start from characters; each
+round counts adjacent piece pairs over the corpus (weighted by word
+frequency), merges the most frequent pair everywhere (left-to-right,
+non-overlapping), and repeats. The classic scale move is already
+built in: training runs on the WORD-FREQUENCY table, not the corpus —
+distinct words are orders of magnitude fewer than tokens, so after
+the one corpus-sized wordcount every round touches only the (tiny,
+broadcastable) word table.
+
+Representation: a word's piece sequence is one string with each piece
+wrapped in ``_`` markers (``key`` → ``_k__e__y_``). Applying merge
+(l, r) is then a single ``replace(enc, '_l__r_', '_lr_')`` — and
+because each occurrence consumes its own wrappers, ``replace``'s
+left-to-right non-overlapping scan implements BPE's merge semantics
+exactly (``_a__a__a_`` merges to ``_aa__a_``, not ``_aa__aa_``...,
+and never matches across piece boundaries the way a bare substring
+would). The same encoding runs verbatim in DuckDB, so the oracle can
+replay training round by round.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from portfolio1_etl_spark.operators import checkpointing
+
+#: pieces of an encoded word (outer markers trimmed, split on the
+#: doubled inner marker)
+PIECES = "split(trim(BOTH '_' FROM enc), '__')"
+
+
+def encode_chars(word_col: str) -> F.Column:
+    """Initial encoding: every character its own wrapped piece."""
+    return F.regexp_replace(F.col(word_col), "(.)", "_$1_")
+
+
+def _adjacent_pairs() -> str:
+    """array<struct<l,r>> of adjacent piece pairs (empty for 1-piece
+    words — slice of length 0 keeps the struct type without a CASE)."""
+    p = PIECES
+    return (
+        f"zip_with(slice({p}, 1, size({p}) - 1), slice({p}, 2, size({p}) - 1), "
+        "(a, b) -> struct(a as l, b as r))"
+    )
+
+
+def train_bpe_merges(
+    words: DataFrame,
+    rounds: int,
+    word_col: str = "word",
+    freq_col: str = "freq",
+    checkpoint_mode: str = checkpointing.LOCAL,
+) -> DataFrame:
+    """Learn ``rounds`` merges; returns one row per round:
+    (round, l, r, merged, cnt, n_pieces_after).
+
+    ``cnt`` is the ADJACENCY count that elected the winner (ties break
+    on (l, r)); ``n_pieces_after`` is the weighted corpus piece total
+    after applying it — strictly less than the round before by the
+    number of non-overlapping applications, so the output pins the
+    merge APPLICATION, not just the election (an overlapping-merge bug
+    shifts the census even when every election matches).
+
+    Scale: each round is two tiny aggregates over the word table (pair
+    count + census) and a broadcast of the 1-row winner into a narrow
+    map; per-round state is materialized via ``checkpoint_mode`` like
+    every iterative operator here."""
+    wt = words.select(
+        encode_chars(word_col).alias("enc"), F.col(freq_col).alias("freq")
+    )
+    out: list[DataFrame] = []
+    for rnd in range(1, rounds + 1):
+        pairs = (
+            wt.select(F.explode(F.expr(_adjacent_pairs())).alias("pr"), "freq")
+            .groupBy(F.col("pr.l").alias("l"), F.col("pr.r").alias("r"))
+            .agg(F.sum("freq").alias("cnt"))
+        )
+        best = pairs.orderBy(F.desc("cnt"), "l", "r").limit(1)
+        wt = checkpointing.materialize(
+            wt.crossJoin(F.broadcast(best)).select(
+                F.expr(
+                    "replace(enc, concat('_', l, '__', r, '_'), "
+                    "concat('_', l, r, '_'))"
+                ).alias("enc"),
+                "freq",
+            ),
+            checkpoint_mode,
+        )
+        census = wt.agg(
+            F.sum(F.col("freq") * F.size(F.expr(PIECES))).alias("n_pieces_after")
+        )
+        out.append(
+            best.crossJoin(F.broadcast(census)).select(
+                F.lit(rnd).cast("long").alias("round"),
+                "l",
+                "r",
+                F.concat("l", "r").alias("merged"),
+                F.col("cnt").cast("long").alias("cnt"),
+                F.col("n_pieces_after").cast("long").alias("n_pieces_after"),
+            )
+        )
+    res = out[0]
+    for df in out[1:]:
+        res = res.unionByName(df)
+    return res

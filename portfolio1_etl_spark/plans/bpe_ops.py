@@ -68,6 +68,71 @@ def q108_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_TRAIN_ROUNDS = 8
+
+
+def _train_sql(rounds: int = _TRAIN_ROUNDS) -> str:
+    """Unrolled per-round replay of greedy BPE training (the q101
+    unrolled-PageRank pattern): pair count → deterministic argmax →
+    replace-merge → piece census, once per round."""
+    ctes = [
+        "base AS (SELECT w AS word, count(*) AS freq FROM "
+        "(SELECT unnest(string_split(text, ' ')) AS w FROM documents) GROUP BY w)",
+        "wt0 AS (SELECT regexp_replace(word, '(.)', '_\\1_', 'g') AS enc, freq FROM base)",
+    ]
+    finals = []
+    for r in range(1, rounds + 1):
+        ctes += [
+            f"""pr{r} AS (
+      SELECT list_extract(p, i) AS l, list_extract(p, i + 1) AS r, freq
+      FROM (SELECT string_split(trim(enc, '_'), '__') AS p, freq FROM wt{r - 1}),
+           LATERAL unnest(generate_series(1, len(p) - 1)) AS u(i)
+    )""",
+            f"pa{r} AS (SELECT l, r, sum(freq) AS cnt FROM pr{r} GROUP BY l, r)",
+            f"be{r} AS (SELECT l, r, cnt FROM pa{r} ORDER BY cnt DESC, l, r LIMIT 1)",
+            f"wt{r} AS (SELECT replace(enc, '_' || l || '__' || r || '_', "
+            f"'_' || l || r || '_') AS enc, freq FROM wt{r - 1}, be{r})",
+            f"ce{r} AS (SELECT sum(freq * len(string_split(trim(enc, '_'), '__'))) "
+            f"AS n FROM wt{r})",
+        ]
+        finals.append(
+            f"SELECT CAST({r} AS BIGINT) AS round, l, r, l || r AS merged, "
+            f"CAST(cnt AS BIGINT) AS cnt, CAST(ce{r}.n AS BIGINT) AS n_pieces_after "
+            f"FROM be{r}, ce{r}"
+        )
+    return "WITH " + ",\n    ".join(ctes) + "\n" + "\nUNION ALL\n".join(finals)
+
+
+@query(
+    "q123_bpe_train",
+    sql=_train_sql(),
+    operators=("X-bpe", "X-bpe-train", "A1", "O2"),
+)
+def q123_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEARN the tokenizer from the corpus: 8 rounds of greedy BPE
+    merge training (Sennrich et al. 2016) over the word-frequency
+    table — the complement of q108/q109, which APPLY a frozen vocab.
+    Each round's output row carries the elected pair, its adjacency
+    count, and the weighted corpus piece census AFTER applying the
+    merge; the census pins the left-to-right non-overlapping merge
+    APPLICATION (an overlap bug moves it even when every election
+    matches), and the oracle replays all 8 rounds with the identical
+    wrapped-piece string encoding.
+
+    Scale: ONE corpus wordcount, then every round is two tiny
+    aggregates + a 1-row broadcast into a narrow map over the distinct-
+    word table (≪ corpus — the standard BPE training optimization)."""
+    from portfolio1_etl_spark.operators.bpe_train import train_bpe_merges
+
+    d = _docs(spark, sf_dir)
+    words = (
+        d.select(F.explode(F.split("text", " ")).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    return train_bpe_merges(words, _TRAIN_ROUNDS)
+
+
 @query(
     "q109_chunking_bpe",
     sql=f"""

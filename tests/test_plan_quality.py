@@ -114,6 +114,10 @@ _SANCTIONED_BNLJ = {
     # curation composite: inherits q118's 1-row-total cross for its
     # LM-gate stage.
     "q120_curation_pipeline",
+    # BPE training: each round broadcasts the 1-row elected merge and
+    # the 1-row census into the word table (the k-means codebook
+    # pattern).
+    "q123_bpe_train",
 }
 
 
