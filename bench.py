@@ -79,6 +79,7 @@ HEADLINE = [
     "q121_sequence_pack_bpe",
     "q122_pack_materialize",
     "q123_bpe_train",
+    "q124_bpe_train_apply",
 ]
 
 

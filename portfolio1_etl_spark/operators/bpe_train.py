@@ -48,6 +48,21 @@ def _adjacent_pairs() -> str:
     )
 
 
+def train_bpe_state(
+    words: DataFrame,
+    rounds: int,
+    word_col: str = "word",
+    freq_col: str = "freq",
+    checkpoint_mode: str = checkpointing.LOCAL,
+) -> tuple[DataFrame, DataFrame]:
+    """(merges, trained_words): the per-round merge rows of
+    :func:`train_bpe_merges` plus the final word table — each word's
+    LEARNED segmentation as its wrapped-piece encoding, which is the
+    tokenizer's application artifact (tokenizing a corpus under the
+    trained vocab = joining its words to this table)."""
+    return _train(words, rounds, word_col, freq_col, checkpoint_mode)
+
+
 def train_bpe_merges(
     words: DataFrame,
     rounds: int,
@@ -69,8 +84,20 @@ def train_bpe_merges(
     count + census) and a broadcast of the 1-row winner into a narrow
     map; per-round state is materialized via ``checkpoint_mode`` like
     every iterative operator here."""
+    return _train(words, rounds, word_col, freq_col, checkpoint_mode)[0]
+
+
+def _train(
+    words: DataFrame,
+    rounds: int,
+    word_col: str,
+    freq_col: str,
+    checkpoint_mode: str,
+) -> tuple[DataFrame, DataFrame]:
     wt = words.select(
-        encode_chars(word_col).alias("enc"), F.col(freq_col).alias("freq")
+        F.col(word_col).alias("word"),
+        encode_chars(word_col).alias("enc"),
+        F.col(freq_col).alias("freq"),
     )
     out: list[DataFrame] = []
     for rnd in range(1, rounds + 1):
@@ -82,6 +109,7 @@ def train_bpe_merges(
         best = pairs.orderBy(F.desc("cnt"), "l", "r").limit(1)
         wt = checkpointing.materialize(
             wt.crossJoin(F.broadcast(best)).select(
+                "word",
                 F.expr(
                     "replace(enc, concat('_', l, '__', r, '_'), "
                     "concat('_', l, r, '_'))"
@@ -106,4 +134,4 @@ def train_bpe_merges(
     res = out[0]
     for df in out[1:]:
         res = res.unionByName(df)
-    return res
+    return res, wt

@@ -71,7 +71,7 @@ def q108_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
 _TRAIN_ROUNDS = 8
 
 
-def _train_sql(rounds: int = _TRAIN_ROUNDS) -> str:
+def _train_ctes(rounds: int = _TRAIN_ROUNDS) -> list[str]:
     """Unrolled per-round replay of greedy BPE training (the q101
     unrolled-PageRank pattern): pair count → deterministic argmax →
     replace-merge → piece census, once per round."""
@@ -100,7 +100,28 @@ def _train_sql(rounds: int = _TRAIN_ROUNDS) -> str:
             f"CAST(cnt AS BIGINT) AS cnt, CAST(ce{r}.n AS BIGINT) AS n_pieces_after "
             f"FROM be{r}, ce{r}"
         )
+    return ctes, finals
+
+
+def _train_sql(rounds: int = _TRAIN_ROUNDS) -> str:
+    ctes, finals = _train_ctes(rounds)
     return "WITH " + ",\n    ".join(ctes) + "\n" + "\nUNION ALL\n".join(finals)
+
+
+def _apply_sql(rounds: int = _TRAIN_ROUNDS) -> str:
+    ctes, _ = _train_ctes(rounds)
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"""
+    SELECT piece, CAST(sum(freq) AS BIGINT) AS n
+    FROM (SELECT unnest(string_split(trim(enc, '_'), '__')) AS piece, freq
+          FROM wt{rounds})
+    GROUP BY piece
+    ORDER BY n DESC, piece
+    LIMIT 30
+    """
+    )
 
 
 @query(
@@ -131,6 +152,38 @@ def q123_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("freq"))
     )
     return train_bpe_merges(words, _TRAIN_ROUNDS)
+
+
+@query(
+    "q124_bpe_train_apply",
+    sql=_apply_sql(),
+    operators=("X-bpe", "X-bpe-train", "X-tokens", "A1", "O2"),
+)
+def q124_bpe_train_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train → apply in one composition: the corpus piece-frequency
+    census UNDER THE LEARNED VOCABULARY (q123's 8 trained merges), not
+    the frozen q108 one. The trained word table already holds each
+    word's learned segmentation, so application is a weighted explode
+    of that (tiny) table — tokenizing the corpus under the trained
+    vocab without touching the corpus again. Top-30 pieces, ties on
+    piece; learned multi-char pieces appearing here prove the merges
+    fed back into segmentation."""
+    from portfolio1_etl_spark.operators.bpe_train import PIECES, train_bpe_state
+
+    d = _docs(spark, sf_dir)
+    words = (
+        d.select(F.explode(F.split("text", " ")).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    _, trained = train_bpe_state(words, _TRAIN_ROUNDS)
+    return (
+        trained.select(F.explode(F.expr(PIECES)).alias("piece"), "freq")
+        .groupBy("piece")
+        .agg(F.sum("freq").cast("long").alias("n"))
+        .orderBy(F.desc("n"), "piece")
+        .limit(30)
+    )
 
 
 @query(

@@ -116,8 +116,9 @@ _SANCTIONED_BNLJ = {
     "q120_curation_pipeline",
     # BPE training: each round broadcasts the 1-row elected merge and
     # the 1-row census into the word table (the k-means codebook
-    # pattern).
+    # pattern). q124 applies the trained table through the same plan.
     "q123_bpe_train",
+    "q124_bpe_train_apply",
 }
 
 
