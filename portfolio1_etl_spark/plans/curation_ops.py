@@ -482,23 +482,33 @@ def q118_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     an average of ~100 ln terms, each exact to the last ulp) follows
     the registry determinism contract.
 
-    Scale shape: one explode feeds both the vocab aggregate and the
-    scoring join; the vocab (distinct words) is orders of magnitude
-    smaller than the corpus, so AQE broadcasts it — the corpus side
-    shuffles once (the per-doc re-aggregation), never on the word."""
+    Scale shape: the unigram MODEL (vocab counts — the artifact this
+    operator exists to apply) is materialized once, so the corpus is
+    scanned exactly twice: once to build the model, once to score
+    against its broadcast — column pruning makes the two branches'
+    subtrees differ, so exchange reuse cannot collapse them, and
+    materializing the tiny model is the honest fix (a production run
+    additionally persists the (doc_id, word) counts to disk). The
+    per-doc re-aggregation is the only other shuffle."""
+    from portfolio1_etl_spark.operators.checkpointing import materialize
+
     d = _docs(spark, sf_dir)
-    toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
-    vocab = toks.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
-    tot = vocab.agg(F.sum("c").alias("n"))
-    lp = F.log(F.col("c").cast("double") / F.col("n"))
+    dw = (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    vocab = materialize(dw.groupBy("w").agg(F.sum("c").alias("cw")))
+    tot = vocab.agg(F.sum("cw").alias("n"))
+    lp = F.log(F.col("cw").cast("double") / F.col("n"))
     return (
-        toks.join(F.broadcast(vocab), "w")
+        dw.join(F.broadcast(vocab), "w")
         .crossJoin(F.broadcast(tot))
         .groupBy("doc_id")
         .agg(
-            F.count(F.lit(1)).cast("long").alias("n_tokens"),
-            F.round(F.avg(lp), 4).alias("avg_logprob"),
-            F.round(F.exp(-F.avg(lp)), 2).alias("ppl"),
+            F.sum("c").cast("long").alias("n_tokens"),
+            F.round(F.sum(F.col("c") * lp) / F.sum("c"), 4).alias("avg_logprob"),
+            F.round(F.exp(-(F.sum(F.col("c") * lp) / F.sum("c"))), 2).alias("ppl"),
         )
     )
 
@@ -668,8 +678,12 @@ def q120_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.split(t_red, " ")).alias("n_tokens"),
     )
 
+    from portfolio1_etl_spark.operators.checkpointing import materialize
+
     toks = doc.select("doc_id", F.explode(F.split("t_final", " ")).alias("w"))
-    vocab = toks.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    # the post-redaction unigram model materializes once (tiny — it is
+    # the stage's artifact), halving the corpus passes as in q118
+    vocab = materialize(toks.groupBy("w").agg(F.count(F.lit(1)).alias("c")))
     tot = vocab.agg(F.sum("c").alias("n"))
     lm = (
         toks.join(F.broadcast(vocab), "w")
