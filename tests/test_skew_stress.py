@@ -163,3 +163,52 @@ def test_span_removal_overlapping_spans_and_untouched_docs(spark):
     assert out[2].text_clean == "tail2 x2" and out[2].n_removed == 5
     assert out[3].text_clean == docs.collect()[2].text and out[3].n_removed == 0
     assert out[4].n_removed == 0  # within-doc repetition is q96's job
+
+
+def test_mixture_sampler_skewed_domain_stays_bounded(spark):
+    """The mixture sampler's 100 TB claim: when ONE domain is ~all of
+    the corpus, the ordered-cumsum window must only ever see the
+    single cut bucket, not the domain. Built like production (salted
+    md5 keys), the cut bucket holds ~1/n_buckets of the giant domain;
+    selection still equals the naive full-window specification."""
+    from pyspark.sql import functions as F
+
+    from portfolio1_etl_spark.operators.mixture import (
+        budget_prefix_select,
+        naive_budget_prefix,
+    )
+
+    n_giant, bucket_div = 5000, 2**44  # 48-bit keys -> 16 buckets
+    rows = [("giant", i) for i in range(n_giant)] + [
+        ("tiny", 100000 + i) for i in range(5)
+    ]
+    d = (
+        spark.createDataFrame(rows, "source string, doc_id long")
+        .withColumn(
+            "k",
+            F.expr(
+                "cast(conv(substring(md5(concat('mix-', cast(doc_id as string))), 1, 12), 16, 10) as bigint)"
+            ),
+        )
+        .withColumn("n_tokens", F.lit(7))
+    )
+    budgets = spark.createDataFrame(
+        [("giant", 70), ("tiny", 1000)], "source string, budget long"
+    )
+    got = budget_prefix_select(d, budgets, bucket_div=bucket_div)
+    want = naive_budget_prefix(d, budgets)
+    assert sorted(r.doc_id for r in got.collect()) == sorted(
+        r.doc_id for r in want.collect()
+    )
+    # the bucket histogram really is the prune: the cut bucket (the
+    # only slice that pays the ordered window) holds a bounded sliver
+    # of the giant domain, NOT the domain
+    hist = (
+        d.filter("source = 'giant'")
+        .groupBy((F.col("k") - F.col("k") % bucket_div).alias("b"))
+        .count()
+        .collect()
+    )
+    per_bucket = {r.b: r["count"] for r in hist}
+    cut = min(per_bucket)  # budget 70 < one bucket's token mass
+    assert per_bucket[cut] < n_giant / 4
