@@ -470,3 +470,75 @@ def corpus_prep_finalize(
             .alias("drop_reason"),
         )
     )
+
+
+def pack_ingest_stream(
+    docs_stream: DataFrame,
+    state: dict,
+    n_shards: int = 8,
+    key_salt: str = "pack-",
+):
+    """Incremental training-shard layout (the q117 packer as an
+    ingestion job): documents STREAM into per-shard concat-then-chunk
+    layouts — each arriving doc is assigned its shard (order-free
+    salted-hash mod, identical to the batch packer) and its absolute
+    token interval continues from the shard's running total, so packs
+    materialize as data lands instead of waiting for a corpus-wide
+    batch. Converges EXACTLY to the batch layout computed in the same
+    (arrival = doc_id) order — asserted in tests/test_streaming.py.
+
+    State: ``layout`` — the accumulated (doc_id, shard, n_tokens,
+    start_tok) assignment table (the job's output, corpus-sized, the
+    same table the batch packer emits anyway); ``totals`` — one row
+    per shard (bounded at n_shards).
+
+    Assumes id-ordered ingestion like ``corpus_prep_stream``; within a
+    micro-batch, ties order by doc_id, so replaying the same landing
+    files reproduces the layout bit-for-bit."""
+    from pyspark.sql import Window as W
+
+    key = (
+        f"cast(conv(substring(md5(concat('{key_salt}', cast(doc_id as string))), "
+        "1, 12), 16, 10) as bigint)"
+    )
+
+    def _fold(batch_df: DataFrame, epoch_id: int) -> None:
+        b = batch_df.select(
+            "doc_id",
+            F.size(F.split("text", " ")).alias("n_tokens"),
+            (F.expr(key) % n_shards).alias("shard"),
+        )
+        win = (
+            W.partitionBy("shard")
+            .orderBy("doc_id")
+            .rowsBetween(W.unboundedPreceding, -1)
+        )
+        local = b.withColumn(
+            "off", F.coalesce(F.sum("n_tokens").over(win), F.lit(0))
+        )
+        totals_old = state.get("totals")
+        if totals_old is not None:
+            local = local.join(F.broadcast(totals_old), "shard", "left")
+            base = F.coalesce(F.col("total"), F.lit(0))
+        else:
+            base = F.lit(0)
+        layout_b = local.select(
+            "doc_id",
+            "shard",
+            "n_tokens",
+            (base + F.col("off")).cast("long").alias("start_tok"),
+        ).localCheckpoint(eager=True)
+        layout_old = state.get("layout")
+        state["layout"] = (
+            layout_b
+            if layout_old is None
+            else layout_old.unionByName(layout_b)
+        ).localCheckpoint(eager=True)
+        state["totals"] = (
+            state["layout"]
+            .groupBy("shard")
+            .agg(F.sum("n_tokens").alias("total"))
+            .localCheckpoint(eager=True)
+        )
+
+    return docs_stream.writeStream.outputMode("append").foreachBatch(_fold)

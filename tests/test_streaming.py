@@ -399,3 +399,65 @@ def test_corpus_prep_stream_converges_to_batch(spark, sf_dir, tmp_path):
     )
     assert len(got) == len(ids)
     assert got == want
+
+
+def test_pack_ingest_stream_converges_to_batch(spark, sf_dir, tmp_path):
+    """Streaming pack layout == batch layout in the same (id) order:
+    stream the documents through pack_ingest_stream in 4 id-ordered
+    micro-batches; every doc's (shard, start_tok) must equal the
+    one-shot per-shard window computed over the full table."""
+    from pyspark.sql import Window as W
+
+    from portfolio1_etl_spark import catalog
+    from portfolio1_etl_spark.streaming.jobs import pack_ingest_stream
+
+    docs = catalog.load(spark, sf_dir, "documents").select("doc_id", "text")
+    ids = sorted(r.doc_id for r in docs.select("doc_id").collect())
+    cuts = [ids[len(ids) // 4], ids[len(ids) // 2], ids[3 * len(ids) // 4]]
+    land = tmp_path / "pack_landing"
+    land.mkdir()
+    slices = [
+        docs.filter(F.col("doc_id") < cuts[0]),
+        docs.filter((F.col("doc_id") >= cuts[0]) & (F.col("doc_id") < cuts[1])),
+        docs.filter((F.col("doc_id") >= cuts[1]) & (F.col("doc_id") < cuts[2])),
+        docs.filter(F.col("doc_id") >= cuts[2]),
+    ]
+    for i, s in enumerate(slices):
+        s.coalesce(1).write.parquet(str(land / f"part{i}"))
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(land / "part*"))
+    )
+    state: dict = {}
+    q = pack_ingest_stream(stream, state).start()
+    q.processAllAvailable()
+    q.stop()
+
+    got = sorted(
+        (r.doc_id, r.shard, r.n_tokens, r.start_tok)
+        for r in state["layout"].collect()
+    )
+
+    key = (
+        "cast(conv(substring(md5(concat('pack-', cast(doc_id as string))), "
+        "1, 12), 16, 10) as bigint)"
+    )
+    win = (
+        W.partitionBy("shard").orderBy("doc_id").rowsBetween(W.unboundedPreceding, -1)
+    )
+    want = sorted(
+        (r.doc_id, r.shard, r.n_tokens, r.start_tok)
+        for r in docs.select(
+            "doc_id",
+            F.size(F.split("text", " ")).alias("n_tokens"),
+            (F.expr(key) % 8).alias("shard"),
+        )
+        .withColumn(
+            "start_tok",
+            F.coalesce(F.sum("n_tokens").over(win), F.lit(0)).cast("long"),
+        )
+        .collect()
+    )
+    assert len(got) == len(ids)
+    assert got == want
