@@ -547,14 +547,17 @@ def q119_source_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
     the blend it was weighted for. KL is finite by construction
     (every source word is in the corpus distribution).
 
-    Scale shape: one explode → one (source, word) aggregate; the
-    global word distribution derives from THAT aggregate (not a
-    second corpus scan), and the 1-row total plus per-source totals
-    broadcast. The only corpus-sized shuffle is the first
-    wordcount."""
+    Scale shape: one explode → one (source, word) aggregate,
+    MATERIALIZED once (it is vocab × sources — tiny — and feeds three
+    branches that column pruning would otherwise turn into three
+    corpus scans, as in q118); the global distribution and every
+    total derive from that table, so the only corpus-sized shuffle is
+    the first wordcount."""
+    from portfolio1_etl_spark.operators.checkpointing import materialize
+
     d = _docs(spark, sf_dir)
     toks = d.select("source", F.explode(F.split("text", " ")).alias("w"))
-    sw = toks.groupBy("source", "w").agg(F.count(F.lit(1)).alias("c"))
+    sw = materialize(toks.groupBy("source", "w").agg(F.count(F.lit(1)).alias("c")))
     s_tot = sw.groupBy("source").agg(F.sum("c").alias("n"))
     gw = sw.groupBy("w").agg(F.sum("c").alias("gc"))
     g_tot = gw.agg(F.sum("gc").alias("gn"))
