@@ -50,6 +50,35 @@ def test_budget_prefix_matches_naive_across_bucket_sizes(spark, bucket_div):
     assert 0 < per_group["g0"] < 400
 
 
+def test_budget_prefix_property_random(spark):
+    """Randomized property sweep: arbitrary weights, budgets, group
+    shapes, and bucket granularities — the histogram prune must equal
+    the naive window on every draw."""
+    import random
+
+    rng = random.Random(20260814)
+    for trial in range(4):
+        rows = []
+        for g in range(rng.randint(1, 4)):
+            for i in range(rng.randint(0, 40)):
+                rows.append(
+                    (f"g{g}", g * 1000 + i, rng.randint(0, 500), rng.randint(1, 20))
+                )
+        if not rows:
+            continue
+        d = spark.createDataFrame(
+            rows, "source string, doc_id long, k long, n_tokens long"
+        )
+        budgets = spark.createDataFrame(
+            [(f"g{g}", rng.choice([0, 5, 37, 200, 10**6])) for g in range(5)],
+            "source string, budget long",
+        )
+        bucket_div = rng.choice([1, 3, 16, 97, 10**9])
+        got = budget_prefix_select(d, budgets, bucket_div=bucket_div)
+        want = naive_budget_prefix(d, budgets)
+        assert _rows(got) == _rows(want), (trial, bucket_div)
+
+
 def test_budget_crossing_row_is_kept(spark):
     """Greedy prefix semantics: the row that CROSSES the budget stays
     (cum_before < budget), so a group's selected weight may exceed the
