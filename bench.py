@@ -80,6 +80,7 @@ HEADLINE = [
     "q122_pack_materialize",
     "q123_bpe_train",
     "q124_bpe_train_apply",
+    "q125_embedding_decontaminate",
 ]
 
 

@@ -361,3 +361,60 @@ def q95_quantized_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     across engines with no rounding recipe at all."""
     vecs = _vectors(spark, sf_dir)
     return quantized_topk(vecs, vecs.filter(F.col("vec_id") < 8), k=3, shortlist=32)
+
+
+@query(
+    "q125_embedding_decontaminate",
+    sql=f"""
+    WITH vecs AS ({_VECTORS_SQL}),
+    ev AS (SELECT * FROM vecs WHERE vec_id % 50 = 0),
+    corpus AS (SELECT * FROM vecs WHERE vec_id % 50 <> 0),
+    sims AS (
+      SELECT c.vec_id, c.label, e.vec_id AS eval_id,
+             list_dot_product(c.v, e.v) / (c.nrm * e.nrm) AS sim
+      FROM corpus c, ev e
+    ),
+    best AS (
+      SELECT vec_id, label, eval_id, sim,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY sim DESC, eval_id ASC) AS rn
+      FROM sims
+    )
+    SELECT vec_id, label, eval_id AS nearest_eval_id, sim
+    FROM best WHERE rn = 1 AND sim >= 0.35
+    """,
+    operators=("X-decontaminate", "X-sim-threshold", "J-semi"),
+)
+def q125_embedding_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEMANTIC decontamination — the embedding-space counterpart of
+    q97's n-gram overlap check: flag corpus vectors whose cosine to
+    ANY benchmark/eval vector reaches 0.35, reporting the nearest
+    eval item as evidence (the audit row a decontamination pass files
+    with each removal). Paraphrased leakage that shares no shingles
+    still lands here.
+
+    Scale shape: eval sets are small by nature, so the eval side
+    broadcasts and the corpus streams through ONE narrow pass (the
+    q80 brute-force pattern — a |corpus| × |eval| loop, not corpus ×
+    corpus); per-vector argmax is a window keyed on the uniform
+    vec_id. At eval sets beyond broadcast size, the q82 sign-bucket
+    equi-join replaces the loop with identical output columns. The
+    dot product folds in the same order in both engines, so sims
+    compare exactly with no rounding."""
+    vecs = _vectors(spark, sf_dir)
+    ev = vecs.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("eval_id"),
+        F.col("v").alias("ev_v"),
+        F.col("nrm").alias("ev_nrm"),
+    )
+    corpus = vecs.filter(F.col("vec_id") % 50 != 0)
+    sim = F.expr(_DOT.format(a="v", b="ev_v")) / (F.col("nrm") * F.col("ev_nrm"))
+    sims = corpus.crossJoin(F.broadcast(ev)).select(
+        "vec_id", "label", "eval_id", sim.alias("sim")
+    )
+    w = W.partitionBy("vec_id").orderBy(F.desc("sim"), F.asc("eval_id"))
+    return (
+        sims.withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") == 1) & (F.col("sim") >= 0.35))
+        .select("vec_id", "label", F.col("eval_id").alias("nearest_eval_id"), "sim")
+    )

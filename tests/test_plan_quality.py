@@ -100,6 +100,9 @@ _SANCTIONED_BNLJ = {
     # quantized ANN stage 1: corpus × broadcast query set (queries ≪
     # corpus by construction), like the brute-force baseline.
     "q95_quantized_ann",
+    # semantic decontamination: corpus × broadcast (small) eval set —
+    # the q80 pattern.
+    "q125_embedding_decontaminate",
     # bloom pruning: fact stream × the broadcast ONE-ROW 8 KB bitmap
     # (q104 = the production prune, q113 = its false-positive audit).
     "q104_bloom_prune",
