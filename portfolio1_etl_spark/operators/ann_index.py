@@ -103,3 +103,24 @@ def query_ivf_index(
         ),
     )
     return ranked.filter(F.col("rank") <= k)
+
+
+def ingest_vectors(
+    spark: SparkSession, path: str, new_vecs: DataFrame
+) -> None:
+    """Incremental index ingest: assign arriving vectors to their cell
+    against the FROZEN persisted codebook (broadcast, narrow map) and
+    APPEND them to their cell partitions — no rebuild, no touch of
+    existing data. The standard IVF maintenance contract: cells drift
+    as the distribution moves, recall degrades gracefully, and a
+    periodic re-train + rewrite restores it; queries are oblivious
+    either way."""
+    cent = spark.read.parquet(f"{path}/centroids")
+    assigned = assign_cells(new_vecs.select("vec_id", "v"), cent)
+    (
+        assigned.select("vec_id", "v", "cell")
+        .join(new_vecs.select("vec_id", "nrm"), "vec_id")
+        .write.mode("append")
+        .partitionBy("cell")
+        .parquet(f"{path}/vectors")
+    )

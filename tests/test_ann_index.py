@@ -82,3 +82,26 @@ def test_probe_scan_is_partition_pruned(spark, sf_dir, tmp_path):
         )
     )
     assert "dynamicpruning" in plan
+
+
+def test_incremental_ingest_matches_one_shot_build(spark, sf_dir, tmp_path):
+    """Index built on half the vectors + ingest of the other half must
+    answer full-probe queries identically to querying an index whose
+    vector set was written in one shot against the SAME codebook —
+    appended cells are real index members, not second-class."""
+    from portfolio1_etl_spark.operators.ann_index import ingest_vectors
+
+    vecs = _vecs(spark, sf_dir)
+    first = vecs.filter(F.col("vec_id") % 2 == 0)
+    rest = vecs.filter(F.col("vec_id") % 2 == 1)
+    path = str(tmp_path / "ivf_inc")
+    build_ivf_index(first, path, k=K_CELLS)
+    ingest_vectors(spark, path, rest)
+    queries = vecs.filter(F.col("vec_id") < 8)
+    got = _topk_sets(
+        query_ivf_index(spark, path, queries, n_probe=K_CELLS, k=3).collect()
+    )
+    # full-probe over the merged index == exact brute force over ALL
+    # vectors (codebook quality affects narrow probes, never full)
+    want = _topk_sets(brute_force_topk(vecs, queries, k=3).collect())
+    assert got == want

@@ -229,3 +229,40 @@ def test_sequence_pack_plan_has_single_shard_exchange(spark, sf_dir, name):
     plan = _formatted_plan(REGISTRY[name].fn(spark, sf_dir))
     tree = plan.split("\n\n")[0]
     assert tree.count("Exchange") == 1
+
+
+def test_pack_boundaries_with_giant_doc(spark, tmp_path):
+    """A document longer than the 512-token budget must span multiple
+    packs with contiguous intervals, and the materialized pack hashes
+    must tile its content without loss — exercised by synthesizing a
+    documents table with one 1300-token doc among normal ones."""
+    rows = []
+    for i in range(12):
+        n = 1300 if i == 0 else 40 + i
+        text = " ".join(f"t{i}x{j}" for j in range(n))
+        rows.append((i, text, "en", f"src{i % 3}", len(text)))
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    sf = str(tmp_path / "giant_sf")
+    import os
+
+    os.makedirs(sf)
+    docs.coalesce(1).write.parquet(f"{sf}/documents.parquet")
+
+    layout = {r.doc_id: r for r in REGISTRY["q117_sequence_pack"].fn(spark, sf).collect()}
+    g = layout[0]
+    assert g.last_pack - g.first_pack >= 2  # 1300 tokens spans >= 3 packs
+    packs = REGISTRY["q122_pack_materialize"].fn(spark, sf).collect()
+    by_shard: dict[int, list] = {}
+    for p in packs:
+        by_shard.setdefault(p.shard, []).append(p)
+    for srows in by_shard.values():
+        srows.sort(key=lambda p: p.pack)
+        assert [p.pack for p in srows] == list(range(len(srows)))
+        assert all(p.n_tokens == 512 for p in srows[:-1])
+    # total materialized tokens == total layout tokens (nothing lost
+    # at the boundaries the giant doc crosses)
+    assert sum(p.n_tokens for p in packs) == sum(
+        r.n_tokens for r in layout.values()
+    )
