@@ -393,9 +393,16 @@ def q112_image_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     an all-pairs scan — and the exact two-half bit_count(xor) runs
     only on candidates. One Hamming index shape serves text AND
     images; that reuse is the point of emitting dHash as longs."""
+    from portfolio1_etl_spark.operators.checkpointing import materialize
+
     docs = catalog.load(spark, sf_dir, "documents")
-    dh = dhash_media(_synthesize_thumbs(docs)).select(
-        F.col("path").cast("long").alias("doc_id"), "dh_hi", "dh_lo"
+    # materialize the hash table (doc_id + two longs per image) BEFORE
+    # the self-join: both join sides otherwise re-run the whole
+    # synthesize→PNG-decode→dHash Python stage — measured ~2x
+    dh = materialize(
+        dhash_media(_synthesize_thumbs(docs)).select(
+            F.col("path").cast("long").alias("doc_id"), "dh_hi", "dh_lo"
+        )
     )
     chunk_specs = [
         (0, F.col("dh_lo").bitwiseAND(F.lit(2047))),
