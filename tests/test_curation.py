@@ -266,3 +266,16 @@ def test_pack_boundaries_with_giant_doc(spark, tmp_path):
     assert sum(p.n_tokens for p in packs) == sum(
         r.n_tokens for r in layout.values()
     )
+
+
+def test_q126_training_learns(spark, sf_dir):
+    """The optimizer must actually optimize: accuracy under the final
+    weights is at least the round-1 accuracy, weights move off zero,
+    and every round reports all 500 docs scored."""
+    rows = sorted(
+        (r.round, r.w0, r.w1, r.w2, r.n_correct)
+        for r in REGISTRY["q126_logreg_quality"].fn(spark, sf_dir).collect()
+    )
+    assert len(rows) == 10
+    assert rows[-1][4] >= rows[0][4]
+    assert any(abs(w) > 1e-6 for w in rows[-1][1:4])

@@ -122,6 +122,9 @@ _SANCTIONED_BNLJ = {
     # pattern). q124 applies the trained table through the same plan.
     "q123_bpe_train",
     "q124_bpe_train_apply",
+    # logistic regression: per-round 1-row weight broadcast into the
+    # feature table (same pattern).
+    "q126_logreg_quality",
 }
 
 
