@@ -17,6 +17,7 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 def write_report_csv(df: DataFrame, path: str, single_file: bool = True) -> None:
@@ -145,5 +146,29 @@ def overwrite_partitions(
         df.write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy(*partition_by)
+        .parquet(path)
+    )
+
+
+def write_range_sorted(
+    df: DataFrame, path: str, cols: list[str], n_files: int = 8
+) -> None:
+    """Range-cluster the dataset on ``cols`` before writing: rows
+    route to files by range (``repartitionByRange``) and sort within
+    each file, so every parquet file covers a narrow, near-disjoint
+    slice of the key space. Readers then skip whole files/row-groups
+    from footer min/max statistics alone — the data-layout half of
+    predicate pushdown, and at 100 TB the difference between a range
+    query reading ~1/n_files of the data and reading all of it
+    (asserted from the real footers in tests/test_sinks_layout.py).
+
+    This is the single-dimension clustering a warehouse would call a
+    sorted/clustered table; multi-column calls cluster hierarchically
+    (major → minor), the right layout when filters lead with the
+    first column."""
+    (
+        df.repartitionByRange(n_files, *[F.col(c) for c in cols])
+        .sortWithinPartitions(*cols)
+        .write.mode("overwrite")
         .parquet(path)
     )

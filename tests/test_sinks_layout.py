@@ -1,0 +1,69 @@
+"""Range-sorted layout (sinks.write_range_sorted): per-file footer
+min/max stats must form narrow, near-disjoint slices, and a range
+filter must actually skip files."""
+
+from __future__ import annotations
+
+import glob
+
+import pyarrow.parquet as pq
+from pyspark.sql import functions as F
+
+from portfolio1_etl_spark import catalog
+from portfolio1_etl_spark.operators.sinks import write_range_sorted
+
+
+def _file_ranges(path: str, col: str) -> list[tuple]:
+    out = []
+    for fp in glob.glob(f"{path}/part-*.parquet"):
+        md = pq.ParquetFile(fp).metadata
+        idx = md.schema.names.index(col)
+        mins, maxs = [], []
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(idx).statistics
+            mins.append(st.min)
+            maxs.append(st.max)
+        out.append((min(mins), max(maxs)))
+    return sorted(out)
+
+
+def test_range_sorted_files_are_near_disjoint(spark, sf_dir, tmp_path):
+    li = catalog.load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_quantity"
+    )
+    path = str(tmp_path / "li_sorted")
+    write_range_sorted(li, path, ["l_extendedprice"], n_files=8)
+    ranges = _file_ranges(path, "l_extendedprice")
+    assert len(ranges) >= 6  # range partitioner may merge tiny tails
+    # consecutive files overlap at most at the boundary value: each
+    # file's max is <= the next file's min (disjoint slices)
+    for (_, hi), (lo2, _) in zip(ranges, ranges[1:]):
+        assert hi <= lo2
+    # every slice is narrow: no file spans more than ~2x the fair
+    # share of the global range
+    glo = min(r[0] for r in ranges)
+    ghi = max(r[1] for r in ranges)
+    fair = (ghi - glo) / len(ranges)
+    assert all((hi - lo) <= 2.5 * fair for lo, hi in ranges)
+
+
+def test_range_filter_skips_files(spark, sf_dir, tmp_path):
+    """A selective range predicate over the clustered column must
+    read fewer files than exist — parquet footer skipping doing its
+    job on the layout we wrote."""
+    li = catalog.load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice"
+    )
+    path = str(tmp_path / "li_sorted2")
+    write_range_sorted(li, path, ["l_extendedprice"], n_files=8)
+    ranges = _file_ranges(path, "l_extendedprice")
+    glo = min(r[0] for r in ranges)
+    ghi = max(r[1] for r in ranges)
+    cut = glo + (ghi - glo) / 10  # bottom decile → ~1 file
+    out = spark.read.parquet(path).filter(F.col("l_extendedprice") <= cut)
+    # correctness of the filtered read
+    expected = li.filter(F.col("l_extendedprice") <= cut).count()
+    assert out.count() == expected
+    # layout effectiveness: the predicate's range intersects few files
+    touched = sum(1 for lo, hi in ranges if lo <= cut)
+    assert touched <= 2
