@@ -81,6 +81,7 @@ HEADLINE = [
     "q123_bpe_train",
     "q124_bpe_train_apply",
     "q125_embedding_decontaminate",
+    "q127_data_card",
 ]
 
 

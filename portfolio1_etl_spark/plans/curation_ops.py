@@ -283,6 +283,64 @@ def q117_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# q127 — the data card: per-source census of the governance pipeline
+# --------------------------------------------------------------------------
+
+
+def _q127_sql() -> str:
+    from portfolio1_etl_spark.plans.registry import REGISTRY
+
+    return f"""
+    SELECT source,
+           CAST(count(*) AS BIGINT)                            AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT)                       AS n_tokens,
+           CAST(sum(n_ent) AS BIGINT)                          AS n_redactions,
+           CAST(sum(CASE WHEN NOT keep_lm THEN 1 ELSE 0 END) AS BIGINT)
+                                                               AS n_lm_dropped,
+           CAST(sum(CASE WHEN selected THEN 1 ELSE 0 END) AS BIGINT)
+                                                               AS n_selected,
+           CAST(sum(CASE WHEN selected THEN n_tokens ELSE 0 END) AS BIGINT)
+                                                               AS selected_tokens,
+           round(avg(avg_logprob), 4)                          AS mean_logprob
+    FROM ({REGISTRY["q120_curation_pipeline"].sql})
+    GROUP BY source
+    """
+
+
+@query(
+    "q127_data_card",
+    sql=None,  # filled after registration below (q120 must exist first)
+    operators=("X-quality", "X-mixture", "A1", "A2"),
+)
+def q127_data_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DATA CARD a curation run publishes next to its output:
+    per-source document/token counts, redaction volume, LM-gate drops,
+    mixture selection, and mean log-prob — aggregated from the SAME
+    registered q120 pipeline (the q114 composition pattern: the
+    numbers on the card are the numbers of the gated pipeline, never a
+    parallel reimplementation). One extra tiny aggregate on top of
+    q120's plan."""
+    from portfolio1_etl_spark.plans.registry import REGISTRY
+
+    log = REGISTRY["q120_curation_pipeline"].fn(spark, sf_dir)
+    return log.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("n_tokens"),
+        F.sum("n_ent").cast("long").alias("n_redactions"),
+        F.sum(F.when(~F.col("keep_lm"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_lm_dropped"),
+        F.sum(F.when(F.col("selected"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_selected"),
+        F.sum(F.when(F.col("selected"), F.col("n_tokens")).otherwise(0))
+        .cast("long")
+        .alias("selected_tokens"),
+        F.round(F.avg("avg_logprob"), 4).alias("mean_logprob"),
+    )
+
+
+# --------------------------------------------------------------------------
 # q122 — pack materialization (the training-shard writer's payload)
 # --------------------------------------------------------------------------
 
@@ -730,3 +788,10 @@ def q120_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.floor(F.col("start_tok") / _PACK_BUDGET).cast("long").alias("first_pack"),
         )
     )
+
+
+# q127's oracle splices q120's registered SQL in as a subquery; q120
+# is defined above, so the registry entry exists by module end.
+from portfolio1_etl_spark.plans.registry import REGISTRY as _REG  # noqa: E402
+
+_REG["q127_data_card"].sql = _q127_sql()
