@@ -125,6 +125,8 @@ _SANCTIONED_BNLJ = {
     # logistic regression: per-round 1-row weight broadcast into the
     # feature table (same pattern).
     "q126_logreg_quality",
+    # data card: one aggregate over the sanctioned q120 composite.
+    "q127_data_card",
 }
 
 
