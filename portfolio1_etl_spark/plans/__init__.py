@@ -73,8 +73,10 @@ PRIORITY: tuple[str, ...] = (
     # window frames / navigation / date+ts scalar layers
     "q55_window_range_frame",
     # (q56_window_navigation sits past the window — q55 keeps the
-    # window-function family slot; CI covers it)
-    "q57_date_spine",
+    # window-function family slot; CI covers it. q57_date_spine yields
+    # its slot to the r6 governance composite — date arithmetic stays
+    # repped by q43/q45/q58; CI covers q57)
+    "q120_curation_pipeline",
     "q58_timestamp_parse",
     "q59_shipping_priority",
     # text analysis
