@@ -721,7 +721,15 @@ def q120_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-domain window); packing shuffles once on the uniform shard;
     the final decision-log join is doc_id-keyed (sort-merge at scale,
     broadcast under AQE when the selected set is small)."""
-    d = _docs(spark, sf_dir)
+    return governance_tail(governance_doc_stage(_docs(spark, sf_dir)))
+
+
+def governance_doc_stage(d: DataFrame) -> DataFrame:
+    """Stage 1 of the governance pipeline, per-row and order-free:
+    redact (deny-list + PII chain) and carry the per-doc census
+    columns. Shared verbatim by the batch query and the incremental
+    stream (streaming.governance_stream) — convergence of the two is
+    BY CONSTRUCTION for this stage."""
     toks0 = F.split("text", " ")
     deny = F.array(*[F.lit(t) for t in _DENY])
     is_deny = lambda t: F.array_contains(deny, t)  # noqa: E731
@@ -731,7 +739,7 @@ def q120_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     for pattern, token in PII_PATTERNS:
         t_red = F.regexp_replace(t_red, pattern, token)
-    doc = d.select(
+    return d.select(
         "doc_id",
         "source",
         F.size(F.filter(toks0, is_deny)).cast("long").alias("n_ent"),
@@ -739,6 +747,13 @@ def q120_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.split(t_red, " ")).alias("n_tokens"),
     )
 
+
+def governance_tail(doc: DataFrame) -> DataFrame:
+    """Stages 2-4 over the (possibly stream-accumulated) doc-stage
+    table: corpus-relative LM gate, budgeted mixture selection, and
+    packing — the corpus-global part that an incremental job runs at
+    finalize, exactly as the batch query runs it."""
+    spark = doc.sparkSession
     from portfolio1_etl_spark.operators.checkpointing import materialize
 
     toks = doc.select("doc_id", F.explode(F.split("t_final", " ")).alias("w"))

@@ -542,3 +542,33 @@ def pack_ingest_stream(
         )
 
     return docs_stream.writeStream.outputMode("append").foreachBatch(_fold)
+
+
+def governance_stream(docs_stream: DataFrame, state: dict):
+    """Incremental corpus GOVERNANCE (the q120 pipeline as ingestion):
+    the per-row stage — redaction + per-doc census — runs on arrival
+    through the IDENTICAL ``governance_doc_stage`` the batch query
+    uses, and the accumulated stage table is the only state. The
+    corpus-global stages (LM gate against the whole-corpus model,
+    budgeted mixture, packing) are relative to data that hasn't
+    arrived yet, so they run at ``governance_finalize`` — again
+    through the identical batch tail. Convergence to q120 is therefore
+    by construction, and asserted in tests/test_streaming.py."""
+    from portfolio1_etl_spark.plans.curation_ops import governance_doc_stage
+
+    def _fold(batch_df: DataFrame, epoch_id: int) -> None:
+        b = governance_doc_stage(batch_df).localCheckpoint(eager=True)
+        prev = state.get("doc")
+        state["doc"] = (
+            b if prev is None else prev.unionByName(b)
+        ).localCheckpoint(eager=True)
+
+    return docs_stream.writeStream.outputMode("append").foreachBatch(_fold)
+
+
+def governance_finalize(state: dict) -> DataFrame:
+    """The corpus-global tail over the accumulated doc-stage table —
+    byte-identical to ``q120_curation_pipeline`` on the same docs."""
+    from portfolio1_etl_spark.plans.curation_ops import governance_tail
+
+    return governance_tail(state["doc"])

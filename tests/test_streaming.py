@@ -461,3 +461,49 @@ def test_pack_ingest_stream_converges_to_batch(spark, sf_dir, tmp_path):
     )
     assert len(got) == len(ids)
     assert got == want
+
+
+def test_governance_stream_converges_to_batch(spark, sf_dir, tmp_path):
+    """Incremental governance == q120: stream the documents through
+    governance_stream in 4 micro-batches, finalize, and the decision
+    log (every column, including pack offsets) must equal the batch
+    composite's."""
+    from portfolio1_etl_spark import catalog
+    from portfolio1_etl_spark.plans import REGISTRY
+    from portfolio1_etl_spark.streaming.jobs import (
+        governance_finalize,
+        governance_stream,
+    )
+
+    docs = catalog.load(spark, sf_dir, "documents")
+    ids = sorted(r.doc_id for r in docs.select("doc_id").collect())
+    cuts = [ids[len(ids) // 4], ids[len(ids) // 2], ids[3 * len(ids) // 4]]
+    land = tmp_path / "gov_landing"
+    land.mkdir()
+    slices = [
+        docs.filter(F.col("doc_id") < cuts[0]),
+        docs.filter((F.col("doc_id") >= cuts[0]) & (F.col("doc_id") < cuts[1])),
+        docs.filter((F.col("doc_id") >= cuts[1]) & (F.col("doc_id") < cuts[2])),
+        docs.filter(F.col("doc_id") >= cuts[2]),
+    ]
+    for i, s in enumerate(slices):
+        s.coalesce(1).write.parquet(str(land / f"part{i}"))
+    stream = (
+        spark.readStream.schema(
+            "doc_id long, text string, lang string, source string, n_chars long"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(land / "part*"))
+    )
+    state: dict = {}
+    q = governance_stream(stream, state).start()
+    q.processAllAvailable()
+    q.stop()
+
+    got = sorted(tuple(r) for r in governance_finalize(state).collect())
+    want = sorted(
+        tuple(r)
+        for r in REGISTRY["q120_curation_pipeline"].fn(spark, sf_dir).collect()
+    )
+    assert len(got) == len(ids)
+    assert got == want
