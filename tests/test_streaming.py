@@ -507,3 +507,46 @@ def test_governance_stream_converges_to_batch(spark, sf_dir, tmp_path):
     )
     assert len(got) == len(ids)
     assert got == want
+
+
+def test_governance_stream_is_order_independent(spark, sf_dir, tmp_path):
+    """Unlike the packers (which document id-ordered ingestion), the
+    governance fold has NO ordering assumption: the per-row stage is
+    order-free and every global stage runs at finalize — so streaming
+    the batches in a scrambled order must converge to the same
+    decision log."""
+    from portfolio1_etl_spark import catalog
+    from portfolio1_etl_spark.plans import REGISTRY
+    from portfolio1_etl_spark.streaming.jobs import (
+        governance_finalize,
+        governance_stream,
+    )
+
+    docs = catalog.load(spark, sf_dir, "documents")
+    land = tmp_path / "gov_scrambled"
+    land.mkdir()
+    # interleaved, non-contiguous slices, landed in reverse order
+    slices = [
+        docs.filter(F.col("doc_id") % 3 == 2),
+        docs.filter(F.col("doc_id") % 3 == 0),
+        docs.filter(F.col("doc_id") % 3 == 1),
+    ]
+    for i, s in enumerate(slices):
+        s.coalesce(1).write.parquet(str(land / f"part{i}"))
+    stream = (
+        spark.readStream.schema(
+            "doc_id long, text string, lang string, source string, n_chars long"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(land / "part*"))
+    )
+    state: dict = {}
+    q = governance_stream(stream, state).start()
+    q.processAllAvailable()
+    q.stop()
+    got = sorted(tuple(r) for r in governance_finalize(state).collect())
+    want = sorted(
+        tuple(r)
+        for r in REGISTRY["q120_curation_pipeline"].fn(spark, sf_dir).collect()
+    )
+    assert got == want
