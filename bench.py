@@ -82,6 +82,7 @@ HEADLINE = [
     "q124_bpe_train_apply",
     "q125_embedding_decontaminate",
     "q127_data_card",
+    "q128_curriculum_schedule",
 ]
 
 

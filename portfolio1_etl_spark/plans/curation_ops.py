@@ -805,8 +805,126 @@ def governance_tail(doc: DataFrame) -> DataFrame:
     )
 
 
-# q127's oracle splices q120's registered SQL in as a subquery; q120
-# is defined above, so the registry entry exists by module end.
+# --------------------------------------------------------------------------
+# q128 — curriculum pack schedule
+# --------------------------------------------------------------------------
+
+
+def _q128_sql() -> str:
+    from portfolio1_etl_spark.plans.registry import REGISTRY
+
+    lm = REGISTRY["q118_unigram_logprob"].sql
+    return f"""
+    WITH lm AS MATERIALIZED ({lm}),
+    t AS (
+      SELECT doc_id, n_tokens, avg_logprob,
+             {_PACK_KEY_SQL} AS k,
+             {_PACK_KEY_SQL} % {_PACK_SHARDS} AS shard
+      FROM lm
+    ),
+    c AS (
+      SELECT *, coalesce(sum(n_tokens) OVER (
+               PARTITION BY shard ORDER BY k, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_tok
+      FROM t
+    ),
+    contrib AS (
+      SELECT shard, p AS pack,
+             least(start_tok + n_tokens, (p + 1) * {_PACK_BUDGET})
+               - greatest(start_tok, p * {_PACK_BUDGET}) AS overlap,
+             avg_logprob
+      FROM c, LATERAL unnest(generate_series(
+               CAST(start_tok // {_PACK_BUDGET} AS BIGINT),
+               CAST((start_tok + n_tokens - 1) // {_PACK_BUDGET} AS BIGINT))) AS u(p)
+    ),
+    packs AS (
+      SELECT CAST(shard AS BIGINT) AS shard, CAST(pack AS BIGINT) AS pack,
+             CAST(sum(overlap) AS BIGINT) AS n_tokens,
+             round(sum(overlap * avg_logprob) / sum(overlap), 4) AS pack_logprob
+      FROM contrib GROUP BY shard, pack
+    )
+    SELECT shard, pack, n_tokens, pack_logprob,
+           CAST(row_number() OVER (PARTITION BY shard
+                ORDER BY pack_logprob DESC, pack) AS BIGINT) AS curriculum_rank
+    FROM packs
+    """
+
+
+@query(
+    "q128_curriculum_schedule",
+    sql=None,  # composed from q118's registered SQL at module end
+    operators=("X-packing", "X-lm-score", "X-quality", "Window-rank"),
+)
+def q128_curriculum_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum ordering of the training packs: every pack's token-
+    weighted mean log-prob, ranked easiest-first within its shard —
+    the schedule a curriculum-training run feeds its data loader.
+    Per-doc quality comes from the REGISTERED q118 scorer (the q114
+    composition pattern), and each doc's contribution to each pack it
+    straddles is CLOSED-FORM interval arithmetic over the q117 layout
+    (overlap of [start, start+n) with the pack window) — no token
+    explode, no second corpus scan: the whole schedule derives from
+    one row per (doc, touched pack).
+
+    Scale: q118's plan + one per-shard window + one uniform
+    (shard, pack) aggregate + a per-shard ranking window over pack
+    COUNTS (thousands of rows, not tokens)."""
+    from portfolio1_etl_spark.plans.registry import REGISTRY
+
+    lm = REGISTRY["q118_unigram_logprob"].fn(spark, sf_dir)
+    pk = F.expr(_PACK_KEY_SPARK)
+    t = lm.select(
+        "doc_id",
+        "n_tokens",
+        "avg_logprob",
+        pk.alias("k"),
+        (pk % _PACK_SHARDS).alias("shard"),
+    )
+    win = W.partitionBy("shard").orderBy("k", "doc_id").rowsBetween(
+        W.unboundedPreceding, -1
+    )
+    c = t.withColumn("start_tok", F.coalesce(F.sum("n_tokens").over(win), F.lit(0)))
+    contrib = c.select(
+        "shard",
+        "avg_logprob",
+        "start_tok",
+        "n_tokens",
+        F.explode(
+            F.expr(
+                f"sequence(start_tok div {_PACK_BUDGET}, "
+                f"(start_tok + n_tokens - 1) div {_PACK_BUDGET})"
+            )
+        ).alias("pack"),
+    ).select(
+        "shard",
+        "pack",
+        "avg_logprob",
+        (
+            F.least(
+                F.col("start_tok") + F.col("n_tokens"),
+                (F.col("pack") + 1) * _PACK_BUDGET,
+            )
+            - F.greatest(F.col("start_tok"), F.col("pack") * _PACK_BUDGET)
+        ).alias("overlap"),
+    )
+    packs = contrib.groupBy(
+        F.col("shard").cast("long").alias("shard"),
+        F.col("pack").cast("long").alias("pack"),
+    ).agg(
+        F.sum("overlap").cast("long").alias("n_tokens"),
+        F.round(
+            F.sum(F.col("overlap") * F.col("avg_logprob")) / F.sum("overlap"), 4
+        ).alias("pack_logprob"),
+    )
+    rw = W.partitionBy("shard").orderBy(F.desc("pack_logprob"), "pack")
+    return packs.withColumn(
+        "curriculum_rank", F.row_number().over(rw).cast("long")
+    )
+
+
+# q127/q128 oracles splice other queries' registered SQL in as
+# subqueries; those entries exist by module end, so fill them here.
 from portfolio1_etl_spark.plans.registry import REGISTRY as _REG  # noqa: E402
 
 _REG["q127_data_card"].sql = _q127_sql()
+_REG["q128_curriculum_schedule"].sql = _q128_sql()

@@ -279,3 +279,21 @@ def test_q126_training_learns(spark, sf_dir):
     assert len(rows) == 10
     assert rows[-1][4] >= rows[0][4]
     assert any(abs(w) > 1e-6 for w in rows[-1][1:4])
+
+
+def test_q128_schedule_consistent_with_packs(spark, sf_dir):
+    """The curriculum schedule's per-pack token totals must equal the
+    materializer's (q122) — interval arithmetic and token explode are
+    two derivations of the same layout — and ranks must be a
+    permutation of 1..n_packs per shard."""
+    sched = REGISTRY["q128_curriculum_schedule"].fn(spark, sf_dir).collect()
+    packs = {
+        (p.shard, p.pack): p.n_tokens
+        for p in REGISTRY["q122_pack_materialize"].fn(spark, sf_dir).collect()
+    }
+    assert {(s.shard, s.pack): s.n_tokens for s in sched} == packs
+    by_shard: dict[int, list] = {}
+    for s in sched:
+        by_shard.setdefault(s.shard, []).append(s.curriculum_rank)
+    for ranks in by_shard.values():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))

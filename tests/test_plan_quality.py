@@ -127,6 +127,8 @@ _SANCTIONED_BNLJ = {
     "q126_logreg_quality",
     # data card: one aggregate over the sanctioned q120 composite.
     "q127_data_card",
+    # curriculum schedule: composes q118 (sanctioned 1-row total).
+    "q128_curriculum_schedule",
 }
 
 
