@@ -1,0 +1,92 @@
+"""Differential fuzzing: the oracle gate on RANDOM corpora, not just
+the driver's fixed tables. Each seed synthesizes a documents table
+(edge shapes included: 1-token docs, heavy repetition, single-char
+words, skewed sources) and runs a spread of text/curation queries
+through BOTH engines — any Spark/DuckDB divergence the fixed testdata
+happens to miss fails here."""
+
+from __future__ import annotations
+
+import random
+
+import duckdb
+import pytest
+
+from portfolio1_etl_spark.plans import REGISTRY
+from tools.check_oracle import _normalize
+
+#: fast, corpus-shaped queries across the text/dedup/curation families
+QUERIES = [
+    "q60_token_stats",
+    "q61_word_frequency",
+    "q62_quality_score",
+    "q64_fingerprint",
+    "q96_repetition_filter",
+    "q115_pii_redact",
+    "q116_mixture_sample",
+    "q117_sequence_pack",
+    "q118_unigram_logprob",
+    "q119_source_kl",
+    "q122_pack_materialize",
+]
+
+_VOCAB = (
+    "a b c the of and key row scan value part customer spark "
+    "zz qqq longishword x y"
+).split()
+
+
+def _synth_docs(rng: random.Random, n_docs: int):
+    rows = []
+    for i in range(n_docs):
+        shape = rng.random()
+        if shape < 0.1:
+            words = [rng.choice(_VOCAB)]  # 1-token doc
+        elif shape < 0.2:
+            words = [rng.choice(_VOCAB)] * rng.randint(2, 60)  # degenerate repeat
+        else:
+            words = [rng.choice(_VOCAB) for _ in range(rng.randint(2, 80))]
+        text = " ".join(words)
+        rows.append(
+            (
+                i,
+                text,
+                rng.choice(["en", "de", "fr", "es"]),
+                f"src{rng.randint(0, 19)}" if shape > 0.3 else "src0",  # skew
+                len(text),
+            )
+        )
+    return rows
+
+
+@pytest.mark.parametrize("seed", [101, 202])
+def test_random_corpus_matches_oracle(spark, tmp_path, seed):
+    rng = random.Random(seed)
+    docs = spark.createDataFrame(
+        _synth_docs(rng, 120),
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    sf = str(tmp_path / f"fuzz{seed}")
+    import os
+
+    os.makedirs(sf)
+    docs.coalesce(1).write.parquet(f"{sf}/documents.parquet")
+
+    con = duckdb.connect()
+    # Spark writes a parquet DIRECTORY; glob the part files for DuckDB
+    con.sql(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf}/documents.parquet/*.parquet')"
+    )
+    failures = []
+    for name in QUERIES:
+        q = REGISTRY[name]
+        got = _normalize(q.fn(spark, sf).toPandas())
+        want = _normalize(con.sql(q.sql).df())
+        if not (
+            len(got) == len(want)
+            and list(got.columns) == list(want.columns)
+            and got.equals(want)
+        ):
+            failures.append(name)
+    assert not failures, f"seed {seed}: engine divergence in {failures}"
