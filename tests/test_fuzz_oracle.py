@@ -90,3 +90,54 @@ def test_random_corpus_matches_oracle(spark, tmp_path, seed):
         ):
             failures.append(name)
     assert not failures, f"seed {seed}: engine divergence in {failures}"
+
+
+_SIM_QUERIES = [
+    "q80_cosine_topk",
+    "q78_embedding_neardup",
+    "q82_lsh_ann",
+    "q95_quantized_ann",
+    "q125_embedding_decontaminate",
+]
+
+
+@pytest.mark.parametrize("seed", [303])
+def test_random_embeddings_match_oracle(spark, tmp_path, seed):
+    """Same differential gate over a random embeddings table: the
+    similarity family (exact, LSH, quantized, decontamination) must
+    agree across engines on vectors it has never seen — including
+    near-duplicate clusters and a zero-heavy vector."""
+    rng = random.Random(seed)
+    rows = []
+    for i in range(100):
+        if i % 10 == 3:  # near-dup of the previous vector
+            base = rows[-1][1]
+            v = [x + rng.uniform(-0.01, 0.01) for x in base]
+        elif i == 50:
+            v = [0.0] * 15 + [1.0]  # zero-heavy
+        else:
+            v = [round(rng.uniform(-1, 1), 6) for _ in range(16)]
+        rows.append((i, [float(x) for x in v], i % 4))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    sf = str(tmp_path / f"efuzz{seed}")
+    import os
+
+    os.makedirs(sf)
+    emb.coalesce(1).write.parquet(f"{sf}/embeddings.parquet")
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{sf}/embeddings.parquet/*.parquet')"
+    )
+    failures = []
+    for name in _SIM_QUERIES:
+        q = REGISTRY[name]
+        got = _normalize(q.fn(spark, sf).toPandas())
+        want = _normalize(con.sql(q.sql).df())
+        if not (
+            len(got) == len(want)
+            and list(got.columns) == list(want.columns)
+            and got.equals(want)
+        ):
+            failures.append(name)
+    assert not failures, f"seed {seed}: engine divergence in {failures}"
