@@ -62,6 +62,28 @@ from portfolio1_etl_spark.operators.pq import (
     train_codebook,
 )
 from portfolio1_etl_spark.operators.bucketing import bucketed, write_bucketed
+from portfolio1_etl_spark.operators.sketches import (
+    bloom_build,
+    bloom_merge,
+    bloom_might_contain,
+    bloom_probe,
+)
+from portfolio1_etl_spark.operators.mixture import (
+    budget_prefix_select,
+    naive_budget_prefix,
+)
+from portfolio1_etl_spark.operators.bpe_train import (
+    train_bpe_merges,
+    train_bpe_state,
+)
+from portfolio1_etl_spark.operators.logreg import train_logreg
+from portfolio1_etl_spark.operators.ann_index import (
+    build_ivf_index,
+    ingest_vectors,
+    query_ivf_index,
+)
+from portfolio1_etl_spark.operators.sinks import write_range_sorted
+from portfolio1_etl_spark.operators.checkpointing import materialize
 
 __all__ = [
     "MEDIA_SCHEMA",
@@ -112,4 +134,18 @@ __all__ = [
     "pq_topk",
     "split_subspaces",
     "train_codebook",
+    "bloom_build",
+    "bloom_merge",
+    "bloom_might_contain",
+    "bloom_probe",
+    "budget_prefix_select",
+    "naive_budget_prefix",
+    "train_bpe_merges",
+    "train_bpe_state",
+    "train_logreg",
+    "build_ivf_index",
+    "ingest_vectors",
+    "query_ivf_index",
+    "write_range_sorted",
+    "materialize",
 ]
