@@ -77,3 +77,23 @@ def test_checkpoint_modes_agree(spark, mode):
     assert _spark_train(spark, wf, 3, checkpoint_mode=mode) == _reference_train(
         wf, 3
     )
+
+
+def test_matches_reference_on_random_corpora(spark):
+    """Property sweep: random word-frequency tables (including pair
+    ties, repeated-letter words, singleton chars) must reproduce the
+    Python reference trainer round-for-round."""
+    import random
+
+    rng = random.Random(6021)
+    letters = "abcd"
+    for trial in range(3):
+        wf = {}
+        for _ in range(rng.randint(3, 12)):
+            w = "".join(rng.choice(letters) for _ in range(rng.randint(1, 7)))
+            wf[w] = wf.get(w, 0) + rng.randint(1, 9)
+        rounds = rng.randint(1, 4)
+        assert _spark_train(spark, wf, rounds) == _reference_train(wf, rounds), (
+            trial,
+            wf,
+        )

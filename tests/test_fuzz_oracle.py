@@ -28,6 +28,7 @@ QUERIES = [
     "q118_unigram_logprob",
     "q119_source_kl",
     "q122_pack_materialize",
+    "q120_curation_pipeline",
 ]
 
 _VOCAB = (
