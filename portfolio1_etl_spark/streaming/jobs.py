@@ -572,3 +572,22 @@ def governance_finalize(state: dict) -> DataFrame:
     from portfolio1_etl_spark.plans.curation_ops import governance_tail
 
     return governance_tail(state["doc"])
+
+
+def ann_index_ingest_stream(vec_stream: DataFrame, index_path: str):
+    """Streaming ANN-index maintenance: arriving embedding rows assign
+    to their IVF cell against the FROZEN persisted codebook and append
+    to the index's cell partitions per micro-batch
+    (operators.ann_index.ingest_vectors) — the index answers queries
+    mid-ingest, and a full-probe query over the streamed index equals
+    one over a batch-written index (tested). State lives entirely IN
+    the index directory; the job itself is stateless."""
+    from portfolio1_etl_spark.operators.ann_index import ingest_vectors
+    from portfolio1_etl_spark.operators.similarity import with_norms
+
+    def _fold(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        ingest_vectors(batch_df.sparkSession, index_path, with_norms(batch_df))
+
+    return vec_stream.writeStream.outputMode("append").foreachBatch(_fold)

@@ -105,3 +105,42 @@ def test_incremental_ingest_matches_one_shot_build(spark, sf_dir, tmp_path):
     # vectors (codebook quality affects narrow probes, never full)
     want = _topk_sets(brute_force_topk(vecs, queries, k=3).collect())
     assert got == want
+
+
+def test_streaming_ingest_equals_batch_index(spark, sf_dir, tmp_path):
+    """Stream half the vectors into an index built on the other half
+    (3 micro-batches); full-probe queries over the streamed index must
+    equal exact brute force over ALL vectors — identical to the batch
+    ingest guarantee."""
+    from portfolio1_etl_spark.streaming.jobs import ann_index_ingest_stream
+
+    vecs = _vecs(spark, sf_dir)
+    first = vecs.filter(F.col("vec_id") % 2 == 0)
+    rest_raw = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .filter(F.col("vec_id") % 2 == 1)
+    )
+    path = str(tmp_path / "ivf_stream")
+    build_ivf_index(first, path, k=K_CELLS)
+
+    land = tmp_path / "vec_landing"
+    land.mkdir()
+    for i in range(3):
+        rest_raw.filter(F.col("vec_id") % 3 == i).coalesce(1).write.parquet(
+            str(land / f"part{i}")
+        )
+    stream = (
+        spark.readStream.schema("vec_id long, embedding array<float>, label int")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(land / "part*"))
+    )
+    q = ann_index_ingest_stream(stream, path).start()
+    q.processAllAvailable()
+    q.stop()
+
+    queries = vecs.filter(F.col("vec_id") < 8)
+    got = _topk_sets(
+        query_ivf_index(spark, path, queries, n_probe=K_CELLS, k=3).collect()
+    )
+    want = _topk_sets(brute_force_topk(vecs, queries, k=3).collect())
+    assert got == want
