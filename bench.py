@@ -151,11 +151,11 @@ def main() -> None:
     names = [n for n in HEADLINE if n in REGISTRY]
     timings: dict[str, float] = {}
     for name in names:
-        # min of 2 runs: the host is shared, and a single sample can
-        # catch an external load spike (observed 5x swings on an
-        # otherwise-idle container).
+        # min of 3 runs: the host is shared and back-to-back full-suite
+        # totals have differed by 40% (99.9s vs 70.3s) — a single
+        # sample, and often even two, catches external load spikes.
         best = float("inf")
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.time()
             REGISTRY[name].fn(spark, sf_dir).write.format("noop").mode(
                 "overwrite"
