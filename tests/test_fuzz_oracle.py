@@ -60,7 +60,7 @@ def _synth_docs(rng: random.Random, n_docs: int):
     return rows
 
 
-@pytest.mark.parametrize("seed", [101, 202])
+@pytest.mark.parametrize("seed", [101, 202, 404])
 def test_random_corpus_matches_oracle(spark, tmp_path, seed):
     rng = random.Random(seed)
     docs = spark.createDataFrame(
@@ -102,7 +102,7 @@ _SIM_QUERIES = [
 ]
 
 
-@pytest.mark.parametrize("seed", [303])
+@pytest.mark.parametrize("seed", [303, 606])
 def test_random_embeddings_match_oracle(spark, tmp_path, seed):
     """Same differential gate over a random embeddings table: the
     similarity family (exact, LSH, quantized, decontamination) must
