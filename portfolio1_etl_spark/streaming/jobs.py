@@ -591,3 +591,35 @@ def ann_index_ingest_stream(vec_stream: DataFrame, index_path: str):
         ingest_vectors(batch_df.sparkSession, index_path, with_norms(batch_df))
 
     return vec_stream.writeStream.outputMode("append").foreachBatch(_fold)
+
+
+def wordcount_stream(docs_stream: DataFrame, state: dict):
+    """Incremental corpus word-frequency table — the additive fold
+    behind tokenizer (re)training: counts union + re-aggregate per
+    micro-batch (the CMS/Bloom linearity argument in its simplest
+    form), so the BPE trainer can re-learn merges from the maintained
+    table at any point without a corpus re-scan
+    (``bpe_retrain_finalize``; stream==batch q123 equality tested)."""
+
+    def _fold(batch_df: DataFrame, epoch_id: int) -> None:
+        b = (
+            batch_df.select(F.explode(F.split("text", " ")).alias("word"))
+            .groupBy("word")
+            .agg(F.count(F.lit(1)).alias("freq"))
+        )
+        prev = state.get("wordcount")
+        state["wordcount"] = (
+            b
+            if prev is None
+            else prev.unionByName(b).groupBy("word").agg(F.sum("freq").alias("freq"))
+        ).localCheckpoint(eager=True)
+
+    return docs_stream.writeStream.outputMode("append").foreachBatch(_fold)
+
+
+def bpe_retrain_finalize(state: dict, rounds: int = 8) -> DataFrame:
+    """Re-learn the merge table from the maintained word-frequency
+    state — identical output to q123 over the same documents."""
+    from portfolio1_etl_spark.operators.bpe_train import train_bpe_merges
+
+    return train_bpe_merges(state["wordcount"], rounds)

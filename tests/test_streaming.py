@@ -550,3 +550,37 @@ def test_governance_stream_is_order_independent(spark, sf_dir, tmp_path):
         for r in REGISTRY["q120_curation_pipeline"].fn(spark, sf_dir).collect()
     )
     assert got == want
+
+
+def test_wordcount_stream_bpe_retrain_equals_batch(spark, sf_dir, tmp_path):
+    """Tokenizer retraining from streamed wordcounts == q123 on the
+    same corpus: the fold is additive, so arrival slicing is
+    irrelevant to the learned merges."""
+    from portfolio1_etl_spark.plans import REGISTRY
+    from portfolio1_etl_spark import catalog
+    from portfolio1_etl_spark.streaming.jobs import (
+        bpe_retrain_finalize,
+        wordcount_stream,
+    )
+
+    docs = catalog.load(spark, sf_dir, "documents").select("doc_id", "text")
+    land = tmp_path / "wc_landing"
+    land.mkdir()
+    for i in range(3):
+        docs.filter(F.col("doc_id") % 3 == i).coalesce(1).write.parquet(
+            str(land / f"part{i}")
+        )
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(land / "part*"))
+    )
+    state: dict = {}
+    q = wordcount_stream(stream, state).start()
+    q.processAllAvailable()
+    q.stop()
+    got = sorted(tuple(r) for r in bpe_retrain_finalize(state, 8).collect())
+    want = sorted(
+        tuple(r) for r in REGISTRY["q123_bpe_train"].fn(spark, sf_dir).collect()
+    )
+    assert got == want
