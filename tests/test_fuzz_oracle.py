@@ -29,6 +29,9 @@ QUERIES = [
     "q119_source_kl",
     "q122_pack_materialize",
     "q120_curation_pipeline",
+    # frozen-vocab BPE on random words: exercises greedy fallback and
+    # <unk> paths the fixed corpus never hits
+    "q108_bpe_tokenize",
 ]
 
 _VOCAB = (
