@@ -83,6 +83,7 @@ HEADLINE = [
     "q125_embedding_decontaminate",
     "q127_data_card",
     "q128_curriculum_schedule",
+    "q129_dedup_recall",
 ]
 
 

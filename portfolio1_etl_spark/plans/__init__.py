@@ -26,6 +26,7 @@ from portfolio1_etl_spark.plans import classifier_ops  # noqa: F401,E402
 # MUST import after similarity_ops/pq_ops: composes their registered
 # fns and oracle SQL into the on-scoreboard recall row.
 from portfolio1_etl_spark.plans import ann_recall_ops  # noqa: F401,E402
+from portfolio1_etl_spark.plans import dedup_recall_ops  # noqa: F401,E402
 
 #: Explicit registry order. External correctness harnesses may sample a
 #: prefix of ``queries()`` (round 1 checked exactly the first 50 entries),

@@ -1,0 +1,93 @@
+"""[ext] On-scoreboard dedup recall (r6): the q114 pattern applied to
+the near-duplicate family — every LOSSY pair-finding strategy (LSH
+banding, df-capped inverted index) measured against the LOSSLESS
+prefix-filtered join (q105), whose own oracle proves completeness at
+the shared Jaccard ≥ 0.4 threshold.
+
+As with q114, both sides are composed FROM THE REGISTERED QUERIES —
+the Spark body calls the registered fns, the oracle splices the
+registered SQL — so the recall on the board is the recall of exactly
+the gated pipelines, and a probe/cap regression moves a value-hashed
+number instead of only failing a local bar.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from portfolio1_etl_spark.plans.registry import REGISTRY, query
+
+_METHODS = ("q73_minhash_lsh", "q77_jaccard_dfcap")
+_TRUTH = "q105_prefix_jaccard"
+
+
+def _recall_sql() -> str:
+    truth = REGISTRY[_TRUTH].sql
+    union = " UNION ALL ".join(
+        f"SELECT '{m}' AS method, doc_a, doc_b FROM ({REGISTRY[m].sql})"
+        for m in _METHODS
+    )
+    values = ",".join(f"('{m}')" for m in _METHODS)
+    return f"""
+    WITH truth AS MATERIALIZED (SELECT doc_a, doc_b FROM ({truth})),
+    methods(method) AS (VALUES {values}),
+    results AS ({union}),
+    hits AS (
+      SELECT r.method, count(*) AS n_hits
+      FROM results r JOIN truth t USING (doc_a, doc_b)
+      GROUP BY r.method
+    ),
+    n AS (SELECT count(*) AS n_truth FROM truth)
+    SELECT m.method,
+           CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+           CAST(n.n_truth AS BIGINT) AS n_truth,
+           round(CAST(coalesce(h.n_hits, 0) AS DOUBLE) / n.n_truth, 4) AS recall
+    FROM methods m LEFT JOIN hits h ON m.method = h.method, n
+    """
+
+
+@query(
+    "q129_dedup_recall",
+    sql=_recall_sql(),
+    operators=("X-dedup-recall", "X-dedup-minhash", "X-dedup-dfcap", "X-dedup-prefix"),
+)
+def q129_dedup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall of each lossy near-dup strategy against the lossless
+    prefix-join ground truth at the shared Jaccard ≥ 0.4 bar:
+    |method ∩ truth| / |truth|. LSH misses what no band captures
+    (probabilistic, documented); df-cap misses pairs whose every
+    shared shingle is a heavy hitter (bounded, documented) — this row
+    puts both documented losses ON the scoreboard next to q113's
+    bloom FP rate and q114's ANN recall."""
+    truth = (
+        REGISTRY[_TRUTH].fn(spark, sf_dir).select("doc_a", "doc_b")
+    )
+    results = reduce(
+        DataFrame.unionByName,
+        [
+            REGISTRY[m]
+            .fn(spark, sf_dir)
+            .select(F.lit(m).alias("method"), "doc_a", "doc_b")
+            for m in _METHODS
+        ],
+    )
+    hits = results.join(truth, ["doc_a", "doc_b"]).groupBy("method").agg(
+        F.count(F.lit(1)).alias("n_hits")
+    )
+    n = truth.agg(F.count(F.lit(1)).alias("n_truth"))
+    methods = spark.createDataFrame([(m,) for m in _METHODS], "method string")
+    return (
+        methods.join(hits, "method", "left")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "method",
+            F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_hits"),
+            F.col("n_truth").cast("long").alias("n_truth"),
+            F.round(
+                F.coalesce("n_hits", F.lit(0)).cast("double") / F.col("n_truth"), 4
+            ).alias("recall"),
+        )
+    )

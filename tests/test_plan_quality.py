@@ -129,6 +129,9 @@ _SANCTIONED_BNLJ = {
     "q127_data_card",
     # curriculum schedule: composes q118 (sanctioned 1-row total).
     "q128_curriculum_schedule",
+    # dedup recall scoreboard: cross with the broadcast ONE-ROW
+    # ground-truth count (the q114 pattern).
+    "q129_dedup_recall",
 }
 
 
