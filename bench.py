@@ -84,6 +84,8 @@ HEADLINE = [
     "q127_data_card",
     "q128_curriculum_schedule",
     "q129_dedup_recall",
+    "q130_salted_join",
+    "q131_udaf_geomean",
 ]
 
 

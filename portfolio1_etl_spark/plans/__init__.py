@@ -22,6 +22,7 @@ from portfolio1_etl_spark.plans import corpus_ops  # noqa: F401,E402
 from portfolio1_etl_spark.plans import bpe_ops  # noqa: F401,E402
 from portfolio1_etl_spark.plans import curation_ops  # noqa: F401,E402
 from portfolio1_etl_spark.plans import classifier_ops  # noqa: F401,E402
+from portfolio1_etl_spark.plans import robustness_ops  # noqa: F401,E402
 
 # MUST import after similarity_ops/pq_ops: composes their registered
 # fns and oracle SQL into the on-scoreboard recall row.

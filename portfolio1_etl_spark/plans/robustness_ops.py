@@ -1,0 +1,102 @@
+"""[ext] Scale-hygiene operators promoted onto the oracle scoreboard
+(r6): the salted skew join and the pandas-UDAF harness previously
+carried only pytest twins (SURVEY §2.5 J-skew, §2.12) — these rows
+give them driver-checkable correctness entries.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from portfolio1_etl_spark import catalog
+from portfolio1_etl_spark.functions.exact import dsum_money
+from portfolio1_etl_spark.operators.joins import salted_join
+from portfolio1_etl_spark.plans.registry import query
+
+_CUTOFF = 480000  # high-value orders: the same ~4% slice as q104
+
+
+@query(
+    "q130_salted_join",
+    sql=f"""
+    SELECT o.o_orderpriority AS priority,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(sum(l.l_orderkey) AS BIGINT) AS key_checksum,
+           CAST(sum(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_totalprice > {_CUTOFF}
+    GROUP BY o.o_orderpriority
+    """,
+    operators=("J-skew", "A1", "J3"),
+)
+def q130_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SALTED join under the oracle gate: lineitem (the big,
+    potentially skewed side) joins the high-value order slice with an
+    8-way salt — the manual skew spread for when one key dominates a
+    reducer and AQE's split isn't enough. The oracle is the PLAIN
+    join: salting must be invisible in the result (identical rows,
+    only the shuffle layout changes), and this row value-hashes that
+    invariant per round instead of trusting a unit test.
+
+    Scale: the salt spreads each hot key across 8 reducer partitions;
+    the replicated side is the ~4% filtered slice (×8 ≈ a third of
+    one fact partition). Decimal-cast quantity sum keeps the census
+    engine-exact."""
+    li = catalog.load(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("key"), "l_quantity"
+    )
+    o = (
+        catalog.load(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > _CUTOFF)
+        .select(F.col("o_orderkey").alias("key"), "o_orderpriority")
+    )
+    j = salted_join(li, o, "key", n_salts=8)
+    return j.groupBy(F.col("o_orderpriority").alias("priority")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_lines"),
+        F.sum("key").cast("long").alias("key_checksum"),
+        dsum_money(F.col("l_quantity").cast("double")).alias("sum_qty"),
+    )
+
+
+@query(
+    "q131_udaf_geomean",
+    sql="""
+    SELECT l_returnflag,
+           CAST(count(*) FILTER (l_quantity > 0) AS BIGINT) AS n_pos,
+           round(exp(avg(ln(CAST(l_quantity AS DOUBLE))) FILTER (l_quantity > 0)), 6)
+             AS geomean_qty
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    operators=("UDF-udaf", "A1"),
+)
+def q131_udaf_geomean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pandas-UDAF harness under the oracle gate: per-group
+    geometric mean of quantity computed by the Arrow grouped-agg UDF
+    (operators/udfs.geometric_mean_udaf — a genuine UDAF with no
+    single-aggregate builtin), checked against DuckDB's
+    exp(avg(ln(x))) identity. 6-dp rounding absorbs the summation-
+    order difference between numpy's mean and the SQL average; the
+    positive-count column pins that both engines filtered the same
+    rows. Scale note (from the UDAF's docstring): grouped-agg buffers
+    one group's column per task — the expression twin with map-side
+    partials is the power-law-keys path."""
+    from portfolio1_etl_spark.operators.udfs import geometric_mean_udaf
+
+    li = catalog.load(spark, sf_dir, "lineitem").select(
+        "l_returnflag", F.col("l_quantity").cast("double").alias("q")
+    )
+    # a grouped-agg pandas UDF cannot share an agg with JVM aggregates
+    # (INVALID_PANDAS_UDF_PLACEMENT) — the positive count computes in
+    # a separate tiny aggregate and joins back on the 3-row group key
+    geo = li.groupBy("l_returnflag").agg(
+        F.round(geometric_mean_udaf(F.col("q")), 6).alias("geomean_qty")
+    )
+    counts = li.groupBy("l_returnflag").agg(
+        F.sum(F.when(F.col("q") > 0, 1).otherwise(0)).cast("long").alias("n_pos")
+    )
+    return counts.join(geo, "l_returnflag").select(
+        "l_returnflag", "n_pos", "geomean_qty"
+    )
