@@ -86,6 +86,8 @@ HEADLINE = [
     "q129_dedup_recall",
     "q130_salted_join",
     "q131_udaf_geomean",
+    "q132_udf_scalar_tokens",
+    "q133_udf_groupedmap_zscore",
 ]
 
 

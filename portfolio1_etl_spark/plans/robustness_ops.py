@@ -100,3 +100,60 @@ def q131_udaf_geomean(spark: SparkSession, sf_dir: str) -> DataFrame:
     return counts.join(geo, "l_returnflag").select(
         "l_returnflag", "n_pos", "geomean_qty"
     )
+
+
+@query(
+    "q132_udf_scalar_tokens",
+    sql="""
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens_udf
+    FROM documents
+    """,
+    operators=("UDF-scalar", "X-tokens"),
+)
+def q132_udf_scalar_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Arrow SCALAR pandas UDF under the oracle gate: per-doc
+    token counts through operators/udfs.token_count_udf (batch
+    Series→Series) vs the SQL split length — the harness itself
+    (Arrow transfer, batch slicing, type mapping) is what this row
+    checks; production plans use the builtin (the UDF's own
+    docstring)."""
+    from portfolio1_etl_spark.operators.udfs import token_count_udf
+
+    d = catalog.load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", token_count_udf(F.col("text")).alias("n_tokens_udf")
+    )
+
+
+@query(
+    "q133_udf_groupedmap_zscore",
+    sql="""
+    WITH s AS (
+      SELECT doc_id, source,
+             CAST(n_chars AS DOUBLE) AS v,
+             avg(CAST(n_chars AS DOUBLE)) OVER (PARTITION BY source) AS mu,
+             stddev_samp(CAST(n_chars AS DOUBLE)) OVER (PARTITION BY source) AS sd
+      FROM documents
+    )
+    SELECT doc_id, source,
+           round(CASE WHEN sd > 0 THEN (v - mu) / sd ELSE 0.0 END, 6) AS zscore
+    FROM s
+    """,
+    operators=("UDF-groupedmap", "X-quality"),
+)
+def q133_udf_groupedmap_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The GROUPED-MAP (applyInPandas) harness under the oracle gate:
+    per-source z-scores of document length through
+    operators/udfs.zscore_per_group vs the SQL window mean/stddev
+    identity, 6 dp (pandas ddof=1 == stddev_samp; summation-order
+    noise is far below the 6th decimal on ≤500-row groups). Scale
+    note from the operator: one group per task — bounded groups only;
+    power-law keys take the built-in window twin this oracle is."""
+    from portfolio1_etl_spark.operators.udfs import zscore_per_group
+
+    d = catalog.load(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.col("n_chars").cast("double").alias("v")
+    )
+    z = zscore_per_group(d, "source", "v")
+    return z.select("doc_id", "source", F.round("zscore", 6).alias("zscore"))
