@@ -157,3 +157,34 @@ def q133_udf_groupedmap_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     z = zscore_per_group(d, "source", "v")
     return z.select("doc_id", "source", F.round("zscore", 6).alias("zscore"))
+
+
+@query(
+    "q134_udtf_ngrams",
+    sql="""
+    SELECT doc_id, CAST(i AS BIGINT) AS pos,
+           array_to_string(string_split(text, ' ')[i : i + 2], ' ') AS ngram
+    FROM documents,
+         LATERAL unnest(generate_series(1,
+             greatest(len(string_split(text, ' ')) - 2, 0))) AS u(i)
+    """,
+    operators=("UDF-udtf", "X-tokens", "F3"),
+)
+def q134_udtf_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Python UDTF harness (Spark 4, one row → many rows) under
+    the oracle gate: per-doc word 3-grams with positions through
+    operators/udfs.ngram_udtf, checked against the SQL slice-unnest
+    identity — with q131-q133 this closes the loop: EVERY §2.12
+    Python-boundary shape is differentially tested. Production
+    shingling stays the codegen expression form (operators/dedup);
+    lateral-join the UDTF only where per-row Python is genuinely
+    required."""
+    from portfolio1_etl_spark.operators.udfs import ngram_udtf
+
+    d = catalog.load(spark, sf_dir, "documents")
+    spark.udtf.register("q134_ngrams", ngram_udtf())
+    d.select("doc_id", "text").createOrReplaceTempView("q134_docs")
+    return spark.sql(
+        "SELECT d.doc_id, CAST(g.pos AS BIGINT) AS pos, g.ngram "
+        "FROM q134_docs d, LATERAL q134_ngrams(d.text, 3) g"
+    )
