@@ -88,6 +88,7 @@ HEADLINE = [
     "q131_udaf_geomean",
     "q132_udf_scalar_tokens",
     "q133_udf_groupedmap_zscore",
+    "q134_udtf_ngrams",
 ]
 
 
