@@ -145,3 +145,80 @@ def test_random_embeddings_match_oracle(spark, tmp_path, seed):
         ):
             failures.append(name)
     assert not failures, f"seed {seed}: engine divergence in {failures}"
+
+
+_EVENT_QUERIES = [
+    "q50_tumbling_window",
+    "q51_sliding_window",
+    "q52_session_window",
+    "q53_dedup_first_event",
+    "q54_funnel",
+    "q49_cohort_retention",
+]
+
+
+@pytest.mark.parametrize("seed", [707])
+def test_random_events_match_oracle(spark, tmp_path, seed):
+    """Differential gate over a random events table: the windowed /
+    sessionized / funnel family on ts patterns the fixed table never
+    produces — bursts (session-gap boundaries), duplicate
+    (user, type) pairs, idle users, same-second events."""
+    import datetime
+    import random
+
+    rng = random.Random(seed)
+    base = datetime.datetime(2024, 3, 1)
+    rows = []
+    eid = 0
+    for user in range(15):
+        t = base + datetime.timedelta(minutes=rng.randint(0, 600))
+        for _ in range(rng.randint(0, 40)):
+            # bursts with occasional >30min gaps → session boundaries
+            gap = rng.choice([1, 5, 90, 2000, 0])  # seconds; 0 = same-second
+            t = t + datetime.timedelta(seconds=gap)
+            rows.append(
+                (
+                    eid,
+                    t,
+                    user,
+                    rng.choice(["view", "click", "cart", "purchase", "error"]),
+                    round(rng.uniform(0, 50), 2),
+                    '{"k": %d}' % rng.randint(0, 99),
+                )
+            )
+            eid += 1
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.TimestampNTZType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+    ev = spark.createDataFrame(rows, schema)
+    sf = str(tmp_path / f"evfuzz{seed}")
+    import os
+
+    os.makedirs(sf)
+    ev.coalesce(1).write.parquet(f"{sf}/events.parquet")
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{sf}/events.parquet/*.parquet')"
+    )
+    failures = []
+    for name in _EVENT_QUERIES:
+        q = REGISTRY[name]
+        got = _normalize(q.fn(spark, sf).toPandas())
+        want = _normalize(con.sql(q.sql).df())
+        if not (
+            len(got) == len(want)
+            and list(got.columns) == list(want.columns)
+            and got.equals(want)
+        ):
+            failures.append(name)
+    assert not failures, f"seed {seed}: engine divergence in {failures}"
