@@ -222,3 +222,136 @@ def test_random_events_match_oracle(spark, tmp_path, seed):
         ):
             failures.append(name)
     assert not failures, f"seed {seed}: engine divergence in {failures}"
+
+
+_RELATIONAL_QUERIES = [
+    "q01_pricing_summary",
+    "q02_filter_range",
+    "q09_sortmerge_join",
+    "q14_topk",
+    "q16_agg_multi",
+    "q19_window_rank",
+    "q24_having",
+    "q59_shipping_priority",
+    "q104_bloom_prune",
+    "q130_salted_join",
+]
+
+
+@pytest.mark.parametrize("seed", [808])
+def test_random_lineitem_orders_match_oracle(spark, tmp_path, seed):
+    """Differential gate over random lineitem/orders: the relational
+    core (pricing agg, range filters, fact-fact join, top-k, windows,
+    bloom prune, salted join) on value distributions the fixed tables
+    never hit — duplicate keys, boundary dates, zero quantities."""
+    import datetime
+    import random
+
+    from pyspark.sql import types as T
+
+    rng = random.Random(seed)
+    n_orders = 300
+    orows = []
+    for ok in range(n_orders):
+        orows.append(
+            (
+                ok,
+                rng.randint(1, 40),
+                rng.choice("OPF"),
+                round(rng.uniform(1000, 600000), 2),
+                datetime.datetime(1995 + rng.randint(0, 6), rng.randint(1, 12), rng.randint(1, 28)),
+                rng.choice(["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]),
+            )
+        )
+    lrows = []
+    for ok in range(n_orders):
+        for ln in range(rng.randint(0, 6)):
+            lrows.append(
+                (
+                    ok,
+                    rng.randint(1, 50),
+                    rng.randint(1, 10),
+                    ln + 1,
+                    float(rng.randint(0, 50)),  # includes zero quantities
+                    round(rng.uniform(100, 90000), 2),
+                    round(rng.choice([0.0, 0.01, 0.05, 0.1]), 2),
+                    round(rng.uniform(0, 0.08), 2),
+                    rng.choice("ANR"),
+                    rng.choice("OF"),
+                    datetime.datetime(1995 + rng.randint(0, 6), rng.randint(1, 12), rng.randint(1, 28)),
+                )
+            )
+    oschema = T.StructType(
+        [
+            T.StructField("o_orderkey", T.LongType()),
+            T.StructField("o_custkey", T.LongType()),
+            T.StructField("o_orderstatus", T.StringType()),
+            T.StructField("o_totalprice", T.DoubleType()),
+            T.StructField("o_orderdate", T.TimestampNTZType()),
+            T.StructField("o_orderpriority", T.StringType()),
+        ]
+    )
+    lschema = T.StructType(
+        [
+            T.StructField("l_orderkey", T.LongType()),
+            T.StructField("l_partkey", T.LongType()),
+            T.StructField("l_suppkey", T.LongType()),
+            T.StructField("l_linenumber", T.IntegerType()),
+            T.StructField("l_quantity", T.DoubleType()),
+            T.StructField("l_extendedprice", T.DoubleType()),
+            T.StructField("l_discount", T.DoubleType()),
+            T.StructField("l_tax", T.DoubleType()),
+            T.StructField("l_returnflag", T.StringType()),
+            T.StructField("l_linestatus", T.StringType()),
+            T.StructField("l_shipdate", T.TimestampNTZType()),
+        ]
+    )
+    crows = [
+        (
+            ck,
+            f"Customer#{ck}",
+            rng.randint(0, 24),
+            round(rng.uniform(-999, 9999), 2),
+            rng.choice(["MACHINERY", "BUILDING", "FURNITURE", "AUTOMOBILE", "HOUSEHOLD"]),
+        )
+        for ck in range(1, 41)
+    ]
+    cschema = T.StructType(
+        [
+            T.StructField("c_custkey", T.LongType()),
+            T.StructField("c_name", T.StringType()),
+            T.StructField("c_nationkey", T.IntegerType()),
+            T.StructField("c_acctbal", T.DoubleType()),
+            T.StructField("c_mktsegment", T.StringType()),
+        ]
+    )
+    sf = str(tmp_path / f"relfuzz{seed}")
+    import os
+
+    os.makedirs(sf)
+    spark.createDataFrame(orows, oschema).coalesce(1).write.parquet(
+        f"{sf}/orders.parquet"
+    )
+    spark.createDataFrame(lrows, lschema).coalesce(1).write.parquet(
+        f"{sf}/lineitem.parquet"
+    )
+    spark.createDataFrame(crows, cschema).coalesce(1).write.parquet(
+        f"{sf}/customer.parquet"
+    )
+    con = duckdb.connect()
+    for t in ("orders", "lineitem", "customer"):
+        con.sql(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet/*.parquet')"
+        )
+    failures = []
+    for name in _RELATIONAL_QUERIES:
+        q = REGISTRY[name]
+        got = _normalize(q.fn(spark, sf).toPandas())
+        want = _normalize(con.sql(q.sql).df())
+        if not (
+            len(got) == len(want)
+            and list(got.columns) == list(want.columns)
+            and got.equals(want)
+        ):
+            failures.append(name)
+    assert not failures, f"seed {seed}: engine divergence in {failures}"
