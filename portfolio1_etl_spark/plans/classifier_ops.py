@@ -4,6 +4,10 @@ gradient descent as DataFrame algebra, operators/logreg.py) and
 replayed round-by-round by the DuckDB oracle through unrolled CTEs —
 the supervised counterpart of the fixed-weight q62 gate.
 
+Reference analogue: the hand-written cleanup rules of
+portfolio-etl.py:602-613 (drop header-ish rows, normalize) are the
+fixed-weight ancestor of a learned keep/drop policy.
+
 The synthetic label is language identity (y = lang=='en'): not a
 claim about quality, but a reproducible target that makes the whole
 optimizer — gradients, updates, decision boundary — value-hashed on

@@ -2,6 +2,12 @@
 (r6): the salted skew join and the pandas-UDAF harness previously
 carried only pytest twins (SURVEY §2.5 J-skew, §2.12) — these rows
 give them driver-checkable correctness entries.
+
+Reference analogue: the retail-sold x skus_map join of
+portfolio-etl.py:623 is the shape that goes skewed in production (one
+hot sku dominating sales) — q130 is that join with the salt spread;
+the UDF rows exercise the Python boundary the reference lived
+entirely inside (pandas row loops, :63-76, :129-133).
 """
 
 from __future__ import annotations
