@@ -355,3 +355,144 @@ def test_random_lineitem_orders_match_oracle(spark, tmp_path, seed):
         ):
             failures.append(name)
     assert not failures, f"seed {seed}: engine divergence in {failures}"
+
+
+@pytest.mark.parametrize("seed", [909])
+def test_random_star_schema_matches_oracle(spark, tmp_path, seed):
+    """The star/snowflake joins (q29 multi-dim star, q84 TPC-H-Q5
+    shape) on a fully random 6-table schema — broadcast dim joins,
+    region→nation→supplier/customer chains, date windows."""
+    import datetime
+    import random
+
+    from pyspark.sql import types as T
+
+    rng = random.Random(seed)
+
+    def write(name, rows, schema):
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+            f"{sf}/{name}.parquet"
+        )
+
+    sf = str(tmp_path / f"starfuzz{seed}")
+    import os
+
+    os.makedirs(sf)
+    regions = [(i, f"REGION{i}") for i in range(3)]
+    nations = [(i, f"NATION{i}", rng.randint(0, 2)) for i in range(8)]
+    suppliers = [
+        (i, f"Supplier#{i}", rng.randint(0, 7), round(rng.uniform(0, 9000), 2))
+        for i in range(1, 11)
+    ]
+    parts = [
+        (
+            i,
+            f"part {i}",
+            f"Brand#{rng.randint(1, 5)}",
+            rng.choice(["SMALL", "LARGE", "STD"]),
+            rng.randint(1, 50),
+            round(rng.uniform(100, 2000), 2),
+        )
+        for i in range(1, 51)
+    ]
+    customers = [
+        (
+            i,
+            f"Customer#{i}",
+            rng.randint(0, 7),
+            round(rng.uniform(-999, 9999), 2),
+            rng.choice(["MACHINERY", "BUILDING", "FURNITURE", "AUTOMOBILE", "HOUSEHOLD"]),
+        )
+        for i in range(1, 31)
+    ]
+    orders, lineitems = [], []
+    for ok in range(200):
+        orders.append(
+            (
+                ok,
+                rng.randint(1, 30),
+                rng.choice("OPF"),
+                round(rng.uniform(1000, 600000), 2),
+                datetime.datetime(1995 + rng.randint(0, 6), rng.randint(1, 12), rng.randint(1, 28)),
+                rng.choice(["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]),
+            )
+        )
+        for ln in range(rng.randint(0, 5)):
+            lineitems.append(
+                (
+                    ok,
+                    rng.randint(1, 50),
+                    rng.randint(1, 10),
+                    ln + 1,
+                    float(rng.randint(1, 50)),
+                    round(rng.uniform(100, 90000), 2),
+                    round(rng.choice([0.0, 0.02, 0.06, 0.1]), 2),
+                    round(rng.uniform(0, 0.08), 2),
+                    rng.choice("ANR"),
+                    rng.choice("OF"),
+                    datetime.datetime(1995 + rng.randint(0, 6), rng.randint(1, 12), rng.randint(1, 28)),
+                )
+            )
+    write("region", regions, "r_regionkey int, r_name string")
+    write("nation", nations, "n_nationkey int, n_name string, n_regionkey int")
+    write(
+        "supplier",
+        suppliers,
+        "s_suppkey long, s_name string, s_nationkey int, s_acctbal double",
+    )
+    write(
+        "part",
+        parts,
+        "p_partkey long, p_name string, p_brand string, p_type string, "
+        "p_size int, p_retailprice double",
+    )
+    write(
+        "customer",
+        customers,
+        "c_custkey long, c_name string, c_nationkey int, c_acctbal double, "
+        "c_mktsegment string",
+    )
+    oschema = T.StructType(
+        [
+            T.StructField("o_orderkey", T.LongType()),
+            T.StructField("o_custkey", T.LongType()),
+            T.StructField("o_orderstatus", T.StringType()),
+            T.StructField("o_totalprice", T.DoubleType()),
+            T.StructField("o_orderdate", T.TimestampNTZType()),
+            T.StructField("o_orderpriority", T.StringType()),
+        ]
+    )
+    lschema = T.StructType(
+        [
+            T.StructField("l_orderkey", T.LongType()),
+            T.StructField("l_partkey", T.LongType()),
+            T.StructField("l_suppkey", T.LongType()),
+            T.StructField("l_linenumber", T.IntegerType()),
+            T.StructField("l_quantity", T.DoubleType()),
+            T.StructField("l_extendedprice", T.DoubleType()),
+            T.StructField("l_discount", T.DoubleType()),
+            T.StructField("l_tax", T.DoubleType()),
+            T.StructField("l_returnflag", T.StringType()),
+            T.StructField("l_linestatus", T.StringType()),
+            T.StructField("l_shipdate", T.TimestampNTZType()),
+        ]
+    )
+    write("orders", orders, oschema)
+    write("lineitem", lineitems, lschema)
+    con = duckdb.connect()
+    for t in ("region", "nation", "supplier", "part", "customer", "orders", "lineitem"):
+        con.sql(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet/*.parquet')"
+        )
+    failures = []
+    for name in ("q29_star_join", "q84_local_supplier_volume", "q08_broadcast_join"):
+        q = REGISTRY[name]
+        got = _normalize(q.fn(spark, sf).toPandas())
+        want = _normalize(con.sql(q.sql).df())
+        if not (
+            len(got) == len(want)
+            and list(got.columns) == list(want.columns)
+            and got.equals(want)
+        ):
+            failures.append(name)
+    assert not failures, f"seed {seed}: engine divergence in {failures}"
