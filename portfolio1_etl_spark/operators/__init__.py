@@ -82,7 +82,12 @@ from portfolio1_etl_spark.operators.ann_index import (
     ingest_vectors,
     query_ivf_index,
 )
-from portfolio1_etl_spark.operators.sinks import write_range_sorted
+from portfolio1_etl_spark.operators.sinks import (
+    prune_versions,
+    read_version,
+    write_range_sorted,
+    write_versioned,
+)
 from portfolio1_etl_spark.operators.checkpointing import materialize
 
 __all__ = [
@@ -147,5 +152,8 @@ __all__ = [
     "ingest_vectors",
     "query_ivf_index",
     "write_range_sorted",
+    "write_versioned",
+    "read_version",
+    "prune_versions",
     "materialize",
 ]

@@ -172,3 +172,64 @@ def write_range_sorted(
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+def write_versioned(df: DataFrame, path: str) -> int:
+    """Versioned snapshot chain — the warehouse-grade form of the
+    reference's destructive inventory overwrite (portfolio-etl.py:648
+    loses yesterday's stock forever): each write lands in
+    ``{path}/v=N/`` with N = last + 1 and never touches prior
+    versions, so a bad upstream run is a one-line rollback
+    (``read_version(..., n)``), and the self-overwrite hazard
+    ``write_snapshot`` documents cannot occur — the version being
+    read and the version being written are different directories.
+    Returns the new version number. Retention via ``prune_versions``.
+
+    Concurrency note: version allocation is list-and-increment;
+    single-writer per table (the batch-job norm) is assumed — a
+    multi-writer deployment puts a lock/transaction service in front,
+    which is Delta/Iceberg territory by design."""
+    n = _latest_version(df.sparkSession, path)
+    new = (0 if n is None else n + 1)
+    df.write.mode("errorifexists").parquet(f"{path}/v={new}")
+    return new
+
+
+def _latest_version(spark: SparkSession, path: str) -> int | None:
+    import glob
+    import re
+
+    vs = []
+    for d in glob.glob(os.path.join(path, "v=*")):
+        m = re.fullmatch(r"v=(\d+)", os.path.basename(d))
+        if m:
+            vs.append(int(m.group(1)))
+    return max(vs) if vs else None
+
+
+def read_version(spark: SparkSession, path: str, n: int | None = None) -> DataFrame:
+    """Read snapshot version ``n`` (default: latest) — time travel over
+    the plain-parquet chain."""
+    if n is None:
+        n = _latest_version(spark, path)
+        if n is None:
+            raise FileNotFoundError(f"no versions under {path}")
+    return spark.read.parquet(f"{path}/v={n}")
+
+
+def prune_versions(spark: SparkSession, path: str, keep: int = 3) -> list[int]:
+    """Drop all but the newest ``keep`` versions; returns the pruned
+    version numbers. Never prunes the latest even if keep == 0."""
+    import glob
+    import re
+    import shutil
+
+    vs = sorted(
+        int(m.group(1))
+        for d in glob.glob(os.path.join(path, "v=*"))
+        if (m := re.fullmatch(r"v=(\d+)", os.path.basename(d)))
+    )
+    doomed = vs[: -max(keep, 1)]
+    for n in doomed:
+        shutil.rmtree(os.path.join(path, f"v={n}"))
+    return doomed

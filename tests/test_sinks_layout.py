@@ -67,3 +67,51 @@ def test_range_filter_skips_files(spark, sf_dir, tmp_path):
     # layout effectiveness: the predicate's range intersects few files
     touched = sum(1 for lo, hi in ranges if lo <= cut)
     assert touched <= 2
+
+
+def test_versioned_snapshot_chain(spark, sf_dir, tmp_path):
+    """Three writes → three readable versions; read-as-of returns each
+    exactly; latest is the default; pruning keeps the newest and
+    reports what it dropped; version allocation is monotonic."""
+    from portfolio1_etl_spark.operators.sinks import (
+        prune_versions,
+        read_version,
+        write_versioned,
+    )
+
+    nation = catalog.load(spark, sf_dir, "nation")
+    path = str(tmp_path / "nation_versions")
+    assert write_versioned(nation.limit(5), path) == 0
+    assert write_versioned(nation.limit(10), path) == 1
+    assert write_versioned(nation, path) == 2
+    assert read_version(spark, path, 0).count() == 5
+    assert read_version(spark, path, 1).count() == 10
+    assert read_version(spark, path).count() == nation.count()  # latest
+    assert prune_versions(spark, path, keep=1) == [0, 1]
+    assert read_version(spark, path).count() == nation.count()
+    # a new write after pruning continues the monotonic numbering
+    assert write_versioned(nation.limit(3), path) == 3
+
+
+def test_versioned_write_never_clobbers(spark, sf_dir, tmp_path):
+    """The self-overwrite hazard of the reference's inventory flow
+    (write_snapshot's documented caveat) cannot occur: writing a plan
+    that READS the latest version lands in a NEW directory."""
+    from portfolio1_etl_spark.operators.sinks import (
+        read_version,
+        write_versioned,
+    )
+    from pyspark.sql import functions as F
+
+    nation = catalog.load(spark, sf_dir, "nation")
+    path = str(tmp_path / "nation_rmw")
+    write_versioned(nation, path)
+    # read-modify-write straight from the chain, no materialization
+    current = read_version(spark, path)
+    updated = current.withColumn("n_name", F.upper("n_name"))
+    v = write_versioned(updated, path)
+    assert v == 1
+    assert read_version(spark, path, 0).count() == nation.count()  # intact
+    assert read_version(spark, path, 1).filter(
+        F.col("n_name") != F.upper(F.col("n_name"))
+    ).count() == 0
