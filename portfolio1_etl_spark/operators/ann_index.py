@@ -105,6 +105,109 @@ def query_ivf_index(
     return ranked.filter(F.col("rank") <= k)
 
 
+def cell_stats(spark: SparkSession, path: str) -> tuple[int, float]:
+    """(n_cells, skew) for the persisted index, where skew = largest
+    cell / mean cell size — the maintenance trigger metric. A freshly
+    trained index sits near 1–2; skewed incremental arrivals push the
+    hot cell's share up and narrow-probe recall down (queries near the
+    hot region burn their whole probe budget on one overgrown cell)."""
+    sizes = (
+        spark.read.parquet(f"{path}/vectors")
+        .groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(
+            F.count(F.lit(1)).alias("n_cells"),
+            (F.max("n") / F.avg("n")).alias("skew"),
+        )
+        .collect()[0]
+    )
+    return int(sizes["n_cells"]), float(sizes["skew"])
+
+
+def rebalance_index(
+    spark: SparkSession,
+    path: str,
+    k: int = 8,
+    iters: int = 3,
+    train_fraction: float | None = None,
+    skew_threshold: float | None = None,
+    checkpoint_mode: str = "local",
+) -> bool:
+    """Index maintenance: re-train the codebook on the CURRENT vector
+    population and rewrite the cell layout, restoring the narrow-probe
+    recall that drifting/skewed ingest erodes (``ingest_vectors``
+    appends against a frozen codebook forever — cells overgrow, the
+    probe budget concentrates, recall decays). Returns True if the
+    index was rewritten, False if ``skew_threshold`` was given and the
+    current skew is below it (cheap no-op — the scheduled-maintenance
+    calling pattern: probe ``cell_stats`` every run, pay the rewrite
+    only when drift actually accumulated).
+
+    Design: full sample-retrain + single-pass rewrite, NOT a partial
+    reshard of overgrown cells. Retraining moves every centroid, so
+    under a partial reshard the untouched cells would hold vectors
+    that are no longer nearest their centroid — silently eroding the
+    exact property this op exists to restore. The costs stay bounded
+    the same way the build's do: training runs on a hash sample
+    (``train_fraction``), reassignment is the zero-shuffle folded
+    argmin, and the rewrite is one partitioned pass over the index —
+    the parquet-lake analogue of OPTIMIZE/CLUSTER BY maintenance.
+
+    Crash safety (compact_parquet's protocol, but through the Hadoop
+    FileSystem API so it works wherever the index lives): the new
+    index stages beside the live one, the live directories move to a
+    ``._prebalance`` backup, the staged ones rename in, then the
+    backup drops. A crash at any point leaves either the old or the
+    new index recoverable — the next call repairs first. Renames are
+    atomic on HDFS/local; on object stores they are copy+delete, so a
+    transactional table format is the upgrade path there (same caveat
+    as every directory-swap in this package). Single-writer assumed;
+    in-flight queries hold file lists, so run it in the maintenance
+    window like any layout rewrite."""
+    from portfolio1_etl_spark.operators.sinks import _hadoop_fs
+
+    fs, _ = _hadoop_fs(spark, path)
+    jvm = spark.sparkContext._jvm
+    Path = jvm.org.apache.hadoop.fs.Path
+
+    live = {n: Path(f"{path}/{n}") for n in ("centroids", "vectors")}
+    staged = {n: Path(f"{path}/{n}._rebalancing") for n in ("centroids", "vectors")}
+    backup = {n: Path(f"{path}/{n}._prebalance") for n in ("centroids", "vectors")}
+    for n in ("centroids", "vectors"):  # repair a crashed prior attempt
+        if fs.exists(backup[n]):
+            if fs.exists(live[n]):
+                fs.delete(backup[n], True)
+            else:  # crashed mid-swap: restore the old index
+                fs.rename(backup[n], live[n])
+        if fs.exists(staged[n]):
+            fs.delete(staged[n], True)
+
+    if skew_threshold is not None:
+        _, skew = cell_stats(spark, path)
+        if skew < skew_threshold:
+            return False
+
+    vecs = spark.read.parquet(f"{path}/vectors").select("vec_id", "v", "nrm")
+    assigned, cent = lloyd_kmeans(
+        vecs, k=k, iters=iters, train_fraction=train_fraction,
+        checkpoint_mode=checkpoint_mode,
+    )
+    cent.coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids._rebalancing")
+    (
+        assigned.select("vec_id", "v", "cell")
+        .join(vecs.select("vec_id", "nrm"), "vec_id")
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(f"{path}/vectors._rebalancing")
+    )
+    for n in ("centroids", "vectors"):
+        fs.rename(live[n], backup[n])
+        fs.rename(staged[n], live[n])
+    for n in ("centroids", "vectors"):
+        fs.delete(backup[n], True)
+    return True
+
+
 def ingest_vectors(
     spark: SparkSession, path: str, new_vecs: DataFrame
 ) -> None:
@@ -113,8 +216,8 @@ def ingest_vectors(
     APPEND them to their cell partitions — no rebuild, no touch of
     existing data. The standard IVF maintenance contract: cells drift
     as the distribution moves, recall degrades gracefully, and a
-    periodic re-train + rewrite restores it; queries are oblivious
-    either way."""
+    periodic :func:`rebalance_index` (trigger on :func:`cell_stats`
+    skew) restores it; queries are oblivious either way."""
     cent = spark.read.parquet(f"{path}/centroids")
     assigned = assign_cells(new_vecs.select("vec_id", "v"), cent)
     (

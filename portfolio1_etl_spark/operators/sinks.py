@@ -185,51 +185,71 @@ def write_versioned(df: DataFrame, path: str) -> int:
     read and the version being written are different directories.
     Returns the new version number. Retention via ``prune_versions``.
 
+    Version listing and pruning go through the Hadoop FileSystem API
+    (``_versions``/``_delete_version``), resolved from the path's own
+    scheme — so the chain behaves identically on local disk, HDFS, and
+    object stores (wherever 100 TB actually lives), instead of a
+    driver-local ``glob`` silently seeing zero versions on ``s3a://``
+    and restarting the chain at v=0.
+
     Concurrency note: version allocation is list-and-increment;
     single-writer per table (the batch-job norm) is assumed — a
     multi-writer deployment puts a lock/transaction service in front,
     which is Delta/Iceberg territory by design."""
-    n = _latest_version(df.sparkSession, path)
-    new = (0 if n is None else n + 1)
+    vs = _versions(df.sparkSession, path)
+    new = (max(vs) + 1) if vs else 0
     df.write.mode("errorifexists").parquet(f"{path}/v={new}")
     return new
 
 
-def _latest_version(spark: SparkSession, path: str) -> int | None:
-    import glob
+def _hadoop_fs(spark: SparkSession, path: str):
+    """(FileSystem, Path) for ``path``, resolved by the path's OWN
+    scheme against the session's Hadoop conf — file:// and bare paths
+    get the local FS, hdfs://, s3a://, etc. their connector. This is
+    the same resolution Spark's writers use, so listing and writing
+    can never disagree about which store they are talking to."""
+    jvm = spark.sparkContext._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+    return fs, jpath
+
+
+def _versions(spark: SparkSession, path: str) -> list[int]:
+    """Sorted version numbers under ``path`` via Hadoop FS listing."""
     import re
 
+    fs, jpath = _hadoop_fs(spark, path)
+    if not fs.exists(jpath):
+        return []
     vs = []
-    for d in glob.glob(os.path.join(path, "v=*")):
-        m = re.fullmatch(r"v=(\d+)", os.path.basename(d))
-        if m:
+    for status in fs.listStatus(jpath):
+        name = status.getPath().getName()
+        if status.isDirectory() and (m := re.fullmatch(r"v=(\d+)", name)):
             vs.append(int(m.group(1)))
-    return max(vs) if vs else None
+    return sorted(vs)
 
 
 def read_version(spark: SparkSession, path: str, n: int | None = None) -> DataFrame:
     """Read snapshot version ``n`` (default: latest) — time travel over
     the plain-parquet chain."""
     if n is None:
-        n = _latest_version(spark, path)
-        if n is None:
+        vs = _versions(spark, path)
+        if not vs:
             raise FileNotFoundError(f"no versions under {path}")
+        n = vs[-1]
     return spark.read.parquet(f"{path}/v={n}")
 
 
 def prune_versions(spark: SparkSession, path: str, keep: int = 3) -> list[int]:
     """Drop all but the newest ``keep`` versions; returns the pruned
-    version numbers. Never prunes the latest even if keep == 0."""
-    import glob
-    import re
-    import shutil
-
-    vs = sorted(
-        int(m.group(1))
-        for d in glob.glob(os.path.join(path, "v=*"))
-        if (m := re.fullmatch(r"v=(\d+)", os.path.basename(d)))
-    )
+    version numbers. Never prunes the latest even if keep == 0.
+    Deletes go through the same Hadoop FileSystem as the listing, so
+    retention is actually enforced on remote stores (a local
+    ``shutil.rmtree`` against ``s3a://…`` would silently no-op)."""
+    fs, _ = _hadoop_fs(spark, path)
+    jvm = spark.sparkContext._jvm
+    vs = _versions(spark, path)
     doomed = vs[: -max(keep, 1)]
     for n in doomed:
-        shutil.rmtree(os.path.join(path, f"v={n}"))
+        fs.delete(jvm.org.apache.hadoop.fs.Path(f"{path}/v={n}"), True)
     return doomed

@@ -67,7 +67,16 @@ def q114_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     list so a method that collapses to zero hits still reports its
     row (recall 0.0) instead of vanishing. The documented recall bars
     are pinned in tests/test_quantized_ann.py against THIS query's
-    output, so the bars and the scoreboard read the same number."""
+    output, so the bars and the scoreboard read the same number.
+
+    Truth-caching note (r7, measured): the exact truth feeds both the
+    hit join and the denominator, but an explicit
+    ``checkpointing.materialize`` on it is a measured LOSS (sf0.1
+    warm min: 4.27s raw vs 4.53s materialized; q129's heavier truth
+    8.38s vs 11.53s) — Spark's ReusedExchange already computes the
+    duplicated subplan once within this query, while the eager
+    checkpoint adds a full barrier (no overlap with the method legs)
+    plus a store-and-reload. Left deliberately uncached."""
     exact3 = (
         REGISTRY["q80_cosine_topk"]
         .fn(spark, sf_dir)

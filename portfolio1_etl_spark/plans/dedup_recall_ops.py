@@ -61,7 +61,17 @@ def q129_dedup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     (probabilistic, documented); df-cap misses pairs whose every
     shared shingle is a heavy hitter (bounded, documented) — this row
     puts both documented losses ON the scoreboard next to q113's
-    bloom FP rate and q114's ANN recall."""
+    bloom FP rate and q114's ANN recall.
+
+    Truth-caching note (r7, measured): an explicit
+    ``checkpointing.materialize`` on the truth is a measured LOSS
+    (sf0.1 warm min: 8.38s raw vs 11.53s materialized) — Spark's
+    ReusedExchange already computes the duplicated q105 subplan once
+    within this query, while the eager checkpoint adds a barrier (the
+    lossy legs can no longer overlap the truth) plus a
+    store-and-reload. DuckDB's planner wants the opposite (the SQL
+    twin keeps its MATERIALIZED hint); the two engines differ here
+    and each side keeps its own best plan."""
     truth = (
         REGISTRY[_TRUTH].fn(spark, sf_dir).select("doc_a", "doc_b")
     )

@@ -47,7 +47,16 @@ def read_events_stream(spark: SparkSession, path: str) -> DataFrame:
     landing-zone writer changes its timestamp unit. An empty landing
     zone (stream started before the first file lands) can't be probed,
     so the probe falls back to native micros NTZ — the writer's current
-    encoding — rather than refusing to start."""
+    encoding — rather than refusing to start.
+
+    SESSION-GLOBAL SIDE EFFECT (shared package contract): like
+    ``catalog.load``, this pins ``spark.sql.session.timeZone=UTC`` and
+    ``spark.sql.legacy.parquet.nanosAsLong=true`` on the session —
+    every query in this package (and its DuckDB oracle) is defined
+    under UTC, and the nanos flag only affects TIMESTAMP(NANOS)
+    parquet, which nothing else reads. A host application that needs a
+    different session zone for its own queries must use a separate
+    SparkSession rather than interleave with this package's jobs."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     try:

@@ -144,3 +144,110 @@ def test_streaming_ingest_equals_batch_index(spark, sf_dir, tmp_path):
     )
     want = _topk_sets(brute_force_topk(vecs, queries, k=3).collect())
     assert got == want
+
+
+def _mk_vec_df(spark, arr, id0):
+    rows = [(id0 + i, [float(x) for x in v]) for i, v in enumerate(arr)]
+    return with_norms(
+        spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    )
+
+
+def _recall(spark, path, queries, want, n_probe):
+    got = _topk_sets(
+        query_ivf_index(spark, path, queries, n_probe=n_probe, k=3).collect()
+    )
+    return sum(len(got.get(q, set()) & s) for q, s in want.items()) / sum(
+        len(s) for s in want.values()
+    )
+
+
+def _drifted_index(spark, tmp_path, k=4, d=8):
+    """Build on a uniform base, then ingest a tight drifted cluster
+    centered on the midpoint of the two closest trained centroids —
+    its members split across the cell boundary, so narrow probes from
+    inside the cluster miss the half of their true neighbors that
+    landed on the other side. The canonical recall-erosion shape:
+    arrivals the frozen codebook never represented."""
+    import itertools
+
+    import numpy as np
+
+    rng = np.random.RandomState(0)
+    base_df = _mk_vec_df(spark, rng.uniform(0, 1, size=(160, d)), 0)
+    path = str(tmp_path / "ivf_drift")
+    build_ivf_index(base_df, path, k=k)
+    cent = {
+        r.c_id: np.array(r.cvec)
+        for r in spark.read.parquet(f"{path}/centroids").collect()
+    }
+    a, b = min(
+        itertools.combinations(sorted(cent), 2),
+        key=lambda p: np.linalg.norm(cent[p[0]] - cent[p[1]]),
+    )
+    mid = (cent[a] + cent[b]) / 2
+    new_df = _mk_vec_df(spark, mid + rng.normal(0, 0.02, size=(60, d)), 1000)
+    from portfolio1_etl_spark.operators.ann_index import ingest_vectors
+
+    ingest_vectors(spark, path, new_df)
+    queries = new_df.filter(F.col("vec_id") % 5 == 0)
+    want = _topk_sets(
+        brute_force_topk(base_df.unionByName(new_df), queries, k=3).collect()
+    )
+    return path, queries, want
+
+
+def test_rebalance_restores_eroded_recall(spark, tmp_path):
+    """Skewed ingest erodes narrow-probe recall; rebalance re-trains
+    the codebook on the CURRENT population (the dense drifted cluster
+    earns its own cell) and restores it — while full-probe exactness
+    holds before AND after (the layout never loses vectors)."""
+    from portfolio1_etl_spark.operators.ann_index import rebalance_index
+
+    path, queries, want = _drifted_index(spark, tmp_path)
+    assert _recall(spark, path, queries, want, n_probe=1) <= 0.85  # eroded
+    assert (
+        _topk_sets(query_ivf_index(spark, path, queries, n_probe=4, k=3).collect())
+        == want
+    )
+    assert rebalance_index(spark, path, k=4) is True
+    assert _recall(spark, path, queries, want, n_probe=1) >= 0.95  # restored
+    assert (
+        _topk_sets(query_ivf_index(spark, path, queries, n_probe=4, k=3).collect())
+        == want
+    )
+
+
+def test_rebalance_skew_threshold_noop(spark, tmp_path):
+    """With a skew threshold above the current skew the call is a
+    cheap no-op: nothing rewritten, the index untouched."""
+    import os
+
+    from portfolio1_etl_spark.operators.ann_index import (
+        cell_stats,
+        rebalance_index,
+    )
+
+    path, queries, want = _drifted_index(spark, tmp_path)
+    _, skew = cell_stats(spark, path)
+    before = sorted(os.listdir(f"{path}/vectors"))
+    assert rebalance_index(spark, path, k=4, skew_threshold=skew + 1) is False
+    assert sorted(os.listdir(f"{path}/vectors")) == before
+    # and the threshold BELOW current skew does rewrite
+    assert rebalance_index(spark, path, k=4, skew_threshold=skew / 2) is True
+
+
+def test_rebalance_repairs_crashed_swap(spark, tmp_path):
+    """A crash mid-swap (live dir moved to backup, staged rename not
+    yet landed) must be repaired on the next call: the old index is
+    restored first, then the rebalance runs to completion."""
+    import os
+
+    from portfolio1_etl_spark.operators.ann_index import rebalance_index
+
+    path, queries, want = _drifted_index(spark, tmp_path)
+    # simulate the worst crash point: vectors moved to backup, no live
+    os.rename(f"{path}/vectors", f"{path}/vectors._prebalance")
+    assert rebalance_index(spark, path, k=4) is True
+    assert not os.path.exists(f"{path}/vectors._prebalance")
+    assert _recall(spark, path, queries, want, n_probe=1) >= 0.95

@@ -115,3 +115,33 @@ def test_versioned_write_never_clobbers(spark, sf_dir, tmp_path):
     assert read_version(spark, path, 1).filter(
         F.col("n_name") != F.upper(F.col("n_name"))
     ).count() == 0
+
+
+def test_versioned_chain_on_scheme_qualified_uri(spark, sf_dir, tmp_path):
+    """The version listing resolves the filesystem from the path's OWN
+    scheme (Hadoop FileSystem API), so a scheme-qualified URI — the
+    shape every HDFS/object-store deployment uses — round-trips:
+    write → list → read-latest → prune all see the same store. The
+    prior driver-local ``glob`` implementation saw zero versions for
+    ``file:///…`` (and would for ``s3a://…``), silently restarting the
+    chain at v=0 and never enforcing retention."""
+    from portfolio1_etl_spark.operators.sinks import (
+        prune_versions,
+        read_version,
+        write_versioned,
+    )
+
+    nation = catalog.load(spark, sf_dir, "nation")
+    uri = (tmp_path / "nation_uri_versions").as_uri()  # file:///…
+    assert uri.startswith("file://")
+    assert write_versioned(nation.limit(4), uri) == 0
+    # the second write must SEE v=0 through the scheme, not restart
+    assert write_versioned(nation.limit(9), uri) == 1
+    assert read_version(spark, uri).count() == 9
+    assert read_version(spark, uri, 0).count() == 4
+    # retention actually deletes through the scheme'd filesystem
+    assert prune_versions(spark, uri, keep=1) == [0]
+    import glob as _g
+
+    assert not _g.glob(str(tmp_path / "nation_uri_versions" / "v=0"))
+    assert read_version(spark, uri).count() == 9
