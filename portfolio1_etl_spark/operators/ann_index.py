@@ -72,10 +72,13 @@ def query_ivf_index(
         F.col("v").alias("qv"),
         F.col("nrm").alias("qnrm"),
     )
-    # per-query cell ranking: queries × centroids is tiny on both sides
+    # per-query cell ranking: queries × centroids is tiny on both
+    # sides. 6 dp rounding before the rank is the package's shared
+    # cross-engine determinism recipe (clustering.BEST_CELL) — the
+    # q135 oracle replays this ranking in DuckDB.
     d2 = F.expr(
-        "aggregate(zip_with(qv, cvec, (x, y) -> (x - y) * (x - y)), "
-        "cast(0.0 as double), (acc, x) -> acc + x)"
+        "round(aggregate(zip_with(qv, cvec, (x, y) -> (x - y) * (x - y)), "
+        "cast(0.0 as double), (acc, x) -> acc + x), 6)"
     )
     probes = (
         q.crossJoin(F.broadcast(cent))

@@ -11,14 +11,27 @@ the one corpus-sized wordcount every round touches only the (tiny,
 broadcastable) word table.
 
 Representation: a word's piece sequence is one string with each piece
-wrapped in ``_`` markers (``key`` → ``_k__e__y_``). Applying merge
-(l, r) is then a single ``replace(enc, '_l__r_', '_lr_')`` — and
-because each occurrence consumes its own wrappers, ``replace``'s
+wrapped in MARKER (U+0001) characters (``key`` → ``\x01k\x01\x01e\x01
+\x01y\x01``). Applying merge (l, r) is then a single
+``replace(enc, MARKER+l+MARKER+MARKER+r+MARKER, MARKER+lr+MARKER)`` —
+and because each occurrence consumes its own wrappers, ``replace``'s
 left-to-right non-overlapping scan implements BPE's merge semantics
-exactly (``_a__a__a_`` merges to ``_aa__a_``, not ``_aa__aa_``...,
-and never matches across piece boundaries the way a bare substring
-would). The same encoding runs verbatim in DuckDB, so the oracle can
-replay training round by round.
+exactly (``aaa`` merges to ``(aa)(a)``, not ``(aa)(aa)``..., and never
+matches across piece boundaries the way a bare substring would). The
+same encoding runs verbatim in DuckDB, so the oracle can replay
+training round by round.
+
+The marker is a control character precisely so it cannot collide with
+piece content: an earlier ``_`` marker made words CONTAINING ``_``
+ambiguous (``a_b`` encoded to the same string as pieces ``a,_,b`` and
+``a_,b`` boundaries), silently corrupting merge semantics in BOTH
+engines at once — undetectable by the differential oracle. The char
+wrap regex also carries ``(?s)`` so newline characters inside words
+(split is on single spaces only) are wrapped like any other char
+instead of silently dropped. PRECONDITION (documented contract):
+input words must not contain U+0001 itself — no text corpus does, and
+the fuzz suite covers ``_``/newline words that the old encoding got
+wrong.
 """
 
 from __future__ import annotations
@@ -28,14 +41,19 @@ from pyspark.sql import functions as F
 
 from portfolio1_etl_spark.operators import checkpointing
 
+#: piece-wrap marker: U+0001, chosen to be impossible in real tokens
+#: (see module docstring for the precondition and the ``_`` history).
+MARKER = "\x01"
+
 #: pieces of an encoded word (outer markers trimmed, split on the
 #: doubled inner marker)
-PIECES = "split(trim(BOTH '_' FROM enc), '__')"
+PIECES = f"split(trim(BOTH '{MARKER}' FROM enc), '{MARKER}{MARKER}')"
 
 
 def encode_chars(word_col: str) -> F.Column:
-    """Initial encoding: every character its own wrapped piece."""
-    return F.regexp_replace(F.col(word_col), "(.)", "_$1_")
+    """Initial encoding: every character its own wrapped piece.
+    ``(?s)`` so a newline inside a word is a piece like any other."""
+    return F.regexp_replace(F.col(word_col), "(?s)(.)", f"{MARKER}$1{MARKER}")
 
 
 def _adjacent_pairs() -> str:
@@ -111,8 +129,8 @@ def _train(
             wt.crossJoin(F.broadcast(best)).select(
                 "word",
                 F.expr(
-                    "replace(enc, concat('_', l, '__', r, '_'), "
-                    "concat('_', l, r, '_'))"
+                    f"replace(enc, concat('{MARKER}', l, '{MARKER}{MARKER}', r, '{MARKER}'), "
+                    f"concat('{MARKER}', l, r, '{MARKER}'))"
                 ).alias("enc"),
                 "freq",
             ),

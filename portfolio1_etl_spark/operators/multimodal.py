@@ -186,15 +186,25 @@ def _png_filter_row(
     return (out % 256).astype(np.uint8)
 
 
+#: channel count → PNG color type (inverse of _PNG_CHANNELS)
+_PNG_CTYPE = {1: 0, 2: 4, 3: 2, 4: 6}
+
+
 def encode_png(pixels: np.ndarray, filters: list[int] | None = None) -> bytes:
-    """Encode an (h, w, 3) uint8 array as a non-interlaced 8-bit RGB
-    PNG — stdlib zlib only. ``filters`` picks the per-row filter type
-    (default all 0); passing varied types makes round-trip tests
-    exercise every unfilter branch (Sub/Up/Average/Paeth)."""
-    if pixels.ndim != 3 or pixels.shape[2] != 3 or pixels.dtype != np.uint8:
-        raise ValueError("encode_png expects (h, w, 3) uint8")
-    h, w, _ = pixels.shape
-    stride, bpp = w * 3, 3
+    """Encode an (h, w, c) uint8 array (c ∈ {1 gray, 2 gray+alpha,
+    3 RGB, 4 RGBA}) as a non-interlaced 8-bit PNG — stdlib zlib only.
+    ``filters`` picks the per-row filter type (default all 0); passing
+    varied types makes round-trip tests exercise every unfilter branch
+    (Sub/Up/Average/Paeth) across every channel layout the decoder
+    supports."""
+    if (
+        pixels.ndim != 3
+        or pixels.shape[2] not in _PNG_CTYPE
+        or pixels.dtype != np.uint8
+    ):
+        raise ValueError("encode_png expects (h, w, 1|2|3|4) uint8")
+    h, w, ch = pixels.shape
+    stride, bpp = w * ch, ch
     rows = pixels.reshape(h, stride).astype(np.int32)
     raw = bytearray()
     prev = np.zeros(stride, np.int32)
@@ -203,7 +213,7 @@ def encode_png(pixels: np.ndarray, filters: list[int] | None = None) -> bytes:
         raw.append(ftype)
         raw += _png_filter_row(ftype, rows[y], prev, bpp).tobytes()
         prev = rows[y]
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, _PNG_CTYPE[ch], 0, 0, 0)
     return (
         _PNG_SIG
         + _png_chunk(b"IHDR", ihdr)

@@ -26,6 +26,7 @@ from portfolio1_etl_spark.functions.bpe import (
     oracle_walk_ctes,
     piece_split_sql,
 )
+from portfolio1_etl_spark.operators.bpe_train import MARKER as M
 from portfolio1_etl_spark.plans.registry import query
 
 
@@ -75,24 +76,28 @@ def _train_ctes(rounds: int = _TRAIN_ROUNDS) -> list[str]:
     """Unrolled per-round replay of greedy BPE training (the q101
     unrolled-PageRank pattern): pair count → deterministic argmax →
     replace-merge → piece census, once per round."""
+    # the piece-wrap marker is U+0001 (operators/bpe_train.MARKER) —
+    # embedded RAW in the generated SQL so both engines share it; the
+    # \x01 below is the actual control character, not an escape.
     ctes = [
         "base AS (SELECT w AS word, count(*) AS freq FROM "
         "(SELECT unnest(string_split(text, ' ')) AS w FROM documents) GROUP BY w)",
-        "wt0 AS (SELECT regexp_replace(word, '(.)', '_\\1_', 'g') AS enc, freq FROM base)",
+        f"wt0 AS (SELECT word, regexp_replace(word, '(?s)(.)', '{M}\\1{M}', 'g') "
+        "AS enc, freq FROM base)",
     ]
     finals = []
     for r in range(1, rounds + 1):
         ctes += [
             f"""pr{r} AS (
       SELECT list_extract(p, i) AS l, list_extract(p, i + 1) AS r, freq
-      FROM (SELECT string_split(trim(enc, '_'), '__') AS p, freq FROM wt{r - 1}),
+      FROM (SELECT string_split(trim(enc, '{M}'), '{M}{M}') AS p, freq FROM wt{r - 1}),
            LATERAL unnest(generate_series(1, len(p) - 1)) AS u(i)
     )""",
             f"pa{r} AS (SELECT l, r, sum(freq) AS cnt FROM pr{r} GROUP BY l, r)",
             f"be{r} AS (SELECT l, r, cnt FROM pa{r} ORDER BY cnt DESC, l, r LIMIT 1)",
-            f"wt{r} AS (SELECT replace(enc, '_' || l || '__' || r || '_', "
-            f"'_' || l || r || '_') AS enc, freq FROM wt{r - 1}, be{r})",
-            f"ce{r} AS (SELECT sum(freq * len(string_split(trim(enc, '_'), '__'))) "
+            f"wt{r} AS (SELECT word, replace(enc, '{M}' || l || '{M}{M}' || r || '{M}', "
+            f"'{M}' || l || r || '{M}') AS enc, freq FROM wt{r - 1}, be{r})",
+            f"ce{r} AS (SELECT sum(freq * len(string_split(trim(enc, '{M}'), '{M}{M}'))) "
             f"AS n FROM wt{r})",
         ]
         finals.append(
@@ -115,7 +120,7 @@ def _apply_sql(rounds: int = _TRAIN_ROUNDS) -> str:
         + ",\n    ".join(ctes)
         + f"""
     SELECT piece, CAST(sum(freq) AS BIGINT) AS n
-    FROM (SELECT unnest(string_split(trim(enc, '_'), '__')) AS piece, freq
+    FROM (SELECT unnest(string_split(trim(enc, ''), '')) AS piece, freq
           FROM wt{rounds})
     GROUP BY piece
     ORDER BY n DESC, piece

@@ -928,3 +928,120 @@ from portfolio1_etl_spark.plans.registry import REGISTRY as _REG  # noqa: E402
 
 _REG["q127_data_card"].sql = _q127_sql()
 _REG["q128_curriculum_schedule"].sql = _q128_sql()
+
+
+# --------------------------------------------------------------------------
+# q136 — sequence packing under the TRAINED BPE vocabulary (r7)
+# --------------------------------------------------------------------------
+
+
+def _q136_sql() -> str:
+    """Train → tokenize → pack, end-to-end in SQL: the q123 unrolled
+    training chain (8 merge rounds over the word table, wrapped-piece
+    encoding) feeds per-word piece counts, a word-level join re-derives
+    per-doc token counts under the LEARNED segmentation, and the q117
+    packer assigns offsets. One oracle gates the entire chain."""
+    from portfolio1_etl_spark.operators.bpe_train import MARKER as M
+    from portfolio1_etl_spark.plans.bpe_ops import _TRAIN_ROUNDS, _train_ctes
+
+    ctes, _ = _train_ctes(_TRAIN_ROUNDS)
+    ctes = list(ctes) + [
+        f"wp AS (SELECT word, len(string_split(trim(enc, '{M}'), '{M}{M}')) "
+        f"AS np FROM wt{_TRAIN_ROUNDS})",
+        "docw AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word "
+        "FROM documents)",
+        "counts AS (SELECT doc_id, sum(np) AS n_tokens FROM docw "
+        "JOIN wp USING (word) GROUP BY doc_id)",
+        f"""t AS (
+      SELECT doc_id, n_tokens,
+             {_PACK_KEY_SQL} AS k,
+             {_PACK_KEY_SQL} % {_PACK_SHARDS} AS shard
+      FROM counts
+    )""",
+        """c AS (
+      SELECT *, coalesce(sum(n_tokens) OVER (
+               PARTITION BY shard ORDER BY k, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_tok
+      FROM t
+    )""",
+    ]
+    body = ",\n    ".join(ctes)
+    return f"""
+    WITH {body}
+    SELECT doc_id, CAST(shard AS BIGINT) AS shard,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(start_tok AS BIGINT) AS start_tok,
+           CAST(start_tok // {_PACK_BUDGET} AS BIGINT) AS first_pack,
+           CAST((start_tok + n_tokens - 1) // {_PACK_BUDGET} AS BIGINT) AS last_pack,
+           CAST(start_tok % {_PACK_BUDGET} AS BIGINT) AS pack_offset
+    FROM c
+    """
+
+
+@query(
+    "q136_pack_trained_bpe",
+    sql=_q136_sql(),
+    operators=("X-packing", "X-bpe", "X-bpe-train", "X-tokens"),
+)
+def q136_pack_trained_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The packing chain under the TRAINED vocabulary: q123's 8
+    learned merges segment every word, per-doc token counts come from
+    joining the corpus's words to the (tiny) trained word table, and
+    q117's shard-windowed packer assigns context-window offsets — the
+    pipeline a real run wants, where the packer budgets in the tokens
+    the TRAINED tokenizer will actually emit, not a frozen stand-in
+    (q121 keeps the frozen-vocab twin for comparison).
+
+    Scale shape: training touches only the word-frequency table (ONE
+    corpus wordcount, then per-round tiny aggregates + 1-row
+    broadcasts); tokenizing the corpus under the trained vocab is a
+    broadcast join of doc-words to the word table's piece counts —
+    the corpus is scanned twice total (wordcount, token count) and
+    shuffled once (the q117 shard window). Empty words ('' from
+    consecutive spaces) count 1 piece in both engines — consistent,
+    and pinned by the shared word table.
+
+    Reference analogue: the chunking the reference never had —
+    portfolio-etl.py has no tokenizer; SURVEY §2.16's packing family.
+    """
+    from portfolio1_etl_spark.operators.bpe_train import (
+        PIECES,
+        train_bpe_state,
+    )
+    from portfolio1_etl_spark.plans.bpe_ops import _TRAIN_ROUNDS
+
+    d = catalog.load(spark, sf_dir, "documents")
+    words = (
+        d.select(F.explode(F.split("text", " ")).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    _, trained = train_bpe_state(words, _TRAIN_ROUNDS)
+    wp = trained.select("word", F.size(F.expr(PIECES)).alias("np"))
+    counts = (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
+        .join(F.broadcast(wp), "word")
+        .groupBy("doc_id")
+        .agg(F.sum("np").alias("n_tokens"))
+    )
+    t = counts.select(
+        "doc_id",
+        "n_tokens",
+        F.expr(_PACK_KEY_SPARK).alias("k"),
+        (F.expr(_PACK_KEY_SPARK) % _PACK_SHARDS).alias("shard"),
+    )
+    win = W.partitionBy("shard").orderBy("k", "doc_id").rowsBetween(
+        W.unboundedPreceding, -1
+    )
+    start = F.coalesce(F.sum("n_tokens").over(win), F.lit(0))
+    return t.select(
+        "doc_id",
+        F.col("shard").cast("long").alias("shard"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        start.cast("long").alias("start_tok"),
+        F.floor(start / _PACK_BUDGET).cast("long").alias("first_pack"),
+        F.floor((start + F.col("n_tokens") - 1) / _PACK_BUDGET)
+        .cast("long")
+        .alias("last_pack"),
+        (start % _PACK_BUDGET).cast("long").alias("pack_offset"),
+    )

@@ -179,6 +179,24 @@ def running_user_totals_stream(events: DataFrame) -> DataFrame:
     )
 
 
+def _epoch_already_folded(state: dict, epoch_id: int) -> bool:
+    """foreachBatch is AT-LEAST-ONCE: after a sink/driver hiccup Spark
+    re-delivers the same epoch, and an additive state fold would
+    double-count it (the Bloom OR is the only naturally idempotent
+    fold here). Returns True when ``epoch_id`` is already FULLY folded
+    into ``state`` — callers return immediately. The companion
+    ``_epoch_folded`` marker is set only AFTER every state key is
+    updated, so a retry of a partially-failed fold re-runs it — safe,
+    because every fold computes exclusively from prior-state frames
+    read before any assignment and replaces keys wholesale."""
+    return state.get("_last_epoch", -1) >= epoch_id
+
+
+def _epoch_folded(state: dict, epoch_id: int) -> None:
+    """Mark ``epoch_id`` fully folded (call as the fold's LAST step)."""
+    state["_last_epoch"] = epoch_id
+
+
 def inventory_merge_stream(
     events: DataFrame,
     apply_batch: Callable[[DataFrame, int], None],
@@ -209,12 +227,17 @@ def cms_maintenance_stream(events: DataFrame, state: dict):
     from portfolio1_etl_spark.operators.sketches import cms_build, cms_merge
 
     def _merge(batch_df: DataFrame, epoch_id: int) -> None:
+        if _epoch_already_folded(state, epoch_id):
+            return
         batch_sketch = cms_build(batch_df.select("event_type"), "event_type")
         cur = state.get("sketch")
         nxt = batch_sketch if cur is None else cms_merge(cur, batch_sketch)
         state["sketch"] = nxt.localCheckpoint(eager=True)
+        _epoch_folded(state, epoch_id)
 
-    return events.writeStream.outputMode("append").foreachBatch(_merge)
+    writer = events.writeStream.outputMode("append").foreachBatch(_merge)
+    writer.epoch_fold = _merge  # exposed for retry tests
+    return writer
 
 
 def bloom_maintenance_stream(events: DataFrame, state: dict):
@@ -230,12 +253,17 @@ def bloom_maintenance_stream(events: DataFrame, state: dict):
     from portfolio1_etl_spark.operators.sketches import bloom_build, bloom_merge
 
     def _merge(batch_df: DataFrame, epoch_id: int) -> None:
+        if _epoch_already_folded(state, epoch_id):
+            return  # the OR fold is idempotent; guarded for uniformity
         batch_bloom = bloom_build(batch_df.select("user_id"), "user_id")
         cur = state.get("bloom")
         nxt = batch_bloom if cur is None else bloom_merge(cur, batch_bloom)
         state["bloom"] = nxt.localCheckpoint(eager=True)
+        _epoch_folded(state, epoch_id)
 
-    return events.writeStream.outputMode("append").foreachBatch(_merge)
+    writer = events.writeStream.outputMode("append").foreachBatch(_merge)
+    writer.epoch_fold = _merge  # exposed for retry tests
+    return writer
 
 
 def scd2_maintenance_stream(events: DataFrame, state: dict):
@@ -251,14 +279,19 @@ def scd2_maintenance_stream(events: DataFrame, state: dict):
     from portfolio1_etl_spark.operators.scd import scd2_apply, scd2_rebuild
 
     def _merge(batch_df: DataFrame, epoch_id: int) -> None:
+        if _epoch_already_folded(state, epoch_id):
+            return
         cur = state.get("current")
         if cur is None:
             nxt = scd2_rebuild(batch_df, tiebreak_col="event_id")
         else:
             nxt = scd2_apply(cur, batch_df, tiebreak_col="event_id")
         state["current"] = nxt.localCheckpoint(eager=True)
+        _epoch_folded(state, epoch_id)
 
-    return events.writeStream.outputMode("append").foreachBatch(_merge)
+    writer = events.writeStream.outputMode("append").foreachBatch(_merge)
+    writer.epoch_fold = _merge  # exposed for retry tests
+    return writer
 
 
 def corpus_prep_stream(
@@ -308,6 +341,8 @@ def corpus_prep_stream(
     )
 
     def _fold(batch_df: DataFrame, epoch_id: int) -> None:
+        if _epoch_already_folded(state, epoch_id):
+            return
         b_docs = batch_df.localCheckpoint(eager=True)
         b_sh = shingle_hashes(b_docs, "text").localCheckpoint(eager=True)
         is_eval = F.col("doc_id") % eval_mod == 0
@@ -423,8 +458,11 @@ def corpus_prep_stream(
             keep=keep, cand=cand, eval_sh=eval_sh, contam=contam,
             rep=rep, sh_acc=sh_acc,
         )
+        _epoch_folded(state, epoch_id)
 
-    return docs_stream.writeStream.outputMode("append").foreachBatch(_fold)
+    writer = docs_stream.writeStream.outputMode("append").foreachBatch(_fold)
+    writer.epoch_fold = _fold  # exposed for retry tests
+    return writer
 
 
 def corpus_prep_finalize(
@@ -512,6 +550,13 @@ def pack_ingest_stream(
     )
 
     def _fold(batch_df: DataFrame, epoch_id: int) -> None:
+        if _epoch_already_folded(state, epoch_id):
+            return
+        # read ALL prior state before assigning any of it, so a retry
+        # of a fold that failed between assignments recomputes from a
+        # consistent snapshot instead of mixing old and new keys
+        totals_old = state.get("totals")
+        layout_old = state.get("layout")
         b = batch_df.select(
             "doc_id",
             F.size(F.split("text", " ")).alias("n_tokens"),
@@ -525,7 +570,6 @@ def pack_ingest_stream(
         local = b.withColumn(
             "off", F.coalesce(F.sum("n_tokens").over(win), F.lit(0))
         )
-        totals_old = state.get("totals")
         if totals_old is not None:
             local = local.join(F.broadcast(totals_old), "shard", "left")
             base = F.coalesce(F.col("total"), F.lit(0))
@@ -537,20 +581,22 @@ def pack_ingest_stream(
             "n_tokens",
             (base + F.col("off")).cast("long").alias("start_tok"),
         ).localCheckpoint(eager=True)
-        layout_old = state.get("layout")
-        state["layout"] = (
+        layout = (
             layout_b
             if layout_old is None
             else layout_old.unionByName(layout_b)
         ).localCheckpoint(eager=True)
-        state["totals"] = (
-            state["layout"]
-            .groupBy("shard")
+        totals = (
+            layout.groupBy("shard")
             .agg(F.sum("n_tokens").alias("total"))
             .localCheckpoint(eager=True)
         )
+        state.update(layout=layout, totals=totals)
+        _epoch_folded(state, epoch_id)
 
-    return docs_stream.writeStream.outputMode("append").foreachBatch(_fold)
+    writer = docs_stream.writeStream.outputMode("append").foreachBatch(_fold)
+    writer.epoch_fold = _fold  # exposed for retry tests
+    return writer
 
 
 def governance_stream(docs_stream: DataFrame, state: dict):
@@ -566,13 +612,18 @@ def governance_stream(docs_stream: DataFrame, state: dict):
     from portfolio1_etl_spark.plans.curation_ops import governance_doc_stage
 
     def _fold(batch_df: DataFrame, epoch_id: int) -> None:
+        if _epoch_already_folded(state, epoch_id):
+            return
         b = governance_doc_stage(batch_df).localCheckpoint(eager=True)
         prev = state.get("doc")
         state["doc"] = (
             b if prev is None else prev.unionByName(b)
         ).localCheckpoint(eager=True)
+        _epoch_folded(state, epoch_id)
 
-    return docs_stream.writeStream.outputMode("append").foreachBatch(_fold)
+    writer = docs_stream.writeStream.outputMode("append").foreachBatch(_fold)
+    writer.epoch_fold = _fold  # exposed for retry tests
+    return writer
 
 
 def governance_finalize(state: dict) -> DataFrame:
@@ -594,12 +645,20 @@ def ann_index_ingest_stream(vec_stream: DataFrame, index_path: str):
     from portfolio1_etl_spark.operators.ann_index import ingest_vectors
     from portfolio1_etl_spark.operators.similarity import with_norms
 
+    folded: set[int] = set()  # epoch memory: appends are NOT idempotent
+
     def _fold(batch_df: DataFrame, epoch_id: int) -> None:
+        if epoch_id in folded:  # at-least-once retry would double-append
+            return
         if batch_df.isEmpty():
+            folded.add(epoch_id)
             return
         ingest_vectors(batch_df.sparkSession, index_path, with_norms(batch_df))
+        folded.add(epoch_id)
 
-    return vec_stream.writeStream.outputMode("append").foreachBatch(_fold)
+    writer = vec_stream.writeStream.outputMode("append").foreachBatch(_fold)
+    writer.epoch_fold = _fold  # exposed for retry tests
+    return writer
 
 
 def wordcount_stream(docs_stream: DataFrame, state: dict):
@@ -611,6 +670,8 @@ def wordcount_stream(docs_stream: DataFrame, state: dict):
     (``bpe_retrain_finalize``; stream==batch q123 equality tested)."""
 
     def _fold(batch_df: DataFrame, epoch_id: int) -> None:
+        if _epoch_already_folded(state, epoch_id):
+            return
         b = (
             batch_df.select(F.explode(F.split("text", " ")).alias("word"))
             .groupBy("word")
@@ -622,8 +683,11 @@ def wordcount_stream(docs_stream: DataFrame, state: dict):
             if prev is None
             else prev.unionByName(b).groupBy("word").agg(F.sum("freq").alias("freq"))
         ).localCheckpoint(eager=True)
+        _epoch_folded(state, epoch_id)
 
-    return docs_stream.writeStream.outputMode("append").foreachBatch(_fold)
+    writer = docs_stream.writeStream.outputMode("append").foreachBatch(_fold)
+    writer.epoch_fold = _fold  # exposed for retry tests
+    return writer
 
 
 def bpe_retrain_finalize(state: dict, rounds: int = 8) -> DataFrame:

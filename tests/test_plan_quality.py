@@ -132,6 +132,11 @@ _SANCTIONED_BNLJ = {
     # dedup recall scoreboard: cross with the broadcast ONE-ROW
     # ground-truth count (the q114 pattern).
     "q129_dedup_recall",
+    # persisted IVF index: build side crosses the corpus with the
+    # broadcast 1-row folded codebook (the q93 pattern); probe side
+    # crosses the 8 scoreboard queries with the broadcast k-row
+    # codebook (the q83 pattern).
+    "q135_ivf_index_probe",
 }
 
 
@@ -260,3 +265,13 @@ def test_bloom_prune_plan_is_production_lean(spark, sf_dir):
     tree = plan.split("\n\n")[0]
     n_ex = tree.count("Exchange") - tree.count("BroadcastExchange")
     assert n_ex <= 2, f"q104 plans {n_ex} non-broadcast exchanges:\n{tree}"
+
+
+def test_persisted_ivf_probe_scan_is_dpp_pruned(spark, sf_dir):
+    """q135 (the persisted-index scoreboard query): the probe join must
+    reach the index scan as DYNAMIC PARTITION PRUNING — unprobed cell
+    directories are never read, the property that makes the parquet
+    layout an index at 100 TB. Same guard as tests/test_ann_index.py,
+    but against the REGISTERED query the correctness gate runs."""
+    plan = _formatted_plan(REGISTRY["q135_ivf_index_probe"].fn(spark, sf_dir))
+    assert "dynamicpruning" in plan

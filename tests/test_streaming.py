@@ -584,3 +584,176 @@ def test_wordcount_stream_bpe_retrain_equals_batch(spark, sf_dir, tmp_path):
         tuple(r) for r in REGISTRY["q123_bpe_train"].fn(spark, sf_dir).collect()
     )
     assert got == want
+
+
+def test_foreachbatch_retry_does_not_double_count(spark, sf_dir):
+    """foreachBatch delivery is at-least-once: re-delivering the SAME
+    epoch (sink hiccup → Spark retries it) must not double-fold into
+    the maintained state. Exercised directly through the exposed fold
+    on the additive jobs (wordcount + pack-ingest)."""
+    from portfolio1_etl_spark import catalog
+    from portfolio1_etl_spark.streaming.jobs import (
+        pack_ingest_stream,
+        wordcount_stream,
+    )
+
+    docs = catalog.load(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang"
+    )
+    b0 = docs.filter(F.col("doc_id") % 2 == 0)
+    b1 = docs.filter(F.col("doc_id") % 2 == 1)
+
+    state: dict = {}
+    fold = wordcount_stream(
+        spark.readStream.schema("doc_id long, text string, lang string")
+        .parquet(str(sf_dir)), state  # writer only built for its fold
+    ).epoch_fold
+    fold(b0, 0)
+    once = sorted((r.word, r.freq) for r in state["wordcount"].collect())
+    fold(b0, 0)  # at-least-once retry of the SAME epoch
+    assert (
+        sorted((r.word, r.freq) for r in state["wordcount"].collect()) == once
+    )
+    fold(b1, 1)  # the NEXT epoch still folds
+    assert state["wordcount"].count() >= len(once)
+
+    pstate: dict = {}
+    pfold = pack_ingest_stream(
+        spark.readStream.schema("doc_id long, text string, lang string")
+        .parquet(str(sf_dir)), pstate
+    ).epoch_fold
+    pfold(b0, 0)
+    layout_once = sorted(
+        (r.doc_id, r.shard, r.start_tok) for r in pstate["layout"].collect()
+    )
+    pfold(b0, 0)  # retry: offsets must not shift, rows must not dup
+    assert (
+        sorted((r.doc_id, r.shard, r.start_tok) for r in pstate["layout"].collect())
+        == layout_once
+    )
+
+
+def _landing_slices(docs, land, n=4):
+    ids = sorted(r.doc_id for r in docs.select("doc_id").collect())
+    cuts = [ids[i * len(ids) // n] for i in range(1, n)]
+    bounds = [None] + cuts + [None]
+    out = []
+    for i in range(n):
+        s = docs
+        if bounds[i] is not None:
+            s = s.filter(F.col("doc_id") >= bounds[i])
+        if bounds[i + 1] is not None:
+            s = s.filter(F.col("doc_id") < bounds[i + 1])
+        out.append(s)
+    land.mkdir()
+    return out
+
+
+def test_corpus_prep_stream_kill_and_resume(spark, sf_dir, tmp_path):
+    """Crash-recovery, not just convergence: process half the landing
+    zone, STOP the query (simulated failure/shutdown), then restart a
+    new query from the SAME checkpoint location — the source offsets
+    in the checkpoint keep already-folded files from re-delivering, so
+    the final decision log still equals the one-shot batch pipeline.
+    (Models query restart with surviving fold state — the deployment
+    contract where foldstate itself lives in the warehouse; full
+    driver-death recovery additionally re-reads that table.)"""
+    from portfolio1_etl_spark import catalog
+    from portfolio1_etl_spark.corpus_pipeline import prepare_corpus
+    from portfolio1_etl_spark.streaming.jobs import (
+        corpus_prep_finalize,
+        corpus_prep_stream,
+    )
+
+    docs = catalog.load(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang"
+    )
+    land = tmp_path / "docs_landing"
+    slices = _landing_slices(docs, land)
+    ckpt = str(tmp_path / "ckpt")
+    # phase 1: only the first two id-ordered files exist
+    for i in (0, 1):
+        slices[i].coalesce(1).write.parquet(str(land / f"part{i}"))
+
+    def _stream():
+        return (
+            spark.readStream.schema("doc_id long, text string, lang string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(land / "part*"))
+        )
+
+    state: dict = {}
+    q = corpus_prep_stream(_stream(), state).option(
+        "checkpointLocation", ckpt
+    ).start()
+    q.processAllAvailable()
+    q.stop()  # simulated crash/shutdown mid-corpus
+    folded_after_phase1 = state.get("_last_epoch")
+    assert folded_after_phase1 is not None
+
+    # phase 2: the rest lands; RESTART from the same checkpoint
+    for i in (2, 3):
+        slices[i].coalesce(1).write.parquet(str(land / f"part{i}"))
+    q2 = corpus_prep_stream(_stream(), state).option(
+        "checkpointLocation", ckpt
+    ).start()
+    q2.processAllAvailable()
+    q2.stop()
+    # the restart continued, it did not replay phase-1 epochs
+    assert state["_last_epoch"] > folded_after_phase1
+
+    got = sorted(
+        (r.doc_id, r.drop_reason)
+        for r in corpus_prep_finalize(state).collect()
+    )
+    want = sorted(
+        (r.doc_id, r.drop_reason)
+        for r in prepare_corpus(spark, sf_dir).decisions.collect()
+    )
+    assert got == want
+
+
+def test_pack_ingest_stream_kill_and_resume(spark, sf_dir, tmp_path):
+    """Same kill-and-resume contract for the shard-layout ingester:
+    restart from checkpoint must neither re-append phase-1 docs nor
+    shift any running shard offset."""
+    from portfolio1_etl_spark import catalog
+    from portfolio1_etl_spark.streaming.jobs import pack_ingest_stream
+
+    docs = catalog.load(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang"
+    )
+    land = tmp_path / "docs_landing"
+    slices = _landing_slices(docs, land)
+    ckpt = str(tmp_path / "ckpt")
+    for i in (0, 1):
+        slices[i].coalesce(1).write.parquet(str(land / f"part{i}"))
+
+    def _stream():
+        return (
+            spark.readStream.schema("doc_id long, text string, lang string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(land / "part*"))
+        )
+
+    state: dict = {}
+    q = pack_ingest_stream(_stream(), state).option(
+        "checkpointLocation", ckpt
+    ).start()
+    q.processAllAvailable()
+    q.stop()
+    phase1 = {r.doc_id: (r.shard, r.start_tok) for r in state["layout"].collect()}
+
+    for i in (2, 3):
+        slices[i].coalesce(1).write.parquet(str(land / f"part{i}"))
+    q2 = pack_ingest_stream(_stream(), state).option(
+        "checkpointLocation", ckpt
+    ).start()
+    q2.processAllAvailable()
+    q2.stop()
+
+    rows = state["layout"].collect()
+    assert len(rows) == len({r.doc_id for r in rows}) == docs.count()
+    for r in rows:  # phase-1 assignments unchanged by the restart
+        if r.doc_id in phase1:
+            assert (r.shard, r.start_tok) == phase1[r.doc_id]
