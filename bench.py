@@ -89,6 +89,12 @@ HEADLINE = [
     "q132_udf_scalar_tokens",
     "q133_udf_groupedmap_zscore",
     "q134_udtf_ngrams",
+    # r7 additions: persisted IVF index (build + DPP probe), packing
+    # under the trained BPE vocabulary, header-only metadata census
+    "q135_ivf_index_probe",
+    "q136_pack_trained_bpe",
+    "q137_media_metadata_census",
+    "q138_table_stats",
 ]
 
 

@@ -12,6 +12,8 @@ from portfolio1_etl_spark.operators.multimodal import (
     encode_ppm,
     encode_wav,
     featurize_media,
+    image_metadata_media,
+    probe_image_dimensions,
     read_media_dir,
     resize_media,
     sample_frames,
@@ -19,11 +21,23 @@ from portfolio1_etl_spark.operators.multimodal import (
 from portfolio1_etl_spark.operators.sinks import (
     compact_parquet,
     overwrite_partitions,
+    prune_versions,
+    read_version,
     write_jsonl,
     write_orc,
     write_partitioned,
+    write_range_sorted,
     write_report_csv,
     write_snapshot,
+    write_versioned,
+    write_zordered,
+)
+from portfolio1_etl_spark.operators.ann_index import (
+    build_ivf_index,
+    cell_stats,
+    ingest_vectors,
+    query_ivf_index,
+    rebalance_index,
 )
 from portfolio1_etl_spark.operators.dedup import (
     connected_components,

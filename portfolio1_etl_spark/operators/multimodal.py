@@ -30,6 +30,12 @@ Decode support is two-tier:
   this image does not ship: ``decode_media`` raises a clearly-marked
   ``NotImplementedError`` for those, and the digest-feature path
   (``featurize_media``) remains the library-free fallback.
+- **Header-only metadata** (r7) is a third tier between the two:
+  ``probe_image_dimensions`` / ``image_metadata_media`` read
+  (format, width, height, channels) from file headers alone — JPEG
+  SOF-walk, GIF/BMP headers, PNG IHDR, PPM — so resolution censuses,
+  size-bucketed partitioning, and data cards cover the lossy formats
+  too without any codec library or pixel inflation.
 """
 
 from __future__ import annotations
@@ -655,3 +661,119 @@ def dhash_media(media: DataFrame) -> DataFrame:
         ]
     )
     return media.mapInPandas(op, schema)
+
+
+# --------------------------------------------------------------------------
+# Header-only metadata probe (r7) — dimensions without pixel decode
+# --------------------------------------------------------------------------
+
+#: JPEG start-of-frame markers that carry dimensions: every SOFn except
+#: DHT (C4), JPG (C8), and DAC (CC), which reuse the 0xCn slot but are
+#: not frames.
+_JPEG_SOF = frozenset(range(0xC0, 0xD0)) - {0xC4, 0xC8, 0xCC}
+
+
+def probe_image_dimensions(content: bytes) -> tuple[str, int, int, int]:
+    """(format, width, height, channels) from HEADERS alone — no pixel
+    decode, no codec library. Covers the natively-decodable formats
+    (PNG, PPM) plus the ones whose PIXEL decode is a documented
+    NotImplementedError boundary (JPEG, GIF, BMP): real multimodal
+    corpora are mostly JPEG, and partitioning/filtering/data-card
+    statistics only need dimensions — a 100 TB resolution census
+    should read a few hundred bytes per object, not inflate anything.
+    Raises ValueError on unrecognized or malformed headers.
+
+    JPEG dimensions live in the first SOFn segment (height, width,
+    components after the 1-byte precision); the walk skips every other
+    segment by its declared length, tolerating marker fill bytes
+    (0xFF padding) and standalone markers (RSTn/TEM) per the spec."""
+    if content[:8] == _PNG_SIG:
+        if len(content) < 29 or content[12:16] != b"IHDR":
+            raise ValueError("malformed PNG header")
+        w, h = struct.unpack(">II", content[16:24])
+        ctype = content[25]
+        if ctype not in _PNG_CHANNELS:
+            raise ValueError(f"unknown PNG color type {ctype}")
+        return "png", w, h, _PNG_CHANNELS[ctype]
+    if content[:2] == b"P6":
+        _, w, h = decode_ppm(content)  # header parse dominates; tiny files
+        return "ppm", w, h, 3
+    if content[:6] in (b"GIF87a", b"GIF89a"):
+        if len(content) < 10:
+            raise ValueError("truncated GIF header")
+        w, h = struct.unpack("<HH", content[6:10])
+        return "gif", w, h, 3
+    if content[:2] == b"BM":
+        if len(content) < 30:
+            raise ValueError("truncated BMP header")
+        w, h = struct.unpack("<ii", content[18:26])
+        bpp = struct.unpack("<H", content[28:30])[0]
+        return "bmp", w, abs(h), max(1, bpp // 8)  # h<0 = top-down rows
+    if content[:2] == b"\xff\xd8":  # JPEG SOI
+        pos = 2
+        while pos + 4 <= len(content):
+            if content[pos] != 0xFF:
+                raise ValueError("JPEG marker desync")
+            marker = content[pos + 1]
+            if marker == 0xFF:  # fill byte
+                pos += 1
+                continue
+            if marker in (0x01, *range(0xD0, 0xD8)):  # TEM/RSTn: no length
+                pos += 2
+                continue
+            if marker == 0xD9:  # EOI before any SOF
+                break
+            seg_len = struct.unpack(">H", content[pos + 2 : pos + 4])[0]
+            if marker in _JPEG_SOF:
+                if pos + 9 > len(content):
+                    raise ValueError("truncated JPEG SOF")
+                h, w = struct.unpack(">HH", content[pos + 5 : pos + 9])
+                ch = content[pos + 9]
+                return "jpeg", w, h, ch
+            pos += 2 + seg_len
+        raise ValueError("no JPEG SOF segment found")
+    raise ValueError("unrecognized image format")
+
+
+IMAGE_METADATA_SCHEMA = T.StructType(
+    [
+        T.StructField("path", T.StringType()),
+        T.StructField("format", T.StringType()),
+        T.StructField("width", T.LongType()),
+        T.StructField("height", T.LongType()),
+        T.StructField("channels", T.LongType()),
+    ]
+)
+
+
+def image_metadata_media(media: DataFrame) -> DataFrame:
+    """(path, format, width, height, channels) per media row via
+    Arrow-batched ``mapInPandas`` over :func:`probe_image_dimensions`.
+    Narrow map, bytes-in/5-scalars-out — the resolution census that
+    feeds size-bucketed partitioning and data cards at any corpus
+    size. Unrecognized/malformed rows yield NULL metadata (a corrupt
+    object must not kill a 100 TB census — the dhash_media contract)."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            fmts, ws, hs, cs = [], [], [], []
+            for b in pdf["content"]:
+                try:
+                    fmt, w, h, ch = probe_image_dimensions(bytes(b))
+                except (ValueError, struct.error, IndexError):
+                    fmt = w = h = ch = None
+                fmts.append(fmt)
+                ws.append(w)
+                hs.append(h)
+                cs.append(ch)
+            yield pd.DataFrame(
+                {
+                    "path": pdf["path"],
+                    "format": fmts,
+                    "width": pd.array(ws, dtype="Int64"),
+                    "height": pd.array(hs, dtype="Int64"),
+                    "channels": pd.array(cs, dtype="Int64"),
+                }
+            )
+
+    return media.mapInPandas(op, IMAGE_METADATA_SCHEMA)

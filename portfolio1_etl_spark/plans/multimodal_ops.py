@@ -456,3 +456,135 @@ def q112_image_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("doc_a").alias("min_doc_a"),
         )
     )
+
+
+# --- q137: header-only metadata census over a mixed-format corpus ----------
+
+#: Per-doc synthesis arithmetic — the ENTIRE oracle contract. Format
+#: cycles with doc_id % 5, dimensions are integer functions of doc_id,
+#: and every 31st doc is deliberately corrupt (must surface as NULLs,
+#: not kill the census — the malformed-media tolerance ON the
+#: scoreboard). JPEGs alternate baseline/progressive SOF and carry a
+#: leading fill byte when progressive; BMPs alternate 24/32 bpp and
+#: negative (top-down) height — all real branch coverage, all
+#: analytically replayable.
+_META_FORMATS = ("png", "ppm", "jpeg", "gif", "bmp")
+
+
+def _meta_geometry(doc_id: int) -> tuple[int, int]:
+    return 1 + doc_id % 13, 1 + doc_id % 7  # (width, height)
+
+
+def _synthesize_mixed_media(docs):
+    import struct
+
+    from portfolio1_etl_spark.operators.multimodal import (
+        encode_png as _enc_png,
+        encode_ppm as _enc_ppm,
+    )
+
+    def _jpeg(w, h, ch, progressive, pad):
+        app0 = b"JFIF\x00\x01\x02\x00\x00\x01\x00\x01\x00\x00"
+        out = b"\xff\xd8\xff\xe0" + struct.pack(">H", 2 + len(app0)) + app0
+        if pad:
+            out += b"\xff"
+        dqt = bytes(65)
+        out += b"\xff\xdb" + struct.pack(">H", 2 + len(dqt)) + dqt
+        sof = b"\xff\xc2" if progressive else b"\xff\xc0"
+        body = b"\x08" + struct.pack(">HH", h, w) + bytes([ch]) + bytes(3 * ch)
+        return out + sof + struct.pack(">H", 2 + len(body)) + body + b"\xff\xd9"
+
+    def _one(doc_id: int) -> bytes:
+        if doc_id % 31 == 0:
+            return b"\x00corrupt media object\x00"
+        w, h = _meta_geometry(doc_id)
+        kind = _META_FORMATS[doc_id % 5]
+        if kind == "png":
+            ch = (1, 3, 4)[doc_id % 3]
+            px = (
+                (np.arange(h * w * ch, dtype=np.int64) * (doc_id + 7)) % 256
+            ).astype(np.uint8).reshape(h, w, ch)
+            return _enc_png(px, filters=[doc_id % 5])
+        if kind == "ppm":
+            px = (
+                (np.arange(h * w * 3, dtype=np.int64) + doc_id) % 256
+            ).astype(np.uint8).reshape(h, w, 3)
+            return _enc_ppm(px)
+        if kind == "jpeg":
+            ch = 1 + doc_id % 3
+            return _jpeg(w, h, ch, progressive=bool(doc_id % 2), pad=bool(doc_id % 2))
+        if kind == "gif":
+            return (
+                b"GIF89a"
+                + w.to_bytes(2, "little")
+                + h.to_bytes(2, "little")
+                + bytes(6)
+            )
+        bpp = 24 if doc_id % 2 else 32
+        return (
+            b"BM"
+            + bytes(16)
+            + struct.pack("<ii", w, -h if doc_id % 2 else h)  # top-down alt
+            + bytes(2)
+            + struct.pack("<H", bpp)
+            + bytes(6)
+        )
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "path": pdf["doc_id"].astype(str),
+                    "modality": "image",
+                    "content": [_one(int(d)) for d in pdf["doc_id"]],
+                }
+            )
+
+    return docs.select("doc_id").mapInPandas(
+        op, "path string, modality string, content binary"
+    )
+
+
+@query(
+    "q137_media_metadata_census",
+    sql=f"""
+    SELECT doc_id,
+      CASE WHEN doc_id % 31 = 0 THEN NULL
+           ELSE (['png', 'ppm', 'jpeg', 'gif', 'bmp'])[1 + doc_id % 5] END
+        AS format,
+      CASE WHEN doc_id % 31 = 0 THEN NULL
+           ELSE CAST(1 + doc_id % 13 AS BIGINT) END AS width,
+      CASE WHEN doc_id % 31 = 0 THEN NULL
+           ELSE CAST(1 + doc_id % 7 AS BIGINT) END AS height,
+      CASE WHEN doc_id % 31 = 0 THEN NULL
+           WHEN doc_id % 5 = 0 THEN CAST(([1, 3, 4])[1 + doc_id % 3] AS BIGINT)
+           WHEN doc_id % 5 = 1 THEN 3
+           WHEN doc_id % 5 = 2 THEN CAST(1 + doc_id % 3 AS BIGINT)
+           WHEN doc_id % 5 = 3 THEN 3
+           ELSE CAST(CASE WHEN doc_id % 2 = 1 THEN 3 ELSE 4 END AS BIGINT) END
+        AS channels
+    FROM documents
+    """,
+    operators=("X-multimodal", "X-media-metadata"),
+)
+def q137_media_metadata_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resolution/format census over a MIXED-format media corpus
+    through the header-only probe: real PNG/PPM encodes plus
+    structurally-valid JPEG (baseline AND progressive, with marker
+    fill bytes), GIF, and BMP (24/32 bpp, top-down rows) headers —
+    and deliberately corrupt objects that must surface as NULL rows,
+    not task deaths. ``image_metadata_media`` reads headers only (an
+    Arrow-batched narrow map; a 100 TB census never inflates a
+    pixel), and the oracle replays every value as integer arithmetic
+    over doc_id because the synthesis geometry IS the contract."""
+    from portfolio1_etl_spark.operators.multimodal import image_metadata_media
+
+    docs = catalog.load(spark, sf_dir, "documents")
+    meta = image_metadata_media(_synthesize_mixed_media(docs))
+    return meta.select(
+        F.col("path").cast("long").alias("doc_id"),
+        "format",
+        "width",
+        "height",
+        "channels",
+    )

@@ -143,3 +143,65 @@ def q47_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("new_balance"),
         F.coalesce(F.col("c.n_orders"), F.lit(0)).cast("long").alias("n_orders"),
     )
+
+
+@query(
+    "q138_table_stats",
+    sql="""
+    WITH cols(col_idx, col_name) AS (
+      VALUES (1, 'l_orderkey'), (2, 'l_partkey'), (3, 'l_suppkey'),
+             (4, 'l_quantity'), (5, 'l_extendedprice'), (6, 'l_discount')
+    ),
+    wide AS (
+      SELECT count(*) AS n_rows,
+        count(distinct l_orderkey) AS nd1, min(l_orderkey::DOUBLE) AS mn1, max(l_orderkey::DOUBLE) AS mx1,
+        count(distinct l_partkey)  AS nd2, min(l_partkey::DOUBLE)  AS mn2, max(l_partkey::DOUBLE)  AS mx2,
+        count(distinct l_suppkey)  AS nd3, min(l_suppkey::DOUBLE)  AS mn3, max(l_suppkey::DOUBLE)  AS mx3,
+        count(distinct l_quantity) AS nd4, min(l_quantity::DOUBLE) AS mn4, max(l_quantity::DOUBLE) AS mx4,
+        count(distinct l_extendedprice) AS nd5, min(l_extendedprice::DOUBLE) AS mn5, max(l_extendedprice::DOUBLE) AS mx5,
+        count(distinct l_discount) AS nd6, min(l_discount::DOUBLE) AS mn6, max(l_discount::DOUBLE) AS mx6,
+        sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS nn1,
+        sum(CASE WHEN l_partkey  IS NULL THEN 1 ELSE 0 END) AS nn2,
+        sum(CASE WHEN l_suppkey  IS NULL THEN 1 ELSE 0 END) AS nn3,
+        sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS nn4,
+        sum(CASE WHEN l_extendedprice IS NULL THEN 1 ELSE 0 END) AS nn5,
+        sum(CASE WHEN l_discount IS NULL THEN 1 ELSE 0 END) AS nn6
+      FROM lineitem
+    )
+    SELECT c.col_name AS "column",
+      CAST(w.n_rows AS BIGINT) AS n_rows,
+      CAST(CASE c.col_idx WHEN 1 THEN nn1 WHEN 2 THEN nn2 WHEN 3 THEN nn3
+           WHEN 4 THEN nn4 WHEN 5 THEN nn5 ELSE nn6 END AS BIGINT) AS n_nulls,
+      CAST(CASE c.col_idx WHEN 1 THEN nd1 WHEN 2 THEN nd2 WHEN 3 THEN nd3
+           WHEN 4 THEN nd4 WHEN 5 THEN nd5 ELSE nd6 END AS BIGINT) AS n_distinct,
+      CASE c.col_idx WHEN 1 THEN mn1 WHEN 2 THEN mn2 WHEN 3 THEN mn3
+           WHEN 4 THEN mn4 WHEN 5 THEN mn5 ELSE mn6 END AS min_val,
+      CASE c.col_idx WHEN 1 THEN mx1 WHEN 2 THEN mx2 WHEN 3 THEN mx3
+           WHEN 4 THEN mx4 WHEN 5 THEN mx5 ELSE mx6 END AS max_val
+    FROM cols c, wide w
+    """,
+    operators=("X-table-stats", "A1"),
+)
+def q138_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE-style statistics over lineitem's numeric columns — the
+    stats table that drives broadcast-vs-shuffle decisions, AQE skew
+    thresholds, and layout choices at 100 TB. ONE scan computes every
+    column's (nulls, NDV, min, max) as a fused single-row aggregate;
+    the long-format stack is a narrow map. Exact NDV here because the
+    oracle needs exact values — the operator takes
+    ``exact_ndv=False`` for the HLL production form (same plan
+    shape)."""
+    from portfolio1_etl_spark.operators.stats import collect_table_stats
+
+    li = catalog.load(spark, sf_dir, "lineitem")
+    return collect_table_stats(
+        li,
+        [
+            "l_orderkey",
+            "l_partkey",
+            "l_suppkey",
+            "l_quantity",
+            "l_extendedprice",
+            "l_discount",
+        ],
+    )

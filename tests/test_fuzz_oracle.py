@@ -39,6 +39,8 @@ QUERIES = [
     "q124_bpe_train_apply",
     # train -> tokenize -> pack end-to-end under the learned vocab
     "q136_pack_trained_bpe",
+    # mixed-format header probe (depends only on doc_id arithmetic)
+    "q137_media_metadata_census",
 ]
 
 _VOCAB = (

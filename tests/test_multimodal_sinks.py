@@ -299,14 +299,28 @@ def test_sample_frames_wav_real(spark, tmp_path):
     assert rebuilt == smp.tolist()
 
 
-def test_compact_parquet_rejects_remote_uris(spark):
-    """os.rename staging silently diverges from a remote store — the
-    operator must refuse URI-scheme paths loudly, not corrupt data."""
+def test_compact_parquet_on_scheme_qualified_uri(spark, sf_dir, tmp_path):
+    """r7: staging/swap go through the Hadoop FileSystem API resolved
+    from the path's own scheme, so a ``file://`` URI — the shape every
+    HDFS deployment uses — compacts in place (the pre-r7 local-os
+    implementation had to reject ``://`` paths loudly). An unreachable
+    remote scheme still fails loudly at FS resolution, never silently
+    against the wrong store."""
     from portfolio1_etl_spark.operators import compact_parquet
 
-    for bad in ("hdfs://nn/warehouse/t", "s3a://bucket/table"):
-        with pytest.raises(NotImplementedError, match="local-filesystem"):
-            compact_parquet(spark, bad)
+    nation = catalog.load(spark, sf_dir, "nation")
+    local = tmp_path / "frag_uri"
+    nation.repartition(8).write.parquet(str(local))
+    uri = local.as_uri()  # file:///…
+    n_rows = nation.count()
+    n_after = compact_parquet(spark, uri, target_file_bytes=64 * 1024 * 1024)
+    files = [f for f in os.listdir(local) if f.endswith(".parquet")]
+    assert len(files) == n_after == 1
+    assert spark.read.parquet(uri).count() == n_rows
+    # no staging/backup leftovers beside the dataset
+    assert not [p for p in os.listdir(tmp_path) if "_compacting" in p or "_precompact" in p]
+    with pytest.raises(Exception):  # unknown scheme → loud FS failure
+        compact_parquet(spark, "nosuchfs://bucket/table")
 
 
 def test_compact_parquet_small_files(spark, sf_dir, tmp_path):
@@ -480,3 +494,76 @@ def test_dhash_neardup_recall_vs_exact_pixel_diff(spark):
         if i < j and gid_of[i] != gid_of[j]
     ]
     assert min(far) > 8, "far pair under the near-dup bar"
+
+
+def _minimal_jpeg(w, h, ch=3, progressive=False, pad=False):
+    """Structurally-valid JPEG header stream: SOI, APP0, [fill bytes],
+    DQT stub, SOFn with the given geometry, EOI. Not pixel-decodable —
+    the probe only walks headers, which is the point."""
+    import struct as s
+
+    app0 = b"JFIF\x00\x01\x02\x00\x00\x01\x00\x01\x00\x00"
+    out = b"\xff\xd8" + b"\xff\xe0" + s.pack(">H", 2 + len(app0)) + app0
+    if pad:
+        out += b"\xff"  # marker fill byte before the next segment
+    dqt = bytes(65)
+    out += b"\xff\xdb" + s.pack(">H", 2 + len(dqt)) + dqt
+    sof = b"\xff\xc2" if progressive else b"\xff\xc0"
+    body = b"\x08" + s.pack(">HH", h, w) + bytes([ch]) + bytes(3 * ch)
+    out += sof + s.pack(">H", 2 + len(body)) + body
+    return out + b"\xff\xd9"
+
+
+def test_probe_image_dimensions_all_formats(spark):
+    """Header-only dimensions for every recognized format — including
+    the lossy ones whose PIXEL decode stays NotImplementedError-gated:
+    a resolution census must not need a codec library."""
+    import numpy as np
+
+    from portfolio1_etl_spark.operators.multimodal import (
+        encode_png,
+        encode_ppm,
+        image_metadata_media,
+        probe_image_dimensions,
+    )
+
+    px = np.arange(5 * 7 * 3, dtype=np.uint8).reshape(5, 7, 3)
+    gray = px[:, :, :1].copy()
+    assert probe_image_dimensions(encode_png(px)) == ("png", 7, 5, 3)
+    assert probe_image_dimensions(encode_png(gray)) == ("png", 7, 5, 1)
+    assert probe_image_dimensions(encode_ppm(px)) == ("ppm", 7, 5, 3)
+    assert probe_image_dimensions(_minimal_jpeg(640, 480)) == ("jpeg", 640, 480, 3)
+    assert probe_image_dimensions(
+        _minimal_jpeg(31, 17, ch=1, progressive=True, pad=True)
+    ) == ("jpeg", 31, 17, 1)
+    gif = b"GIF89a" + (1920).to_bytes(2, "little") + (1080).to_bytes(2, "little")
+    assert probe_image_dimensions(gif + bytes(4)) == ("gif", 1920, 1080, 3)
+    import struct as s
+
+    bmp = b"BM" + bytes(16) + s.pack("<ii", 800, -600) + bytes(2) + s.pack("<H", 24)
+    assert probe_image_dimensions(bmp + bytes(4)) == ("bmp", 800, 600, 3)
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        probe_image_dimensions(b"\xff\xd8\xff\xd9")  # JPEG with no SOF
+    with _pt.raises(ValueError):
+        probe_image_dimensions(b"not an image at all")
+
+    # Spark path: Arrow-batched census with NULLs for undecodables
+    rows = [
+        ("a.png", "image", bytearray(encode_png(px))),
+        ("b.jpg", "image", bytearray(_minimal_jpeg(12, 34))),
+        ("c.gif", "image", bytearray(gif + bytes(4))),
+        ("bad", "image", bytearray(b"garbage")),
+    ]
+    media = spark.createDataFrame(
+        rows, "path string, modality string, content binary"
+    )
+    got = {r.path: (r.format, r.width, r.height, r.channels)
+           for r in image_metadata_media(media).collect()}
+    assert got == {
+        "a.png": ("png", 7, 5, 3),
+        "b.jpg": ("jpeg", 12, 34, 3),
+        "c.gif": ("gif", 1920, 1080, 3),
+        "bad": (None, None, None, None),
+    }

@@ -145,3 +145,48 @@ def test_versioned_chain_on_scheme_qualified_uri(spark, sf_dir, tmp_path):
 
     assert not _g.glob(str(tmp_path / "nation_uri_versions" / "v=0"))
     assert read_version(spark, uri).count() == 9
+
+
+def test_zorder_skips_files_on_every_clustered_column(spark, sf_dir, tmp_path):
+    """The multi-dimensional layout claim, measured from real footers:
+    under a lexicographic (hierarchical) sort only the LEADING column
+    gets narrow per-file ranges — a range predicate on the second
+    column overlaps essentially every file. Z-ordering interleaves the
+    two, so BOTH columns' predicates skip files. Row fidelity holds."""
+    from portfolio1_etl_spark.operators.sinks import (
+        write_range_sorted,
+        write_zordered,
+    )
+
+    li = catalog.load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_quantity"
+    )
+    n_rows = li.count()
+    lex, zord = str(tmp_path / "lex"), str(tmp_path / "zord")
+    write_range_sorted(li, lex, ["l_orderkey", "l_extendedprice"], n_files=16)
+    write_zordered(li, zord, ["l_orderkey", "l_extendedprice"], n_files=16)
+    assert spark.read.parquet(zord).count() == n_rows
+
+    def overlap_fraction(path, col, lo, hi):
+        ranges = _file_ranges(path, col)
+        hit = sum(1 for mn, mx in ranges if not (mx < lo or mn > hi))
+        return hit / len(ranges)
+
+    # a ~1/8th range of each column's domain
+    ok_lo, ok_hi = li.agg(
+        F.min("l_orderkey"), F.max("l_orderkey")
+    ).collect()[0]
+    pr_lo, pr_hi = li.agg(
+        F.min("l_extendedprice"), F.max("l_extendedprice")
+    ).collect()[0]
+    k_band = (ok_lo, ok_lo + (ok_hi - ok_lo) / 8)
+    p_band = (pr_lo, pr_lo + (pr_hi - pr_lo) / 8)
+
+    # leading column: both layouts skip well
+    assert overlap_fraction(lex, "l_orderkey", *k_band) <= 0.25
+    assert overlap_fraction(zord, "l_orderkey", *k_band) <= 0.75
+    # second column: lexicographic sort is blind, z-order still skips
+    lex_price = overlap_fraction(lex, "l_extendedprice", *p_band)
+    z_price = overlap_fraction(zord, "l_extendedprice", *p_band)
+    assert lex_price >= 0.9, "hierarchical sort unexpectedly skipped"
+    assert z_price <= 0.625, f"z-order failed to skip on 2nd col: {z_price}"
