@@ -95,6 +95,9 @@ HEADLINE = [
     "q136_pack_trained_bpe",
     "q137_media_metadata_census",
     "q138_table_stats",
+    "q139_leakage_safe_split",
+    "q140_mixture_temperature",
+    "q141_bigram_logprob",
 ]
 
 

@@ -1045,3 +1045,169 @@ def q136_pack_trained_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("last_pack"),
         (start % _PACK_BUDGET).cast("long").alias("pack_offset"),
     )
+
+
+# --------------------------------------------------------------------------
+# q140 — temperature-weighted mixture sampling (r7)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q140_mixture_temperature",
+    sql=f"""
+    WITH t AS (
+      SELECT doc_id, source,
+             len(string_split(text, ' ')) AS n_tokens,
+             {_MIX_KEY_SQL} AS k
+      FROM documents
+    ),
+    tot AS (SELECT source, sum(n_tokens) AS st FROM t GROUP BY source),
+    s AS (SELECT source, CAST(floor(sqrt(st)) AS BIGINT) AS sq FROM tot),
+    g AS (
+      SELECT (SELECT sum(sq) FROM s) AS ssum,
+             (SELECT sum(n_tokens) FROM t) AS tall
+    ),
+    budgets AS (
+      SELECT source, ((tall // 4) * sq) // ssum AS budget FROM s, g
+    ),
+    c AS (
+      SELECT t.*, coalesce(sum(n_tokens) OVER (
+               PARTITION BY source ORDER BY k, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+      FROM t
+    )
+    SELECT doc_id, source, CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(budget AS BIGINT) AS budget
+    FROM c JOIN budgets USING (source)
+    WHERE cum_before < budget
+    """,
+    operators=("X-sample", "X-mixture", "X-mixture-temperature"),
+)
+def q140_mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q116 with budgets DERIVED from the corpus by temperature
+    smoothing (α = 0.5, the multilingual-sampling standard): each
+    source's budget ∝ √(its token total), normalized to a quarter of
+    the corpus — big domains are down-weighted, small ones up-weighted,
+    without any hand-written weights dict. All budget arithmetic is
+    INTEGER (floor(sqrt(bigint)) → bigint ratios), so the two engines
+    agree exactly — no float summation-order hazard in the weight
+    normalization (a double Σ(t^α) would tie-break floor() on ulps).
+
+    Scale shape: budgets come from one tiny per-source aggregate
+    (in-plan, never on the driver) broadcast into the SAME
+    histogram-pruned greedy prefix as q116 — only the cut bucket per
+    source pays an ordered window. At true 100 TB token totals
+    approach 2^53; the documented upgrade is decimal(38,0) for the
+    products, same plan."""
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        "source",
+        F.size(F.split("text", " ")).alias("n_tokens"),
+        F.expr(_MIX_KEY_SPARK).alias("k"),
+    )
+    tot = d.groupBy("source").agg(F.sum("n_tokens").alias("st"))
+    s = tot.select(
+        "source", F.floor(F.sqrt("st")).cast("long").alias("sq")
+    )
+    g = s.crossJoin(
+        F.broadcast(d.agg(F.sum("n_tokens").alias("tall")))
+    ).agg(
+        F.sum("sq").alias("ssum"), F.first("tall").alias("tall")
+    )
+    budgets = s.crossJoin(F.broadcast(g)).select(
+        "source",
+        F.expr("((tall div 4) * sq) div ssum").alias("budget"),
+    )
+    sel = budget_prefix_select(d, budgets, bucket_div=_BUCKET_DIV)
+    return sel.join(F.broadcast(budgets), "source").select(
+        "doc_id",
+        "source",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("budget").cast("long").alias("budget"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q141 — bigram-LM document scoring with add-k smoothing (r7)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q141_bigram_logprob",
+    sql="""
+    WITH ws AS (
+      SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ),
+    bg AS (
+      SELECT doc_id, w[i] AS w1, w[i + 1] AS w2
+      FROM ws, LATERAL unnest(generate_series(1, len(w) - 1)) AS u(i)
+    ),
+    dbg AS (SELECT doc_id, w1, w2, count(*) AS c FROM bg GROUP BY ALL),
+    model AS (SELECT w1, w2, sum(c) AS b FROM dbg GROUP BY w1, w2),
+    ctx AS (SELECT w1, sum(b) AS cw FROM model GROUP BY w1),
+    vsize AS (
+      SELECT count(DISTINCT tok) AS v
+      FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+    ),
+    scored AS (
+      SELECT d.doc_id, d.c,
+             ln((m.b + 0.5) / (x.cw + 0.5 * vsize.v)) AS lp
+      FROM dbg d JOIN model m USING (w1, w2) JOIN ctx x USING (w1), vsize
+    )
+    SELECT doc_id,
+           CAST(sum(c) AS BIGINT) AS n_bigrams,
+           round(sum(c * lp) / sum(c), 4) AS avg_logprob
+    FROM scored GROUP BY doc_id
+    """,
+    operators=("X-lm-score", "X-lm-bigram", "X-quality"),
+)
+def q141_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q118's perplexity gate upgraded to a BIGRAM model with add-k
+    smoothing (k=0.5): p(w2|w1) = (c(w1,w2)+k) / (c(w1)+k·V). The
+    bigram model catches what unigrams cannot — shuffled or
+    concatenated boilerplate scores exactly like fluent text under a
+    bag-of-words model, but its improbable word TRANSITIONS crater the
+    bigram score; smoothing keeps unseen transitions finite, which is
+    what makes the score usable as a filter threshold. Documents with
+    fewer than two words have no bigrams and drop out (both engines).
+
+    Scale shape (the q118 recipe): per-doc bigram counts aggregate
+    once (one shuffle); the MODEL (bigram + context tables) derives
+    from that same aggregate — the corpus is never re-scanned — and
+    scoring is a broadcast join of the doc-bigram table against the
+    model plus the 1-row V. ln() on identical doubles and a 4 dp
+    round on the weighted mean follow the registry determinism
+    contract."""
+    from portfolio1_etl_spark.operators.checkpointing import materialize
+
+    d = _docs(spark, sf_dir)
+    bigrams = F.expr(
+        "zip_with(slice(ws, 1, size(ws) - 1), slice(ws, 2, size(ws) - 1), "
+        "(a, b) -> struct(a AS w1, b AS w2))"
+    )
+    dbg = (
+        d.select("doc_id", F.split("text", " ").alias("ws"))
+        .select("doc_id", F.explode(bigrams).alias("bg"))
+        .groupBy("doc_id", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    dbg = materialize(dbg)
+    model = dbg.groupBy("w1", "w2").agg(F.sum("c").alias("b"))
+    ctx = model.groupBy("w1").agg(F.sum("b").alias("cw"))
+    vsize = (
+        d.select(F.explode(F.split("text", " ")).alias("tok"))
+        .agg(F.count_distinct("tok").alias("v"))
+    )
+    lp = F.log(
+        (F.col("b") + 0.5) / (F.col("cw") + 0.5 * F.col("v"))
+    )
+    return (
+        dbg.join(F.broadcast(model), ["w1", "w2"])
+        .join(F.broadcast(ctx), "w1")
+        .crossJoin(F.broadcast(vsize))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").cast("long").alias("n_bigrams"),
+            F.round(F.sum(F.col("c") * lp) / F.sum("c"), 4).alias("avg_logprob"),
+        )
+    )

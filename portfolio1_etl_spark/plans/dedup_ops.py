@@ -757,3 +757,71 @@ def q110_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_words",
         "n_removed",
     )
+
+
+# --- q139: leakage-safe train/val/test split (r7) --------------------------
+
+
+def _leakage_split_sql() -> str:
+    """Oracle: splice the full q89 cluster derivation as a subquery
+    (the q114/q129 composition pattern — the split on the board is the
+    split of exactly the gated cluster pipeline), then assign splits
+    by the hash of the GROUP key."""
+    bucket = (
+        "('0x' || substr(md5('split-' || group_key::VARCHAR), 1, 12))::BIGINT % 10"
+    )
+    return f"""
+    WITH cc AS (SELECT doc_id, cluster_id FROM ({_dup_clusters_sql()})),
+    g AS (
+      SELECT d.doc_id, coalesce(cc.cluster_id, d.doc_id) AS group_key
+      FROM (SELECT doc_id FROM documents) d LEFT JOIN cc USING (doc_id)
+    )
+    SELECT doc_id, group_key,
+           CASE WHEN b < 8 THEN 'train' WHEN b = 8 THEN 'val' ELSE 'test' END
+             AS split
+    FROM (SELECT doc_id, group_key, {bucket} AS b FROM g)
+    """
+
+
+@query(
+    "q139_leakage_safe_split",
+    sql=_leakage_split_sql(),
+    operators=("X-split-leakage", "X-dedup-cc", "X-dedup-dfcap"),
+)
+def q139_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/val/test assignment that near-duplicates CANNOT straddle:
+    the split key is the document's near-dup CLUSTER id (q89's
+    connected components; singletons key on their own doc_id), hashed
+    into 80/10/10 buckets with the package's deterministic salted-md5
+    recipe. Splitting by doc_id hash — the naive recipe — leaks: a
+    train document's near-duplicate lands in test with probability
+    ~1 - 1/10 per pair, and eval scores measure memorization of the
+    duplicated text. Keying on the cluster makes the guarantee
+    structural (tested: every q77 near-dup pair shares a split), which
+    is why a real pipeline derives splits AFTER dedup clustering.
+
+    Scale shape: q89's bucketed pair join + O(log n) CC contraction,
+    one broadcast-able left join of the (small — paired docs only)
+    cluster table onto the corpus, then a narrow hash map. No new
+    shuffle beyond the audited q89 plan."""
+    from portfolio1_etl_spark.plans.registry import REGISTRY
+
+    docs = _docs(spark, sf_dir).select("doc_id")
+    cc = (
+        REGISTRY["q89_dup_clusters"]
+        .fn(spark, sf_dir)
+        .select("doc_id", "cluster_id")
+    )
+    g = docs.join(F.broadcast(cc), "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("cluster_id", "doc_id").alias("group_key"),
+    )
+    b = F.expr(
+        "cast(conv(substring(md5(concat('split-', cast(group_key as string))), "
+        "1, 12), 16, 10) as bigint) % 10"
+    )
+    return g.select(
+        "doc_id",
+        "group_key",
+        F.when(b < 8, "train").when(b == 8, "val").otherwise("test").alias("split"),
+    )

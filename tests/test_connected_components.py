@@ -92,3 +92,37 @@ def test_many_small_components_converge_exactly(spark):
     # start (every round maps each pair onto itself) — termination must
     # come from true set equality, never from count equality alone.
     _check(spark, [(2 * i, 2 * i + 1) for i in range(200)])
+
+
+def test_leakage_safe_split_structural_guarantee(spark, sf_dir):
+    """The q139 invariants, asserted structurally (not via the oracle):
+    every near-dup pair shares a split (the leakage guarantee is by
+    construction, so NO pair may straddle), every document is assigned
+    exactly once, and the hash split lands near 80/10/10."""
+    from portfolio1_etl_spark.plans import REGISTRY
+
+    split = REGISTRY["q139_leakage_safe_split"].fn(spark, sf_dir)
+    docs_n = split.count()
+    assert split.select("doc_id").distinct().count() == docs_n
+
+    pairs = REGISTRY["q77_jaccard_dfcap"].fn(spark, sf_dir).select(
+        "doc_a", "doc_b"
+    )
+    a = split.select(
+        F.col("doc_id").alias("doc_a"), F.col("split").alias("split_a")
+    )
+    b = split.select(
+        F.col("doc_id").alias("doc_b"), F.col("split").alias("split_b")
+    )
+    straddlers = (
+        pairs.join(a, "doc_a").join(b, "doc_b")
+        .filter(F.col("split_a") != F.col("split_b"))
+        .count()
+    )
+    assert straddlers == 0, "near-dup pair straddles a split boundary"
+
+    frac = {
+        r["split"]: r["n"] / docs_n
+        for r in split.groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert 0.6 < frac["train"] < 0.95 and frac["val"] < 0.25 and frac["test"] < 0.25

@@ -41,6 +41,10 @@ QUERIES = [
     "q136_pack_trained_bpe",
     # mixed-format header probe (depends only on doc_id arithmetic)
     "q137_media_metadata_census",
+    # corpus-derived temperature budgets (integer sqrt arithmetic)
+    "q140_mixture_temperature",
+    # smoothed bigram transitions on degenerate-repeat/1-token docs
+    "q141_bigram_logprob",
 ]
 
 _VOCAB = (

@@ -137,6 +137,13 @@ _SANCTIONED_BNLJ = {
     # crosses the 8 scoreboard queries with the broadcast k-row
     # codebook (the q83 pattern).
     "q135_ivf_index_probe",
+    # temperature mixture: the ~20-row per-source table crosses the
+    # broadcast ONE-ROW corpus-total aggregate to derive budgets (the
+    # q94/q118 1-row-total pattern); the corpus side stays equi-joined.
+    "q140_mixture_temperature",
+    # bigram LM: cross with the broadcast ONE-ROW vocabulary-size
+    # aggregate for the smoothing denominator (the q118 pattern).
+    "q141_bigram_logprob",
 }
 
 
