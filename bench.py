@@ -98,6 +98,8 @@ HEADLINE = [
     "q139_leakage_safe_split",
     "q140_mixture_temperature",
     "q141_bigram_logprob",
+    # lossy-format pixel decode (JPEG Huffman/DCT, GIF LZW, BMP)
+    "q142_lossy_pixel_census",
 ]
 
 

@@ -5,10 +5,12 @@ primitives in oracle-checked form)."""
 from portfolio1_etl_spark.operators.multimodal import (
     MEDIA_FEATURES_SCHEMA,
     MEDIA_SCHEMA,
+    decode_bmp,
     decode_media,
     decode_media_features,
     decode_ppm,
     decode_wav,
+    encode_bmp,
     encode_ppm,
     encode_wav,
     featurize_media,
@@ -18,6 +20,8 @@ from portfolio1_etl_spark.operators.multimodal import (
     resize_media,
     sample_frames,
 )
+from portfolio1_etl_spark.operators.jpeg import decode_jpeg, encode_jpeg
+from portfolio1_etl_spark.operators.gif import decode_gif, encode_gif
 from portfolio1_etl_spark.operators.sinks import (
     compact_parquet,
     overwrite_partitions,

@@ -1,0 +1,268 @@
+"""[ext] Dependency-free GIF codec (LZW, numpy only).
+
+Companion to :mod:`operators.jpeg` — closes the GIF half of the lossy
+-format pixel boundary (GIF is actually LOSSLESS for ≤256-color
+content, which makes it the exactly-fuzzable member of the family:
+random palette images must round-trip bit-for-bit, no PSNR bound).
+
+- ``decode_gif``: GIF87a/89a — global and local color tables,
+  interlaced and sequential images, extension-block skipping (GCE /
+  comment / application), full variable-width LZW with clear-code
+  dictionary resets. Returns the FIRST frame as (h, w, 3) uint8 RGB
+  (animation frames beyond the first are compositing semantics, not
+  decode semantics — documented boundary, same tier as progressive
+  JPEG).
+- ``encode_gif``: GIF89a single-frame writer — exact palette built
+  from the image (raises if >256 distinct colors; quantization is a
+  MODELING choice the caller owns, not something a codec should do
+  silently), standard LZW with dictionary growth to 4096 and reset.
+
+Used by ``multimodal.decode_media`` inside ``mapInPandas`` batches —
+narrow map over the binaryFile scan, no shuffle. Reference analogue:
+none (the reference has no media path; [ext] per BASELINE.json:6).
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+
+# --- LZW (GIF variant: LSB-first packing, clear/EOI codes) ------------------
+
+
+def _lzw_encode(indices: np.ndarray, min_code_size: int) -> bytes:
+    """Standard GIF LZW: emit CLEAR, build the string table up to
+    4095 then reset; codes packed LSB-first."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    out = bytearray()
+    acc = 0
+    nbits = 0
+
+    def emit(code: int, width: int) -> None:
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    table: dict[bytes, int] = {bytes([i]): i for i in range(clear)}
+    next_code = eoi + 1
+    width = min_code_size + 1
+    emit(clear, width)
+    prefix = b""
+    for idx in indices.tolist():
+        sym = bytes([idx])
+        cand = prefix + sym
+        if cand in table:
+            prefix = cand
+            continue
+        emit(table[prefix], width)
+        table[cand] = next_code
+        next_code += 1
+        if next_code == (1 << width) + 1:
+            # the code JUST emitted was the last at this width
+            if width < 12:
+                width += 1
+        if next_code >= 4096:
+            emit(clear, width)
+            table = {bytes([i]): i for i in range(clear)}
+            next_code = eoi + 1
+            width = min_code_size + 1
+        prefix = sym
+    if prefix:
+        emit(table[prefix], width)
+    emit(eoi, width)
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def _lzw_decode(data: bytes, min_code_size: int, expected: int) -> np.ndarray:
+    """Inverse of :func:`_lzw_encode`; stops after ``expected`` pixels
+    or EOI. Raises ValueError on invalid codes / truncation."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    pos = 0
+    acc = 0
+    nbits = 0
+
+    def read(width: int) -> int:
+        nonlocal pos, acc, nbits
+        while nbits < width:
+            if pos >= len(data):
+                raise ValueError("truncated GIF LZW stream")
+            acc |= data[pos] << nbits
+            pos += 1
+            nbits += 8
+        v = acc & ((1 << width) - 1)
+        acc >>= width
+        nbits -= width
+        return v
+
+    out = np.empty(expected, dtype=np.uint8)
+    n = 0
+    table: list[bytes] = [bytes([i]) for i in range(clear)] + [b"", b""]
+    width = min_code_size + 1
+    prev: bytes | None = None
+    while n < expected:
+        code = read(width)
+        if code == clear:
+            table = [bytes([i]) for i in range(clear)] + [b"", b""]
+            width = min_code_size + 1
+            prev = None
+            continue
+        if code == eoi:
+            break
+        if code < len(table) and (code < clear or code > eoi):
+            entry = table[code]
+        elif code == len(table) and prev is not None:
+            entry = prev + prev[:1]  # the KwKwK case
+        else:
+            raise ValueError("invalid GIF LZW code")
+        take = min(len(entry), expected - n)
+        out[n : n + take] = np.frombuffer(entry[:take], dtype=np.uint8)
+        n += take
+        if prev is not None and len(table) < 4096:
+            table.append(prev + entry[:1])
+        prev = entry
+        if len(table) == (1 << width) and width < 12:
+            width += 1
+    if n < expected:
+        raise ValueError("GIF LZW stream ended early")
+    return out
+
+
+# --- container --------------------------------------------------------------
+
+_INTERLACE_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))
+
+
+def encode_gif(pixels: np.ndarray, interlace: bool = False) -> bytes:
+    """Single-frame GIF89a from (h, w, 3) uint8 RGB with ≤256 distinct
+    colors (raises ValueError beyond — palette quantization is the
+    caller's modeling decision). ``interlace=True`` writes the 4-pass
+    interlaced row order (exists mostly so the decoder's deinterlace
+    path has a round-trip test partner)."""
+    px = np.asarray(pixels)
+    if px.dtype != np.uint8 or px.ndim != 3 or px.shape[2] != 3:
+        raise ValueError("pixels must be uint8 (h,w,3)")
+    h, w = px.shape[:2]
+    if h == 0 or w == 0 or h > 0xFFFF or w > 0xFFFF:
+        raise ValueError("image dimensions out of GIF range")
+    flat = px.reshape(-1, 3)
+    palette, indices = np.unique(flat, axis=0, return_inverse=True)
+    if len(palette) > 256:
+        raise ValueError("more than 256 distinct colors — quantize first")
+    # palette size field is a power of two ≥ 2 entries
+    bits = max(1, int(len(palette) - 1).bit_length())
+    size = 1 << bits
+    pal = np.zeros((size, 3), dtype=np.uint8)
+    pal[: len(palette)] = palette
+    out = bytearray()
+    out += b"GIF89a"
+    out += struct.pack("<HH", w, h)
+    out += bytes([0x80 | (bits - 1), 0, 0])  # GCT present, bg 0, no aspect
+    out += pal.tobytes()
+    out += b"\x2c" + struct.pack("<HHHH", 0, 0, w, h)
+    out += bytes([0x40 if interlace else 0x00])
+    mcs = max(2, bits)
+    out += bytes([mcs])
+    rows = indices.reshape(h, w)
+    if interlace:
+        order = [
+            r for start, step in _INTERLACE_PASSES for r in range(start, h, step)
+        ]
+        rows = rows[order]
+    lzw = _lzw_encode(rows.reshape(-1).astype(np.uint8), mcs)
+    for i in range(0, len(lzw), 255):
+        chunk = lzw[i : i + 255]
+        out += bytes([len(chunk)]) + chunk
+    out += b"\x00"  # block terminator
+    out += b"\x3b"  # trailer
+    return bytes(out)
+
+
+def decode_gif(b: bytes) -> tuple[np.ndarray, int, int]:
+    """Decode the first image of a GIF87a/89a stream. Returns
+    (pixels (h,w,3) uint8 RGB, w, h). Transparency (GCE flag) is
+    ignored — the transparent index still resolves through the
+    palette, which is the right call for pixel-statistics pipelines.
+    Raises ValueError on malformed/truncated input."""
+    if b[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF")
+    if len(b) < 13:
+        raise ValueError("truncated GIF header")
+    sw, sh = struct.unpack("<HH", b[6:10])
+    flags = b[10]
+    pos = 13
+    gct = None
+    if flags & 0x80:
+        n = 2 << (flags & 0x07)
+        gct = np.frombuffer(b[pos : pos + 3 * n], dtype=np.uint8)
+        if len(gct) < 3 * n:
+            raise ValueError("truncated global color table")
+        gct = gct.reshape(n, 3)
+        pos += 3 * n
+    while pos < len(b):
+        block = b[pos]
+        if block == 0x21:  # extension: label + sub-blocks
+            pos += 2
+            while pos < len(b) and b[pos] != 0:
+                pos += 1 + b[pos]
+            pos += 1
+        elif block == 0x2C:  # image descriptor
+            if pos + 10 > len(b):
+                raise ValueError("truncated image descriptor")
+            x0, y0, iw, ih = struct.unpack("<HHHH", b[pos + 1 : pos + 9])
+            iflags = b[pos + 9]
+            pos += 10
+            if iflags & 0x80:  # local color table
+                n = 2 << (iflags & 0x07)
+                lct = np.frombuffer(b[pos : pos + 3 * n], dtype=np.uint8)
+                if len(lct) < 3 * n:
+                    raise ValueError("truncated local color table")
+                palette = lct.reshape(n, 3)
+                pos += 3 * n
+            elif gct is not None:
+                palette = gct
+            else:
+                raise ValueError("GIF image with no color table")
+            if pos >= len(b):
+                raise ValueError("truncated GIF before LZW data")
+            mcs = b[pos]
+            pos += 1
+            if not 2 <= mcs <= 11:
+                raise ValueError("invalid LZW minimum code size")
+            data = bytearray()
+            while pos < len(b) and b[pos] != 0:
+                ln = b[pos]
+                chunk = b[pos + 1 : pos + 1 + ln]
+                if len(chunk) < ln:
+                    raise ValueError("truncated GIF data sub-block")
+                data += chunk
+                pos += 1 + ln
+            if pos >= len(b):
+                raise ValueError("missing GIF block terminator")
+            idx = _lzw_decode(bytes(data), mcs, iw * ih)
+            if int(idx.max(initial=0)) >= len(palette):
+                raise ValueError("GIF index outside palette")
+            rows = idx.reshape(ih, iw)
+            if iflags & 0x40:  # interlaced: 4-pass row shuffle
+                out_rows = np.empty_like(rows)
+                src = 0
+                for start, step in _INTERLACE_PASSES:
+                    for r in range(start, ih, step):
+                        out_rows[r] = rows[src]
+                        src += 1
+                rows = out_rows
+            return palette[rows], iw, ih
+        elif block == 0x3B:
+            break
+        else:
+            raise ValueError(f"unknown GIF block 0x{block:02x}")
+    raise ValueError("GIF contains no image data")

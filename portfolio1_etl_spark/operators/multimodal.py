@@ -19,23 +19,26 @@ Spark-side design (all real and tested):
   ``repartition(col("modality"), pmod(xxhash64("path"), lit(N)))``.)
 
 Decode support is two-tier:
-- **Real, dependency-free decoders** for PPM (P6) images, PNG (8-bit
+- **Real, dependency-free decoders** for PPM (P6), PNG (8-bit
   gray/RGB[A], non-interlaced — stdlib zlib inflate + full
-  None/Sub/Up/Average/Paeth unfiltering, ``decode_png``), and WAV
-  (RIFF/PCM16) audio — no image/audio library needed (``decode_ppm``
-  / ``decode_png`` / ``decode_wav`` / ``decode_media``), exercised
-  end-to-end by the oracle-checked q91/q102 encode→decode round
-  trips.
-- Lossy codec formats (JPEG/MP3/MP4) need PIL/soundfile/av, which
-  this image does not ship: ``decode_media`` raises a clearly-marked
-  ``NotImplementedError`` for those, and the digest-feature path
-  (``featurize_media``) remains the library-free fallback.
-- **Header-only metadata** (r7) is a third tier between the two:
+  None/Sub/Up/Average/Paeth unfiltering, ``decode_png``), baseline
+  JPEG (``operators.jpeg`` — full Huffman/DCT/chroma pipeline, all
+  tables read from the stream), GIF (``operators.gif`` — LZW with
+  interlace and local palettes), uncompressed 24/32 bpp BMP
+  (``decode_bmp``), and WAV (RIFF/PCM16) audio — no image/audio
+  library needed, exercised end-to-end by oracle-checked encode→
+  decode round trips (q91/q102/q142) and the image fuzz family.
+- Remaining codec families (progressive JPEG, MP3/MP4) need
+  soundfile/av, which this image does not ship: ``decode_media``
+  raises a clearly-marked ``NotImplementedError`` for those, and the
+  digest-feature path (``featurize_media``) remains the library-free
+  fallback.
+- **Header-only metadata** (r7) sits between the tiers:
   ``probe_image_dimensions`` / ``image_metadata_media`` read
   (format, width, height, channels) from file headers alone — JPEG
   SOF-walk, GIF/BMP headers, PNG IHDR, PPM — so resolution censuses,
-  size-bucketed partitioning, and data cards cover the lossy formats
-  too without any codec library or pixel inflation.
+  size-bucketed partitioning, and data cards stay a few hundred
+  bytes per object even where pixel inflation is unnecessary.
 """
 
 from __future__ import annotations
@@ -82,6 +85,9 @@ _EXT_MODALITY = {
     "jpg": ("image", "image/jpeg"),
     "jpeg": ("image", "image/jpeg"),
     "png": ("image", "image/png"),
+    "gif": ("image", "image/gif"),
+    "bmp": ("image", "image/bmp"),
+    "ppm": ("image", "image/x-portable-pixmap"),
     "wav": ("audio", "audio/wav"),
     "mp3": ("audio", "audio/mpeg"),
     "mp4": ("video", "video/mp4"),
@@ -338,21 +344,103 @@ def decode_wav(b: bytes) -> tuple[np.ndarray, int]:
     return np.frombuffer(data, dtype="<i2"), sample_rate
 
 
+def encode_bmp(pixels: np.ndarray, top_down: bool = False, bpp: int = 24) -> bytes:
+    """Encode (h, w, 3) uint8 RGB as an uncompressed BITMAPINFOHEADER
+    BMP — 24 bpp BGR rows padded to 4 bytes, or 32 bpp BGRX. Negative
+    height encodes top-down row order (both orders exist in the wild,
+    so both need a round-trip partner for :func:`decode_bmp`)."""
+    px = np.asarray(pixels)
+    if px.dtype != np.uint8 or px.ndim != 3 or px.shape[2] != 3:
+        raise ValueError("pixels must be uint8 (h,w,3)")
+    if bpp not in (24, 32):
+        raise ValueError("bpp must be 24 or 32")
+    h, w = px.shape[:2]
+    bgr = px[:, :, ::-1]
+    if bpp == 32:
+        rows = np.concatenate(
+            [bgr, np.zeros((h, w, 1), dtype=np.uint8)], axis=2
+        ).reshape(h, -1)
+    else:
+        stride = (3 * w + 3) & ~3
+        rows = np.zeros((h, stride), dtype=np.uint8)
+        rows[:, : 3 * w] = bgr.reshape(h, -1)
+    if not top_down:
+        rows = rows[::-1]
+    data = rows.tobytes()
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, w, -h if top_down else h, 1, bpp, 0, len(data),
+        2835, 2835, 0, 0,
+    )
+    hdr = struct.pack("<2sIHHI", b"BM", 14 + 40 + len(data), 0, 0, 14 + 40)
+    return hdr + info + data
+
+
+def decode_bmp(b: bytes) -> tuple[np.ndarray, int, int]:
+    """Decode an uncompressed 24/32 bpp BITMAPINFOHEADER BMP. Returns
+    ((h, w, 3) uint8 RGB, w, h); handles bottom-up and top-down rows
+    and 4-byte row padding. Palettized / RLE / bitfield variants raise
+    NotImplementedError (a documented boundary — 24 bpp is what media
+    pipelines emit)."""
+    if b[:2] != b"BM" or len(b) < 54:
+        raise ValueError("not a BMP / truncated header")
+    data_off = struct.unpack("<I", b[10:14])[0]
+    hdr_size = struct.unpack("<I", b[14:18])[0]
+    if hdr_size < 40:
+        raise NotImplementedError("BITMAPCOREHEADER BMP not supported")
+    w, h_signed = struct.unpack("<ii", b[18:26])
+    bpp = struct.unpack("<H", b[28:30])[0]
+    compression = struct.unpack("<I", b[30:34])[0]
+    if compression != 0:
+        raise NotImplementedError(f"compressed BMP (method {compression}) not supported")
+    if bpp not in (24, 32):
+        raise NotImplementedError(f"{bpp} bpp BMP not supported (24/32 only)")
+    if w <= 0 or h_signed == 0:
+        raise ValueError("invalid BMP dimensions")
+    top_down = h_signed < 0
+    h = abs(h_signed)
+    stride = (w * (bpp // 8) + 3) & ~3
+    need = data_off + stride * h
+    if len(b) < need:
+        raise ValueError("truncated BMP pixel data")
+    rows = np.frombuffer(b[data_off : data_off + stride * h], dtype=np.uint8)
+    rows = rows.reshape(h, stride)
+    if not top_down:
+        rows = rows[::-1]
+    px = rows[:, : w * (bpp // 8)].reshape(h, w, bpp // 8)
+    return px[:, :, 2::-1].copy(), w, h  # BGR(X) -> RGB
+
+
 def decode_media(content: bytes) -> tuple[str, np.ndarray, str]:
     """Decode one media object by magic bytes. Returns
     (modality, values int64, dims) where values are pixel bytes
     (image) or PCM16 samples (audio) and dims is '{w}x{h}' or
     '{rate}Hz'.
 
-    PNG decodes natively too (stdlib zlib inflate + unfilter,
-    ``decode_png``). Lossy codec formats (JPEG/MP3/MP4) require
-    PIL/soundfile/av — not shipped in this image — and raise
-    ``NotImplementedError`` as a documented capability boundary."""
+    Native dependency-free decoders cover PPM, PNG (zlib inflate +
+    unfilter), baseline JPEG (``operators.jpeg.decode_jpeg`` — full
+    Huffman/DCT pipeline, tables read from the stream), GIF
+    (``operators.gif.decode_gif`` — LZW, interlace, local palettes),
+    uncompressed BMP, and WAV/PCM16. Remaining boundaries raise a
+    clearly-marked ``NotImplementedError``: progressive JPEG, and
+    MP3/MP4 (audio/video codec families needing soundfile/av)."""
     if content[:2] == b"P6":
         pixels, w, h = decode_ppm(content)
         return "image", pixels.reshape(-1).astype(np.int64), f"{w}x{h}"
     if content[:8] == _PNG_SIG:
         pixels, w, h = decode_png(content)
+        return "image", pixels.reshape(-1).astype(np.int64), f"{w}x{h}"
+    if content[:2] == b"\xff\xd8":
+        from portfolio1_etl_spark.operators.jpeg import decode_jpeg
+
+        pixels, w, h = decode_jpeg(content)
+        return "image", pixels.reshape(-1).astype(np.int64), f"{w}x{h}"
+    if content[:6] in (b"GIF87a", b"GIF89a"):
+        from portfolio1_etl_spark.operators.gif import decode_gif
+
+        pixels, w, h = decode_gif(content)
+        return "image", pixels.reshape(-1).astype(np.int64), f"{w}x{h}"
+    if content[:2] == b"BM":
+        pixels, w, h = decode_bmp(content)
         return "image", pixels.reshape(-1).astype(np.int64), f"{w}x{h}"
     # RIFF alone is not enough — WebP/AVI are RIFF containers too;
     # only RIFF/WAVE routes to the WAV decoder.
@@ -360,9 +448,9 @@ def decode_media(content: bytes) -> tuple[str, np.ndarray, str]:
         samples, rate = decode_wav(content)
         return "audio", samples.astype(np.int64), f"{rate}Hz"
     raise NotImplementedError(
-        "lossy media decode (JPEG/MP3/MP4) requires an image/audio "
-        "library (PIL/soundfile/av) — not available in this image; "
-        "PPM, PNG, and WAV decode natively"
+        "media decode for this format requires an audio/video library "
+        "(MP3/MP4 via soundfile/av — not available in this image); "
+        "PPM, PNG, baseline JPEG, GIF, BMP, and WAV decode natively"
     )
 
 
@@ -469,12 +557,25 @@ def resize_ppm(b: bytes, target_px: int) -> bytes:
 
 def resize_media(media: DataFrame, target_px: int = 256) -> DataFrame:
     """Resize/transcode pass over a media column via mapInPandas.
-    PPM and RGB PNG images resize for REAL (decode → nearest-neighbor
-    downsample → re-encode); other formats fall back to a
-    deterministic byte-decimation stand-in (lossy codecs need PIL/av,
-    absent in this image). The Spark-side contract — binary in /
-    smaller binary out per Arrow batch, metadata struct rewritten —
-    is identical on both paths."""
+    PPM, RGB PNG, baseline JPEG, GIF, and BMP images resize for REAL
+    (decode → nearest-neighbor downsample → re-encode in the SAME
+    format, r7); remaining formats fall back to a deterministic
+    byte-decimation stand-in (MP3/MP4 need soundfile/av, absent in
+    this image). The Spark-side contract — binary in / smaller binary
+    out per Arrow batch, metadata struct rewritten — is identical on
+    both paths."""
+
+    def _shrink(pixels: np.ndarray, w: int, h: int) -> np.ndarray | None:
+        """Nearest-neighbor downsample to ≤ target_px on the long
+        edge; None means 'already small enough, keep the original'
+        (upscaling is a no-op — training pipelines shrink)."""
+        scale = max(w, h) / target_px
+        if scale <= 1.0:
+            return None
+        nw, nh = max(int(w / scale), 1), max(int(h / scale), 1)
+        rows = (np.arange(nh) * h) // nh
+        cols = (np.arange(nw) * w) // nw
+        return pixels[rows][:, cols]
 
     def _resize_one(b: bytes) -> bytes:
         if b[:2] == b"P6":
@@ -486,16 +587,43 @@ def resize_media(media: DataFrame, target_px: int = 256) -> DataFrame:
             try:
                 pixels, w, h = decode_png(b)
                 if pixels.shape[2] == 3:  # RGB re-encodes natively
-                    scale = max(w, h) / target_px
-                    if scale <= 1.0:
-                        return b
-                    nw, nh = max(int(w / scale), 1), max(int(h / scale), 1)
-                    rows = (np.arange(nh) * h) // nh
-                    cols = (np.arange(nw) * w) // nw
-                    return encode_png(pixels[rows][:, cols])
+                    small = _shrink(pixels, w, h)
+                    return b if small is None else encode_png(small)
             except (ValueError, NotImplementedError, zlib.error,
                     struct.error, IndexError):
                 pass  # unsupported/malformed PNG → stand-in path
+        if b[:2] == b"\xff\xd8":
+            try:
+                from portfolio1_etl_spark.operators.jpeg import (
+                    decode_jpeg,
+                    encode_jpeg,
+                )
+
+                pixels, w, h = decode_jpeg(b)
+                small = _shrink(pixels, w, h)
+                return b if small is None else encode_jpeg(small, quality=85)
+            except (ValueError, NotImplementedError, struct.error, IndexError):
+                pass  # progressive/corrupt JPEG → stand-in path
+        if b[:6] in (b"GIF87a", b"GIF89a"):
+            try:
+                from portfolio1_etl_spark.operators.gif import (
+                    decode_gif,
+                    encode_gif,
+                )
+
+                pixels, w, h = decode_gif(b)
+                small = _shrink(pixels, w, h)
+                # a pixel subset of a palette image stays ≤256 colors
+                return b if small is None else encode_gif(small)
+            except (ValueError, IndexError):
+                pass
+        if b[:2] == b"BM":
+            try:
+                pixels, w, h = decode_bmp(b)
+                small = _shrink(pixels, w, h)
+                return b if small is None else encode_bmp(small)
+            except (ValueError, NotImplementedError, struct.error, IndexError):
+                pass
         # deterministic stand-in for codec-backed formats: a resize
         # produces smaller content derived from the original.
         return bytes(b[::2])

@@ -100,7 +100,10 @@ PRIORITY: tuple[str, ...] = (
     "q99_pq_ann",
     # multimodal layer
     "q111_image_dhash",         # (was q90 featurize)
-    "q102_png_decode",          # (was q91 decode)
+    "q142_lossy_pixel_census",  # JPEG/GIF/BMP pixel decode (r7, new —
+                                # was q102 png decode; q142 drives the
+                                # same decode_media map over the
+                                # entropy-coded formats)
 )
 
 

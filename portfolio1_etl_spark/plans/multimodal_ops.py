@@ -588,3 +588,116 @@ def q137_media_metadata_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         "height",
         "channels",
     )
+
+
+# --- q142: lossy-format PIXEL decode census (r7 codec close) ---------------
+
+#: q142 synthesis arithmetic — the ENTIRE oracle contract. Format
+#: cycles with doc_id % 3 over the three r7-native codecs; geometry
+#: keeps w·h divisible by 4 so the GIF palette mean closes in SQL;
+#: flat grayscale JPEG at quality 75 has luma Q[0,0] = 8, which makes
+#: the DC-only path EXACTLY lossless (DC = 8·(v−128) divides by 8),
+#: so even the lossy family contributes value-hashed pixels; every
+#: 37th object is corrupt and must surface as an `undecodable` row.
+_PIXEL_FORMATS = ("jpeg", "gif", "bmp")
+
+
+def _pixel_geometry(doc_id: int) -> tuple[int, int]:
+    # decoupled from the doc_id % 3 format cycle (doc_id // 3 varies
+    # WITHIN each format) so JPEGs span 1..3 MCUs per row — the
+    # restart-marker resync actually fires — and every format sees
+    # every size; w stays a multiple of 4 so the GIF mean closes.
+    return 4 * (1 + (doc_id // 3) % 5), 1 + (doc_id // 3) % 7
+
+
+def _synthesize_lossy_media(docs):
+    from portfolio1_etl_spark.operators.gif import encode_gif as _enc_gif
+    from portfolio1_etl_spark.operators.jpeg import encode_jpeg as _enc_jpeg
+    from portfolio1_etl_spark.operators.multimodal import encode_bmp as _enc_bmp
+
+    def _one(doc_id: int) -> bytes:
+        if doc_id % 37 == 0:
+            return b"\xff\xd8 not actually a scan \x00"  # corrupt JPEG
+        w, h = _pixel_geometry(doc_id)
+        kind = _PIXEL_FORMATS[doc_id % 3]
+        if kind == "jpeg":
+            v = (doc_id * 11) % 256
+            px = np.full((h, w), v, dtype=np.uint8)
+            # odd docs also carry a DRI/RSTn stream — decode must resync
+            return _enc_jpeg(px, quality=75,
+                             restart_interval=2 if doc_id % 2 else 0)
+        if kind == "gif":
+            pal = np.stack(
+                [(doc_id * 31 + np.arange(4) * 63) % 256] * 3, axis=1
+            ).astype(np.uint8)
+            idx = ((np.arange(h * w) + doc_id) % 4).reshape(h, w)
+            return _enc_gif(pal[idx], interlace=bool(doc_id % 2))
+        rows = ((doc_id + np.arange(h)) % 256).astype(np.uint8)
+        px = np.repeat(rows, w * 3).reshape(h, w, 3)
+        return _enc_bmp(px, top_down=bool(doc_id % 2),
+                        bpp=24 if doc_id % 4 < 2 else 32)
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "path": pdf["doc_id"].astype(str),
+                    "modality": "image",
+                    "content": [_one(int(d)) for d in pdf["doc_id"]],
+                }
+            )
+
+    return docs.select("doc_id").mapInPandas(
+        op, "path string, modality string, content binary"
+    )
+
+
+@query(
+    "q142_lossy_pixel_census",
+    sql="""
+    WITH geo AS (
+      SELECT doc_id,
+             4 * (1 + (doc_id // 3) % 5) AS w,
+             1 + (doc_id // 3) % 7 AS h
+      FROM documents
+    )
+    SELECT doc_id,
+      CASE WHEN doc_id % 37 = 0 THEN 'undecodable'
+           ELSE w::VARCHAR || 'x' || h::VARCHAR END AS dims,
+      CASE WHEN doc_id % 37 = 0 THEN 0
+           WHEN doc_id % 3 = 0 THEN CAST(w * h AS BIGINT)
+           ELSE CAST(3 * w * h AS BIGINT)
+        END AS n_units,
+      CASE WHEN doc_id % 37 = 0 THEN 0.0
+           WHEN doc_id % 3 = 0 THEN CAST((doc_id * 11) % 256 AS DOUBLE)
+           WHEN doc_id % 3 = 1 THEN
+             ((doc_id * 31) % 256 + (doc_id * 31 + 63) % 256
+              + (doc_id * 31 + 126) % 256 + (doc_id * 31 + 189) % 256) / 4.0
+           ELSE list_avg(list_transform(generate_series(0, h - 1),
+                                        r -> (doc_id + r) % 256))
+        END AS mean_val
+    FROM geo
+    """,
+    operators=("X-multimodal", "X-jpeg", "X-gif", "X-bmp"),
+)
+def q142_lossy_pixel_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIXEL decode census over the r7-native lossy-format family —
+    the scoreboard proof that baseline JPEG (operators/jpeg: full
+    Huffman/DCT, restart-marker resync on odd docs), GIF
+    (operators/gif: LZW, interlaced on odd docs), and BMP (both row
+    orders, 24/32 bpp) decode through the SAME ``decode_media`` narrow
+    map as PPM/PNG/WAV. Synthesis keeps every decoded value in closed
+    integer form: flat grayscale JPEG at quality 75 is DC-exact
+    (Q[0,0]=8 divides DC=8·(v−128)), GIF/BMP are lossless, so the
+    oracle replays dims, unit counts, AND mean pixel values as
+    arithmetic over doc_id — a value-hashed gate on three real
+    entropy-coded decoders. Corrupt objects (every 37th) must surface
+    as `undecodable` rows, never task deaths."""
+    docs = catalog.load(spark, sf_dir, "documents")
+    feats = decode_media_features(_synthesize_lossy_media(docs))
+    return feats.select(
+        F.col("path").cast("long").alias("doc_id"),
+        "dims",
+        "n_units",
+        "mean_val",
+    )

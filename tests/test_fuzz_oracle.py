@@ -41,6 +41,9 @@ QUERIES = [
     "q136_pack_trained_bpe",
     # mixed-format header probe (depends only on doc_id arithmetic)
     "q137_media_metadata_census",
+    # lossy-format PIXEL decode census (JPEG/GIF/BMP codecs on random
+    # doc_id sets: every geometry x format x corrupt combination)
+    "q142_lossy_pixel_census",
     # corpus-derived temperature budgets (integer sqrt arithmetic)
     "q140_mixture_temperature",
     # smoothed bigram transitions on degenerate-repeat/1-token docs

@@ -53,9 +53,14 @@ def test_featurize_media_batched(spark, media_dir):
 
 
 def test_compressed_decode_is_clearly_bounded():
-    """JPEG/MP3 need real codec libraries — the boundary stays an
-    explicit NotImplementedError, not a silent wrong answer."""
+    """The remaining codec boundary (MP3/MP4) stays an explicit
+    NotImplementedError; a CORRUPT member of a natively-decoded
+    family (JPEG since r7) must raise ValueError — never return
+    garbage pixels and never fall through to the 'needs a library'
+    message."""
     with pytest.raises(NotImplementedError, match="media decode"):
+        decode_media(b"ID3\x04fakemp3bytes")
+    with pytest.raises(ValueError):
         decode_media(b"\xff\xd8fakejpegbytes")
 
 

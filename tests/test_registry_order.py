@@ -80,7 +80,9 @@ def test_every_operator_family_inside_window():
         "sim-quantized": "q95_quantized_ann",
         "sim-pq": "q99_pq_ann",
         "multimodal-hash": "q111_image_dhash",  # was q90 featurize
-        "multimodal-decode": "q102_png_decode",  # was q91
+        "multimodal-decode": "q142_lossy_pixel_census",  # was q102 (r7:
+        # the JPEG/GIF/BMP pixel census drives the same decode_media
+        # map plus the three entropy-coded codecs)
     }
     outside = {f: q for f, q in families.items() if q not in window}
     assert not outside, f"families outside the {WINDOW}-entry window: {outside}"
