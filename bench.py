@@ -100,6 +100,9 @@ HEADLINE = [
     "q141_bigram_logprob",
     # lossy-format pixel decode (JPEG Huffman/DCT, GIF LZW, BMP)
     "q142_lossy_pixel_census",
+    # compressed-audio decode (G.711 mu-law; IMA ADPCM state machine)
+    "q143_mulaw_decode",
+    "q144_adpcm_decode",
 ]
 
 

@@ -322,26 +322,48 @@ def encode_wav(samples: np.ndarray, sample_rate: int = 8000) -> bytes:
 
 def decode_wav(b: bytes) -> tuple[np.ndarray, int]:
     """Parse a RIFF/WAVE file: walk the chunk list, read the fmt
-    chunk (PCM16 mono only), return (int16 samples, sample_rate)."""
+    chunk, return (int16 samples, sample_rate). Natively decoded
+    formats (r7): PCM16 (tag 1), G.711 mu-law (tag 7), and mono
+    IMA/DVI ADPCM (tag 0x11) — the compressed telephony/voice-corpus
+    codecs, both exactly-specified integer algorithms
+    (``operators.audio``). Anything else (MP3-in-WAV, float PCM,
+    multichannel) stays a loud NotImplementedError."""
     if b[:4] != b"RIFF" or b[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE file")
     pos, sample_rate, data = 12, None, None
+    fmt = channels = bits = block_align = None
+    fact_samples = None
     while pos + 8 <= len(b):
         cid, size = b[pos : pos + 4], struct.unpack("<I", b[pos + 4 : pos + 8])[0]
         body = b[pos + 8 : pos + 8 + size]
         if cid == b"fmt ":
             fmt, channels, sample_rate = struct.unpack("<HHI", body[:8])
+            block_align = struct.unpack("<H", body[12:14])[0]
             bits = struct.unpack("<H", body[14:16])[0]
-            if (fmt, channels, bits) != (1, 1, 16):
-                raise NotImplementedError(
-                    f"only PCM16 mono supported (fmt={fmt}, ch={channels}, bits={bits})"
-                )
+        elif cid == b"fact" and size >= 4:
+            fact_samples = struct.unpack("<I", body[:4])[0]
         elif cid == b"data":
             data = body
         pos += 8 + size + (size & 1)  # chunks are word-aligned
     if sample_rate is None or data is None:
         raise ValueError("missing fmt/data chunk")
-    return np.frombuffer(data, dtype="<i2"), sample_rate
+    if (fmt, channels, bits) == (1, 1, 16):
+        return np.frombuffer(data, dtype="<i2"), sample_rate
+    if (fmt, channels, bits) == (7, 1, 8):
+        from portfolio1_etl_spark.operators.audio import mulaw_decode
+
+        codes = np.frombuffer(data, dtype=np.uint8)
+        if fact_samples is not None:
+            codes = codes[:fact_samples]
+        return mulaw_decode(codes), sample_rate
+    if (fmt, channels, bits) == (0x11, 1, 4):
+        from portfolio1_etl_spark.operators.audio import decode_wav_adpcm_data
+
+        return decode_wav_adpcm_data(data, block_align, fact_samples), sample_rate
+    raise NotImplementedError(
+        f"unsupported WAV encoding (fmt={fmt}, ch={channels}, bits={bits}); "
+        "PCM16, mu-law, and mono IMA ADPCM decode natively"
+    )
 
 
 def encode_bmp(pixels: np.ndarray, top_down: bool = False, bpp: int = 24) -> bytes:

@@ -701,3 +701,213 @@ def q142_lossy_pixel_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_units",
         "mean_val",
     )
+
+
+# --- q143/q144: compressed-audio decode (G.711 mu-law, IMA ADPCM) ----------
+
+#: shared synthesis arithmetic for the audio censuses. Every 41st doc
+#: is a VALID RIFF/WAVE with an unsupported format tag (2 = MS ADPCM)
+#: — the loud NotImplementedError boundary must surface as an
+#: `undecodable` row, not a task death and not a silently-wrong
+#: decode. Mu-law code bytes / ADPCM nibbles and seed state are pure
+#: doc_id arithmetic, so the oracle replays the DECODERS themselves:
+#: mu-law as a closed-form bit expression per byte, ADPCM as a
+#: recursive CTE walking the (predictor, step-index) state machine.
+
+
+def _mulaw_params(doc_id: int) -> tuple[int, int]:
+    return 32 + doc_id % 64, 8000 + (doc_id % 5) * 2000  # (n codes, rate)
+
+
+def _adpcm_params(doc_id: int) -> tuple[int, int, int]:
+    # (n nibbles, seed predictor, seed step index)
+    return 16 + doc_id % 17, ((doc_id * 37) % 2048) - 1024, doc_id % 89
+
+
+def _bad_wav() -> bytes:
+    import struct
+
+    fmt = struct.pack("<HHIIHHH", 2, 1, 8000, 8000, 1, 4, 0)  # MS ADPCM tag
+    return (
+        b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt) + 8 + 4) + b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", 4) + bytes(4)
+    )
+
+
+def _synthesize_mulaw_media(docs):
+    from portfolio1_etl_spark.operators.audio import encode_wav_mulaw_raw
+
+    def _one(doc_id: int) -> bytes:
+        if doc_id % 41 == 0:
+            return _bad_wav()
+        n, rate = _mulaw_params(doc_id)
+        codes = ((doc_id * 7 + np.arange(n) * 13) % 256).astype(np.uint8)
+        return encode_wav_mulaw_raw(codes, rate)
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "path": pdf["doc_id"].astype(str),
+                    "modality": "audio",
+                    "content": [_one(int(d)) for d in pdf["doc_id"]],
+                }
+            )
+
+    return docs.select("doc_id").mapInPandas(
+        op, "path string, modality string, content binary"
+    )
+
+
+#: closed-form G.711 mu-law decode of code byte ``c`` as SQL (the
+#: one's complement is written 255−c; parenthesization matters —
+#: DuckDB binds & and >> loosely)
+_MULAW_SQL = (
+    "(CASE WHEN (((255 - ({c})) & 128) > 0) THEN -1 ELSE 1 END) * "
+    "((((((255 - ({c})) & 15) * 8 + 132)) << (((255 - ({c})) >> 4) & 7)) - 132)"
+)
+
+
+@query(
+    "q143_mulaw_decode",
+    sql=f"""
+    WITH geo AS (
+      SELECT doc_id, 32 + doc_id % 64 AS n, 8000 + (doc_id % 5) * 2000 AS rate
+      FROM documents
+    )
+    SELECT doc_id,
+      CASE WHEN doc_id % 41 = 0 THEN 'undecodable'
+           ELSE rate::VARCHAR || 'Hz' END AS dims,
+      CASE WHEN doc_id % 41 = 0 THEN 0 ELSE CAST(n AS BIGINT) END AS n_units,
+      CASE WHEN doc_id % 41 = 0 THEN 0.0
+           ELSE list_avg(list_transform(generate_series(0, n - 1),
+                k -> {_MULAW_SQL.format(c="(doc_id * 7 + k * 13) % 256")}))
+        END AS mean_val,
+      CASE WHEN doc_id % 41 = 0 THEN 0.0
+           ELSE sqrt(list_avg(list_transform(generate_series(0, n - 1),
+                k -> CAST({_MULAW_SQL.format(c="(doc_id * 7 + k * 13) % 256")} AS DOUBLE)
+                     * {_MULAW_SQL.format(c="(doc_id * 7 + k * 13) % 256")})))
+        END AS rms
+    FROM geo
+    """,
+    operators=("X-multimodal", "X-audio-mulaw"),
+)
+def q143_mulaw_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G.711 mu-law decode census — compressed AUDIO joins the
+    value-hashed scoreboard. Synthesized telephony clips (code bytes
+    and sample rates are doc_id arithmetic) decode through the same
+    ``decode_media`` narrow map as PCM; the oracle replays the decoder
+    ITSELF as a closed-form bit expression per code byte (sign ×
+    ((mant·8+132)≪seg −132)), so companding, container parsing, and
+    the fact-chunk sample count are all under the hash. Valid WAVs
+    with an unsupported format tag (every 41st: MS ADPCM) must
+    surface as `undecodable` rows — the loud-boundary contract."""
+    docs = catalog.load(spark, sf_dir, "documents")
+    feats = decode_media_features(_synthesize_mulaw_media(docs))
+    return feats.select(
+        F.col("path").cast("long").alias("doc_id"),
+        "dims",
+        "n_units",
+        "mean_val",
+        "rms",
+    )
+
+
+def _synthesize_adpcm_media(docs):
+    from portfolio1_etl_spark.operators.audio import encode_wav_adpcm
+
+    def _one(doc_id: int) -> bytes:
+        if doc_id % 41 == 0:
+            return _bad_wav()
+        n_nib, pred0, index0 = _adpcm_params(doc_id)
+        nib = ((doc_id + np.arange(n_nib) * 5) % 16).astype(np.uint8)
+        return encode_wav_adpcm(nib, pred0, index0, 8000)
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "path": pdf["doc_id"].astype(str),
+                    "modality": "audio",
+                    "content": [_one(int(d)) for d in pdf["doc_id"]],
+                }
+            )
+
+    return docs.select("doc_id").mapInPandas(
+        op, "path string, modality string, content binary"
+    )
+
+
+def _adpcm_oracle_sql() -> str:
+    """Build the recursive-CTE oracle from the SAME step/index tables
+    the decoder uses (the tables are spec constants; the STATE
+    MACHINE — transitions, clamps, nibble packing, block header, fact
+    count — is what the differential actually gates, and those are
+    implemented independently here and in operators/audio.py)."""
+    from portfolio1_etl_spark.operators.audio import INDEX_TABLE, STEP_TABLE
+
+    st = "[" + ",".join(str(int(x)) for x in STEP_TABLE) + "]"
+    it = "[" + ",".join(str(int(x)) for x in INDEX_TABLE) + "]"
+    nib = "((doc_id + k * 5) % 16)"
+    return f"""
+    WITH RECURSIVE
+    seed AS (
+      SELECT doc_id, 0 AS k,
+             ((doc_id * 37) % 2048) - 1024 AS pred,
+             doc_id % 89 AS idx,
+             16 + doc_id % 17 AS n_nib
+      FROM documents WHERE doc_id % 41 <> 0
+    ),
+    steps AS (
+      SELECT * FROM seed
+      UNION ALL
+      SELECT doc_id, k + 1,
+        GREATEST(-32768, LEAST(32767,
+          pred + (CASE WHEN ({nib} & 8) > 0 THEN -1 ELSE 1 END) *
+            ( (({st})[idx + 1] >> 3)
+            + CASE WHEN ({nib} & 1) > 0 THEN (({st})[idx + 1] >> 2) ELSE 0 END
+            + CASE WHEN ({nib} & 2) > 0 THEN (({st})[idx + 1] >> 1) ELSE 0 END
+            + CASE WHEN ({nib} & 4) > 0 THEN ({st})[idx + 1] ELSE 0 END )
+        )) AS pred,
+        GREATEST(0, LEAST(88, idx + ({it})[{nib} + 1])) AS idx,
+        n_nib
+      FROM steps WHERE k < n_nib
+    ),
+    agg AS (
+      SELECT doc_id, COUNT(*) AS n_units,
+             CAST(SUM(pred) AS DOUBLE) / COUNT(*) AS mean_val
+      FROM steps GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+      CASE WHEN d.doc_id % 41 = 0 THEN 'undecodable' ELSE '8000Hz' END AS dims,
+      COALESCE(a.n_units, 0) AS n_units,
+      COALESCE(a.mean_val, 0.0) AS mean_val
+    FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
+    """
+
+
+@query(
+    "q144_adpcm_decode",
+    sql=_adpcm_oracle_sql(),
+    operators=("X-multimodal", "X-audio-adpcm"),
+)
+def q144_adpcm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IMA/DVI ADPCM decode census — the STATEFUL compressed-audio
+    codec on the scoreboard. Synthesized single-block clips (nibbles
+    and the (predictor, step-index) seed are doc_id arithmetic)
+    decode through ``decode_media``; the oracle replays the 4-bit
+    state machine with a recursive CTE — per-nibble predictor update,
+    both clamps, the index walk, and the fact-chunk pad-nibble cutoff
+    all under the value hash. The step/index tables are shared spec
+    constants; the transitions are implemented independently in each
+    engine. Unsupported-format WAVs (every 41st) surface as
+    `undecodable` rows."""
+    docs = catalog.load(spark, sf_dir, "documents")
+    feats = decode_media_features(_synthesize_adpcm_media(docs))
+    return feats.select(
+        F.col("path").cast("long").alias("doc_id"),
+        "dims",
+        "n_units",
+        "mean_val",
+    )

@@ -1,0 +1,204 @@
+"""Compressed-audio codecs (operators/audio: G.711 mu-law, IMA/DVI
+ADPCM) and the cross-format perceptual-hash property the image codec
+family now supports.
+
+Exactness strategy mirrors tests/test_jpeg.py: mu-law decode is pinned
+to hand-computed code points and segment-step error bounds; ADPCM's
+decoder must equal the encoder's own reconstruction BIT-FOR-BIT (the
+encoder advances state with the same transition the decoder applies,
+so any divergence is a real bug, not quantization); containers carry
+the fact-chunk sample count so pad nibbles never become phantom
+samples."""
+
+import numpy as np
+import pytest
+
+from portfolio1_etl_spark.operators.audio import (
+    INDEX_TABLE,
+    STEP_TABLE,
+    adpcm_decode_nibbles,
+    adpcm_encode,
+    decode_wav_adpcm_data,
+    encode_wav_adpcm,
+    encode_wav_mulaw,
+    encode_wav_mulaw_raw,
+    mulaw_decode,
+    mulaw_encode,
+)
+from portfolio1_etl_spark.operators.multimodal import decode_media, decode_wav
+
+
+# --- mu-law -----------------------------------------------------------------
+
+
+def test_mulaw_known_code_points():
+    """Spec anchors: silence encodes to 0xFF and decodes to 0; the
+    most negative segment-7 code 0x00 decodes to -8031·4 = -32124;
+    sign symmetry holds for every magnitude."""
+    assert mulaw_encode(np.array([0], np.int16))[0] == 0xFF
+    assert mulaw_decode(np.array([0xFF], np.uint8))[0] == 0
+    assert mulaw_decode(np.array([0x00], np.uint8))[0] == -32124
+    assert mulaw_decode(np.array([0x80], np.uint8))[0] == 32124
+    codes = np.arange(256, dtype=np.uint8)
+    dec = mulaw_decode(codes).astype(np.int64)
+    # codes 0x00-0x7F are negative-or-zero, 0x80-0xFF positive-or-zero
+    assert (dec[:128] <= 0).all() and (dec[128:] >= 0).all()
+    assert (dec[:128] == -dec[128:]).all()
+
+
+def test_mulaw_roundtrip_error_bounded_and_idempotent():
+    rng = np.random.RandomState(0)
+    pcm = rng.randint(-32768, 32768, 20000).astype(np.int16)
+    codes = mulaw_encode(pcm)
+    dec = mulaw_decode(codes)
+    # error ≤ half the decision step of the widest segment (2^10 / 2)
+    err = np.abs(dec.astype(np.int64) - np.clip(pcm, -32635, 32635))
+    assert int(err.max()) <= 512
+    # decode points are fixed points of the codec — up to the spec's
+    # one aliased pair: 0x7F is "negative zero", which decodes to 0
+    # and re-encodes as positive zero 0xFF
+    re = mulaw_encode(dec)
+    disagree = re != codes
+    assert (codes[disagree] == 0x7F).all() and (re[disagree] == 0xFF).all()
+
+
+def test_mulaw_wav_container_and_fact_count(spark=None):
+    pcm = (np.arange(-300, 300, 7)).astype(np.int16)
+    samples, rate = decode_wav(encode_wav_mulaw(pcm, 16000))
+    assert rate == 16000
+    assert (samples == mulaw_decode(mulaw_encode(pcm))).all()
+    # raw-code container: every code value decodes through the wrapper
+    codes = np.arange(256, dtype=np.uint8)
+    samples2, _ = decode_wav(encode_wav_mulaw_raw(codes))
+    assert (samples2 == mulaw_decode(codes)).all()
+
+
+# --- IMA ADPCM --------------------------------------------------------------
+
+
+def test_adpcm_tables_are_spec_shaped():
+    assert len(STEP_TABLE) == 89 and len(INDEX_TABLE) == 16
+    assert STEP_TABLE[0] == 7 and STEP_TABLE[-1] == 32767
+    assert (np.diff(STEP_TABLE) > 0).all()  # strictly increasing
+    # growth ratio ~1.1 everywhere (the spec's geometric ladder)
+    ratios = STEP_TABLE[1:] / STEP_TABLE[:-1]
+    assert ratios.min() > 1.05 and ratios.max() < 1.18
+    assert (INDEX_TABLE[:4] == -1).all() and list(INDEX_TABLE[4:8]) == [2, 4, 6, 8]
+    assert (INDEX_TABLE[:8] == INDEX_TABLE[8:]).all()  # sign-symmetric
+
+
+def test_adpcm_decoder_equals_encoder_reconstruction_exactly():
+    """The load-bearing property: both sides run the same published
+    state transition, so decode(encode(x)) == the encoder's internal
+    prediction sequence with ZERO tolerance."""
+    rng = np.random.RandomState(7)
+    for _ in range(5):
+        pcm = (
+            np.cumsum(rng.randint(-500, 501, 999))
+            .clip(-32768, 32767)
+            .astype(np.int16)
+        )
+        nib, pred0 = adpcm_encode(pcm, index0=int(rng.randint(0, 89)))
+        recon = adpcm_decode_nibbles(nib, pred0, 0)  # wrong seed index...
+        # ...must NOT match (proves the state actually matters)
+        wav = encode_wav_adpcm(nib, pred0, 44, 8000)
+        dec, rate = decode_wav(wav)
+        expect = adpcm_decode_nibbles(nib, pred0, 44)
+        assert (dec == expect).all() and len(dec) == len(pcm)
+
+
+def test_adpcm_tracks_smooth_audio():
+    """ADPCM is lossy but must track a slowly-varying signal within a
+    few step sizes — a transition-table typo explodes this error."""
+    t = np.arange(4000)
+    pcm = (8000 * np.sin(t / 60.0)).astype(np.int16)
+    nib, pred0 = adpcm_encode(pcm)
+    recon = adpcm_decode_nibbles(nib, pred0, 0)
+    err = np.abs(recon.astype(np.int64) - pcm.astype(np.int64))
+    assert float(err.mean()) < 100.0
+
+
+def test_adpcm_fact_count_drops_pad_nibble():
+    """An odd nibble count forces a pad nibble in the packed block;
+    the fact chunk must cut it so the decode has exactly 1+n samples."""
+    nib = (np.arange(9) % 16).astype(np.uint8)
+    wav = encode_wav_adpcm(nib, 123, 10)
+    dec, _ = decode_wav(wav)
+    assert len(dec) == 10
+    assert (dec == adpcm_decode_nibbles(nib, 123, 10)).all()
+
+
+def test_adpcm_clamps_at_rails():
+    """Predictor must clamp at int16 rails, not wrap: all-positive
+    nibbles from a high seed walk to 32767 and stay."""
+    nib = np.full(200, 7, dtype=np.uint8)  # +max magnitude every step
+    dec = adpcm_decode_nibbles(nib, 30000, 88)
+    assert dec.max() == 32767 and dec[-1] == 32767
+    nibn = np.full(200, 15, dtype=np.uint8)
+    decn = adpcm_decode_nibbles(nibn, -30000, 88)
+    assert decn.min() == -32768 and decn[-1] == -32768
+
+
+def test_adpcm_malformed_raises():
+    with pytest.raises(ValueError, match="block_align"):
+        decode_wav_adpcm_data(bytes(8), 4, None)
+    with pytest.raises(ValueError, match="index"):
+        decode_wav_adpcm_data(b"\x00\x00\x59\x00\x00\x00", 6, None)
+    with pytest.raises(ValueError):
+        decode_wav_adpcm_data(b"\x00\x00", 6, None)  # truncated header
+
+
+def test_unsupported_wav_format_stays_loud():
+    import struct
+
+    fmt = struct.pack("<HHIIHHH", 2, 1, 8000, 8000, 1, 4, 0)  # MS ADPCM
+    wav = (
+        b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt) + 8 + 4) + b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", 4) + bytes(4)
+    )
+    with pytest.raises(NotImplementedError, match="unsupported WAV"):
+        decode_wav(wav)
+    with pytest.raises(NotImplementedError):
+        decode_media(wav)
+
+
+# --- cross-format perceptual hashing ----------------------------------------
+
+
+def test_dhash_survives_format_transcoding():
+    """The point of a PERCEPTUAL hash: the same picture saved as PNG
+    (lossless), BMP (lossless), GIF (palette-lossless), and JPEG
+    (lossy, quality 90) must hash near-identically — ≤6/64 bits apart
+    for the JPEG, exactly equal for the lossless trio — while a
+    genuinely different picture sits far away."""
+    from portfolio1_etl_spark.operators.gif import encode_gif
+    from portfolio1_etl_spark.operators.jpeg import decode_jpeg, encode_jpeg
+    from portfolio1_etl_spark.operators.multimodal import (
+        decode_bmp,
+        decode_png,
+        dhash_bits,
+        encode_bmp,
+        encode_png,
+    )
+    from portfolio1_etl_spark.operators.gif import decode_gif
+
+    # a smooth 9×8 thumbnail with strong horizontal structure
+    xx, yy = np.meshgrid(np.arange(9), np.arange(8))
+    base = ((xx * 23 + yy * 11) % 200 + 20).astype(np.uint8)
+    img = np.stack([base, base, base], axis=-1)
+
+    h_png = dhash_bits(decode_png(encode_png(img))[0])
+    h_bmp = dhash_bits(decode_bmp(encode_bmp(img))[0])
+    h_gif = dhash_bits(decode_gif(encode_gif(img))[0])
+    h_jpg = dhash_bits(decode_jpeg(encode_jpeg(img, quality=90))[0])
+
+    def ham(a, b):
+        return bin(a[0] ^ b[0]).count("1") + bin(a[1] ^ b[1]).count("1")
+
+    assert h_png == h_bmp == h_gif
+    assert ham(h_png, h_jpg) <= 6
+    # the mirrored picture reverses every brighter-than comparison —
+    # a perceptual hash must place it far away
+    h_other = dhash_bits(img[:, ::-1])
+    assert ham(h_png, h_other) > 16

@@ -44,6 +44,10 @@ QUERIES = [
     # lossy-format PIXEL decode census (JPEG/GIF/BMP codecs on random
     # doc_id sets: every geometry x format x corrupt combination)
     "q142_lossy_pixel_census",
+    # compressed-audio decode: closed-form mu-law bytes and the
+    # recursive-CTE ADPCM state machine on random doc_id sets
+    "q143_mulaw_decode",
+    "q144_adpcm_decode",
     # corpus-derived temperature budgets (integer sqrt arithmetic)
     "q140_mixture_temperature",
     # smoothed bigram transitions on degenerate-repeat/1-token docs
