@@ -103,6 +103,8 @@ HEADLINE = [
     # compressed-audio decode (G.711 mu-law; IMA ADPCM state machine)
     "q143_mulaw_decode",
     "q144_adpcm_decode",
+    # animated-GIF frame compositing census
+    "q145_gif_animation_census",
 ]
 
 

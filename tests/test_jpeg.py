@@ -315,3 +315,148 @@ def test_resize_media_shrinks_jpeg_gif_bmp_for_real(spark, tmp_path):
     for name in ("a.jpg", "b.gif", "c.bmp"):
         _, vals, dims = decode_media(out[name])
         assert dims == "24x12", (name, dims)
+
+
+# --- animated GIF (multi-frame compositing) ---------------------------------
+
+
+def test_gif_animation_full_size_frames_roundtrip():
+    """Disposal 1 full-size frames: every composited output frame
+    equals its input frame exactly (the lossless-animation anchor);
+    the NETSCAPE loop block must be walked over, not tripped on."""
+    from portfolio1_etl_spark.operators.gif import (
+        decode_gif_frames,
+        encode_gif_animated,
+    )
+
+    rng = np.random.RandomState(5)
+    pal = np.unique(rng.randint(0, 256, (10, 3), dtype=np.uint8), axis=0)
+    frames = [pal[rng.randint(0, len(pal), (7, 11))] for _ in range(4)]
+    enc = encode_gif_animated(frames)
+    assert b"NETSCAPE2.0" in enc
+    dec, w, h = decode_gif_frames(enc)
+    assert dec.shape == (4, 7, 11, 3) and (w, h) == (11, 7)
+    for f in range(4):
+        assert (dec[f] == frames[f]).all()
+
+
+def test_gif_animation_patch_compositing_and_transparency():
+    """Sub-rectangle patches must composite at their offsets (the
+    onion), and GCE-transparent pixels must KEEP the canvas under
+    them."""
+    from portfolio1_etl_spark.operators.gif import (
+        decode_gif_frames,
+        encode_gif_animated,
+    )
+
+    rng = np.random.RandomState(6)
+    pal = np.unique(rng.randint(0, 256, (10, 3), dtype=np.uint8), axis=0)
+    base = pal[np.zeros((10, 10), int)]
+    patch1 = pal[np.ones((4, 4), int)]
+    patch2 = pal[np.full((2, 2), 2)]
+    enc = encode_gif_animated(
+        [base, patch1, patch2], offsets=[(0, 0), (2, 3), (4, 5)]
+    )
+    dec, _, _ = decode_gif_frames(enc)
+    exp1 = base.copy()
+    exp1[3:7, 2:6] = patch1
+    exp2 = exp1.copy()
+    exp2[5:7, 4:6] = patch2
+    assert (dec[0] == base).all() and (dec[1] == exp1).all() and (dec[2] == exp2).all()
+
+    # transparency: mark pal[0]'s global slot transparent; a frame-2
+    # checkerboard of (transparent, pal[2]) must keep frame-1 pixels
+    # in the transparent cells
+    f0 = pal[np.full((6, 6), 1)]
+    f1 = pal[np.array([[0, 2], [2, 0]]).repeat(3, 0).repeat(3, 1)]
+    allpx = np.concatenate([f0.reshape(-1, 3), f1.reshape(-1, 3)])
+    gpal = np.unique(allpx, axis=0)
+    t_idx = int(np.where((gpal == pal[0]).all(axis=1))[0][0])
+    dec, _, _ = decode_gif_frames(
+        encode_gif_animated([f0, f1], transparent_index=t_idx)
+    )
+    exp = f1.copy()
+    mask = (f1 == pal[0]).all(axis=2)
+    exp[mask] = f0[mask]
+    assert (dec[1] == exp).all()
+
+
+def test_gif_animation_disposal_methods():
+    """Disposal 3 restores the pre-frame canvas; disposal 2 restores
+    the frame's region to the background color."""
+    from portfolio1_etl_spark.operators.gif import (
+        decode_gif,
+        decode_gif_frames,
+        encode_gif_animated,
+    )
+
+    rng = np.random.RandomState(7)
+    pal = np.unique(rng.randint(0, 256, (10, 3), dtype=np.uint8), axis=0)
+    fA = pal[np.full((5, 5), 3)]
+    fB = pal[np.full((3, 3), 4)]
+    fC = pal[np.full((5, 5), 5)]
+    dec, _, _ = decode_gif_frames(
+        encode_gif_animated(
+            [fA, fB, fC], offsets=[(0, 0), (1, 1), (0, 0)], disposals=[1, 3, 1]
+        )
+    )
+    e1 = fA.copy()
+    e1[1:4, 1:4] = fB
+    assert (dec[1] == e1).all() and (dec[2] == fC).all()
+
+    fC2 = pal[np.full((3, 3), 5)]
+    enc = encode_gif_animated(
+        [fA, fB, fC2], offsets=[(0, 0), (1, 1), (2, 2)], disposals=[1, 2, 1]
+    )
+    dec, _, _ = decode_gif_frames(enc)
+    gpal = np.unique(
+        np.concatenate([f.reshape(-1, 3) for f in (fA, fB, fC2)]), axis=0
+    )
+    e2 = fA.copy()
+    e2[1:4, 1:4] = gpal[0]  # bg color = palette slot 0
+    e2[2:5, 2:5] = fC2[0, 0]
+    assert (dec[2] == e2).all()
+    # decode_gif on an animation = first composited frame
+    first, _, _ = decode_gif(enc)
+    assert (first == fA).all()
+
+
+def test_gif_animation_rejects_bad_geometry():
+    from portfolio1_etl_spark.operators.gif import encode_gif_animated
+
+    f = np.zeros((5, 5, 3), np.uint8)
+    with pytest.raises(ValueError, match="exceeds"):
+        encode_gif_animated([f, f], offsets=[(0, 0), (2, 2)])
+    with pytest.raises(ValueError, match="at least one"):
+        encode_gif_animated([])
+
+
+def test_sample_frames_extracts_real_gif_frames(spark, tmp_path):
+    """The video-frame path: an animated GIF fans out to real
+    composited frames (first and last always included), each a
+    decodable single-frame GIF — not byte chunks."""
+    from portfolio1_etl_spark.operators.gif import (
+        decode_gif,
+        encode_gif_animated,
+    )
+    from portfolio1_etl_spark.operators.multimodal import (
+        read_media_dir,
+        sample_frames,
+    )
+
+    rng = np.random.RandomState(9)
+    pal = np.unique(rng.randint(0, 256, (8, 3), dtype=np.uint8), axis=0)
+    frames = [pal[rng.randint(0, len(pal), (6, 9))] for _ in range(7)]
+    d = tmp_path / "anim"
+    d.mkdir()
+    (d / "clip.gif").write_bytes(encode_gif_animated(frames))
+    out = sorted(
+        sample_frames(read_media_dir(spark, str(d)), n_frames=3).collect(),
+        key=lambda r: r.frame_no,
+    )
+    assert len(out) == 3
+    picks = [0, 3, 6]  # evenly spaced over 7 frames
+    for row, p in zip(out, picks):
+        px, w, h = decode_gif(bytes(row.frame))
+        assert (w, h) == (9, 6)
+        assert (px == frames[p]).all()
