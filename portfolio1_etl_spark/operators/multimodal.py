@@ -21,18 +21,20 @@ Spark-side design (all real and tested):
 Decode support is two-tier:
 - **Real, dependency-free decoders** for PPM (P6), PNG (8-bit
   gray/RGB[A], non-interlaced — stdlib zlib inflate + full
-  None/Sub/Up/Average/Paeth unfiltering, ``decode_png``), baseline
-  JPEG (``operators.jpeg`` — full Huffman/DCT/chroma pipeline, all
-  tables read from the stream), GIF (``operators.gif`` — LZW with
-  interlace and local palettes), uncompressed 24/32 bpp BMP
-  (``decode_bmp``), and WAV (RIFF/PCM16) audio — no image/audio
-  library needed, exercised end-to-end by oracle-checked encode→
-  decode round trips (q91/q102/q142) and the image fuzz family.
-- Remaining codec families (progressive JPEG, MP3/MP4) need
-  soundfile/av, which this image does not ship: ``decode_media``
-  raises a clearly-marked ``NotImplementedError`` for those, and the
-  digest-feature path (``featurize_media``) remains the library-free
-  fallback.
+  None/Sub/Up/Average/Paeth unfiltering, ``decode_png``), JPEG
+  (``operators.jpeg`` — BOTH baseline and progressive/SOF2 DCT
+  processes, full Huffman/DCT/chroma pipeline, all tables read from
+  the stream), GIF including ANIMATED (``operators.gif`` — LZW,
+  interlace, local palettes, frame compositing with transparency and
+  disposal methods), uncompressed 24/32 bpp BMP (``decode_bmp``),
+  and WAV audio (PCM16, G.711 mu-law, mono IMA ADPCM via
+  ``operators.audio``) — no image/audio library needed, exercised
+  end-to-end by oracle-checked encode→decode round trips
+  (q91/q102/q142-q145) and the codec fuzz families.
+- Remaining codec families (MP3/MP4) need soundfile/av, which this
+  image does not ship: ``decode_media`` raises a clearly-marked
+  ``NotImplementedError`` for those, and the digest-feature path
+  (``featurize_media``) remains the library-free fallback.
 - **Header-only metadata** (r7) sits between the tiers:
   ``probe_image_dimensions`` / ``image_metadata_media`` read
   (format, width, height, channels) from file headers alone — JPEG
@@ -439,12 +441,13 @@ def decode_media(content: bytes) -> tuple[str, np.ndarray, str]:
     '{rate}Hz'.
 
     Native dependency-free decoders cover PPM, PNG (zlib inflate +
-    unfilter), baseline JPEG (``operators.jpeg.decode_jpeg`` — full
-    Huffman/DCT pipeline, tables read from the stream), GIF
-    (``operators.gif.decode_gif`` — LZW, interlace, local palettes),
-    uncompressed BMP, and WAV/PCM16. Remaining boundaries raise a
-    clearly-marked ``NotImplementedError``: progressive JPEG, and
-    MP3/MP4 (audio/video codec families needing soundfile/av)."""
+    unfilter), JPEG in both DCT processes (``operators.jpeg`` —
+    baseline AND progressive, tables read from the stream), GIF
+    (``operators.gif.decode_gif`` — LZW, interlace, local palettes,
+    first composited frame of animations), uncompressed BMP, and WAV
+    (PCM16 / mu-law / IMA ADPCM). The remaining boundary raises a
+    clearly-marked ``NotImplementedError``: MP3/MP4 (codec families
+    needing soundfile/av)."""
     if content[:2] == b"P6":
         pixels, w, h = decode_ppm(content)
         return "image", pixels.reshape(-1).astype(np.int64), f"{w}x{h}"
@@ -472,7 +475,8 @@ def decode_media(content: bytes) -> tuple[str, np.ndarray, str]:
     raise NotImplementedError(
         "media decode for this format requires an audio/video library "
         "(MP3/MP4 via soundfile/av — not available in this image); "
-        "PPM, PNG, baseline JPEG, GIF, BMP, and WAV decode natively"
+        "PPM, PNG, JPEG (baseline + progressive), GIF, BMP, and WAV "
+        "(PCM16/mu-law/ADPCM) decode natively"
     )
 
 
@@ -625,7 +629,7 @@ def resize_media(media: DataFrame, target_px: int = 256) -> DataFrame:
                 small = _shrink(pixels, w, h)
                 return b if small is None else encode_jpeg(small, quality=85)
             except (ValueError, NotImplementedError, struct.error, IndexError):
-                pass  # progressive/corrupt JPEG → stand-in path
+                pass  # corrupt JPEG → stand-in path
         if b[:6] in (b"GIF87a", b"GIF89a"):
             try:
                 from portfolio1_etl_spark.operators.gif import (

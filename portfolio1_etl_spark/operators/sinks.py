@@ -30,18 +30,34 @@ def write_report_csv(df: DataFrame, path: str, single_file: bool = True) -> None
 
 
 def write_partitioned(
-    df: DataFrame, path: str, partition_cols: list[str], fmt: str = "parquet"
+    df: DataFrame,
+    path: str,
+    partition_cols: list[str],
+    fmt: str = "parquet",
+    bloom_filter_columns: dict[str, int] | None = None,
 ) -> None:
     """K3: date/brand-partitioned report fan-out — the filename-encodes
     -date pattern (portfolio-etl.py:700-707) as real partition
-    directories."""
-    (
-        df.write.mode("overwrite")
-        .partitionBy(*partition_cols)
-        .format(fmt)
-        .option("header", True)
-        .save(path)
-    )
+    directories.
+
+    ``bloom_filter_columns`` maps column name → expected NDV and turns
+    on PARQUET-LEVEL bloom filters for those columns (parquet-mr's
+    ``parquet.bloom.filter.enabled#col`` options). Use for high-
+    cardinality point-lookup columns that partitioning and min/max
+    stats can't prune (IDs, hashes): at 100 TB a reader with predicate
+    pushdown skips whole row groups on a negative membership test —
+    the same role the engine-side CMS/Bloom operators play, but baked
+    into the files so EVERY parquet reader benefits. Size cost is
+    ~1.25 bytes/row/column at the default FPP. Note parquet-mr only
+    writes the filter when the column exceeds the dictionary
+    threshold — a fully dictionary-encoded column already answers
+    exact membership, so requesting a bloom there is a silent no-op
+    by design (size-delta-measured in tests/test_sinks_layout.py)."""
+    w = df.write.mode("overwrite").partitionBy(*partition_cols).format(fmt)
+    for col, ndv in (bloom_filter_columns or {}).items():
+        w = w.option(f"parquet.bloom.filter.enabled#{col}", "true")
+        w = w.option(f"parquet.bloom.filter.expected.ndv#{col}", str(ndv))
+    w.option("header", True).save(path)
 
 
 def write_snapshot(df: DataFrame, path: str) -> None:

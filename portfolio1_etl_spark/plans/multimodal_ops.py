@@ -612,7 +612,10 @@ def _pixel_geometry(doc_id: int) -> tuple[int, int]:
 
 def _synthesize_lossy_media(docs):
     from portfolio1_etl_spark.operators.gif import encode_gif as _enc_gif
-    from portfolio1_etl_spark.operators.jpeg import encode_jpeg as _enc_jpeg
+    from portfolio1_etl_spark.operators.jpeg import (
+        encode_jpeg as _enc_jpeg,
+        encode_jpeg_progressive as _enc_jpeg_prog,
+    )
     from portfolio1_etl_spark.operators.multimodal import encode_bmp as _enc_bmp
 
     def _one(doc_id: int) -> bytes:
@@ -623,7 +626,13 @@ def _synthesize_lossy_media(docs):
         if kind == "jpeg":
             v = (doc_id * 11) % 256
             px = np.full((h, w), v, dtype=np.uint8)
-            # odd docs also carry a DRI/RSTn stream — decode must resync
+            # the format cycle within JPEG: doc_id%4==1 → PROGRESSIVE
+            # (SOF2 multi-scan; quantizes identically, so the analytic
+            # oracle value is unchanged), %4==3 → baseline with a
+            # DRI/RSTn stream the decode must resync over, else plain
+            # baseline
+            if doc_id % 4 == 1:
+                return _enc_jpeg_prog(px, quality=75)
             return _enc_jpeg(px, quality=75,
                              restart_interval=2 if doc_id % 2 else 0)
         if kind == "gif":

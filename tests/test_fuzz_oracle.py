@@ -694,10 +694,19 @@ def test_random_lossy_codecs_roundtrip(seed):
     smooth = smooth.clip(0, 255).astype(np.uint8)
     # 4:2:0 halves the chroma on content that is still chroma-noisy
     # after the light blur — its honest floor sits well below 4:4:4's
+    from portfolio1_etl_spark.operators.jpeg import encode_jpeg_progressive
+
     for sub, floor in (("444", 28.0), ("420", 21.0)):
         dec, _, _ = decode_jpeg(encode_jpeg(smooth, quality=90, subsampling=sub))
         mse = np.mean((dec.astype(float) - smooth.astype(float)) ** 2)
         assert 10 * np.log10(255**2 / max(mse, 1e-12)) > floor, sub
+        # progressive shares quantization with baseline → its decode
+        # must be BIT-EXACT against the baseline decode on random
+        # content (the strongest cross-process differential there is)
+        prog, _, _ = decode_jpeg(
+            encode_jpeg_progressive(smooth, quality=90, subsampling=sub)
+        )
+        assert np.array_equal(prog, dec), sub
 
     # -- mu-law vs independent inline formula -------------------------
     codes = rng.randint(0, 256, 500).astype(np.uint8)

@@ -172,9 +172,11 @@ def test_jpeg_malformed_raises_never_garbage():
         decode_jpeg(b"\xff\xd8\x00\x00")  # marker desync
     with pytest.raises(ValueError):
         decode_jpeg(b"nope")
-    # flip SOF0 -> SOF2: progressive must be a LOUD boundary
+    # flip SOF0 -> SOF2: a baseline scan body mislabeled progressive
+    # has an illegal band (Ss=0, Se=63) — must raise, never decode a
+    # DC-only ghost of the image
     prog = enc.replace(b"\xff\xc0", b"\xff\xc2", 1)
-    with pytest.raises(NotImplementedError, match="progressive"):
+    with pytest.raises(ValueError, match="progressive scan band"):
         decode_jpeg(prog)
 
 
@@ -460,3 +462,87 @@ def test_sample_frames_extracts_real_gif_frames(spark, tmp_path):
         px, w, h = decode_gif(bytes(row.frame))
         assert (w, h) == (9, 6)
         assert (px == frames[p]).all()
+
+
+# --- progressive (SOF2) -----------------------------------------------------
+
+
+@pytest.mark.parametrize(
+    "shape,color,sub,quality",
+    [
+        ((8, 8), False, "444", 75),
+        ((17, 23), False, "444", 85),
+        ((16, 16), True, "444", 90),
+        ((13, 17), True, "420", 75),
+        ((31, 9), True, "420", 90),
+        ((24, 40), True, "444", 50),
+    ],
+)
+def test_progressive_decode_equals_baseline_exactly(shape, color, sub, quality):
+    """THE progressive gate: both encoders share quantization, so the
+    progressive scan pipeline (DC first/refine, split spectral bands,
+    AC refinement with EOB runs and correction bits) must reconstruct
+    the IDENTICAL coefficient array — pixel equality with zero
+    tolerance, every shape, both subsamplings."""
+    from portfolio1_etl_spark.operators.jpeg import encode_jpeg_progressive
+
+    rng = np.random.RandomState(sum(shape) + quality)
+    img = _smooth(rng, *shape, color=color)
+    base, _, _ = decode_jpeg(
+        encode_jpeg(img, quality=quality, subsampling=sub)
+        if color
+        else encode_jpeg(img, quality=quality)
+    )
+    prog, _, _ = decode_jpeg(
+        encode_jpeg_progressive(img, quality=quality, subsampling=sub)
+    )
+    assert np.array_equal(base, prog)
+
+
+def test_progressive_eob_runs_span_blocks():
+    """A mostly-flat image with sparse features forces multi-block EOB
+    runs (EOBn symbols with r ≥ 1 and extra length bits) in both the
+    first and refinement AC scans — still bit-exact vs baseline."""
+    from portfolio1_etl_spark.operators.jpeg import encode_jpeg_progressive
+
+    img = np.full((48, 64), 120, dtype=np.uint8)
+    img[10, 10] = 240
+    img[40, 50] = 0
+    base, _, _ = decode_jpeg(encode_jpeg(img, quality=85))
+    prog, _, _ = decode_jpeg(encode_jpeg_progressive(img, quality=85))
+    assert np.array_equal(base, prog)
+
+
+def test_progressive_through_decode_media_and_resize(spark, tmp_path):
+    """Progressive JPEGs flow through the SAME Spark-side plumbing:
+    decode_media dispatches on the JPEG magic regardless of process,
+    and resize_media really decodes + re-encodes them."""
+    from portfolio1_etl_spark.operators.jpeg import encode_jpeg_progressive
+    from portfolio1_etl_spark.operators.multimodal import (
+        read_media_dir,
+        resize_media,
+    )
+
+    rng = np.random.RandomState(4)
+    img = _smooth(rng, 32, 64, color=True)
+    enc = encode_jpeg_progressive(img, quality=90)
+    modality, vals, dims = decode_media(enc)
+    assert modality == "image" and dims == "64x32"
+    d = tmp_path / "prog"
+    d.mkdir()
+    (d / "p.jpg").write_bytes(enc)
+    out = resize_media(read_media_dir(spark, str(d)), target_px=16).collect()
+    _, _, dims2 = decode_media(bytes(out[0].content))
+    assert dims2 == "16x8"
+
+
+def test_progressive_malformed_raises():
+    from portfolio1_etl_spark.operators.jpeg import encode_jpeg_progressive
+
+    rng = np.random.RandomState(2)
+    img = _smooth(rng, 16, 16, color=False)
+    enc = encode_jpeg_progressive(img, quality=80)
+    with pytest.raises((ValueError, NotImplementedError)):
+        decode_jpeg(enc[: len(enc) // 2])
+    with pytest.raises((ValueError, NotImplementedError)):
+        decode_jpeg(enc[: len(enc) - 10])  # EOI cut off mid-refinement
