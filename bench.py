@@ -105,6 +105,8 @@ HEADLINE = [
     "q144_adpcm_decode",
     # animated-GIF frame compositing census
     "q145_gif_animation_census",
+    # format normalization (transcode to PNG) pixel-losslessness
+    "q146_transcode_census",
 ]
 
 

@@ -997,3 +997,76 @@ def animation_census_media(media: DataFrame) -> DataFrame:
             yield pd.DataFrame(rows)
 
     return media.mapInPandas(op, ANIMATION_CENSUS_SCHEMA)
+
+
+def transcode_media(media: DataFrame, target: str = "png") -> DataFrame:
+    """Format-normalization pass (r7): decode every IMAGE object and
+    re-encode it in ``target`` format ('png' or 'bmp' — the lossless
+    targets a training corpus normalizes to; BMP requires 3-channel).
+    Decoded pixels carry over EXACTLY (lossless re-encode of whatever
+    the source decoder produced — for JPEG sources that is the one
+    decode the corpus will ever pay), so a census over the transcoded
+    corpus hashes identically to one over the originals (q146 vs
+    q142). Audio/video and undecodable objects pass through
+    unchanged (survival, not task death). Arrow-batched narrow map;
+    metadata struct rewritten to the new byte length and mime."""
+    if target not in ("png", "bmp"):
+        raise ValueError("target must be 'png' or 'bmp'")
+    mime = {"png": "image/png", "bmp": "image/bmp"}[target]
+
+    def _decode_image(b: bytes):
+        if b[:2] == b"P6":
+            return decode_ppm(b)[0]
+        if b[:8] == _PNG_SIG:
+            return decode_png(b)[0]
+        if b[:2] == b"\xff\xd8":
+            from portfolio1_etl_spark.operators.jpeg import decode_jpeg
+
+            px = decode_jpeg(b)[0]
+            return px[:, :, None] if px.ndim == 2 else px
+        if b[:6] in (b"GIF87a", b"GIF89a"):
+            from portfolio1_etl_spark.operators.gif import decode_gif
+
+            return decode_gif(b)[0]
+        if b[:2] == b"BM":
+            return decode_bmp(b)[0]
+        return None
+
+    def _one(b: bytes) -> bytes:
+        try:
+            px = _decode_image(b)
+        except (ValueError, NotImplementedError, zlib.error,
+                struct.error, IndexError):
+            return b  # undecodable → pass through, attributable later
+        if px is None:
+            return b  # not an image (audio/video/unknown)
+        if target == "png":
+            return encode_png(px)
+        if px.shape[2] == 1:
+            px = np.repeat(px, 3, axis=2)
+        elif px.shape[2] == 4:
+            px = px[:, :, :3]
+        return encode_bmp(np.ascontiguousarray(px))
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = pdf["content"].map(lambda b: _one(bytes(b)))
+            yield pd.DataFrame(
+                {
+                    "path": pdf["path"],
+                    "modality": pdf["modality"],
+                    "content": out,
+                    "meta": [
+                        {
+                            "length": len(c),
+                            # pass-throughs keep their original mime
+                            "mime": mime
+                            if bytes(c) != bytes(o)
+                            else "application/octet-stream",
+                        }
+                        for c, o in zip(out, pdf["content"])
+                    ],
+                }
+            )
+
+    return media.mapInPandas(op, MEDIA_SCHEMA)

@@ -1031,3 +1031,43 @@ def q145_gif_animation_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_units",
         "mean_val",
     )
+
+
+# --- q146: format normalization (transcode) is pixel-lossless --------------
+
+from portfolio1_etl_spark.plans.registry import REGISTRY as _REGISTRY
+
+
+@query(
+    "q146_transcode_census",
+    # deliberately the SAME oracle as q142: the transcoded corpus must
+    # hash identically to the original one
+    sql=_REGISTRY["q142_lossy_pixel_census"].sql,
+    operators=("X-multimodal", "X-transcode", "X-jpeg", "X-gif", "X-bmp"),
+)
+def q146_transcode_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus format normalization on the scoreboard: the q142 mixed
+    JPEG/GIF/BMP corpus is TRANSCODED to PNG (``transcode_media`` —
+    decode once, re-encode lossless) and the census runs over the
+    PNGs. The oracle is q142's SQL verbatim — dims, unit counts, and
+    mean pixels must hash IDENTICALLY to the original corpus, which
+    is the definition of a lossless normalization pass: the one JPEG
+    decode a training corpus ever pays happens here, and nothing
+    drifts. Corrupt objects pass through and still surface as
+    `undecodable` rows.
+
+    One wrinkle makes this a REAL gate and not a tautology: grayscale
+    JPEG decodes to 1 channel and PNG re-encodes it as grayscale, so
+    unit counts must come out per-CHANNEL-correct through two
+    different containers."""
+    from portfolio1_etl_spark.operators.multimodal import transcode_media
+
+    docs = catalog.load(spark, sf_dir, "documents")
+    media = transcode_media(_synthesize_lossy_media(docs), target="png")
+    feats = decode_media_features(media)
+    return feats.select(
+        F.col("path").cast("long").alias("doc_id"),
+        "dims",
+        "n_units",
+        "mean_val",
+    )

@@ -696,3 +696,38 @@ def bpe_retrain_finalize(state: dict, rounds: int = 8) -> DataFrame:
     from portfolio1_etl_spark.operators.bpe_train import train_bpe_merges
 
     return train_bpe_merges(state["wordcount"], rounds)
+
+
+def media_census_stream(media_stream: DataFrame, state: dict):
+    """Incremental multimodal decode census (r7): media rows (path,
+    modality, content binary) STREAM out of a landing zone and each
+    micro-batch runs the SAME Arrow-batched ``decode_media_features``
+    narrow map the one-shot census uses — JPEG (baseline +
+    progressive), GIF, BMP, PPM, PNG, and WAV (PCM/mu-law/ADPCM) all
+    decode inside the micro-batch, undecodable objects surviving as
+    marked rows. Per-object census rows are disjoint across epochs,
+    so the fold is a union — epoch-guarded, because foreachBatch is
+    at-least-once and a replayed epoch would duplicate objects.
+    Equality with the batch census and same-epoch re-delivery are
+    pinned in tests/test_streaming.py."""
+    from portfolio1_etl_spark.operators.multimodal import decode_media_features
+
+    def _fold(batch_df: DataFrame, epoch_id: int) -> None:
+        if _epoch_already_folded(state, epoch_id):
+            return
+        feats = decode_media_features(batch_df)
+        cur = state.get("census")
+        nxt = feats if cur is None else cur.unionByName(feats)
+        state["census"] = nxt.localCheckpoint(eager=True)
+        _epoch_folded(state, epoch_id)
+
+    writer = media_stream.writeStream.outputMode("append").foreachBatch(_fold)
+    writer.epoch_fold = _fold  # exposed for retry tests
+    return writer
+
+
+def media_census_finalize(state: dict) -> DataFrame:
+    """The maintained census (one row per media object seen)."""
+    if "census" not in state:
+        raise ValueError("media census stream has not folded any batch")
+    return state["census"]

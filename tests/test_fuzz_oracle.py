@@ -50,6 +50,8 @@ QUERIES = [
     "q144_adpcm_decode",
     # animated-GIF compositing census (ring-area arithmetic oracle)
     "q145_gif_animation_census",
+    # transcode-to-PNG must hash identically to q142's original corpus
+    "q146_transcode_census",
     # corpus-derived temperature budgets (integer sqrt arithmetic)
     "q140_mixture_temperature",
     # smoothed bigram transitions on degenerate-repeat/1-token docs

@@ -546,3 +546,49 @@ def test_progressive_malformed_raises():
         decode_jpeg(enc[: len(enc) // 2])
     with pytest.raises((ValueError, NotImplementedError)):
         decode_jpeg(enc[: len(enc) - 10])  # EOI cut off mid-refinement
+
+
+def test_transcode_media_is_pixel_lossless_and_passes_audio(spark, tmp_path):
+    """Format normalization: JPEG/GIF/BMP all re-encode as PNG whose
+    decode equals the SOURCE decode exactly (grayscale JPEG stays
+    1-channel through the container change); WAV and corrupt bytes
+    pass through untouched."""
+    from portfolio1_etl_spark.operators.audio import encode_wav_mulaw_raw
+    from portfolio1_etl_spark.operators.gif import encode_gif_animated
+    from portfolio1_etl_spark.operators.jpeg import encode_jpeg_progressive
+    from portfolio1_etl_spark.operators.multimodal import (
+        decode_png,
+        read_media_dir,
+        transcode_media,
+    )
+
+    rng = np.random.RandomState(12)
+    pal = np.unique(rng.randint(0, 256, (9, 3), dtype=np.uint8), axis=0)
+    rgb = pal[rng.randint(0, len(pal), (10, 13))]
+    gray = _smooth(rng, 9, 14, color=False)
+    d = tmp_path / "mix"
+    d.mkdir()
+    (d / "a.jpg").write_bytes(encode_jpeg(gray, quality=80))
+    (d / "b.jpg").write_bytes(encode_jpeg_progressive(rgb.copy(), quality=90))
+    (d / "c.gif").write_bytes(encode_gif_animated([rgb]))
+    (d / "d.bmp").write_bytes(encode_bmp(rgb, bpp=32))
+    wav = encode_wav_mulaw_raw(np.arange(64, dtype=np.uint8))
+    (d / "e.wav").write_bytes(wav)
+    (d / "f.jpg").write_bytes(b"\xff\xd8corrupt")
+    out = {
+        r.path.rsplit("/", 1)[-1]: bytes(r.content)
+        for r in transcode_media(read_media_dir(spark, str(d)), "png").collect()
+    }
+    # every image became a PNG whose pixels equal the source decode
+    assert out["a.jpg"][:8] == b"\x89PNG\r\n\x1a\n"
+    px_a, _, _ = decode_png(out["a.jpg"])
+    src_a, _, _ = decode_jpeg(encode_jpeg(gray, quality=80))
+    assert px_a.shape[2] == 1 and (px_a[:, :, 0] == src_a).all()
+    px_b, _, _ = decode_png(out["b.jpg"])
+    src_b, _, _ = decode_jpeg(encode_jpeg_progressive(rgb.copy(), quality=90))
+    assert (px_b == src_b).all()
+    assert (decode_png(out["c.gif"])[0] == rgb).all()
+    assert (decode_png(out["d.bmp"])[0] == rgb).all()
+    # audio and corrupt pass through byte-identical
+    assert out["e.wav"] == wav
+    assert out["f.jpg"] == b"\xff\xd8corrupt"

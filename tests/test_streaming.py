@@ -757,3 +757,59 @@ def test_pack_ingest_stream_kill_and_resume(spark, sf_dir, tmp_path):
     for r in rows:  # phase-1 assignments unchanged by the restart
         if r.doc_id in phase1:
             assert (r.shard, r.start_tok) == phase1[r.doc_id]
+
+
+def test_media_census_stream_matches_batch_and_epoch_retry(spark, sf_dir, tmp_path):
+    """Incremental multimodal census == one-shot batch: stream a
+    mixed-codec media landing zone (JPEG incl. progressive, GIF, BMP,
+    mu-law WAV, corrupt) in 3 micro-batches; the maintained census
+    must equal decode_media_features over the same rows, and a
+    re-delivered epoch must fold exactly once."""
+    import numpy as np
+
+    from portfolio1_etl_spark import catalog
+    from portfolio1_etl_spark.operators.multimodal import decode_media_features
+    from portfolio1_etl_spark.plans.multimodal_ops import _synthesize_lossy_media
+    from portfolio1_etl_spark.streaming.jobs import (
+        media_census_finalize,
+        media_census_stream,
+    )
+
+    docs = catalog.load(spark, sf_dir, "documents").limit(90)
+    media = _synthesize_lossy_media(docs)
+    land = tmp_path / "media_landing"
+    land.mkdir()
+    rows = media.collect()
+    for i in range(3):
+        part = rows[i * 30 : (i + 1) * 30]
+        spark.createDataFrame(
+            part, "path string, modality string, content binary"
+        ).coalesce(1).write.parquet(str(land / f"part{i}"))
+    stream = (
+        spark.readStream.schema("path string, modality string, content binary")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(land / "part*"))
+    )
+    state: dict = {}
+    q = media_census_stream(stream, state).start()
+    q.processAllAvailable()
+    q.stop()
+    got = sorted(
+        (r.path, r.n_units, r.dims, r.mean_val)
+        for r in media_census_finalize(state).collect()
+    )
+    want = sorted(
+        (r.path, r.n_units, r.dims, r.mean_val)
+        for r in decode_media_features(media).collect()
+    )
+    assert got == want and len(got) == 90
+
+    # at-least-once: re-delivering the LAST epoch must not re-append
+    n_before = media_census_finalize(state).count()
+    last_epoch = state["_last_epoch"]
+    batch = spark.createDataFrame(
+        rows[60:90], "path string, modality string, content binary"
+    )
+    q2 = media_census_stream(stream, state)
+    q2.epoch_fold(batch, last_epoch)  # duplicate delivery
+    assert media_census_finalize(state).count() == n_before
