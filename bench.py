@@ -107,6 +107,8 @@ HEADLINE = [
     "q145_gif_animation_census",
     # format normalization (transcode to PNG) pixel-losslessness
     "q146_transcode_census",
+    # TIFF decode + EXIF orientation normalization
+    "q147_exif_tiff_census",
 ]
 
 

@@ -90,6 +90,8 @@ _EXT_MODALITY = {
     "gif": ("image", "image/gif"),
     "bmp": ("image", "image/bmp"),
     "ppm": ("image", "image/x-portable-pixmap"),
+    "tif": ("image", "image/tiff"),
+    "tiff": ("image", "image/tiff"),
     "wav": ("audio", "audio/wav"),
     "mp3": ("audio", "audio/mpeg"),
     "mp4": ("video", "video/mp4"),
@@ -467,6 +469,11 @@ def decode_media(content: bytes) -> tuple[str, np.ndarray, str]:
     if content[:2] == b"BM":
         pixels, w, h = decode_bmp(content)
         return "image", pixels.reshape(-1).astype(np.int64), f"{w}x{h}"
+    if content[:4] in (b"II*\x00", b"MM\x00*"):
+        from portfolio1_etl_spark.operators.tiff import decode_tiff
+
+        pixels, w, h = decode_tiff(content)
+        return "image", pixels.reshape(-1).astype(np.int64), f"{w}x{h}"
     # RIFF alone is not enough — WebP/AVI are RIFF containers too;
     # only RIFF/WAVE routes to the WAV decoder.
     if content[:4] == b"RIFF" and content[8:12] == b"WAVE":
@@ -648,6 +655,18 @@ def resize_media(media: DataFrame, target_px: int = 256) -> DataFrame:
                 pixels, w, h = decode_bmp(b)
                 small = _shrink(pixels, w, h)
                 return b if small is None else encode_bmp(small)
+            except (ValueError, NotImplementedError, struct.error, IndexError):
+                pass
+        if b[:4] in (b"II*\x00", b"MM\x00*"):
+            try:
+                from portfolio1_etl_spark.operators.tiff import (
+                    decode_tiff,
+                    encode_tiff,
+                )
+
+                pixels, w, h = decode_tiff(b)
+                small = _shrink(pixels, w, h)
+                return b if small is None else encode_tiff(small)
             except (ValueError, NotImplementedError, struct.error, IndexError):
                 pass
         # deterministic stand-in for codec-backed formats: a resize
@@ -883,6 +902,18 @@ def probe_image_dimensions(content: bytes) -> tuple[str, int, int, int]:
         w, h = struct.unpack("<ii", content[18:26])
         bpp = struct.unpack("<H", content[28:30])[0]
         return "bmp", w, abs(h), max(1, bpp // 8)  # h<0 = top-down rows
+    if content[:4] in (b"II*\x00", b"MM\x00*"):
+        from portfolio1_etl_spark.operators.tiff import _read_ifd
+
+        tags = _read_ifd(content)
+        if 0x0100 not in tags or 0x0101 not in tags:
+            raise ValueError("TIFF missing dimensions")
+        return (
+            "tiff",
+            tags[0x0100][0],
+            tags[0x0101][0],
+            tags.get(0x0115, [1])[0],
+        )
     if content[:2] == b"\xff\xd8":  # JPEG SOI
         pos = 2
         while pos + 4 <= len(content):
@@ -1030,6 +1061,11 @@ def transcode_media(media: DataFrame, target: str = "png") -> DataFrame:
             return decode_gif(b)[0]
         if b[:2] == b"BM":
             return decode_bmp(b)[0]
+        if b[:4] in (b"II*\x00", b"MM\x00*"):
+            from portfolio1_etl_spark.operators.tiff import decode_tiff
+
+            px = decode_tiff(b)[0]
+            return px[:, :, None] if px.ndim == 2 else px
         return None
 
     def _one(b: bytes) -> bytes:

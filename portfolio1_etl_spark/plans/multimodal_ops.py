@@ -1071,3 +1071,152 @@ def q146_transcode_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_units",
         "mean_val",
     )
+
+
+# --- q147: TIFF decode + EXIF orientation normalization --------------------
+
+#: q147 synthesis — even docs are uncompressed TIFFs (gray/RGB, both
+#: byte orders, multi-strip), odd docs are flat-gray JPEGs carrying a
+#: REAL Exif APP1 segment whose orientation cycles 1-8; the pipeline
+#: probes the orientation, decodes, applies ``orient_pixels``, and
+#: censuses the UPRIGHT image. The oracle closes because the mean is
+#: rotation/flip-invariant while the dims swap exactly for
+#: orientations 5-8 — a decoder that ignores EXIF gets the dims
+#: wrong, one that rotates pixels wrong gets the mean wrong. Every
+#: 29th doc is a truncated TIFF → survival row.
+
+
+def _synthesize_exif_tiff_media(docs):
+    from portfolio1_etl_spark.operators.jpeg import encode_jpeg as _enc_jpeg
+    from portfolio1_etl_spark.operators.tiff import (
+        encode_tiff as _enc_tiff,
+        with_exif_orientation as _with_exif,
+    )
+
+    def _one(doc_id: int) -> bytes:
+        if doc_id % 29 == 0:
+            return b"II*\x00 truncated ifd"
+        w, h = _pixel_geometry(doc_id)
+        if doc_id % 2 == 0:
+            rows = ((doc_id + np.arange(h)) % 256).astype(np.uint8)
+            if doc_id % 4 == 0:
+                px = np.repeat(rows, w).reshape(h, w)
+            else:
+                px = np.repeat(rows, w * 3).reshape(h, w, 3)
+            return _enc_tiff(
+                px,
+                big_endian=bool((doc_id // 2) % 2),
+                rows_per_strip=1 + doc_id % 3,
+            )
+        v = (doc_id * 11) % 256
+        jpg = _enc_jpeg(np.full((h, w), v, dtype=np.uint8), quality=75)
+        return _with_exif(jpg, 1 + doc_id % 8, big_endian=bool(doc_id % 4 == 1))
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "path": pdf["doc_id"].astype(str),
+                    "modality": "image",
+                    "content": [_one(int(d)) for d in pdf["doc_id"]],
+                }
+            )
+
+    return docs.select("doc_id").mapInPandas(
+        op, "path string, modality string, content binary"
+    )
+
+
+_UPRIGHT_SCHEMA = (
+    "doc_id long, orientation long, dims string, n_units long, mean_val double"
+)
+
+
+def _upright_census(media):
+    """Probe EXIF orientation, decode, apply the upright transform,
+    census the result — the orientation-normalization pass a training
+    pipeline runs before any visual model sees a pixel."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from portfolio1_etl_spark.operators.jpeg import decode_jpeg
+        from portfolio1_etl_spark.operators.tiff import (
+            decode_tiff,
+            exif_orientation,
+            orient_pixels,
+        )
+
+        for pdf in batches:
+            rows: dict[str, list] = {
+                "doc_id": [], "orientation": [], "dims": [],
+                "n_units": [], "mean_val": [],
+            }
+            for path, content in zip(pdf["path"], pdf["content"]):
+                b = bytes(content)
+                try:
+                    o = exif_orientation(b)
+                    if b[:2] == b"\xff\xd8":
+                        px = decode_jpeg(b)[0]
+                    elif b[:4] in (b"II*\x00", b"MM\x00*"):
+                        px = decode_tiff(b)[0]
+                    else:
+                        raise ValueError("unexpected format in census")
+                    px = orient_pixels(px, o)
+                    h2, w2 = px.shape[:2]
+                    n = int(px.size)
+                    mean = int(px.astype(np.int64).sum()) / n
+                    dims = f"{w2}x{h2}"
+                except (ValueError, NotImplementedError, IndexError):
+                    o, dims, n, mean = 0, "undecodable", 0, 0.0
+                rows["doc_id"].append(int(path))
+                rows["orientation"].append(o)
+                rows["dims"].append(dims)
+                rows["n_units"].append(n)
+                rows["mean_val"].append(mean)
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(op, _UPRIGHT_SCHEMA)
+
+
+@query(
+    "q147_exif_tiff_census",
+    sql="""
+    WITH geo AS (
+      SELECT doc_id,
+             4 * (1 + (doc_id // 3) % 5) AS w,
+             1 + (doc_id // 3) % 7 AS h
+      FROM documents
+    )
+    SELECT doc_id,
+      CASE WHEN doc_id % 29 = 0 THEN 0
+           WHEN doc_id % 2 = 0 THEN 1
+           ELSE 1 + doc_id % 8 END AS orientation,
+      CASE WHEN doc_id % 29 = 0 THEN 'undecodable'
+           WHEN doc_id % 2 = 1 AND (1 + doc_id % 8) >= 5
+             THEN h::VARCHAR || 'x' || w::VARCHAR
+           ELSE w::VARCHAR || 'x' || h::VARCHAR END AS dims,
+      CASE WHEN doc_id % 29 = 0 THEN 0
+           WHEN doc_id % 2 = 0 AND doc_id % 4 = 0 THEN CAST(w * h AS BIGINT)
+           WHEN doc_id % 2 = 0 THEN CAST(3 * w * h AS BIGINT)
+           ELSE CAST(w * h AS BIGINT) END AS n_units,
+      CASE WHEN doc_id % 29 = 0 THEN 0.0
+           WHEN doc_id % 2 = 0 THEN
+             list_avg(list_transform(generate_series(0, h - 1),
+                                     r -> (doc_id + r) % 256))
+           ELSE CAST((doc_id * 11) % 256 AS DOUBLE) END AS mean_val
+    FROM geo
+    """,
+    operators=("X-multimodal", "X-tiff", "X-exif"),
+)
+def q147_exif_tiff_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIFF decode + EXIF orientation on the scoreboard: uncompressed
+    TIFFs (both byte orders, gray and RGB, multi-strip reassembly)
+    decode through the shared IFD walker, and JPEGs carrying REAL
+    Exif APP1 segments are normalized upright (probe tag 0x0112 →
+    decode → ``orient_pixels``). The value hash covers the whole
+    chain: dims swap exactly for orientations 5-8 (a pipeline that
+    ignores EXIF fails), mean pixels are flip/rotation-invariant and
+    DC-exact for the flat JPEGs (a wrong transform fails), TIFF
+    gradients close under generate_series arithmetic, and truncated
+    objects survive as `undecodable` rows."""
+    docs = catalog.load(spark, sf_dir, "documents")
+    return _upright_census(_synthesize_exif_tiff_media(docs))

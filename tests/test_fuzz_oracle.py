@@ -52,6 +52,8 @@ QUERIES = [
     "q145_gif_animation_census",
     # transcode-to-PNG must hash identically to q142's original corpus
     "q146_transcode_census",
+    # TIFF (both endians, strips) + EXIF upright normalization
+    "q147_exif_tiff_census",
     # corpus-derived temperature budgets (integer sqrt arithmetic)
     "q140_mixture_temperature",
     # smoothed bigram transitions on degenerate-repeat/1-token docs

@@ -1,0 +1,118 @@
+"""TIFF codec + EXIF orientation (operators/tiff) — r7.
+
+One IFD walker serves both consumers, so the tests pin them
+separately: TIFF is lossless (bit-exact round trips across byte
+orders × channels × strip layouts), and the 8 EXIF orientation
+transforms satisfy algebraic identities (involutions, the 6/8
+inverse pair, dims swap for 5-8, sum invariance) that hold for ANY
+correct implementation — no shared code path with the operator."""
+
+import numpy as np
+import pytest
+
+from portfolio1_etl_spark.operators.jpeg import decode_jpeg, encode_jpeg
+from portfolio1_etl_spark.operators.tiff import (
+    decode_tiff,
+    encode_tiff,
+    exif_orientation,
+    orient_pixels,
+    with_exif_orientation,
+)
+
+
+@pytest.mark.parametrize("big_endian", [False, True])
+@pytest.mark.parametrize("color", [False, True])
+@pytest.mark.parametrize("rows_per_strip", [0, 1, 3])
+def test_tiff_lossless_roundtrip(big_endian, color, rows_per_strip):
+    rng = np.random.RandomState(7 + big_endian + 2 * color + rows_per_strip)
+    for shape in [(1, 1), (7, 11), (16, 5)]:
+        full = (*shape, 3) if color else shape
+        px = rng.randint(0, 256, full, dtype=np.uint8)
+        dec, w, h = decode_tiff(
+            encode_tiff(px, big_endian=big_endian, rows_per_strip=rows_per_strip)
+        )
+        assert (w, h) == (shape[1], shape[0])
+        assert (dec == px).all()
+
+
+def test_tiff_malformed_and_unsupported_raise():
+    px = np.zeros((4, 4, 3), np.uint8)
+    enc = encode_tiff(px)
+    with pytest.raises(ValueError):
+        decode_tiff(b"II*\x00 nope")
+    with pytest.raises(ValueError):
+        decode_tiff(enc[: len(enc) // 3])
+    with pytest.raises(ValueError):
+        decode_tiff(b"XX\x2a\x00")  # bad byte-order mark
+    # flip the compression tag to LZW (5): loud, not garbage
+    import struct
+
+    lzw = bytearray(enc)
+    # find the compression entry (tag 0x0103, value short 1) in the IFD
+    idx = lzw.find(struct.pack("<HH", 0x0103, 3))
+    assert idx > 0
+    lzw[idx + 8 : idx + 10] = struct.pack("<H", 5)
+    with pytest.raises(NotImplementedError, match="compressed TIFF"):
+        decode_tiff(bytes(lzw))
+
+
+def test_exif_orientation_probe_both_endians_and_absence():
+    img = np.full((6, 9), 80, dtype=np.uint8)
+    jpg = encode_jpeg(img, quality=90)
+    assert exif_orientation(jpg) == 1  # no APP1
+    assert exif_orientation(b"GIF89a......") == 1  # not a JPEG
+    for be in (False, True):
+        for o in range(1, 9):
+            tagged = with_exif_orientation(jpg, o, big_endian=be)
+            assert exif_orientation(tagged) == o
+            # the APP1 segment must not disturb the pixel decode
+            assert np.array_equal(decode_jpeg(tagged)[0], decode_jpeg(jpg)[0])
+
+
+def test_orientation_transform_algebra():
+    rng = np.random.RandomState(3)
+    px = rng.randint(0, 256, (4, 7, 3), dtype=np.uint8)
+    # 2,3,4,5,7 are involutions; 6 and 8 invert each other
+    for o in (2, 3, 4, 5, 7):
+        assert (orient_pixels(orient_pixels(px, o), o) == px).all()
+    assert (orient_pixels(orient_pixels(px, 6), 8) == px).all()
+    assert (orient_pixels(orient_pixels(px, 8), 6) == px).all()
+    for o in (5, 6, 7, 8):
+        assert orient_pixels(px, o).shape[:2] == (7, 4)
+    for o in (1, 2, 3, 4):
+        assert orient_pixels(px, o).shape[:2] == (4, 7)
+    for o in range(1, 9):
+        assert int(orient_pixels(px, o).sum()) == int(px.sum())
+    with pytest.raises(ValueError):
+        orient_pixels(px, 9)
+    # a concrete anchor: rotate-90-CW of a marked corner
+    m = np.zeros((2, 3), np.uint8)
+    m[0, 0] = 255  # top-left
+    r = orient_pixels(m, 6)  # stored rotated-90-CCW → upright = CW
+    assert r.shape == (3, 2) and r[0, 1] == 255  # corner moves to top-right
+
+
+def test_tiff_through_decode_media_probe_and_transcode(spark, tmp_path):
+    from portfolio1_etl_spark.operators.multimodal import (
+        decode_media,
+        decode_png,
+        probe_image_dimensions,
+        read_media_dir,
+        transcode_media,
+    )
+
+    rng = np.random.RandomState(9)
+    px = rng.randint(0, 256, (5, 8, 3), dtype=np.uint8)
+    enc = encode_tiff(px, big_endian=True, rows_per_strip=2)
+    modality, vals, dims = decode_media(enc)
+    assert modality == "image" and dims == "8x5"
+    assert (vals.reshape(5, 8, 3) == px).all()
+    assert probe_image_dimensions(enc) == ("tiff", 8, 5, 3)
+    gray = rng.randint(0, 256, (4, 6), dtype=np.uint8)
+    assert probe_image_dimensions(encode_tiff(gray)) == ("tiff", 6, 4, 1)
+    d = tmp_path / "t"
+    d.mkdir()
+    (d / "a.tif").write_bytes(enc)
+    out = transcode_media(read_media_dir(spark, str(d)), "png").collect()
+    png_px, _, _ = decode_png(bytes(out[0].content))
+    assert (png_px == px).all()
