@@ -109,6 +109,10 @@ HEADLINE = [
     "q146_transcode_census",
     # TIFF decode + EXIF orientation normalization
     "q147_exif_tiff_census",
+    # Kneser-Ney bigram LM scoring
+    "q148_kneser_ney_logprob",
+    # header-only MP4 video metadata census
+    "q149_video_metadata_census",
 ]
 
 

@@ -1106,3 +1106,106 @@ def transcode_media(media: DataFrame, target: str = "png") -> DataFrame:
             )
 
     return media.mapInPandas(op, MEDIA_SCHEMA)
+
+
+def probe_mp4_metadata(content: bytes) -> tuple[int, int, int, int]:
+    """(duration_ms, width, height, n_tracks) from an MP4/ISO-BMFF
+    container's box structure alone — the video member of the
+    header-only tier (``probe_image_dimensions`` for images): a
+    100 TB video census reads moov/mvhd/tkhd, never a codec frame.
+    Walks top-level boxes (64-bit largesize supported), recurses into
+    moov/trak, takes duration from mvhd (v0/v1) and dimensions from
+    the first track with nonzero 16.16-fixed width/height. Raises
+    ValueError on malformed/truncated structure or a missing moov.
+    (DECODING MP4 payloads remains the library boundary — this reads
+    structure, which is plain public ISO 14496-12.)"""
+    if len(content) < 8 or content[4:8] != b"ftyp":
+        raise ValueError("not an MP4 (missing ftyp)")
+
+    def boxes(b: bytes, pos: int, end: int):
+        while pos + 8 <= end:
+            size = struct.unpack(">I", b[pos : pos + 4])[0]
+            typ = b[pos + 4 : pos + 8]
+            hdr = 8
+            if size == 1:
+                if pos + 16 > end:
+                    raise ValueError("truncated MP4 largesize box")
+                size = struct.unpack(">Q", b[pos + 8 : pos + 16])[0]
+                hdr = 16
+            elif size == 0:  # box extends to end of file
+                size = end - pos
+            if size < hdr or pos + size > end:
+                raise ValueError("malformed MP4 box size")
+            yield typ, pos + hdr, pos + size
+            pos += size
+
+    duration_ms = None
+    width = height = 0
+    n_tracks = 0
+    for typ, body, bend in boxes(content, 0, len(content)):
+        if typ != b"moov":
+            continue
+        for t2, b2, e2 in boxes(content, body, bend):
+            if t2 == b"mvhd":
+                ver = content[b2]
+                if ver == 1:
+                    ts, dur = struct.unpack(">IQ", content[b2 + 20 : b2 + 32])
+                else:
+                    ts, dur = struct.unpack(">II", content[b2 + 12 : b2 + 20])
+                if ts == 0:
+                    raise ValueError("mvhd timescale is zero")
+                duration_ms = dur * 1000 // ts
+            elif t2 == b"trak":
+                n_tracks += 1
+                for t3, b3, e3 in boxes(content, b2, e2):
+                    if t3 != b"tkhd":
+                        continue
+                    ver = content[b3]
+                    # ver/flags + times + id + reserved + duration +
+                    # reserved(8) + layer/alt/volume/reserved(8) +
+                    # matrix(36) = 76 (v0) / 88 (v1, 64-bit times)
+                    off = b3 + (88 if ver == 1 else 76)
+                    if off + 8 > e3:
+                        raise ValueError("truncated tkhd")
+                    w16, h16 = struct.unpack(">II", content[off : off + 8])
+                    if width == 0 and (w16 or h16):
+                        width, height = w16 >> 16, h16 >> 16
+    if duration_ms is None:
+        raise ValueError("MP4 missing moov/mvhd")
+    return duration_ms, width, height, n_tracks
+
+
+def encode_mp4_stub(
+    duration_ms: int, width: int, height: int, n_tracks: int = 1
+) -> bytes:
+    """A structurally-valid MP4 skeleton (ftyp + moov[mvhd + trak*] +
+    empty mdat) carrying real duration/dimension metadata — what the
+    header-only census and its tests need; there is no media payload
+    (payload DECODE is the documented library boundary). Track 1
+    carries the dimensions; extra tracks are dimension-less (audio-
+    style), exercising the first-visual-track selection."""
+
+    def box(typ: bytes, payload: bytes) -> bytes:
+        return struct.pack(">I", 8 + len(payload)) + typ + payload
+
+    mvhd = bytes(4)  # version 0 + flags
+    mvhd += bytes(8)  # ctime, mtime
+    mvhd += struct.pack(">II", 1000, duration_ms)  # timescale ms, duration
+    mvhd += struct.pack(">I", 0x00010000) + struct.pack(">H", 0x0100)
+    mvhd += bytes(10) + bytes(36) + bytes(24) + struct.pack(">I", n_tracks + 1)
+    traks = b""
+    for t in range(n_tracks):
+        tkhd = bytes(4) + bytes(8) + struct.pack(">I", t + 1) + bytes(4)
+        tkhd += struct.pack(">I", duration_ms) + bytes(8)
+        tkhd += bytes(8)  # layer, alt group, volume, reserved
+        tkhd += bytes(36)  # identity matrix omitted (zeros fine for probe)
+        if t == 0:
+            tkhd += struct.pack(">II", width << 16, height << 16)
+        else:
+            tkhd += bytes(8)
+        traks += box(b"trak", box(b"tkhd", tkhd))
+    return (
+        box(b"ftyp", b"isom" + bytes(4) + b"isomiso2")
+        + box(b"moov", box(b"mvhd", mvhd) + traks)
+        + box(b"mdat", b"")
+    )

@@ -1211,3 +1211,95 @@ def q141_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum(F.col("c") * lp) / F.sum("c"), 4).alias("avg_logprob"),
         )
     )
+
+
+@query(
+    "q148_kneser_ney_logprob",
+    sql="""
+    WITH ws AS (
+      SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ),
+    bg AS (
+      SELECT doc_id, w[i] AS w1, w[i + 1] AS w2
+      FROM ws, LATERAL unnest(generate_series(1, len(w) - 1)) AS u(i)
+    ),
+    dbg AS (SELECT doc_id, w1, w2, count(*) AS c FROM bg GROUP BY ALL),
+    model AS (SELECT w1, w2, sum(c) AS b FROM dbg GROUP BY w1, w2),
+    ctx AS (
+      SELECT w1, sum(b) AS cw, count(*) AS n1f FROM model GROUP BY w1
+    ),
+    cont AS (SELECT w2, count(*) AS n1b FROM model GROUP BY w2),
+    types AS (SELECT count(*) AS t FROM model),
+    scored AS (
+      SELECT d.doc_id, d.c,
+             ln((m.b - 0.75) / x.cw
+                + (0.75 * x.n1f) / x.cw * (c2.n1b / t.t)) AS lp
+      FROM dbg d
+      JOIN model m USING (w1, w2)
+      JOIN ctx x USING (w1)
+      JOIN cont c2 USING (w2)
+      CROSS JOIN types t
+    )
+    SELECT doc_id,
+           CAST(sum(c) AS BIGINT) AS n_bigrams,
+           round(sum(c * lp) / sum(c), 4) AS kn_logprob
+    FROM scored GROUP BY doc_id
+    """,
+    operators=("X-lm-score", "X-lm-bigram", "X-lm-kneser-ney", "X-quality"),
+)
+def q148_kneser_ney_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kneser-Ney smoothed bigram scoring — the LM-quality gate real
+    filtering pipelines use (CCNet-style), upgrading q141's add-k:
+    P(w2|w1) = (c(w1,w2)−D)/c(w1) + D·N1+(w1,·)/c(w1) · Pcont(w2)
+    with absolute discount D = 0.75 (exactly 3/4 — no binary-
+    representation hazard) and the CONTINUATION probability
+    Pcont(w2) = N1+(·,w2)/|bigram types|. The continuation term is
+    the point: a word that appears often but only ever after ONE
+    context ("Francisco") scores low as a novel continuation, which
+    add-k cannot express — boilerplate with high-frequency-but-
+    context-locked tokens separates from fluent text.
+
+    Scale shape (the q118/q141 recipe): ONE corpus scan builds the
+    per-doc bigram aggregate; the model (bigram/context/continuation
+    tables and the 1-row type count) derives from that aggregate, and
+    scoring is broadcast joins against it. Every discount/backoff
+    term is computed in the SAME operation order in both engines on
+    identical integer counts, so the doubles agree bit-for-bit and
+    the 4 dp round only absorbs summation-order noise in the final
+    weighted mean (the registry determinism contract)."""
+    from portfolio1_etl_spark.operators.checkpointing import materialize
+
+    d = _docs(spark, sf_dir)
+    bigrams = F.expr(
+        "zip_with(slice(ws, 1, size(ws) - 1), slice(ws, 2, size(ws) - 1), "
+        "(a, b) -> struct(a AS w1, b AS w2))"
+    )
+    dbg = (
+        d.select("doc_id", F.split("text", " ").alias("ws"))
+        .select("doc_id", F.explode(bigrams).alias("bg"))
+        .groupBy("doc_id", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    dbg = materialize(dbg)
+    model = dbg.groupBy("w1", "w2").agg(F.sum("c").alias("b"))
+    model = materialize(model)
+    ctx = model.groupBy("w1").agg(
+        F.sum("b").alias("cw"), F.count(F.lit(1)).alias("n1f")
+    )
+    cont = model.groupBy("w2").agg(F.count(F.lit(1)).alias("n1b"))
+    types = model.agg(F.count(F.lit(1)).alias("t"))
+    lp = F.log(
+        (F.col("b") - 0.75) / F.col("cw")
+        + (0.75 * F.col("n1f")) / F.col("cw") * (F.col("n1b") / F.col("t"))
+    )
+    return (
+        dbg.join(F.broadcast(model), ["w1", "w2"])
+        .join(F.broadcast(ctx), "w1")
+        .join(F.broadcast(cont), "w2")
+        .crossJoin(F.broadcast(types))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").cast("long").alias("n_bigrams"),
+            F.round(F.sum(F.col("c") * lp) / F.sum("c"), 4).alias("kn_logprob"),
+        )
+    )

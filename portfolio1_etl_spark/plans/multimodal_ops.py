@@ -19,6 +19,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+import struct
+
 from collections.abc import Iterator
 
 import numpy as np
@@ -1220,3 +1222,93 @@ def q147_exif_tiff_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     objects survive as `undecodable` rows."""
     docs = catalog.load(spark, sf_dir, "documents")
     return _upright_census(_synthesize_exif_tiff_media(docs))
+
+
+# --- q149: header-only VIDEO metadata census (MP4 box walk) ----------------
+
+#: q149 synthesis — structurally-valid MP4 containers whose
+#: duration/dimensions/track-count are doc_id arithmetic; every 31st
+#: doc is a box-structure-corrupt object that must surface as NULLs.
+#: Payload DECODE stays the library boundary; a 100 TB video census
+#: needs moov/mvhd/tkhd, which is plain ISO-BMFF structure.
+
+
+def _synthesize_mp4_media(docs):
+    from portfolio1_etl_spark.operators.multimodal import encode_mp4_stub
+
+    def _one(doc_id: int) -> bytes:
+        if doc_id % 31 == 0:
+            return b"\x00\x00\x00\x10ftypisom corrupt"
+        return encode_mp4_stub(
+            duration_ms=1000 * (1 + doc_id % 97),
+            width=16 * (1 + doc_id % 40),
+            height=16 * (1 + doc_id % 23),
+            n_tracks=1 + doc_id % 3,
+        )
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "path": pdf["doc_id"].astype(str),
+                    "modality": "video",
+                    "content": [_one(int(d)) for d in pdf["doc_id"]],
+                }
+            )
+
+    return docs.select("doc_id").mapInPandas(
+        op, "path string, modality string, content binary"
+    )
+
+
+@query(
+    "q149_video_metadata_census",
+    sql="""
+    SELECT doc_id,
+      CASE WHEN doc_id % 31 = 0 THEN NULL
+           ELSE CAST(1000 * (1 + doc_id % 97) AS BIGINT) END AS duration_ms,
+      CASE WHEN doc_id % 31 = 0 THEN NULL
+           ELSE CAST(16 * (1 + doc_id % 40) AS BIGINT) END AS width,
+      CASE WHEN doc_id % 31 = 0 THEN NULL
+           ELSE CAST(16 * (1 + doc_id % 23) AS BIGINT) END AS height,
+      CASE WHEN doc_id % 31 = 0 THEN NULL
+           ELSE CAST(1 + doc_id % 3 AS BIGINT) END AS n_tracks
+    FROM documents
+    """,
+    operators=("X-multimodal", "X-media-metadata", "X-mp4-probe"),
+)
+def q149_video_metadata_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video-metadata census — the q137 header-only tier extended to
+    the VIDEO modality: duration, resolution, and track count read
+    from the MP4 box structure alone (moov → mvhd timescale/duration,
+    first visual trak's tkhd 16.16 dimensions; 64-bit box sizes and
+    v1 headers supported), never a codec frame. Box-corrupt objects
+    (every 31st) surface as NULL rows on the value-hashed board. The
+    oracle replays everything as doc_id arithmetic because the
+    synthesis IS the contract (q137's pattern)."""
+    from portfolio1_etl_spark.operators.multimodal import probe_mp4_metadata
+
+    media = _synthesize_mp4_media(catalog.load(spark, sf_dir, "documents"))
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: dict[str, list] = {
+                "doc_id": [], "duration_ms": [], "width": [],
+                "height": [], "n_tracks": [],
+            }
+            for path, content in zip(pdf["path"], pdf["content"]):
+                try:
+                    dur, w, h, nt = probe_mp4_metadata(bytes(content))
+                except (ValueError, IndexError, struct.error):
+                    dur = w = h = nt = None
+                rows["doc_id"].append(int(path))
+                rows["duration_ms"].append(dur)
+                rows["width"].append(w)
+                rows["height"].append(h)
+                rows["n_tracks"].append(nt)
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(
+        op,
+        "doc_id long, duration_ms long, width long, height long, n_tracks long",
+    )

@@ -54,6 +54,10 @@ QUERIES = [
     "q146_transcode_census",
     # TIFF (both endians, strips) + EXIF upright normalization
     "q147_exif_tiff_census",
+    # Kneser-Ney continuation-probability scoring on random corpora
+    "q148_kneser_ney_logprob",
+    # MP4 box-structure census (doc_id arithmetic)
+    "q149_video_metadata_census",
     # corpus-derived temperature budgets (integer sqrt arithmetic)
     "q140_mixture_temperature",
     # smoothed bigram transitions on degenerate-repeat/1-token docs

@@ -116,3 +116,46 @@ def test_tiff_through_decode_media_probe_and_transcode(spark, tmp_path):
     out = transcode_media(read_media_dir(spark, str(d)), "png").collect()
     png_px, _, _ = decode_png(bytes(out[0].content))
     assert (png_px == px).all()
+
+
+# --- MP4 box walk (header-only video tier) ----------------------------------
+
+
+def test_mp4_probe_reads_real_box_structure():
+    from portfolio1_etl_spark.operators.multimodal import (
+        encode_mp4_stub,
+        probe_mp4_metadata,
+    )
+
+    for dur, w, h, nt in [(1000, 640, 480, 1), (98765, 1920, 1080, 3), (7, 16, 16, 2)]:
+        assert probe_mp4_metadata(encode_mp4_stub(dur, w, h, nt)) == (dur, w, h, nt)
+    # 64-bit largesize box wrapping the same moov must parse too
+    import struct
+
+    enc = encode_mp4_stub(5000, 320, 240, 1)
+    # rewrite the moov box header to size==1 + largesize
+    i = enc.index(b"moov") - 4
+    size = struct.unpack(">I", enc[i : i + 4])[0]
+    big = (
+        enc[:i]
+        + struct.pack(">I", 1)
+        + b"moov"
+        + struct.pack(">Q", size + 8)
+        + enc[i + 8 : i + size]
+        + enc[i + size :]
+    )
+    assert probe_mp4_metadata(big) == (5000, 320, 240, 1)
+
+
+def test_mp4_probe_malformed_raises():
+    from portfolio1_etl_spark.operators.multimodal import (
+        encode_mp4_stub,
+        probe_mp4_metadata,
+    )
+
+    with pytest.raises(ValueError):
+        probe_mp4_metadata(b"\x00\x00\x00\x08free")  # no ftyp
+    with pytest.raises(ValueError):
+        probe_mp4_metadata(encode_mp4_stub(5000, 320, 240, 1)[:40])
+    with pytest.raises(ValueError):
+        probe_mp4_metadata(b"\x00\x00\x00\x10ftypisom corrupt")  # no moov
