@@ -113,6 +113,8 @@ HEADLINE = [
     "q148_kneser_ney_logprob",
     # header-only MP4 video metadata census
     "q149_video_metadata_census",
+    # degree-oriented triangle counting over the near-dup graph
+    "q150_neardup_triangles",
 ]
 
 

@@ -194,3 +194,52 @@ def q101_pagerank_dangling(spark: SparkSession, sf_dir: str) -> DataFrame:
         edges, iters=_ITERS, damping=_DAMP, redistribute_dangling=True
     )
     return ranks.select(F.col("node").alias("nation"), "rank")
+
+
+# --- q150: triangle counting over the near-dup graph (r7) ------------------
+
+# q77 must be registered before its SQL is spliced into the oracle
+from portfolio1_etl_spark.plans import dedup_ops as _dedup_ops  # noqa: E402
+from portfolio1_etl_spark.plans.registry import REGISTRY as _REGISTRY
+
+
+@query(
+    "q150_neardup_triangles",
+    sql=f"""
+    WITH pairs AS ({_REGISTRY["q77_jaccard_dfcap"].sql}),
+    e AS (
+      SELECT least(doc_a, doc_b) AS u, greatest(doc_a, doc_b) AS v
+      FROM pairs
+    ),
+    tri AS (
+      SELECT e1.u AS p, e1.v AS q, e2.v AS r
+      FROM e e1
+      JOIN e e2 ON e2.u = e1.v
+      JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
+    )
+    SELECT node AS doc_id, CAST(count(*) AS BIGINT) AS n_triangles
+    FROM (SELECT unnest([p, q, r]) AS node FROM tri)
+    GROUP BY node
+    """,
+    operators=("X-graph-triangles", "X-dedup-near"),
+)
+def q150_neardup_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle counting over the REGISTERED near-duplicate pair graph
+    (q77's exact Jaccard pairs) — the transitivity census of the dedup
+    layer: a doc in many triangles sits in a dense mutual-similarity
+    clique (template families), where a doc in pairwise-only edges is
+    chain-similar (drifted revisions). Spark counts via DEGREE-ORIENTED
+    wedges (``operators.graph.triangle_counts`` — O(√m) out-degree per
+    node, hub-safe); the oracle enumerates id-ordered 3-way self-joins
+    — two different algorithms whose agreement gates the orientation
+    logic itself. Composes the registered q77 query (the q129/q139
+    splice pattern), so the published counts are counts over the GATED
+    pair pipeline."""
+    from portfolio1_etl_spark.operators.graph import triangle_counts
+
+    pairs = _REGISTRY["q77_jaccard_dfcap"].fn(spark, sf_dir)
+    edges = pairs.select(
+        F.least("doc_a", "doc_b").alias("u"),
+        F.greatest("doc_a", "doc_b").alias("v"),
+    ).distinct()
+    return triangle_counts(edges).withColumnRenamed("node", "doc_id")

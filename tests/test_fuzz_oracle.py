@@ -58,6 +58,9 @@ QUERIES = [
     "q148_kneser_ney_logprob",
     # MP4 box-structure census (doc_id arithmetic)
     "q149_video_metadata_census",
+    # degree-oriented vs id-ordered triangle counting on the random
+    # corpus's near-dup graph (degenerate-repeat docs form cliques)
+    "q150_neardup_triangles",
     # corpus-derived temperature budgets (integer sqrt arithmetic)
     "q140_mixture_temperature",
     # smoothed bigram transitions on degenerate-repeat/1-token docs

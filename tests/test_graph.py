@@ -100,3 +100,28 @@ def test_no_out_edges_at_all_redistributes_uniformly(spark):
     ranks = pagerank(e, iters=4, redistribute_dangling=True)
     total = ranks.agg(F.sum("rank")).first()[0]
     assert abs(total - 1.0) < 1e-6
+
+
+def test_triangle_counts_known_graphs(spark):
+    """Degree-oriented counting against hand-countable graphs: K5
+    (every node in C(4,2)=6 triangles), a star (zero triangles — the
+    hub shape naive neighbor-joins explode on), and K4 plus a pendant
+    chain (counts only inside the clique)."""
+    from portfolio1_etl_spark.operators.graph import triangle_counts
+
+    def run(edges):
+        df = spark.createDataFrame(edges, "u long, v long")
+        return {r.node: r.n_triangles for r in triangle_counts(df).collect()}
+
+    k5 = [(i, j) for i in range(5) for j in range(i + 1, 5)]
+    assert run(k5) == {i: 6 for i in range(5)}
+    star = [(0, i) for i in range(1, 9)]
+    assert run(star) == {}
+    k4 = [(i, j) for i in range(4) for j in range(i + 1, 4)]
+    chain = k4 + [(3, 10), (10, 11)]
+    got = run(chain)
+    assert got == {0: 3, 1: 3, 2: 3, 3: 3}
+    # triangle through the hub of a wheel: star + rim edges
+    wheel = [(0, i) for i in range(1, 6)] + [(i, i + 1) for i in range(1, 5)] + [(5, 1)]
+    got = run(wheel)
+    assert got[0] == 5 and all(got[i] == 2 for i in range(1, 6))
