@@ -26,6 +26,7 @@ from portfolio1_etl_spark.operators.sinks import (
     compact_parquet,
     overwrite_partitions,
     prune_versions,
+    read_changes,
     read_version,
     write_jsonl,
     write_orc,
@@ -102,6 +103,7 @@ from portfolio1_etl_spark.operators.ann_index import (
 )
 from portfolio1_etl_spark.operators.sinks import (
     prune_versions,
+    read_changes,
     read_version,
     write_range_sorted,
     write_versioned,
@@ -172,6 +174,7 @@ __all__ = [
     "write_range_sorted",
     "write_versioned",
     "read_version",
+    "read_changes",
     "prune_versions",
     "materialize",
 ]

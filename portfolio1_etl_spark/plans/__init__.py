@@ -72,7 +72,9 @@ PRIORITY: tuple[str, ...] = (
     "q61_word_frequency",       # (was q60 token stats)
     "q126_logreg_quality",      # trained quality classifier (was q62 heuristic score)
     "q63_lang_id",
-    "q118_unigram_logprob",     # LM scoring (was q94 tfidf)
+    "q148_kneser_ney_logprob",  # LM scoring (r7 s2 rotation: was
+                                # q118 unigram; KN is the
+                                # strictly stronger gate)
     "q136_pack_trained_bpe",    # pack under TRAINED vocab (r7, new; q108/q109 CI-covered)
     # corpus governance
     "q117_sequence_pack",       # (was q115 redact)

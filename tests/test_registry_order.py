@@ -59,7 +59,7 @@ def test_every_operator_family_inside_window():
         "text-words": "q61_word_frequency",  # was q60 token stats
         "text-quality": "q126_logreg_quality",  # was q62 heuristic
         "text-langid": "q63_lang_id",
-        "text-lm": "q118_unigram_logprob",  # was q94 tfidf
+        "text-lm": "q148_kneser_ney_logprob",  # was q94 tfidf
         "text-bpe": "q136_pack_trained_bpe",  # was q108 tokenize
         "bpe-trained": "q124_bpe_train_apply",
         "dedup-exact": "q71_dedup_exact_keep",
