@@ -94,17 +94,12 @@ def mulaw_decode(codes: np.ndarray) -> np.ndarray:
 
 
 def encode_wav_mulaw(samples: np.ndarray, sample_rate: int = 8000) -> bytes:
-    """int16 mono PCM → mu-law WAVE file (format tag 7, 18-byte fmt
-    chunk with cbSize=0, fact chunk carrying the sample count)."""
+    """int16 mono PCM → mu-law WAVE file: compand, then delegate the
+    container assembly to :func:`encode_wav_mulaw_raw` (one copy of
+    the RIFF/fmt/fact/data math to keep in sync, not two)."""
     if samples.dtype != np.int16:
         raise ValueError("encode_wav_mulaw expects int16 samples")
-    data = mulaw_encode(samples).tobytes()
-    fmt = struct.pack("<HHIIHHH", 7, 1, sample_rate, sample_rate, 1, 8, 0)
-    out = b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt) + 12 + 8 + len(data)) + b"WAVE"
-    out += b"fmt " + struct.pack("<I", len(fmt)) + fmt
-    out += b"fact" + struct.pack("<II", 4, len(samples))
-    out += b"data" + struct.pack("<I", len(data)) + data
-    return out
+    return encode_wav_mulaw_raw(mulaw_encode(samples), sample_rate)
 
 
 def encode_wav_mulaw_raw(codes: np.ndarray, sample_rate: int = 8000) -> bytes:
@@ -222,12 +217,17 @@ def encode_wav_adpcm(
 
 
 def decode_wav_adpcm_data(
-    data: bytes, block_align: int, total_samples: int | None
+    data: bytes,
+    block_align: int,
+    total_samples: int | None,
+    samples_per_block: int | None = None,
 ) -> np.ndarray:
     """Decode the data chunk of a mono IMA-ADPCM WAVE: per block, read
     the 4-byte header, unpack nibbles low-first, run the state
-    machine; honor the fact-chunk sample count (the final block's
-    pad nibble must not become a phantom sample)."""
+    machine. The final block's PAD nibble must not become a phantom
+    sample: the fact-chunk count (``total_samples``) cuts globally,
+    and the fmt-extra ``samples_per_block`` caps each block — the
+    authoritative count for spec-valid writers that omit fact."""
     if block_align < 5:
         raise ValueError("IMA ADPCM block_align must be >= 5")
     out: list[np.ndarray] = []
@@ -243,6 +243,8 @@ def decode_wav_adpcm_data(
         nibbles = np.empty(2 * len(body), dtype=np.uint8)
         nibbles[0::2] = body & 0x0F
         nibbles[1::2] = body >> 4
+        if samples_per_block is not None and samples_per_block >= 1:
+            nibbles = nibbles[: samples_per_block - 1]
         if total_samples is not None:
             remaining = total_samples - produced
             if remaining <= 0:

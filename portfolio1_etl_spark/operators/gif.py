@@ -242,7 +242,14 @@ def decode_gif_frames(b: bytes) -> tuple[np.ndarray, int, int]:
             sub_start = pos
             while pos < len(b) and b[pos] != 0:
                 pos += 1 + b[pos]
+            if pos >= len(b):
+                # a cut inside an extension's sub-blocks must raise the
+                # DOCUMENTED ValueError, not fall through to an
+                # IndexError on the field reads below
+                raise ValueError("truncated GIF extension data")
             if label == 0xF9 and b[sub_start] >= 4:  # GCE
+                if sub_start + 5 > len(b):
+                    raise ValueError("truncated GIF graphic control")
                 packed = b[sub_start + 1]
                 disposal = (packed >> 2) & 0x07
                 transparent = b[sub_start + 4] if packed & 0x01 else None

@@ -336,7 +336,7 @@ def decode_wav(b: bytes) -> tuple[np.ndarray, int]:
         raise ValueError("not a RIFF/WAVE file")
     pos, sample_rate, data = 12, None, None
     fmt = channels = bits = block_align = None
-    fact_samples = None
+    fact_samples = adpcm_spb = None
     while pos + 8 <= len(b):
         cid, size = b[pos : pos + 4], struct.unpack("<I", b[pos + 4 : pos + 8])[0]
         body = b[pos + 8 : pos + 8 + size]
@@ -344,6 +344,12 @@ def decode_wav(b: bytes) -> tuple[np.ndarray, int]:
             fmt, channels, sample_rate = struct.unpack("<HHI", body[:8])
             block_align = struct.unpack("<H", body[12:14])[0]
             bits = struct.unpack("<H", body[14:16])[0]
+            # IMA ADPCM carries samples-per-block in the fmt extra —
+            # the authoritative per-block count when fact is absent
+            # (a spec-valid writer may omit fact; without this the
+            # final pad nibble becomes a phantom sample)
+            if fmt == 0x11 and len(body) >= 20:
+                adpcm_spb = struct.unpack("<H", body[18:20])[0]
         elif cid == b"fact" and size >= 4:
             fact_samples = struct.unpack("<I", body[:4])[0]
         elif cid == b"data":
@@ -363,7 +369,13 @@ def decode_wav(b: bytes) -> tuple[np.ndarray, int]:
     if (fmt, channels, bits) == (0x11, 1, 4):
         from portfolio1_etl_spark.operators.audio import decode_wav_adpcm_data
 
-        return decode_wav_adpcm_data(data, block_align, fact_samples), sample_rate
+        return (
+            decode_wav_adpcm_data(
+                data, block_align, fact_samples,
+                samples_per_block=adpcm_spb,
+            ),
+            sample_rate,
+        )
     raise NotImplementedError(
         f"unsupported WAV encoding (fmt={fmt}, ch={channels}, bits={bits}); "
         "PCM16, mu-law, and mono IMA ADPCM decode natively"
@@ -1068,39 +1080,54 @@ def transcode_media(media: DataFrame, target: str = "png") -> DataFrame:
             return px[:, :, None] if px.ndim == 2 else px
         return None
 
-    def _one(b: bytes) -> bytes:
+    def _one(b: bytes) -> tuple[bytes, bool]:
+        """(content, transcoded?) — the ENCODE step sits inside the
+        try too: an image that decodes but cannot re-encode in the
+        target (e.g. gray+alpha → BMP) must pass through, not kill
+        the task (the survival contract)."""
         try:
             px = _decode_image(b)
+            if px is None:
+                return b, False  # not an image (audio/video/unknown)
+            if target == "png":
+                return encode_png(px), True
+            if px.shape[2] == 1:
+                px = np.repeat(px, 3, axis=2)
+            elif px.shape[2] == 2:  # gray+alpha: replicate luma
+                px = np.repeat(px[:, :, :1], 3, axis=2)
+            elif px.shape[2] == 4:
+                px = px[:, :, :3]
+            return encode_bmp(np.ascontiguousarray(px)), True
         except (ValueError, NotImplementedError, zlib.error,
                 struct.error, IndexError):
-            return b  # undecodable → pass through, attributable later
-        if px is None:
-            return b  # not an image (audio/video/unknown)
-        if target == "png":
-            return encode_png(px)
-        if px.shape[2] == 1:
-            px = np.repeat(px, 3, axis=2)
-        elif px.shape[2] == 4:
-            px = px[:, :, :3]
-        return encode_bmp(np.ascontiguousarray(px))
+            return b, False  # undecodable → pass through, attributable
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        has_meta = None
         for pdf in batches:
-            out = pdf["content"].map(lambda b: _one(bytes(b)))
+            if has_meta is None:
+                has_meta = "meta" in pdf.columns
+            results = [_one(bytes(b)) for b in pdf["content"]]
+            in_mimes = (
+                [m["mime"] for m in pdf["meta"]]
+                if has_meta
+                else ["application/octet-stream"] * len(results)
+            )
             yield pd.DataFrame(
                 {
                     "path": pdf["path"],
                     "modality": pdf["modality"],
-                    "content": out,
+                    "content": [c for c, _ in results],
                     "meta": [
                         {
                             "length": len(c),
-                            # pass-throughs keep their original mime
-                            "mime": mime
-                            if bytes(c) != bytes(o)
-                            else "application/octet-stream",
+                            # the transcode FLAG (not a byte compare —
+                            # a deterministic re-encode can be byte-
+                            # identical) decides the mime; genuine
+                            # pass-throughs keep the input's
+                            "mime": mime if did else im,
                         }
-                        for c, o in zip(out, pdf["content"])
+                        for (c, did), im in zip(results, in_mimes)
                     ],
                 }
             )

@@ -362,21 +362,42 @@ def read_changes(
     changed rows only — the diff never shuffles the unchanged bulk
     beyond the exceptAll hash, and changed rows are the small side by
     assumption (that is what makes a CDC feed worth publishing)."""
+    from pyspark.sql.window import Window
+
     to_df = read_version(spark, path, to_version)
     from_df = read_version(spark, path, from_version)
     inserts = to_df.exceptAll(from_df).withColumn("_change", F.lit("insert"))
     deletes = from_df.exceptAll(to_df).withColumn("_change", F.lit("delete"))
     if not key_cols:
         return inserts.unionByName(deletes)
-    ins_keys = inserts.select(*key_cols).distinct()
-    del_keys = deletes.select(*key_cols).distinct()
-    upd_keys = ins_keys.join(del_keys, key_cols, "inner")
-    post = inserts.join(F.broadcast(upd_keys), key_cols, "left_semi").withColumn(
-        "_change", F.lit("update_postimage")
+    # materialize the diffs once: the keyed path references each side
+    # three times (pairing, semi, anti) and would otherwise re-run the
+    # full-snapshot exceptAll per reference
+    from portfolio1_etl_spark.operators.checkpointing import materialize
+
+    inserts = materialize(inserts)
+    deletes = materialize(deletes)
+    # positional count-matching per key (Delta-CDF semantics): the
+    # k-th insert of a key pairs with its k-th delete — so 2 inserts
+    # vs 1 delete for a key yield ONE balanced update pair plus one
+    # plain insert, never an unpaired postimage
+    val_cols = [c for c in to_df.columns if c not in key_cols]
+    w = Window.partitionBy(*key_cols).orderBy(
+        *[F.col(c).asc_nulls_first() for c in val_cols]
     )
-    pre = deletes.join(F.broadcast(upd_keys), key_cols, "left_semi").withColumn(
-        "_change", F.lit("update_preimage")
+    ins_rn = inserts.withColumn("_rn", F.row_number().over(w))
+    del_rn = deletes.withColumn("_rn", F.row_number().over(w))
+    pair_on = [*key_cols, "_rn"]
+    post = (
+        ins_rn.join(del_rn.select(*pair_on), pair_on, "left_semi")
+        .withColumn("_change", F.lit("update_postimage"))
+        .drop("_rn")
     )
-    pure_ins = inserts.join(F.broadcast(upd_keys), key_cols, "left_anti")
-    pure_del = deletes.join(F.broadcast(upd_keys), key_cols, "left_anti")
+    pre = (
+        del_rn.join(ins_rn.select(*pair_on), pair_on, "left_semi")
+        .withColumn("_change", F.lit("update_preimage"))
+        .drop("_rn")
+    )
+    pure_ins = ins_rn.join(del_rn.select(*pair_on), pair_on, "left_anti").drop("_rn")
+    pure_del = del_rn.join(ins_rn.select(*pair_on), pair_on, "left_anti").drop("_rn")
     return pure_ins.unionByName(pure_del).unionByName(post).unionByName(pre)

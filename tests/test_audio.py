@@ -202,3 +202,21 @@ def test_dhash_survives_format_transcoding():
     # a perceptual hash must place it far away
     h_other = dhash_bits(img[:, ::-1])
     assert ham(h_png, h_other) > 16
+
+
+def test_adpcm_factless_wav_honors_samples_per_block():
+    """A spec-valid writer may omit the fact chunk; the fmt extra's
+    samples_per_block must then cut the final pad nibble — no phantom
+    trailing sample (review r7-s2 finding)."""
+    import struct
+
+    nib = (np.arange(9) % 16).astype(np.uint8)  # odd → pad nibble
+    wav = bytearray(encode_wav_adpcm(nib, 123, 10))
+    # strip the fact chunk (12 bytes) and fix the RIFF size
+    i = bytes(wav).index(b"fact")
+    del wav[i : i + 12]
+    riff_size = struct.unpack("<I", wav[4:8])[0] - 12
+    wav[4:8] = struct.pack("<I", riff_size)
+    dec, _ = decode_wav(bytes(wav))
+    assert len(dec) == 10  # 1 seed + 9 nibbles, pad nibble dropped
+    assert (dec == adpcm_decode_nibbles(nib, 123, 10)).all()

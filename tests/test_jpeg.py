@@ -592,3 +592,51 @@ def test_transcode_media_is_pixel_lossless_and_passes_audio(spark, tmp_path):
     # audio and corrupt pass through byte-identical
     assert out["e.wav"] == wav
     assert out["f.jpg"] == b"\xff\xd8corrupt"
+
+
+def test_gif_truncated_extension_raises_valueerror():
+    """A cut inside a GCE/extension sub-block must raise the
+    documented ValueError, never IndexError (review r7-s2 finding)."""
+    from portfolio1_etl_spark.operators.gif import (
+        decode_gif_frames,
+        encode_gif_animated,
+    )
+
+    pal = np.array([[1, 2, 3], [4, 5, 6]], np.uint8)
+    enc = encode_gif_animated([pal[np.zeros((3, 3), int)]] * 2)
+    i = enc.index(b"\x21\xf9")  # first GCE
+    for cut in (i + 1, i + 3, i + 5):
+        with pytest.raises(ValueError):
+            decode_gif_frames(enc[:cut])
+
+
+def test_transcode_survives_unencodable_and_keeps_mime(spark, tmp_path):
+    """Review r7-s2 findings: the encode step must not kill the task,
+    gray+alpha transcodes to BMP via luma replication, and mime comes
+    from the transcode FLAG — pass-throughs keep their input mime even
+    when a deterministic re-encode would be byte-identical."""
+    from portfolio1_etl_spark.operators.multimodal import (
+        decode_bmp as _dec_bmp,
+        encode_png,
+        encode_wav,
+        read_media_dir,
+        transcode_media,
+    )
+
+    rng = np.random.RandomState(8)
+    ga = rng.randint(0, 256, (5, 6, 2), dtype=np.uint8)  # gray+alpha
+    d = tmp_path / "ga"
+    d.mkdir()
+    (d / "g.png").write_bytes(encode_png(ga))
+    (d / "w.wav").write_bytes(encode_wav(np.zeros(16, np.int16)))
+    rows = {
+        r.path.rsplit("/", 1)[-1]: r
+        for r in transcode_media(read_media_dir(spark, str(d)), "bmp").collect()
+    }
+    out = bytes(rows["g.png"].content)
+    assert out[:2] == b"BM"
+    px, _, _ = _dec_bmp(out)
+    assert (px == np.repeat(ga[:, :, :1], 3, axis=2)).all()
+    assert rows["g.png"].meta.mime == "image/bmp"
+    # untouched WAV keeps its ingestion mime, not octet-stream
+    assert rows["w.wav"].meta.mime == "audio/wav"

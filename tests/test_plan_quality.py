@@ -144,6 +144,9 @@ _SANCTIONED_BNLJ = {
     # bigram LM: cross with the broadcast ONE-ROW vocabulary-size
     # aggregate for the smoothing denominator (the q118 pattern).
     "q141_bigram_logprob",
+    # Kneser-Ney: cross with the broadcast ONE-ROW bigram-type count
+    # for the continuation-probability denominator (same pattern).
+    "q148_kneser_ney_logprob",
 }
 
 

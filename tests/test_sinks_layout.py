@@ -292,3 +292,30 @@ def test_read_changes_cdc_between_versions(spark, tmp_path):
 
     # identical versions: empty feed
     assert read_changes(spark, path, 1, 1).count() == 0
+
+
+def test_read_changes_pairs_updates_positionally(spark, tmp_path):
+    """Review r7-s2 finding: a key with 2 inserts and 1 delete must
+    yield ONE balanced update pair plus one plain insert — never an
+    unpaired postimage a CDC consumer cannot replay."""
+    from portfolio1_etl_spark.operators.sinks import (
+        read_changes,
+        write_versioned,
+    )
+
+    path = str(tmp_path / "chain2")
+    write_versioned(
+        spark.createDataFrame([(1, 10)], "id int, qty int"), path
+    )
+    write_versioned(
+        spark.createDataFrame([(1, 11), (1, 12)], "id int, qty int"), path
+    )
+    feed = sorted(
+        (r.qty, r._change)
+        for r in read_changes(spark, path, 0, 1, key_cols=["id"]).collect()
+    )
+    assert feed == [
+        (10, "update_preimage"),
+        (11, "update_postimage"),
+        (12, "insert"),
+    ]
