@@ -80,6 +80,15 @@ def _lzw_encode(indices: np.ndarray, min_code_size: int) -> bytes:
         prefix = sym
     if prefix:
         emit(table[prefix], width)
+    # Mirror the decoder's pending width bump before EOI: reading the
+    # final data code makes the decoder's table add land on len(table)
+    # == next_code, and when that is exactly 1<<width a spec decoder
+    # (giflib; this module's own _lzw_decode increment rule) reads the
+    # NEXT code — EOI — at width+1. Emitting EOI at the stale width
+    # desyncs any decoder that reads through EOI instead of stopping at
+    # the expected pixel count (interop-tested in test_gif_lzw_interop).
+    if width < 12 and next_code == (1 << width):
+        width += 1
     emit(eoi, width)
     if nbits:
         out.append(acc & 0xFF)

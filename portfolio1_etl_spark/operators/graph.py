@@ -144,7 +144,7 @@ def pagerank(
     return ranks.select("node", "rank")
 
 
-def triangle_counts(edges: DataFrame) -> DataFrame:
+def triangle_counts(edges: DataFrame, checkpoint_mode: str = "local") -> DataFrame:
     """Per-node triangle counts over an undirected graph given as
     canonical DISTINCT edges (u, v) with u < v. Degree-oriented
     counting (the standard scalable algorithm): re-orient every edge
@@ -158,7 +158,20 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
 
     The differential oracle uses a DIFFERENT algorithm (id-ordered
     3-way self-join) — agreement gates the orientation logic itself.
-    """
+
+    The edge input is MATERIALIZED before anything references it:
+    ``edges`` feeds the degree aggregate plus both sides of the degree
+    join, and the oriented set ``e`` feeds three join legs (wedge x/y
+    + closure z). Without the cut, a caller handing in an expensive
+    pipeline (q150 feeds the q77 near-dup pairs) sees that WHOLE
+    pipeline replayed per reference — the r7 plan audit measured 242
+    exchanges with zero reuse for q150; with the two cuts the edge
+    pipeline runs once and the triangle join runs over tiny
+    checkpointed leaves (edge sets are small relative to the corpus
+    they summarize — the same size argument as read_changes' keyed
+    path). ``checkpoint_mode='reliable'`` routes the cut through the
+    durable checkpoint dir on real clusters."""
+    edges = materialize(edges, checkpoint_mode)
     deg = (
         edges.select(F.col("u").alias("node"))
         .unionAll(edges.select(F.col("v").alias("node")))
@@ -179,6 +192,7 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
         )
         .select("o.a", "o.b")
     )
+    e = materialize(e, checkpoint_mode)
     w = (
         e.alias("x")
         .join(e.alias("y"), F.col("x.b") == F.col("y.a"))

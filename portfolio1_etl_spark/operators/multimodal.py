@@ -942,7 +942,11 @@ def probe_image_dimensions(content: bytes) -> tuple[str, int, int, int]:
                 break
             seg_len = struct.unpack(">H", content[pos + 2 : pos + 4])[0]
             if marker in _JPEG_SOF:
-                if pos + 9 > len(content):
+                # need bytes pos+5..pos+9 inclusive (h, w, then the
+                # component count at pos+9), so the stream must hold
+                # pos+10 bytes — a +9 guard lets a stream truncated
+                # right after the width field escape as IndexError
+                if pos + 10 > len(content):
                     raise ValueError("truncated JPEG SOF")
                 h, w = struct.unpack(">HH", content[pos + 5 : pos + 9])
                 ch = content[pos + 9]

@@ -382,6 +382,12 @@ def read_changes(
     # vs 1 delete for a key yield ONE balanced update pair plus one
     # plain insert, never an unpaired postimage
     val_cols = [c for c in to_df.columns if c not in key_cols]
+    if not val_cols:
+        # the key IS the whole row: an insert/delete sharing a key
+        # would be identical rows, which exceptAll already cancelled —
+        # no update pairs can exist, and the reclassification window
+        # would have an empty ORDER BY (analysis error). Plain feed.
+        return inserts.unionByName(deletes)
     w = Window.partitionBy(*key_cols).orderBy(
         *[F.col(c).asc_nulls_first() for c in val_cols]
     )

@@ -388,14 +388,21 @@ def q10_right_join_multiplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregated sales RIGHT-joined to the component map so unmatched map
     rows survive with NULL qty, NULL×multiplier stays NULL, and the
     NULL-skipping SUM drops them — identical semantics in SQL (SURVEY.md
-    §4.3.6, replicated on purpose)."""
+    §4.3.6, replicated on purpose).
+
+    No broadcast hint on ``p``: the preserved side of a right outer
+    join CANNOT be broadcast (Spark logs an unhonorable-hint WARN via
+    HintErrorLogger and silently falls back), and sort-merge is the
+    right 100× plan here anyway — both sides are key-partitioned fact
+    data at scale. tools/plan_audit.py asserts the whole registry
+    optimizes with ZERO hint WARNs so dead hints can't accumulate."""
     li = _t(spark, sf_dir, "lineitem")
     p = _t(spark, sf_dir, "part")
     soldvalue = li.groupBy(F.col("l_partkey").alias("sku")).agg(
         F.sum("l_quantity").alias("qty")
     )
     return (
-        soldvalue.join(F.broadcast(p), soldvalue.sku == p.p_partkey, "right")
+        soldvalue.join(p, soldvalue.sku == p.p_partkey, "right")
         .groupBy(F.col("p_brand").alias("sku_name"))
         .agg(F.sum(F.col("qty") * F.col("p_size")).alias("qty"))
     )

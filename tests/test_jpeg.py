@@ -640,3 +640,77 @@ def test_transcode_survives_unencodable_and_keeps_mime(spark, tmp_path):
     assert rows["g.png"].meta.mime == "image/bmp"
     # untouched WAV keeps its ingestion mime, not octet-stream
     assert rows["w.wav"].meta.mime == "audio/wav"
+
+
+def _lzw_spec_decode_through_eoi(data: bytes, min_code_size: int) -> bytes:
+    """A giflib-style reference decoder that does NOT know the pixel
+    count: it reads codes until it meets EOI (the spec's stop signal).
+    Unlike the package's _lzw_decode — which stops at the expected
+    pixel count and so never reads the EOI code — this decoder
+    verifies the encoder emits EOI at the width a spec decoder is
+    actually reading at (the ADVICE r7 interop deviation: a table add
+    landing exactly on a power of two bumps the read width BEFORE
+    EOI)."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    pos = acc = nbits = 0
+
+    def read(width: int) -> int:
+        nonlocal pos, acc, nbits
+        while nbits < width:
+            if pos >= len(data):
+                raise ValueError("ran out of bits before EOI")
+            acc |= data[pos] << nbits
+            pos += 1
+            nbits += 8
+        v = acc & ((1 << width) - 1)
+        acc >>= width
+        nbits -= width
+        return v
+
+    out = bytearray()
+    table = [bytes([i]) for i in range(clear)] + [b"", b""]
+    width = min_code_size + 1
+    prev = None
+    while True:
+        code = read(width)
+        if code == clear:
+            table = [bytes([i]) for i in range(clear)] + [b"", b""]
+            width = min_code_size + 1
+            prev = None
+            continue
+        if code == eoi:
+            return bytes(out)
+        if code < len(table) and (code < clear or code > eoi):
+            entry = table[code]
+        elif code == len(table) and prev is not None:
+            entry = prev + prev[:1]
+        else:
+            raise ValueError("invalid GIF LZW code")
+        out += entry
+        if prev is not None and len(table) < 4096:
+            table.append(prev + entry[:1])
+        prev = entry
+        if len(table) == (1 << width) and width < 12:
+            width += 1
+
+
+def test_gif_lzw_interop_through_eoi():
+    """Every encoded stream must decode cleanly on a spec decoder that
+    reads THROUGH EOI. Random sweeps across alphabet sizes and stream
+    lengths hit the boundary where the final table add lands on a
+    power of two (the case that desynced ~9/3000 streams before the
+    encoder mirrored the decoder's pending width bump at EOI)."""
+    from portfolio1_etl_spark.operators.gif import _lzw_encode
+
+    rng = np.random.RandomState(99)
+    checked = 0
+    for mcs, alpha in [(2, 4), (3, 7), (4, 16), (8, 256)]:
+        for _ in range(250):
+            n = int(rng.randint(1, 160))
+            idx = rng.randint(0, alpha, n).astype(np.uint8)
+            enc = _lzw_encode(idx, mcs)
+            dec = _lzw_spec_decode_through_eoi(enc, mcs)
+            assert dec == idx.tobytes(), (mcs, n)
+            checked += 1
+    assert checked == 1000

@@ -572,3 +572,23 @@ def test_probe_image_dimensions_all_formats(spark):
         "c.gif": ("gif", 1920, 1080, 3),
         "bad": (None, None, None, None),
     }
+
+
+def test_probe_jpeg_truncated_after_sof_width_raises_valueerror():
+    """ADVICE r7: a JPEG stream truncated exactly after the SOF width
+    field (the component-count byte missing) must raise the documented
+    ValueError, not leak an IndexError from the off-by-one bounds
+    guard."""
+    import struct as s
+
+    import pytest as _pt
+
+    from portfolio1_etl_spark.operators.multimodal import (
+        probe_image_dimensions,
+    )
+
+    # SOI + SOF0 header + precision + h + w, cut BEFORE the component
+    # count at pos+9 (stream length == pos+10-1)
+    cut = b"\xff\xd8" + b"\xff\xc0" + s.pack(">H", 17) + b"\x08" + s.pack(">HH", 5, 7)
+    with _pt.raises(ValueError):
+        probe_image_dimensions(cut)

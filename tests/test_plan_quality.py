@@ -285,3 +285,46 @@ def test_persisted_ivf_probe_scan_is_dpp_pruned(spark, sf_dir):
     but against the REGISTERED query the correctness gate runs."""
     plan = _formatted_plan(REGISTRY["q135_ivf_index_probe"].fn(spark, sf_dir))
     assert "dynamicpruning" in plan
+
+
+def test_no_unhonorable_join_hints_in_join_family():
+    """Every broadcast hint in the relational/advanced join family
+    must be plannable: Spark drops hints it cannot honor (e.g.
+    broadcast on the preserved side of an outer join) with only a
+    HintErrorLogger WARN — dead code that misleads readers about the
+    physical plan. Physical planning runs in a subprocess so the JVM's
+    stderr is capturable; tools/plan_audit.py applies the same gate to
+    the WHOLE registry each round."""
+    import subprocess
+    import sys
+    import textwrap
+
+    child = textwrap.dedent(
+        """
+        from portfolio1_etl_spark import get_spark
+        from portfolio1_etl_spark.plans import REGISTRY
+        spark = get_spark(app_name="hint-audit", cpus=4)
+        mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted")
+        n = 0
+        for name, q in REGISTRY.items():
+            mod = q.fn.__module__
+            if not mod.endswith(("plans.relational", "plans.advanced")):
+                continue
+            df = q.fn(spark, "/root/testdata/sf0.001")
+            df._jdf.queryExecution().explainString(mode)
+            n += 1
+        assert n >= 30, n
+        print("planned", n)
+        """
+    )
+    proc = subprocess.run(
+        [sys.executable, "-c", child],
+        capture_output=True,
+        text=True,
+        errors="replace",
+        timeout=600,
+    )
+    assert proc.returncode == 0, proc.stderr[-3000:]
+    warns = [ln for ln in proc.stderr.splitlines() if "HintErrorLogger" in ln]
+    assert not warns, "\n".join(warns)

@@ -319,3 +319,26 @@ def test_read_changes_pairs_updates_positionally(spark, tmp_path):
         (11, "update_postimage"),
         (12, "insert"),
     ]
+
+
+def test_read_changes_key_covers_all_columns(spark, tmp_path):
+    """ADVICE r7: when key_cols covers every column there are no value
+    columns to order the reclassification window by — the keyed path
+    must degrade to the plain insert/delete feed instead of failing
+    analysis (an insert/delete sharing an all-column key would be an
+    identical row, which exceptAll already cancelled)."""
+    from portfolio1_etl_spark.operators.sinks import (
+        read_changes,
+        write_versioned,
+    )
+
+    path = str(tmp_path / "chain_allkey")
+    v0 = spark.createDataFrame([(1, "a"), (2, "b")], "id int, k string")
+    v1 = spark.createDataFrame([(2, "b"), (3, "c")], "id int, k string")
+    write_versioned(v0, path)
+    write_versioned(v1, path)
+    feed = {
+        (r.id, r.k, r._change)
+        for r in read_changes(spark, path, 0, 1, key_cols=["id", "k"]).collect()
+    }
+    assert feed == {(3, "c", "insert"), (1, "a", "delete")}
