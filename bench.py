@@ -115,6 +115,8 @@ HEADLINE = [
     "q149_video_metadata_census",
     # degree-oriented triangle counting over the near-dup graph
     "q150_neardup_triangles",
+    # CDC change feed with keyed Delta-CDF reclassification
+    "q151_change_data_feed",
 ]
 
 

@@ -14,7 +14,7 @@ that overwrites its own input (:648). The idiomatic Spark replacements:
 
 from __future__ import annotations
 
-import os
+from functools import reduce
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -185,7 +185,9 @@ def write_range_sorted(
     )
 
 
-def write_versioned(df: DataFrame, path: str) -> int:
+def write_versioned(
+    df: DataFrame, path: str, capture_changes: bool = False
+) -> int:
     """Versioned snapshot chain — the warehouse-grade form of the
     reference's destructive inventory overwrite (portfolio-etl.py:648
     loses yesterday's stock forever): each write lands in
@@ -206,11 +208,48 @@ def write_versioned(df: DataFrame, path: str) -> int:
     Concurrency note: version allocation is list-and-increment;
     single-writer per table (the batch-job norm) is assumed — a
     multi-writer deployment puts a lock/transaction service in front,
-    which is Delta/Iceberg territory by design."""
-    vs = _versions(df.sparkSession, path)
+    which is Delta/Iceberg territory by design.
+
+    ``capture_changes=True`` additionally persists the row-level diff
+    against the previous version to ``{path}/_changes/v=N/`` (v=0:
+    every row as ``insert``) — WRITE-TIME change capture, so
+    ``read_changes`` replays tiny delta files instead of re-diffing
+    two full snapshots per read (r8; the r7 read-path diff paid two
+    full-table scans + a full-row hash shuffle per read, which at
+    100 TB defeats the point of publishing deltas). The diff costs the
+    writer ONE scan of the just-written files plus one of the previous
+    snapshot, paid once per commit instead of once per consumer. The
+    snapshot commits FIRST: a crash before the delta lands leaves a
+    readable version whose feed ``read_changes`` reconstructs by
+    snapshot diff for that step alone (self-healing fallback, tested
+    in test_sinks_layout). The underscore prefix keeps Spark's
+    partition discovery from ever mistaking ``_changes`` for data."""
+    spark = df.sparkSession
+    vs = _versions(spark, path)
     new = (max(vs) + 1) if vs else 0
     df.write.mode("errorifexists").parquet(f"{path}/v={new}")
+    if capture_changes:
+        # diff the WRITTEN files (cheap re-scan) against the previous
+        # snapshot — never the incoming plan, which would recompute
+        # the upstream pipeline a second time
+        written = spark.read.parquet(f"{path}/v={new}")
+        if new == 0:
+            feed = written.withColumn("_change", F.lit("insert"))
+        else:
+            feed = _step_changes(written, read_version(spark, path, new - 1))
+        feed.write.mode("errorifexists").parquet(f"{path}/_changes/v={new}")
     return new
+
+
+def _step_changes(to_df: DataFrame, from_df: DataFrame) -> DataFrame:
+    """The multiset insert/delete feed between two adjacent frames:
+    rows in `to` but not `from` surface as ``insert``, the reverse as
+    ``delete`` — ``exceptAll`` so duplicate rows diff by COUNT. A row
+    can never appear under both labels (the counts are max(0, Δ) and
+    max(0, −Δ)), which is what makes per-step feeds net-foldable."""
+    ins = to_df.exceptAll(from_df).withColumn("_change", F.lit("insert"))
+    dels = from_df.exceptAll(to_df).withColumn("_change", F.lit("delete"))
+    return ins.unionByName(dels)
 
 
 def _hadoop_fs(spark: SparkSession, path: str):
@@ -357,17 +396,87 @@ def read_changes(
       insert/delete. Keys are matched positionally per count so
       multiset semantics survive keyed reclassification too.
 
-    Scale shape: two snapshot scans + one exceptAll each (a hash
-    anti-join on the full row), then a broadcast-size join on the
-    changed rows only — the diff never shuffles the unchanged bulk
-    beyond the exceptAll hash, and changed rows are the small side by
-    assumption (that is what makes a CDC feed worth publishing)."""
+    Scale shape (r8): when the chain was written with
+    ``capture_changes=True``, every step's feed is already persisted
+    under ``_changes/v=N/`` and this read only SCANS DELTA FILES —
+    the net feed over a span folds the per-step feeds with one
+    exceptAll over changed rows only (multiset math: the span diff is
+    the positive/negative part of Σinserts − Σdeletes), so the
+    unchanged 100 TB bulk is never touched. Steps whose delta is
+    missing (pre-capture chains, or a crash between the snapshot and
+    delta commits) self-heal by snapshot diff — for that step alone
+    when the rest of the span is captured, or as one endpoint-pair
+    diff when nothing is (the r7 read-path shape: two snapshot scans
+    + one exceptAll hash each, then broadcast-size joins on the
+    changed rows only)."""
+    if to_version is None:
+        vs = _versions(spark, path)
+        if not vs:
+            raise FileNotFoundError(f"no versions under {path}")
+        to_version = vs[-1]
+    lo, hi = sorted((from_version, to_version))
+    fs, _ = _hadoop_fs(spark, path)
+    jvm = spark.sparkContext._jvm
+    captured = {
+        v: fs.exists(jvm.org.apache.hadoop.fs.Path(f"{path}/_changes/v={v}"))
+        for v in range(lo + 1, hi + 1)
+    }
+    if lo < hi and any(captured.values()):
+        steps = []
+        for v in range(lo + 1, hi + 1):
+            if captured[v]:
+                steps.append(spark.read.parquet(f"{path}/_changes/v={v}"))
+            else:  # self-heal the one missing step by snapshot diff
+                steps.append(
+                    _step_changes(
+                        read_version(spark, path, v),
+                        read_version(spark, path, v - 1),
+                    )
+                )
+        allf = reduce(lambda a, b: a.unionByName(b), steps)
+        ins_rows = allf.filter(F.col("_change") == "insert").drop("_change")
+        del_rows = allf.filter(F.col("_change") == "delete").drop("_change")
+        fwd_ins = ins_rows.exceptAll(del_rows)
+        fwd_del = del_rows.exceptAll(ins_rows)
+    else:
+        to_df = read_version(spark, path, hi)
+        from_df = read_version(spark, path, lo)
+        fwd_ins = to_df.exceptAll(from_df)
+        fwd_del = from_df.exceptAll(to_df)
+    if from_version > to_version:  # reverse span inverts the feed
+        fwd_ins, fwd_del = fwd_del, fwd_ins
+    return _classified_feed(fwd_ins, fwd_del, key_cols)
+
+
+def change_feed(
+    from_df: DataFrame, to_df: DataFrame, key_cols: list[str] | None = None
+) -> DataFrame:
+    """The CDC feed between two arbitrary frames — ``read_changes``'s
+    classification semantics (multiset insert/delete via exceptAll;
+    with ``key_cols`` the Delta-CDF update pre/post reclassification
+    with positional count-matching) without the versioned-chain
+    storage: what a pipeline uses to diff any two computed states
+    (yesterday's inventory vs today's — the read-modify-write cycle
+    at portfolio-etl.py:634-650 published as deltas instead of a full
+    overwrite). On-scoreboard as q151 (plans/warehouse_ops), where the
+    DuckDB oracle replays EXCEPT ALL both ways + the keyed
+    reclassification CTE."""
+    return _classified_feed(
+        to_df.exceptAll(from_df), from_df.exceptAll(to_df), key_cols
+    )
+
+
+def _classified_feed(
+    fwd_ins: DataFrame, fwd_del: DataFrame, key_cols: list[str] | None
+) -> DataFrame:
+    """Label the forward diff (rows only in `to` / only in `from`)
+    with ``_change``, reclassifying keyed pairs into update pre/post
+    images when ``key_cols`` is given."""
     from pyspark.sql.window import Window
 
-    to_df = read_version(spark, path, to_version)
-    from_df = read_version(spark, path, from_version)
-    inserts = to_df.exceptAll(from_df).withColumn("_change", F.lit("insert"))
-    deletes = from_df.exceptAll(to_df).withColumn("_change", F.lit("delete"))
+    inserts = fwd_ins.withColumn("_change", F.lit("insert"))
+    deletes = fwd_del.withColumn("_change", F.lit("delete"))
+    row_cols = [c for c in inserts.columns if c != "_change"]
     if not key_cols:
         return inserts.unionByName(deletes)
     # materialize the diffs once: the keyed path references each side
@@ -381,7 +490,7 @@ def read_changes(
     # k-th insert of a key pairs with its k-th delete — so 2 inserts
     # vs 1 delete for a key yield ONE balanced update pair plus one
     # plain insert, never an unpaired postimage
-    val_cols = [c for c in to_df.columns if c not in key_cols]
+    val_cols = [c for c in row_cols if c not in key_cols]
     if not val_cols:
         # the key IS the whole row: an insert/delete sharing a key
         # would be identical rows, which exceptAll already cancelled —

@@ -125,8 +125,13 @@ def q42_wholesale_multiplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     (:625), re-aggregated by wholesale name (:627-628). Unmatched map
     rows → NULL qty → NULL product → dropped by NULL-skipping SUM —
     replicated on purpose (SURVEY.md §4.3.6). skus_map derives from the
-    broadcast part dim (sku_part = partkey, sku_name = brand,
-    multiplier = size)."""
+    part dim (sku_part = partkey, sku_name = brand, multiplier = size).
+
+    No broadcast hint on ``skus_map``: the preserved side of a right
+    outer join cannot be broadcast (HintErrorLogger WARN + silent
+    fallback), and neither leg of the flipped LEFT form qualifies
+    either — sort-merge on the string sku is the honest plan, and
+    tools/plan_audit.py asserts the registry optimizes hint-WARN-free."""
     p = catalog.load(spark, sf_dir, "part")
     skus_map = p.select(
         F.lower(F.trim(F.col("p_partkey").cast("string"))).alias("sku_part"),
@@ -137,9 +142,7 @@ def q42_wholesale_multiplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         canonical_sales(spark, sf_dir).groupBy("sku").agg(F.sum("qty").alias("qty"))
     )
     return (
-        soldvalue.join(
-            F.broadcast(skus_map), soldvalue.sku == skus_map.sku_part, "right"
-        )
+        soldvalue.join(skus_map, soldvalue.sku == skus_map.sku_part, "right")
         .groupBy(F.col("sku_name").alias("sku"))
         .agg(F.sum(F.col("qty") * F.col("multiplier")).alias("qty"))
     )

@@ -205,3 +205,80 @@ def q138_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "l_discount",
         ],
     )
+
+
+@query(
+    "q151_change_data_feed",
+    sql="""
+    WITH base AS (
+      SELECT o_orderkey AS id, o_custkey AS val FROM orders
+    ),
+    from_v AS (
+      SELECT * FROM base WHERE id % 10 < 8
+      UNION ALL
+      SELECT * FROM base WHERE id % 100 = 7
+    ),
+    to_base AS (
+      SELECT id,
+             CASE WHEN id % 3 = 0 THEN val + 1000000 ELSE val END AS val
+      FROM base WHERE id % 10 >= 2
+    ),
+    to_v AS (
+      SELECT * FROM to_base
+      UNION ALL
+      SELECT * FROM to_base WHERE id % 100 = 13
+    ),
+    ins AS (SELECT * FROM to_v EXCEPT ALL SELECT * FROM from_v),
+    del AS (SELECT * FROM from_v EXCEPT ALL SELECT * FROM to_v),
+    ins_rn AS (
+      SELECT id, val, row_number() OVER (
+        PARTITION BY id ORDER BY val ASC NULLS FIRST) AS rn
+      FROM ins
+    ),
+    del_rn AS (
+      SELECT id, val, row_number() OVER (
+        PARTITION BY id ORDER BY val ASC NULLS FIRST) AS rn
+      FROM del
+    )
+    SELECT i.id AS id, i.val AS val,
+           CASE WHEN d.id IS NULL THEN 'insert'
+                ELSE 'update_postimage' END AS change_type
+    FROM ins_rn i LEFT JOIN del_rn d ON i.id = d.id AND i.rn = d.rn
+    UNION ALL
+    SELECT d.id AS id, d.val AS val,
+           CASE WHEN i.id IS NULL THEN 'delete'
+                ELSE 'update_preimage' END AS change_type
+    FROM del_rn d LEFT JOIN ins_rn i ON i.id = d.id AND i.rn = d.rn
+    """,
+    operators=("X-cdc-feed", "Window-rank", "U1"),
+)
+def q151_change_data_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CDC feed operator on the scoreboard (r8 — previously
+    pytest-only): ``operators.sinks.change_feed`` diffing two
+    synthesized versions of an order-derived state, with keyed
+    Delta-CDF reclassification. The synthesis bakes in every feed
+    class: keys leaving (delete), arriving (insert), value churn
+    (update pre/post pairs via ``id % 3``), and DUPLICATE rows on
+    both sides (``id % 100`` slices appear twice) so positional
+    count-matching — one balanced update pair plus a plain
+    insert/delete for the unpaired copy — is what the oracle gates,
+    not just the set case. The DuckDB twin replays EXCEPT ALL both
+    ways + the keyed reclassification as row_number CTEs. Reference
+    analogue: the inventory read-modify-write cycle
+    (portfolio-etl.py:634-650) published as deltas."""
+    from portfolio1_etl_spark.operators.sinks import change_feed
+
+    o = _t(spark, sf_dir, "orders")
+    base = o.select(F.col("o_orderkey").alias("id"), F.col("o_custkey").alias("val"))
+    from_v = base.filter(F.col("id") % 10 < 8).unionAll(
+        base.filter(F.col("id") % 100 == 7)
+    )
+    to_base = base.filter(F.col("id") % 10 >= 2).select(
+        "id",
+        F.when(F.col("id") % 3 == 0, F.col("val") + 1000000)
+        .otherwise(F.col("val"))
+        .alias("val"),
+    )
+    to_v = to_base.unionAll(to_base.filter(F.col("id") % 100 == 13))
+    feed = change_feed(from_v, to_v, key_cols=["id"])
+    return feed.withColumnRenamed("_change", "change_type")

@@ -272,6 +272,8 @@ _RELATIONAL_QUERIES = [
     "q59_shipping_priority",
     "q104_bloom_prune",
     "q130_salted_join",
+    # keyed CDC reclassification under duplicate-key multisets
+    "q151_change_data_feed",
 ]
 
 

@@ -342,3 +342,93 @@ def test_read_changes_key_covers_all_columns(spark, tmp_path):
         for r in read_changes(spark, path, 0, 1, key_cols=["id", "k"]).collect()
     }
     assert feed == {(3, "c", "insert"), (1, "a", "delete")}
+
+
+def _feed_set(df):
+    return {(r.id, r.qty, r._change) for r in df.collect()}
+
+
+def test_write_time_cdc_capture_matches_snapshot_diff(spark, tmp_path):
+    """r8: chains written with capture_changes=True publish per-step
+    delta files, and read_changes over a fully-captured span must (a)
+    return exactly what the snapshot diff returns — plain, keyed, and
+    multi-version net — and (b) scan ONLY the delta files, never the
+    snapshots (the property that makes the feed worth publishing at
+    100 TB)."""
+    from portfolio1_etl_spark.operators.sinks import (
+        read_changes,
+        write_versioned,
+    )
+
+    cap = str(tmp_path / "cap")
+    ref = str(tmp_path / "ref")
+    frames = [
+        spark.createDataFrame(
+            [(1, "a", 10), (2, "b", 20), (3, "c", 30), (3, "c", 30)],
+            "id int, k string, qty int",
+        ),
+        spark.createDataFrame(
+            [(1, "a", 11), (2, "b", 20), (3, "c", 30), (4, "d", 40)],
+            "id int, k string, qty int",
+        ),
+        # v2: id 4 deleted again (insert@v1 then delete@v2 must NET
+        # OUT of the 0→2 feed), id 1 updated a second time
+        spark.createDataFrame(
+            [(1, "a", 12), (2, "b", 20), (3, "c", 30)],
+            "id int, k string, qty int",
+        ),
+    ]
+    for f in frames:
+        assert write_versioned(f, cap, capture_changes=True) in (0, 1, 2)
+        write_versioned(f, ref)
+
+    for args in [(0, 1), (0, 2), (1, 2), (2, 0)]:
+        got = read_changes(spark, cap, *args)
+        want = read_changes(spark, ref, *args)
+        assert _feed_set(got) == _feed_set(want), args
+        files = got.inputFiles()
+        assert files and all("/_changes/" in f for f in files), args
+    # keyed reclassification over the captured span
+    keyed = _feed_set(read_changes(spark, cap, 0, 2, key_cols=["id"]))
+    assert keyed == {
+        (1, 12, "update_postimage"),
+        (1, 10, "update_preimage"),
+        (3, 30, "delete"),
+    }
+    # the 0→2 net feed dropped the transient id-4 row entirely
+    assert (4, 40, "insert") not in _feed_set(read_changes(spark, cap, 0, 2))
+    # identical-span read stays empty
+    assert read_changes(spark, cap, 2, 2).count() == 0
+
+
+def test_write_time_cdc_self_heals_missing_step(spark, tmp_path):
+    """A crash between the snapshot commit and the delta commit leaves
+    one step uncaptured: the span read must reconstruct THAT step by
+    snapshot diff and still use the persisted deltas for the rest."""
+    import shutil
+
+    from portfolio1_etl_spark.operators.sinks import (
+        read_changes,
+        write_versioned,
+    )
+
+    path = str(tmp_path / "heal")
+    rows = [
+        [(1, 10)],
+        [(1, 10), (2, 20)],
+        [(1, 11), (2, 20)],
+    ]
+    for rs in rows:
+        write_versioned(
+            spark.createDataFrame(rs, "id int, qty int"), path,
+            capture_changes=True,
+        )
+    shutil.rmtree(f"{path}/_changes/v=1")  # simulated crash at step 1
+    feed = {
+        (r.id, r.qty, r._change)
+        for r in read_changes(spark, path, 0, 2).collect()
+    }
+    assert feed == {(2, 20, "insert"), (1, 11, "insert"), (1, 10, "delete")}
+    # the surviving step's read is still delta-only
+    files = read_changes(spark, path, 1, 2).inputFiles()
+    assert files and all("/_changes/" in f for f in files)
