@@ -162,9 +162,10 @@ def rebalance_index(
     ``._prebalance`` backup, the staged ones rename in, then the
     backup drops. A crash at any point leaves either the old or the
     new index recoverable — the next call repairs first. Renames are
-    atomic on HDFS/local; on object stores they are copy+delete, so a
-    transactional table format is the upgrade path there (same caveat
-    as every directory-swap in this package). Single-writer assumed;
+    atomic on HDFS/local; on object stores they are copy+delete, so
+    the manifest-commit protocol ``sinks.write_versioned(manifest=
+    True)`` introduces (one-file commit, no directory renames) is the
+    upgrade path there. Single-writer assumed;
     in-flight queries hold file lists, so run it in the maintenance
     window like any layout rewrite."""
     from portfolio1_etl_spark.operators.sinks import _hadoop_fs

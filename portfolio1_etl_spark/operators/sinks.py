@@ -93,9 +93,10 @@ def compact_parquet(
     calls behind a loud reject on ``://`` paths), so compaction runs
     identically against local disk, ``file://`` URIs, and HDFS.
     Renames are atomic on HDFS/local; on object stores they are
-    copy+delete, where a table format's native compaction (Iceberg
-    rewrite_data_files / Delta OPTIMIZE) is the transactional upgrade
-    path — the same caveat as every directory-swap in this package."""
+    copy+delete. For object-store-safe compaction use a MANIFEST
+    chain (``write_versioned(manifest=True)`` +
+    ``compact_versioned``): the rewrite commits through a one-file
+    manifest and never renames a directory at all (r8)."""
     fs, live = _hadoop_fs(spark, path)
     jvm = spark.sparkContext._jvm
     Path = jvm.org.apache.hadoop.fs.Path
@@ -186,7 +187,10 @@ def write_range_sorted(
 
 
 def write_versioned(
-    df: DataFrame, path: str, capture_changes: bool = False
+    df: DataFrame,
+    path: str,
+    capture_changes: bool = False,
+    manifest: bool = False,
 ) -> int:
     """Versioned snapshot chain — the warehouse-grade form of the
     reference's destructive inventory overwrite (portfolio-etl.py:648
@@ -223,10 +227,43 @@ def write_versioned(
     readable version whose feed ``read_changes`` reconstructs by
     snapshot diff for that step alone (self-healing fallback, tested
     in test_sinks_layout). The underscore prefix keeps Spark's
-    partition discovery from ever mistaking ``_changes`` for data."""
+    partition discovery from ever mistaking ``_changes`` for data.
+
+    ``manifest=True`` upgrades the chain to MANIFEST COMMITS (r8):
+    readers resolve a version through ``{path}/_manifests/v=N.json``
+    — a single small file listing the version's data files, written
+    LAST — instead of trusting directory existence. That closes the
+    object-store atomicity gap the plain chain carries: a directory
+    of part files appears gradually on S3-style stores (no atomic
+    directory rename), but a one-file manifest PUT/rename is atomic
+    everywhere, so a version either exists completely or not at all.
+    A crash mid-write leaves an uncommitted data directory that is
+    INVISIBLE to every reader and is swept by the next write's
+    recovery pass. The flag is sticky: once a chain has manifests,
+    later writes commit through them regardless of the argument
+    (mixing would let a non-manifest write publish an invisible
+    version). Crash-injection tested in test_sinks_layout."""
     spark = df.sparkSession
+    fs, _ = _hadoop_fs(spark, path)
+    jvm = spark.sparkContext._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path
+    has_manifests = fs.exists(hpath(f"{path}/_manifests"))
+    if manifest and not has_manifests and _dir_versions(spark, path):
+        raise ValueError(
+            f"{path} already holds non-manifest versions; a chain "
+            "cannot adopt manifest commits mid-life (readers could "
+            "not tell an uncommitted directory from a legacy one)"
+        )
+    manifest = manifest or has_manifests
     vs = _versions(spark, path)
     new = (max(vs) + 1) if vs else 0
+    if manifest:
+        # sweep uncommitted leftovers of a crashed prior attempt at
+        # this version number — they were never readable
+        for sub in (f"v={new}", f"_changes/v={new}"):
+            p = hpath(f"{path}/{sub}")
+            if fs.exists(p):
+                fs.delete(p, True)
     df.write.mode("errorifexists").parquet(f"{path}/v={new}")
     if capture_changes:
         # diff the WRITTEN files (cheap re-scan) against the previous
@@ -238,6 +275,8 @@ def write_versioned(
         else:
             feed = _step_changes(written, read_version(spark, path, new - 1))
         feed.write.mode("errorifexists").parquet(f"{path}/_changes/v={new}")
+    if manifest:
+        _commit_manifest(spark, path, new)
     return new
 
 
@@ -264,8 +303,10 @@ def _hadoop_fs(spark: SparkSession, path: str):
     return fs, jpath
 
 
-def _versions(spark: SparkSession, path: str) -> list[int]:
-    """Sorted version numbers under ``path`` via Hadoop FS listing."""
+def _dir_versions(spark: SparkSession, path: str) -> list[int]:
+    """Sorted version numbers under ``path`` by DIRECTORY listing —
+    the legacy (pre-manifest) resolution, still what non-manifest
+    chains use."""
     import re
 
     fs, jpath = _hadoop_fs(spark, path)
@@ -279,14 +320,108 @@ def _versions(spark: SparkSession, path: str) -> list[int]:
     return sorted(vs)
 
 
+def _versions(spark: SparkSession, path: str) -> list[int]:
+    """Committed version numbers. On a manifest chain only versions
+    whose manifest file landed count — an uncommitted data directory
+    from a crashed writer is invisible; elsewhere, directory listing
+    (the two never mix: ``write_versioned`` enforces it)."""
+    import re
+
+    fs, _ = _hadoop_fs(spark, path)
+    jvm = spark.sparkContext._jvm
+    mdir = jvm.org.apache.hadoop.fs.Path(f"{path}/_manifests")
+    if not fs.exists(mdir):
+        return _dir_versions(spark, path)
+    vs = []
+    for status in fs.listStatus(mdir):
+        name = status.getPath().getName()
+        if status.isFile() and (m := re.fullmatch(r"v=(\d+)\.json", name)):
+            vs.append(int(m.group(1)))
+    return sorted(vs)
+
+
+def _list_rel_parquet(spark: SparkSession, path: str, sub: str) -> list[str]:
+    """``sub``-relative paths of every ``*.parquet`` data file under
+    ``{path}/{sub}`` (recursive; ``_SUCCESS`` et al. excluded)."""
+    fs, _ = _hadoop_fs(spark, path)
+    jvm = spark.sparkContext._jvm
+    d = jvm.org.apache.hadoop.fs.Path(f"{path}/{sub}")
+    if not fs.exists(d):
+        return []
+    base = d.toUri().getPath()
+    out = []
+    it = fs.listFiles(d, True)
+    while it.hasNext():
+        st = it.next()
+        p = st.getPath().toUri().getPath()
+        if p.endswith(".parquet"):
+            out.append(sub + p[len(base):])
+    return sorted(out)
+
+
+def _commit_manifest(spark: SparkSession, path: str, n: int) -> None:
+    """The commit point of a manifest chain: one small JSON file
+    listing the version's data (and change-feed) files, staged to a
+    dot-tmp name and renamed into ``_manifests/v=N.json``. A one-file
+    rename is atomic on HDFS/local and an atomic single-object copy
+    on S3-style stores — which is exactly why the protocol commits
+    through ONE file instead of trusting multi-file directory renames
+    (non-atomic copy+delete there). Until this file exists, no reader
+    resolves the version."""
+    import json
+
+    fs, _ = _hadoop_fs(spark, path)
+    jvm = spark.sparkContext._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path
+    doc = json.dumps(
+        {
+            "version": n,
+            "files": _list_rel_parquet(spark, path, f"v={n}"),
+            "changes": _list_rel_parquet(spark, path, f"_changes/v={n}"),
+        },
+        indent=1,
+    )
+    tmp = hpath(f"{path}/_manifests/.v={n}.json.tmp")
+    final = hpath(f"{path}/_manifests/v={n}.json")
+    out = fs.create(tmp, True)
+    out.write(bytearray(doc.encode("utf-8")))
+    out.close()
+    if fs.exists(final):
+        fs.delete(final, False)
+    fs.rename(tmp, final)
+
+
+def _read_manifest(spark: SparkSession, path: str, n: int) -> dict | None:
+    """Parsed manifest for version ``n``, or None when the chain (or
+    that version) has no manifest."""
+    import json
+
+    fs, _ = _hadoop_fs(spark, path)
+    jvm = spark.sparkContext._jvm
+    p = jvm.org.apache.hadoop.fs.Path(f"{path}/_manifests/v={n}.json")
+    if not fs.exists(p):
+        return None
+    stream = fs.open(p)
+    try:
+        txt = jvm.org.apache.commons.io.IOUtils.toString(stream, "UTF-8")
+    finally:
+        stream.close()
+    return json.loads(txt)
+
+
 def read_version(spark: SparkSession, path: str, n: int | None = None) -> DataFrame:
     """Read snapshot version ``n`` (default: latest) — time travel over
-    the plain-parquet chain."""
+    the plain-parquet chain. On a manifest chain the scan reads
+    exactly the files the manifest committed — stray files from a
+    crashed writer in the same directory are never picked up."""
     if n is None:
         vs = _versions(spark, path)
         if not vs:
             raise FileNotFoundError(f"no versions under {path}")
         n = vs[-1]
+    m = _read_manifest(spark, path, n)
+    if m is not None:
+        return spark.read.parquet(*[f"{path}/{rel}" for rel in m["files"]])
     return spark.read.parquet(f"{path}/v={n}")
 
 
@@ -295,14 +430,75 @@ def prune_versions(spark: SparkSession, path: str, keep: int = 3) -> list[int]:
     version numbers. Never prunes the latest even if keep == 0.
     Deletes go through the same Hadoop FileSystem as the listing, so
     retention is actually enforced on remote stores (a local
-    ``shutil.rmtree`` against ``s3a://…`` would silently no-op)."""
+    ``shutil.rmtree`` against ``s3a://…`` would silently no-op).
+    On a manifest chain the MANIFEST deletes first — the un-commit —
+    so a crash mid-prune leaves unreferenced data files (invisible,
+    harmless), never a referenced version with missing data."""
     fs, _ = _hadoop_fs(spark, path)
     jvm = spark.sparkContext._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path
     vs = _versions(spark, path)
     doomed = vs[: -max(keep, 1)]
     for n in doomed:
-        fs.delete(jvm.org.apache.hadoop.fs.Path(f"{path}/v={n}"), True)
+        mf = hpath(f"{path}/_manifests/v={n}.json")
+        if fs.exists(mf):
+            fs.delete(mf, False)
+        fs.delete(hpath(f"{path}/v={n}"), True)
+        ch = hpath(f"{path}/_changes/v={n}")
+        if fs.exists(ch):
+            fs.delete(ch, True)
     return doomed
+
+
+def compact_versioned(
+    spark: SparkSession, path: str, target_file_bytes: int = 128 * 1024 * 1024
+) -> int:
+    """Transactional small-file compaction for the versioned chain:
+    rewrite the LATEST committed version into ceil(bytes/target) files
+    as a NEW version, committed exactly like any other write — on a
+    manifest chain that means no directory rename at all (the gap
+    ``compact_parquet``'s swap protocol documents on object stores):
+    readers resolve the old version until the one-file manifest
+    commit lands, and a crash at any point leaves only invisible
+    uncommitted files. If the chain captures changes, the compacted
+    version commits an EMPTY change feed — a layout rewrite is not a
+    data change, and downstream CDC consumers see zero rows for it.
+    Returns the new version number."""
+    vs = _versions(spark, path)
+    if not vs:
+        raise FileNotFoundError(f"no versions under {path}")
+    latest = vs[-1]
+    fs, _ = _hadoop_fs(spark, path)
+    jvm = spark.sparkContext._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path
+    size = 0
+    for rel in _list_rel_parquet(spark, path, f"v={latest}"):
+        size += fs.getFileStatus(hpath(f"{path}/{rel}")).getLen()
+    n_files = max(1, -(-size // target_file_bytes))
+    manifest = fs.exists(hpath(f"{path}/_manifests"))
+    captures = fs.exists(hpath(f"{path}/_changes/v={latest}"))
+    new = latest + 1
+    if manifest:
+        for sub in (f"v={new}", f"_changes/v={new}"):
+            p = hpath(f"{path}/{sub}")
+            if fs.exists(p):
+                fs.delete(p, True)
+    (
+        read_version(spark, path, latest)
+        .repartition(n_files)
+        .write.mode("errorifexists")
+        .parquet(f"{path}/v={new}")
+    )
+    if captures:
+        empty = (
+            spark.read.parquet(f"{path}/v={new}")
+            .limit(0)
+            .withColumn("_change", F.lit("insert"))
+        )
+        empty.write.mode("errorifexists").parquet(f"{path}/_changes/v={new}")
+    if manifest:
+        _commit_manifest(spark, path, new)
+    return new
 
 
 def write_zordered(

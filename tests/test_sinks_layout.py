@@ -432,3 +432,161 @@ def test_write_time_cdc_self_heals_missing_step(spark, tmp_path):
     # the surviving step's read is still delta-only
     files = read_changes(spark, path, 1, 2).inputFiles()
     assert files and all("/_changes/" in f for f in files)
+
+
+# --- manifest commit protocol (r8) -----------------------------------------
+
+
+def test_manifest_chain_commits_and_reads(spark, tmp_path):
+    """Basic manifest chain: versions resolve through _manifests, the
+    flag is sticky across writes, and reads match the plain chain."""
+    from portfolio1_etl_spark.operators.sinks import (
+        read_version,
+        write_versioned,
+    )
+
+    path = str(tmp_path / "mchain")
+    assert write_versioned(
+        spark.createDataFrame([(1, "a")], "id int, k string"),
+        path, manifest=True,
+    ) == 0
+    # second write WITHOUT the flag still commits via manifest (sticky)
+    assert write_versioned(
+        spark.createDataFrame([(1, "a"), (2, "b")], "id int, k string"), path
+    ) == 1
+    import os
+
+    listed = [f for f in os.listdir(f"{path}/_manifests") if not f.startswith(".")]
+    assert sorted(listed) == ["v=0.json", "v=1.json"]
+    assert {(r.id, r.k) for r in read_version(spark, path).collect()} == {
+        (1, "a"), (2, "b"),
+    }
+    assert read_version(spark, path, 0).count() == 1
+
+
+def test_manifest_uncommitted_version_is_invisible(spark, tmp_path):
+    """Crash injection: a data directory whose manifest never landed
+    (writer died between the parquet write and the manifest commit)
+    must be invisible to every reader, and the next write sweeps and
+    reuses the version number."""
+    from portfolio1_etl_spark.operators.sinks import (
+        _versions,
+        read_version,
+        write_versioned,
+    )
+
+    path = str(tmp_path / "crash")
+    write_versioned(
+        spark.createDataFrame([(1,)], "id int"), path, manifest=True
+    )
+    # simulated crash: v=1 data written, no manifest
+    spark.createDataFrame([(99,)], "id int").write.parquet(f"{path}/v=1")
+    assert _versions(spark, path) == [0]
+    assert [r.id for r in read_version(spark, path).collect()] == [1]
+    # recovery: the next write reclaims v=1; the orphan rows are gone
+    assert write_versioned(
+        spark.createDataFrame([(2,)], "id int"), path
+    ) == 1
+    assert {r.id for r in read_version(spark, path, 1).collect()} == {2}
+
+
+def test_manifest_read_ignores_stray_files(spark, tmp_path):
+    """read_version on a manifest chain scans exactly the committed
+    file list — a stray parquet dropped into the version directory
+    after the commit (half-written copy, concurrent junk) is never
+    picked up."""
+    from portfolio1_etl_spark.operators.sinks import (
+        read_version,
+        write_versioned,
+    )
+
+    path = str(tmp_path / "stray")
+    write_versioned(
+        spark.createDataFrame([(1,)], "id int"), path, manifest=True
+    )
+    spark.createDataFrame([(666,)], "id int").coalesce(1).write.parquet(
+        f"{path}/straysrc"
+    )
+    import glob
+    import shutil
+
+    src = glob.glob(f"{path}/straysrc/part-*.parquet")[0]
+    shutil.copy(src, f"{path}/v=0/zz-stray.parquet")
+    assert [r.id for r in read_version(spark, path, 0).collect()] == [1]
+
+
+def test_manifest_rejected_on_legacy_chain(spark, tmp_path):
+    """A chain created without manifests cannot adopt them mid-life."""
+    import pytest
+
+    from portfolio1_etl_spark.operators.sinks import write_versioned
+
+    path = str(tmp_path / "legacy")
+    write_versioned(spark.createDataFrame([(1,)], "id int"), path)
+    with pytest.raises(ValueError, match="manifest"):
+        write_versioned(
+            spark.createDataFrame([(2,)], "id int"), path, manifest=True
+        )
+
+
+def test_compact_versioned_transactional(spark, tmp_path):
+    """Chain compaction: the latest version rewrites into fewer files
+    as a NEW committed version (no directory rename anywhere), content
+    is unchanged, the change feed for the compaction step is EMPTY,
+    and a crashed prior attempt's leftovers are swept."""
+    from portfolio1_etl_spark.operators.sinks import (
+        compact_versioned,
+        read_changes,
+        read_version,
+        write_versioned,
+    )
+
+    path = str(tmp_path / "compact")
+    df = spark.range(1000).select(
+        F.col("id").cast("int").alias("id"),
+        (F.col("id") % 7).cast("int").alias("g"),
+    )
+    write_versioned(
+        df.repartition(16), path, capture_changes=True, manifest=True
+    )
+    # crashed prior compaction attempt left an uncommitted v=1
+    spark.createDataFrame([(0, 0)], "id int, g int").write.parquet(
+        f"{path}/v=1"
+    )
+    new = compact_versioned(spark, path, target_file_bytes=1 << 30)
+    assert new == 1
+    got = read_version(spark, path, new)
+    assert len(got.inputFiles()) == 1
+    assert got.count() == 1000
+    assert got.agg(F.sum("id")).collect()[0][0] == df.agg(
+        F.sum("id")
+    ).collect()[0][0]
+    # layout rewrite is not a data change: empty captured feed
+    assert read_changes(spark, path, 0, 1).count() == 0
+
+
+def test_manifest_prune_uncommits_first(spark, tmp_path):
+    """prune_versions on a manifest chain removes the manifest, the
+    data directory, and the captured feed for pruned versions."""
+    import os
+
+    from portfolio1_etl_spark.operators.sinks import (
+        _versions,
+        prune_versions,
+        read_version,
+        write_versioned,
+    )
+
+    path = str(tmp_path / "prune")
+    for i in range(4):
+        write_versioned(
+            spark.createDataFrame([(i,)], "id int"), path,
+            capture_changes=True, manifest=True,
+        )
+    assert prune_versions(spark, path, keep=2) == [0, 1]
+    assert _versions(spark, path) == [2, 3]
+    listed = [f for f in os.listdir(f"{path}/_manifests") if not f.startswith(".")]
+    assert sorted(listed) == ["v=2.json", "v=3.json"]
+    assert not os.path.exists(f"{path}/v=0")
+    assert not os.path.exists(f"{path}/_changes/v=1")
+    assert [r.id for r in read_version(spark, path).collect()] == [3]
