@@ -117,6 +117,8 @@ HEADLINE = [
     "q150_neardup_triangles",
     # CDC change feed with keyed Delta-CDF reclassification
     "q151_change_data_feed",
+    # header-only MPEG audio bitrate/duration census
+    "q152_audio_bitrate_census",
 ]
 
 

@@ -26,9 +26,13 @@ the 4-byte block header), and ``multimodal.decode_wav`` dispatches on
 the format tag — the SAME ``decode_media`` narrow map serves PCM,
 mu-law, and ADPCM objects inside Arrow-batched ``mapInPandas``.
 
-MP3/AAC stay the documented NotImplementedError boundary (they need
-real psychoacoustic codecs); mu-law + ADPCM cover the telephony and
-game/voice-corpus formats that actually appear in WAV containers.
+MP3/AAC PAYLOAD decode stays the documented NotImplementedError
+boundary (it needs real psychoacoustic codecs); mu-law + ADPCM cover
+the telephony and game/voice-corpus formats that actually appear in
+WAV containers. MPEG audio FRAMING, though, is plain public structure
+— ``probe_mp3_metadata`` below walks frame headers (ID3-aware) for
+the header-only bitrate/duration census tier (r8), the audio
+analogue of ``multimodal.probe_mp4_metadata``.
 
 Reference analogue: none (the reference has no media path; [ext]
 surface per BASELINE.json:6).
@@ -256,3 +260,169 @@ def decode_wav_adpcm_data(
     if not out:
         raise ValueError("empty ADPCM stream")
     return np.concatenate(out)
+
+
+# --- MPEG audio (MP3) frame headers -----------------------------------------
+#
+# Header-only tier for MPEG audio (the probe_mp4_metadata analogue):
+# a 100 TB audio census needs bitrate/sample-rate/duration, which live
+# entirely in the 4-byte frame headers (public ISO 11172-3 / 13818-3
+# framing) — PAYLOAD decode (psychoacoustic synthesis) remains the
+# documented NotImplementedError boundary above.
+
+#: bitrate (kbps) by [version-group][layer][index 1..14]; group 0 =
+#: MPEG1, group 1 = MPEG2/2.5 (lower-rate tables). Index 0 ("free")
+#: and 15 (reserved) are rejected.
+_MPEG_BITRATES = {
+    (0, 1): (32, 64, 96, 128, 160, 192, 224, 256, 288, 320, 352, 384, 416, 448),
+    (0, 2): (32, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320, 384),
+    (0, 3): (32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320),
+    (1, 1): (32, 48, 56, 64, 80, 96, 112, 128, 144, 160, 176, 192, 224, 256),
+    (1, 2): (8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160),
+    (1, 3): (8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160),
+}
+
+#: sample rate (Hz) by version-id bits (0=MPEG2.5, 2=MPEG2, 3=MPEG1)
+_MPEG_SAMPLE_RATES = {
+    0: (11025, 12000, 8000),
+    2: (22050, 24000, 16000),
+    3: (44100, 48000, 32000),
+}
+
+#: samples per frame by (version-group, layer)
+_MPEG_SPF = {
+    (0, 1): 384, (0, 2): 1152, (0, 3): 1152,
+    (1, 1): 384, (1, 2): 1152, (1, 3): 576,
+}
+
+
+def _mp3_frame(header: int) -> tuple[int, int, int, int, int]:
+    """(layer, bitrate_kbps, sample_rate, samples_per_frame,
+    frame_bytes) for one 32-bit MPEG audio frame header. Raises
+    ValueError on anything that is not a valid frame."""
+    if header >> 21 != 0x7FF:
+        raise ValueError("MPEG frame sync missing")
+    version_id = (header >> 19) & 3
+    if version_id == 1:
+        raise ValueError("reserved MPEG version")
+    layer = 4 - ((header >> 17) & 3)  # bits 01→III, 10→II, 11→I
+    if layer == 4:
+        raise ValueError("reserved MPEG layer")
+    group = 0 if version_id == 3 else 1
+    bidx = (header >> 12) & 0xF
+    if bidx in (0, 15):
+        raise ValueError("free/reserved MPEG bitrate")
+    sidx = (header >> 10) & 3
+    if sidx == 3:
+        raise ValueError("reserved MPEG sample-rate index")
+    padding = (header >> 9) & 1
+    bitrate = _MPEG_BITRATES[(group, layer)][bidx - 1]
+    rate = _MPEG_SAMPLE_RATES[version_id][sidx]
+    if layer == 1:
+        nbytes = (12000 * bitrate // rate + padding) * 4
+    else:
+        # Layer II always 144; Layer III halves for MPEG2/2.5
+        coef = 144000 if (layer == 2 or group == 0) else 72000
+        nbytes = coef * bitrate // rate + padding
+    return layer, bitrate, rate, _MPEG_SPF[(group, layer)], nbytes
+
+
+def probe_mp3_metadata(content: bytes) -> tuple[int, int, int, int, int]:
+    """(bitrate_kbps, sample_rate, n_frames, duration_ms, layer) from
+    an MPEG audio stream's frame headers alone — ID3v2 prefix and
+    ID3v1 trailer skipped, every frame's length walked (so VBR
+    streams census correctly: duration sums per-frame samples;
+    bitrate_kbps reports the frame-count-weighted integer mean).
+    Raises ValueError on malformed framing, trailing garbage, or an
+    empty stream. Payload decode stays the module's documented
+    boundary — this reads public framing structure only."""
+    pos, end = 0, len(content)
+    if content[:3] == b"ID3" and end >= 10:
+        size = 0
+        for byte in content[6:10]:  # syncsafe 28-bit
+            if byte & 0x80:
+                raise ValueError("invalid ID3v2 syncsafe size")
+            size = (size << 7) | byte
+        pos = 10 + size
+    if end - pos >= 128 and content[end - 128 : end - 125] == b"TAG":
+        end -= 128
+    n_frames = 0
+    bitrate_sum = 0
+    layer0 = None
+    total_samples: dict[int, int] = {}  # rate -> sample count
+    while pos < end:
+        if pos + 4 > end:
+            raise ValueError("truncated MPEG frame header")
+        header = struct.unpack(">I", content[pos : pos + 4])[0]
+        layer, bitrate, rate, spf, nbytes = _mp3_frame(header)
+        if layer0 is None:
+            layer0 = layer
+        elif layer != layer0:
+            raise ValueError("mixed MPEG layers in one stream")
+        if pos + nbytes > end:
+            raise ValueError("truncated MPEG frame payload")
+        n_frames += 1
+        bitrate_sum += bitrate
+        total_samples[rate] = total_samples.get(rate, 0) + spf
+        pos += nbytes
+    if n_frames == 0:
+        raise ValueError("no MPEG frames")
+    duration_ms = sum(s * 1000 // r for r, s in total_samples.items())
+    rates = sorted(total_samples)
+    return (
+        bitrate_sum // n_frames,
+        rates[-1] if len(rates) == 1 else -1,  # -1 flags mixed-rate VBR
+        n_frames,
+        duration_ms,
+        layer0,
+    )
+
+
+def encode_mp3_stub(
+    bitrate_kbps: int,
+    sample_rate: int,
+    n_frames: int,
+    layer: int = 3,
+    id3v2_bytes: int = 0,
+    id3v1: bool = False,
+) -> bytes:
+    """Structurally-valid CBR MPEG audio stream: correct frame headers
+    and frame-length zero payloads (+ optional ID3v2 prefix / ID3v1
+    trailer), for framing-census tests and synthesis — the
+    encode_mp4_stub analogue. The payload is NOT audio (that is the
+    documented codec boundary); the FRAMING is spec-exact."""
+    version_id = None
+    for vid, rates in _MPEG_SAMPLE_RATES.items():
+        if sample_rate in rates:
+            version_id, sidx = vid, rates.index(sample_rate)
+    if version_id is None:
+        raise ValueError(f"unsupported MPEG sample rate {sample_rate}")
+    group = 0 if version_id == 3 else 1
+    try:
+        bidx = _MPEG_BITRATES[(group, layer)].index(bitrate_kbps) + 1
+    except ValueError:
+        raise ValueError(
+            f"bitrate {bitrate_kbps} invalid for MPEG group {group} layer {layer}"
+        ) from None
+    header = (
+        (0x7FF << 21)
+        | (version_id << 19)
+        | ((4 - layer) << 17)
+        | (1 << 16)  # no CRC
+        | (bidx << 12)
+        | (sidx << 10)
+        | (3 << 6)  # mono
+    )
+    _, _, _, _, nbytes = _mp3_frame(header)
+    frame = struct.pack(">I", header) + b"\x00" * (nbytes - 4)
+    out = bytearray()
+    if id3v2_bytes:
+        size = id3v2_bytes
+        ss = bytes(
+            [(size >> 21) & 0x7F, (size >> 14) & 0x7F, (size >> 7) & 0x7F, size & 0x7F]
+        )
+        out += b"ID3\x04\x00\x00" + ss + b"\x00" * id3v2_bytes
+    out += frame * n_frames
+    if id3v1:
+        out += b"TAG" + b"\x00" * 125
+    return bytes(out)

@@ -1312,3 +1312,123 @@ def q149_video_metadata_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         op,
         "doc_id long, duration_ms long, width long, height long, n_tracks long",
     )
+
+
+# --- q152: header-only MPEG AUDIO census (frame-header walk) ----------------
+
+#: q152 synthesis — structurally-valid CBR MPEG audio streams whose
+#: version/bitrate/sample-rate/frame-count are doc_id arithmetic;
+#: every 5th doc carries an ID3v2 prefix and every 7th an ID3v1
+#: trailer (the probe must skip both — they change the BYTES but not
+#: one oracle value); every 31st doc is framing-corrupt and must
+#: surface as NULLs. Payload decode stays the audio module's
+#: documented boundary.
+
+
+def _synthesize_mp3_media(docs):
+    from portfolio1_etl_spark.operators.audio import encode_mp3_stub
+
+    mpeg1_rates = (44100, 48000, 32000)
+    mpeg2_rates = (22050, 24000, 16000)
+    mpeg1_bps = (32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320)
+    mpeg2_bps = (8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160)
+
+    def _one(doc_id: int) -> bytes:
+        if doc_id % 31 == 0:
+            return b"\xff\xe0 not a frame"
+        mpeg1 = doc_id % 2 == 0
+        return encode_mp3_stub(
+            bitrate_kbps=(mpeg1_bps if mpeg1 else mpeg2_bps)[doc_id % 14],
+            sample_rate=(mpeg1_rates if mpeg1 else mpeg2_rates)[doc_id % 3],
+            n_frames=1 + doc_id % 50,
+            id3v2_bytes=(17 + doc_id % 100) if doc_id % 5 == 0 else 0,
+            id3v1=doc_id % 7 == 0,
+        )
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "path": pdf["doc_id"].astype(str),
+                    "modality": "audio",
+                    "content": [_one(int(d)) for d in pdf["doc_id"]],
+                }
+            )
+
+    return docs.select("doc_id").mapInPandas(
+        op, "path string, modality string, content binary"
+    )
+
+
+@query(
+    "q152_audio_bitrate_census",
+    sql="""
+    WITH params AS (
+      SELECT doc_id,
+        CASE WHEN doc_id % 2 = 0
+          THEN list_extract([32,40,48,56,64,80,96,112,128,160,192,224,256,320],
+                            1 + CAST(doc_id % 14 AS INTEGER))
+          ELSE list_extract([8,16,24,32,40,48,56,64,80,96,112,128,144,160],
+                            1 + CAST(doc_id % 14 AS INTEGER)) END AS kbps,
+        CASE WHEN doc_id % 2 = 0
+          THEN list_extract([44100,48000,32000], 1 + CAST(doc_id % 3 AS INTEGER))
+          ELSE list_extract([22050,24000,16000], 1 + CAST(doc_id % 3 AS INTEGER))
+          END AS rate,
+        1 + doc_id % 50 AS nf,
+        CASE WHEN doc_id % 2 = 0 THEN 1152 ELSE 576 END AS spf
+      FROM documents
+    )
+    SELECT doc_id,
+      CASE WHEN doc_id % 31 = 0 THEN NULL
+           ELSE CAST(kbps AS BIGINT) END AS bitrate_kbps,
+      CASE WHEN doc_id % 31 = 0 THEN NULL
+           ELSE CAST(rate AS BIGINT) END AS sample_rate,
+      CASE WHEN doc_id % 31 = 0 THEN NULL
+           ELSE CAST(nf AS BIGINT) END AS n_frames,
+      CASE WHEN doc_id % 31 = 0 THEN NULL
+           ELSE CAST((nf * spf * 1000) // rate AS BIGINT) END AS duration_ms
+    FROM params
+    """,
+    operators=("X-multimodal", "X-media-metadata", "X-mp3-probe"),
+)
+def q152_audio_bitrate_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MPEG-audio bitrate/duration census — q149's header-only tier
+    extended to compressed AUDIO: bitrate, sample rate, frame count,
+    and duration read from the 4-byte frame headers alone
+    (``audio.probe_mp3_metadata``: ID3v2/ID3v1 skipped, every frame
+    length walked so VBR streams census correctly), never a decoded
+    sample. Framing-corrupt objects (every 31st) surface as NULL rows
+    on the value-hashed board; ID3 wrappers (every 5th/7th) change
+    the bytes but not one census value. The oracle replays the
+    synthesis arithmetic (q137/q149's pattern). Payload decode stays
+    the documented psychoacoustic boundary — this is ISO 11172-3
+    framing structure only."""
+    from portfolio1_etl_spark.operators.audio import probe_mp3_metadata
+
+    media = _synthesize_mp3_media(catalog.load(spark, sf_dir, "documents"))
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: dict[str, list] = {
+                "doc_id": [], "bitrate_kbps": [], "sample_rate": [],
+                "n_frames": [], "duration_ms": [],
+            }
+            for path, content in zip(pdf["path"], pdf["content"]):
+                try:
+                    kbps, rate, nf, dur, _layer = probe_mp3_metadata(
+                        bytes(content)
+                    )
+                except (ValueError, IndexError, struct.error):
+                    kbps = rate = nf = dur = None
+                rows["doc_id"].append(int(path))
+                rows["bitrate_kbps"].append(kbps)
+                rows["sample_rate"].append(rate)
+                rows["n_frames"].append(nf)
+                rows["duration_ms"].append(dur)
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(
+        op,
+        "doc_id long, bitrate_kbps long, sample_rate long, "
+        "n_frames long, duration_ms long",
+    )

@@ -220,3 +220,93 @@ def test_adpcm_factless_wav_honors_samples_per_block():
     dec, _ = decode_wav(bytes(wav))
     assert len(dec) == 10  # 1 seed + 9 nibbles, pad nibble dropped
     assert (dec == adpcm_decode_nibbles(nib, 123, 10)).all()
+
+
+# --- MPEG audio framing probe (r8) ------------------------------------------
+
+
+class TestMp3Probe:
+    def test_cbr_all_layers(self):
+        from portfolio1_etl_spark.operators.audio import (
+            encode_mp3_stub,
+            probe_mp3_metadata,
+        )
+
+        # layer III MPEG1: 1152 samples/frame
+        assert probe_mp3_metadata(encode_mp3_stub(128, 44100, 10)) == (
+            128, 44100, 10, 10 * 1152 * 1000 // 44100, 3,
+        )
+        # layer III MPEG2: 576 samples/frame, low-rate table
+        assert probe_mp3_metadata(encode_mp3_stub(64, 16000, 4)) == (
+            64, 16000, 4, 4 * 576 * 1000 // 16000, 3,
+        )
+        # layer II: 1152 samples/frame in every version group
+        assert probe_mp3_metadata(encode_mp3_stub(192, 48000, 5, layer=2)) == (
+            192, 48000, 5, 5 * 1152 * 1000 // 48000, 2,
+        )
+        # layer I: 384 samples/frame, 4-byte-slot frame length
+        assert probe_mp3_metadata(encode_mp3_stub(448, 32000, 3, layer=1)) == (
+            448, 32000, 3, 3 * 384 * 1000 // 32000, 1,
+        )
+
+    def test_id3_wrappers_change_bytes_not_values(self):
+        from portfolio1_etl_spark.operators.audio import (
+            encode_mp3_stub,
+            probe_mp3_metadata,
+        )
+
+        bare = encode_mp3_stub(96, 44100, 7)
+        wrapped = encode_mp3_stub(96, 44100, 7, id3v2_bytes=300, id3v1=True)
+        assert len(wrapped) == len(bare) + 310 + 128
+        assert probe_mp3_metadata(wrapped) == probe_mp3_metadata(bare)
+
+    def test_vbr_mean_bitrate_and_summed_duration(self):
+        from portfolio1_etl_spark.operators.audio import (
+            encode_mp3_stub,
+            probe_mp3_metadata,
+        )
+
+        vbr = encode_mp3_stub(64, 44100, 3) + encode_mp3_stub(320, 44100, 1)
+        kbps, rate, nf, dur, layer = probe_mp3_metadata(vbr)
+        assert (kbps, rate, nf, layer) == ((64 * 3 + 320) // 4, 44100, 4, 3)
+        assert dur == 4 * 1152 * 1000 // 44100
+
+    def test_malformed_raise(self):
+        import pytest
+
+        from portfolio1_etl_spark.operators.audio import (
+            encode_mp3_stub,
+            probe_mp3_metadata,
+        )
+
+        good = encode_mp3_stub(128, 44100, 2)
+        for bad in [
+            b"",
+            b"\xff\xe0 junk",          # sync bits wrong
+            good[:-1],                  # truncated final frame
+            good + b"trailing",         # garbage after last frame
+            b"ID3\x04\x00\x00\x00\x00\x00\x84",  # syncsafe byte >0x7f... valid prefix? crafted below
+        ]:
+            with pytest.raises(ValueError):
+                probe_mp3_metadata(bad)
+        # reserved bitrate index 15 in an otherwise-valid header
+        import struct as _s
+
+        hdr = _s.unpack(">I", good[:4])[0]
+        bad_hdr = (hdr & ~(0xF << 12)) | (0xF << 12)
+        with pytest.raises(ValueError):
+            probe_mp3_metadata(_s.pack(">I", bad_hdr) + good[4:])
+
+    def test_mixed_layer_stream_rejected(self):
+        import pytest
+
+        from portfolio1_etl_spark.operators.audio import (
+            encode_mp3_stub,
+            probe_mp3_metadata,
+        )
+
+        mixed = encode_mp3_stub(128, 44100, 1) + encode_mp3_stub(
+            128, 44100, 1, layer=2
+        )
+        with pytest.raises(ValueError, match="mixed"):
+            probe_mp3_metadata(mixed)

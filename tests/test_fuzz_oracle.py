@@ -58,6 +58,8 @@ QUERIES = [
     "q148_kneser_ney_logprob",
     # MP4 box-structure census (doc_id arithmetic)
     "q149_video_metadata_census",
+    # MPEG audio frame-header census (doc_id arithmetic, ID3-wrapped)
+    "q152_audio_bitrate_census",
     # degree-oriented vs id-ordered triangle counting on the random
     # corpus's near-dup graph (degenerate-repeat docs form cliques)
     "q150_neardup_triangles",
