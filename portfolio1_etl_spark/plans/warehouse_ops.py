@@ -282,3 +282,86 @@ def q151_change_data_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
     to_v = to_base.unionAll(to_base.filter(F.col("id") % 100 == 13))
     feed = change_feed(from_v, to_v, key_cols=["id"])
     return feed.withColumnRenamed("_change", "change_type")
+
+
+@query(
+    "q153_join_strategy_advisor",
+    sql="""
+    WITH n AS (SELECT count(*) AS rws, count(DISTINCT n_nationkey) AS ndv FROM nation),
+    c1 AS (SELECT count(*) AS rws, count(DISTINCT c_nationkey) AS ndv FROM customer),
+    c2 AS (SELECT count(*) AS rws, count(DISTINCT c_custkey) AS ndv FROM customer),
+    o1 AS (SELECT count(*) AS rws, count(DISTINCT o_custkey) AS ndv FROM orders),
+    o2 AS (SELECT count(*) AS rws, count(DISTINCT o_orderkey) AS ndv FROM orders),
+    l AS (SELECT count(*) AS rws, count(DISTINCT l_orderkey) AS ndv FROM lineitem),
+    pairs AS (
+      SELECT 'nation' AS left_table, 'customer' AS right_table,
+             n.rws AS lr, n.ndv AS lndv, 28 AS lw,
+             c1.rws AS rr, c1.ndv AS rndv, 60 AS rw
+      FROM n, c1
+      UNION ALL
+      SELECT 'customer', 'orders', c2.rws, c2.ndv, 60,
+             o1.rws, o1.ndv, 72
+      FROM c2, o1
+      UNION ALL
+      SELECT 'orders', 'lineitem', o2.rws, o2.ndv, 72,
+             l.rws, l.ndv, 108
+      FROM o2, l
+    )
+    SELECT left_table, right_table,
+      CAST(lr AS BIGINT) AS left_rows, CAST(rr AS BIGINT) AS right_rows,
+      CAST(lr * lw AS BIGINT) AS left_bytes,
+      CAST(rr * rw AS BIGINT) AS right_bytes,
+      CASE
+        WHEN lr*lw <= 102400 AND rr*rw <= 102400 AND lr*lw <= rr*rw
+          THEN 'broadcast_left'
+        WHEN lr*lw <= 102400 AND rr*rw <= 102400 THEN 'broadcast_right'
+        WHEN lr*lw <= 102400 THEN 'broadcast_left'
+        WHEN rr*rw <= 102400 THEN 'broadcast_right'
+        ELSE 'sort_merge' END AS strategy,
+      CASE
+        WHEN CAST(lr AS DOUBLE)/greatest(lndv,1) > 16.0
+             AND CAST(rr AS DOUBLE)/greatest(rndv,1) > 16.0 THEN 'both'
+        WHEN CAST(lr AS DOUBLE)/greatest(lndv,1) > 16.0 THEN 'left'
+        WHEN CAST(rr AS DOUBLE)/greatest(rndv,1) > 16.0 THEN 'right'
+        ELSE 'none' END AS skew_side
+    FROM pairs
+    """,
+    operators=("X-join-advisor", "X-analyze-stats", "A1"),
+)
+def q153_join_strategy_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stats → planner feedback on the scoreboard (r8 — the r7
+    verdict's 'nothing consumes ANALYZE' gap): for three prospective
+    joins of the star schema, ``operators.advisor.join_advice_frame``
+    profiles each side with ONE single-row aggregate scan (row count +
+    join-key NDV, the q138 shape), estimates bytes from schema widths,
+    and emits the broadcast-vs-sort-merge verdict plus an NDV-based
+    skew flag — entirely as a lazy plan (1×1 cross joins of the
+    aggregates; zero data collects). ``exact_ndv=True`` here because
+    the oracle needs exact counts; production uses the HLL form with
+    the identical plan shape, feeding a threshold compare where ±2%
+    never flips a sane configuration. The 100 KiB threshold is scaled
+    to the test SF; at production scale the default is Spark's own
+    10 MiB. Width table: int 4, bigint 8, double 8, timestamp 8,
+    string 20 (planning estimates — the SizeEstimator compromise)."""
+    from portfolio1_etl_spark.operators.advisor import join_advice_frame
+
+    thr = 100 * 1024
+    pairs = [
+        ("nation", "n_nationkey", "customer", "c_nationkey"),
+        ("customer", "c_custkey", "orders", "o_custkey"),
+        ("orders", "o_orderkey", "lineitem", "l_orderkey"),
+    ]
+    out = None
+    for lt, lk, rt, rk in pairs:
+        adv = join_advice_frame(
+            _t(spark, sf_dir, lt),
+            _t(spark, sf_dir, rt),
+            lk,
+            rk,
+            how="inner",
+            broadcast_threshold_bytes=thr,
+            exact_ndv=True,
+            names=(lt, rt),
+        )
+        out = adv if out is None else out.unionByName(adv)
+    return out

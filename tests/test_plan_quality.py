@@ -147,6 +147,12 @@ _SANCTIONED_BNLJ = {
     # Kneser-Ney: cross with the broadcast ONE-ROW bigram-type count
     # for the continuation-probability denominator (same pattern).
     "q148_kneser_ney_logprob",
+    # join advisor: three 1×1 crosses of single-row profile aggregates
+    # (the q32 shape) — the entire frame is 3 rows by construction.
+    "q153_join_strategy_advisor",
+    # PMI: model crossed with the broadcast ONE-ROW bigram and unigram
+    # totals (the q94/q118 1-row-total pattern).
+    "q159_bigram_pmi",
 }
 
 
