@@ -119,6 +119,22 @@ HEADLINE = [
     "q151_change_data_feed",
     # header-only MPEG audio bitrate/duration census
     "q152_audio_bitrate_census",
+    # stats-driven broadcast-vs-sort-merge advice
+    "q153_join_strategy_advisor",
+    # time-series layer: gap-fill, interpolate, rolling median,
+    # sliding distinct users
+    "q154_gap_fill_resample",
+    "q155_linear_interpolate",
+    "q156_rolling_median",
+    "q157_sliding_distinct_users",
+    # corpus-quality statistics: char entropy, PMI collocations,
+    # MAD outliers, DP count release
+    "q158_char_entropy",
+    "q159_bigram_pmi",
+    "q160_mad_outliers",
+    "q161_dp_count_release",
+    # WAV waveform census (silence / RMS / runs)
+    "q162_wav_silence_census",
 ]
 
 

@@ -24,6 +24,8 @@ from portfolio1_etl_spark.plans import curation_ops  # noqa: F401,E402
 from portfolio1_etl_spark.plans import classifier_ops  # noqa: F401,E402
 from portfolio1_etl_spark.plans import robustness_ops  # noqa: F401,E402
 from portfolio1_etl_spark.plans import ann_index_ops  # noqa: F401,E402
+from portfolio1_etl_spark.plans import timeseries_ops  # noqa: F401,E402
+from portfolio1_etl_spark.plans import quality_ops  # noqa: F401,E402
 
 # MUST import after similarity_ops/pq_ops: composes their registered
 # fns and oracle SQL into the on-scoreboard recall row.
@@ -33,52 +35,53 @@ from portfolio1_etl_spark.plans import dedup_recall_ops  # noqa: F401,E402
 #: Explicit registry order. External correctness harnesses may sample a
 #: prefix of ``queries()`` (the driver checks the first 50 entries), so
 #: the prefix must contain at least one representative of EVERY operator
-#: family. ROTATED each round (r7): ~29 of the 50 slots now hold queries
-#: that sat past the window in r6 — the external gate re-verifies a
+#: family. ROTATED each round (r8): 25 of the 50 slots hold queries NOT
+#: in the r7 window — the 12 new r8 queries (q151–q162) plus 13 rotated
+#: back in from past-window slots — so the external gate re-verifies a
 #: different slice of the registry every round instead of re-checking a
 #: fixed favored set; everything outside the window stays covered by
 #: tools/check_oracle.py (full-registry) and pytest.
 PRIORITY: tuple[str, ...] = (
     # relational core representatives
     "q01_pricing_summary",      # flagship group-by agg (entry())
-    "q25_intersect",            # set family (r7 rotation: was q07 union)
-    "q09_sortmerge_join",       # fact-fact join (was q08 broadcast; q29 keeps broadcast rep)
-    "q18_cube",                 # hierarchical agg (was q17 rollup)
+    "q26_except",               # set family (r8 rotation: was q25 intersect)
+    "q09_sortmerge_join",       # fact-fact join (q29 keeps broadcast rep)
+    "q30_grouping_sets",        # hierarchical agg (was q18 cube)
     "q27_json_extract",         # JSON parse
-    "q39_unpivot",              # pivot family (was q28 pivot)
+    "q39_unpivot",              # pivot family
     "q29_star_join",            # multi-dim star broadcast
     # advanced joins / aggregates
-    "q32_cross_join",           # exotic joins (was q31 full outer)
-    "q34_percentiles",          # stats family (was q33)
-    "q36_collect_agg",          # (was q35 approx)
-    "q101_pagerank_dangling",   # graph (was q98 pagerank)
-    "q38_range_join",           # interval family (was q37 as-of)
+    "q31_full_outer_join",      # exotic joins (was q32 cross)
+    "q160_mad_outliers",        # robust stats (r8, new — was q34 percentiles;
+                                # MAD composes the same exact-percentile op)
+    "q35_approx_aggregates",    # (was q36 collect)
+    "q101_pagerank_dangling",   # graph
+    "q38_range_join",           # interval family
     # reference EP3 pipeline + warehouse maintenance
-    "q45_weekly_lookback",      # (was q40 canonical; q43 keeps EP3 core)
+    "q153_join_strategy_advisor",  # stats→planner (r8, new — was q45 lookback)
     "q43_enriched_sales",
-    "q113_bloom_fp_audit",      # bloom family (was q104 production prune)
+    "q104_bloom_prune",         # bloom family (was q113 fp audit)
     "q46_scd2_intervals",
-    "q47_merge_upsert",
-    # streaming batch twins
-    "q50_tumbling_window",
+    "q151_change_data_feed",    # CDC feed (r8, new — was q47 merge)
+    # streaming batch twins + time-series layer (r8, new family)
+    "q154_gap_fill_resample",   # (was q50 tumbling; spine composes the bucket window)
     "q52_session_window",
-    "q131_udaf_geomean",        # §2.12 UDAF shape (was q53; q50/q52 keep streaming)
+    "q133_udf_groupedmap_zscore",  # §2.12 grouped-map shape (was q131 UDAF)
     # window frames / navigation / date+ts scalar layers
-    "q56_window_navigation",    # (was q55 range frame)
-    "q127_data_card",           # governance composite (was q120; q127 composes it)
-    "q57_date_spine",           # (was q58 ts parse)
+    "q156_rolling_median",      # rolling robust stat (r8, new — was q56 nav)
+    "q120_curation_pipeline",   # governance composite (was q127 data card)
+    "q155_linear_interpolate",  # (r8, new — was q57 date spine; the spine
+                                # + nav-window op in one)
     "q59_shipping_priority",
     # text analysis
-    "q61_word_frequency",       # (was q60 token stats)
-    "q126_logreg_quality",      # trained quality classifier (was q62 heuristic score)
-    "q63_lang_id",
-    "q148_kneser_ney_logprob",  # LM scoring (r7 s2 rotation: was
-                                # q118 unigram; KN is the
-                                # strictly stronger gate)
-    "q136_pack_trained_bpe",    # pack under TRAINED vocab (r7, new; q108/q109 CI-covered)
+    "q158_char_entropy",        # (r8, new — was q61 word frequency)
+    "q126_logreg_quality",
+    "q69_langid_classifier",    # trained lang-id (was q63 heuristic)
+    "q148_kneser_ney_logprob",
+    "q136_pack_trained_bpe",
     # corpus governance
-    "q117_sequence_pack",       # (was q115 redact)
-    "q128_curriculum_schedule", # (was q116 mixture)
+    "q117_sequence_pack",
+    "q161_dp_count_release",    # DP release (r8, new — was q128 curriculum)
     # clustering
     "q93_kmeans",
     # frequency sketches
@@ -86,26 +89,25 @@ PRIORITY: tuple[str, ...] = (
     # deduplication layer
     "q100_corpus_prep",
     "q71_dedup_exact_keep",
-    "q76_winnowing",            # fingerprinting (was q72 ngram-jaccard)
+    "q72_ngram_jaccard",        # (was q76 winnowing)
     "q73_minhash_lsh",
-    "q75_simhash_pairs",        # (was q74 simhash)
-    "q124_bpe_train_apply",     # trained-vocab apply (was q103 pq-train; q99 keeps PQ)
-    "q105_prefix_jaccard",      # lossless truth join (was q77 dfcap)
+    "q74_simhash",              # (was q75 simhash pairs)
+    "q152_audio_bitrate_census",  # MPEG framing census (r8, new — was q124)
+    "q157_sliding_distinct_users",  # (r8, new — was q105 prefix jaccard)
     "q78_embedding_neardup",
     "q89_dup_clusters",
     # similarity search layer
     "q80_cosine_topk",
-    "q110_span_dedup",          # cross-doc spans (was q81 blocked pairs)
+    "q159_bigram_pmi",          # collocations (r8, new — was q110 span dedup)
     "q82_lsh_ann",
-    "q135_ivf_index_probe",     # persisted IVF index (r7, new — was q83 in-memory IVF)
-    "q95_quantized_ann",
-    "q99_pq_ann",
+    "q135_ivf_index_probe",
+    "q162_wav_silence_census",  # waveform census (r8, new — was q95 quantized)
+    "q103_pq_sampled_train",    # (was q99 pq ann)
     # multimodal layer
-    "q111_image_dhash",         # (was q90 featurize)
-    "q142_lossy_pixel_census",  # JPEG/GIF/BMP pixel decode (r7, new —
-                                # was q102 png decode; q142 drives the
-                                # same decode_media map over the
-                                # entropy-coded formats)
+    "q146_transcode_census",    # (was q111 dhash)
+    "q145_gif_animation_census",  # (was q142 lossy pixel census — the
+                                # animation census drives the same GIF
+                                # LZW decode plus compositing)
 )
 
 

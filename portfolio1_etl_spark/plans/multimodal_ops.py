@@ -1432,3 +1432,125 @@ def q152_audio_bitrate_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id long, bitrate_kbps long, sample_rate long, "
         "n_frames long, duration_ms long",
     )
+
+
+# --- q162: WAV waveform census (silence / RMS / run analysis) ---------------
+
+#: q162 synthesis — PCM16 WAVs whose waveform is doc_id arithmetic:
+#: n = 2 + doc_id%5 repetitions of [silence of L = 50·(1+doc_id%4)
+#: samples][100-sample ±a square tone, a = 1000 + doc_id%7000]; every
+#: 31st doc is chunk-corrupt. The census DECODES the real container
+#: (decode_wav) and measures the samples — the closed forms below are
+#: what the oracle replays, and they are exact because the sums are
+#: small integers and the divisions reduce to the same rationals.
+
+
+def _synthesize_wav_media(docs):
+    import numpy as np
+
+    from portfolio1_etl_spark.operators.multimodal import encode_wav
+
+    def _one(doc_id: int) -> bytes:
+        if doc_id % 31 == 0:
+            return b"RIFFxxxxWAVEjunk"
+        L = 50 * (1 + doc_id % 4)
+        a = 1000 + doc_id % 7000
+        n = 2 + doc_id % 5
+        tone = np.full(100, a, dtype=np.int64)
+        tone[1::2] = -a
+        block = np.concatenate([np.zeros(L, dtype=np.int64), tone])
+        return encode_wav(np.tile(block, n).astype(np.int16))
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "path": pdf["doc_id"].astype(str),
+                    "modality": "audio",
+                    "content": [_one(int(d)) for d in pdf["doc_id"]],
+                }
+            )
+
+    return docs.select("doc_id").mapInPandas(
+        op, "path string, modality string, content binary"
+    )
+
+
+@query(
+    "q162_wav_silence_census",
+    sql="""
+    WITH params AS (
+      SELECT doc_id,
+        50 * (1 + doc_id % 4) AS L,
+        1000 + doc_id % 7000 AS a,
+        2 + doc_id % 5 AS n
+      FROM documents
+    )
+    SELECT doc_id,
+      CASE WHEN doc_id % 31 = 0 THEN NULL
+           ELSE CAST(n * (L + 100) AS BIGINT) END AS n_samples,
+      CASE WHEN doc_id % 31 = 0 THEN NULL
+           ELSE round(sqrt((100.0 * a * a) / (L + 100.0)), 4) END AS rms,
+      CASE WHEN doc_id % 31 = 0 THEN NULL
+           ELSE round(CAST(L AS DOUBLE) / (L + 100.0), 4) END AS silence_ratio,
+      CASE WHEN doc_id % 31 = 0 THEN NULL
+           ELSE CAST(L AS BIGINT) END AS longest_silence_run
+    FROM params
+    """,
+    operators=("X-multimodal", "X-audio-census", "X-wav"),
+)
+def q162_wav_silence_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Waveform-level audio census: per object, sample count, RMS
+    level, silence ratio (|x| < 256), and the longest silent run — the
+    voice-activity / dead-air screen an audio corpus runs before
+    paying for transcription. Decodes the REAL RIFF container
+    (``decode_wav`` — same path as PCM/mu-law/ADPCM corpora) inside
+    the Arrow-batched narrow map and measures with numpy; malformed
+    containers surface as NULL rows. Float parity: the sample sums
+    are exact small integers, so mean = the same rational both ways,
+    and sqrt is correctly rounded in every IEEE engine — the oracle's
+    closed forms are bit-identical before the defensive 4 dp round."""
+    import numpy as np
+
+    from portfolio1_etl_spark.operators.multimodal import decode_wav
+
+    media = _synthesize_wav_media(catalog.load(spark, sf_dir, "documents"))
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: dict[str, list] = {
+                "doc_id": [], "n_samples": [], "rms": [],
+                "silence_ratio": [], "longest_silence_run": [],
+            }
+            for path, content in zip(pdf["path"], pdf["content"]):
+                try:
+                    x, _rate = decode_wav(bytes(content))
+                    xi = x.astype(np.int64)
+                    n = len(xi)
+                    if n == 0:
+                        raise ValueError("empty waveform")
+                    rms = round(float(np.sqrt(np.sum(xi * xi) / n)), 4)
+                    quiet = np.abs(xi) < 256
+                    ratio = round(float(np.sum(quiet) / n), 4)
+                    # longest run of quiet samples: diff over padded
+                    # transitions gives each run's length
+                    pad = np.concatenate(([False], quiet, [False]))
+                    edges = np.flatnonzero(pad[1:] != pad[:-1])
+                    run = int((edges[1::2] - edges[0::2]).max()) if len(edges) else 0
+                    vals = (n, rms, ratio, run)
+                except (ValueError, NotImplementedError, struct.error,
+                        IndexError):
+                    vals = (None, None, None, None)
+                rows["doc_id"].append(int(path))
+                for k, v in zip(
+                    ("n_samples", "rms", "silence_ratio",
+                     "longest_silence_run"), vals,
+                ):
+                    rows[k].append(v)
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(
+        op,
+        "doc_id long, n_samples long, rms double, "
+        "silence_ratio double, longest_silence_run long",
+    )

@@ -1,0 +1,291 @@
+"""Corpus-quality statistics (r8): character-entropy scoring, bigram
+PMI collocations, robust (MAD) outlier detection, and a
+differentially-private count release — the analysis layer between the
+raw text ops (text_ops.py) and the curation gates (curation_ops.py).
+
+Determinism contract (registry-wide): transcendental results round to
+4 dp after arithmetic whose inputs are exact (integer counts, decimal
+sums) — ln/log2/sqrt on identical doubles are bit-identical across
+engines; the round absorbs sum-order noise in multi-term float sums
+(the q118 pattern).
+
+Reference analogue: none — the reference's pandas script has no
+corpus-quality surface; [ext] per SURVEY §6.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from portfolio1_etl_spark import catalog
+from portfolio1_etl_spark.plans.registry import query
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return catalog.load(spark, sf_dir, "documents")
+
+
+@query(
+    "q158_char_entropy",
+    sql="""
+    WITH ch AS (
+      SELECT doc_id, unnest(regexp_extract_all(text, '.')) AS c
+      FROM documents
+    ),
+    cc AS (SELECT doc_id, c, count(*) AS k FROM ch GROUP BY ALL),
+    n AS (SELECT doc_id, sum(k) AS n FROM cc GROUP BY doc_id)
+    SELECT cc.doc_id,
+      CAST(any_value(n.n) AS BIGINT) AS n_chars_counted,
+      CAST(count(*) AS BIGINT) AS n_distinct_chars,
+      round(-sum((CAST(k AS DOUBLE) / n.n) * log2(CAST(k AS DOUBLE) / n.n)), 4)
+        AS entropy_bits
+    FROM cc JOIN n USING (doc_id)
+    GROUP BY cc.doc_id
+    """,
+    operators=("X-char-entropy", "X-quality", "A1"),
+)
+def q158_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document character-distribution entropy (bits/char) — the
+    compression-proxy quality gate: repeated boilerplate and
+    single-token spam sit far below natural text's ~4 bits, binary
+    junk far above. Scale shape: ONE explode + two hash aggregates
+    (per-doc-char counts, then the per-doc entropy fold); the total
+    per doc joins back from the same aggregate — no second corpus
+    scan, no window over raw characters. The entropy terms are exact
+    count ratios; log2 on identical doubles is bit-identical across
+    engines and the 4 dp round absorbs sum-order noise (≤ ~96 terms
+    per doc)."""
+    d = _docs(spark, sf_dir)
+    cc = (
+        d.select(
+            "doc_id",
+            F.explode(F.regexp_extract_all("text", F.lit("."), 0)).alias("c"),
+        )
+        .groupBy("doc_id", "c")
+        .agg(F.count(F.lit(1)).alias("k"))
+    )
+    n = cc.groupBy("doc_id").agg(F.sum("k").alias("n"))
+    p = F.col("k").cast("double") / F.col("n")
+    return (
+        cc.join(n, "doc_id")
+        .groupBy("doc_id")
+        .agg(
+            F.any_value("n").cast("long").alias("n_chars_counted"),
+            F.count(F.lit(1)).cast("long").alias("n_distinct_chars"),
+            F.round(-F.sum(p * F.log2(p)), 4).alias("entropy_bits"),
+        )
+    )
+
+
+@query(
+    "q159_bigram_pmi",
+    sql="""
+    WITH ws AS (
+      SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ),
+    bg AS (
+      SELECT w[i] AS w1, w[i + 1] AS w2
+      FROM ws, LATERAL unnest(generate_series(1, len(w) - 1)) AS u(i)
+    ),
+    model AS (SELECT w1, w2, count(*) AS cxy FROM bg GROUP BY w1, w2),
+    nbg AS (SELECT sum(cxy) AS nb FROM model),
+    uni AS (
+      SELECT tok, count(*) AS c
+      FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+      GROUP BY tok
+    ),
+    nuni AS (SELECT sum(c) AS nu FROM uni)
+    SELECT m.w1, m.w2, CAST(m.cxy AS BIGINT) AS n_cooccur,
+      round(ln(
+        (CAST(m.cxy AS DOUBLE) / nbg.nb)
+        / ((CAST(u1.c AS DOUBLE) / nuni.nu) * (CAST(u2.c AS DOUBLE) / nuni.nu))
+      ), 4) AS pmi
+    FROM model m
+    JOIN uni u1 ON m.w1 = u1.tok
+    JOIN uni u2 ON m.w2 = u2.tok, nbg, nuni
+    WHERE m.cxy >= 5
+    """,
+    operators=("X-pmi", "X-collocation", "X-lm-bigram"),
+)
+def q159_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pointwise mutual information over corpus bigrams — collocation
+    mining (PMI ≫ 0 = words that belong together: multiword entities,
+    templates) and boilerplate detection (high-count high-PMI pairs
+    are repeated structure worth deduplicating). PMI = ln(p(x,y) /
+    (p(x)p(y))) with a count≥5 support floor (unsupported pairs make
+    PMI a noise amplifier — the standard floor).
+
+    Scale shape: bigram model and unigram table each aggregate once
+    from one corpus scan apiece; scoring is the model joined against
+    the (broadcast-size) unigram vocabulary plus two 1-row totals.
+    The division tree is written identically in both engines so the
+    doubles match bit-for-bit before the 4 dp round."""
+    d = _docs(spark, sf_dir)
+    ws = d.select(F.split("text", " ").alias("w"))
+    bg = ws.select(
+        F.explode(
+            F.expr(
+                "transform(slice(w, 1, size(w) - 1),"
+                " (x, i) -> struct(x AS w1, w[i + 1] AS w2))"
+            )
+        ).alias("p")
+    ).select("p.w1", "p.w2")
+    model = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cxy"))
+    nbg = model.agg(F.sum("cxy").alias("nb"))
+    uni = (
+        d.select(F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    nuni = uni.agg(F.sum("c").alias("nu"))
+    u1 = uni.select(F.col("tok").alias("w1"), F.col("c").alias("c1"))
+    u2 = uni.select(F.col("tok").alias("w2"), F.col("c").alias("c2"))
+    pmi = F.log(
+        (F.col("cxy").cast("double") / F.col("nb"))
+        / (
+            (F.col("c1").cast("double") / F.col("nu"))
+            * (F.col("c2").cast("double") / F.col("nu"))
+        )
+    )
+    return (
+        model.filter(F.col("cxy") >= 5)
+        .join(F.broadcast(u1), "w1")
+        .join(F.broadcast(u2), "w2")
+        .crossJoin(F.broadcast(nbg))
+        .crossJoin(F.broadcast(nuni))
+        .select(
+            "w1",
+            "w2",
+            F.col("cxy").cast("long").alias("n_cooccur"),
+            F.round(pmi, 4).alias("pmi"),
+        )
+    )
+
+
+@query(
+    "q160_mad_outliers",
+    sql="""
+    WITH med AS (
+      SELECT l_suppkey, quantile_cont(l_extendedprice, 0.5) AS med,
+             count(*) AS n_lines
+      FROM lineitem GROUP BY l_suppkey
+    ),
+    dev AS (
+      SELECT l.l_suppkey, m.med, m.n_lines,
+             abs(l.l_extendedprice - m.med) AS adev
+      FROM lineitem l JOIN med m USING (l_suppkey)
+    ),
+    mad AS (
+      SELECT l_suppkey, any_value(med) AS med, any_value(n_lines) AS n_lines,
+             quantile_cont(adev, 0.5) AS mad
+      FROM dev GROUP BY l_suppkey
+    )
+    SELECT d.l_suppkey AS suppkey,
+      CAST(any_value(d.n_lines) AS BIGINT) AS n_lines,
+      round(any_value(d.med), 4) AS median_price,
+      round(any_value(m.mad), 4) AS mad_price,
+      CAST(sum(CASE WHEN d.adev > 3 * m.mad THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_outliers
+    FROM dev d JOIN mad m ON d.l_suppkey = m.l_suppkey
+    GROUP BY d.l_suppkey
+    """,
+    operators=("X-robust-stats", "A-percentile", "J3"),
+)
+def q160_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-group outlier detection: median + MAD (median
+    absolute deviation) per supplier, flagging prices beyond 3 MADs —
+    the screen that survives exactly the extreme values a mean/stddev
+    z-score gets dragged toward. Exact interpolated medians (the q34
+    parity: Spark ``percentile`` ≡ DuckDB ``quantile_cont``).
+
+    Scale shape: two grouped exact-percentile aggregations with a
+    broadcast-size per-group stats table joined back between them —
+    the fact table shuffles on the group key once per pass and is
+    never windowed row-by-row. Groups are suppliers (bounded); the
+    per-group median cost is the standard exact-percentile sort
+    within each group."""
+    li = catalog.load(spark, sf_dir, "lineitem")
+    med = li.groupBy("l_suppkey").agg(
+        F.expr("percentile(l_extendedprice, 0.5D)").alias("med"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+    dev = li.join(F.broadcast(med), "l_suppkey").select(
+        "l_suppkey",
+        "med",
+        "n_lines",
+        F.abs(F.col("l_extendedprice") - F.col("med")).alias("adev"),
+    )
+    mad = dev.groupBy("l_suppkey").agg(
+        F.any_value("med").alias("med_"),
+        F.any_value("n_lines").alias("n_lines_"),
+        F.expr("percentile(adev, 0.5D)").alias("mad"),
+    )
+    return (
+        dev.join(F.broadcast(mad.select("l_suppkey", "mad")), "l_suppkey")
+        .groupBy("l_suppkey")
+        .agg(
+            F.any_value("n_lines").cast("long").alias("n_lines"),
+            F.round(F.any_value("med"), 4).alias("median_price"),
+            F.round(F.any_value("mad"), 4).alias("mad_price"),
+            F.sum(
+                F.when(F.col("adev") > 3 * F.col("mad"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_outliers"),
+        )
+        .withColumnRenamed("l_suppkey", "suppkey")
+    )
+
+
+@query(
+    "q161_dp_count_release",
+    sql="""
+    WITH counts AS (
+      SELECT source, count(*) AS n_true FROM documents GROUP BY source
+    ),
+    noised AS (
+      SELECT source, n_true,
+        CAST(('0x' || substr(md5('dp-' || source), 1, 12))::BIGINT AS DOUBLE)
+          / 281474976710656.0 AS u
+      FROM counts
+    )
+    SELECT source, CAST(n_true AS BIGINT) AS n_true,
+      round(
+        n_true + (CASE WHEN u < 0.5 THEN 20.0 ELSE -20.0 END)
+                 * ln(1.0 - 2.0 * abs(u - 0.5)),
+        4
+      ) AS n_released
+    FROM noised
+    """,
+    operators=("X-dp-release", "X-governance", "A1"),
+)
+def q161_dp_count_release(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Differentially-private count release (Laplace mechanism,
+    sensitivity 1, b = 20 → ε = 0.05): the governance op a data-card
+    pipeline runs before publishing per-source statistics about a
+    private corpus. Noise draws via inverse-CDF of a DETERMINISTIC
+    hash uniform (the q85/q106 seeded-md5 pattern — u from the first
+    48 bits of md5('dp-'||source)), so the release is reproducible
+    across runs and engines and the oracle can gate it; a production
+    deployment swaps the seeded uniform for a cryptographic DRBG and
+    DROPS the n_true column — it is on the board only so the oracle
+    verifies the mechanism's arithmetic. ln on identical doubles +
+    4 dp round per the registry contract. One grouped count; the
+    noise is a narrow map on group rows."""
+    d = _docs(spark, sf_dir)
+    counts = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_true"))
+    u = (
+        F.conv(F.substring(F.md5(F.concat(F.lit("dp-"), F.col("source"))), 1, 12), 16, 10)
+        .cast("double")
+        / F.lit(281474976710656.0)
+    )
+    noise = (
+        F.when(u < 0.5, F.lit(20.0)).otherwise(F.lit(-20.0))
+        * F.log(F.lit(1.0) - F.lit(2.0) * F.abs(u - F.lit(0.5)))
+    )
+    return counts.select(
+        "source",
+        F.col("n_true").cast("long").alias("n_true"),
+        F.round(F.col("n_true") + noise, 4).alias("n_released"),
+    )

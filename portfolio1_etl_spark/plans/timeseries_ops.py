@@ -1,0 +1,288 @@
+"""Time-series operators over the ``events`` table (r8) — the
+resample / interpolate / rolling-statistic / sliding-distinct layer a
+metrics or sensor corpus needs on top of the window family
+(windows_events.py).
+
+Scale shapes: every op here is one bucket aggregation (ONE shuffle on
+(user, bucket)) plus narrow maps and bounded window frames over the
+BUCKETED series — never a window over raw events. The spine
+(gap-fill) derives from the bucketed aggregate's own min/max, so the
+dense grid is |users| × |span-buckets| rows regardless of raw event
+count; at 100 TB of events the bucketed series is the small artifact
+(that is the point of resampling). The sliding distinct count uses
+contribution expansion (each observation contributes to the k windows
+it falls in, then ONE groupBy) because exact count-distinct window
+frames don't exist in any scalable engine — the expansion is the
+textbook shuffle-friendly form.
+
+Reference analogue: none — the reference's pandas script has no
+time-series surface; [ext] per SURVEY §6.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from portfolio1_etl_spark import catalog
+from portfolio1_etl_spark.functions import dsum_money
+from portfolio1_etl_spark.plans.registry import query
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return catalog.load(spark, sf_dir, "events")
+
+
+def _bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user hourly rollup — the shared first stage: ONE shuffle on
+    (user_id, hour); decimal-cast value sum for float parity."""
+    e = _events(spark, sf_dir)
+    return e.groupBy(
+        "user_id", F.date_trunc("hour", F.col("ts")).alias("h")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        dsum_money("value").alias("sum_value"),
+    )
+
+
+@query(
+    "q154_gap_fill_resample",
+    sql="""
+    WITH b AS (
+      SELECT user_id, date_trunc('hour', ts) AS h,
+             count(*) AS n_events,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      FROM events GROUP BY 1, 2
+    ),
+    spine AS (
+      SELECT user_id,
+             unnest(generate_series(min(h), max(h), INTERVAL 1 hour)) AS h
+      FROM b GROUP BY user_id
+    )
+    SELECT s.user_id, s.h,
+           coalesce(b.n_events, 0) AS n_events,
+           coalesce(b.sum_value, 0.0) AS sum_value
+    FROM spine s LEFT JOIN b ON s.user_id = b.user_id AND s.h = b.h
+    """,
+    operators=("X-resample", "X-gap-fill", "Stream-window"),
+)
+def q154_gap_fill_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resample-with-gap-fill: each user's event stream rolls up to an
+    hourly series DENSE over the user's own [first, last] hour — empty
+    hours surface as explicit zero rows (what every downstream
+    rolling/ML window op needs; missing rows silently shrink frames).
+    The spine generates from the BUCKETED aggregate's min/max via
+    ``sequence``+``explode`` — never a driver-side range, never a scan
+    of raw events — and joins back on (user, hour): grid size is
+    users × span-hours however many raw events exist."""
+    b = _bucketed(spark, sf_dir)
+    spine = (
+        b.groupBy("user_id")
+        .agg(F.min("h").alias("lo"), F.max("h").alias("hi"))
+        .select(
+            "user_id",
+            F.explode(
+                F.sequence("lo", "hi", F.expr("interval 1 hour"))
+            ).alias("h"),
+        )
+    )
+    return spine.join(b, ["user_id", "h"], "left").select(
+        "user_id",
+        "h",
+        F.coalesce(F.col("n_events"), F.lit(0)).alias("n_events"),
+        F.coalesce(F.col("sum_value"), F.lit(0.0)).alias("sum_value"),
+    )
+
+
+@query(
+    "q155_linear_interpolate",
+    sql="""
+    WITH b AS (
+      SELECT user_id, date_trunc('hour', ts) AS h,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS v
+      FROM events GROUP BY 1, 2
+    ),
+    spine AS (
+      SELECT user_id,
+             unnest(generate_series(min(h), max(h), INTERVAL 1 hour)) AS h
+      FROM b GROUP BY user_id
+    ),
+    grid AS (
+      SELECT s.user_id, s.h, b.v
+      FROM spine s LEFT JOIN b ON s.user_id = b.user_id AND s.h = b.h
+    ),
+    ctx AS (
+      SELECT user_id, h, v,
+        last_value(v IGNORE NULLS) OVER w_prev AS prev_v,
+        last_value(CASE WHEN v IS NOT NULL THEN h END IGNORE NULLS)
+          OVER w_prev AS prev_h,
+        first_value(v IGNORE NULLS) OVER w_next AS next_v,
+        first_value(CASE WHEN v IS NOT NULL THEN h END IGNORE NULLS)
+          OVER w_next AS next_h
+      FROM grid
+      WINDOW
+        w_prev AS (PARTITION BY user_id ORDER BY h
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        w_next AS (PARTITION BY user_id ORDER BY h
+                   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT user_id, h,
+      CASE
+        WHEN v IS NOT NULL THEN v
+        WHEN prev_v IS NULL THEN next_v
+        WHEN next_v IS NULL THEN prev_v
+        ELSE prev_v + (next_v - prev_v)
+             * (CAST(date_diff('hour', prev_h, h) AS DOUBLE)
+                / CAST(date_diff('hour', prev_h, next_h) AS DOUBLE))
+      END AS v_interp,
+      (v IS NULL) AS was_filled
+    FROM ctx
+    """,
+    operators=("X-interpolate", "Window-nav", "X-gap-fill"),
+)
+def q155_linear_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear interpolation over the gap-filled hourly grid: missing
+    hours take ``prev + (next − prev) · Δ/span`` between the nearest
+    real observations (edge gaps hold the single available neighbor —
+    pandas ``interpolate(limit_direction='both')`` semantics). Two
+    bounded window passes (last-non-null backward, first-non-null
+    forward) over the BUCKETED grid — the classic scalable form; no
+    self-join, no per-gap subquery. Exact-decimal bucket sums keep
+    the float arithmetic bit-identical to the oracle."""
+    b = _bucketed(spark, sf_dir).select(
+        "user_id", "h", F.col("sum_value").alias("v")
+    )
+    spine = (
+        b.groupBy("user_id")
+        .agg(F.min("h").alias("lo"), F.max("h").alias("hi"))
+        .select(
+            "user_id",
+            F.explode(
+                F.sequence("lo", "hi", F.expr("interval 1 hour"))
+            ).alias("h"),
+        )
+    )
+    grid = spine.join(b, ["user_id", "h"], "left")
+    w_prev = (
+        W.partitionBy("user_id").orderBy("h").rowsBetween(W.unboundedPreceding, 0)
+    )
+    w_next = (
+        W.partitionBy("user_id").orderBy("h").rowsBetween(0, W.unboundedFollowing)
+    )
+    marked_h = F.when(F.col("v").isNotNull(), F.col("h"))
+    ctx = grid.select(
+        "user_id",
+        "h",
+        "v",
+        F.last("v", ignorenulls=True).over(w_prev).alias("prev_v"),
+        F.last(marked_h, ignorenulls=True).over(w_prev).alias("prev_h"),
+        F.first("v", ignorenulls=True).over(w_next).alias("next_v"),
+        F.first(marked_h, ignorenulls=True).over(w_next).alias("next_h"),
+    )
+    hours = lambda a, b_: (F.unix_timestamp(b_) - F.unix_timestamp(a)) / F.lit(3600)
+    frac = (
+        hours(F.col("prev_h"), F.col("h")).cast("double")
+        / hours(F.col("prev_h"), F.col("next_h")).cast("double")
+    )
+    interp = (
+        F.when(F.col("v").isNotNull(), F.col("v"))
+        .when(F.col("prev_v").isNull(), F.col("next_v"))
+        .when(F.col("next_v").isNull(), F.col("prev_v"))
+        .otherwise(
+            F.col("prev_v") + (F.col("next_v") - F.col("prev_v")) * frac
+        )
+    )
+    return ctx.select(
+        "user_id",
+        "h",
+        interp.alias("v_interp"),
+        F.col("v").isNull().alias("was_filled"),
+    )
+
+
+@query(
+    "q156_rolling_median",
+    sql="""
+    WITH b AS (
+      SELECT user_id, date_trunc('hour', ts) AS h,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS v
+      FROM events GROUP BY 1, 2
+    )
+    SELECT user_id, h,
+           median(v) OVER (PARTITION BY user_id ORDER BY h
+                           ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+             AS median_5h,
+           max(v) OVER (PARTITION BY user_id ORDER BY h
+                        ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+             AS max_5h
+    FROM b
+    """,
+    operators=("X-rolling-stat", "Window-rangeframe", "A-percentile"),
+)
+def q156_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 5-bucket median (and max) per user over the hourly
+    series — the robust smoother a metrics pipeline runs where a
+    rolling MEAN would chase outliers. Exact ``percentile(0.5)`` as a
+    window aggregate over a ROWS frame: the frame is ≤5 values, so
+    exactness costs O(frame) per row with no sketch — the right
+    trade at any scale BECAUSE the frame is bounded (the global-median
+    analogue q34 uses the same exact form only in oracle mode). Even
+    frames average the two middle values in both engines
+    (interpolating median), which keeps the doubles bit-identical."""
+    b = _bucketed(spark, sf_dir).select(
+        "user_id", "h", F.col("sum_value").alias("v")
+    )
+    w = W.partitionBy("user_id").orderBy("h").rowsBetween(-4, 0)
+    return b.select(
+        "user_id",
+        "h",
+        F.expr("percentile(v, 0.5D)").over(w).alias("median_5h"),
+        F.max("v").over(w).alias("max_5h"),
+    )
+
+
+@query(
+    "q157_sliding_distinct_users",
+    sql="""
+    WITH ub AS (
+      SELECT DISTINCT user_id, date_trunc('hour', ts) AS h FROM events
+    ),
+    contrib AS (
+      SELECT user_id, h AS win FROM ub
+      UNION ALL SELECT user_id, h + INTERVAL 1 hour FROM ub
+      UNION ALL SELECT user_id, h + INTERVAL 2 hour FROM ub
+    )
+    SELECT win AS window_start, count(DISTINCT user_id) AS n_active_users
+    FROM contrib GROUP BY win
+    """,
+    operators=("X-sliding-distinct", "Stream-window-slide", "A-distinct"),
+)
+def q157_sliding_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 3-hour distinct active users per hour — the sliding
+    COUNT DISTINCT no engine supports as a window frame (distinct
+    state can't fold incrementally). The scalable form is
+    contribution expansion: each (user, hour) observation first
+    DEDUPLICATES (one row per user-hour, the coarsest grain the
+    answer needs), then contributes to the 3 windows covering it, and
+    ONE groupBy counts distinct per window — shuffles bounded by
+    |user×hour| × 3, never raw events, never a per-window set. The
+    same shape scales to any window/slide ratio k with k union legs
+    (or an explode over a sequence for large k)."""
+    e = _events(spark, sf_dir)
+    ub = e.select(
+        "user_id", F.date_trunc("hour", F.col("ts")).alias("h")
+    ).distinct()
+    contrib = ub.select(
+        "user_id",
+        F.explode(
+            F.array(
+                F.col("h"),
+                F.col("h") + F.expr("interval 1 hour"),
+                F.col("h") + F.expr("interval 2 hour"),
+            )
+        ).alias("window_start"),
+    )
+    return contrib.groupBy("window_start").agg(
+        F.count_distinct("user_id").alias("n_active_users")
+    )

@@ -60,6 +60,13 @@ QUERIES = [
     "q149_video_metadata_census",
     # MPEG audio frame-header census (doc_id arithmetic, ID3-wrapped)
     "q152_audio_bitrate_census",
+    # WAV waveform census (doc_id arithmetic, real container decode)
+    "q162_wav_silence_census",
+    # char-entropy quality gate and DP count release on random corpora
+    "q158_char_entropy",
+    "q161_dp_count_release",
+    # PMI collocations (support floor exercises rare random bigrams)
+    "q159_bigram_pmi",
     # degree-oriented vs id-ordered triangle counting on the random
     # corpus's near-dup graph (degenerate-repeat docs form cliques)
     "q150_neardup_triangles",
@@ -193,6 +200,13 @@ _EVENT_QUERIES = [
     "q53_dedup_first_event",
     "q54_funnel",
     "q49_cohort_retention",
+    # r8 time-series family: gap-fill spine, interpolation, rolling
+    # median, sliding distinct — burst/idle/same-second shapes are
+    # exactly what stresses spine generation and frame boundaries
+    "q154_gap_fill_resample",
+    "q155_linear_interpolate",
+    "q156_rolling_median",
+    "q157_sliding_distinct_users",
 ]
 
 
@@ -276,6 +290,8 @@ _RELATIONAL_QUERIES = [
     "q130_salted_join",
     # keyed CDC reclassification under duplicate-key multisets
     "q151_change_data_feed",
+    # MAD outlier screen on random price distributions
+    "q160_mad_outliers",
 ]
 
 
