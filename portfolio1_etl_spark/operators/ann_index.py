@@ -25,6 +25,61 @@ from portfolio1_etl_spark.operators.clustering import assign_cells, lloyd_kmeans
 from portfolio1_etl_spark.operators.similarity import cosine
 
 
+def _current_gen(spark: SparkSession, path: str) -> int | None:
+    """Committed generation number from ``{path}/_current``, or None
+    when the index is not generational (or not built yet)."""
+    from portfolio1_etl_spark.operators.sinks import _hadoop_fs
+
+    fs, _ = _hadoop_fs(spark, path)
+    jvm = spark.sparkContext._jvm
+    p = jvm.org.apache.hadoop.fs.Path(f"{path}/_current")
+    if not fs.exists(p):
+        return None
+    stream = fs.open(p)
+    try:
+        txt = jvm.org.apache.commons.io.IOUtils.toString(stream, "UTF-8")
+    finally:
+        stream.close()
+    return int(txt.strip())
+
+
+def _set_current_gen(spark: SparkSession, path: str, n: int) -> None:
+    """The generational index's COMMIT POINT: rewrite the one-file
+    generation pointer via tmp + single-file rename (atomic on
+    HDFS/local, an atomic single-object copy on S3-style stores — the
+    same argument as ``sinks._commit_manifest``). Until the pointer
+    flips, every reader resolves the previous, complete generation."""
+    from portfolio1_etl_spark.operators.sinks import _hadoop_fs
+
+    fs, _ = _hadoop_fs(spark, path)
+    jvm = spark.sparkContext._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path
+    tmp = hpath(f"{path}/._current.tmp")
+    final = hpath(f"{path}/_current")
+    out = fs.create(tmp, True)
+    out.write(bytearray(str(n).encode("utf-8")))
+    out.close()
+    if fs.exists(final):
+        fs.delete(final, False)
+    fs.rename(tmp, final)
+
+
+def _index_root(spark: SparkSession, path: str) -> str:
+    """Data root for the index at ``path``: the path itself for the
+    flat legacy layout (``{path}/centroids`` exists), else the
+    generation directory the ``_current`` pointer commits."""
+    from portfolio1_etl_spark.operators.sinks import _hadoop_fs
+
+    fs, _ = _hadoop_fs(spark, path)
+    jvm = spark.sparkContext._jvm
+    if fs.exists(jvm.org.apache.hadoop.fs.Path(f"{path}/centroids")):
+        return path
+    gen = _current_gen(spark, path)
+    if gen is None:
+        raise FileNotFoundError(f"no IVF index at {path}")
+    return f"{path}/gen={gen}"
+
+
 def build_ivf_index(
     vecs: DataFrame,
     path: str,
@@ -32,25 +87,38 @@ def build_ivf_index(
     iters: int = 3,
     train_fraction: float | None = None,
     checkpoint_mode: str = "local",
+    generational: bool = False,
 ) -> None:
     """Train a k-cell codebook on ``vecs`` (vec_id, v, nrm — from
     ``with_norms``) and persist the index:
 
-    - ``{path}/centroids`` — the codebook (c_id, cvec), one tiny file;
-    - ``{path}/vectors``   — (vec_id, v, nrm) partitioned by ``cell``.
-    """
+    - ``{root}/centroids`` — the codebook (c_id, cvec), one tiny file;
+    - ``{root}/vectors``   — (vec_id, v, nrm) partitioned by ``cell``.
+
+    ``generational=True`` (r8) roots the data under ``{path}/gen=0``
+    and commits it by writing the one-file ``{path}/_current`` pointer
+    LAST — the object-store-safe layout: ``rebalance_index`` then
+    replaces the index by building ``gen=N+1`` and atomically flipping
+    the pointer, never renaming a directory (renames are non-atomic
+    copy+delete on S3-style stores). Readers resolve through the
+    pointer, so they see the old complete index until the instant the
+    new one is fully committed. The flat legacy layout stays the
+    default and keeps its in-place swap semantics."""
+    root = f"{path}/gen=0" if generational else path
     assigned, cent = lloyd_kmeans(
         vecs, k=k, iters=iters, train_fraction=train_fraction,
         checkpoint_mode=checkpoint_mode,
     )
-    cent.coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
+    cent.coalesce(1).write.mode("overwrite").parquet(f"{root}/centroids")
     (
         assigned.select("vec_id", "v", "cell")
         .join(vecs.select("vec_id", "nrm"), "vec_id")
         .write.mode("overwrite")
         .partitionBy("cell")
-        .parquet(f"{path}/vectors")
+        .parquet(f"{root}/vectors")
     )
+    if generational:
+        _set_current_gen(vecs.sparkSession, path, 0)
 
 
 def query_ivf_index(
@@ -66,6 +134,7 @@ def query_ivf_index(
     column, so DPP prunes every unprobed cell directory at the scan —
     plan-asserted in tests/test_ann_index.py. With n_probe = #cells
     the result equals the exact brute force (also asserted)."""
+    path = _index_root(spark, path)
     cent = spark.read.parquet(f"{path}/centroids")
     q = queries.select(
         F.col("vec_id").alias("query_id"),
@@ -115,7 +184,7 @@ def cell_stats(spark: SparkSession, path: str) -> tuple[int, float]:
     hot cell's share up and narrow-probe recall down (queries near the
     hot region burn their whole probe budget on one overgrown cell)."""
     sizes = (
-        spark.read.parquet(f"{path}/vectors")
+        spark.read.parquet(f"{_index_root(spark, path)}/vectors")
         .groupBy("cell")
         .agg(F.count(F.lit(1)).alias("n"))
         .agg(
@@ -156,53 +225,85 @@ def rebalance_index(
     argmin, and the rewrite is one partitioned pass over the index —
     the parquet-lake analogue of OPTIMIZE/CLUSTER BY maintenance.
 
-    Crash safety (compact_parquet's protocol, but through the Hadoop
-    FileSystem API so it works wherever the index lives): the new
-    index stages beside the live one, the live directories move to a
-    ``._prebalance`` backup, the staged ones rename in, then the
-    backup drops. A crash at any point leaves either the old or the
-    new index recoverable — the next call repairs first. Renames are
-    atomic on HDFS/local; on object stores they are copy+delete, so
-    the manifest-commit protocol ``sinks.write_versioned(manifest=
-    True)`` introduces (one-file commit, no directory renames) is the
-    upgrade path there. Single-writer assumed;
-    in-flight queries hold file lists, so run it in the maintenance
-    window like any layout rewrite."""
+    Crash safety, two layouts:
+
+    - GENERATIONAL index (``build_ivf_index(generational=True)``, r8):
+      the new index builds completely under ``gen=N+1`` and commits by
+      atomically rewriting the one-file ``_current`` pointer — NO
+      directory rename anywhere, so the protocol is safe on object
+      stores where directory renames are non-atomic copy+delete. A
+      crash before the flip leaves readers on the old complete
+      generation and an invisible orphan directory the next rebalance
+      sweeps; the old generation is deleted only after the flip.
+    - FLAT legacy layout: staged build + live→backup→live renames
+      (compact_parquet's protocol) with repair-first recovery. Renames
+      are atomic on HDFS/local only — the generational layout is the
+      object-store upgrade path.
+
+    Single-writer assumed; in-flight queries hold file lists, so run
+    it in the maintenance window like any layout rewrite."""
     from portfolio1_etl_spark.operators.sinks import _hadoop_fs
 
     fs, _ = _hadoop_fs(spark, path)
     jvm = spark.sparkContext._jvm
     Path = jvm.org.apache.hadoop.fs.Path
 
-    live = {n: Path(f"{path}/{n}") for n in ("centroids", "vectors")}
-    staged = {n: Path(f"{path}/{n}._rebalancing") for n in ("centroids", "vectors")}
-    backup = {n: Path(f"{path}/{n}._prebalance") for n in ("centroids", "vectors")}
-    for n in ("centroids", "vectors"):  # repair a crashed prior attempt
-        if fs.exists(backup[n]):
-            if fs.exists(live[n]):
-                fs.delete(backup[n], True)
-            else:  # crashed mid-swap: restore the old index
-                fs.rename(backup[n], live[n])
-        if fs.exists(staged[n]):
-            fs.delete(staged[n], True)
+    gen = None
+    if not fs.exists(Path(f"{path}/centroids")):
+        gen = _current_gen(spark, path)
+        if gen is None:
+            raise FileNotFoundError(f"no IVF index at {path}")
+
+    if gen is None:
+        # flat layout: repair a crashed prior swap attempt first
+        live = {n: Path(f"{path}/{n}") for n in ("centroids", "vectors")}
+        staged = {
+            n: Path(f"{path}/{n}._rebalancing") for n in ("centroids", "vectors")
+        }
+        backup = {
+            n: Path(f"{path}/{n}._prebalance") for n in ("centroids", "vectors")
+        }
+        for n in ("centroids", "vectors"):
+            if fs.exists(backup[n]):
+                if fs.exists(live[n]):
+                    fs.delete(backup[n], True)
+                else:  # crashed mid-swap: restore the old index
+                    fs.rename(backup[n], live[n])
+            if fs.exists(staged[n]):
+                fs.delete(staged[n], True)
 
     if skew_threshold is not None:
         _, skew = cell_stats(spark, path)
         if skew < skew_threshold:
             return False
 
-    vecs = spark.read.parquet(f"{path}/vectors").select("vec_id", "v", "nrm")
+    root = path if gen is None else f"{path}/gen={gen}"
+    vecs = spark.read.parquet(f"{root}/vectors").select("vec_id", "v", "nrm")
     assigned, cent = lloyd_kmeans(
         vecs, k=k, iters=iters, train_fraction=train_fraction,
         checkpoint_mode=checkpoint_mode,
     )
-    cent.coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids._rebalancing")
-    (
+    rebuilt = (
         assigned.select("vec_id", "v", "cell")
         .join(vecs.select("vec_id", "nrm"), "vec_id")
-        .write.mode("overwrite")
-        .partitionBy("cell")
-        .parquet(f"{path}/vectors._rebalancing")
+    )
+    if gen is not None:
+        new_root = f"{path}/gen={gen + 1}"
+        p = Path(new_root)
+        if fs.exists(p):  # orphan of a crashed prior attempt — sweep
+            fs.delete(p, True)
+        cent.coalesce(1).write.mode("errorifexists").parquet(
+            f"{new_root}/centroids"
+        )
+        rebuilt.write.mode("errorifexists").partitionBy("cell").parquet(
+            f"{new_root}/vectors"
+        )
+        _set_current_gen(spark, path, gen + 1)  # the commit point
+        fs.delete(Path(f"{path}/gen={gen}"), True)
+        return True
+    cent.coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids._rebalancing")
+    rebuilt.write.mode("overwrite").partitionBy("cell").parquet(
+        f"{path}/vectors._rebalancing"
     )
     for n in ("centroids", "vectors"):
         fs.rename(live[n], backup[n])
@@ -221,13 +322,18 @@ def ingest_vectors(
     existing data. The standard IVF maintenance contract: cells drift
     as the distribution moves, recall degrades gracefully, and a
     periodic :func:`rebalance_index` (trigger on :func:`cell_stats`
-    skew) restores it; queries are oblivious either way."""
-    cent = spark.read.parquet(f"{path}/centroids")
+    skew) restores it; queries are oblivious either way. On a
+    generational index the append lands inside the CURRENT generation
+    (each appended part file is whole, so concurrent readers see a
+    consistent prefix of the ingest — the same contract as the flat
+    layout)."""
+    root = _index_root(spark, path)
+    cent = spark.read.parquet(f"{root}/centroids")
     assigned = assign_cells(new_vecs.select("vec_id", "v"), cent)
     (
         assigned.select("vec_id", "v", "cell")
         .join(new_vecs.select("vec_id", "nrm"), "vec_id")
         .write.mode("append")
         .partitionBy("cell")
-        .parquet(f"{path}/vectors")
+        .parquet(f"{root}/vectors")
     )

@@ -251,3 +251,86 @@ def test_rebalance_repairs_crashed_swap(spark, tmp_path):
     assert rebalance_index(spark, path, k=4) is True
     assert not os.path.exists(f"{path}/vectors._prebalance")
     assert _recall(spark, path, queries, want, n_probe=1) >= 0.95
+
+
+# --- generational (pointer-committed) layout (r8) ---------------------------
+
+
+def test_generational_build_query_and_rebalance(spark, sf_dir, tmp_path):
+    """Generational layout: build commits via the one-file _current
+    pointer, queries resolve through it identically to the flat
+    layout, rebalance builds gen=1 and flips the pointer (old
+    generation gone afterwards), and results stay exact under full
+    probing throughout."""
+    import os
+
+    vecs = _vecs(spark, sf_dir)
+    flat = str(tmp_path / "flat")
+    gen = str(tmp_path / "gen")
+    build_ivf_index(vecs, flat, k=K_CELLS)
+    build_ivf_index(vecs, gen, k=K_CELLS, generational=True)
+    assert open(f"{gen}/_current").read().strip() == "0"
+    queries = vecs.filter(F.col("vec_id") < 8)
+    got_flat = _topk_sets(
+        query_ivf_index(spark, flat, queries, n_probe=K_CELLS, k=3).collect()
+    )
+    got_gen = _topk_sets(
+        query_ivf_index(spark, gen, queries, n_probe=K_CELLS, k=3).collect()
+    )
+    assert got_gen == got_flat
+
+    from portfolio1_etl_spark.operators.ann_index import rebalance_index
+
+    assert rebalance_index(spark, gen, k=K_CELLS) is True
+    assert open(f"{gen}/_current").read().strip() == "1"
+    assert not os.path.exists(f"{gen}/gen=0")
+    got2 = _topk_sets(
+        query_ivf_index(spark, gen, queries, n_probe=K_CELLS, k=3).collect()
+    )
+    assert got2 == got_flat
+
+
+def test_generational_crash_before_flip_is_invisible(spark, sf_dir, tmp_path):
+    """Crash injection: a fully-written gen=1 whose pointer never
+    flipped (writer died at the commit point) must be invisible —
+    readers stay on gen=0 — and the next rebalance sweeps the orphan
+    and commits its own gen=1."""
+    import os
+
+    vecs = _vecs(spark, sf_dir)
+    path = str(tmp_path / "crashgen")
+    build_ivf_index(vecs, path, k=K_CELLS, generational=True)
+    queries = vecs.filter(F.col("vec_id") < 8)
+    want = _topk_sets(
+        query_ivf_index(spark, path, queries, n_probe=K_CELLS, k=3).collect()
+    )
+    # simulated crashed rebalance: orphan gen=1 with garbage content
+    os.makedirs(f"{path}/gen=1")
+    spark.createDataFrame([(0, [0.0], 0.0)], "vec_id long, v array<double>, nrm double") \
+        .write.parquet(f"{path}/gen=1/centroids")
+    got = _topk_sets(
+        query_ivf_index(spark, path, queries, n_probe=K_CELLS, k=3).collect()
+    )
+    assert got == want  # orphan invisible
+
+    from portfolio1_etl_spark.operators.ann_index import rebalance_index
+
+    assert rebalance_index(spark, path, k=K_CELLS) is True
+    assert open(f"{path}/_current").read().strip() == "1"
+    got2 = _topk_sets(
+        query_ivf_index(spark, path, queries, n_probe=K_CELLS, k=3).collect()
+    )
+    assert got2 == want
+
+
+def test_generational_probe_still_partition_pruned(spark, sf_dir, tmp_path):
+    """The DPP probe-pruning property must survive the generational
+    indirection — the scan under gen=N still prunes unprobed cells."""
+    vecs = _vecs(spark, sf_dir)
+    path = str(tmp_path / "genprune")
+    build_ivf_index(vecs, path, k=K_CELLS, generational=True)
+    queries = vecs.filter(F.col("vec_id") < 2)
+    plan = query_ivf_index(
+        spark, path, queries, n_probe=1, k=3
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower()
