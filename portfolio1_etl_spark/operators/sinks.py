@@ -191,6 +191,7 @@ def write_versioned(
     path: str,
     capture_changes: bool = False,
     manifest: bool = False,
+    meta: dict | None = None,
 ) -> int:
     """Versioned snapshot chain — the warehouse-grade form of the
     reference's destructive inventory overwrite (portfolio-etl.py:648
@@ -242,7 +243,16 @@ def write_versioned(
     recovery pass. The flag is sticky: once a chain has manifests,
     later writes commit through them regardless of the argument
     (mixing would let a non-manifest write publish an invisible
-    version). Crash-injection tested in test_sinks_layout."""
+    version). Crash-injection tested in test_sinks_layout.
+
+    ``meta`` (manifest chains only) rides INSIDE the manifest JSON —
+    committed atomically with the data in the same one-file commit,
+    readable via ``version_meta``. That makes it the right home for
+    writer bookkeeping that must never diverge from the data it
+    describes: a streaming writer records its epoch id here, so
+    exactly-once folding survives restarts with no side channel a
+    crash could leave half-updated (streaming/jobs.py
+    ``versioned_cdc_stream``)."""
     spark = df.sparkSession
     fs, _ = _hadoop_fs(spark, path)
     jvm = spark.sparkContext._jvm
@@ -255,6 +265,8 @@ def write_versioned(
             "not tell an uncommitted directory from a legacy one)"
         )
     manifest = manifest or has_manifests
+    if meta is not None and not manifest:
+        raise ValueError("meta requires a manifest chain (manifest=True)")
     vs = _versions(spark, path)
     new = (max(vs) + 1) if vs else 0
     if manifest:
@@ -276,7 +288,7 @@ def write_versioned(
             feed = _step_changes(written, read_version(spark, path, new - 1))
         feed.write.mode("errorifexists").parquet(f"{path}/_changes/v={new}")
     if manifest:
-        _commit_manifest(spark, path, new)
+        _commit_manifest(spark, path, new, meta)
     return new
 
 
@@ -359,7 +371,9 @@ def _list_rel_parquet(spark: SparkSession, path: str, sub: str) -> list[str]:
     return sorted(out)
 
 
-def _commit_manifest(spark: SparkSession, path: str, n: int) -> None:
+def _commit_manifest(
+    spark: SparkSession, path: str, n: int, meta: dict | None = None
+) -> None:
     """The commit point of a manifest chain: one small JSON file
     listing the version's data (and change-feed) files, staged to a
     dot-tmp name and renamed into ``_manifests/v=N.json``. A one-file
@@ -378,6 +392,7 @@ def _commit_manifest(spark: SparkSession, path: str, n: int) -> None:
             "version": n,
             "files": _list_rel_parquet(spark, path, f"v={n}"),
             "changes": _list_rel_parquet(spark, path, f"_changes/v={n}"),
+            "meta": meta or {},
         },
         indent=1,
     )
@@ -407,6 +422,23 @@ def _read_manifest(spark: SparkSession, path: str, n: int) -> dict | None:
     finally:
         stream.close()
     return json.loads(txt)
+
+
+def version_meta(spark: SparkSession, path: str, n: int | None = None) -> dict:
+    """The writer-supplied ``meta`` committed with version ``n``
+    (default: latest) — atomically consistent with the data because it
+    lives in the same manifest file. Empty dict for manifest versions
+    written without meta; raises FileNotFoundError for non-manifest
+    chains/versions (they have no committed metadata)."""
+    if n is None:
+        vs = _versions(spark, path)
+        if not vs:
+            raise FileNotFoundError(f"no versions under {path}")
+        n = vs[-1]
+    m = _read_manifest(spark, path, n)
+    if m is None:
+        raise FileNotFoundError(f"no manifest for version {n} under {path}")
+    return m.get("meta", {})
 
 
 def read_version(spark: SparkSession, path: str, n: int | None = None) -> DataFrame:

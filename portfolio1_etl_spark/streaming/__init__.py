@@ -12,6 +12,7 @@ from portfolio1_etl_spark.streaming.jobs import (
     running_user_totals_stream,
     scd2_maintenance_stream,
     sessionized_stream,
+    versioned_cdc_stream,
     windowed_counts_stream,
 )
 
@@ -28,4 +29,5 @@ __all__ = [
     "cms_maintenance_stream",
     "corpus_prep_stream",
     "corpus_prep_finalize",
+    "versioned_cdc_stream",
 ]

@@ -731,3 +731,63 @@ def media_census_finalize(state: dict) -> DataFrame:
     if "census" not in state:
         raise ValueError("media census stream has not folded any batch")
     return state["census"]
+
+
+def versioned_cdc_stream(events: DataFrame, path: str):
+    """Streaming ingestion into a MANIFEST-COMMITTED versioned chain
+    with write-time CDC capture (r8) — the durable form of the
+    inventory merge: each micro-batch folds per-sku sold totals into
+    the latest snapshot and commits the new state as version N+1 with
+    its change feed, so every epoch publishes deltas downstream
+    consumers replay instead of re-reading state.
+
+    Exactly-once WITHOUT driver memory: the epoch id rides in the
+    version's manifest ``meta`` — committed in the same atomic
+    one-file write as the data — and the fold skips any epoch ≤ the
+    latest committed one. Unlike the in-memory ``_epoch_already_folded``
+    guard the other jobs use, this survives a full process restart: a
+    crash AFTER the manifest commit but before Spark checkpoints the
+    offset re-delivers the epoch to a fresh process, which reads the
+    durable marker and skips — no double-fold, no side-channel file a
+    crash could leave out of sync with the data. Totals accumulate in
+    DECIMAL(18,2) so the stream-fold equals the one-shot batch
+    aggregate bit-for-bit (pinned in tests/test_streaming.py along
+    with re-delivery and kill-and-resume)."""
+    from portfolio1_etl_spark.operators.sinks import (
+        _versions,
+        read_version,
+        version_meta,
+        write_versioned,
+    )
+
+    def _fold(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        vs = _versions(spark, path)
+        if vs and int(version_meta(spark, path, vs[-1]).get("epoch", -1)) >= epoch_id:
+            return  # duplicate delivery, incl. post-restart — durable guard
+        delta = batch_df.groupBy(F.col("event_type").alias("sku")).agg(
+            F.sum(F.col("value").cast("decimal(18,2)")).alias("qty"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        if vs:
+            prev = read_version(spark, path, vs[-1])
+            merged = (
+                prev.unionByName(delta)
+                .groupBy("sku")
+                .agg(F.sum("qty").alias("qty"), F.sum("n").alias("n"))
+            )
+        else:
+            merged = delta
+        state = merged.select(
+            "sku",
+            F.col("qty").cast("decimal(18,2)").alias("qty"),
+            F.col("n").cast("long").alias("n"),
+        )
+        write_versioned(
+            state, path, capture_changes=True, manifest=True,
+            meta={"epoch": epoch_id},
+        )
+
+    writer = events.writeStream.outputMode("append").foreachBatch(_fold)
+    writer.epoch_fold = _fold  # exposed for retry tests
+    return writer
