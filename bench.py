@@ -135,6 +135,8 @@ HEADLINE = [
     "q161_dp_count_release",
     # WAV waveform census (silence / RMS / runs)
     "q162_wav_silence_census",
+    # 2-core of the user co-occurrence graph (fixed-round peel)
+    "q163_user_kcore",
 ]
 
 

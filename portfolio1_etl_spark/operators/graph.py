@@ -210,3 +210,58 @@ def triangle_counts(edges: DataFrame, checkpoint_mode: str = "local") -> DataFra
         .groupBy("node")
         .agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
     )
+
+
+def kcore_peel(
+    edges: DataFrame,
+    k: int = 2,
+    rounds: int | None = None,
+    checkpoint_mode: str = "local",
+) -> DataFrame:
+    """k-core peeling over an undirected edge list (u, v): repeatedly
+    drop nodes with degree < ``k`` (each drop lowers neighbors'
+    degrees, cascading) and return the surviving nodes with their
+    in-core degree. ``rounds=None`` peels to the FIXPOINT (the true
+    k-core); a fixed ``rounds`` runs exactly that many peels — the
+    deterministic contract an SQL oracle can replay as unrolled CTEs
+    (the q123/q126 precedent for iterative ops), with fixpoint
+    equivalence asserted in pytest on the scoreboard's data.
+
+    Scale shape per round: one degree aggregation (shuffle on node)
+    and two semi-joins of the edge list against the (shrinking)
+    survivor set; the edge frame re-materializes each round
+    (checkpointing.materialize) so lineage stays flat — the same
+    iterative-state pattern as PageRank/k-means. Rounds are bounded
+    by the peeling depth, which is tiny on real graphs (the cascade
+    usually settles in a handful of rounds)."""
+    from portfolio1_etl_spark.operators.checkpointing import materialize
+
+    e = materialize(edges.select("u", "v"), mode=checkpoint_mode)
+    i = 0
+    while rounds is None or i < rounds:
+        deg = (
+            e.select(F.col("u").alias("node"))
+            .unionAll(e.select(F.col("v").alias("node")))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias("d"))
+        )
+        keep = deg.filter(F.col("d") >= k).select("node")
+        e2 = (
+            e.join(keep.withColumnRenamed("node", "u"), "u", "left_semi")
+            .join(keep.withColumnRenamed("node", "v"), "v", "left_semi")
+            .select("u", "v")
+        )
+        e2 = materialize(e2, mode=checkpoint_mode)
+        if rounds is None:
+            if e2.count() == e.count():
+                e = e2
+                break
+        e = e2
+        i += 1
+    return (
+        e.select(F.col("u").alias("node"))
+        .unionAll(e.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("degree"))
+        .filter(F.col("degree") >= k)
+    )

@@ -243,3 +243,114 @@ def q150_neardup_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.greatest("doc_a", "doc_b").alias("v"),
     ).distinct()
     return triangle_counts(edges).withColumnRenamed("node", "doc_id")
+
+
+# --------------------------------------------------------------------------
+# q163 — k-core of the user co-occurrence graph (fixed-round peel)
+# --------------------------------------------------------------------------
+
+_KCORE_ROUNDS = 4
+
+
+@query(
+    "q163_user_kcore",
+    sql="""
+    WITH ub AS (
+      SELECT DISTINCT user_id, date_trunc('hour', ts) AS h FROM events
+    ),
+    hcnt AS (SELECT h, count(*) AS nu FROM ub GROUP BY h),
+    small AS (
+      SELECT ub.user_id, ub.h FROM ub JOIN hcnt USING (h) WHERE hcnt.nu <= 40
+    ),
+    pairs AS (
+      SELECT a.user_id AS u, b.user_id AS v, count(*) AS common
+      FROM small a JOIN small b ON a.h = b.h AND a.user_id < b.user_id
+      GROUP BY a.user_id, b.user_id
+    ),
+    e0 AS MATERIALIZED (SELECT u, v FROM pairs WHERE common >= 3),
+    deg0 AS MATERIALIZED (
+      SELECT node, count(*) AS d FROM (
+        SELECT u AS node FROM e0 UNION ALL SELECT v AS node FROM e0
+      ) GROUP BY node
+    ),
+    keep0 AS MATERIALIZED (SELECT node FROM deg0 WHERE d >= 2),
+    e1 AS MATERIALIZED (
+      SELECT e.u, e.v FROM e0 e
+      JOIN keep0 k1 ON e.u = k1.node
+      JOIN keep0 k2 ON e.v = k2.node
+    ),
+    deg1 AS MATERIALIZED (
+      SELECT node, count(*) AS d FROM (
+        SELECT u AS node FROM e1 UNION ALL SELECT v AS node FROM e1
+      ) GROUP BY node
+    ),
+    keep1 AS MATERIALIZED (SELECT node FROM deg1 WHERE d >= 2),
+    e2 AS MATERIALIZED (
+      SELECT e.u, e.v FROM e1 e
+      JOIN keep1 k1 ON e.u = k1.node
+      JOIN keep1 k2 ON e.v = k2.node
+    ),
+    deg2 AS MATERIALIZED (
+      SELECT node, count(*) AS d FROM (
+        SELECT u AS node FROM e2 UNION ALL SELECT v AS node FROM e2
+      ) GROUP BY node
+    ),
+    keep2 AS MATERIALIZED (SELECT node FROM deg2 WHERE d >= 2),
+    e3 AS MATERIALIZED (
+      SELECT e.u, e.v FROM e2 e
+      JOIN keep2 k1 ON e.u = k1.node
+      JOIN keep2 k2 ON e.v = k2.node
+    ),
+    deg3 AS MATERIALIZED (
+      SELECT node, count(*) AS d FROM (
+        SELECT u AS node FROM e3 UNION ALL SELECT v AS node FROM e3
+      ) GROUP BY node
+    ),
+    keep3 AS MATERIALIZED (SELECT node FROM deg3 WHERE d >= 2),
+    e4 AS MATERIALIZED (
+      SELECT e.u, e.v FROM e3 e
+      JOIN keep3 k1 ON e.u = k1.node
+      JOIN keep3 k2 ON e.v = k2.node
+    )
+    SELECT node, CAST(count(*) AS BIGINT) AS degree FROM (
+      SELECT u AS node FROM e4 UNION ALL SELECT v AS node FROM e4
+    ) GROUP BY node HAVING count(*) >= 2
+    """,
+    operators=("X-graph-kcore", "X-cooccurrence", "J-semi"),
+)
+def q163_user_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-core of the user co-occurrence graph — the community-screen
+    graph op (nodes outside the 2-core are leaves/isolated chains;
+    what survives is the densely-interacting population worth running
+    the expensive graph algorithms on). Edges: users sharing >= 3
+    distinct active hours, built ONLY from hours with <= 40 active
+    users — the df-cap pattern (dedup_ops q77): hub hours would
+    contribute O(n^2) pairs and say nothing about affinity.
+
+    The peel runs a FIXED {_KCORE_ROUNDS} rounds in both engines —
+    the deterministic contract for iterative ops (the q123/q126
+    unrolled-CTE precedent); fixpoint equivalence on this data is
+    asserted in tests/test_graph.py, and ``kcore_peel(rounds=None)``
+    is the production fixpoint form. Scale: each round is one degree
+    aggregation + two semi-joins of a shrinking edge list, lineage
+    flattened per round."""
+    from portfolio1_etl_spark.operators.graph import kcore_peel
+
+    e = catalog.load(spark, sf_dir, "events")
+    ub = e.select(
+        "user_id", F.date_trunc("hour", F.col("ts")).alias("h")
+    ).distinct()
+    hcnt = ub.groupBy("h").agg(F.count(F.lit(1)).alias("nu"))
+    small = ub.join(
+        F.broadcast(hcnt.filter(F.col("nu") <= 40).select("h")), "h"
+    )
+    a = small.select(F.col("user_id").alias("u"), "h")
+    b = small.select(F.col("user_id").alias("v"), "h")
+    pairs = (
+        a.join(b, "h")
+        .filter(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    edges = pairs.filter(F.col("common") >= 3).select("u", "v")
+    return kcore_peel(edges, k=2, rounds=_KCORE_ROUNDS)

@@ -207,6 +207,9 @@ _EVENT_QUERIES = [
     "q155_linear_interpolate",
     "q156_rolling_median",
     "q157_sliding_distinct_users",
+    # k-core peel on random burst graphs (co-occurrence df-cap + 4
+    # unrolled peels must match across engines on any event shape)
+    "q163_user_kcore",
 ]
 
 

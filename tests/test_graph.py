@@ -125,3 +125,66 @@ def test_triangle_counts_known_graphs(spark):
     wheel = [(0, i) for i in range(1, 6)] + [(i, i + 1) for i in range(1, 5)] + [(5, 1)]
     got = run(wheel)
     assert got[0] == 5 and all(got[i] == 2 for i in range(1, 6))
+
+
+def test_kcore_fixed_rounds_equals_fixpoint(spark, sf_dir):
+    """q163's fixed-round contract must equal the true fixpoint peel
+    on the scoreboard's own data (if the graph ever needs more rounds,
+    this fails loudly and the round count gets bumped in BOTH
+    engines), and a hand-built cascade peels correctly."""
+    from portfolio1_etl_spark.operators.graph import kcore_peel
+    from portfolio1_etl_spark.plans.graph_ops import (
+        _KCORE_ROUNDS,
+        q163_user_kcore,
+    )
+
+    got = {
+        (r.node, r.degree)
+        for r in q163_user_kcore(spark, sf_dir).collect()
+    }
+    # rebuild the same edges and peel to fixpoint
+    from portfolio1_etl_spark import catalog
+
+    e = catalog.load(spark, sf_dir, "events")
+    ub = e.select(
+        "user_id", F.date_trunc("hour", F.col("ts")).alias("h")
+    ).distinct()
+    hcnt = ub.groupBy("h").agg(F.count(F.lit(1)).alias("nu"))
+    small = ub.join(hcnt.filter(F.col("nu") <= 40).select("h"), "h")
+    a = small.select(F.col("user_id").alias("u"), "h")
+    b = small.select(F.col("user_id").alias("v"), "h")
+    edges = (
+        a.join(b, "h")
+        .filter(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("common"))
+        .filter(F.col("common") >= 3)
+        .select("u", "v")
+    )
+    want = {
+        (r.node, r.degree)
+        for r in kcore_peel(edges, k=2, rounds=None).collect()
+    }
+    assert got == want
+    assert _KCORE_ROUNDS == 4
+
+
+def test_kcore_cascade(spark):
+    """A chain hanging off a triangle cascades away node by node; the
+    triangle is the 2-core."""
+    from portfolio1_etl_spark.operators.graph import kcore_peel
+
+    # triangle 1-2-3 plus chain 3-4-5-6
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5), (5, 6)], "u long, v long"
+    )
+    got = {
+        (r.node, r.degree) for r in kcore_peel(edges, k=2).collect()
+    }
+    assert got == {(1, 2), (2, 2), (3, 2)}
+    # one round is NOT enough: only 6 has cascaded, so 4 still shows
+    # degree 2 (edges 3-4, 4-5) and wrongly survives
+    after1 = {
+        r.node for r in kcore_peel(edges, k=2, rounds=1).collect()
+    }
+    assert 4 in after1
