@@ -28,40 +28,21 @@ from portfolio1_etl_spark.operators.similarity import cosine
 def _current_gen(spark: SparkSession, path: str) -> int | None:
     """Committed generation number from ``{path}/_current``, or None
     when the index is not generational (or not built yet)."""
-    from portfolio1_etl_spark.operators.sinks import _hadoop_fs
+    from portfolio1_etl_spark.operators.sinks import _read_small_file
 
-    fs, _ = _hadoop_fs(spark, path)
-    jvm = spark.sparkContext._jvm
-    p = jvm.org.apache.hadoop.fs.Path(f"{path}/_current")
-    if not fs.exists(p):
-        return None
-    stream = fs.open(p)
-    try:
-        txt = jvm.org.apache.commons.io.IOUtils.toString(stream, "UTF-8")
-    finally:
-        stream.close()
-    return int(txt.strip())
+    txt = _read_small_file(spark, f"{path}/_current")
+    return None if txt is None else int(txt.strip())
 
 
 def _set_current_gen(spark: SparkSession, path: str, n: int) -> None:
-    """The generational index's COMMIT POINT: rewrite the one-file
-    generation pointer via tmp + single-file rename (atomic on
-    HDFS/local, an atomic single-object copy on S3-style stores — the
-    same argument as ``sinks._commit_manifest``). Until the pointer
-    flips, every reader resolves the previous, complete generation."""
-    from portfolio1_etl_spark.operators.sinks import _hadoop_fs
+    """The generational index's COMMIT POINT: the shared one-file
+    atomic commit (``sinks._write_small_file_atomic`` — the same
+    protocol as manifest commits, centralized so a store-specific fix
+    lands everywhere at once). Until the pointer flips, every reader
+    resolves the previous, complete generation."""
+    from portfolio1_etl_spark.operators.sinks import _write_small_file_atomic
 
-    fs, _ = _hadoop_fs(spark, path)
-    jvm = spark.sparkContext._jvm
-    hpath = jvm.org.apache.hadoop.fs.Path
-    tmp = hpath(f"{path}/._current.tmp")
-    final = hpath(f"{path}/_current")
-    out = fs.create(tmp, True)
-    out.write(bytearray(str(n).encode("utf-8")))
-    out.close()
-    if fs.exists(final):
-        fs.delete(final, False)
-    fs.rename(tmp, final)
+    _write_small_file_atomic(spark, f"{path}/_current", str(n))
 
 
 def _index_root(spark: SparkSession, path: str) -> str:
@@ -104,6 +85,25 @@ def build_ivf_index(
     pointer, so they see the old complete index until the instant the
     new one is fully committed. The flat legacy layout stays the
     default and keeps its in-place swap semantics."""
+    if generational:
+        spark = vecs.sparkSession
+        from portfolio1_etl_spark.operators.sinks import _hadoop_fs
+
+        fs, _ = _hadoop_fs(spark, path)
+        jvm = spark.sparkContext._jvm
+        if fs.exists(jvm.org.apache.hadoop.fs.Path(f"{path}/centroids")):
+            raise ValueError(
+                f"{path} already holds a flat-layout index; readers "
+                "resolve the flat layout first, so a generational "
+                "build there would be invisible — build into a new "
+                "path or delete the flat index explicitly"
+            )
+        if _current_gen(spark, path) is not None:
+            raise ValueError(
+                f"{path} already holds a generational index; use "
+                "rebalance_index to rebuild it (a second build would "
+                "overwrite a generation the pointer may reference)"
+            )
     root = f"{path}/gen=0" if generational else path
     assigned, cent = lloyd_kmeans(
         vecs, k=k, iters=iters, train_fraction=train_fraction,
@@ -248,13 +248,26 @@ def rebalance_index(
     jvm = spark.sparkContext._jvm
     Path = jvm.org.apache.hadoop.fs.Path
 
-    gen = None
-    if not fs.exists(Path(f"{path}/centroids")):
-        gen = _current_gen(spark, path)
-        if gen is None:
-            raise FileNotFoundError(f"no IVF index at {path}")
+    # layout detection: the pointer file is authoritative for the
+    # generational layout; everything else is flat — and the flat
+    # crash REPAIR must run before concluding anything from a missing
+    # centroids directory (a flat swap that crashed between its
+    # renames has no live centroids until the backup restores)
+    gen = _current_gen(spark, path)
 
-    if gen is None:
+    if gen is not None:
+        # sweep every generation the pointer does not reference: the
+        # uncommitted next generation of a crash-before-flip AND the
+        # stale old generation of a crash-after-flip (which would
+        # otherwise leak a full index copy forever)
+        import re as _re
+
+        for st in fs.listStatus(Path(path)):
+            name = st.getPath().getName()
+            m = _re.fullmatch(r"gen=(\d+)", name)
+            if m and st.isDirectory() and int(m.group(1)) != gen:
+                fs.delete(st.getPath(), True)
+    else:
         # flat layout: repair a crashed prior swap attempt first
         live = {n: Path(f"{path}/{n}") for n in ("centroids", "vectors")}
         staged = {
@@ -271,6 +284,8 @@ def rebalance_index(
                     fs.rename(backup[n], live[n])
             if fs.exists(staged[n]):
                 fs.delete(staged[n], True)
+        if not fs.exists(live["centroids"]):
+            raise FileNotFoundError(f"no IVF index at {path}")
 
     if skew_threshold is not None:
         _, skew = cell_stats(spark, path)
@@ -289,9 +304,6 @@ def rebalance_index(
     )
     if gen is not None:
         new_root = f"{path}/gen={gen + 1}"
-        p = Path(new_root)
-        if fs.exists(p):  # orphan of a crashed prior attempt — sweep
-            fs.delete(p, True)
         cent.coalesce(1).write.mode("errorifexists").parquet(
             f"{new_root}/centroids"
         )

@@ -344,6 +344,8 @@ def probe_mp3_metadata(content: bytes) -> tuple[int, int, int, int, int]:
                 raise ValueError("invalid ID3v2 syncsafe size")
             size = (size << 7) | byte
         pos = 10 + size
+        if content[5] & 0x10:  # ID3v2.4 footer flag: 10 more bytes
+            pos += 10           # ("3DI" footer, excluded from size)
     if end - pos >= 128 and content[end - 128 : end - 125] == b"TAG":
         end -= 128
     n_frames = 0

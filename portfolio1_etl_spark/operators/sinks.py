@@ -222,8 +222,10 @@ def write_versioned(
     two full snapshots per read (r8; the r7 read-path diff paid two
     full-table scans + a full-row hash shuffle per read, which at
     100 TB defeats the point of publishing deltas). The diff costs the
-    writer ONE scan of the just-written files plus one of the previous
-    snapshot, paid once per commit instead of once per consumer. The
+    writer two scans of each endpoint (``exceptAll`` in each
+    direction reads both inputs), paid ONCE per commit instead of
+    once per consumer — and both inputs are freshly-written parquet,
+    not the upstream pipeline, so nothing recomputes. The
     snapshot commits FIRST: a crash before the delta lands leaves a
     readable version whose feed ``read_changes`` reconstructs by
     snapshot diff for that step alone (self-healing fallback, tested
@@ -371,6 +373,45 @@ def _list_rel_parquet(spark: SparkSession, path: str, sub: str) -> list[str]:
     return sorted(out)
 
 
+def _read_small_file(spark: SparkSession, path: str) -> str | None:
+    """Contents of a small control file via the path's own Hadoop FS,
+    or None when absent — the shared read half of the one-file commit
+    protocol (manifests, generation pointers)."""
+    fs, _ = _hadoop_fs(spark, path)
+    jvm = spark.sparkContext._jvm
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    if not fs.exists(p):
+        return None
+    stream = fs.open(p)
+    try:
+        return jvm.org.apache.commons.io.IOUtils.toString(stream, "UTF-8")
+    finally:
+        stream.close()
+
+
+def _write_small_file_atomic(spark: SparkSession, path: str, text: str) -> None:
+    """The one-file COMMIT: stage to a dot-tmp sibling, then rename
+    into place. A single-file rename is atomic on HDFS/local and an
+    atomic single-object copy on S3-style stores — which is exactly
+    why every commit point in this package (manifest files, the ANN
+    generation pointer) goes through ONE small file instead of
+    trusting multi-file directory renames (non-atomic copy+delete
+    there). Centralized so a store-specific fix lands in every commit
+    point at once."""
+    fs, _ = _hadoop_fs(spark, path)
+    jvm = spark.sparkContext._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path
+    parent, name = path.rsplit("/", 1)
+    tmp = hpath(f"{parent}/.{name}.tmp")
+    final = hpath(path)
+    out = fs.create(tmp, True)
+    out.write(bytearray(text.encode("utf-8")))
+    out.close()
+    if fs.exists(final):
+        fs.delete(final, False)
+    fs.rename(tmp, final)
+
+
 def _commit_manifest(
     spark: SparkSession, path: str, n: int, meta: dict | None = None
 ) -> None:
@@ -384,9 +425,6 @@ def _commit_manifest(
     resolves the version."""
     import json
 
-    fs, _ = _hadoop_fs(spark, path)
-    jvm = spark.sparkContext._jvm
-    hpath = jvm.org.apache.hadoop.fs.Path
     doc = json.dumps(
         {
             "version": n,
@@ -396,14 +434,7 @@ def _commit_manifest(
         },
         indent=1,
     )
-    tmp = hpath(f"{path}/_manifests/.v={n}.json.tmp")
-    final = hpath(f"{path}/_manifests/v={n}.json")
-    out = fs.create(tmp, True)
-    out.write(bytearray(doc.encode("utf-8")))
-    out.close()
-    if fs.exists(final):
-        fs.delete(final, False)
-    fs.rename(tmp, final)
+    _write_small_file_atomic(spark, f"{path}/_manifests/v={n}.json", doc)
 
 
 def _read_manifest(spark: SparkSession, path: str, n: int) -> dict | None:
@@ -411,17 +442,8 @@ def _read_manifest(spark: SparkSession, path: str, n: int) -> dict | None:
     that version) has no manifest."""
     import json
 
-    fs, _ = _hadoop_fs(spark, path)
-    jvm = spark.sparkContext._jvm
-    p = jvm.org.apache.hadoop.fs.Path(f"{path}/_manifests/v={n}.json")
-    if not fs.exists(p):
-        return None
-    stream = fs.open(p)
-    try:
-        txt = jvm.org.apache.commons.io.IOUtils.toString(stream, "UTF-8")
-    finally:
-        stream.close()
-    return json.loads(txt)
+    txt = _read_small_file(spark, f"{path}/_manifests/v={n}.json")
+    return None if txt is None else json.loads(txt)
 
 
 def version_meta(spark: SparkSession, path: str, n: int | None = None) -> dict:
@@ -495,6 +517,10 @@ def compact_versioned(
     uncommitted files. If the chain captures changes, the compacted
     version commits an EMPTY change feed — a layout rewrite is not a
     data change, and downstream CDC consumers see zero rows for it.
+    The prior version's manifest ``meta`` carries FORWARD into the
+    compacted version (a layout rewrite does not advance writer
+    bookkeeping — dropping it would reset e.g. the streaming epoch
+    marker and break the durable exactly-once guard).
     Returns the new version number."""
     vs = _versions(spark, path)
     if not vs:
@@ -509,6 +535,7 @@ def compact_versioned(
     n_files = max(1, -(-size // target_file_bytes))
     manifest = fs.exists(hpath(f"{path}/_manifests"))
     captures = fs.exists(hpath(f"{path}/_changes/v={latest}"))
+    prior_meta = version_meta(spark, path, latest) if manifest else None
     new = latest + 1
     if manifest:
         for sub in (f"v={new}", f"_changes/v={new}"):
@@ -529,7 +556,7 @@ def compact_versioned(
         )
         empty.write.mode("errorifexists").parquet(f"{path}/_changes/v={new}")
     if manifest:
-        _commit_manifest(spark, path, new)
+        _commit_manifest(spark, path, new, prior_meta)
     return new
 
 
@@ -645,8 +672,14 @@ def read_changes(
     lo, hi = sorted((from_version, to_version))
     fs, _ = _hadoop_fs(spark, path)
     jvm = spark.sparkContext._jvm
+    # a delta counts as captured only when its _SUCCESS marker landed:
+    # on a NON-manifest chain a writer can die mid-delta-write, and
+    # trusting directory existence would read the truncated feed
+    # forever (manifest chains sweep uncommitted versions instead)
     captured = {
-        v: fs.exists(jvm.org.apache.hadoop.fs.Path(f"{path}/_changes/v={v}"))
+        v: fs.exists(
+            jvm.org.apache.hadoop.fs.Path(f"{path}/_changes/v={v}/_SUCCESS")
+        )
         for v in range(lo + 1, hi + 1)
     }
     if lo < hi and any(captured.values()):

@@ -527,7 +527,7 @@ def q121_sequence_pack_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id,
            CAST(count(*) AS BIGINT) AS n_tokens,
            round(avg(lp), 4) AS avg_logprob,
-           round(exp(-avg(lp)), 2) AS ppl
+           round(exp(-round(avg(lp), 4)), 2) AS ppl
     FROM scored GROUP BY doc_id
     """,
     operators=("X-lm-score", "X-quality", "A1", "J3"),
@@ -566,7 +566,14 @@ def q118_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.sum("c").cast("long").alias("n_tokens"),
             F.round(F.sum(F.col("c") * lp) / F.sum("c"), 4).alias("avg_logprob"),
-            F.round(F.exp(-(F.sum(F.col("c") * lp) / F.sum("c"))), 2).alias("ppl"),
+            # ppl derives from the ROUNDED mean: the raw means differ
+            # in the last ulp across engines (sum order), and exp
+            # amplifies that across a .xx5 rounding boundary — found
+            # by differential fuzzing on a corpus where exp(-avg)
+            # landed at 22.0850...
+            F.round(
+                F.exp(-F.round(F.sum(F.col("c") * lp) / F.sum("c"), 4)), 2
+            ).alias("ppl"),
         )
     )
 

@@ -30,7 +30,7 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q158_char_entropy",
     sql="""
     WITH ch AS (
-      SELECT doc_id, unnest(regexp_extract_all(text, '.')) AS c
+      SELECT doc_id, unnest(regexp_extract_all(text, '[\s\S]')) AS c
       FROM documents
     ),
     cc AS (SELECT doc_id, c, count(*) AS k FROM ch GROUP BY ALL),
@@ -60,7 +60,12 @@ def q158_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     cc = (
         d.select(
             "doc_id",
-            F.explode(F.regexp_extract_all("text", F.lit("."), 0)).alias("c"),
+            # explicit [\s\S] class, NOT '.': Java excludes \r and
+            # three exotic line terminators from '.', RE2 only \n —
+            # a CRLF document would silently diverge between engines
+            F.explode(
+                F.regexp_extract_all("text", F.lit("[\\s\\S]"), 0)
+            ).alias("c"),
         )
         .groupBy("doc_id", "c")
         .agg(F.count(F.lit(1)).alias("k"))

@@ -77,9 +77,11 @@ def test_outer_join_legality(spark, dim, fact):
     # left outer: only the right side may broadcast — even when the
     # LEFT side is the smaller one
     adv = advise_join(dim, fact, "k", "k", how="left", exact_ndv=True)
-    assert adv["strategy"] == "broadcast_right" if adv[
-        "right_bytes"
-    ] <= 10 * 1024 * 1024 else "sort_merge"
+    assert adv["strategy"] == (
+        "broadcast_right"
+        if adv["right_bytes"] <= 10 * 1024 * 1024
+        else "sort_merge"
+    )
     # right outer mirrors
     adv_r = advise_join(fact, dim, "k", "k", how="right", exact_ndv=True,
                         broadcast_threshold_bytes=64 * 1024)

@@ -334,3 +334,58 @@ def test_generational_probe_still_partition_pruned(spark, sf_dir, tmp_path):
         spark, path, queries, n_probe=1, k=3
     )._jdf.queryExecution().executedPlan().toString()
     assert "dynamicpruning" in plan.lower()
+
+
+def test_flat_rebalance_repairs_centroids_missing_window(spark, tmp_path):
+    """Review regression (r8): a flat swap that crashed AFTER moving
+    live centroids to backup but BEFORE staging in the new ones leaves
+    NO live centroids directory — rebalance must restore from backup
+    and proceed, not misread the index as generational and raise."""
+    import shutil
+
+    from portfolio1_etl_spark.operators.ann_index import rebalance_index
+
+    path, queries, want = _drifted_index(spark, tmp_path)
+    # simulate the crash window: centroids moved to backup, staged gone
+    shutil.move(f"{path}/centroids", f"{path}/centroids._prebalance")
+    assert rebalance_index(spark, path, k=4) is True
+    got = _recall(spark, path, queries, want, n_probe=1)
+    assert got >= 0.95
+
+
+def test_generational_crash_after_flip_sweeps_stale_gen(spark, sf_dir, tmp_path):
+    """Review regression (r8): a crash between the pointer flip and
+    the old-generation delete must not leak gen=N forever — the next
+    rebalance sweeps every generation the pointer does not reference."""
+    import os
+
+    vecs = _vecs(spark, sf_dir)
+    path = str(tmp_path / "leakgen")
+    build_ivf_index(vecs, path, k=K_CELLS, generational=True)
+    # simulate crash-after-flip leftovers: a stale gen=7 copy
+    os.makedirs(f"{path}/gen=7")
+    spark.createDataFrame([(1,)], "x int").write.parquet(
+        f"{path}/gen=7/centroids"
+    )
+    from portfolio1_etl_spark.operators.ann_index import rebalance_index
+
+    assert rebalance_index(spark, path, k=K_CELLS) is True
+    listed = {d for d in os.listdir(path) if d.startswith("gen=")}
+    assert listed == {"gen=1"}  # stale gen=7 and old gen=0 both gone
+
+
+def test_generational_build_rejects_existing_index(spark, sf_dir, tmp_path):
+    """Review regression (r8): generational builds over an existing
+    index (flat or generational) are rejected loudly instead of
+    silently writing an invisible or pointer-referenced generation."""
+    import pytest
+
+    vecs = _vecs(spark, sf_dir)
+    flat = str(tmp_path / "flatexists")
+    build_ivf_index(vecs, flat, k=K_CELLS)
+    with pytest.raises(ValueError, match="flat-layout"):
+        build_ivf_index(vecs, flat, k=K_CELLS, generational=True)
+    gen = str(tmp_path / "genexists")
+    build_ivf_index(vecs, gen, k=K_CELLS, generational=True)
+    with pytest.raises(ValueError, match="rebalance_index"):
+        build_ivf_index(vecs, gen, k=K_CELLS, generational=True)

@@ -310,3 +310,24 @@ class TestMp3Probe:
         )
         with pytest.raises(ValueError, match="mixed"):
             probe_mp3_metadata(mixed)
+
+    def test_id3v24_footer_flag(self):
+        """Review regression (r8): an ID3v2.4 tag with the footer bit
+        set carries 10 extra bytes the syncsafe size excludes — the
+        probe must skip them instead of rejecting the stream."""
+        import struct as _s
+
+        from portfolio1_etl_spark.operators.audio import (
+            encode_mp3_stub,
+            probe_mp3_metadata,
+        )
+
+        frames = encode_mp3_stub(128, 44100, 3)
+        body = b"\x00" * 20
+        ss = bytes([0, 0, 0, len(body)])
+        tagged = (
+            b"ID3\x04\x00\x10" + ss + body        # footer flag set
+            + b"3DI\x04\x00\x10" + ss             # 10-byte footer
+            + frames
+        )
+        assert probe_mp3_metadata(tagged) == probe_mp3_metadata(frames)

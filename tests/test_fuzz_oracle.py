@@ -82,7 +82,7 @@ _VOCAB = (
     # marker-hostile shapes: underscores (the old wrap marker), a
     # doubled underscore (the old piece separator), and an embedded
     # newline (unwrapped by the old '(.)' regex)
-    "_ a_b snake_case __ x__y li\nne"
+    "_ a_b snake_case __ x__y li\nne cr\rlf"
 ).split(" ")
 
 

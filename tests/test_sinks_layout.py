@@ -590,3 +590,55 @@ def test_manifest_prune_uncommits_first(spark, tmp_path):
     assert not os.path.exists(f"{path}/v=0")
     assert not os.path.exists(f"{path}/_changes/v=1")
     assert [r.id for r in read_version(spark, path).collect()] == [3]
+
+
+def test_compact_versioned_carries_meta_forward(spark, tmp_path):
+    """Review regression (r8): compaction must carry the prior
+    manifest's meta into the compacted version — dropping it would
+    reset the CDC stream's durable epoch marker and let a re-delivered
+    epoch double-fold after maintenance."""
+    from portfolio1_etl_spark.operators.sinks import (
+        compact_versioned,
+        version_meta,
+        write_versioned,
+    )
+
+    path = str(tmp_path / "metacompact")
+    write_versioned(
+        spark.createDataFrame([(1,)], "id int"), path,
+        capture_changes=True, manifest=True, meta={"epoch": 7},
+    )
+    new = compact_versioned(spark, path, target_file_bytes=1 << 30)
+    assert version_meta(spark, path, new) == {"epoch": 7}
+
+
+def test_partial_delta_dir_falls_back_to_snapshot_diff(spark, tmp_path):
+    """Review regression (r8): a _changes directory without its
+    _SUCCESS marker (writer died mid-delta-write on a plain chain) is
+    NOT trusted — the span read reconstructs that step by snapshot
+    diff instead of reading a truncated feed."""
+    import os
+
+    from portfolio1_etl_spark.operators.sinks import (
+        read_changes,
+        write_versioned,
+    )
+
+    path = str(tmp_path / "partialdelta")
+    write_versioned(
+        spark.createDataFrame([(1, 10)], "id int, qty int"), path,
+        capture_changes=True,
+    )
+    write_versioned(
+        spark.createDataFrame([(1, 10), (2, 20)], "id int, qty int"), path,
+        capture_changes=True,
+    )
+    # simulate the mid-write crash: marker gone, stale partial content
+    os.remove(f"{path}/_changes/v=1/_SUCCESS")
+    feed = {
+        (r.id, r.qty, r._change)
+        for r in read_changes(spark, path, 0, 1).collect()
+    }
+    assert feed == {(2, 20, "insert")}
+    files = read_changes(spark, path, 0, 1).inputFiles()
+    assert files and all("/_changes/" not in f for f in files)
