@@ -137,6 +137,8 @@ HEADLINE = [
     "q162_wav_silence_census",
     # 2-core of the user co-occurrence graph (fixed-round peel)
     "q163_user_kcore",
+    # EXIF privacy scrub (whitelist rebuild; GPS removal re-parsed)
+    "q164_exif_privacy_scrub",
 ]
 
 

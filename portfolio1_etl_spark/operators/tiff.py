@@ -306,3 +306,93 @@ def with_exif_orientation(jpeg: bytes, orientation: int, big_endian: bool = Fals
     if jpeg[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG")
     return jpeg[:2] + exif_app1_segment(orientation, big_endian) + jpeg[2:]
+
+
+# --- EXIF privacy scrub (r8) -------------------------------------------------
+
+_TAG_GPS_IFD = 0x8825  # GPSInfo IFD pointer in IFD0
+
+
+def exif_app1_with_gps(
+    orientation: int,
+    lat_deg: int,
+    lon_deg: int,
+    big_endian: bool = False,
+) -> bytes:
+    """An APP1 Exif segment carrying orientation PLUS a GPSInfo
+    sub-IFD (latitude/longitude as the spec's degree/minute/second
+    RATIONAL triples) — the synthesis helper for privacy-scrub tests
+    and the q164 corpus: real location data in real EXIF structure."""
+    if not 1 <= orientation <= 8:
+        raise ValueError("orientation must be 1-8")
+    e = ">" if big_endian else "<"
+    # layout: header(8) | IFD0(2 + 2*12 + 4) | GPS IFD | rational data
+    ifd0_off = 8
+    ifd0_len = 2 + 2 * 12 + 4
+    gps_off = ifd0_off + ifd0_len
+    gps_entries = 2  # GPSLatitude, GPSLongitude
+    gps_len = 2 + gps_entries * 12 + 4
+    data_off = gps_off + gps_len
+
+    tiff = (b"MM" if big_endian else b"II") + struct.pack(e + "H", 42)
+    tiff += struct.pack(e + "I", ifd0_off)
+    tiff += struct.pack(e + "H", 2)
+    tiff += struct.pack(e + "HHI", _TAG_ORIENTATION, 3, 1)
+    tiff += struct.pack(e + "H", orientation) + b"\x00\x00"
+    tiff += struct.pack(e + "HHII", _TAG_GPS_IFD, 4, 1, gps_off)
+    tiff += struct.pack(e + "I", 0)  # next IFD
+    # GPS IFD: tags 2 (GPSLatitude) and 4 (GPSLongitude), 3 RATIONALs
+    tiff += struct.pack(e + "H", gps_entries)
+    tiff += struct.pack(e + "HHII", 2, 5, 3, data_off)
+    tiff += struct.pack(e + "HHII", 4, 5, 3, data_off + 24)
+    tiff += struct.pack(e + "I", 0)
+    for deg in (lat_deg, lon_deg):
+        tiff += struct.pack(e + "II", deg, 1)       # degrees
+        tiff += struct.pack(e + "II", deg * 2, 60)  # minutes
+        tiff += struct.pack(e + "II", deg * 7, 100) # seconds
+    payload = b"Exif\x00\x00" + tiff
+    return b"\xff\xe1" + struct.pack(">H", 2 + len(payload)) + payload
+
+
+def scrub_exif(jpeg: bytes) -> tuple[bytes, bool, int | None]:
+    """Privacy scrub for JPEG EXIF: returns (clean_jpeg, had_gps,
+    orientation_kept). Every APP1 Exif segment is REBUILT from a
+    WHITELIST — only the orientation tag survives, re-emitted via
+    ``exif_app1_segment`` in the original byte order — rather than
+    deleting known-bad tags in place: blacklists leak (maker notes,
+    vendor tags, and unknown types can all smuggle location), and
+    in-place IFD surgery must fix every offset anyway. GPS presence
+    is reported so a census can audit what the corpus carried.
+    Non-EXIF APP1 (XMP) and all other segments pass through
+    untouched; a stream without SOI raises ValueError."""
+    if jpeg[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG")
+    out = bytearray(b"\xff\xd8")
+    pos = 2
+    had_gps = False
+    orientation: int | None = None
+    n = len(jpeg)
+    while pos + 4 <= n:
+        if jpeg[pos] != 0xFF:
+            break  # entropy data / desync: copy the rest verbatim
+        marker = jpeg[pos + 1]
+        if marker == 0xD9 or marker == 0xDA:  # EOI / SOS: copy rest
+            break
+        seg_len = struct.unpack(">H", jpeg[pos + 2 : pos + 4])[0]
+        seg = jpeg[pos : pos + 2 + seg_len]
+        if marker == 0xE1 and seg[4:10] == b"Exif\x00\x00":
+            tags = _read_ifd(seg, base=10)
+            if _TAG_GPS_IFD in tags:
+                had_gps = True
+            vals = tags.get(_TAG_ORIENTATION)
+            if vals and 1 <= vals[0] <= 8:
+                orientation = vals[0]
+                out += exif_app1_segment(
+                    orientation, big_endian=bool(tags[-1][0])
+                )
+            # no whitelisted tags → the segment is dropped entirely
+        else:
+            out += seg
+        pos += 2 + seg_len
+    out += jpeg[pos:]
+    return bytes(out), had_gps, orientation

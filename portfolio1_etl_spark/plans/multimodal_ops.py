@@ -1554,3 +1554,107 @@ def q162_wav_silence_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id long, n_samples long, rms double, "
         "silence_ratio double, longest_silence_run long",
     )
+
+
+# --- q164: EXIF privacy scrub census ----------------------------------------
+
+#: q164 synthesis — JPEGs whose APP1 Exif carries an orientation tag
+#: and (for every 3rd doc) a real GPSInfo sub-IFD with D/M/S rational
+#: coordinates; every 31st doc lacks SOI and must surface as NULLs.
+
+
+def _synthesize_exif_media(docs):
+    from portfolio1_etl_spark.operators.tiff import exif_app1_with_gps
+
+    def _one(doc_id: int) -> bytes:
+        if doc_id % 31 == 0:
+            return b"not a jpeg at all"
+        app1 = exif_app1_with_gps(
+            orientation=1 + doc_id % 8,
+            lat_deg=doc_id % 90,
+            lon_deg=doc_id % 180,
+            big_endian=doc_id % 2 == 1,
+        )
+        if doc_id % 3 != 0:
+            # strip the GPS tag by rebuilding without it: reuse the
+            # orientation-only builder for the GPS-free population
+            from portfolio1_etl_spark.operators.tiff import exif_app1_segment
+
+            app1 = exif_app1_segment(1 + doc_id % 8, doc_id % 2 == 1)
+        return (
+            b"\xff\xd8" + app1
+            + b"\xff\xdb\x00\x04\x00\x00"
+            + b"\xff\xda" + bytes([doc_id % 251]) * 16
+        )
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "path": pdf["doc_id"].astype(str),
+                    "modality": "image",
+                    "content": [_one(int(d)) for d in pdf["doc_id"]],
+                }
+            )
+
+    return docs.select("doc_id").mapInPandas(
+        op, "path string, modality string, content binary"
+    )
+
+
+@query(
+    "q164_exif_privacy_scrub",
+    sql="""
+    SELECT doc_id,
+      CASE WHEN doc_id % 31 = 0 THEN NULL
+           ELSE CAST(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS BIGINT)
+           END AS had_gps,
+      CASE WHEN doc_id % 31 = 0 THEN NULL
+           ELSE CAST(0 AS BIGINT) END AS gps_after,
+      CASE WHEN doc_id % 31 = 0 THEN NULL
+           ELSE CAST(1 + doc_id % 8 AS BIGINT) END AS orientation
+    FROM documents
+    """,
+    operators=("X-multimodal", "X-exif-scrub", "X-governance"),
+)
+def q164_exif_privacy_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXIF privacy scrub census — the image-side governance op (the
+    q115 PII-redaction analogue for metadata): location EXIF is the
+    classic training-corpus privacy leak, and the scrub REBUILDS every
+    Exif APP1 from a whitelist (orientation only) instead of deleting
+    known-bad tags — maker notes and unknown types can smuggle
+    coordinates past any blacklist. The census scrubs each object,
+    then RE-PARSES the output to prove GPS is gone and orientation
+    survived (gps_after is measured, not assumed); structurally
+    broken objects surface as NULLs. Everything rides the same
+    Arrow-batched narrow map as the other censuses. Oracle replays
+    the synthesis arithmetic (q137's pattern)."""
+    from portfolio1_etl_spark.operators.tiff import scrub_exif
+
+    media = _synthesize_exif_media(catalog.load(spark, sf_dir, "documents"))
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: dict[str, list] = {
+                "doc_id": [], "had_gps": [], "gps_after": [],
+                "orientation": [],
+            }
+            for path, content in zip(pdf["path"], pdf["content"]):
+                try:
+                    clean, had_gps, _ori = scrub_exif(bytes(content))
+                    _clean2, gps_after, ori_after = scrub_exif(clean)
+                    # 0/1 longs, not booleans: nullable bools normalize
+                    # differently across the two engines' result paths
+                    vals = (int(had_gps), int(gps_after), ori_after)
+                except (ValueError, IndexError, struct.error):
+                    vals = (None, None, None)
+                rows["doc_id"].append(int(path))
+                rows["had_gps"].append(vals[0])
+                rows["gps_after"].append(vals[1])
+                rows["orientation"].append(vals[2])
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(
+        op,
+        "doc_id long, had_gps long, gps_after long, orientation long",
+    )

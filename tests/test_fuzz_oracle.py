@@ -62,6 +62,8 @@ QUERIES = [
     "q152_audio_bitrate_census",
     # WAV waveform census (doc_id arithmetic, real container decode)
     "q162_wav_silence_census",
+    # EXIF scrub census (structure-only; GPS removal re-parsed)
+    "q164_exif_privacy_scrub",
     # char-entropy quality gate and DP count release on random corpora
     "q158_char_entropy",
     "q161_dp_count_release",

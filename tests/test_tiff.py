@@ -159,3 +159,63 @@ def test_mp4_probe_malformed_raises():
         probe_mp4_metadata(encode_mp4_stub(5000, 320, 240, 1)[:40])
     with pytest.raises(ValueError):
         probe_mp4_metadata(b"\x00\x00\x00\x10ftypisom corrupt")  # no moov
+
+
+# --- EXIF privacy scrub (r8) -------------------------------------------------
+
+
+class TestScrubExif:
+    def test_whitelist_rebuild_strips_gps_keeps_orientation(self):
+        from portfolio1_etl_spark.operators.tiff import (
+            _read_ifd,
+            exif_app1_with_gps,
+            scrub_exif,
+        )
+
+        for big_endian in (False, True):
+            jpeg = (
+                b"\xff\xd8"
+                + exif_app1_with_gps(6, 48, 11, big_endian=big_endian)
+                + b"\xff\xdb\x00\x04\x00\x00"
+                + b"\xff\xdaPAYLOAD"
+            )
+            clean, had_gps, ori = scrub_exif(jpeg)
+            assert had_gps and ori == 6
+            tags = _read_ifd(clean, base=12)
+            assert 0x8825 not in tags
+            assert tags[0x0112] == [6]
+            assert clean.endswith(b"\xff\xdaPAYLOAD")
+            # idempotent: scrubbing the clean stream changes nothing
+            clean2, gps2, ori2 = scrub_exif(clean)
+            assert clean2 == clean and not gps2 and ori2 == 6
+
+    def test_no_exif_passthrough_and_malformed(self):
+        import pytest
+
+        from portfolio1_etl_spark.operators.tiff import scrub_exif
+
+        plain = b"\xff\xd8\xff\xdaX"
+        clean, gps, ori = scrub_exif(plain)
+        assert clean == plain and not gps and ori is None
+        with pytest.raises(ValueError):
+            scrub_exif(b"no soi here")
+
+    def test_exif_without_orientation_is_dropped_entirely(self):
+        """A GPS-only Exif segment has no whitelisted tag to keep —
+        the rebuilt stream carries NO APP1 at all."""
+        import struct as _s
+
+        from portfolio1_etl_spark.operators.tiff import (
+            exif_app1_with_gps,
+            scrub_exif,
+        )
+
+        app1 = exif_app1_with_gps(1, 10, 20)
+        # surgically zero the orientation tag id so only GPS remains
+        body = bytearray(app1)
+        idx = app1.index(_s.pack("<HHI", 0x0112, 3, 1))
+        body[idx : idx + 2] = b"\xff\xfe"  # unknown tag id
+        jpeg = b"\xff\xd8" + bytes(body) + b"\xff\xdaX"
+        clean, had_gps, ori = scrub_exif(jpeg)
+        assert had_gps and ori is None
+        assert b"Exif" not in clean
