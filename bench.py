@@ -139,6 +139,10 @@ HEADLINE = [
     "q163_user_kcore",
     # EXIF privacy scrub (whitelist rebuild; GPS removal re-parsed)
     "q164_exif_privacy_scrub",
+    # correlated-subquery shapes (TPC-H Q17/Q21/Q22 analogues)
+    "q165_small_quantity_revenue",
+    "q166_waiting_suppliers",
+    "q167_untapped_customers",
 ]
 
 

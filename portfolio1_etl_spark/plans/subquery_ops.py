@@ -1,0 +1,202 @@
+"""Correlated-subquery relational shapes (r8) — the TPC-H Q17/Q21/Q22
+patterns the reference's surface never needed but every warehouse
+workload leans on: correlated scalar aggregates, multi-EXISTS/
+NOT-EXISTS correlation, and the aggregate-threshold anti-join.
+
+The Spark forms are written DECORRELATED on purpose — a per-group
+aggregate joined back, semi/anti joins instead of EXISTS — because
+that is the plan Catalyst's subquery decorrelation must reach anyway,
+and writing it directly keeps the shape explicit and auditable
+(tools/plan_audit.py: no CartesianProduct, broadcast where one side
+is group-aggregate-sized). The DuckDB oracles use the classic
+correlated-subquery spellings, so the gate also proves the
+decorrelated plan IS the subquery's semantics.
+
+Money sums ride the decimal-cast helper (functions/exact.py) per the
+registry float-parity contract.
+
+Reference analogue: none (portfolio-etl.py has no subquery shapes);
+[ext] relational-depth surface per SURVEY §6.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from portfolio1_etl_spark import catalog
+from portfolio1_etl_spark.functions import dsum_money
+from portfolio1_etl_spark.plans.registry import query
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return catalog.load(spark, sf_dir, name)
+
+
+@query(
+    "q165_small_quantity_revenue",
+    sql="""
+    SELECT CAST(round(
+      SUM(CAST(l_extendedprice AS DECIMAL(18,2))) / 7.0, 2) AS DOUBLE)
+      AS avg_yearly
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_size < 5
+      AND l.l_quantity < (
+        SELECT 0.2 * avg(l2.l_quantity)
+        FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey
+      )
+    """,
+    operators=("X-correlated-scalar", "J3", "A1"),
+)
+def q165_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17's shape: revenue lost to small-quantity orders —
+    lines whose quantity sits under 20% of their part's own average.
+    The correlated scalar subquery decorrelates into ONE per-part
+    aggregate (tiny: one row per part) broadcast back onto the fact —
+    the form Catalyst's decorrelation produces, written explicitly.
+    The part filter (p_size < 5 standing in for the brand/container
+    predicate) applies as a broadcast semi-join on the PROBE side
+    only: the per-part average must cover ALL of a part's lines (the
+    subquery is unfiltered), so the threshold aggregate deliberately
+    runs on the unfiltered fact — computing it on the filtered side
+    would be the subtly-wrong shortcut the oracle exists to catch."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_size") < 5).select("p_partkey")
+    thresholds = li.groupBy("l_partkey").agg(
+        (F.lit(0.2) * F.avg("l_quantity")).alias("qty_threshold")
+    )
+    picked = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey, "left_semi")
+        .join(F.broadcast(thresholds), "l_partkey")
+        .filter(F.col("l_quantity") < F.col("qty_threshold"))
+    )
+    return picked.agg(
+        F.round(
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)")) / F.lit(7.0), 2
+        )
+        .cast("double")
+        .alias("avg_yearly")
+    )
+
+
+@query(
+    "q166_waiting_suppliers",
+    sql="""
+    SELECT s.s_suppkey AS suppkey, count(*) AS numwait
+    FROM supplier s
+    JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
+    JOIN orders o ON o.o_orderkey = l1.l_orderkey
+    WHERE o.o_orderstatus = 'F'
+      AND l1.l_returnflag = 'R'
+      AND EXISTS (
+        SELECT 1 FROM lineitem l2
+        WHERE l2.l_orderkey = l1.l_orderkey
+          AND l2.l_suppkey <> l1.l_suppkey
+      )
+      AND NOT EXISTS (
+        SELECT 1 FROM lineitem l3
+        WHERE l3.l_orderkey = l1.l_orderkey
+          AND l3.l_suppkey <> l1.l_suppkey
+          AND l3.l_returnflag = 'R'
+      )
+    GROUP BY s.s_suppkey
+    """,
+    operators=("X-exists-correlated", "J-semi", "J-anti", "A1"),
+)
+def q166_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21's shape: suppliers who were the ONLY one to return
+    goods on a multi-supplier order — the double-correlation pattern
+    (EXISTS another supplier on the order; NOT EXISTS another supplier
+    who also returned). Decorrelated as two ORDER-GRAIN aggregates
+    from one scan each — per order: supplier NDV, and returned-line
+    supplier min/max — joined back broadcast-size, instead of the
+    naive per-row EXISTS probes (which at 100 TB are two extra
+    shuffled self-joins of the full fact). A returned line qualifies
+    when its order has >1 distinct supplier overall AND every returned
+    line on it comes from this one supplier (min = max = mine)."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    ).select("o_orderkey")
+    order_stats = li.groupBy("l_orderkey").agg(
+        F.count_distinct("l_suppkey").alias("n_supps")
+    )
+    returned_stats = (
+        li.filter(F.col("l_returnflag") == "R")
+        .groupBy("l_orderkey")
+        .agg(
+            F.min("l_suppkey").alias("rmin"),
+            F.max("l_suppkey").alias("rmax"),
+        )
+    )
+    base = (
+        li.filter(F.col("l_returnflag") == "R")
+        .join(o, li.l_orderkey == o.o_orderkey, "left_semi")
+        .join(order_stats, "l_orderkey")
+        .join(returned_stats, "l_orderkey")
+        .filter(
+            (F.col("n_supps") > 1)
+            & (F.col("rmin") == F.col("l_suppkey"))
+            & (F.col("rmax") == F.col("l_suppkey"))
+        )
+    )
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey")
+    return (
+        base.join(F.broadcast(s), base.l_suppkey == s.s_suppkey, "left_semi")
+        .groupBy(F.col("l_suppkey").alias("suppkey"))
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
+
+
+@query(
+    "q167_untapped_customers",
+    sql="""
+    SELECT substr(CAST(c.c_custkey AS VARCHAR), 1, 1) AS segment,
+           count(*) AS numcust,
+           CAST(round(SUM(CAST(c.c_acctbal AS DECIMAL(18,2))), 2) AS DOUBLE)
+             AS totacctbal
+    FROM customer c
+    WHERE c.c_acctbal > (
+        SELECT avg(c2.c_acctbal) FROM customer c2 WHERE c2.c_acctbal > 0.0
+      )
+      AND NOT EXISTS (
+        SELECT 1 FROM orders o
+        WHERE o.o_custkey = c.c_custkey
+          AND o.o_orderpriority = '1-URGENT'
+      )
+    GROUP BY 1
+    """,
+    operators=("X-anti-threshold", "J-anti", "A1"),
+)
+def q167_untapped_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22's shape: promising customers with no URGENT order —
+    above-average account balance (uncorrelated scalar subquery over
+    the positive-balance population) anti-joined against the urgent
+    slice of orders (the generated data gives every customer SOME
+    order, so the plain no-orders correlate would gate 0-5 rows). The
+    scalar average is a 1-row broadcast; the NOT EXISTS is a hash
+    anti-join against the orders keys — both the shapes Catalyst
+    reaches from the subquery spelling, written explicitly. Customer
+    key's leading digit stands in for the country-code segment."""
+    c = _t(spark, sf_dir, "customer")
+    avg_bal = c.filter(F.col("c_acctbal") > 0.0).agg(
+        F.avg("c_acctbal").alias("abal")
+    )
+    o = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_custkey")
+    )
+    return (
+        c.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("abal"))
+        .join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy(
+            F.substring(F.col("c_custkey").cast("string"), 1, 1).alias("segment")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.round(dsum_money("c_acctbal"), 2).alias("totacctbal"),
+        )
+    )

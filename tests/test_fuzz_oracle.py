@@ -297,6 +297,8 @@ _RELATIONAL_QUERIES = [
     "q151_change_data_feed",
     # MAD outlier screen on random price distributions
     "q160_mad_outliers",
+    # threshold + anti-join correlate (customer/orders only)
+    "q167_untapped_customers",
 ]
 
 
@@ -547,7 +549,16 @@ def test_random_star_schema_matches_oracle(spark, tmp_path, seed):
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet/*.parquet')"
         )
     failures = []
-    for name in ("q29_star_join", "q84_local_supplier_volume", "q08_broadcast_join"):
+    for name in (
+        "q29_star_join",
+        "q84_local_supplier_volume",
+        "q08_broadcast_join",
+        # r8 correlated-subquery shapes: the decorrelated Spark plans
+        # must match the EXISTS/scalar-subquery oracles on random
+        # multi-supplier orders and random part-size populations
+        "q165_small_quantity_revenue",
+        "q166_waiting_suppliers",
+    ):
         q = REGISTRY[name]
         got = _normalize(q.fn(spark, sf).toPandas())
         want = _normalize(con.sql(q.sql).df())

@@ -153,6 +153,9 @@ _SANCTIONED_BNLJ = {
     # PMI: model crossed with the broadcast ONE-ROW bigram and unigram
     # totals (the q94/q118 1-row-total pattern).
     "q159_bigram_pmi",
+    # untapped customers: cross with the broadcast ONE-ROW mean
+    # balance (the uncorrelated scalar subquery decorrelated).
+    "q167_untapped_customers",
 }
 
 
