@@ -354,6 +354,52 @@ def exif_app1_with_gps(
     return b"\xff\xe1" + struct.pack(">H", 2 + len(payload)) + payload
 
 
+def _ifd_chain_has_tag(b: bytes, base: int, wanted: int) -> bool:
+    """Does ANY IFD reachable from the TIFF header at ``base`` carry
+    ``wanted``? Walks the IFD0→IFD1 next-pointer chain AND the Exif /
+    Interoperability sub-IFD pointers (0x8769 / 0xA005) — the places
+    real cameras duplicate metadata — with a visited set against
+    cyclic offsets. Structural errors just end the walk (the caller
+    is an auditor, not a validator)."""
+    try:
+        order = b[base : base + 2]
+        e = "<" if order == b"II" else ">"
+        if order not in (b"II", b"MM"):
+            return False
+        todo = [struct.unpack(e + "I", b[base + 4 : base + 8])[0]]
+        seen: set[int] = set()
+        while todo:
+            off = todo.pop()
+            if off == 0 or off in seen:
+                continue
+            seen.add(off)
+            pos = base + off
+            if pos + 2 > len(b):
+                continue
+            count = struct.unpack(e + "H", b[pos : pos + 2])[0]
+            pos += 2
+            for _ in range(count):
+                if pos + 12 > len(b):
+                    break
+                tag, typ, cnt, val = struct.unpack(
+                    e + "HHII", b[pos : pos + 12]
+                )
+                if tag == wanted:
+                    return True
+                if tag in (0x8769, 0xA005):  # sub-IFD pointers
+                    todo.append(val)
+                pos += 12
+            if pos + 4 <= len(b):
+                todo.append(struct.unpack(e + "I", b[pos : pos + 4])[0])
+    except (struct.error, IndexError):
+        return False
+    return False
+
+
+#: standalone JPEG markers with NO length field
+_JPEG_NO_LENGTH = frozenset({0x01, *range(0xD0, 0xD8)})
+
+
 def scrub_exif(jpeg: bytes) -> tuple[bytes, bool, int | None]:
     """Privacy scrub for JPEG EXIF: returns (clean_jpeg, had_gps,
     orientation_kept). Every APP1 Exif segment is REBUILT from a
@@ -361,10 +407,15 @@ def scrub_exif(jpeg: bytes) -> tuple[bytes, bool, int | None]:
     ``exif_app1_segment`` in the original byte order — rather than
     deleting known-bad tags in place: blacklists leak (maker notes,
     vendor tags, and unknown types can all smuggle location), and
-    in-place IFD surgery must fix every offset anyway. GPS presence
-    is reported so a census can audit what the corpus carried.
-    Non-EXIF APP1 (XMP) and all other segments pass through
-    untouched; a stream without SOI raises ValueError."""
+    in-place IFD surgery must fix every offset anyway. ``had_gps``
+    audits the INPUT by walking the whole IFD chain (IFD0, the
+    thumbnail IFD, and Exif/Interop sub-IFDs — cameras duplicate
+    metadata there), so a census counts what the corpus really
+    carried. The segment walk consumes 0xFF fill bytes and
+    length-less TEM/RSTn markers (spec-legal before any marker) —
+    a scrub that desyncs on padding would FAIL OPEN, copying GPS
+    through unscrubbed. Non-EXIF APP1 (XMP) and all other segments
+    pass through untouched; a stream without SOI raises ValueError."""
     if jpeg[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG")
     out = bytearray(b"\xff\xd8")
@@ -372,17 +423,30 @@ def scrub_exif(jpeg: bytes) -> tuple[bytes, bool, int | None]:
     had_gps = False
     orientation: int | None = None
     n = len(jpeg)
-    while pos + 4 <= n:
+    while pos + 2 <= n:
         if jpeg[pos] != 0xFF:
             break  # entropy data / desync: copy the rest verbatim
-        marker = jpeg[pos + 1]
+        mpos = pos
+        while mpos + 1 < n and jpeg[mpos + 1] == 0xFF:
+            mpos += 1  # spec-legal fill bytes before the marker
+        if mpos + 1 >= n:
+            break
+        marker = jpeg[mpos + 1]
+        if marker == 0x00:  # stuffed byte: entropy data, copy rest
+            break
+        if marker in _JPEG_NO_LENGTH:  # TEM / RSTn: no length field
+            out += jpeg[pos : mpos + 2]
+            pos = mpos + 2
+            continue
         if marker == 0xD9 or marker == 0xDA:  # EOI / SOS: copy rest
             break
-        seg_len = struct.unpack(">H", jpeg[pos + 2 : pos + 4])[0]
-        seg = jpeg[pos : pos + 2 + seg_len]
-        if marker == 0xE1 and seg[4:10] == b"Exif\x00\x00":
-            tags = _read_ifd(seg, base=10)
-            if _TAG_GPS_IFD in tags:
+        if mpos + 4 > n:
+            break
+        seg_len = struct.unpack(">H", jpeg[mpos + 2 : mpos + 4])[0]
+        seg_end = mpos + 2 + seg_len
+        if marker == 0xE1 and jpeg[mpos + 4 : mpos + 10] == b"Exif\x00\x00":
+            tags = _read_ifd(jpeg[mpos:seg_end], base=10)
+            if _ifd_chain_has_tag(jpeg[mpos:seg_end], 10, _TAG_GPS_IFD):
                 had_gps = True
             vals = tags.get(_TAG_ORIENTATION)
             if vals and 1 <= vals[0] <= 8:
@@ -391,8 +455,9 @@ def scrub_exif(jpeg: bytes) -> tuple[bytes, bool, int | None]:
                     orientation, big_endian=bool(tags[-1][0])
                 )
             # no whitelisted tags → the segment is dropped entirely
+            # (fill bytes before it are padding and drop with it)
         else:
-            out += seg
-        pos += 2 + seg_len
+            out += jpeg[pos:seg_end]
+        pos = seg_end
     out += jpeg[pos:]
     return bytes(out), had_gps, orientation

@@ -1564,22 +1564,22 @@ def q162_wav_silence_census(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _synthesize_exif_media(docs):
-    from portfolio1_etl_spark.operators.tiff import exif_app1_with_gps
+    from portfolio1_etl_spark.operators.tiff import (
+        exif_app1_segment,
+        exif_app1_with_gps,
+    )
 
     def _one(doc_id: int) -> bytes:
         if doc_id % 31 == 0:
             return b"not a jpeg at all"
-        app1 = exif_app1_with_gps(
-            orientation=1 + doc_id % 8,
-            lat_deg=doc_id % 90,
-            lon_deg=doc_id % 180,
-            big_endian=doc_id % 2 == 1,
-        )
-        if doc_id % 3 != 0:
-            # strip the GPS tag by rebuilding without it: reuse the
-            # orientation-only builder for the GPS-free population
-            from portfolio1_etl_spark.operators.tiff import exif_app1_segment
-
+        if doc_id % 3 == 0:
+            app1 = exif_app1_with_gps(
+                orientation=1 + doc_id % 8,
+                lat_deg=doc_id % 90,
+                lon_deg=doc_id % 180,
+                big_endian=doc_id % 2 == 1,
+            )
+        else:
             app1 = exif_app1_segment(1 + doc_id % 8, doc_id % 2 == 1)
         return (
             b"\xff\xd8" + app1

@@ -53,30 +53,29 @@ def q165_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q17's shape: revenue lost to small-quantity orders —
     lines whose quantity sits under 20% of their part's own average.
     The correlated scalar subquery decorrelates into ONE per-part
-    aggregate (tiny: one row per part) broadcast back onto the fact —
-    the form Catalyst's decorrelation produces, written explicitly.
-    The part filter (p_size < 5 standing in for the brand/container
-    predicate) applies as a broadcast semi-join on the PROBE side
-    only: the per-part average must cover ALL of a part's lines (the
-    subquery is unfiltered), so the threshold aggregate deliberately
-    runs on the unfiltered fact — computing it on the filtered side
-    would be the subtly-wrong shortcut the oracle exists to catch."""
+    aggregate broadcast back onto the fact — the form Catalyst's
+    decorrelation produces, written explicitly. The part filter
+    (p_size < 5 standing in for the brand/container predicate) is a
+    PART attribute, so the semi-join pushes BELOW the threshold
+    aggregate safely: every line of a surviving part is retained, the
+    per-part average is bit-identical for every part that can reach
+    the final join, and both the aggregate input and the broadcast
+    threshold table shrink to the selected slice instead of carrying
+    full part cardinality (a line-level filter could NOT push down —
+    the subquery averages a part's unfiltered lines)."""
     li = _t(spark, sf_dir, "lineitem")
     p = _t(spark, sf_dir, "part").filter(F.col("p_size") < 5).select("p_partkey")
-    thresholds = li.groupBy("l_partkey").agg(
+    selected = li.join(F.broadcast(p), li.l_partkey == p.p_partkey, "left_semi")
+    thresholds = selected.groupBy("l_partkey").agg(
         (F.lit(0.2) * F.avg("l_quantity")).alias("qty_threshold")
     )
-    picked = (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey, "left_semi")
-        .join(F.broadcast(thresholds), "l_partkey")
-        .filter(F.col("l_quantity") < F.col("qty_threshold"))
+    picked = selected.join(F.broadcast(thresholds), "l_partkey").filter(
+        F.col("l_quantity") < F.col("qty_threshold")
     )
     return picked.agg(
-        F.round(
-            F.sum(F.col("l_extendedprice").cast("decimal(18,2)")) / F.lit(7.0), 2
+        F.round(dsum_money("l_extendedprice") / F.lit(7.0), 2).alias(
+            "avg_yearly"
         )
-        .cast("double")
-        .alias("avg_yearly")
     )
 
 

@@ -219,3 +219,58 @@ class TestScrubExif:
         clean, had_gps, ori = scrub_exif(jpeg)
         assert had_gps and ori is None
         assert b"Exif" not in clean
+
+    def test_fill_bytes_and_rst_markers_do_not_desync(self):
+        """Review regression (r8): spec-legal 0xFF fill bytes and
+        length-less TEM/RSTn markers before the Exif segment must not
+        desync the walk — a desynced scrub FAILS OPEN, copying GPS
+        through unscrubbed with had_gps=False."""
+        from portfolio1_etl_spark.operators.tiff import (
+            _read_ifd,
+            exif_app1_with_gps,
+            scrub_exif,
+        )
+
+        jpeg = (
+            b"\xff\xd8" + b"\xff"            # fill byte
+            + exif_app1_with_gps(6, 48, 11)
+            + b"\xff\xdaX"
+        )
+        clean, had_gps, ori = scrub_exif(jpeg)
+        assert had_gps and ori == 6
+        assert 0x8825 not in _read_ifd(clean, base=12)
+        jpeg2 = (
+            b"\xff\xd8\xff\x01\xff\xd3"      # TEM + RST3, no length
+            + exif_app1_with_gps(2, 1, 2)
+            + b"\xff\xdaY"
+        )
+        clean2, gps2, ori2 = scrub_exif(jpeg2)
+        assert gps2 and ori2 == 2
+        assert clean2.startswith(b"\xff\xd8\xff\x01\xff\xd3")
+
+    def test_gps_in_thumbnail_ifd_is_reported(self):
+        """Review regression (r8): a GPSInfo pointer living in IFD1
+        (the thumbnail IFD — cameras duplicate metadata there) is
+        destroyed by the rebuild AND counted by the audit flag."""
+        import struct as _s
+
+        from portfolio1_etl_spark.operators.tiff import (
+            _TAG_ORIENTATION,
+            scrub_exif,
+        )
+
+        e = "<"
+        ifd0 = _s.pack(e + "H", 1)
+        ifd0 += _s.pack(e + "HHI", _TAG_ORIENTATION, 3, 1)
+        ifd0 += _s.pack(e + "H", 5) + b"\x00\x00"
+        ifd1_off = 8 + 2 + 12 + 4
+        ifd0 += _s.pack(e + "I", ifd1_off)
+        ifd1 = _s.pack(e + "H", 1)
+        ifd1 += _s.pack(e + "HHII", 0x8825, 4, 1, 200)
+        ifd1 += _s.pack(e + "I", 0)
+        tiff = b"II" + _s.pack(e + "H", 42) + _s.pack(e + "I", 8) + ifd0 + ifd1
+        payload = b"Exif\x00\x00" + tiff
+        app1 = b"\xff\xe1" + _s.pack(">H", 2 + len(payload)) + payload
+        clean, had_gps, ori = scrub_exif(b"\xff\xd8" + app1 + b"\xff\xdaZ")
+        assert had_gps and ori == 5
+        assert scrub_exif(clean)[1] is False
