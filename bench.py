@@ -143,6 +143,8 @@ HEADLINE = [
     "q165_small_quantity_revenue",
     "q166_waiting_suppliers",
     "q167_untapped_customers",
+    # manifest chain end-to-end: write, time travel, captured feed
+    "q168_versioned_time_travel",
 ]
 
 

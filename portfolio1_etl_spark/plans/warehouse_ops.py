@@ -365,3 +365,139 @@ def q153_join_strategy_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = adv if out is None else out.unionByName(adv)
     return out
+
+
+def _chain_path(sf_dir: str) -> str:
+    """Deterministic per-dataset location for the q168 manifest chain
+    (the q135 ``index_path`` pattern)."""
+    import hashlib
+    import os
+    import tempfile
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    return os.path.join(tempfile.gettempdir(), f"spark_graft_chain_{tag}")
+
+
+#: q168 state definitions — three snapshots of an order-derived table
+#: whose membership/values are pure id arithmetic, so DuckDB replays
+#: every version AND every step diff in closed form.
+_V_SQL = {
+    0: "SELECT o_orderkey AS id, o_custkey AS val FROM orders WHERE o_orderkey % 4 < 3",
+    1: """SELECT o_orderkey AS id,
+                 o_custkey + CASE WHEN o_orderkey % 5 = 0 THEN 100000 ELSE 0 END AS val
+          FROM orders WHERE o_orderkey % 4 > 0""",
+    2: """SELECT o_orderkey AS id,
+                 o_custkey + CASE WHEN o_orderkey % 5 = 0 THEN 200000 ELSE 0 END AS val
+          FROM orders WHERE o_orderkey % 2 = 0""",
+}
+
+
+@query(
+    "q168_versioned_time_travel",
+    sql=f"""
+    WITH s0 AS ({_V_SQL[0]}), s1 AS ({_V_SQL[1]}), s2 AS ({_V_SQL[2]}),
+    agg AS (
+      SELECT 0 AS version, count(*) AS n_rows, sum(val) AS sum_val FROM s0
+      UNION ALL
+      SELECT 1, count(*), sum(val) FROM s1
+      UNION ALL
+      SELECT 2, count(*), sum(val) FROM s2
+    ),
+    feeds AS (
+      SELECT 0 AS version,
+             (SELECT count(*) FROM s0) AS n_inserts,
+             0 AS n_deletes
+      UNION ALL
+      SELECT 1,
+             (SELECT count(*) FROM (SELECT * FROM s1 EXCEPT ALL SELECT * FROM s0)),
+             (SELECT count(*) FROM (SELECT * FROM s0 EXCEPT ALL SELECT * FROM s1))
+      UNION ALL
+      SELECT 2,
+             (SELECT count(*) FROM (SELECT * FROM s2 EXCEPT ALL SELECT * FROM s1)),
+             (SELECT count(*) FROM (SELECT * FROM s1 EXCEPT ALL SELECT * FROM s2))
+    )
+    SELECT a.version, CAST(a.n_rows AS BIGINT) AS n_rows,
+           CAST(a.sum_val AS BIGINT) AS sum_val,
+           CAST(f.n_inserts AS BIGINT) AS n_inserts,
+           CAST(f.n_deletes AS BIGINT) AS n_deletes
+    FROM agg a JOIN feeds f ON a.version = f.version
+    """,
+    operators=("K-versioned", "X-manifest-commit", "X-cdc-feed", "X-time-travel"),
+)
+def q168_versioned_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The manifest-committed versioned chain ON the scoreboard (r8 —
+    previously pytest-only): three snapshots of an order-derived state
+    write through ``write_versioned(capture_changes=True,
+    manifest=True)``, then every row of the result is read BACK
+    through the transactional machinery — per-version row counts and
+    value sums via ``read_version`` (time travel resolved through the
+    manifest file lists) and per-step insert/delete counts via
+    ``read_changes`` (served from the write-time delta files, not a
+    snapshot re-diff). The oracle replays all three states and their
+    multiset diffs in closed form, so a wrong manifest, a misrouted
+    version read, or a corrupted captured feed all hash-mismatch.
+    The chain rebuilds per run under a temp path (the q135 persisted-
+    index pattern); build cost is three small writes + diffs."""
+    from portfolio1_etl_spark.operators.sinks import (
+        _hadoop_fs,
+        read_changes,
+        read_version,
+        write_versioned,
+    )
+
+    path = _chain_path(sf_dir)
+    fs, jpath = _hadoop_fs(spark, path)
+    if fs.exists(jpath):
+        fs.delete(jpath, True)
+    o = _t(spark, sf_dir, "orders")
+    base = o.select(F.col("o_orderkey").alias("id"), F.col("o_custkey").alias("val"))
+    states = [
+        base.filter(F.col("id") % 4 < 3),
+        base.filter(F.col("id") % 4 > 0).select(
+            "id",
+            (
+                F.col("val")
+                + F.when(F.col("id") % 5 == 0, F.lit(100000)).otherwise(0)
+            ).alias("val"),
+        ),
+        base.filter(F.col("id") % 2 == 0).select(
+            "id",
+            (
+                F.col("val")
+                + F.when(F.col("id") % 5 == 0, F.lit(200000)).otherwise(0)
+            ).alias("val"),
+        ),
+    ]
+    for st in states:
+        write_versioned(st, path, capture_changes=True, manifest=True)
+    out = None
+    for v in range(3):
+        agg = read_version(spark, path, v).agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum("val").cast("long").alias("sum_val"),
+        )
+        if v == 0:
+            feed = agg.select(
+                F.col("n_rows").alias("n_inserts"), F.lit(0).cast("long").alias("n_deletes")
+            )
+        else:
+            feed = read_changes(spark, path, v - 1, v).agg(
+                F.sum(F.when(F.col("_change") == "insert", 1).otherwise(0))
+                .cast("long")
+                .alias("n_inserts"),
+                F.sum(F.when(F.col("_change") == "delete", 1).otherwise(0))
+                .cast("long")
+                .alias("n_deletes"),
+            )
+        row = (
+            agg.crossJoin(feed)
+            .select(
+                F.lit(v).cast("long").alias("version"),
+                "n_rows",
+                "sum_val",
+                "n_inserts",
+                "n_deletes",
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out

@@ -299,6 +299,8 @@ _RELATIONAL_QUERIES = [
     "q160_mad_outliers",
     # threshold + anti-join correlate (customer/orders only)
     "q167_untapped_customers",
+    # manifest chain write/time-travel/feed on random orders
+    "q168_versioned_time_travel",
 ]
 
 

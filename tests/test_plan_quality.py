@@ -156,6 +156,9 @@ _SANCTIONED_BNLJ = {
     # untapped customers: cross with the broadcast ONE-ROW mean
     # balance (the uncorrelated scalar subquery decorrelated).
     "q167_untapped_customers",
+    # time travel: per-version 1-row aggregate crossed with its 1-row
+    # feed-count aggregate (three 1x1 crosses, the q32 shape).
+    "q168_versioned_time_travel",
 }
 
 
