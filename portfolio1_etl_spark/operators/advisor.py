@@ -196,26 +196,38 @@ def advise_join(
     return row.asDict()
 
 
+#: cap on the non-skewed side's estimated bytes before the advisor
+#: routes a skewed sort-merge join through salting — the salted join
+#: replicates that side n_salts times through the shuffle, so the
+#: cost is n_salts x this bound (vs. an unbounded hot partition)
+SALT_OTHER_SIDE_MAX_BYTES = 256 * 1024 * 1024
+
+
 def apply_join_advice(
     left: DataFrame,
     right: DataFrame,
     on: str,
     how: str = "inner",
     advice: dict | None = None,
+    n_salts: int = 8,
+    salt_other_side_max_bytes: int = SALT_OTHER_SIDE_MAX_BYTES,
     **advise_kwargs,
 ) -> DataFrame:
     """Equi-join on the shared column ``on`` with the advised strategy
     applied: the advised broadcast side wraps in ``F.broadcast``
     (legal by construction — the advisor never proposes a
-    preserved-side broadcast); a ``sort_merge`` verdict adds NO hint
-    (Catalyst's default is already right, and OSS Spark has no skew
-    join hint — ``skew_side`` is advisory: route flagged joins
-    through ``operators.joins.salted_join`` or rely on AQE's skew
-    split, which stats cannot improve on because it needs the actual
-    runtime partition sizes). ``advice=None`` computes it first (two
-    single-row aggregate scans). The join itself is declared exactly
-    as without the advisor — Catalyst still owns the physical plan;
-    hints only move the default."""
+    preserved-side broadcast). A ``sort_merge`` verdict with ONE
+    skew-flagged side on an INNER join routes through
+    ``operators.joins.salted_join`` when the other side's estimated
+    bytes fit the replication budget — the stats-driven form of skew
+    mitigation that acts BEFORE the first shuffle (AQE's skew split
+    only reacts to runtime partition sizes, after the hot partition
+    has already been written). Outer joins and both-sides-skewed
+    stay plain sort-merge under AQE (salting replicates one side,
+    which breaks outer multiplicity and helps nothing when both
+    sides are hot). ``advice=None`` computes it first (two
+    single-row aggregate scans). Catalyst still owns the physical
+    plan; the advisor only moves the default."""
     if advice is None:
         advice = advise_join(left, right, on, on, how, **advise_kwargs)
     strategy = advice["strategy"]
@@ -223,4 +235,23 @@ def apply_join_advice(
         left = F.broadcast(left)
     elif strategy == "broadcast_right":
         right = F.broadcast(right)
+    elif how.lower() in ("inner",) and advice.get("skew_side") in (
+        "left",
+        "right",
+    ):
+        from portfolio1_etl_spark.operators.joins import salted_join
+
+        skewed_is_left = advice["skew_side"] == "left"
+        other_bytes = advice["right_bytes" if skewed_is_left else "left_bytes"]
+        if other_bytes <= salt_other_side_max_bytes:
+            big, small = (left, right) if skewed_is_left else (right, left)
+            joined = salted_join(big, small, on, n_salts=n_salts, how="inner")
+            # restore the caller's column order (salted_join leads
+            # with the big side)
+            want = (
+                [on]
+                + [c for c in left.columns if c != on]
+                + [c for c in right.columns if c != on]
+            )
+            return joined.select(*want)
     return left.join(right, on, how)

@@ -111,3 +111,43 @@ def test_advice_frame_is_lazy_single_row(spark, dim, fact):
 def test_unknown_join_type_rejected(spark, dim):
     with pytest.raises(ValueError, match="join type"):
         join_advice_frame(dim, dim, "k", "k", how="sideways")
+
+
+def test_skewed_sort_merge_routes_through_salting(spark, fact):
+    """A skew-flagged inner sort-merge join with a salt-budget-sized
+    other side routes through salted_join (the explode/Generate shows
+    in the plan) and returns exactly the plain join's rows; outer
+    joins never salt."""
+    other = spark.range(5000).select(
+        (F.col("id") % 100).alias("k"), (F.col("id") * 2).alias("w")
+    )
+    adv = advise_join(fact, other, "k", "k", exact_ndv=True,
+                      broadcast_threshold_bytes=1024)  # nothing broadcasts
+    assert adv["strategy"] == "sort_merge" and adv["skew_side"] in (
+        "left", "both", "right",
+    )
+    # force single-side skew flag: fact is 200k rows/100 keys, other
+    # is 5k rows/100 keys (multiplicity 50 > 16 → both flagged) — so
+    # craft a genuinely uniform other side instead
+    uniform = spark.range(3000).select(
+        F.col("id").alias("k"), (F.col("id") * 3).alias("w")
+    )
+    adv2 = advise_join(fact, uniform, "k", "k", exact_ndv=True,
+                       broadcast_threshold_bytes=1024)
+    assert adv2["strategy"] == "sort_merge" and adv2["skew_side"] == "left"
+    joined = apply_join_advice(fact, uniform, "k", advice=adv2)
+    plan = _plan(joined)
+    assert "Generate" in plan  # the salt explode
+    want = fact.join(uniform, "k").groupBy().agg(
+        F.count(F.lit(1)), F.sum("v"), F.sum("w")
+    ).collect()
+    got = joined.groupBy().agg(
+        F.count(F.lit(1)), F.sum("v"), F.sum("w")
+    ).collect()
+    assert got == want
+    assert joined.columns == ["k", "v", "w"]
+    # outer joins keep the plain form even when skew is flagged
+    outer = apply_join_advice(fact, uniform, "k", how="left", advice=dict(
+        adv2, strategy="sort_merge"
+    ))
+    assert "Generate" not in _plan(outer)
