@@ -145,6 +145,8 @@ HEADLINE = [
     "q167_untapped_customers",
     # manifest chain end-to-end: write, time travel, captured feed
     "q168_versioned_time_travel",
+    # date-window EXISTS with cross-table comparison (TPC-H Q4 shape)
+    "q169_priority_late_orders",
 ]
 
 

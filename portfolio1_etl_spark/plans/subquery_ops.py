@@ -199,3 +199,45 @@ def q167_untapped_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(dsum_money("c_acctbal"), 2).alias("totacctbal"),
         )
     )
+
+
+@query(
+    "q169_priority_late_orders",
+    sql="""
+    SELECT o.o_orderpriority AS priority, count(*) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate < TIMESTAMP '1996-07-01'
+      AND EXISTS (
+        SELECT 1 FROM lineitem l
+        WHERE l.l_orderkey = o.o_orderkey
+          AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+      )
+    GROUP BY o.o_orderpriority
+    """,
+    operators=("X-exists-correlated", "J-semi", "W2"),
+)
+def q169_priority_late_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4's shape: orders in a date window with at least one
+    line shipped more than 60 days after ordering, counted by
+    priority. The EXISTS is correlated on BOTH the key and a
+    cross-table date comparison, so the decorrelation is a left-semi
+    join with a non-key predicate in the join condition — the shape
+    that forces the semi-join to carry the comparison into the join
+    rather than pre-filtering either side alone. The date window on
+    orders pushes to the scan; at scale the semi-join's build side is
+    the window's slice of the fact, the classic Q4 plan."""
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    matched = o.join(
+        li,
+        (o.o_orderkey == li.l_orderkey)
+        & (li.l_shipdate > F.col("o_orderdate") + F.expr("interval 60 days")),
+        "left_semi",
+    )
+    return matched.groupBy(
+        F.col("o_orderpriority").alias("priority")
+    ).agg(F.count(F.lit(1)).alias("order_count"))

@@ -301,6 +301,8 @@ _RELATIONAL_QUERIES = [
     "q167_untapped_customers",
     # manifest chain write/time-travel/feed on random orders
     "q168_versioned_time_travel",
+    # date-window EXISTS with cross-table ship-vs-order comparison
+    "q169_priority_late_orders",
 ]
 
 
