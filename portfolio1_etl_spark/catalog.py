@@ -30,6 +30,18 @@ from portfolio1_etl_spark import schemas
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
+def scratch_path(prefix: str, sf_dir: str) -> str:
+    """Deterministic per-dataset tempdir location for queries that
+    persist an artifact mid-run (the q135 index, the q168 chain):
+    ``{tmp}/spark_graft_{prefix}_{md5(sf_dir)[:12]}``. One copy of the
+    naming/hashing convention so artifact paths can't drift apart."""
+    import hashlib
+    import tempfile
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    return os.path.join(tempfile.gettempdir(), f"spark_graft_{prefix}_{tag}")
+
+
 def path_for(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 

@@ -239,11 +239,15 @@ def apply_join_advice(
         "left",
         "right",
     ):
-        from portfolio1_etl_spark.operators.joins import salted_join
-
         skewed_is_left = advice["skew_side"] == "left"
-        other_bytes = advice["right_bytes" if skewed_is_left else "left_bytes"]
-        if other_bytes <= salt_other_side_max_bytes:
+        other_bytes = advice.get(
+            "right_bytes" if skewed_is_left else "left_bytes"
+        )
+        if other_bytes is not None and other_bytes <= salt_other_side_max_bytes and _saltable(
+            left, right, on
+        ):
+            from portfolio1_etl_spark.operators.joins import salted_join
+
             big, small = (left, right) if skewed_is_left else (right, left)
             joined = salted_join(big, small, on, n_salts=n_salts, how="inner")
             # restore the caller's column order (salted_join leads
@@ -255,3 +259,23 @@ def apply_join_advice(
             )
             return joined.select(*want)
     return left.join(right, on, how)
+
+
+def _saltable(left: DataFrame, right: DataFrame, on: str) -> bool:
+    """Whether the salted rewrite accepts these frames — the plain
+    sort-merge join is the fallback whenever it would not, so the
+    stats-triggered routing can never REJECT an input the plain join
+    accepts: salting hashes every big-side column (Spark's hash()
+    rejects MapType), claims the `_salt` name, and re-projects by
+    name (ambiguous under shared non-key column names)."""
+    cols = left.columns + right.columns
+    if "_salt" in cols:
+        return False
+    shared = set(left.columns) & set(right.columns)
+    if shared != {on}:
+        return False
+    return not any(
+        f.dataType.simpleString().startswith("map<")
+        for df in (left, right)
+        for f in df.schema.fields
+    )

@@ -22,10 +22,6 @@ tests/test_ann_index.py, but against THIS registered query).
 
 from __future__ import annotations
 
-import hashlib
-import os
-import tempfile
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -51,8 +47,7 @@ _DIST2_SQL = (
 
 def index_path(sf_dir: str) -> str:
     """Deterministic per-dataset location for the persisted index."""
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
-    return os.path.join(tempfile.gettempdir(), f"spark_graft_ivf_{tag}")
+    return catalog.scratch_path("ivf", sf_dir)
 
 
 def _ivf_index_sql() -> str:

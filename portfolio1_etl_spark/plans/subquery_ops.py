@@ -227,9 +227,14 @@ def q169_priority_late_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     rather than pre-filtering either side alone. The date window on
     orders pushes to the scan; at scale the semi-join's build side is
     the window's slice of the fact, the classic Q4 plan."""
+    from portfolio1_etl_spark.plans.relational import _ntz
+
+    # timestamp_ntz literals (the q02 window pattern): a TIMESTAMP_LTZ
+    # literal only matches the NTZ column under the UTC session pin —
+    # the NTZ cast keeps the boundary timezone-independent
     o = _t(spark, sf_dir, "orders").filter(
-        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
-        & (F.col("o_orderdate") < F.lit("1996-07-01").cast("timestamp"))
+        (F.col("o_orderdate") >= _ntz("1996-01-01"))
+        & (F.col("o_orderdate") < _ntz("1996-07-01"))
     )
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
     matched = o.join(

@@ -369,13 +369,8 @@ def q153_join_strategy_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _chain_path(sf_dir: str) -> str:
     """Deterministic per-dataset location for the q168 manifest chain
-    (the q135 ``index_path`` pattern)."""
-    import hashlib
-    import os
-    import tempfile
-
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
-    return os.path.join(tempfile.gettempdir(), f"spark_graft_chain_{tag}")
+    (the q135 ``index_path`` pattern, via the shared helper)."""
+    return catalog.scratch_path("chain", sf_dir)
 
 
 #: q168 state definitions — three snapshots of an order-derived table
@@ -477,27 +472,38 @@ def q168_versioned_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("val").cast("long").alias("sum_val"),
         )
         if v == 0:
-            feed = agg.select(
-                F.col("n_rows").alias("n_inserts"), F.lit(0).cast("long").alias("n_deletes")
+            # v0's feed is definitionally all-inserts: no join needed
+            row = agg.select(
+                F.lit(0).cast("long").alias("version"),
+                "n_rows",
+                "sum_val",
+                F.col("n_rows").alias("n_inserts"),
+                F.lit(0).cast("long").alias("n_deletes"),
             )
         else:
+            # coalesce: SUM over an EMPTY feed (identical adjacent
+            # states — degenerate fuzz tables hit this) is NULL while
+            # the oracle's count(*) is 0
             feed = read_changes(spark, path, v - 1, v).agg(
-                F.sum(F.when(F.col("_change") == "insert", 1).otherwise(0))
+                F.coalesce(
+                    F.sum(F.when(F.col("_change") == "insert", 1).otherwise(0)),
+                    F.lit(0),
+                )
                 .cast("long")
                 .alias("n_inserts"),
-                F.sum(F.when(F.col("_change") == "delete", 1).otherwise(0))
+                F.coalesce(
+                    F.sum(F.when(F.col("_change") == "delete", 1).otherwise(0)),
+                    F.lit(0),
+                )
                 .cast("long")
                 .alias("n_deletes"),
             )
-        row = (
-            agg.crossJoin(feed)
-            .select(
+            row = agg.crossJoin(feed).select(
                 F.lit(v).cast("long").alias("version"),
                 "n_rows",
                 "sum_val",
                 "n_inserts",
                 "n_deletes",
             )
-        )
         out = row if out is None else out.unionByName(row)
     return out

@@ -151,3 +151,32 @@ def test_skewed_sort_merge_routes_through_salting(spark, fact):
         adv2, strategy="sort_merge"
     ))
     assert "Generate" not in _plan(outer)
+
+
+def test_salting_guards_fall_back_to_plain_join(spark, fact):
+    """Review regression (r8): the stats-triggered salting must never
+    reject an input the plain join accepts — MapType columns (hash()
+    rejects maps), an existing _salt column, shared non-key names, and
+    partial advice dicts all fall back to plain sort-merge."""
+    uniform = spark.range(3000).select(
+        F.col("id").alias("k"), (F.col("id") * 3).alias("w")
+    )
+    skew_advice = {"strategy": "sort_merge", "skew_side": "left",
+                   "left_bytes": 10**9, "right_bytes": 1}
+    # MapType on the big side
+    mapped = fact.withColumn("m", F.create_map(F.lit("a"), F.col("v")))
+    j1 = apply_join_advice(mapped, uniform, "k", advice=skew_advice)
+    assert "Generate" not in _plan(j1) and j1.count() > 0
+    # _salt already claimed
+    pre_salted = fact.withColumn("_salt", F.lit(1))
+    j2 = apply_join_advice(pre_salted, uniform, "k", advice=skew_advice)
+    assert "Generate" not in _plan(j2)
+    # shared non-key column name
+    clash = uniform.withColumnRenamed("w", "v")
+    j3 = apply_join_advice(fact, clash, "k", advice=skew_advice)
+    assert "Generate" not in _plan(j3)
+    # partial advice dict (no byte estimates) skips salting, no KeyError
+    j4 = apply_join_advice(fact, uniform, "k",
+                           advice={"strategy": "sort_merge",
+                                   "skew_side": "left"})
+    assert "Generate" not in _plan(j4)
