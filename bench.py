@@ -147,6 +147,10 @@ HEADLINE = [
     "q168_versioned_time_travel",
     # date-window EXISTS with cross-table comparison (TPC-H Q4 shape)
     "q169_priority_late_orders",
+    # distribution-ranking window trio (ntile/percent_rank/cume_dist)
+    "q170_balance_deciles",
+    # behavioral 3-step path mining over event sequences
+    "q171_event_path_trigrams",
 ]
 
 

@@ -785,3 +785,58 @@ def q88_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE c.c_mktsegment = 'BUILDING'
         """
     )
+
+
+@query(
+    "q170_balance_deciles",
+    sql="""
+    WITH ranked AS (
+      SELECT c_mktsegment AS segment, c_acctbal,
+        ntile(10) OVER w AS decile,
+        percent_rank() OVER w AS pr,
+        cume_dist() OVER w AS cd
+      FROM customer
+      WINDOW w AS (PARTITION BY c_mktsegment
+                   ORDER BY c_acctbal, c_custkey)
+    )
+    SELECT segment, CAST(decile AS BIGINT) AS decile,
+      count(*) AS n_customers,
+      round(min(c_acctbal), 2) AS min_bal,
+      round(max(c_acctbal), 2) AS max_bal,
+      round(max(pr), 6) AS max_percent_rank,
+      round(max(cd), 6) AS max_cume_dist
+    FROM ranked
+    GROUP BY segment, decile
+    """,
+    operators=("Window-ntile", "Window-rank", "A1"),
+)
+def q170_balance_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile segmentation — the distribution-ranking window trio the
+    registry had not exercised: ``ntile`` (equal-count buckets),
+    ``percent_rank`` ((rank−1)/(n−1)), and ``cume_dist`` (inclusive
+    CDF position), per market segment over account balance. The
+    window ORDER BY carries the primary key as tiebreak, which is
+    what makes ntile's bucket assignment deterministic under equal
+    balances (both engines distribute rows, not values). percent_rank
+    and cume_dist are exact small-integer ratios — identical doubles —
+    rounded 6 dp per the registry contract. One window pass + one
+    grouped aggregate; at scale the window shuffles once on the
+    segment key, the standard ranked-report shape."""
+    c = catalog.load(spark, sf_dir, "customer")
+    w = (
+        W.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    )
+    ranked = c.select(
+        F.col("c_mktsegment").alias("segment"),
+        "c_acctbal",
+        F.ntile(10).over(w).alias("decile"),
+        F.percent_rank().over(w).alias("pr"),
+        F.cume_dist().over(w).alias("cd"),
+    )
+    return ranked.groupBy("segment", F.col("decile").cast("long").alias("decile")).agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.round(F.min("c_acctbal"), 2).alias("min_bal"),
+        F.round(F.max("c_acctbal"), 2).alias("max_bal"),
+        F.round(F.max("pr"), 6).alias("max_percent_rank"),
+        F.round(F.max("cd"), 6).alias("max_cume_dist"),
+    )

@@ -297,3 +297,46 @@ def q54_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("t_click").alias("reached_click"),
         F.count("t_purchase").alias("reached_purchase"),
     )
+
+
+@query(
+    "q171_event_path_trigrams",
+    sql="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+        lead(event_type, 1) OVER w AS e2,
+        lead(event_type, 2) OVER w AS e3
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT event_type AS e1, e2, e3, count(*) AS n_paths
+    FROM seq
+    WHERE e2 IS NOT NULL AND e3 IS NOT NULL
+    GROUP BY 1, 2, 3
+    HAVING count(*) >= 10
+    """,
+    operators=("X-path-analysis", "Window-lag", "A1"),
+)
+def q171_event_path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral path mining: the corpus's common 3-step event
+    sequences per user (view→cart→purchase vs view→error→view …) —
+    the product-analytics op between q54's fixed funnel (one
+    hand-picked path) and a full sequence model: no path is assumed,
+    frequent ones surface. Two ``lead`` windows over (ts, event_id)
+    build each sliding trigram without self-joins; the support floor
+    keeps the report meaningful. Scale: one window shuffle on user_id
+    + one grouped count — sequences never materialize beyond the two
+    lookahead columns."""
+    e = _events(spark, sf_dir)
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        F.col("event_type").alias("e1"),
+        F.lead("event_type", 1).over(w).alias("e2"),
+        F.lead("event_type", 2).over(w).alias("e3"),
+    )
+    return (
+        seq.filter(F.col("e2").isNotNull() & F.col("e3").isNotNull())
+        .groupBy("e1", "e2", "e3")
+        .agg(F.count(F.lit(1)).alias("n_paths"))
+        .filter(F.col("n_paths") >= 10)
+    )

@@ -212,6 +212,8 @@ _EVENT_QUERIES = [
     # k-core peel on random burst graphs (co-occurrence df-cap + 4
     # unrolled peels must match across engines on any event shape)
     "q163_user_kcore",
+    # sliding-trigram paths on bursty/same-second event orderings
+    "q171_event_path_trigrams",
 ]
 
 
@@ -303,6 +305,8 @@ _RELATIONAL_QUERIES = [
     "q168_versioned_time_travel",
     # date-window EXISTS with cross-table ship-vs-order comparison
     "q169_priority_late_orders",
+    # ntile/percent_rank/cume_dist on random balance distributions
+    "q170_balance_deciles",
 ]
 
 
