@@ -151,6 +151,8 @@ HEADLINE = [
     "q170_balance_deciles",
     # behavioral 3-step path mining over event sequences
     "q171_event_path_trigrams",
+    # anti-entropy replica reconciliation (bucketed content digests)
+    "q172_replica_reconcile",
 ]
 
 

@@ -507,3 +507,111 @@ def q168_versioned_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         out = row if out is None else out.unionByName(row)
     return out
+
+
+@query(
+    "q172_replica_reconcile",
+    sql="""
+    WITH a AS (
+      SELECT o_orderkey AS id, o_custkey AS val, o_orderstatus AS st
+      FROM orders
+    ),
+    b AS (  -- replica with silent corruption on every 97th key
+      SELECT id,
+             CASE WHEN id % 97 = 0 THEN val + 1 ELSE val END AS val,
+             st
+      FROM a
+    ),
+    da AS (
+      SELECT CAST(('0x' || substr(md5(CAST(id AS VARCHAR) || '|' ||
+                   CAST(val AS VARCHAR) || '|' || st), 1, 12))::BIGINT
+                  AS BIGINT) AS h,
+             id % 16 AS bucket
+      FROM a
+    ),
+    db AS (
+      SELECT CAST(('0x' || substr(md5(CAST(id AS VARCHAR) || '|' ||
+                   CAST(val AS VARCHAR) || '|' || st), 1, 12))::BIGINT
+                  AS BIGINT) AS h,
+             id % 16 AS bucket
+      FROM b
+    ),
+    sa AS (SELECT bucket, count(*) AS n_a, sum(h) AS dig_a FROM da GROUP BY bucket),
+    sb AS (SELECT bucket, count(*) AS n_b, sum(h) AS dig_b FROM db GROUP BY bucket)
+    SELECT sa.bucket, CAST(sa.n_a AS BIGINT) AS n_a, CAST(sb.n_b AS BIGINT) AS n_b,
+           CAST(sa.dig_a AS BIGINT) AS dig_a, CAST(sb.dig_b AS BIGINT) AS dig_b,
+           CAST(CASE WHEN sa.dig_a = sb.dig_b AND sa.n_a = sb.n_b
+                THEN 1 ELSE 0 END AS BIGINT) AS consistent
+    FROM sa JOIN sb ON sa.bucket = sb.bucket
+    """,
+    operators=("X-reconcile", "X-anti-entropy", "A1"),
+)
+def q172_replica_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Replica reconciliation (anti-entropy audit) — how two copies of
+    a 100 TB table are compared WITHOUT moving the data: each side
+    reduces to per-bucket (count, content-digest) summaries — one scan,
+    one small aggregate each — and only the handful of summary rows
+    travel; mismatched buckets then scope the expensive row-level diff
+    to 1/16th of the keyspace per bucket (the Cassandra/Dynamo repair
+    pattern, Merkle depth 1). The digest is a SUM of per-row md5
+    prefixes: order-independent (any partitioning), update-sensitive,
+    and exactly replayable in both engines (48-bit prefixes summed
+    over ≤millions of rows stay far under BIGINT range). The replica
+    carries injected corruption on every 97th key, so the scoreboard
+    gates both directions: corrupt buckets flag 0, clean buckets 1."""
+    o = _t(spark, sf_dir, "orders")
+    a = o.select(
+        F.col("o_orderkey").alias("id"),
+        F.col("o_custkey").alias("val"),
+        F.col("o_orderstatus").alias("st"),
+    )
+    b = a.select(
+        "id",
+        F.when(F.col("id") % 97 == 0, F.col("val") + 1)
+        .otherwise(F.col("val"))
+        .alias("val"),
+        "st",
+    )
+
+    def digest(df: DataFrame, n: str, d: str) -> DataFrame:
+        h = F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        "|",
+                        F.col("id").cast("string"),
+                        F.col("val").cast("string"),
+                        F.col("st"),
+                    )
+                ),
+                1,
+                12,
+            ),
+            16,
+            10,
+        ).cast("long")
+        return (
+            df.select((F.col("id") % 16).alias("bucket"), h.alias("h"))
+            .groupBy("bucket")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias(n),
+                F.sum("h").cast("long").alias(d),
+            )
+        )
+
+    sa = digest(a, "n_a", "dig_a")
+    sb = digest(b, "n_b", "dig_b")
+    return sa.join(sb, "bucket").select(
+        "bucket",
+        "n_a",
+        "n_b",
+        "dig_a",
+        "dig_b",
+        F.when(
+            (F.col("dig_a") == F.col("dig_b")) & (F.col("n_a") == F.col("n_b")),
+            1,
+        )
+        .otherwise(0)
+        .cast("long")
+        .alias("consistent"),
+    )

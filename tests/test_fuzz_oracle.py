@@ -307,6 +307,8 @@ _RELATIONAL_QUERIES = [
     "q169_priority_late_orders",
     # ntile/percent_rank/cume_dist on random balance distributions
     "q170_balance_deciles",
+    # per-bucket digest reconciliation on random orders
+    "q172_replica_reconcile",
 ]
 
 
