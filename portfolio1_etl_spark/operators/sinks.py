@@ -777,3 +777,38 @@ def _classified_feed(
     pure_ins = ins_rn.join(del_rn.select(*pair_on), pair_on, "left_anti").drop("_rn")
     pure_del = del_rn.join(ins_rn.select(*pair_on), pair_on, "left_anti").drop("_rn")
     return pure_ins.unionByName(pure_del).unionByName(post).unionByName(pre)
+
+
+def vacuum_chain(spark: SparkSession, path: str) -> list[str]:
+    """Garbage-collect a MANIFEST chain's unreferenced storage:
+    ``v=N`` / ``_changes/v=N`` directories with no committed manifest.
+    Two ways these arise — a writer crash before the manifest commit
+    at the HEAD (normally swept when the next write reuses N, but the
+    chain may simply never be written again), and a ``prune_versions``
+    crash between the manifest delete and the data delete (that N is
+    below the head, so number-reuse sweeping never reaches it — a
+    permanent leak without this op). Readers never see these files
+    (that is the manifest invariant), so vacuum is pure space
+    reclamation and safe to run any time the single writer is quiet.
+    Returns the deleted subpaths. Raises on non-manifest chains —
+    directory existence IS the commit there, so nothing is garbage."""
+    import re
+
+    fs, jpath = _hadoop_fs(spark, path)
+    jvm = spark.sparkContext._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path
+    if not fs.exists(hpath(f"{path}/_manifests")):
+        raise ValueError(f"{path} is not a manifest chain")
+    committed = set(_versions(spark, path))
+    deleted: list[str] = []
+    for sub, pat in (("", r"v=(\d+)"), ("_changes/", r"v=(\d+)")):
+        d = hpath(f"{path}/{sub}") if sub else jpath
+        if not fs.exists(d):
+            continue
+        for st in fs.listStatus(d):
+            name = st.getPath().getName()
+            m = re.fullmatch(pat, name)
+            if m and st.isDirectory() and int(m.group(1)) not in committed:
+                fs.delete(st.getPath(), True)
+                deleted.append(f"{sub}{name}")
+    return sorted(deleted)

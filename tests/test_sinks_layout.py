@@ -642,3 +642,41 @@ def test_partial_delta_dir_falls_back_to_snapshot_diff(spark, tmp_path):
     assert feed == {(2, 20, "insert")}
     files = read_changes(spark, path, 0, 1).inputFiles()
     assert files and all("/_changes/" not in f for f in files)
+
+
+def test_vacuum_chain_reclaims_unreferenced_versions(spark, tmp_path):
+    """vacuum_chain deletes data/changes directories with no committed
+    manifest — the crashed-prune leak (below head, never swept by
+    number reuse) and the crashed-write head orphan — and leaves every
+    committed version intact."""
+    import os
+
+    import pytest
+
+    from portfolio1_etl_spark.operators.sinks import (
+        read_version,
+        vacuum_chain,
+        write_versioned,
+    )
+
+    path = str(tmp_path / "vac")
+    for i in range(3):
+        write_versioned(
+            spark.createDataFrame([(i,)], "id int"), path,
+            capture_changes=True, manifest=True,
+        )
+    # crashed prune: manifest for v=0 gone, data + changes left behind
+    os.remove(f"{path}/_manifests/v=0.json")
+    # crashed write: head orphan v=7 with no manifest
+    spark.createDataFrame([(99,)], "id int").write.parquet(f"{path}/v=7")
+    gone = vacuum_chain(spark, path)
+    assert gone == ["_changes/v=0", "v=0", "v=7"]
+    assert not os.path.exists(f"{path}/v=0")
+    assert not os.path.exists(f"{path}/v=7")
+    assert [r.id for r in read_version(spark, path, 1).collect()] == [1]
+    assert [r.id for r in read_version(spark, path, 2).collect()] == [2]
+    # plain chains refuse: directory existence IS the commit there
+    plain = str(tmp_path / "plainvac")
+    write_versioned(spark.createDataFrame([(1,)], "id int"), plain)
+    with pytest.raises(ValueError, match="manifest"):
+        vacuum_chain(spark, plain)
