@@ -153,6 +153,8 @@ HEADLINE = [
     "q171_event_path_trigrams",
     # anti-entropy replica reconciliation (bucketed content digests)
     "q172_replica_reconcile",
+    # chi-square categorical-independence audit
+    "q173_chi_square_independence",
 ]
 
 

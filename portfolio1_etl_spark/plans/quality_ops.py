@@ -294,3 +294,65 @@ def q161_dp_count_release(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_true").cast("long").alias("n_true"),
         F.round(F.col("n_true") + noise, 4).alias("n_released"),
     )
+
+
+@query(
+    "q173_chi_square_independence",
+    sql="""
+    WITH obs AS (
+      SELECT event_type, CAST(extract(hour FROM ts) AS BIGINT) % 6 AS hod,
+             count(*) AS o
+      FROM events GROUP BY 1, 2
+    ),
+    rt AS (SELECT event_type, sum(o) AS r FROM obs GROUP BY event_type),
+    ct AS (SELECT hod, sum(o) AS c FROM obs GROUP BY hod),
+    n AS (SELECT sum(o) AS n FROM obs),
+    cells AS (
+      SELECT obs.event_type, obs.hod, obs.o,
+        (CAST(rt.r AS DOUBLE) * ct.c) / n.n AS e
+      FROM obs JOIN rt USING (event_type) JOIN ct USING (hod), n
+    )
+    SELECT event_type,
+      CAST(count(*) AS BIGINT) AS n_cells,
+      round(sum(((CAST(o AS DOUBLE) - e) * (CAST(o AS DOUBLE) - e)) / e), 4)
+        AS chi2_contrib
+    FROM cells GROUP BY event_type
+    """,
+    operators=("X-chi-square", "X-stats-test", "A1"),
+)
+def q173_chi_square_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence audit: is event type independent of
+    time-of-day (6 four-hour bins)? — the drift/anomaly test a
+    monitoring pipeline runs on categorical distributions (the
+    hypothesis-testing sibling of q119's KL divergence). Per-type
+    contribution Σ(O−E)²/E is reported so the skewed categories are
+    attributable, not just one corpus-level statistic. Shape: ONE
+    contingency aggregate (|types|×|bins| cells), margins re-derived
+    from those few cells, expected counts via broadcast-size joins —
+    the raw events shuffle exactly once. Expected counts are exact
+    ratios of integer margins; the division tree is spelled
+    identically in both engines and the ≤6-term per-type sum rounds
+    4 dp per the registry contract."""
+    e = catalog.load(spark, sf_dir, "events")
+    obs = e.groupBy(
+        "event_type",
+        (F.hour("ts").cast("long") % 6).alias("hod"),
+    ).agg(F.count(F.lit(1)).alias("o"))
+    rt = obs.groupBy("event_type").agg(F.sum("o").alias("r"))
+    ct = obs.groupBy("hod").agg(F.sum("o").alias("c"))
+    n = obs.agg(F.sum("o").alias("n"))
+    cells = (
+        obs.join(F.broadcast(rt), "event_type")
+        .join(F.broadcast(ct), "hod")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "event_type",
+            "o",
+            ((F.col("r").cast("double") * F.col("c")) / F.col("n")).alias("e"),
+        )
+    )
+    dev = (F.col("o").cast("double") - F.col("e"))
+    return cells.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_cells"),
+        F.round(F.sum((dev * dev) / F.col("e")), 4).alias("chi2_contrib"),
+    )

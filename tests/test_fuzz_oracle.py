@@ -214,6 +214,8 @@ _EVENT_QUERIES = [
     "q163_user_kcore",
     # sliding-trigram paths on bursty/same-second event orderings
     "q171_event_path_trigrams",
+    # chi-square contingency on random type-by-hour distributions
+    "q173_chi_square_independence",
 ]
 
 

@@ -159,6 +159,9 @@ _SANCTIONED_BNLJ = {
     # time travel: per-version 1-row aggregate crossed with its 1-row
     # feed-count aggregate (three 1x1 crosses, the q32 shape).
     "q168_versioned_time_travel",
+    # chi-square: the few contingency cells cross the broadcast
+    # ONE-ROW grand total for expected counts (the q94/q118 pattern).
+    "q173_chi_square_independence",
 }
 
 
