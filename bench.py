@@ -155,6 +155,8 @@ HEADLINE = [
     "q172_replica_reconcile",
     # chi-square categorical-independence audit
     "q173_chi_square_independence",
+    # Benford leading-digit forensic audit
+    "q174_benford_audit",
 ]
 
 

@@ -356,3 +356,54 @@ def q173_chi_square_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_cells"),
         F.round(F.sum((dev * dev) / F.col("e")), 4).alias("chi2_contrib"),
     )
+
+
+@query(
+    "q174_benford_audit",
+    sql="""
+    WITH digits AS (
+      SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1)
+                  AS BIGINT) AS d
+      FROM orders WHERE o_totalprice >= 1.0
+    ),
+    obs AS (SELECT d, count(*) AS o FROM digits GROUP BY d),
+    n AS (SELECT sum(o) AS n FROM obs)
+    SELECT obs.d AS leading_digit,
+      CAST(obs.o AS BIGINT) AS n_observed,
+      round(n.n * log10(1.0 + 1.0 / obs.d), 4) AS n_expected,
+      round((CAST(obs.o AS DOUBLE) / n.n)
+            - log10(1.0 + 1.0 / obs.d), 6) AS deviation
+    FROM obs, n
+    """,
+    operators=("X-benford", "X-stats-test", "X-quality"),
+)
+def q174_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law leading-digit audit over order totals — the
+    forensic data-quality screen for fabricated or systematically
+    transformed numeric columns (organic multi-scale amounts follow
+    P(d) = log10(1 + 1/d); synthetic or capped generators — including
+    THIS benchmark's uniform price generator — deviate in a
+    characteristic signature the deviation column makes visible).
+    Shape: a narrow leading-digit map, one 9-row aggregate, and the
+    1-row total broadcast back — a full-table audit that shuffles
+    9 rows. log10 on identical exact-count ratios is bit-identical
+    across engines; 4/6 dp rounds per the registry contract."""
+    orders = catalog.load(spark, sf_dir, "orders")
+    digits = orders.filter(F.col("o_totalprice") >= 1.0).select(
+        F.substring(
+            F.floor(F.col("o_totalprice")).cast("long").cast("string"), 1, 1
+        )
+        .cast("long")
+        .alias("d")
+    )
+    obs = digits.groupBy("d").agg(F.count(F.lit(1)).alias("o"))
+    n = obs.agg(F.sum("o").alias("n"))
+    p_benford = F.log10(F.lit(1.0) + F.lit(1.0) / F.col("d"))
+    return obs.crossJoin(F.broadcast(n)).select(
+        F.col("d").alias("leading_digit"),
+        F.col("o").cast("long").alias("n_observed"),
+        F.round(F.col("n") * p_benford, 4).alias("n_expected"),
+        F.round(
+            (F.col("o").cast("double") / F.col("n")) - p_benford, 6
+        ).alias("deviation"),
+    )

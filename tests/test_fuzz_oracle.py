@@ -311,6 +311,8 @@ _RELATIONAL_QUERIES = [
     "q170_balance_deciles",
     # per-bucket digest reconciliation on random orders
     "q172_replica_reconcile",
+    # Benford digit audit on random price distributions
+    "q174_benford_audit",
 ]
 
 

@@ -162,6 +162,8 @@ _SANCTIONED_BNLJ = {
     # chi-square: the few contingency cells cross the broadcast
     # ONE-ROW grand total for expected counts (the q94/q118 pattern).
     "q173_chi_square_independence",
+    # Benford: the 9 digit rows cross the broadcast ONE-ROW total.
+    "q174_benford_audit",
 }
 
 
