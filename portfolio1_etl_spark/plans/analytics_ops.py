@@ -1,0 +1,308 @@
+"""Analytic operator shapes (r8): grouped least-squares regression,
+Pareto/skyline frontier, bitmap-backed exact distinct counting,
+blocked fuzzy record linkage, and ABC (80/15/5) revenue
+classification — the BI/statistics layer over the relational core.
+
+Determinism strategy per query (registry contract): every aggregate
+that feeds a float expression is EXACT first — integer sums, scaled
+BIGINT cents, or decimal sums — so the final double arithmetic runs on
+bit-identical inputs in both engines and one terminal round suffices.
+
+Reference analogue: none — the reference's pandas script stops at
+group-by sums; [ext] per SURVEY §6.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from portfolio1_etl_spark import catalog
+from portfolio1_etl_spark.functions import dsum_product
+from portfolio1_etl_spark.plans.registry import query
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return catalog.load(spark, sf_dir, name)
+
+
+@query(
+    "q177_group_regression",
+    sql="""
+    WITH pts AS (
+      SELECT event_type,
+             CAST(extract(hour FROM ts) AS BIGINT) AS x,
+             CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS yc
+      FROM events
+    ),
+    s AS (
+      SELECT event_type,
+             count(*) AS n,
+             sum(x) AS sx, sum(x * x) AS sxx,
+             sum(yc) AS syc, sum(yc * yc) AS syyc,
+             sum(x * yc) AS sxyc
+      FROM pts GROUP BY event_type
+    )
+    SELECT event_type, CAST(n AS BIGINT) AS n,
+      round((CAST(n * sxyc - sx * syc AS DOUBLE)
+             / CAST(n * sxx - sx * sx AS DOUBLE)) / 100.0, 6) AS slope,
+      round((CAST(syc AS DOUBLE) / 100.0
+             - ((CAST(n * sxyc - sx * syc AS DOUBLE)
+                 / CAST(n * sxx - sx * sx AS DOUBLE)) / 100.0)
+               * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE), 6) AS intercept,
+      round((CAST(n * sxyc - sx * syc AS DOUBLE)
+             * CAST(n * sxyc - sx * syc AS DOUBLE))
+            / (CAST(n * sxx - sx * sx AS DOUBLE)
+               * CAST(n * syyc - syc * syc AS DOUBLE)), 6) AS r2
+    FROM s
+    """,
+    operators=("X-regression", "A-stats", "C4"),
+)
+def q177_group_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group simple linear regression (slope / intercept / R²) of
+    event value on hour-of-day, computed from the five classical
+    moment sums — ONE shuffle, one pass, no per-group iteration.
+    Cross-engine float parity: x is an integer and y flows as scaled
+    BIGINT cents (exact decimal snap × 100), so every moment sum is
+    EXACT integer arithmetic; the only float ops are the final
+    correctly-rounded BIGINT→DOUBLE casts and divisions, which are
+    bit-identical in both engines (the ``regr_slope`` builtin would
+    instead accumulate raw doubles whose sum order diverges). At 100 TB
+    this is the textbook map-side-combinable aggregation: five integer
+    partial sums per group."""
+    e = _t(spark, sf_dir, "events")
+    pts = e.select(
+        "event_type",
+        F.hour("ts").cast("long").alias("x"),
+        (F.col("value").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("yc"),
+    )
+    s = pts.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum("yc").alias("syc"),
+        F.sum(F.col("yc") * F.col("yc")).alias("syyc"),
+        F.sum(F.col("x") * F.col("yc")).alias("sxyc"),
+    )
+    num = (F.col("n") * F.col("sxyc") - F.col("sx") * F.col("syc")).cast(
+        "double"
+    )
+    den = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
+        "double"
+    )
+    deny = (F.col("n") * F.col("syyc") - F.col("syc") * F.col("syc")).cast(
+        "double"
+    )
+    slope = num / den / 100.0
+    return s.select(
+        "event_type",
+        F.col("n").cast("long").alias("n"),
+        F.round(slope, 6).alias("slope"),
+        F.round(
+            (
+                F.col("syc").cast("double") / 100.0
+                - slope * F.col("sx").cast("double")
+            )
+            / F.col("n").cast("double"),
+            6,
+        ).alias("intercept"),
+        F.round(num * num / (den * deny), 6).alias("r2"),
+    )
+
+
+@query(
+    "q181_price_size_skyline",
+    sql="""
+    SELECT p_partkey, p_name, p_retailprice, p_size
+    FROM part p
+    WHERE NOT EXISTS (
+      SELECT 1 FROM part q
+      WHERE (q.p_retailprice < p.p_retailprice AND q.p_size >= p.p_size)
+         OR (q.p_retailprice <= p.p_retailprice AND q.p_size > p.p_size)
+    )
+    """,
+    operators=("X-skyline", "Window-frame", "A1"),
+)
+def q181_price_size_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto frontier (skyline): parts not dominated on (price ↓,
+    size ↑) — q dominates p when it is no more expensive, no smaller,
+    and strictly better on one axis. The oracle spells the quadratic
+    NOT EXISTS; the Spark plan is the O(n log n) 2-D sweep: aggregate
+    to the DISTINCT-PRICE grain (one shuffle; the grain is bounded by
+    the price domain, not the row count), take the running max size
+    over strictly-cheaper prices (a single-partition window over that
+    SMALL artifact — fine because it is post-aggregation), and keep a
+    part iff it beats every cheaper part's size and ties the max size
+    at its own price. Same-price-same-size twins survive together
+    (neither strictly dominates)."""
+    p = _t(spark, sf_dir, "part")
+    grain = p.groupBy("p_retailprice").agg(
+        F.max("p_size").alias("price_max_size")
+    )
+    w = W.orderBy("p_retailprice").rowsBetween(W.unboundedPreceding, -1)
+    grain = grain.withColumn(
+        "cheaper_max", F.max("price_max_size").over(w)
+    )
+    return (
+        p.join(F.broadcast(grain), "p_retailprice")
+        .filter(
+            (
+                F.col("cheaper_max").isNull()
+                | (F.col("p_size") > F.col("cheaper_max"))
+            )
+            & (F.col("p_size") == F.col("price_max_size"))
+        )
+        .select("p_partkey", "p_name", "p_retailprice", "p_size")
+    )
+
+
+@query(
+    "q182_bitmap_distinct",
+    sql="""
+    SELECT event_type, CAST(ts AS DATE) AS d,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events GROUP BY 1, 2
+    """,
+    operators=("X-bitmap-distinct", "A-distinct", "A1"),
+)
+def q182_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT distinct users per (event_type, day) via Spark's bitmap
+    aggregates instead of ``count(distinct)``: ids hash into 32k-bit
+    bucket bitmaps (``bitmap_construct_agg`` over
+    ``bitmap_bit_position``), which are tiny, mergeable, and map-side
+    combinable — the two-level groupBy shuffles fixed-width bitmap
+    BLOBS rather than raw id lists, the same trick a 100 TB
+    distinct-count rollup needs (count-distinct EXPAND multiplies the
+    scan; bitmaps don't). Final count is the sum of per-bucket
+    popcounts. The oracle is the plain COUNT(DISTINCT)."""
+    e = _t(spark, sf_dir, "events")
+    per_bucket = (
+        e.select(
+            "event_type",
+            F.to_date("ts").alias("d"),
+            F.bitmap_bucket_number(F.col("user_id")).alias("bucket"),
+            F.bitmap_bit_position(F.col("user_id")).alias("pos"),
+        )
+        .groupBy("event_type", "d", "bucket")
+        .agg(F.bitmap_construct_agg(F.col("pos")).alias("bm"))
+    )
+    return per_bucket.groupBy("event_type", "d").agg(
+        F.sum(F.bitmap_count(F.col("bm"))).alias("n_users")
+    )
+
+
+@query(
+    "q183_fuzzy_part_linkage",
+    sql="""
+    SELECT a.p_partkey AS partkey_a, b.p_partkey AS partkey_b,
+           a.p_name AS name_a, b.p_name AS name_b,
+           CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS edit_dist
+    FROM part a JOIN part b
+      ON split_part(a.p_name, ' ', 2) = split_part(b.p_name, ' ', 2)
+     AND a.p_partkey < b.p_partkey
+    WHERE levenshtein(a.p_name, b.p_name) <= 3
+    """,
+    operators=("X-record-linkage", "J-blocked", "C-levenshtein"),
+)
+def q183_fuzzy_part_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked fuzzy record linkage: candidate part pairs share a
+    blocking key (the name's noun — last token), then Levenshtein
+    distance ≤ 3 confirms the match. The block-equality join is the
+    standard linkage scale shape — edit distance runs only INSIDE
+    blocks (a fixed-key shuffle join), never all-pairs; skewed blocks
+    are the known hazard and would route through salted_join
+    (operators/joins.py) if a block exceeded the replication budget.
+    Both engines compute textbook unit-cost Levenshtein."""
+    p = _t(spark, sf_dir, "part").select(
+        "p_partkey",
+        "p_name",
+        F.element_at(F.split("p_name", " "), 2).alias("block"),
+    )
+    a = p.alias("a")
+    b = p.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.block") == F.col("b.block"))
+            & (F.col("a.p_partkey") < F.col("b.p_partkey")),
+        )
+        .select(
+            F.col("a.p_partkey").alias("partkey_a"),
+            F.col("b.p_partkey").alias("partkey_b"),
+            F.col("a.p_name").alias("name_a"),
+            F.col("b.p_name").alias("name_b"),
+            F.levenshtein(F.col("a.p_name"), F.col("b.p_name"))
+            .cast("long")
+            .alias("edit_dist"),
+        )
+        .filter(F.col("edit_dist") <= 3)
+    )
+
+
+@query(
+    "q184_abc_classification",
+    sql="""
+    WITH rev AS (
+      SELECT l_partkey,
+             round(SUM(CAST(l_extendedprice * (1 - l_discount)
+                            AS DECIMAL(28,8))), 2) AS revenue
+      FROM lineitem GROUP BY l_partkey
+    ),
+    ranked AS (
+      SELECT l_partkey, revenue,
+        sum(revenue) OVER (ORDER BY revenue DESC, l_partkey
+                           ROWS UNBOUNDED PRECEDING) AS cum,
+        sum(revenue) OVER () AS total
+      FROM rev
+    )
+    SELECT l_partkey, CAST(revenue AS DOUBLE) AS revenue,
+      round(CAST(cum AS DOUBLE) / CAST(total AS DOUBLE), 6) AS cum_share,
+      CASE WHEN CAST(cum AS DOUBLE) / CAST(total AS DOUBLE) <= 0.80 THEN 'A'
+           WHEN CAST(cum AS DOUBLE) / CAST(total AS DOUBLE) <= 0.95 THEN 'B'
+           ELSE 'C' END AS abc_class
+    FROM ranked
+    """,
+    operators=("X-abc-pareto", "Window-frame", "A1"),
+)
+def q184_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC (Pareto 80/15/5) classification of parts by revenue: rank
+    parts by revenue, take the running share of total, and classify —
+    A carries the first 80% of revenue, B to 95%, C the tail. The
+    cumulative sum runs over EXACT 2-dp decimals (order-independent),
+    so the share and therefore the class boundary are bit-identical in
+    both engines — boundary rows cannot flip class on sum-order noise.
+    Tie order is pinned on (revenue DESC, partkey). The window is
+    single-partition but over the PER-PART aggregate (bounded by the
+    part dimension, not lineitem); a 100× part dimension would switch
+    to the two-phase range-partitioned prefix sum."""
+    li = _t(spark, sf_dir, "lineitem")
+    rev = li.groupBy("l_partkey").agg(
+        dsum_product(
+            F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        )
+        .cast("decimal(18,2)")
+        .alias("revenue")
+    )
+    w_cum = W.orderBy(F.desc("revenue"), "l_partkey").rowsBetween(
+        W.unboundedPreceding, 0
+    )
+    w_all = W.partitionBy()
+    ranked = rev.select(
+        "l_partkey",
+        "revenue",
+        F.sum("revenue").over(w_cum).alias("cum"),
+        F.sum("revenue").over(w_all).alias("total"),
+    )
+    share = F.col("cum").cast("double") / F.col("total").cast("double")
+    return ranked.select(
+        "l_partkey",
+        F.col("revenue").cast("double").alias("revenue"),
+        F.round(share, 6).alias("cum_share"),
+        F.when(share <= 0.80, "A")
+        .when(share <= 0.95, "B")
+        .otherwise("C")
+        .alias("abc_class"),
+    )
