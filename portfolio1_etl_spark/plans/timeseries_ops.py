@@ -295,3 +295,48 @@ def q157_sliding_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     return contrib.groupBy("window_start").agg(
         F.count_distinct("user_id").alias("n_active_users")
     )
+
+
+@query(
+    "q178_ewma_activity",
+    sql="""
+    WITH b AS (
+      SELECT user_id, date_trunc('hour', ts) AS h, count(*) AS n_events
+      FROM events GROUP BY 1, 2
+    ),
+    r AS (
+      SELECT user_id, h, n_events,
+             row_number() OVER (PARTITION BY user_id ORDER BY h DESC) AS k
+      FROM b
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_buckets,
+           max(h) AS latest_h,
+           sum(n_events * power(0.5, k)) AS ewma
+    FROM r WHERE k <= 32 GROUP BY user_id
+    """,
+    operators=("X-ewma", "Window-rank", "A1"),
+)
+def q178_ewma_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average of per-user hourly event
+    rate (α = 0.5, truncated at the 32 most recent buckets — the
+    dropped tail carries weight < 2⁻³², far under representable
+    noise). The recurrence unrolls to a closed-form weighted sum, so
+    no iterative state is needed: one shuffle to the hourly grain, one
+    per-user window to index buckets from the latest backwards, one
+    group-by. Bit-exact cross-engine WITHOUT rounding: α = 0.5 makes
+    every term n·2⁻ᵏ an exact dyadic double and every partial sum
+    exact (the common-denominator numerator stays ≪ 2⁵³), so ANY
+    summation order produces the identical double — the reason α is
+    not a tunable here; an α like 0.3 would reintroduce sum-order
+    noise that only coarse rounding could mask."""
+    b = _bucketed(spark, sf_dir).select("user_id", "h", "n_events")
+    w = W.partitionBy("user_id").orderBy(F.desc("h"))
+    r = b.withColumn("k", F.row_number().over(w)).filter(F.col("k") <= 32)
+    return r.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_buckets"),
+        F.max("h").alias("latest_h"),
+        F.sum(F.col("n_events") * F.pow(F.lit(0.5), F.col("k"))).alias(
+            "ewma"
+        ),
+    )
