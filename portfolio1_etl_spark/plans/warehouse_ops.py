@@ -21,6 +21,7 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from portfolio1_etl_spark import catalog
+from portfolio1_etl_spark.functions import dsum_money
 from portfolio1_etl_spark.operators.scd import scd2_rebuild
 from portfolio1_etl_spark.plans.registry import query
 
@@ -615,3 +616,158 @@ def q172_replica_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("consistent"),
     )
+
+
+@query(
+    "q180_pit_scd2_join",
+    sql="""
+    WITH st AS (
+      SELECT user_id, event_type, ts, event_id FROM events
+      WHERE event_type <> 'purchase'
+    ),
+    ordered AS (
+      SELECT user_id, event_type, ts,
+             lag(event_type) OVER w AS prev_type,
+             row_number() OVER w AS seq
+      FROM st
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    changes AS (
+      SELECT user_id, event_type AS state, ts AS valid_from, seq
+      FROM ordered WHERE prev_type IS NULL OR event_type <> prev_type
+    ),
+    iv AS (
+      SELECT user_id, state, valid_from,
+             lead(valid_from) OVER w2 AS valid_to
+      FROM changes
+      WINDOW w2 AS (PARTITION BY user_id ORDER BY valid_from, seq)
+    ),
+    p AS (
+      SELECT user_id, ts, value FROM events WHERE event_type = 'purchase'
+    )
+    SELECT coalesce(iv.state, 'none') AS state,
+           CAST(count(*) AS BIGINT) AS n_purchases,
+           CAST(SUM(CAST(p.value AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+    FROM p LEFT JOIN iv
+      ON p.user_id = iv.user_id
+     AND p.ts >= iv.valid_from
+     AND (iv.valid_to IS NULL OR p.ts < iv.valid_to)
+    GROUP BY 1
+    """,
+    operators=("X-scd2", "X-pit-join", "J-range", "A1"),
+)
+def q180_pit_scd2_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time join against an SCD2 dimension: the user's state
+    history (operators/scd.scd2_rebuild over non-purchase events) is
+    the slowly-changing dimension; each purchase joins the ONE
+    validity interval containing its timestamp — [valid_from,
+    valid_to) half-open, so a purchase landing exactly on a change
+    boundary reads the NEW state, the invariant every warehouse PIT
+    join must pin. Purchases before the user's first recorded state
+    fall through the left join as 'none'. The join is equality on
+    user_id with an interval predicate inside the same user's (small)
+    history — at 100 TB the dimension side is the per-entity interval
+    table, orders of magnitude below the fact stream; a pathologically
+    deep history would switch to the sorted merge-asof form
+    (plans/advanced.q37's operator)."""
+    e = _t(spark, sf_dir, "events")
+    iv = scd2_rebuild(e.filter(F.col("event_type") != "purchase")).select(
+        F.col("user_id").alias("iv_user"),
+        "state",
+        "valid_from",
+        "valid_to",
+    )
+    p = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value"
+    )
+    j = p.join(
+        iv,
+        (F.col("user_id") == F.col("iv_user"))
+        & (F.col("ts") >= F.col("valid_from"))
+        & (F.col("valid_to").isNull() | (F.col("ts") < F.col("valid_to"))),
+        "left",
+    )
+    return j.groupBy(
+        F.coalesce(F.col("state"), F.lit("none")).alias("state")
+    ).agg(
+        F.count(F.lit(1)).alias("n_purchases"),
+        dsum_money("value").alias("revenue"),
+    )
+
+
+#: q185 state definitions — two snapshots of an order-derived table in
+#: closed form (id membership and value churn are pure id arithmetic),
+#: so DuckDB recomputes version 1's aggregate directly while Spark
+#: maintains it INCREMENTALLY from version 0 plus the captured feed.
+_INCR_VAL = (
+    "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)"
+    " + CASE WHEN o_orderkey % 5 = 0 THEN {bump} ELSE 0 END"
+)
+_INCR_V1_SQL = f"""
+    SELECT o_orderkey AS id, o_custkey % 7 AS grp,
+           {_INCR_VAL.format(bump=12345)} AS val
+    FROM orders WHERE o_orderkey % 4 > 0
+"""
+
+
+@query(
+    "q185_incremental_agg",
+    sql=f"""
+    SELECT grp, CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(val) AS BIGINT) AS sum_val
+    FROM ({_INCR_V1_SQL}) GROUP BY grp
+    """,
+    operators=("X-matview-maintain", "K-versioned", "A1"),
+)
+def q185_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view maintenance on the scoreboard:
+    version 0 of an order-derived state is aggregated ONCE
+    (operators/matview.sum_count_view), version 1 commits through the
+    versioned sink with write-time CDC capture, and the view refreshes
+    from the CHANGE FEED alone (matview.apply_delta — insert adds,
+    delete subtracts; cost scales with the delta, not the table). The
+    oracle recomputes version 1's aggregate directly in closed form,
+    so a wrong feed, a mis-signed delta, or a stale group would all
+    hash-mismatch. The chain rebuilds per run under a temp path (the
+    q135/q168 pattern); membership churn covers deletes (id%4==1
+    leaves), inserts (id%4==3 arrives), and value updates (id%5==0
+    bumps)."""
+    from portfolio1_etl_spark.operators.matview import (
+        apply_delta,
+        sum_count_view,
+    )
+    from portfolio1_etl_spark.operators.sinks import (
+        _hadoop_fs,
+        read_changes,
+        read_version,
+        write_versioned,
+    )
+
+    path = catalog.scratch_path("incr_view", sf_dir)
+    fs, jpath = _hadoop_fs(spark, path)
+    if fs.exists(jpath):
+        fs.delete(jpath, True)
+    o = _t(spark, sf_dir, "orders")
+    cents = (
+        F.col("o_totalprice").cast("decimal(18,2)") * 100
+    ).cast("long")
+    bump = F.when(F.col("o_orderkey") % 5 == 0, F.lit(12345)).otherwise(
+        F.lit(0)
+    )
+    base = o.select(
+        F.col("o_orderkey").alias("id"),
+        (F.col("o_custkey") % 7).alias("grp"),
+        cents.alias("val0"),
+        (cents + bump).alias("val1"),
+    )
+    v0 = base.filter(F.col("id") % 4 < 3).select(
+        "id", "grp", F.col("val0").alias("val")
+    )
+    v1 = base.filter(F.col("id") % 4 > 0).select(
+        "id", "grp", F.col("val1").alias("val")
+    )
+    write_versioned(v0, path, capture_changes=True, manifest=True)
+    write_versioned(v1, path, capture_changes=True, manifest=True)
+    view0 = sum_count_view(read_version(spark, path, 0), ["grp"], "val")
+    feed = read_changes(spark, path, 0, 1)
+    return apply_delta(view0, feed, ["grp"], "val")
