@@ -30,6 +30,7 @@ from portfolio1_etl_spark.plans import subquery_ops  # noqa: F401,E402
 from portfolio1_etl_spark.plans import eventflow_ops  # noqa: F401,E402
 from portfolio1_etl_spark.plans import analytics_ops  # noqa: F401,E402
 from portfolio1_etl_spark.plans import geo_ops  # noqa: F401,E402
+from portfolio1_etl_spark.plans import validation_ops  # noqa: F401,E402
 
 # MUST import after similarity_ops/pq_ops: composes their registered
 # fns and oracle SQL into the on-scoreboard recall row.
