@@ -246,3 +246,169 @@ def q169_priority_late_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return matched.groupBy(
         F.col("o_orderpriority").alias("priority")
     ).agg(F.count(F.lit(1)).alias("order_count"))
+
+
+@query(
+    "q187_national_market_share",
+    sql="""
+    WITH rev AS (
+      SELECT n.n_name AS nation,
+             round(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                            AS DECIMAL(28,8))), 2) AS revenue
+      FROM lineitem l
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation n ON n.n_nationkey = s.s_nationkey
+      GROUP BY n.n_name
+    )
+    SELECT nation, CAST(revenue AS DOUBLE) AS revenue
+    FROM rev
+    WHERE revenue > (SELECT sum(revenue) FROM rev) * 0.05
+    """,
+    operators=("X-scalar-subquery", "J3", "A1", "W1"),
+)
+def q187_national_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11's shape: groups whose aggregate exceeds a FRACTION of
+    the global aggregate — a scalar subquery over the same derived
+    relation. Decorrelated Spark form: compute the per-nation revenue
+    ONCE, cross-join the single-row global sum (a broadcast of one
+    row — Catalyst's scalar-subquery plan), filter. The nation-grain
+    artifact is tiny, so the whole threshold stage costs nothing after
+    the one fact shuffle; the oracle keeps the classic correlated
+    spelling. Exact-decimal revenue makes the threshold comparison
+    bit-deterministic — a group sitting exactly AT the boundary cannot
+    flip on sum order."""
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    from portfolio1_etl_spark.functions import dsum_product
+
+    rev = (
+        li.join(
+            F.broadcast(s), li["l_suppkey"] == s["s_suppkey"]
+        )
+        .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            dsum_product(
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
+            )
+            .cast("decimal(18,2)")
+            .alias("revenue")
+        )
+    )
+    total = rev.agg(F.sum("revenue").alias("_total"))
+    return (
+        rev.crossJoin(F.broadcast(total))
+        .filter(F.col("revenue") > F.col("_total") * 0.05)
+        .select("nation", F.col("revenue").cast("double").alias("revenue"))
+    )
+
+
+@query(
+    "q188_min_balance_supplier",
+    sql="""
+    WITH ps AS (
+      SELECT DISTINCT l_partkey AS partkey, l_suppkey AS suppkey
+      FROM lineitem
+    )
+    SELECT p.p_partkey, p.p_name, s.s_name, s.s_acctbal
+    FROM part p
+    JOIN ps ON ps.partkey = p.p_partkey
+    JOIN supplier s ON s.s_suppkey = ps.suppkey
+    WHERE p.p_size < 10
+      AND s.s_acctbal = (
+        SELECT min(s2.s_acctbal)
+        FROM ps ps2 JOIN supplier s2 ON s2.s_suppkey = ps2.suppkey
+        WHERE ps2.partkey = p.p_partkey
+      )
+    """,
+    operators=("X-correlated-scalar", "J-semi", "A1", "Window-rank"),
+)
+def q188_min_balance_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2's shape: per part, the supplier(s) achieving the
+    group-minimum attribute — the correlated MIN subquery. Spark form:
+    distinct (part, supplier) pairs from the fact (the partsupp stand-
+    in), supplier attributes broadcast on, then ONE per-part window
+    min compared against each row — equivalent to Q2's "equals the
+    min" semantics, which keeps ALL tied suppliers (no artificial tie-
+    break; exact doubles compare equal identically in both engines).
+    The window partitions on p_partkey over pair-grain rows (bounded
+    by |partsupp|, not |lineitem|); the p_size filter prunes parts
+    BEFORE the window."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_size") < 10)
+    s = _t(spark, sf_dir, "supplier")
+    from pyspark.sql import Window as W
+
+    ps = li.select(
+        F.col("l_partkey").alias("partkey"),
+        F.col("l_suppkey").alias("suppkey"),
+    ).distinct()
+    pairs = (
+        ps.join(F.broadcast(p), ps["partkey"] == p["p_partkey"])
+        .join(F.broadcast(s), ps["suppkey"] == s["s_suppkey"])
+        .select("p_partkey", "p_name", "s_name", "s_acctbal")
+    )
+    w = W.partitionBy("p_partkey")
+    return pairs.withColumn(
+        "_min_bal", F.min("s_acctbal").over(w)
+    ).filter(F.col("s_acctbal") == F.col("_min_bal")).drop("_min_bal")
+
+
+@query(
+    "q189_top_revenue_supplier",
+    sql="""
+    WITH rev AS (
+      SELECT l_suppkey AS suppkey,
+             round(SUM(CAST(l_extendedprice * (1 - l_discount)
+                            AS DECIMAL(28,8))), 2) AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= DATE '1996-01-01'
+        AND l_shipdate < DATE '1996-04-01'
+      GROUP BY l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name, CAST(r.total_revenue AS DOUBLE)
+             AS total_revenue
+    FROM supplier s JOIN rev r ON r.suppkey = s.s_suppkey
+    WHERE r.total_revenue = (SELECT max(total_revenue) FROM rev)
+    """,
+    operators=("X-scalar-subquery", "J3", "A1", "O2"),
+)
+def q189_top_revenue_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15's shape: the revenue view and its global max — the
+    supplier(s) whose quarterly revenue equals the maximum over the
+    view. Spark computes the view once, cross-joins the single-row max
+    (broadcast scalar), and keeps equality rows — ties all survive, as
+    Q15 requires, and the exact-decimal revenue makes the equality
+    engine-deterministic. The date filter pushes to the parquet scan
+    (PushedFilters); the view is supplier-grain, so everything after
+    the one fact shuffle is dimension-sized."""
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    from portfolio1_etl_spark.functions import dsum_product
+
+    rev = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("date"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01").cast("date"))
+        )
+        .groupBy(F.col("l_suppkey").alias("suppkey"))
+        .agg(
+            dsum_product(
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
+            )
+            .cast("decimal(18,2)")
+            .alias("total_revenue")
+        )
+    )
+    mx = rev.agg(F.max("total_revenue").alias("_max"))
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .filter(F.col("total_revenue") == F.col("_max"))
+        .join(F.broadcast(s), F.col("suppkey") == F.col("s_suppkey"))
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.col("total_revenue").cast("double").alias("total_revenue"),
+        )
+    )
