@@ -37,7 +37,7 @@ def sum_count_view(state: DataFrame, keys: Sequence[str], val: str) -> DataFrame
     refresh with :func:`apply_delta`."""
     return state.groupBy(*keys).agg(
         F.count(F.lit(1)).cast("long").alias("n_rows"),
-        F.sum(val).cast("long").alias("sum_val"),
+        F.sum(val).alias("sum_val"),
     )
 
 
@@ -56,7 +56,7 @@ def apply_delta(
     )
     delta = feed.groupBy(*keys).agg(
         F.sum(sign).cast("long").alias("_dn"),
-        F.sum(sign * F.col(val)).cast("long").alias("_ds"),
+        F.sum(sign * F.col(val)).alias("_ds"),
     )
     merged = view.join(delta, keys, "full").select(
         *keys,
@@ -70,3 +70,27 @@ def apply_delta(
         ).alias("sum_val"),
     )
     return merged.filter(F.col("n_rows") > 0)
+
+
+def refresh_from_chain(
+    spark,
+    path: str,
+    view: DataFrame,
+    keys: Sequence[str],
+    val: str,
+    from_version: int,
+    to_version: int,
+) -> DataFrame:
+    """Fast-forward a :func:`sum_count_view` across a SPAN of versions
+    of a manifest-committed chain (operators/sinks.write_versioned
+    with ``capture_changes``): one ``read_changes`` span read folds
+    every step's delta files, one :func:`apply_delta` refreshes the
+    view — cost proportional to the total change volume of the span,
+    never a snapshot rescan. The caller tracks ``from_version`` (the
+    version the view currently reflects); committing the refreshed
+    view and marker atomically is the same manifest-meta pattern the
+    streaming CDC job uses for exactly-once."""
+    from portfolio1_etl_spark.operators.sinks import read_changes
+
+    feed = read_changes(spark, path, from_version, to_version)
+    return apply_delta(view, feed, keys, val)
