@@ -40,9 +40,9 @@ from portfolio1_etl_spark.plans import dedup_recall_ops  # noqa: F401,E402
 #: Explicit registry order. External correctness harnesses may sample a
 #: prefix of ``queries()`` (the driver checks the first 50 entries), so
 #: the prefix must contain at least one representative of EVERY operator
-#: family. ROTATED each round (r8): 25 of the 50 slots hold queries NOT
-#: in the r7 window — the 12 new r8 queries (q151–q162) plus 13 rotated
-#: back in from past-window slots — so the external gate re-verifies a
+#: family. ROTATED each round (r8): 27 of the 50 slots hold queries NOT
+#: in the r7 window — 14 new r8 queries (q151–q162, q176, q180) plus 13
+#: rotated back in from past-window slots — so the external gate re-verifies a
 #: different slice of the registry every round instead of re-checking a
 #: fixed favored set; everything outside the window stays covered by
 #: tools/check_oracle.py (full-registry) and pytest.
@@ -56,7 +56,9 @@ PRIORITY: tuple[str, ...] = (
     "q39_unpivot",              # pivot family
     "q29_star_join",            # multi-dim star broadcast
     # advanced joins / aggregates
-    "q31_full_outer_join",      # exotic joins (was q32 cross)
+    "q176_touch_attribution",   # exotic joins (r8 late, new — was q31
+                                # full outer; the attribution merge ENDS in
+                                # the same full-outer channel join)
     "q160_mad_outliers",        # robust stats (r8, new — was q34 percentiles;
                                 # MAD composes the same exact-percentile op)
     "q35_approx_aggregates",    # (was q36 collect)
@@ -66,7 +68,8 @@ PRIORITY: tuple[str, ...] = (
     "q153_join_strategy_advisor",  # stats→planner (r8, new — was q45 lookback)
     "q43_enriched_sales",
     "q104_bloom_prune",         # bloom family (was q113 fp audit)
-    "q46_scd2_intervals",
+    "q180_pit_scd2_join",       # (r8 late, new — was q46; composes
+                                # scd2_rebuild AND the point-in-time join)
     "q151_change_data_feed",    # CDC feed (r8, new — was q47 merge)
     # streaming batch twins + time-series layer (r8, new family)
     "q154_gap_fill_resample",   # (was q50 tumbling; spine composes the bucket window)

@@ -153,6 +153,16 @@ _SANCTIONED_BNLJ = {
     # PMI: model crossed with the broadcast ONE-ROW bigram and unigram
     # totals (the q94/q118 1-row-total pattern).
     "q159_bigram_pmi",
+    # geo grid knn: the supplier side crosses the broadcast NINE-ROW
+    # (dx, dy) cell-offset table to replicate into neighbor cells — a
+    # bounded 9x expansion of the dimension side by construction.
+    "q179_geo_grid_knn",
+    # market share: per-nation revenue crossed with the broadcast
+    # ONE-ROW global total (the q118 1-row-total pattern).
+    "q187_national_market_share",
+    # top-revenue supplier: the supplier-grain view crossed with the
+    # broadcast ONE-ROW max-revenue aggregate (same pattern).
+    "q189_top_revenue_supplier",
     # untapped customers: cross with the broadcast ONE-ROW mean
     # balance (the uncorrelated scalar subquery decorrelated).
     "q167_untapped_customers",

@@ -41,7 +41,8 @@ def test_every_operator_family_inside_window():
         "json": "q27_json_extract",
         "pivot-family": "q39_unpivot",
         "star-join": "q29_star_join",
-        "exotic-join": "q31_full_outer_join",  # was q32 cross
+        "exotic-join": "q176_touch_attribution",  # was q31 full outer;
+        # the attribution channel merge is a FULL OUTER join
         "stats-agg": "q160_mad_outliers",  # was q34 percentiles; MAD
         # composes the same exact-percentile op per group
         "collect-agg": "q35_approx_aggregates",  # was q36 collect
@@ -52,7 +53,8 @@ def test_every_operator_family_inside_window():
         "curation-card": "q161_dp_count_release",  # was q127 data card;
         # the DP release is the publishing half of the card pipeline
         "pipeline": "q43_enriched_sales",
-        "scd2": "q46_scd2_intervals",
+        "scd2": "q180_pit_scd2_join",  # was q46; composes scd2_rebuild
+        # and joins facts point-in-time against the intervals
         "merge-upsert": "q151_change_data_feed",  # was q47 merge; the
         # CDC feed is the delta-publishing form of the same cycle
         "stream-window": "q154_gap_fill_resample",  # was q50 tumbling;
