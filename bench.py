@@ -157,6 +157,33 @@ HEADLINE = [
     "q173_chi_square_independence",
     # Benford leading-digit forensic audit
     "q174_benford_audit",
+    # event-flow analytics: gaps-and-islands, touch attribution
+    "q175_activity_islands",
+    "q176_touch_attribution",
+    # grouped least-squares regression from integer moment sums
+    "q177_group_regression",
+    # EWMA activity smoothing (closed-form, bit-exact dyadic weights)
+    "q178_ewma_activity",
+    # Pareto frontier via the distinct-price sweep
+    "q181_price_size_skyline",
+    # grid-blocked haversine nearest-neighbor join
+    "q179_geo_grid_knn",
+    # point-in-time join against the SCD2 dimension
+    "q180_pit_scd2_join",
+    # bitmap-aggregate exact distinct counting
+    "q182_bitmap_distinct",
+    # blocked fuzzy record linkage (levenshtein inside blocks)
+    "q183_fuzzy_part_linkage",
+    # ABC / Pareto revenue classification (exact-decimal cumsum)
+    "q184_abc_classification",
+    # incremental matview maintenance from the captured CDC feed
+    "q185_incremental_agg",
+    # single-pass declarative data-quality suite
+    "q186_validation_suite",
+    # scalar-subquery shapes (TPC-H Q11/Q2/Q15 analogues)
+    "q187_national_market_share",
+    "q188_min_balance_supplier",
+    "q189_top_revenue_supplier",
 ]
 
 
