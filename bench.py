@@ -184,6 +184,14 @@ HEADLINE = [
     "q187_national_market_share",
     "q188_min_balance_supplier",
     "q189_top_revenue_supplier",
+    # winsorized robust mean at discrete-percentile bounds
+    "q190_winsorized_stats",
+    # BFS hop levels over the co-purchase graph (frontier expansion)
+    "q191_bfs_levels",
+    # full Delta-style MERGE matrix incl. conditional DELETE
+    "q192_merge_full_matrix",
+    # time-weighted average value (exact decimal x microsecond gaps)
+    "q193_twap_daily",
 ]
 
 

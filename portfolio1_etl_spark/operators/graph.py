@@ -265,3 +265,46 @@ def kcore_peel(
         .agg(F.count(F.lit(1)).cast("long").alias("degree"))
         .filter(F.col("degree") >= k)
     )
+
+
+def bfs_levels(
+    edges: DataFrame,
+    source: DataFrame,
+    max_depth: int,
+    checkpoint_mode: str = "local",
+) -> DataFrame:
+    """Breadth-first search levels from ``source`` nodes over an
+    UNDIRECTED edge list (u, v): returns (node, level) where level is
+    the minimum hop count ≤ ``max_depth`` (unreached nodes absent).
+
+    Each round is frontier ⋈ edges → distinct → anti-join visited —
+    shuffles keyed on node ids, frontier re-materialized per round so
+    lineage stays flat (the pagerank/kcore pattern). BFS's frontier
+    never revisits nodes, so per-round cost is bounded by the edge
+    cut of the frontier, not the graph; ``max_depth`` is the fixed
+    deterministic contract the unrolled oracles need (the q163
+    precedent — production callers can raise it to the graph
+    diameter)."""
+    sym = edges.select("u", "v").unionByName(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    sym = materialize(sym, checkpoint_mode)
+    visited = materialize(
+        source.select(F.col("node")).distinct().withColumn(
+            "level", F.lit(0).cast("long")
+        ),
+        checkpoint_mode,
+    )
+    frontier = visited.select("node")
+    for depth in range(1, max_depth + 1):
+        nxt = (
+            frontier.join(sym, frontier["node"] == sym["u"])
+            .select(F.col("v").alias("node"))
+            .distinct()
+            .join(visited.select("node"), "node", "left_anti")
+            .withColumn("level", F.lit(depth).cast("long"))
+        )
+        nxt = materialize(nxt, checkpoint_mode)
+        visited = materialize(visited.unionByName(nxt), checkpoint_mode)
+        frontier = nxt.select("node")
+    return visited

@@ -319,3 +319,79 @@ def q184_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("C")
         .alias("abc_class"),
     )
+
+
+@query(
+    "q190_winsorized_stats",
+    sql="""
+    WITH base AS (
+      SELECT event_type, event_id,
+             CAST(value AS DECIMAL(18,2)) AS v
+      FROM events
+    ),
+    r AS (
+      SELECT event_type, v,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY v, event_id) AS rn,
+             count(*) OVER (PARTITION BY event_type) AS n_g
+      FROM base
+    ),
+    bounds AS (
+      SELECT event_type,
+             max(CASE WHEN rn = floor((5 * n_g + 99) / 100)
+                      THEN v END) AS lo,
+             max(CASE WHEN rn = floor((95 * n_g + 99) / 100)
+                      THEN v END) AS hi
+      FROM r GROUP BY event_type
+    )
+    SELECT r.event_type,
+           CAST(max(r.n_g) AS BIGINT) AS n,
+           CAST(max(b.lo) AS DOUBLE) AS p05,
+           CAST(max(b.hi) AS DOUBLE) AS p95,
+           round(CAST(sum(greatest(b.lo, least(b.hi, r.v))) AS DOUBLE)
+                 / max(r.n_g), 4) AS wins_mean
+    FROM r JOIN bounds b ON b.event_type = r.event_type
+    GROUP BY r.event_type
+    """,
+    operators=("X-winsorize", "A-percentile", "Window-rank"),
+)
+def q190_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized mean per group: clip values at the 5th/95th ORDER
+    STATISTICS (discrete percentiles — actual data values, found by
+    rank, with an integer ceil-index so both engines pick the
+    identical element) and average the clipped column. Because the
+    clip bounds are real 2-dp data values, the clipped sum stays EXACT
+    decimal arithmetic end to end — no interpolated-percentile float
+    whose .xx5 midpoint would round differently across engines (the
+    (a+b)/2 of two 2-dp values lands exactly on the half-cent
+    boundary; clipping at it would be nondeterministic). One shuffle
+    on the group key serves ranking, counting, and the final
+    aggregate; bounds re-join broadcast-sized."""
+    base = _t(spark, sf_dir, "events").select(
+        "event_type",
+        "event_id",
+        F.col("value").cast("decimal(18,2)").alias("v"),
+    )
+    wg = W.partitionBy("event_type")
+    wr = wg.orderBy("v", "event_id")
+    r = base.withColumn("rn", F.row_number().over(wr)).withColumn(
+        "n_g", F.count(F.lit(1)).over(wg)
+    )
+    lo_idx = F.floor((5 * F.col("n_g") + 99) / 100)
+    hi_idx = F.floor((95 * F.col("n_g") + 99) / 100)
+    bounds = r.groupBy("event_type").agg(
+        F.max(F.when(F.col("rn") == lo_idx, F.col("v"))).alias("lo"),
+        F.max(F.when(F.col("rn") == hi_idx, F.col("v"))).alias("hi"),
+    )
+    clipped = r.join(F.broadcast(bounds), "event_type")
+    return clipped.groupBy("event_type").agg(
+        F.max("n_g").cast("long").alias("n"),
+        F.max("lo").cast("double").alias("p05"),
+        F.max("hi").cast("double").alias("p95"),
+        F.round(
+            F.sum(F.greatest(F.col("lo"), F.least(F.col("hi"), F.col("v"))))
+            .cast("double")
+            / F.max("n_g"),
+            4,
+        ).alias("wins_mean"),
+    )

@@ -354,3 +354,76 @@ def q163_user_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     edges = pairs.filter(F.col("common") >= 3).select("u", "v")
     return kcore_peel(edges, k=2, rounds=_KCORE_ROUNDS)
+
+
+#: q191 fixed BFS depth — the deterministic unrolled contract (the
+#: q163 precedent); fixpoint equivalence is pinned in tests/test_graph.py.
+_BFS_DEPTH = 4
+
+
+@query(
+    "q191_bfs_levels",
+    sql=f"""
+    WITH RECURSIVE ub AS MATERIALIZED (
+      SELECT DISTINCT user_id, date_trunc('hour', ts) AS h
+      FROM events WHERE event_type = 'purchase'
+    ),
+    hcnt AS MATERIALIZED (
+      SELECT h FROM (SELECT h, count(*) AS nu FROM ub GROUP BY h)
+      WHERE nu <= 40
+    ),
+    small AS MATERIALIZED (
+      SELECT ub.user_id, ub.h FROM ub JOIN hcnt USING (h)
+    ),
+    e AS MATERIALIZED (
+      SELECT DISTINCT a.user_id AS u, b.user_id AS v
+      FROM small a JOIN small b ON a.h = b.h AND a.user_id < b.user_id
+    ),
+    sym AS MATERIALIZED (
+      SELECT u, v FROM e UNION ALL SELECT v AS u, u AS v FROM e
+    ),
+    src AS MATERIALIZED (SELECT min(u) AS node FROM e),
+    bfs AS (
+      SELECT node, 0 AS lvl FROM src
+      UNION
+      SELECT sym.v AS node, bfs.lvl + 1 AS lvl
+      FROM bfs JOIN sym ON sym.u = bfs.node
+      WHERE bfs.lvl < {_BFS_DEPTH}
+    )
+    SELECT node AS user_id, CAST(min(lvl) AS BIGINT) AS level
+    FROM bfs GROUP BY node
+    """,
+    operators=("X-graph-bfs", "X-cooccurrence", "J-anti"),
+)
+def q191_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BFS hop levels over the co-purchase graph (users purchasing in
+    the same hour bucket, hub hours df-capped at 40 actives — the q77/
+    q163 pattern) from the lowest-id connected user. The Spark side is
+    the frontier-expansion loop (operators/graph.bfs_levels): per
+    round one join keyed on node ids, one distinct, one anti-join —
+    never materializing paths; the oracle is the textbook recursive
+    CTE whose UNION dedup keeps (node, level) pairs bounded. Fixed
+    depth {_BFS_DEPTH} is the deterministic unrolled contract
+    (fixpoint equivalence pinned in tests/test_graph.py); min-level
+    semantics agree because BFS reaches every node first at its
+    minimum hop count."""
+    from portfolio1_etl_spark.operators.graph import bfs_levels
+
+    e = catalog.load(spark, sf_dir, "events")
+    ub = (
+        e.filter(F.col("event_type") == "purchase")
+        .select("user_id", F.date_trunc("hour", F.col("ts")).alias("h"))
+        .distinct()
+    )
+    hcnt = ub.groupBy("h").agg(F.count(F.lit(1)).alias("nu"))
+    small = ub.join(
+        F.broadcast(hcnt.filter(F.col("nu") <= 40).select("h")), "h"
+    )
+    a = small.select(F.col("user_id").alias("u"), "h")
+    b = small.select(F.col("user_id").alias("v"), "h")
+    edges = (
+        a.join(b, "h").filter(F.col("u") < F.col("v")).select("u", "v").distinct()
+    )
+    src = edges.agg(F.min("u").alias("node"))
+    levels = bfs_levels(edges, src, max_depth=_BFS_DEPTH)
+    return levels.select(F.col("node").alias("user_id"), "level")

@@ -340,3 +340,63 @@ def q178_ewma_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ewma"
         ),
     )
+
+
+@query(
+    "q193_twap_daily",
+    sql="""
+    WITH seq AS (
+      SELECT user_id, CAST(ts AS DATE) AS d,
+             CAST(value AS DECIMAL(18,2)) AS v,
+             CAST(epoch_us(lead(ts) OVER w) - epoch_us(ts) AS BIGINT)
+               AS dt_us
+      FROM events
+      WINDOW w AS (PARTITION BY user_id, CAST(ts AS DATE)
+                   ORDER BY ts, event_id)
+    )
+    SELECT user_id, d,
+           CAST(count(dt_us) AS BIGINT) AS n_intervals,
+           round(CAST(sum(v * dt_us) AS DOUBLE)
+                 / CAST(sum(dt_us) AS DOUBLE), 6) AS twap
+    FROM seq WHERE dt_us IS NOT NULL
+    GROUP BY user_id, d
+    HAVING sum(dt_us) > 0
+    """,
+    operators=("X-twap", "Window-nav", "A1"),
+)
+def q193_twap_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average value per (user, day): each observation
+    holds until the next one, so its weight is the microsecond gap to
+    the successor (the classic TWAP/VWAP sensor shape — an unweighted
+    mean over-counts burst periods). The last observation of the day
+    carries no interval and drops out; zero-span days (all events on
+    one microsecond) drop via HAVING. Cross-engine exactness: decimal
+    value × integer microsecond gap is exact decimal arithmetic, both
+    sums are order-independent, and the single final division rounds
+    once — no float accumulation anywhere. ONE shuffle on (user, day)
+    serves the lead window and the aggregate."""
+    e = _events(spark, sf_dir)
+    w = W.partitionBy("user_id", F.to_date("ts")).orderBy("ts", "event_id")
+    seq = e.select(
+        "user_id",
+        F.to_date("ts").alias("d"),
+        F.col("value").cast("decimal(18,2)").alias("v"),
+        (
+            F.unix_micros(F.lead("ts").over(w).cast("timestamp"))
+            - F.unix_micros(F.col("ts").cast("timestamp"))
+        ).alias("dt_us"),
+    ).filter(F.col("dt_us").isNotNull())
+    return (
+        seq.groupBy("user_id", "d")
+        .agg(
+            F.count("dt_us").alias("n_intervals"),
+            F.round(
+                F.sum(F.col("v") * F.col("dt_us")).cast("double")
+                / F.sum("dt_us").cast("double"),
+                6,
+            ).alias("twap"),
+            F.sum("dt_us").alias("_span"),
+        )
+        .filter(F.col("_span") > 0)
+        .drop("_span")
+    )

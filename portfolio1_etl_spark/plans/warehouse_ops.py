@@ -771,3 +771,98 @@ def q185_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     view0 = sum_count_view(read_version(spark, path, 0), ["grp"], "val")
     feed = read_changes(spark, path, 0, 1)
     return apply_delta(view0, feed, ["grp"], "val")
+
+
+@query(
+    "q192_merge_full_matrix",
+    sql=f"""
+    WITH base AS (
+      SELECT c_custkey AS custkey, c_acctbal AS balance
+      FROM customer WHERE c_custkey < {_MERGE_CUTOFF}
+    ),
+    changes AS (
+      SELECT o_custkey AS custkey,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS delta,
+             (o_custkey % 10 = 0) AS close_flag
+      FROM orders
+      WHERE o_orderdate >= DATE '1997-01-01'
+      GROUP BY o_custkey
+    )
+    SELECT custkey, new_balance, action FROM (
+      SELECT
+        coalesce(b.custkey, c.custkey) AS custkey,
+        CAST(coalesce(CAST(b.balance AS DECIMAL(18,2)), 0)
+             + coalesce(CAST(c.delta AS DECIMAL(18,2)), 0) AS DOUBLE)
+          AS new_balance,
+        CASE
+          WHEN b.custkey IS NOT NULL AND c.custkey IS NOT NULL
+               AND c.close_flag THEN 'delete'
+          WHEN b.custkey IS NOT NULL AND c.custkey IS NOT NULL
+            THEN 'update'
+          WHEN b.custkey IS NULL AND NOT c.close_flag THEN 'insert'
+          WHEN b.custkey IS NULL THEN 'skip'
+          ELSE 'keep' END AS action
+      FROM base b FULL OUTER JOIN changes c ON b.custkey = c.custkey
+    ) WHERE action IN ('keep', 'update', 'insert')
+    """,
+    operators=("X-merge-upsert", "X-merge-delete", "J-full", "C13"),
+)
+def q192_merge_full_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL Delta-style MERGE matrix on plain parquet — q47 plus
+    the two clauses it lacked: WHEN MATCHED AND <cond> THEN DELETE
+    (flagged keys vanish from the post-merge state) and WHEN NOT
+    MATCHED AND <cond> THEN skip (a delete arriving for an absent key
+    is a no-op, not an insert). Output is the SURVIVING state, so a
+    misrouted clause changes the row set, not just a label. Same
+    physical shape as q47 — ONE shuffle on the merge key shared by the
+    change aggregation and the full outer join; the action matrix is a
+    narrow projection. Balance arithmetic rides DECIMAL(18,2) per the
+    money-parity contract."""
+    base = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") < _MERGE_CUTOFF)
+        .select(
+            F.col("c_custkey").alias("custkey"),
+            F.col("c_acctbal").alias("balance"),
+        )
+    )
+    changes = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit("1997-01-01").cast("date"))
+        .groupBy(F.col("o_custkey").alias("custkey"))
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("delta"),
+        )
+        .withColumn("close_flag", F.col("custkey") % 10 == 0)
+    )
+    b, c = base.alias("b"), changes.alias("c")
+    merged = b.join(c, F.col("b.custkey") == F.col("c.custkey"), "full_outer")
+    action = (
+        F.when(
+            F.col("b.custkey").isNotNull()
+            & F.col("c.custkey").isNotNull()
+            & F.col("c.close_flag"),
+            F.lit("delete"),
+        )
+        .when(
+            F.col("b.custkey").isNotNull() & F.col("c.custkey").isNotNull(),
+            F.lit("update"),
+        )
+        .when(F.col("b.custkey").isNull() & ~F.col("c.close_flag"), F.lit("insert"))
+        .when(F.col("b.custkey").isNull(), F.lit("skip"))
+        .otherwise(F.lit("keep"))
+    )
+    out = merged.select(
+        F.coalesce(F.col("b.custkey"), F.col("c.custkey")).alias("custkey"),
+        (
+            F.coalesce(F.col("b.balance").cast("decimal(18,2)"), F.lit(0))
+            + F.coalesce(F.col("c.delta").cast("decimal(18,2)"), F.lit(0))
+        )
+        .cast("double")
+        .alias("new_balance"),
+        action.alias("action"),
+    )
+    return out.filter(F.col("action").isin("keep", "update", "insert"))

@@ -188,3 +188,63 @@ def test_kcore_cascade(spark):
         r.node for r in kcore_peel(edges, k=2, rounds=1).collect()
     }
     assert 4 in after1
+
+
+def test_bfs_levels_hand_graph(spark):
+    """Path + branch + unreachable component: levels are minimum hop
+    counts, the depth cap truncates, and unreached nodes are absent."""
+    from portfolio1_etl_spark.operators.graph import bfs_levels
+
+    # 1-2-3-4-5 path, 2-6 branch, 8-9 disconnected
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (2, 6), (8, 9)], "u long, v long"
+    )
+    src = spark.createDataFrame([(1,)], "node long")
+    got = {
+        (r.node, r.level)
+        for r in bfs_levels(edges, src, max_depth=4).collect()
+    }
+    assert got == {(1, 0), (2, 1), (3, 2), (6, 2), (4, 3), (5, 4)}
+
+    # depth cap: with max_depth=2 the tail of the path is unreached
+    capped = {
+        (r.node, r.level)
+        for r in bfs_levels(edges, src, max_depth=2).collect()
+    }
+    assert capped == {(1, 0), (2, 1), (3, 2), (6, 2)}
+
+
+def test_bfs_fixed_depth_is_fixpoint_on_registry_graph(spark, sf_dir):
+    """The q191 unrolled depth reaches the BFS fixpoint on the test
+    data: one extra round discovers nothing new (the q163 contract)."""
+    from portfolio1_etl_spark.plans.graph_ops import _BFS_DEPTH
+    from portfolio1_etl_spark.plans import REGISTRY
+
+    q = REGISTRY["q191_bfs_levels"]
+    base = {(r.user_id, r.level) for r in q.fn(spark, sf_dir).collect()}
+
+    from portfolio1_etl_spark import catalog
+    from portfolio1_etl_spark.operators.graph import bfs_levels
+    from pyspark.sql import functions as F
+
+    e = catalog.load(spark, sf_dir, "events")
+    ub = (
+        e.filter(F.col("event_type") == "purchase")
+        .select("user_id", F.date_trunc("hour", F.col("ts")).alias("h"))
+        .distinct()
+    )
+    hcnt = ub.groupBy("h").agg(F.count(F.lit(1)).alias("nu"))
+    small = ub.join(
+        F.broadcast(hcnt.filter(F.col("nu") <= 40).select("h")), "h"
+    )
+    a = small.select(F.col("user_id").alias("u"), "h")
+    b = small.select(F.col("user_id").alias("v"), "h")
+    edges = (
+        a.join(b, "h").filter(F.col("u") < F.col("v")).select("u", "v").distinct()
+    )
+    src = edges.agg(F.min("u").alias("node"))
+    deeper = {
+        (r.node, r.level)
+        for r in bfs_levels(edges, src, max_depth=_BFS_DEPTH + 1).collect()
+    }
+    assert deeper == base
