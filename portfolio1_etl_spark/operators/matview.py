@@ -51,8 +51,28 @@ def apply_delta(
     view — both sides at GROUP grain, so the join is dimension-sized
     regardless of base-table size."""
     keys = list(keys)
-    sign = F.when(F.col(CHANGE_COL) == "insert", F.lit(1)).otherwise(
-        F.lit(-1)
+    # Only the plain insert/delete feed is algebraically foldable; a
+    # KEYED feed (read_changes with key_cols) relabels update pairs as
+    # update_preimage/update_postimage, and signing those -1 would
+    # silently corrupt the view (each update would subtract twice).
+    # Fail loudly at execution instead.
+    sign = (
+        F.when(F.col(CHANGE_COL) == "insert", F.lit(1))
+        .when(F.col(CHANGE_COL) == "delete", F.lit(-1))
+        .otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        "apply_delta: unexpected _change value '"
+                    ),
+                    F.col(CHANGE_COL),
+                    F.lit(
+                        "' — pass the PLAIN insert/delete feed "
+                        "(read_changes without key_cols)"
+                    ),
+                )
+            ).cast("int")
+        )
     )
     delta = feed.groupBy(*keys).agg(
         F.sum(sign).cast("long").alias("_dn"),

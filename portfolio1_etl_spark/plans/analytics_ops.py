@@ -64,14 +64,18 @@ def q177_group_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
     event value on hour-of-day, computed from the five classical
     moment sums — ONE shuffle, one pass, no per-group iteration.
     Cross-engine float parity: x is an integer and y flows as scaled
-    BIGINT cents (exact decimal snap × 100), so every moment sum is
-    EXACT integer arithmetic; the only float ops are the final
-    correctly-rounded BIGINT→DOUBLE casts and divisions, which are
+    cents (exact decimal snap × 100); every moment sum AND the moment
+    products run in DECIMAL(38,0) — exact, order-independent, and wide
+    enough that n·Σy² (~1e20 at sf1, past int64) cannot overflow,
+    mirroring DuckDB's HUGEINT accumulation (a BIGINT form overflows
+    exactly where the oracle does not). The only float ops are the
+    final correctly-rounded wide-integer→DOUBLE casts and divisions,
     bit-identical in both engines (the ``regr_slope`` builtin would
     instead accumulate raw doubles whose sum order diverges). At 100 TB
-    this is the textbook map-side-combinable aggregation: five integer
-    partial sums per group."""
+    this is the textbook map-side-combinable aggregation: five
+    fixed-width partial sums per group."""
     e = _t(spark, sf_dir, "events")
+    dec = "decimal(38,0)"
     pts = e.select(
         "event_type",
         F.hour("ts").cast("long").alias("x"),
@@ -81,21 +85,16 @@ def q177_group_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     s = pts.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum("x").alias("sx"),
-        F.sum(F.col("x") * F.col("x")).alias("sxx"),
-        F.sum("yc").alias("syc"),
-        F.sum(F.col("yc") * F.col("yc")).alias("syyc"),
-        F.sum(F.col("x") * F.col("yc")).alias("sxyc"),
+        F.sum(F.col("x").cast(dec)).alias("sx"),
+        F.sum((F.col("x") * F.col("x")).cast(dec)).alias("sxx"),
+        F.sum(F.col("yc").cast(dec)).alias("syc"),
+        F.sum((F.col("yc") * F.col("yc")).cast(dec)).alias("syyc"),
+        F.sum((F.col("x") * F.col("yc")).cast(dec)).alias("sxyc"),
     )
-    num = (F.col("n") * F.col("sxyc") - F.col("sx") * F.col("syc")).cast(
-        "double"
-    )
-    den = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
-        "double"
-    )
-    deny = (F.col("n") * F.col("syyc") - F.col("syc") * F.col("syc")).cast(
-        "double"
-    )
+    nd = F.col("n").cast(dec)
+    num = (nd * F.col("sxyc") - F.col("sx") * F.col("syc")).cast("double")
+    den = (nd * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    deny = (nd * F.col("syyc") - F.col("syc") * F.col("syc")).cast("double")
     slope = num / den / 100.0
     return s.select(
         "event_type",
@@ -215,7 +214,8 @@ def q183_fuzzy_part_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Blocked fuzzy record linkage, canonicalized BEFORE the
     quadratic step: part names aggregate to DISTINCT-NAME grain first
     (name, block, multiplicity), candidate name pairs share a blocking
-    key (the name's noun — last token), Levenshtein ≤ 3 confirms, and
+    key (the SECOND token — the noun of these adjective-noun part
+    names), Levenshtein ≤ 3 confirms, and
     the linked-record volume surfaces as the multiplicity product —
     every edit distance is computed ONCE per distinct string pair, not
     once per record pair. This is the decisive linkage scale move: the

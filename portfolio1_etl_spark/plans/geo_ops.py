@@ -65,11 +65,11 @@ _HAVERSINE_SQL = """
         ON floor(s.lat) BETWEEN floor(c.lat) - 1 AND floor(c.lat) + 1
        AND floor(s.lon) BETWEEN floor(c.lon) - 1 AND floor(c.lon) + 1
     )
-    SELECT c_custkey, s_suppkey, round(dist_km, 4) AS dist_km
+    SELECT c_custkey, s_suppkey, dist_km
     FROM (
-      SELECT c_custkey, s_suppkey, dist_km,
+      SELECT c_custkey, s_suppkey, round(dist_km, 4) AS dist_km,
              row_number() OVER (PARTITION BY c_custkey
-                                ORDER BY dist_km, s_suppkey) AS rn
+                                ORDER BY round(dist_km, 4), s_suppkey) AS rn
       FROM cand
     ) WHERE rn = 1
     """,
@@ -116,16 +116,24 @@ def q179_geo_grid_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor("lon").alias("cx"),
         F.floor("lat").alias("cy"),
     )
+    # ranking runs on the ROUNDED distance (4 dp) with the suppkey
+    # tie-break: the raw haversine can differ by ~1 ulp between the
+    # JVM's and DuckDB's libm trig, and an unrounded ORDER BY would
+    # let that flip which of two near-equidistant candidates wins
+    # (the exact hazard functions/geo.py's header calls out).
     cand = c_cell.join(s_rep, ["cx", "cy"]).select(
         "c_custkey",
         "s_suppkey",
-        haversine_km(
-            F.col("clat"), F.col("clon"), F.col("lat"), F.col("lon")
+        F.round(
+            haversine_km(
+                F.col("clat"), F.col("clon"), F.col("lat"), F.col("lon")
+            ),
+            4,
         ).alias("dist_km"),
     )
     w = W.partitionBy("c_custkey").orderBy("dist_km", "s_suppkey")
     return (
         cand.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
-        .select("c_custkey", "s_suppkey", F.round("dist_km", 4).alias("dist_km"))
+        .select("c_custkey", "s_suppkey", "dist_km")
     )

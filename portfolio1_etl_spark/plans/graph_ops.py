@@ -356,6 +356,30 @@ def q163_user_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kcore_peel(edges, k=2, rounds=_KCORE_ROUNDS)
 
 
+def _copurchase_edges(spark: SparkSession, sf_dir: str):
+    """The q191 graph definition, shared with tests/test_graph.py's
+    fixpoint check so the two cannot drift: users purchasing in the
+    same hour bucket, hub hours df-capped at 40 actives, undirected
+    distinct (u < v) pairs. Returns (edges, src)."""
+    e = catalog.load(spark, sf_dir, "events")
+    ub = (
+        e.filter(F.col("event_type") == "purchase")
+        .select("user_id", F.date_trunc("hour", F.col("ts")).alias("h"))
+        .distinct()
+    )
+    hcnt = ub.groupBy("h").agg(F.count(F.lit(1)).alias("nu"))
+    small = ub.join(
+        F.broadcast(hcnt.filter(F.col("nu") <= 40).select("h")), "h"
+    )
+    a = small.select(F.col("user_id").alias("u"), "h")
+    b = small.select(F.col("user_id").alias("v"), "h")
+    edges = (
+        a.join(b, "h").filter(F.col("u") < F.col("v")).select("u", "v").distinct()
+    )
+    return edges, edges.agg(F.min("u").alias("node"))
+
+
+
 #: q191 fixed BFS depth — the deterministic unrolled contract (the
 #: q163 precedent); fixpoint equivalence is pinned in tests/test_graph.py.
 _BFS_DEPTH = 4
@@ -409,21 +433,6 @@ def q191_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
     minimum hop count."""
     from portfolio1_etl_spark.operators.graph import bfs_levels
 
-    e = catalog.load(spark, sf_dir, "events")
-    ub = (
-        e.filter(F.col("event_type") == "purchase")
-        .select("user_id", F.date_trunc("hour", F.col("ts")).alias("h"))
-        .distinct()
-    )
-    hcnt = ub.groupBy("h").agg(F.count(F.lit(1)).alias("nu"))
-    small = ub.join(
-        F.broadcast(hcnt.filter(F.col("nu") <= 40).select("h")), "h"
-    )
-    a = small.select(F.col("user_id").alias("u"), "h")
-    b = small.select(F.col("user_id").alias("v"), "h")
-    edges = (
-        a.join(b, "h").filter(F.col("u") < F.col("v")).select("u", "v").distinct()
-    )
-    src = edges.agg(F.min("u").alias("node"))
+    edges, src = _copurchase_edges(spark, sf_dir)
     levels = bfs_levels(edges, src, max_depth=_BFS_DEPTH)
     return levels.select(F.col("node").alias("user_id"), "level")

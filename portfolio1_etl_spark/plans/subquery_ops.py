@@ -262,7 +262,7 @@ def q169_priority_late_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT nation, CAST(revenue AS DOUBLE) AS revenue
     FROM rev
-    WHERE revenue > (SELECT sum(revenue) FROM rev) * 0.05
+    WHERE revenue * 20 > (SELECT sum(revenue) FROM rev)
     """,
     operators=("X-scalar-subquery", "J3", "A1", "W1"),
 )
@@ -299,7 +299,7 @@ def q187_national_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     total = rev.agg(F.sum("revenue").alias("_total"))
     return (
         rev.crossJoin(F.broadcast(total))
-        .filter(F.col("revenue") > F.col("_total") * 0.05)
+        .filter(F.col("revenue") * 20 > F.col("_total"))
         .select("nation", F.col("revenue").cast("double").alias("revenue"))
     )
 

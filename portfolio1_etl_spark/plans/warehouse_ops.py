@@ -729,9 +729,9 @@ def q185_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle recomputes version 1's aggregate directly in closed form,
     so a wrong feed, a mis-signed delta, or a stale group would all
     hash-mismatch. The chain rebuilds per run under a temp path (the
-    q135/q168 pattern); membership churn covers deletes (id%4==1
-    leaves), inserts (id%4==3 arrives), and value updates (id%5==0
-    bumps)."""
+    q135/q168 pattern); membership churn covers deletes (id%4==0
+    leaves: v0 is id%4<3, v1 is id%4>0), inserts (id%4==3 arrives),
+    and value updates (id%5==0 bumps)."""
     from portfolio1_etl_spark.operators.matview import (
         apply_delta,
         sum_count_view,

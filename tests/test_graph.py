@@ -223,26 +223,10 @@ def test_bfs_fixed_depth_is_fixpoint_on_registry_graph(spark, sf_dir):
     q = REGISTRY["q191_bfs_levels"]
     base = {(r.user_id, r.level) for r in q.fn(spark, sf_dir).collect()}
 
-    from portfolio1_etl_spark import catalog
     from portfolio1_etl_spark.operators.graph import bfs_levels
-    from pyspark.sql import functions as F
+    from portfolio1_etl_spark.plans.graph_ops import _copurchase_edges
 
-    e = catalog.load(spark, sf_dir, "events")
-    ub = (
-        e.filter(F.col("event_type") == "purchase")
-        .select("user_id", F.date_trunc("hour", F.col("ts")).alias("h"))
-        .distinct()
-    )
-    hcnt = ub.groupBy("h").agg(F.count(F.lit(1)).alias("nu"))
-    small = ub.join(
-        F.broadcast(hcnt.filter(F.col("nu") <= 40).select("h")), "h"
-    )
-    a = small.select(F.col("user_id").alias("u"), "h")
-    b = small.select(F.col("user_id").alias("v"), "h")
-    edges = (
-        a.join(b, "h").filter(F.col("u") < F.col("v")).select("u", "v").distinct()
-    )
-    src = edges.agg(F.min("u").alias("node"))
+    edges, src = _copurchase_edges(spark, sf_dir)
     deeper = {
         (r.node, r.level)
         for r in bfs_levels(edges, src, max_depth=_BFS_DEPTH + 1).collect()

@@ -117,3 +117,20 @@ def test_view_maintained_from_streamed_chain(spark, tmp_path):
     ff = refresh_from_chain(spark, chain, view0, ["sku"], "qty", 0, last)
     direct = sum_count_view(read_version(spark, chain, last), ["sku"], "qty")
     assert _rows(ff) == _rows(direct)
+
+
+def test_keyed_feed_rejected_loudly(spark):
+    """A keyed feed (update_preimage/update_postimage labels) must
+    raise, not silently subtract update pairs twice."""
+    import pytest
+
+    v0 = spark.createDataFrame(
+        [(1, "a", 10)], "id long, grp string, val long"
+    )
+    feed = spark.createDataFrame(
+        [("update_preimage", "a", 10), ("update_postimage", "a", 20)],
+        "_change string, grp string, val long",
+    )
+    out = apply_delta(sum_count_view(v0, ["grp"], "val"), feed, ["grp"], "val")
+    with pytest.raises(Exception, match="unexpected _change"):
+        out.collect()
