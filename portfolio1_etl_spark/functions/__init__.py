@@ -1,6 +1,7 @@
 """Column-expression builders shared across plans."""
 
 from portfolio1_etl_spark.functions.exact import dmoney, dsum_money, dsum_product
+from portfolio1_etl_spark.functions.numeric import zround
 from portfolio1_etl_spark.functions.redact import (
     PII_PATTERNS,
     pii_counts,
@@ -14,4 +15,5 @@ __all__ = [
     "PII_PATTERNS",
     "redact_pii",
     "pii_counts",
+    "zround",
 ]

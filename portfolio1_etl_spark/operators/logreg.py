@@ -74,9 +74,13 @@ def train_logreg(
         wdf = checkpointing.materialize(
             wdf.crossJoin(stats).select(
                 *[
-                    F.round(F.col(f"w{i}") - F.lit(lr) * F.col(f"g{i}"), 8).alias(
-                        f"w{i}"
-                    )
+                    # + 0.0 canonicalizes signed zero (the q159 class):
+                    # Spark's round never emits -0.0, DuckDB's does —
+                    # mirrored in the oracle's w-update CTE
+                    (
+                        F.round(F.col(f"w{i}") - F.lit(lr) * F.col(f"g{i}"), 8)
+                        + F.lit(0.0)
+                    ).alias(f"w{i}")
                     for i in range(3)
                 ]
             ),

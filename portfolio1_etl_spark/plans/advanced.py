@@ -81,8 +81,8 @@ def q32_cross_join(spark: SparkSession, sf_dir: str) -> DataFrame:
       l_returnflag AS returnflag,
       round(stddev_samp(l_quantity), 4)                 AS sd_qty,
       round(var_samp(l_quantity), 4)                    AS var_qty,
-      round(corr(l_quantity, l_extendedprice), 6)       AS corr_qty_price,
-      round(covar_samp(l_quantity, l_extendedprice), 2) AS covar_qty_price
+      round(corr(l_quantity, l_extendedprice), 6) + 0.0       AS corr_qty_price,
+      round(covar_samp(l_quantity, l_extendedprice), 2) + 0.0 AS covar_qty_price
     FROM lineitem GROUP BY l_returnflag
     """,
     operators=("A-stats",),
@@ -95,8 +95,12 @@ def q33_stats_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.groupBy(F.col("l_returnflag").alias("returnflag")).agg(
         F.round(F.stddev_samp("l_quantity"), 4).alias("sd_qty"),
         F.round(F.var_samp("l_quantity"), 4).alias("var_qty"),
-        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
-        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 2).alias(
+        # + 0.0: signed-zero canonicalization (q159 class) — corr and
+        # covariance are the sign-indefinite outputs here
+        (F.round(F.corr("l_quantity", "l_extendedprice"), 6) + F.lit(0.0)).alias(
+            "corr_qty_price"
+        ),
+        (F.round(F.covar_samp("l_quantity", "l_extendedprice"), 2) + F.lit(0.0)).alias(
             "covar_qty_price"
         ),
     )

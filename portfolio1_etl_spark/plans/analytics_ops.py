@@ -19,7 +19,7 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from portfolio1_etl_spark import catalog
-from portfolio1_etl_spark.functions import dsum_product
+from portfolio1_etl_spark.functions import dsum_product, zround
 from portfolio1_etl_spark.plans.registry import query
 
 
@@ -46,11 +46,11 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     )
     SELECT event_type, CAST(n AS BIGINT) AS n,
       round((CAST(n * sxyc - sx * syc AS DOUBLE)
-             / CAST(n * sxx - sx * sx AS DOUBLE)) / 100.0, 6) AS slope,
+             / CAST(n * sxx - sx * sx AS DOUBLE)) / 100.0, 6) + 0.0 AS slope,
       round((CAST(syc AS DOUBLE) / 100.0
              - ((CAST(n * sxyc - sx * syc AS DOUBLE)
                  / CAST(n * sxx - sx * sx AS DOUBLE)) / 100.0)
-               * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE), 6) AS intercept,
+               * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE), 6) + 0.0 AS intercept,
       round((CAST(n * sxyc - sx * syc AS DOUBLE)
              * CAST(n * sxyc - sx * syc AS DOUBLE))
             / (CAST(n * sxx - sx * sx AS DOUBLE)
@@ -99,8 +99,8 @@ def q177_group_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
     return s.select(
         "event_type",
         F.col("n").cast("long").alias("n"),
-        F.round(slope, 6).alias("slope"),
-        F.round(
+        zround(slope, 6).alias("slope"),
+        zround(
             (
                 F.col("syc").cast("double") / 100.0
                 - slope * F.col("sx").cast("double")

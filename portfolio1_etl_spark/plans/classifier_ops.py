@@ -55,8 +55,8 @@ def _logreg_sql(rounds: int = _ROUNDS, lr: float = _LR) -> str:
             f"FROM f, {prev})"
         )
         ctes.append(
-            f"w{r}cte AS MATERIALIZED (SELECT round(w0 - {lr} * g0, 8) AS w0, "
-            f"round(w1 - {lr} * g1, 8) AS w1, round(w2 - {lr} * g2, 8) AS w2 "
+            f"w{r}cte AS MATERIALIZED (SELECT round(w0 - {lr} * g0, 8) + 0.0 AS w0, "
+            f"round(w1 - {lr} * g1, 8) + 0.0 AS w1, round(w2 - {lr} * g2, 8) + 0.0 AS w2 "
             f"FROM {prev}, g{r})"
         )
         ctes.append(

@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from portfolio1_etl_spark import catalog
+from portfolio1_etl_spark.functions.numeric import zround
 from portfolio1_etl_spark.functions.redact import PII_PATTERNS
 from portfolio1_etl_spark.operators.mixture import budget_prefix_select
 from portfolio1_etl_spark.plans.registry import query
@@ -301,7 +302,7 @@ def _q127_sql() -> str:
                                                                AS n_selected,
            CAST(sum(CASE WHEN selected THEN n_tokens ELSE 0 END) AS BIGINT)
                                                                AS selected_tokens,
-           round(avg(avg_logprob), 4)                          AS mean_logprob
+           round(avg(avg_logprob), 4) + 0.0                    AS mean_logprob
     FROM ({REGISTRY["q120_curation_pipeline"].sql})
     GROUP BY source
     """
@@ -336,7 +337,7 @@ def q127_data_card(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("selected"), F.col("n_tokens")).otherwise(0))
         .cast("long")
         .alias("selected_tokens"),
-        F.round(F.avg("avg_logprob"), 4).alias("mean_logprob"),
+        zround(F.avg("avg_logprob"), 4).alias("mean_logprob"),
     )
 
 
@@ -526,7 +527,7 @@ def q121_sequence_pack_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT doc_id,
            CAST(count(*) AS BIGINT) AS n_tokens,
-           round(avg(lp), 4) AS avg_logprob,
+           round(avg(lp), 4) + 0.0 AS avg_logprob,
            round(exp(-round(avg(lp), 4)), 2) AS ppl
     FROM scored GROUP BY doc_id
     """,
@@ -565,7 +566,7 @@ def q118_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(
             F.sum("c").cast("long").alias("n_tokens"),
-            F.round(F.sum(F.col("c") * lp) / F.sum("c"), 4).alias("avg_logprob"),
+            zround(F.sum(F.col("c") * lp) / F.sum("c"), 4).alias("avg_logprob"),
             # ppl derives from the ROUNDED mean: the raw means differ
             # in the last ulp across engines (sum order), and exp
             # amplifies that across a .xx5 rounding boundary — found
@@ -597,7 +598,7 @@ def q118_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(s_tot.n AS BIGINT) AS n_tokens,
            round(sum((CAST(sw.c AS DOUBLE) / s_tot.n)
                  * ln((CAST(sw.c AS DOUBLE) / s_tot.n)
-                      / (CAST(gw.c AS DOUBLE) / g_tot.n))), 4) AS kl_nats
+                      / (CAST(gw.c AS DOUBLE) / g_tot.n))), 4) + 0.0 AS kl_nats
     FROM sw
     JOIN s_tot USING (source)
     JOIN gw USING (w), g_tot
@@ -633,7 +634,7 @@ def q119_source_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(gw), "w")
         .crossJoin(F.broadcast(g_tot))
         .groupBy("source", "n")
-        .agg(F.round(F.sum(p_s * F.log(p_s / p_g)), 4).alias("kl_nats"))
+        .agg(zround(F.sum(p_s * F.log(p_s / p_g)), 4).alias("kl_nats"))
         .select("source", F.col("n").cast("long").alias("n_tokens"), "kl_nats")
     )
 
@@ -670,7 +671,7 @@ _LM_THRESH = -3.39
     vocab AS (SELECT w, count(*) AS c FROM toks GROUP BY w),
     tot AS (SELECT sum(c) AS n FROM vocab),
     lm AS (
-      SELECT t.doc_id, round(avg(ln(CAST(v.c AS DOUBLE) / tot.n)), 4) AS avg_logprob
+      SELECT t.doc_id, round(avg(ln(CAST(v.c AS DOUBLE) / tot.n)), 4) + 0.0 AS avg_logprob
       FROM toks t JOIN vocab v USING (w), tot GROUP BY t.doc_id
     ),
     gated AS (
@@ -772,7 +773,7 @@ def governance_tail(doc: DataFrame) -> DataFrame:
         toks.join(F.broadcast(vocab), "w")
         .crossJoin(F.broadcast(tot))
         .groupBy("doc_id")
-        .agg(F.round(F.avg(F.log(F.col("c").cast("double") / F.col("n"))), 4).alias("avg_logprob"))
+        .agg(zround(F.avg(F.log(F.col("c").cast("double") / F.col("n"))), 4).alias("avg_logprob"))
     )
     gated = doc.join(lm, "doc_id").withColumn(
         "keep_lm", F.col("avg_logprob") >= F.lit(_LM_THRESH)
@@ -847,7 +848,7 @@ def _q128_sql() -> str:
     packs AS (
       SELECT CAST(shard AS BIGINT) AS shard, CAST(pack AS BIGINT) AS pack,
              CAST(sum(overlap) AS BIGINT) AS n_tokens,
-             round(sum(overlap * avg_logprob) / sum(overlap), 4) AS pack_logprob
+             round(sum(overlap * avg_logprob) / sum(overlap), 4) + 0.0 AS pack_logprob
       FROM contrib GROUP BY shard, pack
     )
     SELECT shard, pack, n_tokens, pack_logprob,
@@ -919,7 +920,7 @@ def q128_curriculum_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("pack").cast("long").alias("pack"),
     ).agg(
         F.sum("overlap").cast("long").alias("n_tokens"),
-        F.round(
+        zround(
             F.sum(F.col("overlap") * F.col("avg_logprob")) / F.sum("overlap"), 4
         ).alias("pack_logprob"),
     )
@@ -1163,7 +1164,7 @@ def q140_mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT doc_id,
            CAST(sum(c) AS BIGINT) AS n_bigrams,
-           round(sum(c * lp) / sum(c), 4) AS avg_logprob
+           round(sum(c * lp) / sum(c), 4) + 0.0 AS avg_logprob
     FROM scored GROUP BY doc_id
     """,
     operators=("X-lm-score", "X-lm-bigram", "X-quality"),
@@ -1215,7 +1216,7 @@ def q141_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(
             F.sum("c").cast("long").alias("n_bigrams"),
-            F.round(F.sum(F.col("c") * lp) / F.sum("c"), 4).alias("avg_logprob"),
+            zround(F.sum(F.col("c") * lp) / F.sum("c"), 4).alias("avg_logprob"),
         )
     )
 
@@ -1249,7 +1250,7 @@ def q141_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT doc_id,
            CAST(sum(c) AS BIGINT) AS n_bigrams,
-           round(sum(c * lp) / sum(c), 4) AS kn_logprob
+           round(sum(c * lp) / sum(c), 4) + 0.0 AS kn_logprob
     FROM scored GROUP BY doc_id
     """,
     operators=("X-lm-score", "X-lm-bigram", "X-lm-kneser-ney", "X-quality"),
@@ -1307,6 +1308,6 @@ def q148_kneser_ney_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(
             F.sum("c").cast("long").alias("n_bigrams"),
-            F.round(F.sum(F.col("c") * lp) / F.sum("c"), 4).alias("kn_logprob"),
+            zround(F.sum(F.col("c") * lp) / F.sum("c"), 4).alias("kn_logprob"),
         )
     )

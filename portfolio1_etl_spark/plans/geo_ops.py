@@ -40,10 +40,10 @@ _COORD_SQL = (
 )
 
 _HAVERSINE_SQL = """
-    2 * 6371.0088 * asin(sqrt(
+    2 * 6371.0088 * asin(sqrt(least(1.0,
         pow(sin(radians(s.lat - c.lat) / 2), 2)
         + cos(radians(c.lat)) * cos(radians(s.lat))
-          * pow(sin(radians(s.lon - c.lon) / 2), 2)))
+          * pow(sin(radians(s.lon - c.lon) / 2), 2))))
 """
 
 

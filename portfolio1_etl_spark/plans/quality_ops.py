@@ -7,7 +7,11 @@ Determinism contract (registry-wide): transcendental results round to
 4 dp after arithmetic whose inputs are exact (integer counts, decimal
 sums) — ln/log2/sqrt on identical doubles are bit-identical across
 engines; the round absorbs sum-order noise in multi-term float sums
-(the q118 pattern).
+(the q118 pattern). Every rounded output that can be a tiny negative
+(log-ratios, negated entropy sums) is canonicalized with ``+ 0.0``
+after the round in BOTH engines — Spark's BigDecimal-backed round
+yields ``+0.0`` where DuckDB preserves ``-0.0`` (the q159 class;
+functions/numeric.py).
 
 Reference analogue: none — the reference's pandas script has no
 corpus-quality surface; [ext] per SURVEY §6.
@@ -19,6 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from portfolio1_etl_spark import catalog
+from portfolio1_etl_spark.functions.numeric import zround
 from portfolio1_etl_spark.plans.registry import query
 
 
@@ -39,7 +44,7 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
       CAST(any_value(n.n) AS BIGINT) AS n_chars_counted,
       CAST(count(*) AS BIGINT) AS n_distinct_chars,
       round(-sum((CAST(k AS DOUBLE) / n.n) * log2(CAST(k AS DOUBLE) / n.n)), 4)
-        AS entropy_bits
+        + 0.0 AS entropy_bits
     FROM cc JOIN n USING (doc_id)
     GROUP BY cc.doc_id
     """,
@@ -78,7 +83,7 @@ def q158_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.any_value("n").cast("long").alias("n_chars_counted"),
             F.count(F.lit(1)).cast("long").alias("n_distinct_chars"),
-            F.round(-F.sum(p * F.log2(p)), 4).alias("entropy_bits"),
+            zround(-F.sum(p * F.log2(p)), 4).alias("entropy_bits"),
         )
     )
 
@@ -105,7 +110,7 @@ def q158_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
       round(ln(
         (CAST(m.cxy AS DOUBLE) / nbg.nb)
         / ((CAST(u1.c AS DOUBLE) / nuni.nu) * (CAST(u2.c AS DOUBLE) / nuni.nu))
-      ), 4) AS pmi
+      ), 4) + 0.0 AS pmi
     FROM model m
     JOIN uni u1 ON m.w1 = u1.tok
     JOIN uni u2 ON m.w2 = u2.tok, nbg, nuni
@@ -163,7 +168,7 @@ def q159_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
             "w1",
             "w2",
             F.col("cxy").cast("long").alias("n_cooccur"),
-            F.round(pmi, 4).alias("pmi"),
+            zround(pmi, 4).alias("pmi"),
         )
     )
 
@@ -260,7 +265,7 @@ def q160_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_true + (CASE WHEN u < 0.5 THEN 20.0 ELSE -20.0 END)
                  * ln(1.0 - 2.0 * abs(u - 0.5)),
         4
-      ) AS n_released
+      ) + 0.0 AS n_released
     FROM noised
     """,
     operators=("X-dp-release", "X-governance", "A1"),
@@ -292,7 +297,7 @@ def q161_dp_count_release(spark: SparkSession, sf_dir: str) -> DataFrame:
     return counts.select(
         "source",
         F.col("n_true").cast("long").alias("n_true"),
-        F.round(F.col("n_true") + noise, 4).alias("n_released"),
+        zround(F.col("n_true") + noise, 4).alias("n_released"),
     )
 
 
@@ -372,7 +377,7 @@ def q173_chi_square_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
       CAST(obs.o AS BIGINT) AS n_observed,
       round(n.n * log10(1.0 + 1.0 / obs.d), 4) AS n_expected,
       round((CAST(obs.o AS DOUBLE) / n.n)
-            - log10(1.0 + 1.0 / obs.d), 6) AS deviation
+            - log10(1.0 + 1.0 / obs.d), 6) + 0.0 AS deviation
     FROM obs, n
     """,
     operators=("X-benford", "X-stats-test", "X-quality"),
@@ -403,7 +408,7 @@ def q174_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("d").alias("leading_digit"),
         F.col("o").cast("long").alias("n_observed"),
         F.round(F.col("n") * p_benford, 4).alias("n_expected"),
-        F.round(
+        zround(
             (F.col("o").cast("double") / F.col("n")) - p_benford, 6
         ).alias("deviation"),
     )

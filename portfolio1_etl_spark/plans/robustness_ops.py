@@ -143,7 +143,7 @@ def q132_udf_scalar_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM documents
     )
     SELECT doc_id, source,
-           round(CASE WHEN sd > 0 THEN (v - mu) / sd ELSE 0.0 END, 6) AS zscore
+           round(CASE WHEN sd > 0 THEN (v - mu) / sd ELSE 0.0 END, 6) + 0.0 AS zscore
     FROM s
     """,
     operators=("UDF-groupedmap", "X-quality"),
@@ -162,7 +162,12 @@ def q133_udf_groupedmap_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "source", F.col("n_chars").cast("double").alias("v")
     )
     z = zscore_per_group(d, "source", "v")
-    return z.select("doc_id", "source", F.round("zscore", 6).alias("zscore"))
+    return z.select(
+        "doc_id",
+        "source",
+        # + 0.0: signed-zero canonicalization (q159 class)
+        (F.round("zscore", 6) + F.lit(0.0)).alias("zscore"),
+    )
 
 
 @query(

@@ -543,7 +543,7 @@ def q87_token_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     n AS (SELECT count(*) AS n_docs FROM documents),
     scored AS (
       SELECT tf.doc_id, tf.w AS term, tf.tf, dfc.df,
-             round(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / dfc.df), 6) AS tfidf
+             round(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / dfc.df), 6) + 0.0 AS tfidf
       FROM tf JOIN dfc ON tf.w = dfc.w CROSS JOIN n
     )
     SELECT doc_id, term, tf, df, tfidf, rank FROM (
@@ -585,8 +585,15 @@ def q94_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("w").alias("term"),
             "tf",
             "df",
-            F.round(
-                F.col("tf") * F.log(F.col("n_docs").cast("double") / F.col("df")), 6
+            # + 0.0 after the round: signed-zero canonicalization
+            # (q159 class; functions/numeric.zround inline form)
+            (
+                F.round(
+                    F.col("tf")
+                    * F.log(F.col("n_docs").cast("double") / F.col("df")),
+                    6,
+                )
+                + F.lit(0.0)
             ).alias("tfidf"),
         )
     )

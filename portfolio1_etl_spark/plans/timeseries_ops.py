@@ -357,7 +357,7 @@ def q178_ewma_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT user_id, d,
            CAST(count(dt_us) AS BIGINT) AS n_intervals,
            round(CAST(sum(v * dt_us) AS DOUBLE)
-                 / CAST(sum(dt_us) AS DOUBLE), 6) AS twap
+                 / CAST(sum(dt_us) AS DOUBLE), 6) + 0.0 AS twap
     FROM seq WHERE dt_us IS NOT NULL
     GROUP BY user_id, d
     HAVING sum(dt_us) > 0
@@ -390,10 +390,14 @@ def q193_twap_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         seq.groupBy("user_id", "d")
         .agg(
             F.count("dt_us").alias("n_intervals"),
-            F.round(
-                F.sum(F.col("v") * F.col("dt_us")).cast("double")
-                / F.sum("dt_us").cast("double"),
-                6,
+            # zround form: signed-zero canonicalization (q159 class)
+            (
+                F.round(
+                    F.sum(F.col("v") * F.col("dt_us")).cast("double")
+                    / F.sum("dt_us").cast("double"),
+                    6,
+                )
+                + F.lit(0.0)
             ).alias("twap"),
             F.sum("dt_us").alias("_span"),
         )

@@ -91,15 +91,25 @@ def _compare(sdf: pd.DataFrame, odf: pd.DataFrame) -> tuple[bool, str]:
     for c in a.columns:
         ca, cb = a[c], b[c]
         if pd.api.types.is_float_dtype(ca) and pd.api.types.is_float_dtype(cb):
-            ok = ((ca.isna() & cb.isna()) | (ca == cb)).all()
+            # BIT-PATTERN comparison, matching the driver's value-hash
+            # strictness: IEEE `==` calls -0.0 and +0.0 equal, but the
+            # driver's hash distinguishes them (the q159 signed-zero
+            # class) — a plain `==` self-check reports green on red.
+            na = (ca.isna() & cb.isna()).to_numpy()
+            bits_eq = (
+                ca.to_numpy(dtype="float64").view("int64")
+                == cb.to_numpy(dtype="float64").view("int64")
+            )
+            bad = ~(na | bits_eq)
         else:
-            ok = ca.astype(str).equals(cb.astype(str))
-        if not ok:
-            mism = (~((ca.isna() & cb.isna()) | (ca.astype(str) == cb.astype(str)))).sum()
-            ex_i = (~((ca.isna() & cb.isna()) | (ca.astype(str) == cb.astype(str)))).idxmax()
+            na = (ca.isna() & cb.isna()).to_numpy()
+            bad = ~(na | (ca.astype(str) == cb.astype(str)).to_numpy())
+        if bad.any():
+            mism = int(bad.sum())
+            ex_i = int(bad.argmax())
             return False, (
                 f"column '{c}' {mism} mismatches; first: "
-                f"spark={ca[ex_i]!r} oracle={cb[ex_i]!r} (row {ex_i})"
+                f"spark={ca.iloc[ex_i]!r} oracle={cb.iloc[ex_i]!r} (row {ex_i})"
             )
     return True, f"{len(sdf)} rows match"
 
