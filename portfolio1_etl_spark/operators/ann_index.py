@@ -34,14 +34,36 @@ def _current_gen(spark: SparkSession, path: str) -> int | None:
     return None if txt is None else int(txt.strip())
 
 
-def _set_current_gen(spark: SparkSession, path: str, n: int) -> None:
+def _set_current_gen(
+    spark: SparkSession, path: str, n: int, expect: int | None = None
+) -> None:
     """The generational index's COMMIT POINT: the shared one-file
     atomic commit (``sinks._write_small_file_atomic`` — the same
     protocol as manifest commits, centralized so a store-specific fix
-    lands everywhere at once). Until the pointer flips, every reader
-    resolves the previous, complete generation."""
-    from portfolio1_etl_spark.operators.sinks import _write_small_file_atomic
+    lands everywhere at once). The flip is an ATOMIC OVERWRITE rename
+    (r9): there is no delete-then-create window in which a concurrent
+    reader finds the pointer absent — readers resolve the previous,
+    complete generation until the instant the new one commits.
 
+    ``expect`` guards the flip against a concurrent rebalancer: if
+    the committed generation is no longer the one this writer built
+    against, the flip aborts with ``ConcurrentCommitError`` instead
+    of silently replacing the other writer's commit. (The build step
+    already collides loudly — two rebalancers of the same generation
+    contend on the same ``gen=N+1`` errorifexists write — so the
+    expect check closes the remaining read-to-flip window.)"""
+    from portfolio1_etl_spark.operators.sinks import (
+        ConcurrentCommitError,
+        _write_small_file_atomic,
+    )
+
+    if expect is not None:
+        cur = _current_gen(spark, path)
+        if cur != expect:
+            raise ConcurrentCommitError(
+                f"index {path} moved to gen={cur} while this rebalance "
+                f"built against gen={expect}; refusing to clobber"
+            )
     _write_small_file_atomic(spark, f"{path}/_current", str(n))
 
 
@@ -281,7 +303,11 @@ def rebalance_index(
                 if fs.exists(live[n]):
                     fs.delete(backup[n], True)
                 else:  # crashed mid-swap: restore the old index
-                    fs.rename(backup[n], live[n])
+                    if not fs.rename(backup[n], live[n]):
+                        raise IOError(
+                            f"crash repair failed: could not restore {n} "
+                            f"from backup at {path}"
+                        )
             if fs.exists(staged[n]):
                 fs.delete(staged[n], True)
         if not fs.exists(live["centroids"]):
@@ -310,7 +336,9 @@ def rebalance_index(
         rebuilt.write.mode("errorifexists").partitionBy("cell").parquet(
             f"{new_root}/vectors"
         )
-        _set_current_gen(spark, path, gen + 1)  # the commit point
+        # the commit point; expect= pins the generation this rebuild
+        # read from — a concurrent flip aborts loudly, never clobbers
+        _set_current_gen(spark, path, gen + 1, expect=gen)
         fs.delete(Path(f"{path}/gen={gen}"), True)
         return True
     cent.coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids._rebalancing")
@@ -318,8 +346,12 @@ def rebalance_index(
         f"{path}/vectors._rebalancing"
     )
     for n in ("centroids", "vectors"):
-        fs.rename(live[n], backup[n])
-        fs.rename(staged[n], live[n])
+        # Hadoop FileSystem.rename reports failure by RETURNING FALSE —
+        # an unchecked call would "commit" a swap that never happened
+        if not fs.rename(live[n], backup[n]):
+            raise IOError(f"swap failed: could not back up live {n} at {path}")
+        if not fs.rename(staged[n], live[n]):
+            raise IOError(f"swap failed: could not promote staged {n} at {path}")
     for n in ("centroids", "vectors"):
         fs.delete(backup[n], True)
     return True

@@ -19,6 +19,11 @@ from functools import reduce
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+#: bounded optimistic-concurrency retries for manifest-chain commits —
+#: enough to ride out a burst of interleaved writers, small enough that
+#: pathological contention fails loudly instead of spinning
+_COMMIT_RETRIES = 8
+
 
 def write_report_csv(df: DataFrame, path: str, single_file: bool = True) -> None:
     """K1: a human-facing CSV report (soldvalueretail.csv,
@@ -106,7 +111,11 @@ def compact_parquet(
         if fs.exists(live):  # crashed before the backup was removed
             fs.delete(backup, True)
         else:  # crashed mid-swap: restore the original dataset
-            fs.rename(backup, live)
+            if not fs.rename(backup, live):
+                raise IOError(
+                    f"crash repair failed: could not restore {path} "
+                    "from ._precompact backup"
+                )
     if fs.exists(staged):  # incomplete prior staging
         fs.delete(staged, True)
     size, it = 0, fs.listFiles(live, True)  # recursive remote iterator
@@ -119,8 +128,12 @@ def compact_parquet(
     if sort_within_by:
         df = df.sortWithinPartitions(*sort_within_by)
     df.write.mode("overwrite").parquet(str(staged))
-    fs.rename(live, backup)
-    fs.rename(staged, live)
+    # FileSystem.rename reports failure by RETURNING FALSE, not by
+    # raising — an unchecked call would drop the swap silently
+    if not fs.rename(live, backup):
+        raise IOError(f"swap failed: could not back up {path}")
+    if not fs.rename(staged, live):
+        raise IOError(f"swap failed: could not promote compacted {path}")
     fs.delete(backup, True)
     return n_files
 
@@ -210,10 +223,18 @@ def write_versioned(
     driver-local ``glob`` silently seeing zero versions on ``s3a://``
     and restarting the chain at v=0.
 
-    Concurrency note: version allocation is list-and-increment;
-    single-writer per table (the batch-job norm) is assumed — a
-    multi-writer deployment puts a lock/transaction service in front,
-    which is Delta/Iceberg territory by design.
+    Concurrency (r9): on a MANIFEST chain version allocation is
+    optimistic-concurrency-safe. Each writer stages its data under a
+    uuid-unique ``_staging/{token}/`` directory (no two writers ever
+    contend on a path), then commits with a CREATE-EXCLUSIVE rename
+    of ``_manifests/v=N.json`` — the compare-and-swap. Losing the
+    race raises ``ConcurrentCommitError`` internally; the writer
+    re-reads the latest version, re-derives its change feed against
+    the ACTUAL new predecessor, and retries at N+1 (bounded, then
+    loud failure — never a silent clobber; two-interleaved-writers
+    test in test_sinks_layout). Non-manifest chains remain
+    single-writer (the batch-job norm) — a multi-writer deployment
+    without manifests needs a lock service in front.
 
     ``capture_changes=True`` additionally persists the row-level diff
     against the previous version to ``{path}/_changes/v=N/`` (v=0:
@@ -269,29 +290,81 @@ def write_versioned(
     manifest = manifest or has_manifests
     if meta is not None and not manifest:
         raise ValueError("meta requires a manifest chain (manifest=True)")
-    vs = _versions(spark, path)
-    new = (max(vs) + 1) if vs else 0
-    if manifest:
-        # sweep uncommitted leftovers of a crashed prior attempt at
-        # this version number — they were never readable
-        for sub in (f"v={new}", f"_changes/v={new}"):
-            p = hpath(f"{path}/{sub}")
-            if fs.exists(p):
-                fs.delete(p, True)
-    df.write.mode("errorifexists").parquet(f"{path}/v={new}")
-    if capture_changes:
-        # diff the WRITTEN files (cheap re-scan) against the previous
-        # snapshot — never the incoming plan, which would recompute
-        # the upstream pipeline a second time
-        written = spark.read.parquet(f"{path}/v={new}")
-        if new == 0:
-            feed = written.withColumn("_change", F.lit("insert"))
-        else:
-            feed = _step_changes(written, read_version(spark, path, new - 1))
-        feed.write.mode("errorifexists").parquet(f"{path}/_changes/v={new}")
-    if manifest:
-        _commit_manifest(spark, path, new, meta)
-    return new
+    if not manifest:
+        vs = _versions(spark, path)
+        new = (max(vs) + 1) if vs else 0
+        df.write.mode("errorifexists").parquet(f"{path}/v={new}")
+        if capture_changes:
+            # diff the WRITTEN files (cheap re-scan) against the
+            # previous snapshot — never the incoming plan, which
+            # would recompute the upstream pipeline a second time
+            written = spark.read.parquet(f"{path}/v={new}")
+            if new == 0:
+                feed = written.withColumn("_change", F.lit("insert"))
+            else:
+                feed = _step_changes(
+                    written, read_version(spark, path, new - 1)
+                )
+            feed.write.mode("errorifexists").parquet(
+                f"{path}/_changes/v={new}"
+            )
+        return new
+
+    # manifest chain: stage once under a writer-unique token, then
+    # CAS-commit with bounded retry. The data staging is version-
+    # independent, so a lost race re-derives only the change feed.
+    import uuid
+
+    token = uuid.uuid4().hex[:12]
+    data_rel = f"_staging/{token}/data"
+    df.write.mode("errorifexists").parquet(f"{path}/{data_rel}")
+    written = spark.read.parquet(f"{path}/{data_rel}")
+    for _ in range(_COMMIT_RETRIES):
+        vs = _versions(spark, path)
+        new = (max(vs) + 1) if vs else 0
+        changes_rel = None
+        if capture_changes:
+            # feed staging is PER ATTEMPT: its content depends on the
+            # predecessor version, which a lost race changes
+            changes_rel = f"_staging/{token}/changes-{new}"
+            if new == 0:
+                feed = written.withColumn("_change", F.lit("insert"))
+            else:
+                feed = _step_changes(
+                    written, read_version(spark, path, new - 1)
+                )
+            feed.write.mode("errorifexists").parquet(
+                f"{path}/{changes_rel}"
+            )
+        try:
+            _commit_manifest(
+                spark,
+                path,
+                new,
+                meta,
+                files=_list_rel_parquet(spark, path, data_rel),
+                changes=(
+                    _list_rel_parquet(spark, path, changes_rel)
+                    if changes_rel
+                    else []
+                ),
+            )
+            return new
+        except ConcurrentCommitError:
+            # another writer took v=new; drop our stale feed attempt
+            # and retry against the advanced chain
+            if changes_rel and not fs.delete(
+                hpath(f"{path}/{changes_rel}"), True
+            ):
+                raise IOError(
+                    f"could not clean stale staging {changes_rel}"
+                )
+    if not fs.delete(hpath(f"{path}/_staging/{token}"), True):
+        pass  # best-effort abandon; vacuum_staging sweeps orphans
+    raise ConcurrentCommitError(
+        f"gave up committing to {path} after {_COMMIT_RETRIES} lost "
+        "races — contention too high; back off and retry the write"
+    )
 
 
 def _step_changes(to_df: DataFrame, from_df: DataFrame) -> DataFrame:
@@ -389,52 +462,125 @@ def _read_small_file(spark: SparkSession, path: str) -> str | None:
         stream.close()
 
 
-def _write_small_file_atomic(spark: SparkSession, path: str, text: str) -> None:
-    """The one-file COMMIT: stage to a dot-tmp sibling, then rename
-    into place. A single-file rename is atomic on HDFS/local and an
-    atomic single-object copy on S3-style stores — which is exactly
-    why every commit point in this package (manifest files, the ANN
-    generation pointer) goes through ONE small file instead of
-    trusting multi-file directory renames (non-atomic copy+delete
-    there). Centralized so a store-specific fix lands in every commit
-    point at once."""
+class ConcurrentCommitError(RuntimeError):
+    """Another writer committed the same version/pointer first. The
+    caller either retries against the new latest (``write_versioned``)
+    or aborts loudly — never silently clobbers the winner's commit."""
+
+
+def _write_small_file_atomic(
+    spark: SparkSession, path: str, text: str, overwrite: bool = True
+) -> None:
+    """The one-file COMMIT: stage to a unique dot-tmp sibling, then
+    rename into place through ``FileContext`` — which (unlike
+    ``FileSystem.rename``'s silently-ignorable boolean) THROWS on
+    failure, and supports two distinct commit semantics:
+
+    - ``overwrite=True`` → ``Options.Rename.OVERWRITE``: an ATOMIC
+      replace (HDFS server-side; ``Files.move(REPLACE_EXISTING)`` on
+      local). There is no delete-then-rename window in which a
+      concurrent reader sees the pointer file absent.
+    - ``overwrite=False`` → ``Options.Rename.NONE``: create-exclusive
+      — the rename fails with ``FileAlreadyExistsException`` when the
+      destination exists, surfaced here as ``ConcurrentCommitError``.
+      This is the compare-and-swap primitive the manifest chain's
+      concurrent-writer protocol commits through (the same pattern as
+      Delta's HDFS LogStore ``putIfAbsent``). On HDFS the
+      existence check + rename is one atomic server-side op; plain
+      object stores without atomic rename need their usual
+      consistency shim, same as every rename-based commit protocol.
+
+    A single-file rename is atomic on HDFS/local and an atomic
+    single-object copy on S3-style stores — which is exactly why every
+    commit point in this package (manifest files, the ANN generation
+    pointer) goes through ONE small file instead of trusting
+    multi-file directory renames (non-atomic copy+delete there).
+    Centralized so a store-specific fix lands in every commit point
+    at once. The tmp name embeds a uuid so two concurrent committers
+    can never clobber each other's staged bytes."""
+    import uuid
+
+    from py4j.protocol import Py4JJavaError
+
     fs, _ = _hadoop_fs(spark, path)
-    jvm = spark.sparkContext._jvm
+    sc = spark.sparkContext
+    jvm = sc._jvm
     hpath = jvm.org.apache.hadoop.fs.Path
     parent, name = path.rsplit("/", 1)
-    tmp = hpath(f"{parent}/.{name}.tmp")
+    tmp = hpath(f"{parent}/.{name}.{uuid.uuid4().hex[:12]}.tmp")
     final = hpath(path)
     out = fs.create(tmp, True)
-    out.write(bytearray(text.encode("utf-8")))
-    out.close()
-    if fs.exists(final):
-        fs.delete(final, False)
-    fs.rename(tmp, final)
+    try:
+        out.write(bytearray(text.encode("utf-8")))
+    finally:
+        out.close()
+    fc = jvm.org.apache.hadoop.fs.FileContext.getFileContext(
+        final.toUri(), sc._jsc.hadoopConfiguration()
+    )
+    rename_enum = jvm.org.apache.hadoop.fs.Options.Rename
+    opts = sc._gateway.new_array(rename_enum, 1)
+    opts[0] = rename_enum.OVERWRITE if overwrite else rename_enum.NONE
+    try:
+        fc.rename(tmp, final, opts)
+    except Py4JJavaError as e:
+        if not fs.delete(tmp, False):  # best-effort stage cleanup
+            pass
+        exc = str(e.java_exception.getClass().getName())
+        if not overwrite and "AlreadyExists" in exc:
+            raise ConcurrentCommitError(
+                f"lost the commit race for {path}: another writer's "
+                "file landed first"
+            ) from e
+        raise IOError(f"atomic rename to {path} failed: {e}") from e
 
 
 def _commit_manifest(
-    spark: SparkSession, path: str, n: int, meta: dict | None = None
+    spark: SparkSession,
+    path: str,
+    n: int,
+    meta: dict | None = None,
+    files: list[str] | None = None,
+    changes: list[str] | None = None,
+    cas: bool = True,
 ) -> None:
     """The commit point of a manifest chain: one small JSON file
     listing the version's data (and change-feed) files, staged to a
-    dot-tmp name and renamed into ``_manifests/v=N.json``. A one-file
-    rename is atomic on HDFS/local and an atomic single-object copy
-    on S3-style stores — which is exactly why the protocol commits
-    through ONE file instead of trusting multi-file directory renames
-    (non-atomic copy+delete there). Until this file exists, no reader
-    resolves the version."""
+    dot-tmp name and renamed into ``_manifests/v=N.json``. Until this
+    file exists, no reader resolves the version.
+
+    ``cas=True`` (the default — every production commit path) makes
+    the rename CREATE-EXCLUSIVE: if another writer's ``v=N.json``
+    landed first the commit raises ``ConcurrentCommitError`` instead
+    of silently replacing the winner's manifest — the
+    compare-and-swap half of the concurrent-writer protocol
+    (``write_versioned`` reacts by re-reading the latest version and
+    retrying at N+1).
+
+    ``files``/``changes`` are the r9 staged-layout inputs (root-
+    relative parquet paths); when omitted the legacy ``v=N`` /
+    ``_changes/v=N`` directories are listed instead."""
     import json
 
     doc = json.dumps(
         {
             "version": n,
-            "files": _list_rel_parquet(spark, path, f"v={n}"),
-            "changes": _list_rel_parquet(spark, path, f"_changes/v={n}"),
+            "files": (
+                files
+                if files is not None
+                else _list_rel_parquet(spark, path, f"v={n}")
+            ),
+            "changes": (
+                changes
+                if changes is not None
+                else _list_rel_parquet(spark, path, f"_changes/v={n}")
+            ),
             "meta": meta or {},
         },
         indent=1,
     )
-    _write_small_file_atomic(spark, f"{path}/_manifests/v={n}.json", doc)
+    _write_small_file_atomic(
+        spark, f"{path}/_manifests/v={n}.json", doc, overwrite=not cas
+    )
 
 
 def _read_manifest(spark: SparkSession, path: str, n: int) -> dict | None:
@@ -494,14 +640,40 @@ def prune_versions(spark: SparkSession, path: str, keep: int = 3) -> list[int]:
     vs = _versions(spark, path)
     doomed = vs[: -max(keep, 1)]
     for n in doomed:
+        m = _read_manifest(spark, path, n)
         mf = hpath(f"{path}/_manifests/v={n}.json")
-        if fs.exists(mf):
-            fs.delete(mf, False)
-        fs.delete(hpath(f"{path}/v={n}"), True)
-        ch = hpath(f"{path}/_changes/v={n}")
-        if fs.exists(ch):
-            fs.delete(ch, True)
+        if fs.exists(mf) and not fs.delete(mf, False):
+            raise IOError(f"could not un-commit manifest v={n} under {path}")
+        if m is not None:
+            # staged layout (r9): the manifest's file lists are the
+            # source of truth — delete each referenced parent dir
+            # (one `_staging/{token}/data|changes-N` dir per list, or
+            # the legacy v=N dir for pre-r9 manifest versions)
+            dirs = {
+                rel.rsplit("/", 1)[0]
+                for rel in (m["files"] + m["changes"])
+                if "/" in rel
+            }
+            for d in sorted(dirs):
+                p = hpath(f"{path}/{d}")
+                if fs.exists(p):
+                    fs.delete(p, True)
+            # sweep token shells left empty by the dir deletes
+            for shell in {
+                d.rsplit("/", 1)[0]
+                for d in dirs
+                if d.startswith("_staging/") and d.count("/") == 2
+            }:
+                sp = hpath(f"{path}/{shell}")
+                if fs.exists(sp) and not fs.listStatus(sp):
+                    fs.delete(sp, True)
+        for sub in (f"v={n}", f"_changes/v={n}"):
+            p = hpath(f"{path}/{sub}")
+            if fs.exists(p):
+                fs.delete(p, True)
     return doomed
+
+
 
 
 def compact_versioned(
@@ -522,42 +694,79 @@ def compact_versioned(
     bookkeeping — dropping it would reset e.g. the streaming epoch
     marker and break the durable exactly-once guard).
     Returns the new version number."""
-    vs = _versions(spark, path)
-    if not vs:
-        raise FileNotFoundError(f"no versions under {path}")
-    latest = vs[-1]
+    import uuid
+
     fs, _ = _hadoop_fs(spark, path)
     jvm = spark.sparkContext._jvm
     hpath = jvm.org.apache.hadoop.fs.Path
-    size = 0
-    for rel in _list_rel_parquet(spark, path, f"v={latest}"):
-        size += fs.getFileStatus(hpath(f"{path}/{rel}")).getLen()
-    n_files = max(1, -(-size // target_file_bytes))
     manifest = fs.exists(hpath(f"{path}/_manifests"))
-    captures = fs.exists(hpath(f"{path}/_changes/v={latest}"))
-    prior_meta = version_meta(spark, path, latest) if manifest else None
-    new = latest + 1
-    if manifest:
-        for sub in (f"v={new}", f"_changes/v={new}"):
-            p = hpath(f"{path}/{sub}")
-            if fs.exists(p):
-                fs.delete(p, True)
-    (
-        read_version(spark, path, latest)
-        .repartition(n_files)
-        .write.mode("errorifexists")
-        .parquet(f"{path}/v={new}")
-    )
-    if captures:
-        empty = (
-            spark.read.parquet(f"{path}/v={new}")
-            .limit(0)
-            .withColumn("_change", F.lit("insert"))
+    for _ in range(_COMMIT_RETRIES if manifest else 1):
+        vs = _versions(spark, path)
+        if not vs:
+            raise FileNotFoundError(f"no versions under {path}")
+        latest = vs[-1]
+        m = _read_manifest(spark, path, latest) if manifest else None
+        rels = (
+            m["files"]
+            if m is not None
+            else _list_rel_parquet(spark, path, f"v={latest}")
         )
-        empty.write.mode("errorifexists").parquet(f"{path}/_changes/v={new}")
-    if manifest:
-        _commit_manifest(spark, path, new, prior_meta)
-    return new
+        size = 0
+        for rel in rels:
+            size += fs.getFileStatus(hpath(f"{path}/{rel}")).getLen()
+        n_files = max(1, -(-size // target_file_bytes))
+        captures = (
+            bool(m["changes"])
+            if m is not None
+            else fs.exists(hpath(f"{path}/_changes/v={latest}"))
+        )
+        prior_meta = m.get("meta", {}) if m is not None else None
+        new = latest + 1
+        if manifest:
+            token = uuid.uuid4().hex[:12]
+            data_rel = f"_staging/{token}/data"
+            changes_rel = f"_staging/{token}/changes-{new}"
+        else:
+            data_rel = f"v={new}"
+            changes_rel = f"_changes/v={new}"
+        (
+            read_version(spark, path, latest)
+            .repartition(n_files)
+            .write.mode("errorifexists")
+            .parquet(f"{path}/{data_rel}")
+        )
+        if captures:
+            empty = (
+                spark.read.parquet(f"{path}/{data_rel}")
+                .limit(0)
+                .withColumn("_change", F.lit("insert"))
+            )
+            empty.write.mode("errorifexists").parquet(f"{path}/{changes_rel}")
+        if not manifest:
+            return new
+        try:
+            _commit_manifest(
+                spark,
+                path,
+                new,
+                prior_meta,
+                files=_list_rel_parquet(spark, path, data_rel),
+                changes=(
+                    _list_rel_parquet(spark, path, changes_rel)
+                    if captures
+                    else []
+                ),
+            )
+            return new
+        except ConcurrentCommitError:
+            # a concurrent WRITE advanced the chain: this compaction's
+            # input is stale — abandon the staged output and redo the
+            # whole rewrite from the new latest
+            fs.delete(hpath(f"{path}/_staging/{token}"), True)
+    raise ConcurrentCommitError(
+        f"compaction of {path} lost {_COMMIT_RETRIES} commit races — "
+        "the chain is advancing faster than it can be compacted"
+    )
 
 
 def write_zordered(
@@ -672,21 +881,29 @@ def read_changes(
     lo, hi = sorted((from_version, to_version))
     fs, _ = _hadoop_fs(spark, path)
     jvm = spark.sparkContext._jvm
-    # a delta counts as captured only when its _SUCCESS marker landed:
-    # on a NON-manifest chain a writer can die mid-delta-write, and
-    # trusting directory existence would read the truncated feed
-    # forever (manifest chains sweep uncommitted versions instead)
-    captured = {
-        v: fs.exists(
+    # a delta counts as captured when its manifest lists change files
+    # (staged layout, r9 — the manifest is the source of truth), or —
+    # legacy/non-manifest chains — when its _SUCCESS marker landed:
+    # a writer can die mid-delta-write, and trusting directory
+    # existence would read the truncated feed forever
+    feeds: dict[int, list[str] | str] = {}
+    for v in range(lo + 1, hi + 1):
+        m = _read_manifest(spark, path, v)
+        if m is not None:
+            if m["changes"]:
+                feeds[v] = [f"{path}/{rel}" for rel in m["changes"]]
+        elif fs.exists(
             jvm.org.apache.hadoop.fs.Path(f"{path}/_changes/v={v}/_SUCCESS")
-        )
-        for v in range(lo + 1, hi + 1)
-    }
-    if lo < hi and any(captured.values()):
+        ):
+            feeds[v] = f"{path}/_changes/v={v}"
+    if lo < hi and feeds:
         steps = []
         for v in range(lo + 1, hi + 1):
-            if captured[v]:
-                steps.append(spark.read.parquet(f"{path}/_changes/v={v}"))
+            src = feeds.get(v)
+            if isinstance(src, list):
+                steps.append(spark.read.parquet(*src))
+            elif src is not None:
+                steps.append(spark.read.parquet(src))
             else:  # self-heal the one missing step by snapshot diff
                 steps.append(
                     _step_changes(
@@ -789,9 +1006,17 @@ def vacuum_chain(spark: SparkSession, path: str) -> list[str]:
     below the head, so number-reuse sweeping never reaches it — a
     permanent leak without this op). Readers never see these files
     (that is the manifest invariant), so vacuum is pure space
-    reclamation and safe to run any time the single writer is quiet.
+    reclamation — but it MUST only run while no writer is active:
+    an in-flight writer's ``_staging/{token}`` directory is
+    unreferenced by definition until its commit lands (the same
+    referenced-set-vs-live-writer contract as any lakehouse VACUUM,
+    resolved by scheduling, not by the storage layer).
     Returns the deleted subpaths. Raises on non-manifest chains —
-    directory existence IS the commit there, so nothing is garbage."""
+    directory existence IS the commit there, so nothing is garbage.
+
+    r9: also sweeps unreferenced ``_staging/{token}`` directories —
+    the debris of crashed or commit-race-losing writers under the
+    staged CAS layout."""
     import re
 
     fs, jpath = _hadoop_fs(spark, path)
@@ -811,4 +1036,19 @@ def vacuum_chain(spark: SparkSession, path: str) -> list[str]:
             if m and st.isDirectory() and int(m.group(1)) not in committed:
                 fs.delete(st.getPath(), True)
                 deleted.append(f"{sub}{name}")
+    sdir = hpath(f"{path}/_staging")
+    if fs.exists(sdir):
+        referenced: set[str] = set()
+        for n in committed:
+            m = _read_manifest(spark, path, n)
+            if m is not None:
+                for rel in m["files"] + m["changes"]:
+                    if rel.startswith("_staging/"):
+                        referenced.add(rel.split("/", 2)[1])
+        for st in fs.listStatus(sdir):
+            token = st.getPath().getName()
+            if token not in referenced:
+                if not fs.delete(st.getPath(), True):
+                    raise IOError(f"could not vacuum staging dir {token}")
+                deleted.append(f"_staging/{token}")
     return sorted(deleted)

@@ -733,7 +733,7 @@ def media_census_finalize(state: dict) -> DataFrame:
     return state["census"]
 
 
-def versioned_cdc_stream(events: DataFrame, path: str):
+def versioned_cdc_stream(events: DataFrame, path: str, stream_id: str = "default"):
     """Streaming ingestion into a MANIFEST-COMMITTED versioned chain
     with write-time CDC capture (r8) — the durable form of the
     inventory merge: each micro-batch folds per-sku sold totals into
@@ -752,7 +752,21 @@ def versioned_cdc_stream(events: DataFrame, path: str):
     crash could leave out of sync with the data. Totals accumulate in
     DECIMAL(18,2) so the stream-fold equals the one-shot batch
     aggregate bit-for-bit (pinned in tests/test_streaming.py along
-    with re-delivery and kill-and-resume)."""
+    with re-delivery and kill-and-resume).
+
+    ``stream_id`` (r9) closes the epoch guard's hidden assumption:
+    batch ids are only monotone across restarts when the restart
+    REUSES the checkpoint. A restart with a fresh or lost checkpoint
+    resets epoch ids to 0, and the bare ≤-marker skip would then
+    silently discard every new micro-batch until the counter passed
+    the old marker — silent data loss. The id commits into the same
+    manifest meta as the epoch; the skip only applies when the ids
+    MATCH, and a mismatch fails loudly (neither skipping nor
+    re-folding is safe when the offset history is gone — the operator
+    must resume with the original checkpoint + id, or point the new
+    run at a new chain path). Contract: pass a stable id tied to the
+    checkpoint's lifetime — the checkpoint directory path is the
+    natural choice."""
     from portfolio1_etl_spark.operators.sinks import (
         _versions,
         read_version,
@@ -763,8 +777,18 @@ def versioned_cdc_stream(events: DataFrame, path: str):
     def _fold(batch_df: DataFrame, epoch_id: int) -> None:
         spark = batch_df.sparkSession
         vs = _versions(spark, path)
-        if vs and int(version_meta(spark, path, vs[-1]).get("epoch", -1)) >= epoch_id:
-            return  # duplicate delivery, incl. post-restart — durable guard
+        if vs:
+            marker = version_meta(spark, path, vs[-1])
+            if marker.get("stream_id", "default") != stream_id:
+                raise RuntimeError(
+                    f"chain {path} was written by stream run "
+                    f"{marker.get('stream_id', 'default')!r} but this run is "
+                    f"{stream_id!r}: the epoch marker is not comparable "
+                    "across checkpoint lifetimes. Resume with the original "
+                    "checkpoint (and its stream_id), or target a new chain."
+                )
+            if int(marker.get("epoch", -1)) >= epoch_id:
+                return  # duplicate delivery, incl. post-restart — durable guard
         delta = batch_df.groupBy(F.col("event_type").alias("sku")).agg(
             F.sum(F.col("value").cast("decimal(18,2)")).alias("qty"),
             F.count(F.lit(1)).alias("n"),
@@ -785,7 +809,7 @@ def versioned_cdc_stream(events: DataFrame, path: str):
         )
         write_versioned(
             state, path, capture_changes=True, manifest=True,
-            meta={"epoch": epoch_id},
+            meta={"epoch": epoch_id, "stream_id": stream_id},
         )
 
     writer = events.writeStream.outputMode("append").foreachBatch(_fold)

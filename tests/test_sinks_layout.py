@@ -508,10 +508,16 @@ def test_manifest_read_ignores_stray_files(spark, tmp_path):
         f"{path}/straysrc"
     )
     import glob
+    import os
     import shutil
 
+    from portfolio1_etl_spark.operators.sinks import _read_manifest
+
     src = glob.glob(f"{path}/straysrc/part-*.parquet")[0]
-    shutil.copy(src, f"{path}/v=0/zz-stray.parquet")
+    # drop the stray next to the committed data files (r9 staged
+    # layout: the manifest's file list is the only source of truth)
+    data_dir = os.path.dirname(_read_manifest(spark, path, 0)["files"][0])
+    shutil.copy(src, f"{path}/{data_dir}/zz-stray.parquet")
     assert [r.id for r in read_version(spark, path, 0).collect()] == [1]
 
 
@@ -665,13 +671,17 @@ def test_vacuum_chain_reclaims_unreferenced_versions(spark, tmp_path):
             spark.createDataFrame([(i,)], "id int"), path,
             capture_changes=True, manifest=True,
         )
-    # crashed prune: manifest for v=0 gone, data + changes left behind
+    # crashed prune: manifest for v=0 gone, its staged data + changes
+    # left behind (r9 layout: data lives under _staging/{token})
+    from portfolio1_etl_spark.operators.sinks import _read_manifest
+
+    v0_token = _read_manifest(spark, path, 0)["files"][0].split("/")[1]
     os.remove(f"{path}/_manifests/v=0.json")
-    # crashed write: head orphan v=7 with no manifest
+    # crashed write: head orphan v=7 with no manifest (legacy naming)
     spark.createDataFrame([(99,)], "id int").write.parquet(f"{path}/v=7")
     gone = vacuum_chain(spark, path)
-    assert gone == ["_changes/v=0", "v=0", "v=7"]
-    assert not os.path.exists(f"{path}/v=0")
+    assert gone == [f"_staging/{v0_token}", "v=7"]
+    assert not os.path.exists(f"{path}/_staging/{v0_token}")
     assert not os.path.exists(f"{path}/v=7")
     assert [r.id for r in read_version(spark, path, 1).collect()] == [1]
     assert [r.id for r in read_version(spark, path, 2).collect()] == [2]
@@ -680,3 +690,101 @@ def test_vacuum_chain_reclaims_unreferenced_versions(spark, tmp_path):
     write_versioned(spark.createDataFrame([(1,)], "id int"), plain)
     with pytest.raises(ValueError, match="manifest"):
         vacuum_chain(spark, plain)
+
+
+def test_cas_primitive_create_exclusive(spark, tmp_path):
+    """The commit primitive: overwrite=True is an atomic replace,
+    overwrite=False is create-exclusive and loses loudly."""
+    import pytest
+
+    from portfolio1_etl_spark.operators.sinks import (
+        ConcurrentCommitError,
+        _read_small_file,
+        _write_small_file_atomic,
+    )
+
+    p = f"{tmp_path}/ptr"
+    _write_small_file_atomic(spark, p, "a", overwrite=False)
+    assert _read_small_file(spark, p) == "a"
+    # CAS: destination exists -> loud conflict, content untouched
+    with pytest.raises(ConcurrentCommitError):
+        _write_small_file_atomic(spark, p, "b", overwrite=False)
+    assert _read_small_file(spark, p) == "a"
+    # atomic replace path still works
+    _write_small_file_atomic(spark, p, "c", overwrite=True)
+    assert _read_small_file(spark, p) == "c"
+
+
+def test_manifest_commit_cas_rejects_duplicate_version(spark, tmp_path):
+    """Two manifests for the same version number: the second commit
+    raises instead of silently replacing the winner's file list."""
+    import pytest
+
+    from portfolio1_etl_spark.operators.sinks import (
+        ConcurrentCommitError,
+        _commit_manifest,
+        _read_manifest,
+        write_versioned,
+    )
+
+    path = str(tmp_path / "casdup")
+    write_versioned(spark.createDataFrame([(1,)], "id int"), path, manifest=True)
+    before = _read_manifest(spark, path, 0)
+    with pytest.raises(ConcurrentCommitError):
+        _commit_manifest(spark, path, 0, files=["_staging/fake/data/x.parquet"])
+    assert _read_manifest(spark, path, 0) == before
+
+
+def test_two_interleaved_writers_both_commit(spark, tmp_path):
+    """The r9 concurrent-writer contract: writer B commits version N
+    while writer A (which also allocated N) is still staging; A's CAS
+    loses, and A retries to N+1 — both writers' data survive, with
+    correct change feeds against each ACTUAL predecessor. Deterministic
+    interleave: B runs to completion inside A's staging window via a
+    monkeypatched commit hook."""
+    from portfolio1_etl_spark.operators import sinks
+    from portfolio1_etl_spark.operators.sinks import (
+        read_changes,
+        read_version,
+        write_versioned,
+    )
+
+    path = str(tmp_path / "race")
+    write_versioned(
+        spark.createDataFrame([(0, 5)], "id int, qty int"), path,
+        capture_changes=True, manifest=True,
+    )
+
+    # interleave: the first time writer A reaches its manifest commit,
+    # writer B sneaks in a full committed write at the same version
+    real_commit = sinks._commit_manifest
+    state = {"intruded": False}
+
+    def intruding_commit(spark_, path_, n, meta=None, files=None, changes=None, cas=True):
+        if not state["intruded"]:
+            state["intruded"] = True
+            write_versioned(  # writer B: full write-and-commit of v=1
+                spark.createDataFrame([(2, 7)], "id int, qty int"), path,
+                capture_changes=True, manifest=True,
+            )
+        return real_commit(spark_, path_, n, meta, files, changes, cas)
+
+    sinks._commit_manifest = intruding_commit
+    try:
+        got = write_versioned(  # writer A: loses v=1, retries to v=2
+            spark.createDataFrame([(1, 6)], "id int, qty int"), path,
+            capture_changes=True, manifest=True,
+        )
+    finally:
+        sinks._commit_manifest = real_commit
+
+    assert got == 2
+    assert {(r.id, r.qty) for r in read_version(spark, path, 1).collect()} == {(2, 7)}
+    assert {(r.id, r.qty) for r in read_version(spark, path, 2).collect()} == {(1, 6)}
+    # A's change feed was re-derived against B's committed v=1, not
+    # against the v=0 it first staged for
+    step = {
+        (r.id, r.qty, r._change)
+        for r in read_changes(spark, path, 1, 2).collect()
+    }
+    assert step == {(1, 6, "insert"), (2, 7, "delete")}

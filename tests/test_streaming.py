@@ -859,7 +859,7 @@ def test_versioned_cdc_stream_equals_batch(spark, tmp_path):
 
     vs = _versions(spark, chain)
     assert len(vs) == 3  # one version per micro-batch
-    assert version_meta(spark, chain) == {"epoch": 2}
+    assert version_meta(spark, chain) == {"epoch": 2, "stream_id": "default"}
 
     got = {
         (r.sku, str(r.qty), r.n)
@@ -930,4 +930,42 @@ def test_versioned_cdc_stream_epoch_redelivery_and_resume(spark, tmp_path):
 
     # a genuinely new epoch continues the chain
     fresh.epoch_fold(slice0, 3)
+    assert len(_versions(spark, chain)) == len(vs_before) + 1
+
+
+def test_versioned_cdc_stream_rejects_foreign_stream_id(spark, tmp_path):
+    """The r9 checkpoint-lifetime guard: a writer with a DIFFERENT
+    stream_id (i.e. a restart whose checkpoint — and therefore epoch
+    numbering — was lost or replaced) fails LOUDLY instead of silently
+    discarding every micro-batch whose reset epoch id sits below the
+    old marker."""
+    import pytest
+
+    from portfolio1_etl_spark.operators.sinks import _versions
+    from portfolio1_etl_spark.streaming import (
+        read_events_stream,
+        versioned_cdc_stream,
+    )
+
+    land, raw = _cdc_land_events(spark, tmp_path)
+    chain = str(tmp_path / "cdc_chain3")
+    writer = versioned_cdc_stream(
+        read_events_stream(spark, str(land)), chain, stream_id="ckpt-A"
+    )
+    slice0 = raw.filter(F.col("event_id") % 3 == 0)
+    writer.epoch_fold(slice0, 0)
+    writer.epoch_fold(slice0.limit(5), 1)
+    vs_before = _versions(spark, chain)
+
+    # fresh-checkpoint restart: epoch ids reset to 0 under a new id —
+    # the old guard would silently skip this batch (0 <= marker 1)
+    other = versioned_cdc_stream(
+        read_events_stream(spark, str(land)), chain, stream_id="ckpt-B"
+    )
+    with pytest.raises(RuntimeError, match="ckpt-A"):
+        other.epoch_fold(slice0, 0)
+    assert _versions(spark, chain) == vs_before  # nothing written
+
+    # the ORIGINAL id still folds new epochs
+    writer.epoch_fold(slice0.limit(3), 2)
     assert len(_versions(spark, chain)) == len(vs_before) + 1
