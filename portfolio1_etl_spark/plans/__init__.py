@@ -40,56 +40,68 @@ from portfolio1_etl_spark.plans import dedup_recall_ops  # noqa: F401,E402
 #: Explicit registry order. External correctness harnesses may sample a
 #: prefix of ``queries()`` (the driver checks the first 50 entries), so
 #: the prefix must contain at least one representative of EVERY operator
-#: family. ROTATED each round (r8): 27 of the 50 slots hold queries NOT
-#: in the r7 window — 14 new r8 queries (q151–q162, q176, q180) plus 13
-#: rotated back in from past-window slots — so the external gate re-verifies a
-#: different slice of the registry every round instead of re-checking a
-#: fixed favored set; everything outside the window stays covered by
-#: tools/check_oracle.py (full-registry) and pytest.
+#: family. ROTATED each round (r9): 17 of the 50 slots hold queries NOT
+#: in the r8 window — 14 that had NEVER been under the external gate
+#: (q163, q164, q168, q172, q174, q178, q179, q185, q187, q189–q193)
+#: plus 3 rotated back in (q25, q18, q31) — so the external gate
+#: re-verifies a different slice of the registry every round instead of
+#: re-checking a fixed favored set; everything outside the window stays
+#: covered by tools/check_oracle.py (full-registry) and pytest. q159
+#: stays in-window deliberately: it was r8's one red row and the fix
+#: must be proven by the same gate that caught it.
 PRIORITY: tuple[str, ...] = (
     # relational core representatives
     "q01_pricing_summary",      # flagship group-by agg (entry())
-    "q26_except",               # set family (r8 rotation: was q25 intersect)
+    "q25_intersect",            # set family (r9 rotation: was q26 except)
     "q09_sortmerge_join",       # fact-fact join (q29 keeps broadcast rep)
-    "q30_grouping_sets",        # hierarchical agg (was q18 cube)
+    "q18_cube",                 # hierarchical agg (r9: was q30 gsets)
     "q27_json_extract",         # JSON parse
     "q39_unpivot",              # pivot family
     "q29_star_join",            # multi-dim star broadcast
     # advanced joins / aggregates
-    "q176_touch_attribution",   # exotic joins (r8 late, new — was q31
-                                # full outer; the attribution merge ENDS in
-                                # the same full-outer channel join)
-    "q160_mad_outliers",        # robust stats (r8, new — was q34 percentiles;
-                                # MAD composes the same exact-percentile op)
-    "q35_approx_aggregates",    # (was q36 collect)
-    "q101_pagerank_dangling",   # graph
-    "q38_range_join",           # interval family
+    "q31_full_outer_join",      # exotic joins (r9: was q176 attribution)
+    "q190_winsorized_stats",    # robust stats (r9, never windowed —
+                                # was q160 MAD; winsorization composes the
+                                # same discrete-percentile bound op)
+    "q35_approx_aggregates",
+    "q191_bfs_levels",          # graph (r9, never windowed — was q101
+                                # pagerank; frontier-join iteration)
+    "q179_geo_grid_knn",        # spatial blocked join (r9, never windowed —
+                                # was q38 range join; the grid block IS an
+                                # interval-band equi-join)
     # reference EP3 pipeline + warehouse maintenance
-    "q153_join_strategy_advisor",  # stats→planner (r8, new — was q45 lookback)
+    "q187_national_market_share",  # scalar subquery vs aggregate (r9,
+                                # never windowed — was q153 advisor)
     "q43_enriched_sales",
-    "q104_bloom_prune",         # bloom family (was q113 fp audit)
-    "q180_pit_scd2_join",       # (r8 late, new — was q46; composes
-                                # scd2_rebuild AND the point-in-time join)
-    "q151_change_data_feed",    # CDC feed (r8, new — was q47 merge)
-    # streaming batch twins + time-series layer (r8, new family)
-    "q154_gap_fill_resample",   # (was q50 tumbling; spine composes the bucket window)
+    "q104_bloom_prune",         # bloom family
+    "q192_merge_full_matrix",   # MERGE matrix incl. conditional DELETE
+                                # (r9, never windowed — was q180 PIT)
+    "q185_incremental_agg",     # matview maintained from the captured CDC
+                                # feed (r9, never windowed — was q151 feed)
+    # streaming batch twins + time-series layer
+    "q154_gap_fill_resample",   # spine composes the bucket window
     "q52_session_window",
-    "q133_udf_groupedmap_zscore",  # §2.12 grouped-map shape (was q131 UDAF)
+    "q133_udf_groupedmap_zscore",  # §2.12 grouped-map shape
     # window frames / navigation / date+ts scalar layers
-    "q156_rolling_median",      # rolling robust stat (r8, new — was q56 nav)
-    "q120_curation_pipeline",   # governance composite (was q127 data card)
-    "q155_linear_interpolate",  # (r8, new — was q57 date spine; the spine
-                                # + nav-window op in one)
-    "q59_shipping_priority",
+    "q193_twap_daily",          # time-weighted mean (r9, never windowed —
+                                # was q156 rolling median)
+    "q120_curation_pipeline",   # governance composite
+    "q178_ewma_activity",       # recursive smoothing window (r9, never
+                                # windowed — was q155 interpolate)
+    "q189_top_revenue_supplier",  # top-over-aggregate (r9, never windowed —
+                                # was q59 shipping priority; the same
+                                # TakeOrdered-over-agg shape, TPC-H Q15)
     # text analysis
-    "q158_char_entropy",        # (r8, new — was q61 word frequency)
+    "q158_char_entropy",
     "q126_logreg_quality",
-    "q69_langid_classifier",    # trained lang-id (was q63 heuristic)
+    "q69_langid_classifier",
     "q148_kneser_ney_logprob",
     "q136_pack_trained_bpe",
     # corpus governance
     "q117_sequence_pack",
-    "q161_dp_count_release",    # DP release (r8, new — was q128 curriculum)
+    "q174_benford_audit",       # forensic release audit (r9, never
+                                # windowed — was q161 DP release; the
+                                # publishing-gate family)
     # clustering
     "q93_kmeans",
     # frequency sketches
@@ -97,25 +109,30 @@ PRIORITY: tuple[str, ...] = (
     # deduplication layer
     "q100_corpus_prep",
     "q71_dedup_exact_keep",
-    "q72_ngram_jaccard",        # (was q76 winnowing)
+    "q72_ngram_jaccard",
     "q73_minhash_lsh",
-    "q74_simhash",              # (was q75 simhash pairs)
-    "q152_audio_bitrate_census",  # MPEG framing census (r8, new — was q124)
-    "q157_sliding_distinct_users",  # (r8, new — was q105 prefix jaccard)
+    "q74_simhash",
+    "q164_exif_privacy_scrub",  # multimodal governance (r9, never
+                                # windowed — was q152 MPEG census)
+    "q172_replica_reconcile",   # bucketed-digest anti-entropy (r9, never
+                                # windowed — was q157 sliding distinct)
     "q78_embedding_neardup",
     "q89_dup_clusters",
     # similarity search layer
     "q80_cosine_topk",
-    "q159_bigram_pmi",          # collocations (r8, new — was q110 span dedup)
+    "q159_bigram_pmi",          # KEPT in-window on purpose: the r8 red
+                                # row — the external gate must re-verify
+                                # the signed-zero fix, not take CI's word
     "q82_lsh_ann",
     "q135_ivf_index_probe",
-    "q162_wav_silence_census",  # waveform census (r8, new — was q95 quantized)
-    "q103_pq_sampled_train",    # (was q99 pq ann)
+    "q163_user_kcore",          # fixed-round peel (r9, never windowed —
+                                # was q162 WAV census)
+    "q103_pq_sampled_train",
+    # transactional storage, end-to-end under the external gate (r9,
+    # never windowed — re-gates the staged CAS commit rework externally)
+    "q168_versioned_time_travel",
     # multimodal layer
-    "q146_transcode_census",    # (was q111 dhash)
-    "q145_gif_animation_census",  # (was q142 lossy pixel census — the
-                                # animation census drives the same GIF
-                                # LZW decode plus compositing)
+    "q145_gif_animation_census",
 )
 
 

@@ -28,81 +28,74 @@ def test_every_operator_family_inside_window():
     entries — the part of the registry an external prefix-sampling
     harness actually checks."""
     window = set(list(REGISTRY)[:WINDOW])
-    # r8 ROTATION: representatives intentionally changed so the
+    # r9 ROTATION: representatives intentionally changed so the
     # external prefix gate re-verifies a fresh slice each round — the
-    # r7 representatives sit past the window but stay oracle-backed
+    # r8 representatives sit past the window but stay oracle-backed
     # for CI (test_demoted_queries_still_oracle_backed).
     families = {
         "relational-agg": "q01_pricing_summary",
-        "sets": "q26_except",  # was q25 intersect
+        "sets": "q25_intersect",  # was q26 except
         "fact-fact-join": "q09_sortmerge_join",
-        "topk": "q59_shipping_priority",  # TakeOrderedAndProject shape
-        "hierarchical-agg": "q30_grouping_sets",  # was q18 cube
+        "topk": "q189_top_revenue_supplier",  # was q59; the same
+        # TakeOrdered-over-aggregate shape (TPC-H Q15 analogue)
+        "hierarchical-agg": "q18_cube",  # was q30 grouping sets
         "json": "q27_json_extract",
         "pivot-family": "q39_unpivot",
         "star-join": "q29_star_join",
-        "exotic-join": "q176_touch_attribution",  # was q31 full outer;
-        # the attribution channel merge is a FULL OUTER join
-        "stats-agg": "q160_mad_outliers",  # was q34 percentiles; MAD
-        # composes the same exact-percentile op per group
-        "collect-agg": "q35_approx_aggregates",  # was q36 collect
-        "interval-join": "q38_range_join",
+        "exotic-join": "q31_full_outer_join",  # was q176 attribution
+        "stats-agg": "q190_winsorized_stats",  # was q160 MAD; composes
+        # the same discrete-percentile bound op per group
+        "collect-agg": "q35_approx_aggregates",
+        "interval-join": "q179_geo_grid_knn",  # was q38 range join; the
+        # grid block is the same interval-band equi-join family
+        "subquery-scalar": "q187_national_market_share",  # was q153
+        # advisor (stays oracle-backed in the tail); the scalar-
+        # subquery-vs-aggregate shape (TPC-H Q11)
         "curation-pack": "q117_sequence_pack",
-        "curation-schedule": "q120_curation_pipeline",  # was q128; the
-        # composite drives the mixture/schedule stages end-to-end
-        "curation-card": "q161_dp_count_release",  # was q127 data card;
-        # the DP release is the publishing half of the card pipeline
+        "curation-schedule": "q120_curation_pipeline",
+        "curation-card": "q174_benford_audit",  # was q161 DP release;
+        # the forensic audit is the other publishing gate
         "pipeline": "q43_enriched_sales",
-        "scd2": "q180_pit_scd2_join",  # was q46; composes scd2_rebuild
-        # and joins facts point-in-time against the intervals
-        "merge-upsert": "q151_change_data_feed",  # was q47 merge; the
-        # CDC feed is the delta-publishing form of the same cycle
-        "stream-window": "q154_gap_fill_resample",  # was q50 tumbling;
-        # the spine composes the same hourly bucket window
+        "merge-upsert": "q192_merge_full_matrix",  # was q151 feed; the
+        # FULL MERGE matrix incl. conditional DELETE
+        "cdc": "q185_incremental_agg",  # was q151; the matview
+        # maintained FROM the captured feed re-gates capture end-to-end
+        "warehouse-txn": "q168_versioned_time_travel",  # re-gates the
+        # r9 staged CAS commit rework under the external hash gate
+        "stream-window": "q154_gap_fill_resample",
         "stream-session": "q52_session_window",
-        "udf-shapes": "q133_udf_groupedmap_zscore",  # was q131 UDAF
-        "window-nav": "q155_linear_interpolate",  # was q56 nav; the
-        # interpolator is last/first-ignorenulls navigation
-        "date-spine": "q154_gap_fill_resample",  # was q57; same
-        # sequence+explode spine over real buckets
-        "text-words": "q158_char_entropy",  # was q61 word frequency
+        "udf-shapes": "q133_udf_groupedmap_zscore",
+        "window-frame": "q178_ewma_activity",  # was q155 interpolate;
+        # the EWMA is the recursive running-frame window
+        "date-spine": "q154_gap_fill_resample",
+        "text-words": "q158_char_entropy",
         "text-quality": "q126_logreg_quality",
-        "text-langid": "q69_langid_classifier",  # was q63 heuristic
+        "text-langid": "q69_langid_classifier",
         "text-lm": "q148_kneser_ney_logprob",
         "text-bpe": "q136_pack_trained_bpe",
-        "bpe-trained": "q136_pack_trained_bpe",  # was q124 apply; the
-        # pack runs train→apply end-to-end under the learned vocab
         "dedup-exact": "q71_dedup_exact_keep",
-        "dedup-fingerprint": "q72_ngram_jaccard",  # was q76 winnowing
+        "dedup-fingerprint": "q72_ngram_jaccard",
         "dedup-minhash": "q73_minhash_lsh",
-        "dedup-simhash": "q74_simhash",  # was q75 pairs
-        "dedup-lossless": "q72_ngram_jaccard",  # was q105 prefix; the
-        # n-gram jaccard is the exact pairwise truth at window grain
+        "dedup-simhash": "q74_simhash",
         "dedup-embedding": "q78_embedding_neardup",
-        "dedup-spans": "q159_bigram_pmi",  # was q110 span dedup; PMI
-        # surfaces the repeated-structure spans worth deduplicating
+        "dedup-spans": "q159_bigram_pmi",  # KEPT: r8's one red row —
+        # the signed-zero fix must be proven by the gate that caught it
         "dedup-cc": "q89_dup_clusters",
-        "graph-pagerank": "q101_pagerank_dangling",
+        "graph-iterative": "q191_bfs_levels",  # was q101 pagerank; the
+        # frontier-join iteration is the same checkpointed loop shape
+        "graph-peel": "q163_user_kcore",  # never windowed before
         "sketch-cms": "q92_cms_heavy_hitters",
-        "sketch-bloom": "q104_bloom_prune",  # was q113 fp audit
+        "sketch-bloom": "q104_bloom_prune",
+        "digest-reconcile": "q172_replica_reconcile",  # never windowed
         "cluster-kmeans": "q93_kmeans",
         "sim-knn": "q80_cosine_topk",
         "sim-lsh": "q82_lsh_ann",
         "sim-ivf": "q135_ivf_index_probe",
-        "sim-quantized": "q103_pq_sampled_train",  # was q95; sampled
-        # PQ training drives the same quantize/ADC path
-        "sim-pq": "q103_pq_sampled_train",  # was q99 pq ann
-        "multimodal-hash": "q146_transcode_census",  # was q111 dhash;
-        # the transcode census value-hashes every decoded pixel
-        "multimodal-decode": "q145_gif_animation_census",  # was q142;
-        # animation compositing drives the same GIF LZW decode
-        # r8 new families
-        "timeseries": "q156_rolling_median",
-        "stats-advisor": "q153_join_strategy_advisor",
-        "audio-census": "q152_audio_bitrate_census",
-        "waveform-census": "q162_wav_silence_census",
-        "dp-governance": "q161_dp_count_release",
-        "cdc": "q151_change_data_feed",
+        "sim-quantized": "q103_pq_sampled_train",
+        "multimodal-decode": "q145_gif_animation_census",
+        "multimodal-governance": "q164_exif_privacy_scrub",  # was q152
+        # MPEG census; the EXIF scrub re-parses what it rewrites
+        "timeseries": "q193_twap_daily",  # was q156 rolling median
     }
     outside = {f: q for f, q in families.items() if q not in window}
     assert not outside, f"families outside the {WINDOW}-entry window: {outside}"
