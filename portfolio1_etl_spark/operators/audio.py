@@ -428,3 +428,160 @@ def encode_mp3_stub(
     if id3v1:
         out += b"TAG" + b"\x00" * 125
     return bytes(out)
+
+
+# --- VBR header tier (r9): Xing/Info and VBRI --------------------------------
+#
+# CBR math (bitrate × duration) lies for VBR streams, so encoders
+# write a seek/duration header into the FIRST frame's payload:
+# - Xing/"Info" (LAME et al.): after the side-info region (Layer III
+#   mono: 17 bytes MPEG1, 9 bytes MPEG2/2.5), tag + flags + optional
+#   frame/byte counts, TOC, quality.
+# - VBRI (Fraunhofer): at a FIXED 32-byte offset past the 4-byte
+#   frame header, tag + version/delay/quality + byte/frame counts.
+# Convention pinned here (and in the stub): the declared frame count
+# EXCLUDES the header frame itself, the declared byte count covers
+# the whole MPEG stream INCLUDING it (ID3 wrappers excluded) — the
+# LAME convention. Payload decode remains the module's boundary;
+# these are framing/seek structures, not audio.
+
+#: Layer III side-info bytes by (MPEG1?, mono?) — where Xing lives.
+_SIDE_INFO = {(True, True): 17, (True, False): 32,
+              (False, True): 9, (False, False): 17}
+
+
+def _mp3_stream_span(content: bytes) -> tuple[int, int]:
+    """(start, end) of the MPEG frame stream: ID3v2 prefix (incl. the
+    v2.4 footer when flagged) and ID3v1 trailer excluded."""
+    pos, end = 0, len(content)
+    if content[:3] == b"ID3" and end >= 10:
+        size = 0
+        for byte in content[6:10]:
+            if byte & 0x80:
+                raise ValueError("invalid ID3v2 syncsafe size")
+            size = (size << 7) | byte
+        pos = 10 + size
+        if content[5] & 0x10:
+            pos += 10
+    if end - pos >= 128 and content[end - 128 : end - 125] == b"TAG":
+        end -= 128
+    return pos, end
+
+
+def probe_mp3_vbr_info(
+    content: bytes,
+) -> tuple[str, int | None, int | None]:
+    """(method, declared_frames, declared_bytes) from the stream's
+    first frame: method ∈ {'xing', 'info', 'vbri', 'none'}. 'info' is
+    the Xing structure under the CBR tag LAME writes; counts are None
+    when the header omits that field (Xing flags) — and for 'none'.
+    Raises ValueError on malformed framing (no valid first frame)."""
+    pos, end = _mp3_stream_span(content)
+    if pos + 4 > end:
+        raise ValueError("truncated MPEG frame header")
+    header = struct.unpack(">I", content[pos : pos + 4])[0]
+    _layer, _bitrate, _rate, _spf, nbytes = _mp3_frame(header)
+    if pos + nbytes > end:
+        raise ValueError("truncated MPEG frame payload")
+    frame = content[pos : pos + nbytes]
+    version_id = (header >> 19) & 3
+    mono = ((header >> 6) & 3) == 3
+    xing_off = 4 + _SIDE_INFO[(version_id == 3, mono)]
+    if frame[xing_off : xing_off + 4] in (b"Xing", b"Info"):
+        method = "xing" if frame[xing_off : xing_off + 4] == b"Xing" else "info"
+        flags = struct.unpack(">I", frame[xing_off + 4 : xing_off + 8])[0]
+        p = xing_off + 8
+        frames_ = bytes_ = None
+        if flags & 1:  # FRAMES
+            frames_ = struct.unpack(">I", frame[p : p + 4])[0]
+            p += 4
+        if flags & 2:  # BYTES
+            bytes_ = struct.unpack(">I", frame[p : p + 4])[0]
+        return method, frames_, bytes_
+    if frame[36:40] == b"VBRI":
+        bytes_ = struct.unpack(">I", frame[46:50])[0]
+        frames_ = struct.unpack(">I", frame[50:54])[0]
+        return "vbri", frames_, bytes_
+    return "none", None, None
+
+
+def encode_mp3_vbr_stub(
+    bitrates_kbps: list[int],
+    sample_rate: int,
+    layer: int = 3,
+    vbr_header: str | None = "xing",
+    id3v2_bytes: int = 0,
+) -> bytes:
+    """Structurally-valid VBR MPEG audio: one frame per entry of
+    ``bitrates_kbps`` (each a legal index for the version/layer), plus
+    — for ``vbr_header`` in {'xing', 'info', 'vbri'} — a leading
+    header frame at the FIRST bitrate carrying the declared
+    frame/byte counts (frames excluding the header frame, bytes for
+    the full stream including it). ``None`` writes no header frame —
+    the bare-VBR shape whose duration only a full frame walk gets
+    right. Framing is spec-exact; payloads are zeros (the documented
+    codec boundary)."""
+    version_id = None
+    for vid, rates in _MPEG_SAMPLE_RATES.items():
+        if sample_rate in rates:
+            version_id, sidx = vid, rates.index(sample_rate)
+    if version_id is None:
+        raise ValueError(f"unsupported MPEG sample rate {sample_rate}")
+    group = 0 if version_id == 3 else 1
+
+    def _frame(kbps: int) -> bytes:
+        try:
+            bidx = _MPEG_BITRATES[(group, layer)].index(kbps) + 1
+        except ValueError:
+            raise ValueError(
+                f"bitrate {kbps} invalid for MPEG group {group} "
+                f"layer {layer}"
+            ) from None
+        header = (
+            (0x7FF << 21)
+            | (version_id << 19)
+            | ((4 - layer) << 17)
+            | (1 << 16)
+            | (bidx << 12)
+            | (sidx << 10)
+            | (3 << 6)  # mono
+        )
+        _, _, _, _, nbytes = _mp3_frame(header)
+        return struct.pack(">I", header) + b"\x00" * (nbytes - 4)
+
+    frames = [_frame(k) for k in bitrates_kbps]
+    stream = bytearray()
+    if vbr_header is not None:
+        if vbr_header not in ("xing", "info", "vbri"):
+            raise ValueError(f"unknown VBR header kind {vbr_header!r}")
+        head = bytearray(_frame(bitrates_kbps[0]))
+        total = len(head) + sum(len(f) for f in frames)
+        if vbr_header in ("xing", "info"):
+            off = 4 + _SIDE_INFO[(version_id == 3, True)]
+            tag = b"Xing" if vbr_header == "xing" else b"Info"
+            blob = tag + struct.pack(">III", 0x3, len(frames), total)
+            if off + len(blob) > len(head):
+                raise ValueError("first frame too small for a Xing header")
+            head[off : off + len(blob)] = blob
+        else:
+            blob = (
+                b"VBRI"
+                + struct.pack(">HHH", 1, 0, 0)
+                + struct.pack(">II", total, len(frames))
+            )
+            if 36 + len(blob) > len(head):
+                raise ValueError("first frame too small for a VBRI header")
+            head[36 : 36 + len(blob)] = blob
+        stream += head
+    for f in frames:
+        stream += f
+    out = bytearray()
+    if id3v2_bytes:
+        size = id3v2_bytes
+        ss = bytes(
+            [(size >> 21) & 0x7F, (size >> 14) & 0x7F,
+             (size >> 7) & 0x7F, size & 0x7F]
+        )
+        out += b"ID3\x04\x00\x00" + ss + b"\x00" * id3v2_bytes
+    out += stream
+    return bytes(out)

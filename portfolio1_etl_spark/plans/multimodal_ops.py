@@ -1658,3 +1658,146 @@ def q164_exif_privacy_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         op,
         "doc_id long, had_gps long, gps_after long, orientation long",
     )
+
+
+# --- q194: MP3 VBR header census (Xing/Info/VBRI depth) ---------------------
+
+#: q194 synthesis — true VBR streams: nf = 1 + doc_id%20 audio frames,
+#: frame i at MPEG1 Layer III bitrate pool[(doc_id+i)%14], rate by
+#: doc_id%3; doc_id%3 picks the seek-header kind (0 Xing, 1 VBRI,
+#: 2 none), every 31st doc is framing-corrupt. The oracle replays the
+#: frame-length arithmetic (144000·k//rate, no padding) in closed
+#: form — declared bytes are the exact stream length the stub built.
+
+
+def _synthesize_mp3_vbr_media(docs):
+    from portfolio1_etl_spark.operators.audio import encode_mp3_vbr_stub
+
+    pool = (32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320)
+    rates = (44100, 48000, 32000)
+
+    def _one(doc_id: int) -> bytes:
+        if doc_id % 31 == 0:
+            return b"\xff\xfbjunk-not-a-frame"
+        nf = 1 + doc_id % 20
+        return encode_mp3_vbr_stub(
+            [pool[(doc_id + i) % 14] for i in range(nf)],
+            rates[doc_id % 3],
+            vbr_header=("xing", "vbri", None)[doc_id % 3],
+            id3v2_bytes=(13 + doc_id % 40) if doc_id % 5 == 0 else 0,
+        )
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "path": pdf["doc_id"].astype(str),
+                    "modality": "audio",
+                    "content": [_one(int(d)) for d in pdf["doc_id"]],
+                }
+            )
+
+    return docs.select("doc_id").mapInPandas(
+        op, "path string, modality string, content binary"
+    )
+
+
+@query(
+    "q194_mp3_vbr_census",
+    sql="""
+    WITH params AS (
+      SELECT doc_id,
+        list_extract([44100,48000,32000], 1 + CAST(doc_id % 3 AS INTEGER))
+          AS rate,
+        1 + doc_id % 20 AS nf,
+        CAST(doc_id % 3 AS INTEGER) AS mkind
+      FROM documents
+    ),
+    kl AS (
+      SELECT doc_id, rate, nf, mkind,
+        list_transform(generate_series(0, CAST(nf - 1 AS INTEGER)),
+          i -> list_extract(
+            [32,40,48,56,64,80,96,112,128,160,192,224,256,320],
+            1 + CAST((doc_id + i) % 14 AS INTEGER))) AS ks
+      FROM kl_src
+    ),
+    calc AS (
+      SELECT doc_id, nf, mkind, rate,
+        list_sum(list_transform(ks, k -> 144000 * k // rate)) AS audio_bytes,
+        144000 * ks[1] // rate AS head_bytes,
+        list_sum(ks) AS ksum, ks[1] AS k0
+      FROM kl
+    )
+    SELECT doc_id,
+      CASE WHEN doc_id % 31 = 0 THEN 'corrupt'
+           WHEN mkind = 0 THEN 'xing'
+           WHEN mkind = 1 THEN 'vbri' ELSE 'none' END AS vbr_method,
+      CASE WHEN doc_id % 31 = 0 OR mkind = 2 THEN NULL
+           ELSE CAST(nf AS BIGINT) END AS declared_frames,
+      CASE WHEN doc_id % 31 = 0 OR mkind = 2 THEN NULL
+           ELSE CAST(head_bytes + audio_bytes AS BIGINT) END AS declared_bytes,
+      CASE WHEN doc_id % 31 = 0 THEN NULL
+           ELSE CAST(nf + CASE WHEN mkind = 2 THEN 0 ELSE 1 END AS BIGINT)
+           END AS walked_frames,
+      CASE WHEN doc_id % 31 = 0 THEN NULL
+           ELSE CAST((nf + CASE WHEN mkind = 2 THEN 0 ELSE 1 END)
+                     * 1152 * 1000 // rate AS BIGINT) END AS duration_ms,
+      CASE WHEN doc_id % 31 = 0 THEN NULL
+           ELSE CAST((ksum + CASE WHEN mkind = 2 THEN 0 ELSE k0 END)
+                     // (nf + CASE WHEN mkind = 2 THEN 0 ELSE 1 END)
+                     AS BIGINT) END AS mean_kbps
+    FROM calc
+    """.replace("kl_src", "params"),
+    operators=("X-multimodal", "X-mp3-probe", "X-mp3-vbr"),
+)
+def q194_mp3_vbr_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MP3 seek-header (VBR) census — q152's framing tier extended to
+    the Xing/Info and VBRI structures real encoders write into the
+    first frame, because CBR math (bitrate × duration) lies for VBR
+    streams: per object, the header kind, its DECLARED frame/byte
+    counts (``audio.probe_mp3_vbr_info``), and the frame-walk truth
+    (walked frames, duration, frame-weighted mean bitrate) the
+    declaration is audited against. Governance use: a declared-vs-
+    walked mismatch is the tamper/truncation signal, and duration
+    from the walk is the only correct accounting for header-less VBR.
+    Framing-corrupt objects surface as 'corrupt'/NULL rows. Scale
+    shape: synthesis and probe are one narrow Arrow-batched
+    mapInPandas chain over doc_id — embarrassingly parallel, no
+    shuffle; payload decode stays the documented codec boundary."""
+    from portfolio1_etl_spark.operators.audio import (
+        probe_mp3_metadata,
+        probe_mp3_vbr_info,
+    )
+
+    media = _synthesize_mp3_vbr_media(catalog.load(spark, sf_dir, "documents"))
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: dict[str, list] = {
+                "doc_id": [], "vbr_method": [], "declared_frames": [],
+                "declared_bytes": [], "walked_frames": [],
+                "duration_ms": [], "mean_kbps": [],
+            }
+            for path, content in zip(pdf["path"], pdf["content"]):
+                b = bytes(content)
+                try:
+                    kbps, _rate, walked, dur, _layer = probe_mp3_metadata(b)
+                    method, df_, db_ = probe_mp3_vbr_info(b)
+                except (ValueError, IndexError, struct.error):
+                    method, df_, db_ = "corrupt", None, None
+                    kbps = walked = dur = None
+                rows["doc_id"].append(int(path))
+                rows["vbr_method"].append(method)
+                rows["declared_frames"].append(df_)
+                rows["declared_bytes"].append(db_)
+                rows["walked_frames"].append(walked)
+                rows["duration_ms"].append(dur)
+                rows["mean_kbps"].append(kbps)
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(
+        op,
+        "doc_id long, vbr_method string, declared_frames long, "
+        "declared_bytes long, walked_frames long, duration_ms long, "
+        "mean_kbps long",
+    )

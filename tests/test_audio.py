@@ -331,3 +331,58 @@ class TestMp3Probe:
             + frames
         )
         assert probe_mp3_metadata(tagged) == probe_mp3_metadata(frames)
+
+
+# --- VBR header tier (r9) ---------------------------------------------------
+
+
+def test_mp3_vbr_stub_roundtrip_xing_vbri_none():
+    from portfolio1_etl_spark.operators.audio import (
+        encode_mp3_vbr_stub,
+        probe_mp3_metadata,
+        probe_mp3_vbr_info,
+    )
+
+    ks = [128, 64, 96, 320, 40]
+    s = encode_mp3_vbr_stub(ks, 44100, vbr_header="xing")
+    method, df_, db_ = probe_mp3_vbr_info(s)
+    assert (method, df_, db_) == ("xing", 5, len(s))
+    # the frame walk sees declared_frames + 1 (the header frame)
+    _kbps, rate, walked, dur, layer = probe_mp3_metadata(s)
+    assert (rate, walked, layer) == (44100, 6, 3)
+    assert dur == 6 * 1152 * 1000 // 44100
+
+    v = encode_mp3_vbr_stub([64, 32, 160], 32000, vbr_header="vbri")
+    assert probe_mp3_vbr_info(v) == ("vbri", 3, len(v))
+
+    bare = encode_mp3_vbr_stub([56, 80], 48000, vbr_header=None)
+    assert probe_mp3_vbr_info(bare) == ("none", None, None)
+    assert probe_mp3_metadata(bare)[2] == 2  # walk still works
+
+    info = encode_mp3_vbr_stub([128], 44100, vbr_header="info")
+    assert probe_mp3_vbr_info(info)[0] == "info"
+
+
+def test_mp3_vbr_probe_skips_id3_and_audits_tamper():
+    import struct as _struct
+
+    import pytest
+
+    from portfolio1_etl_spark.operators.audio import (
+        encode_mp3_vbr_stub,
+        probe_mp3_vbr_info,
+    )
+
+    s = encode_mp3_vbr_stub([96, 48], 44100, vbr_header="xing", id3v2_bytes=29)
+    method, df_, db_ = probe_mp3_vbr_info(s)
+    assert method == "xing" and df_ == 2
+    assert db_ == len(s) - 39  # declared bytes EXCLUDE the ID3 wrapper
+
+    # a tampered declaration is visible as declared != walked truth
+    tampered = bytearray(s)
+    off = s.index(b"Xing") + 8
+    tampered[off : off + 4] = _struct.pack(">I", 999)
+    assert probe_mp3_vbr_info(bytes(tampered))[1] == 999  # parsed as-is
+
+    with pytest.raises(ValueError):
+        probe_mp3_vbr_info(b"\xff\xfbjunk")
