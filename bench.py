@@ -192,6 +192,12 @@ HEADLINE = [
     "q192_merge_full_matrix",
     # time-weighted average value (exact decimal x microsecond gaps)
     "q193_twap_daily",
+    # r9 additions: MP3 VBR seek-header census, HLL cardinality
+    # sketch, ordered funnel, weekly retention cohorts
+    "q194_mp3_vbr_census",
+    "q195_hll_distinct",
+    "q196_funnel_conversion",
+    "q197_retention_cohorts",
 ]
 
 
@@ -247,6 +253,46 @@ def _regression_report(timings: dict[str, float], here: str) -> None:
         print(f"# WARNING: >2x regressions: {regressions}", file=sys.stderr)
 
 
+def _write_full_artifact(
+    timings: dict[str, float], total: float, sf: float, here: str
+) -> None:
+    """Persist ALL headline timings to ``bench_full_r{N}.json`` in the
+    repo (N = latest driver-recorded round + 1). The driver's own
+    BENCH capture truncates to a log tail (r8 kept 61 of 105 rows),
+    which degraded round-over-round comparison to whatever survived —
+    this artifact is the durable, complete record, committed each
+    round."""
+    import glob
+    import re
+
+    # round number from the newest BENCH_r{N}.json FILENAME — never
+    # its contents (r8's tail-truncated capture was unparseable, which
+    # must not reset the numbering)
+    rounds = [
+        int(m.group(1))
+        for p in glob.glob(os.path.join(here, "BENCH_r*.json"))
+        if (m := re.search(r"BENCH_r(\d+)\.json$", os.path.basename(p)))
+    ]
+    n = (max(rounds) + 1) if rounds else 1
+    out = os.path.join(here, f"bench_full_r{n}.json")
+    with open(out, "w") as f:
+        json.dump(
+            {
+                "round": n,
+                "sf": sf,
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "runs_per_query": 3,
+                "queries": timings,
+            },
+            f,
+            indent=1,
+        )
+        f.write("\n")
+    print(f"# wrote {out} ({len(timings)} queries)", file=sys.stderr)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0)
@@ -280,7 +326,9 @@ def main() -> None:
         spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 3)
-    _regression_report(timings, os.path.dirname(os.path.abspath(__file__)))
+    here = os.path.dirname(os.path.abspath(__file__))
+    _regression_report(timings, here)
+    _write_full_artifact(timings, total, sf, here)
     print(
         json.dumps(
             {

@@ -202,3 +202,164 @@ def q176_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("n_first", F.lit(0)).alias("n_first"),
         F.coalesce("revenue_first", F.lit(0.0)).alias("revenue_first"),
     )
+
+
+@query(
+    "q196_funnel_conversion",
+    sql="""
+    WITH v AS (
+      SELECT user_id, min(ts) AS t FROM events
+      WHERE event_type = 'view' GROUP BY 1
+    ),
+    c AS (
+      SELECT e.user_id, min(e.ts) AS t
+      FROM events e JOIN v ON e.user_id = v.user_id
+      WHERE e.event_type = 'click' AND e.ts > v.t GROUP BY 1
+    ),
+    p AS (
+      SELECT e.user_id, min(e.ts) AS t
+      FROM events e JOIN c ON e.user_id = c.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > c.t GROUP BY 1
+    ),
+    n AS (
+      SELECT (SELECT count(*) FROM v) AS n1,
+             (SELECT count(*) FROM c) AS n2,
+             (SELECT count(*) FROM p) AS n3
+    )
+    SELECT CAST(1 AS BIGINT) AS step, 'view' AS step_name,
+           CAST(n1 AS BIGINT) AS n_users,
+           CASE WHEN n1 > 0 THEN 100.0 END AS conversion_pct FROM n
+    UNION ALL
+    SELECT 2, 'click_after_view', CAST(n2 AS BIGINT),
+           CASE WHEN n1 > 0
+                THEN round(100.0 * n2 / n1, 2) END FROM n
+    UNION ALL
+    SELECT 3, 'purchase_after_click', CAST(n3 AS BIGINT),
+           CASE WHEN n2 > 0
+                THEN round(100.0 * n3 / n2, 2) END FROM n
+    """,
+    operators=("X-funnel", "X-eventflow", "J-semi", "A1"),
+)
+def q196_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel analysis (view → click → purchase): a user
+    advances a step only with an event STRICTLY AFTER their first
+    completion of the previous step — the product-analytics shape
+    that a bare per-type distinct count gets wrong (it counts
+    purchases that preceded the click). Step grain: first-completion
+    timestamps, so each stage is one per-user min aggregate joined
+    forward — three well-keyed user_id shuffles of shrinking inputs,
+    then three 1-row counts folded into the 3-row report; no event-
+    to-event self-join, no window over the raw stream."""
+    e = _events(spark, sf_dir)
+    v = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("tv"))
+    )
+    c = (
+        e.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("tv"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("tc"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("tc"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("tp"))
+    )
+    n = (
+        v.agg(F.count(F.lit(1)).alias("n1"))
+        .crossJoin(c.agg(F.count(F.lit(1)).alias("n2")))
+        .crossJoin(p.agg(F.count(F.lit(1)).alias("n3")))
+    )
+    pct = lambda num, den: F.when(  # noqa: E731
+        F.col(den) > 0,
+        F.round(F.lit(100.0) * F.col(num) / F.col(den), 2),
+    )
+    rows = [
+        n.select(
+            F.lit(1).cast("long").alias("step"),
+            F.lit("view").alias("step_name"),
+            F.col("n1").cast("long").alias("n_users"),
+            F.when(F.col("n1") > 0, F.lit(100.0)).alias("conversion_pct"),
+        ),
+        n.select(
+            F.lit(2).cast("long").alias("step"),
+            F.lit("click_after_view").alias("step_name"),
+            F.col("n2").cast("long").alias("n_users"),
+            pct("n2", "n1").alias("conversion_pct"),
+        ),
+        n.select(
+            F.lit(3).cast("long").alias("step"),
+            F.lit("purchase_after_click").alias("step_name"),
+            F.col("n3").cast("long").alias("n_users"),
+            pct("n3", "n2").alias("conversion_pct"),
+        ),
+    ]
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out
+
+
+@query(
+    "q197_retention_cohorts",
+    sql="""
+    WITH wk AS (
+      SELECT DISTINCT user_id, date_trunc('week', ts) AS w FROM events
+    ),
+    first AS (SELECT user_id, min(w) AS cw FROM wk GROUP BY 1),
+    act AS (
+      SELECT wk.user_id, f.cw,
+             CAST((epoch(wk.w) - epoch(f.cw)) / 604800 AS BIGINT) AS off
+      FROM wk JOIN first f USING (user_id)
+    ),
+    ret AS (
+      SELECT cw, off, count(*) AS n FROM act GROUP BY 1, 2
+    )
+    SELECT CAST(r.cw AS DATE) AS cohort_week,
+           r.off AS week_offset,
+           CAST(r.n AS BIGINT) AS n_active,
+           round(100.0 * r.n / b.n, 2) AS retention_pct
+    FROM ret r JOIN (SELECT cw, n FROM ret WHERE off = 0) b USING (cw)
+    """,
+    operators=("X-retention", "X-eventflow", "A-distinct", "Window-rank"),
+)
+def q197_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly retention cohorts: users grouped by first-activity week,
+    counted per week-offset since, as a share of the cohort's size —
+    the classic product-analytics triangle. Shape: the event stream
+    collapses to DISTINCT (user, week) FIRST (one shuffle, the only
+    pass over raw events), cohorts derive from that artifact, and the
+    offset-0 base joins back broadcast-size; integer epoch-second
+    arithmetic over Monday-midnight truncations divides exactly by
+    604800 in both engines."""
+    e = _events(spark, sf_dir)
+    wk = e.select(
+        "user_id", F.date_trunc("week", F.col("ts")).alias("w")
+    ).distinct()
+    first = wk.groupBy("user_id").agg(F.min("w").alias("cw"))
+    act = wk.join(first, "user_id").select(
+        "user_id",
+        "cw",
+        (
+            (F.unix_timestamp("w") - F.unix_timestamp("cw")) / 604800
+        )
+        .cast("long")
+        .alias("off"),
+    )
+    ret = act.groupBy("cw", "off").agg(F.count(F.lit(1)).alias("n"))
+    base = ret.filter(F.col("off") == 0).select(
+        "cw", F.col("n").alias("n0")
+    )
+    return ret.join(F.broadcast(base), "cw").select(
+        F.col("cw").cast("date").alias("cohort_week"),
+        F.col("off").alias("week_offset"),
+        F.col("n").cast("long").alias("n_active"),
+        F.round(F.lit(100.0) * F.col("n") / F.col("n0"), 2).alias(
+            "retention_pct"
+        ),
+    )

@@ -271,3 +271,121 @@ def q113_bloom_fp_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("pass") & ~F.col("is_member"), 1).otherwise(0)
         ).alias("n_false_pos"),
     )
+
+
+# --- q195: HyperLogLog distinct estimation (r9) -----------------------------
+#
+# The cardinality sketch the stats layer's docstrings point at as the
+# production form of exact-NDV ANALYZE (q138): per event type, a
+# 256-register HLL over the seeded-md5 H48 hash, next to the exact
+# count and the realized relative error — the same deterministic-
+# sketch-on-the-scoreboard pattern as CMS/Bloom (q92/q113). With the
+# hash fixed, both engines rebuild the IDENTICAL register file, so a
+# normally-probabilistic estimator is value-hash checkable.
+#
+# Exactness of the float fold: every indicator term is 2^-M_j with
+# M_j <= 41 and at most 256 registers, so the sum is a dyadic
+# rational needing 41+8+1 <= 53 mantissa bits — EXACT in a double in
+# any summation order; the alpha_256 constant and the final division
+# are single identically-written float ops. No rounding is needed
+# for cross-engine agreement (it is applied to the OUTPUT columns
+# only for display stability).
+
+#: HLL geometry: 2^8 registers; 40 rank bits -> rho in [1, 41].
+_HLL_BUCKET_BITS = 8
+_HLL_M = 1 << _HLL_BUCKET_BITS
+_HLL_RANK_BITS = 48 - _HLL_BUCKET_BITS
+#: alpha_m for m=256 (Flajolet et al. 2007), written identically in
+#: both engines so the doubles agree bitwise.
+_HLL_ALPHA_SQL = "0.7213 / (1.0 + 1.079 / 256.0)"
+
+
+@query(
+    "q195_hll_distinct",
+    sql=f"""
+    WITH h AS (
+      SELECT event_type, user_id,
+             {_H48_SQL.format(c="'hll-' || user_id::VARCHAR")} AS hv
+      FROM events
+    ),
+    regs AS (
+      SELECT event_type, hv >> {_HLL_RANK_BITS} AS bucket,
+             max(CASE WHEN (hv & {(1 << _HLL_RANK_BITS) - 1}) = 0
+                      THEN {_HLL_RANK_BITS + 1}
+                      ELSE strpos(lpad(bin(hv & {(1 << _HLL_RANK_BITS) - 1}),
+                                       {_HLL_RANK_BITS}, '0'), '1')
+                 END) AS m
+      FROM h GROUP BY 1, 2
+    ),
+    folded AS (
+      SELECT event_type,
+             sum(power(2.0, -m)) + (256 - count(*)) * 1.0 AS s
+      FROM regs GROUP BY event_type
+    ),
+    exact AS (
+      SELECT event_type, count(DISTINCT user_id) AS n FROM events GROUP BY 1
+    )
+    SELECT e.event_type,
+      CAST(e.n AS BIGINT) AS exact_users,
+      round(({_HLL_ALPHA_SQL}) * 65536.0 / f.s, 2) AS hll_users,
+      round(abs(({_HLL_ALPHA_SQL}) * 65536.0 / f.s / e.n - 1.0) * 100.0, 2)
+        AS rel_err_pct
+    FROM exact e JOIN folded f USING (event_type)
+    """,
+    operators=("X-sketch-hll", "X-stats", "A-distinct"),
+)
+def q195_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog distinct-user estimation per event type, scored
+    against the exact count — the mergeable cardinality sketch a
+    100 TB ANALYZE pass runs instead of exact NDV (one fixed 256-slot
+    register file per group vs a distinct-shuffle of every value; the
+    raw Flajolet estimator, corrections documented out). The register
+    fold is the map-side-combinable shape: group to (type, bucket)
+    max-rank, then one 256-row fold per type."""
+    e = catalog.load(spark, sf_dir, "events")
+    rank_mask = (1 << _HLL_RANK_BITS) - 1
+    hv = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("hll-"), F.col("user_id").cast("string"))),
+            1,
+            12,
+        ),
+        16,
+        10,
+    ).cast("long")
+    h = e.select("event_type", "user_id", hv.alias("hv"))
+    rem = F.col("hv").bitwiseAND(F.lit(rank_mask))
+    rho = F.when(rem == 0, F.lit(_HLL_RANK_BITS + 1)).otherwise(
+        F.expr(
+            f"instr(lpad(conv(hv & {rank_mask}, 10, 2), "
+            f"{_HLL_RANK_BITS}, '0'), '1')"
+        )
+    )
+    regs = (
+        h.select(
+            "event_type",
+            F.shiftright("hv", _HLL_RANK_BITS).alias("bucket"),
+            rho.alias("rho"),
+        )
+        .groupBy("event_type", "bucket")
+        .agg(F.max("rho").alias("m"))
+    )
+    alpha = F.lit(0.7213) / (F.lit(1.0) + F.lit(1.079) / F.lit(256.0))
+    folded = regs.groupBy("event_type").agg(
+        (
+            F.sum(F.pow(F.lit(2.0), -F.col("m")))
+            + (F.lit(256) - F.count(F.lit(1))) * F.lit(1.0)
+        ).alias("s")
+    )
+    exact = e.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n")
+    )
+    est = alpha * F.lit(65536.0) / F.col("s")
+    return exact.join(folded, "event_type").select(
+        "event_type",
+        F.col("n").cast("long").alias("exact_users"),
+        F.round(est, 2).alias("hll_users"),
+        F.round(
+            F.abs(est / F.col("n").cast("double") - F.lit(1.0)) * 100.0, 2
+        ).alias("rel_err_pct"),
+    )
