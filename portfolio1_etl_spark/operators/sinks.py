@@ -253,6 +253,14 @@ def write_versioned(
     in test_sinks_layout). The underscore prefix keeps Spark's
     partition discovery from ever mistaking ``_changes`` for data.
 
+    Schema evolution (r9): additive — a version may add (or drop)
+    nullable columns; the captured change feed aligns adjacent
+    versions to the union of columns (``_align_for_diff``), so an
+    added column surfaces as update pairs (NULL → value), span reads
+    fold across the boundary, and time travel returns each version's
+    own schema. A same-name TYPE change is refused loudly at the
+    capture diff — type evolution needs an explicit migration write.
+
     ``manifest=True`` upgrades the chain to MANIFEST COMMITS (r8):
     readers resolve a version through ``{path}/_manifests/v=N.json``
     — a single small file listing the version's data files, written
@@ -367,12 +375,53 @@ def write_versioned(
     )
 
 
+def _align_for_diff(
+    to_df: DataFrame, from_df: DataFrame
+) -> tuple[DataFrame, DataFrame]:
+    """Schema-evolution alignment (r9): lift both frames to the UNION
+    of their columns, columns absent on one side becoming typed NULLs
+    — so an ADDED column diffs as update pairs (old NULL → new value)
+    and a DROPPED column as the reverse, instead of an
+    AnalysisException from ``exceptAll``. Column order: `to`'s, then
+    `from`'s extras. A column present on both sides with DIFFERENT
+    types fails loudly — type evolution needs an explicit migration,
+    not a silent cast."""
+    types: dict[str, object] = {f.name: f.dataType for f in to_df.schema.fields}
+    for f in from_df.schema.fields:
+        if f.name in types:
+            if f.dataType != types[f.name]:
+                raise ValueError(
+                    f"column {f.name!r} changed type "
+                    f"{f.dataType.simpleString()} -> "
+                    f"{types[f.name].simpleString()}; type evolution "
+                    "requires an explicit migration write"
+                )
+        else:
+            types[f.name] = f.dataType
+    order = list(types)
+
+    def lift(df: DataFrame) -> DataFrame:
+        have = set(df.columns)
+        return df.select(
+            *[
+                F.col(c) if c in have
+                else F.lit(None).cast(types[c]).alias(c)
+                for c in order
+            ]
+        )
+
+    return lift(to_df), lift(from_df)
+
+
 def _step_changes(to_df: DataFrame, from_df: DataFrame) -> DataFrame:
     """The multiset insert/delete feed between two adjacent frames:
     rows in `to` but not `from` surface as ``insert``, the reverse as
     ``delete`` — ``exceptAll`` so duplicate rows diff by COUNT. A row
     can never appear under both labels (the counts are max(0, Δ) and
-    max(0, −Δ)), which is what makes per-step feeds net-foldable."""
+    max(0, −Δ)), which is what makes per-step feeds net-foldable.
+    Frames with evolved (additive) schemas align to the union of
+    columns first — see ``_align_for_diff``."""
+    to_df, from_df = _align_for_diff(to_df, from_df)
     ins = to_df.exceptAll(from_df).withColumn("_change", F.lit("insert"))
     dels = from_df.exceptAll(to_df).withColumn("_change", F.lit("delete"))
     return ins.unionByName(dels)
@@ -911,7 +960,12 @@ def read_changes(
                         read_version(spark, path, v - 1),
                     )
                 )
-        allf = reduce(lambda a, b: a.unionByName(b), steps)
+        # allowMissingColumns: a span crossing an (additive) schema
+        # evolution folds in the union of columns, pre-evolution rows
+        # carrying NULLs — the same alignment _step_changes applies
+        allf = reduce(
+            lambda a, b: a.unionByName(b, allowMissingColumns=True), steps
+        )
         ins_rows = allf.filter(F.col("_change") == "insert").drop("_change")
         del_rows = allf.filter(F.col("_change") == "delete").drop("_change")
         fwd_ins = ins_rows.exceptAll(del_rows)

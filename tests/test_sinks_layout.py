@@ -788,3 +788,72 @@ def test_two_interleaved_writers_both_commit(spark, tmp_path):
         for r in read_changes(spark, path, 1, 2).collect()
     }
     assert step == {(1, 6, "insert"), (2, 7, "delete")}
+
+
+def test_schema_evolution_additive_column_cdc(spark, tmp_path):
+    """Additive schema evolution on a captured manifest chain: a new
+    nullable column diffs as update pairs (old NULL -> new value),
+    time travel returns each version's own schema, a span fold across
+    the boundary carries the union of columns, and a TYPE change
+    fails loudly instead of silently casting."""
+    import pytest
+
+    from portfolio1_etl_spark.operators.sinks import (
+        read_changes,
+        read_version,
+        write_versioned,
+    )
+
+    path = str(tmp_path / "evo")
+    write_versioned(
+        spark.createDataFrame([(1, 5), (2, 6)], "id int, qty int"), path,
+        capture_changes=True, manifest=True,
+    )
+    # v1 adds `note`; row 1 unchanged except the new column
+    write_versioned(
+        spark.createDataFrame(
+            [(1, 5, "a"), (2, 7, None)], "id int, qty int, note string"
+        ),
+        path, capture_changes=True, manifest=True,
+    )
+    assert read_version(spark, path, 0).columns == ["id", "qty"]
+    assert read_version(spark, path, 1).columns == ["id", "qty", "note"]
+
+    feed = {
+        (r.id, r.qty, r.note, r._change)
+        for r in read_changes(spark, path, 0, 1).collect()
+    }
+    assert feed == {
+        (1, 5, None, "delete"), (1, 5, "a", "insert"),
+        (2, 6, None, "delete"), (2, 7, None, "insert"),
+    }
+    # keyed reclassification across the evolution boundary
+    keyed = {
+        (r.id, r.note, r._change)
+        for r in read_changes(spark, path, 0, 1, key_cols=["id"]).collect()
+    }
+    assert keyed == {
+        (1, None, "update_preimage"), (1, "a", "update_postimage"),
+        (2, None, "update_preimage"), (2, None, "update_postimage"),
+    }
+    # span fold across the boundary (v0 -> v2) still nets correctly
+    write_versioned(
+        spark.createDataFrame([(1, 5, "a")], "id int, qty int, note string"),
+        path, capture_changes=True, manifest=True,
+    )
+    span = {
+        (r.id, r.qty, r.note, r._change)
+        for r in read_changes(spark, path, 0, 2).collect()
+    }
+    assert span == {
+        (1, 5, None, "delete"), (1, 5, "a", "insert"),
+        (2, 6, None, "delete"),
+    }
+    # type evolution is refused loudly at write time
+    with pytest.raises(ValueError, match="type"):
+        write_versioned(
+            spark.createDataFrame(
+                [(1, "five", "a")], "id int, qty string, note string"
+            ),
+            path, capture_changes=True, manifest=True,
+        )
