@@ -198,6 +198,15 @@ HEADLINE = [
     "q195_hll_distinct",
     "q196_funnel_conversion",
     "q197_retention_cohorts",
+    # deep relational analogues (TPC-H Q7/Q8/Q9/Q10/Q13/Q14/Q18/Q19)
+    "q198_volume_shipping",
+    "q199_market_share",
+    "q200_returned_items",
+    "q201_order_count_distribution",
+    "q202_promo_revenue",
+    "q203_large_volume_customers",
+    "q204_disjunctive_revenue",
+    "q205_profit_by_nation_year",
 ]
 
 

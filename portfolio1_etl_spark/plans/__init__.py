@@ -31,6 +31,7 @@ from portfolio1_etl_spark.plans import eventflow_ops  # noqa: F401,E402
 from portfolio1_etl_spark.plans import analytics_ops  # noqa: F401,E402
 from portfolio1_etl_spark.plans import geo_ops  # noqa: F401,E402
 from portfolio1_etl_spark.plans import validation_ops  # noqa: F401,E402
+from portfolio1_etl_spark.plans import relational_deep  # noqa: F401,E402
 
 # MUST import after similarity_ops/pq_ops: composes their registered
 # fns and oracle SQL into the on-scoreboard recall row.
