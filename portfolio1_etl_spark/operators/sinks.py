@@ -610,9 +610,12 @@ def _commit_manifest(
     ``_changes/v=N`` directories are listed instead."""
     import json
 
+    from datetime import datetime, timezone
+
     doc = json.dumps(
         {
             "version": n,
+            "committed_at": datetime.now(timezone.utc).isoformat(),
             "files": (
                 files
                 if files is not None
@@ -672,6 +675,39 @@ def read_version(spark: SparkSession, path: str, n: int | None = None) -> DataFr
     if m is not None:
         return spark.read.parquet(*[f"{path}/{rel}" for rel in m["files"]])
     return spark.read.parquet(f"{path}/v={n}")
+
+
+def read_version_asof(spark: SparkSession, path: str, asof: str) -> DataFrame:
+    """Timestamp time travel (r9): the newest version whose manifest
+    committed at or before ``asof`` (ISO-8601, UTC) — "the table as
+    the 02:00 report saw it" without knowing version numbers. Commit
+    times ride in the manifest (``committed_at``, recorded inside the
+    same atomic one-file commit, so a version's existence and its
+    timestamp can never disagree). Manifest chains only; raises
+    FileNotFoundError when every commit postdates ``asof`` (or the
+    survivors were pruned — retention bounds how far back asof
+    reads, exactly like any lakehouse). Each version keeps its own
+    schema, same as ``read_version``."""
+    from datetime import datetime, timezone
+
+    cut = datetime.fromisoformat(asof)
+    if cut.tzinfo is None:  # bare timestamps read as UTC
+        cut = cut.replace(tzinfo=timezone.utc)
+    best: int | None = None
+    for n in _versions(spark, path):
+        m = _read_manifest(spark, path, n)
+        if m is None or "committed_at" not in m:
+            raise ValueError(
+                f"{path} v={n} has no committed_at (non-manifest chain "
+                "or pre-r9 commit); asof reads need manifest commits"
+            )
+        if datetime.fromisoformat(m["committed_at"]) <= cut:
+            best = n
+    if best is None:
+        raise FileNotFoundError(
+            f"no version of {path} committed at or before {asof}"
+        )
+    return read_version(spark, path, best)
 
 
 def prune_versions(spark: SparkSession, path: str, keep: int = 3) -> list[int]:

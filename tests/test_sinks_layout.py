@@ -857,3 +857,33 @@ def test_schema_evolution_additive_column_cdc(spark, tmp_path):
             ),
             path, capture_changes=True, manifest=True,
         )
+
+
+def test_read_version_asof_timestamp_time_travel(spark, tmp_path):
+    """asof resolves the newest commit at or before the timestamp,
+    using the committed_at recorded atomically inside the manifest."""
+    from datetime import datetime, timezone
+
+    import pytest
+
+    from portfolio1_etl_spark.operators.sinks import (
+        read_version_asof,
+        write_versioned,
+    )
+
+    path = str(tmp_path / "asof")
+    before_all = datetime.now(timezone.utc).isoformat()
+    write_versioned(spark.createDataFrame([(0,)], "id int"), path, manifest=True)
+    between = datetime.now(timezone.utc).isoformat()
+    write_versioned(spark.createDataFrame([(1,)], "id int"), path, manifest=True)
+    after_all = datetime.now(timezone.utc).isoformat()
+
+    assert [r.id for r in read_version_asof(spark, path, between).collect()] == [0]
+    assert [r.id for r in read_version_asof(spark, path, after_all).collect()] == [1]
+    with pytest.raises(FileNotFoundError):
+        read_version_asof(spark, path, before_all)
+    # non-manifest chains refuse loudly
+    plain = str(tmp_path / "asof_plain")
+    write_versioned(spark.createDataFrame([(9,)], "id int"), plain)
+    with pytest.raises(ValueError, match="committed_at"):
+        read_version_asof(spark, plain, after_all)
