@@ -207,6 +207,10 @@ HEADLINE = [
     "q203_large_volume_customers",
     "q204_disjunctive_revenue",
     "q205_profit_by_nation_year",
+    # behavioral modeling, experimentation, web-corpus prep
+    "q206_event_transitions",
+    "q207_ab_conversion_ztest",
+    "q208_html_strip",
 ]
 
 

@@ -363,3 +363,128 @@ def q197_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
             "retention_pct"
         ),
     )
+
+
+@query(
+    "q206_event_transitions",
+    sql="""
+    WITH seq AS (
+      SELECT user_id, event_type AS src,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS dst
+      FROM events
+    ),
+    pairs AS (
+      SELECT src, dst, count(*) AS n FROM seq
+      WHERE dst IS NOT NULL GROUP BY 1, 2
+    ),
+    tot AS (SELECT src, sum(n) AS t FROM pairs GROUP BY src)
+    SELECT p.src, p.dst, CAST(p.n AS BIGINT) AS n_transitions,
+           round(CAST(p.n AS DOUBLE) / t.t, 4) AS prob
+    FROM pairs p JOIN tot t USING (src)
+    """,
+    operators=("X-markov", "X-eventflow", "Window-nav", "A1"),
+)
+def q206_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences — the behavioral model behind next-action prediction
+    and anomaly scoring (a transition the matrix has never seen is
+    the anomaly). ONE shuffle on user_id serves the lead window; the
+    (src, dst) count and its per-src normalizer are two tiny
+    aggregates over at most |types|² rows; probabilities divide exact
+    integer counts identically in both engines, 4 dp round."""
+    e = _events(spark, sf_dir)
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        F.col("event_type").alias("src"),
+        F.lead("event_type").over(w).alias("dst"),
+    ).filter(F.col("dst").isNotNull())
+    pairs = seq.groupBy("src", "dst").agg(F.count(F.lit(1)).alias("n"))
+    tot = pairs.groupBy("src").agg(F.sum("n").alias("t"))
+    return pairs.join(F.broadcast(tot), "src").select(
+        "src",
+        "dst",
+        F.col("n").cast("long").alias("n_transitions"),
+        F.round(F.col("n").cast("double") / F.col("t"), 4).alias("prob"),
+    )
+
+
+@query(
+    "q207_ab_conversion_ztest",
+    sql="""
+    WITH agg AS (
+      SELECT CAST(user_id % 2 AS BIGINT) AS arm, count(*) AS n,
+             sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+      FROM events GROUP BY 1
+    ),
+    wide AS (
+      SELECT
+        (SELECT n FROM agg WHERE arm = 0) AS n0,
+        (SELECT conv FROM agg WHERE arm = 0) AS c0,
+        (SELECT n FROM agg WHERE arm = 1) AS n1,
+        (SELECT conv FROM agg WHERE arm = 1) AS c1
+    )
+    SELECT CAST(n0 AS BIGINT) AS n_control, CAST(c0 AS BIGINT) AS conv_control,
+      CAST(n1 AS BIGINT) AS n_treatment, CAST(c1 AS BIGINT) AS conv_treatment,
+      round(CAST(c0 AS DOUBLE) / n0, 4) AS p_control,
+      round(CAST(c1 AS DOUBLE) / n1, 4) AS p_treatment,
+      CASE WHEN c0 + c1 > 0 AND c0 + c1 < n0 + n1 THEN
+        round((CAST(c1 AS DOUBLE) / n1 - CAST(c0 AS DOUBLE) / n0)
+              / sqrt((CAST(c0 + c1 AS DOUBLE) / (n0 + n1))
+                     * (1.0 - CAST(c0 + c1 AS DOUBLE) / (n0 + n1))
+                     * (1.0 / n0 + 1.0 / n1)), 4) + 0.0 END AS z_score
+    FROM wide
+    """,
+    operators=("X-ab-test", "X-stats-test", "A1"),
+)
+def q207_ab_conversion_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion z-test on the purchase share of events between
+    deterministic assignment arms (user_id parity — the reproducible
+    stand-in for an experiment bucketing hash): the A/B readout every
+    product-analytics deployment runs. Unit = event (at per-user
+    grain this tiny benchmark converts everyone, which degenerates
+    the pooled variance to zero — the z guard below still handles
+    that case as NULL in both engines). ONE map-side-combinable
+    aggregate to 2 rows; the pooled z-statistic's division tree is
+    written identically in both engines (exact integer counts in,
+    one sqrt), rounded to 4 dp and signed-zero-canonicalized (a
+    difference of near-equal proportions is exactly the q159 hazard
+    shape)."""
+    e = _events(spark, sf_dir)
+    agg = e.groupBy(
+        (F.col("user_id") % 2).cast("long").alias("arm")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("conv"),
+    )
+    a0 = agg.filter(F.col("arm") == 0).select(
+        F.col("n").alias("n0"), F.col("conv").alias("c0")
+    )
+    a1 = agg.filter(F.col("arm") == 1).select(
+        F.col("n").alias("n1"), F.col("conv").alias("c1")
+    )
+    w = a0.crossJoin(F.broadcast(a1))
+    p0 = F.col("c0").cast("double") / F.col("n0")
+    p1 = F.col("c1").cast("double") / F.col("n1")
+    tot_conv = F.col("c0") + F.col("c1")
+    tot_n = F.col("n0") + F.col("n1")
+    pp = tot_conv.cast("double") / tot_n
+    z = (p1 - p0) / F.sqrt(
+        pp
+        * (F.lit(1.0) - pp)
+        * (F.lit(1.0) / F.col("n0") + F.lit(1.0) / F.col("n1"))
+    )
+    return w.select(
+        F.col("n0").cast("long").alias("n_control"),
+        F.col("c0").cast("long").alias("conv_control"),
+        F.col("n1").cast("long").alias("n_treatment"),
+        F.col("c1").cast("long").alias("conv_treatment"),
+        F.round(p0, 4).alias("p_control"),
+        F.round(p1, 4).alias("p_treatment"),
+        F.when(
+            (tot_conv > 0) & (tot_conv < tot_n),
+            F.round(z, 4) + F.lit(0.0),
+        ).alias("z_score"),
+    )

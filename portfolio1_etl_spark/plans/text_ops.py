@@ -648,3 +648,79 @@ def q96_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.lit(1.0) - share).alias("rep_ratio"),
         (share < 0.6).alias("is_repetitive"),
     )
+
+
+@query(
+    "q208_html_strip",
+    sql="""
+    WITH pages AS (
+      SELECT doc_id,
+        '<html><head><title>doc</title></head><body class="d' || doc_id
+        || '"><h1>' || CASE WHEN doc_id % 3 = 0 THEN '<b>hdr</b>'
+                            ELSE 'hdr' END
+        || '</h1><p>' || text || '</p>'
+        || CASE WHEN doc_id % 4 = 0
+                THEN '<ul><li>&amp;item&lt;1&gt;</li></ul>' ELSE '' END
+        || '<br/></body></html>' AS html
+      FROM documents
+    ),
+    stripped AS (
+      SELECT doc_id, html,
+             replace(replace(replace(replace(
+               regexp_replace(html, '<[^>]*>', '', 'g'),
+               '&amp;', '&'), '&lt;', '<'), '&gt;', '>'),
+               '&quot;', '"') AS clean
+      FROM pages
+    )
+    SELECT doc_id,
+      CAST(len(regexp_extract_all(html, '<[^>]*>')) AS BIGINT) AS n_tags,
+      CAST(length(html) AS BIGINT) AS html_len,
+      CAST(length(clean) AS BIGINT) AS clean_len,
+      round(CAST(length(clean) AS DOUBLE) / length(html), 4) AS text_ratio
+    FROM stripped
+    """,
+    operators=("X-html-strip", "X-corpus-prep", "C-regex"),
+)
+def q208_html_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML boilerplate stripping — the first operator of every
+    web-corpus ingestion pipeline: tag removal plus entity unescape,
+    with the tag count and text-to-markup ratio as the quality
+    signals (pages whose ratio is tiny are navigation/chrome, the
+    classic pre-training drop rule). The page is synthesized around
+    the corpus text deterministically in BOTH engines (same constructs
+    -> same strings), so the oracle checks the STRIPPER, not the
+    generator. Pure narrow string expressions in whole-stage codegen
+    — no UDF, no shuffle; tag regex `<[^>]*>` parses identically in
+    Java regex and RE2 (no lookaround, no dot)."""
+    d = catalog.load(spark, sf_dir, "documents")
+    html = F.concat(
+        F.lit('<html><head><title>doc</title></head><body class="d'),
+        F.col("doc_id").cast("string"),
+        F.lit('"><h1>'),
+        F.when(F.col("doc_id") % 3 == 0, F.lit("<b>hdr</b>")).otherwise(
+            F.lit("hdr")
+        ),
+        F.lit("</h1><p>"),
+        F.col("text"),
+        F.lit("</p>"),
+        F.when(
+            F.col("doc_id") % 4 == 0,
+            F.lit("<ul><li>&amp;item&lt;1&gt;</li></ul>"),
+        ).otherwise(F.lit("")),
+        F.lit("<br/></body></html>"),
+    )
+    pages = d.select("doc_id", html.alias("html"))
+    clean = F.regexp_replace("html", "<[^>]*>", "")
+    for ent, ch in (("&amp;", "&"), ("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"')):
+        clean = F.replace(clean, F.lit(ent), F.lit(ch))
+    return pages.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("html", F.lit("<[^>]*>"), 0))
+        .cast("long")
+        .alias("n_tags"),
+        F.length("html").cast("long").alias("html_len"),
+        F.length(clean).cast("long").alias("clean_len"),
+        F.round(
+            F.length(clean).cast("double") / F.length("html"), 4
+        ).alias("text_ratio"),
+    )
