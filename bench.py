@@ -211,6 +211,9 @@ HEADLINE = [
     "q206_event_transitions",
     "q207_ab_conversion_ztest",
     "q208_html_strip",
+    # ops-monitoring: seasonal anomaly flags, percentile dashboards
+    "q209_seasonality_anomaly",
+    "q210_value_percentiles_daily",
 ]
 
 

@@ -395,3 +395,90 @@ def q190_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("wins_mean"),
     )
+
+
+@query(
+    "q209_seasonality_anomaly",
+    sql="""
+    WITH hourly AS (
+      SELECT CAST(ts AS DATE) AS d, hour(ts) AS h,
+             dayofweek(CAST(ts AS DATE)) AS dow, count(*) AS n
+      FROM events GROUP BY 1, 2, 3
+    ),
+    base AS (
+      SELECT dow, h, avg(CAST(n AS DOUBLE)) AS mean_n
+      FROM hourly GROUP BY 1, 2
+    )
+    SELECT hourly.d, CAST(hourly.h AS BIGINT) AS hour,
+      CAST(hourly.n AS BIGINT) AS n_events,
+      round(base.mean_n, 4) AS baseline,
+      round(CAST(hourly.n AS DOUBLE) / base.mean_n, 4) AS ratio,
+      CAST(CASE WHEN CAST(hourly.n AS DOUBLE) / base.mean_n < 0.5
+                  OR CAST(hourly.n AS DOUBLE) / base.mean_n > 2.0
+                THEN 1 ELSE 0 END AS BIGINT) AS is_anomaly
+    FROM hourly JOIN base USING (dow, h)
+    """,
+    operators=("X-anomaly", "X-seasonality", "A1", "J3"),
+)
+def q209_seasonality_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-baseline anomaly detection — the ops-monitoring query
+    behind every traffic alert: each (day, hour) bucket scored
+    against the mean volume of its (weekday, hour) season, flagged
+    outside [0.5x, 2x]. The dow key is internal to each engine's own
+    join (any consistent weekday numbering works), the ratio divides
+    an exact count by an average of exact counts (identical operands
+    both engines), and the season baseline is broadcast-size — at
+    100 TB this is one hourly pre-aggregate shuffle plus a 168-row
+    broadcast join, never a window over raw events."""
+    e = catalog.load(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        F.to_date("ts").alias("d"),
+        F.hour("ts").alias("h"),
+        F.dayofweek(F.to_date("ts")).alias("dow"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    base = hourly.groupBy("dow", "h").agg(
+        F.avg(F.col("n").cast("double")).alias("mean_n")
+    )
+    ratio = F.col("n").cast("double") / F.col("mean_n")
+    return hourly.join(F.broadcast(base), ["dow", "h"]).select(
+        "d",
+        F.col("h").cast("long").alias("hour"),
+        F.col("n").cast("long").alias("n_events"),
+        F.round("mean_n", 4).alias("baseline"),
+        F.round(ratio, 4).alias("ratio"),
+        F.when((ratio < 0.5) | (ratio > 2.0), 1)
+        .otherwise(0)
+        .cast("long")
+        .alias("is_anomaly"),
+    )
+
+
+@query(
+    "q210_value_percentiles_daily",
+    sql="""
+    SELECT event_type, CAST(ts AS DATE) AS d,
+      CAST(count(*) AS BIGINT) AS n,
+      round(quantile_cont(value, 0.5), 4) AS p50,
+      round(quantile_cont(value, 0.95), 4) AS p95,
+      round(quantile_cont(value, 0.99), 4) AS p99
+    FROM events GROUP BY 1, 2
+    """,
+    operators=("A-percentile", "X-observability", "A1"),
+)
+def q210_value_percentiles_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily per-type value percentiles (p50/p95/p99) — the
+    observability dashboard's latency-band query. Exact interpolated
+    percentiles (Spark ``percentile`` == DuckDB ``quantile_cont``,
+    the q34/q160-verified pairing) over one (type, day) shuffle; at
+    100 TB the group count stays bounded (types × days) while the
+    per-group sort distributes — for unbounded-cardinality keys the
+    approx_percentile sketch (q35) is the scale path."""
+    e = catalog.load(spark, sf_dir, "events")
+    return e.groupBy(
+        "event_type", F.to_date("ts").alias("d")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.round(F.percentile("value", F.lit(0.5)), 4).alias("p50"),
+        F.round(F.percentile("value", F.lit(0.95)), 4).alias("p95"),
+        F.round(F.percentile("value", F.lit(0.99)), 4).alias("p99"),
+    )
