@@ -214,6 +214,8 @@ HEADLINE = [
     # ops-monitoring: seasonal anomaly flags, percentile dashboards
     "q209_seasonality_anomaly",
     "q210_value_percentiles_daily",
+    # personalized PageRank (proximity-to-seed-set graph primitive)
+    "q211_personalized_pagerank",
 ]
 
 

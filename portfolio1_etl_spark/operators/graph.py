@@ -308,3 +308,87 @@ def bfs_levels(
         visited = materialize(visited.unionByName(nxt), checkpoint_mode)
         frontier = nxt.select("node")
     return visited
+
+
+def personalized_pagerank(
+    edges: DataFrame,
+    seeds: DataFrame,
+    iters: int = 3,
+    damping: float = 0.85,
+    checkpoint_mode: str = "local",
+) -> DataFrame:
+    """(node, rank): personalized PageRank — the teleport vector
+    concentrates on ``seeds`` (one column ``node``) instead of the
+    uniform vector, so rank measures proximity TO THE SEED SET: the
+    similar-items / related-entities primitive (Jeh & Widom 2003's
+    PPR formulation). r_{t+1}(v) = (1−d)·1[v∈S]/|S| + d·inflow(v),
+    started from the seed-uniform vector; leaky on dangling nodes
+    like the base ranker's default (identical in the oracle).
+
+    Scale shape mirrors ``pagerank``: the seed flag is joined ONCE
+    into the node table (never per round), each round is one
+    rank⋈edges equi-join plus a grouped sum, ranks round to 10 dp and
+    re-materialize per round (flat lineage), nothing collects to the
+    driver. Seeds outside the graph are ignored (inner join); an
+    empty effective seed set raises ValueError — the teleport vector
+    would be all-zero."""
+    nodes = materialize(
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select(F.col("dst").alias("node")))
+        .distinct(),
+        checkpoint_mode,
+    )
+    flagged = materialize(
+        nodes.join(
+            seeds.select("node").distinct().withColumn("s", F.lit(True)),
+            "node",
+            "left",
+        ).select("node", F.coalesce("s", F.lit(False)).alias("is_seed")),
+        checkpoint_mode,
+    )
+    n_seeds = flagged.filter(F.col("is_seed")).count()
+    if n_seeds == 0:
+        raise ValueError("personalized_pagerank: no seed is in the graph")
+    teleport = F.when(
+        F.col("is_seed"), F.lit((1.0 - damping) / n_seeds)
+    ).otherwise(F.lit(0.0))
+    ranks = flagged.select(
+        "node",
+        "is_seed",
+        F.round(
+            F.when(F.col("is_seed"), F.lit(1.0 / n_seeds)).otherwise(
+                F.lit(0.0)
+            ),
+            10,
+        ).alias("rank"),
+    )
+    ow = out_weights(edges)
+    contrib_edges = materialize(
+        edges.join(ow, "src").select(
+            "src", "dst", (F.col("w") / F.col("outw")).alias("share")
+        ),
+        checkpoint_mode,
+    )
+    for _ in range(iters):
+        contribs = (
+            contrib_edges.join(
+                ranks.select(F.col("node").alias("src"), "rank"), "src"
+            )
+            .groupBy("dst")
+            .agg(F.sum(F.col("rank") * F.col("share")).alias("inflow"))
+        )
+        ranks = materialize(
+            flagged.join(contribs, flagged.node == contribs.dst, "left")
+            .select(
+                "node",
+                "is_seed",
+                F.round(
+                    teleport
+                    + F.lit(damping)
+                    * F.coalesce("inflow", F.lit(0.0)),
+                    10,
+                ).alias("rank"),
+            ),
+            checkpoint_mode,
+        )
+    return ranks.select("node", "rank")

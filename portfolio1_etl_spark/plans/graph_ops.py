@@ -436,3 +436,87 @@ def q191_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges, src = _copurchase_edges(spark, sf_dir)
     levels = bfs_levels(edges, src, max_depth=_BFS_DEPTH)
     return levels.select(F.col("node").alias("user_id"), "level")
+
+
+# --- q211: personalized PageRank (r9) ---------------------------------------
+
+_PPR_SEEDS = ("NATION_1", "NATION_12", "NATION_3")
+
+
+def _ppr_sql() -> str:
+    seeds = ", ".join(f"('{s}')" for s in _PPR_SEEDS)
+    ctes = [
+        f"edges AS ({_EDGES_SQL})",
+        "nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges)",
+        f"sl(node) AS (VALUES {seeds})",
+        "flagged AS (SELECT n.node, sl.node IS NOT NULL AS is_seed "
+        "FROM nodes n LEFT JOIN sl ON n.node = sl.node)",
+        "ns AS (SELECT count(*) AS k FROM flagged WHERE is_seed)",
+        "ow AS (SELECT src, sum(w) AS outw FROM edges GROUP BY src)",
+        "ce AS (SELECT e.src, e.dst, e.w / o.outw AS share "
+        "FROM edges e JOIN ow o ON e.src = o.src)",
+        "r0 AS (SELECT node, is_seed, round(CASE WHEN is_seed "
+        "THEN 1.0 / ns.k ELSE 0.0 END, 10) AS rank "
+        "FROM flagged CROSS JOIN ns)",
+    ]
+    for t in range(1, _ITERS + 1):
+        ctes.append(
+            f"""r{t} AS (
+      SELECT f.node, f.is_seed,
+             round(CASE WHEN f.is_seed
+                        THEN (1.0 - {_DAMP}) / ns.k ELSE 0.0 END
+                   + {_DAMP} * coalesce(c.inflow, 0.0), 10) AS rank
+      FROM flagged f CROSS JOIN ns
+      LEFT JOIN (
+        SELECT ce.dst, sum(r.rank * ce.share) AS inflow
+        FROM ce JOIN r{t - 1} r ON ce.src = r.node
+        GROUP BY ce.dst
+      ) c ON f.node = c.dst
+    )"""
+        )
+    body = ",\n    ".join(ctes)
+    return f"""
+    WITH {body}
+    SELECT node AS nation, rank FROM r{_ITERS}
+    """
+
+
+@query(
+    "q211_personalized_pagerank",
+    sql=_ppr_sql(),
+    operators=("X-graph-ppr", "X-graph-pagerank", "J-star", "A1"),
+)
+def q211_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank from a 3-nation seed set over the trade
+    graph — rank as proximity TO THE SEEDS (related-entities /
+    recommendation primitive), vs q98's global importance. Teleport
+    mass goes only to seeds; same per-round plan as q98 (one
+    rank⋈edges join + grouped sum, 10 dp re-materialized rounds), the
+    seed flag joined once, never per round."""
+    from portfolio1_etl_spark.operators.graph import personalized_pagerank
+
+    ln = catalog.load(spark, sf_dir, "lineitem")
+    o = catalog.load(spark, sf_dir, "orders")
+    c = catalog.load(spark, sf_dir, "customer")
+    s = catalog.load(spark, sf_dir, "supplier")
+    n = catalog.load(spark, sf_dir, "nation")
+    cn = n.select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("src")
+    )
+    sn = n.select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("dst")
+    )
+    edges = (
+        ln.join(o, ln.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("c_nk"))
+        .join(F.broadcast(s), ln.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("s_nk"))
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    seeds = edges.sparkSession.createDataFrame(
+        [(s,) for s in _PPR_SEEDS], "node string"
+    )
+    ranks = personalized_pagerank(edges, seeds, iters=_ITERS, damping=_DAMP)
+    return ranks.select(F.col("node").alias("nation"), "rank")

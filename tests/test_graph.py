@@ -232,3 +232,32 @@ def test_bfs_fixed_depth_is_fixpoint_on_registry_graph(spark, sf_dir):
         for r in bfs_levels(edges, src, max_depth=_BFS_DEPTH + 1).collect()
     }
     assert deeper == base
+
+
+def test_personalized_pagerank_concentrates_on_seeds(spark):
+    from portfolio1_etl_spark.operators.graph import (
+        pagerank,
+        personalized_pagerank,
+    )
+
+    # a -> b -> c -> a ring plus an off-ring tail c -> d
+    edges = spark.createDataFrame(
+        [("a", "b", 1), ("b", "c", 1), ("c", "a", 1), ("c", "d", 1)],
+        "src string, dst string, w int",
+    )
+    seeds = spark.createDataFrame([("a",)], "node string")
+    ppr = {r.node: r.rank for r in personalized_pagerank(edges, seeds, iters=4).collect()}
+    # the seed and its in-neighborhood outrank the far tail
+    assert ppr["a"] > ppr["d"]
+    assert ppr["b"] > ppr["d"]
+    # teleport mass goes ONLY to the seed: unlike the global ranker,
+    # a node with no inflow path from the seed set decays toward 0
+    glob = {r.node: r.rank for r in pagerank(edges, iters=4).collect()}
+    assert ppr["a"] > glob["a"]  # proximity view concentrates
+
+    import pytest
+
+    with pytest.raises(ValueError, match="seed"):
+        personalized_pagerank(
+            edges, spark.createDataFrame([("zz",)], "node string")
+        )
