@@ -222,9 +222,8 @@ def q176_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
       WHERE e.event_type = 'purchase' AND e.ts > c.t GROUP BY 1
     ),
     n AS (
-      SELECT (SELECT count(*) FROM v) AS n1,
-             (SELECT count(*) FROM c) AS n2,
-             (SELECT count(*) FROM p) AS n3
+      SELECT count(v.t) AS n1, count(c.t) AS n2, count(p.t) AS n3
+      FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)
     )
     SELECT CAST(1 AS BIGINT) AS step, 'view' AS step_name,
            CAST(n1 AS BIGINT) AS n_users,
@@ -247,9 +246,13 @@ def q196_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     that a bare per-type distinct count gets wrong (it counts
     purchases that preceded the click). Step grain: first-completion
     timestamps, so each stage is one per-user min aggregate joined
-    forward — three well-keyed user_id shuffles of shrinking inputs,
-    then three 1-row counts folded into the 3-row report; no event-
-    to-event self-join, no window over the raw stream."""
+    forward — three well-keyed user_id shuffles of shrinking inputs.
+    The report folds ONCE: the three stages left-join on user_id into
+    a single 1-row count aggregate (count(t) skips null-extended
+    rows), and the 3-row output inline-explodes from that row — the
+    first cut union'd three branches that each re-derived the stage
+    chain (22 shuffles, 6 nested-loop joins); this shape audits at a
+    fraction of that with zero BNL joins."""
     e = _events(spark, sf_dir)
     v = (
         e.filter(F.col("event_type") == "view")
@@ -270,39 +273,40 @@ def q196_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id")
         .agg(F.min("ts").alias("tp"))
     )
-    n = (
-        v.agg(F.count(F.lit(1)).alias("n1"))
-        .crossJoin(c.agg(F.count(F.lit(1)).alias("n2")))
-        .crossJoin(p.agg(F.count(F.lit(1)).alias("n3")))
+    one = (
+        v.join(c.select("user_id", "tc"), "user_id", "left")
+        .join(p.select("user_id", "tp"), "user_id", "left")
+        .agg(
+            F.count("tv").alias("n1"),
+            F.count("tc").alias("n2"),
+            F.count("tp").alias("n3"),
+        )
     )
     pct = lambda num, den: F.when(  # noqa: E731
         F.col(den) > 0,
         F.round(F.lit(100.0) * F.col(num) / F.col(den), 2),
     )
-    rows = [
-        n.select(
+    report = F.array(
+        F.struct(
             F.lit(1).cast("long").alias("step"),
             F.lit("view").alias("step_name"),
             F.col("n1").cast("long").alias("n_users"),
             F.when(F.col("n1") > 0, F.lit(100.0)).alias("conversion_pct"),
         ),
-        n.select(
+        F.struct(
             F.lit(2).cast("long").alias("step"),
             F.lit("click_after_view").alias("step_name"),
             F.col("n2").cast("long").alias("n_users"),
             pct("n2", "n1").alias("conversion_pct"),
         ),
-        n.select(
+        F.struct(
             F.lit(3).cast("long").alias("step"),
             F.lit("purchase_after_click").alias("step_name"),
             F.col("n3").cast("long").alias("n_users"),
             pct("n3", "n2").alias("conversion_pct"),
         ),
-    ]
-    out = rows[0]
-    for r in rows[1:]:
-        out = out.unionByName(r)
-    return out
+    )
+    return one.select(F.explode(report).alias("r")).select("r.*")
 
 
 @query(
