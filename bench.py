@@ -220,29 +220,38 @@ HEADLINE = [
 
 
 def _previous_round_timings(here: str) -> tuple[str, dict[str, float]] | None:
-    """Latest driver-recorded BENCH_r{N}.json, if any — the per-query
-    baseline for the regression guard."""
+    """Newest usable per-query baseline for the regression guard:
+    driver-recorded BENCH_r{N}.json and in-repo bench_full_r{N}.json
+    considered together, newest round first, first one that parses
+    wins — the driver capture truncates to a log tail and has shipped
+    unparseable (r8), which must not silently disable the guard when
+    a committed full artifact exists."""
     import glob
     import re
 
     def _round_no(p: str) -> int | None:
-        m = re.search(r"BENCH_r(\d+)\.json$", os.path.basename(p))
+        m = re.search(r"(?:BENCH|bench_full)_r0*(\d+)\.json$", os.path.basename(p))
         return int(m.group(1)) if m else None
 
     benches = sorted(
-        (p for p in glob.glob(os.path.join(here, "BENCH_r*.json"))
-         if _round_no(p) is not None),
-        key=_round_no,
+        (
+            p
+            for pat in ("BENCH_r*.json", "bench_full_r*.json")
+            for p in glob.glob(os.path.join(here, pat))
+            if _round_no(p) is not None
+        ),
+        key=lambda p: (_round_no(p), "BENCH" in os.path.basename(p)),
+        reverse=True,
     )
-    if not benches:
-        return None
-    try:
-        with open(benches[-1]) as f:
-            data = json.load(f)
-        parsed = data.get("parsed") or data
-        return os.path.basename(benches[-1]), dict(parsed["queries"])
-    except (OSError, KeyError, ValueError, json.JSONDecodeError):
-        return None
+    for path in benches:
+        try:
+            with open(path) as f:
+                data = json.load(f)
+            parsed = data.get("parsed") or data
+            return os.path.basename(path), dict(parsed["queries"])
+        except (OSError, KeyError, TypeError, ValueError, json.JSONDecodeError):
+            continue
+    return None
 
 
 def _regression_report(timings: dict[str, float], here: str) -> None:
