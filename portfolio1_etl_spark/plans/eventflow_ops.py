@@ -455,21 +455,14 @@ def q207_ab_conversion_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
     difference of near-equal proportions is exactly the q159 hazard
     shape)."""
     e = _events(spark, sf_dir)
-    agg = e.groupBy(
-        (F.col("user_id") % 2).cast("long").alias("arm")
-    ).agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum(
-            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
-        ).alias("conv"),
+    arm0 = F.col("user_id") % 2 == 0
+    is_p = F.col("event_type") == "purchase"
+    one = e.agg(
+        F.sum(F.when(arm0, 1).otherwise(0)).alias("n0"),
+        F.sum(F.when(arm0 & is_p, 1).otherwise(0)).alias("c0"),
+        F.sum(F.when(~arm0, 1).otherwise(0)).alias("n1"),
+        F.sum(F.when(~arm0 & is_p, 1).otherwise(0)).alias("c1"),
     )
-    a0 = agg.filter(F.col("arm") == 0).select(
-        F.col("n").alias("n0"), F.col("conv").alias("c0")
-    )
-    a1 = agg.filter(F.col("arm") == 1).select(
-        F.col("n").alias("n1"), F.col("conv").alias("c1")
-    )
-    w = a0.crossJoin(F.broadcast(a1))
     p0 = F.col("c0").cast("double") / F.col("n0")
     p1 = F.col("c1").cast("double") / F.col("n1")
     tot_conv = F.col("c0") + F.col("c1")
@@ -480,7 +473,7 @@ def q207_ab_conversion_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
         * (F.lit(1.0) - pp)
         * (F.lit(1.0) / F.col("n0") + F.lit(1.0) / F.col("n1"))
     )
-    return w.select(
+    return one.select(
         F.col("n0").cast("long").alias("n_control"),
         F.col("c0").cast("long").alias("conv_control"),
         F.col("n1").cast("long").alias("n_treatment"),
