@@ -205,6 +205,7 @@ def write_versioned(
     capture_changes: bool = False,
     manifest: bool = False,
     meta: dict | None = None,
+    partition_by: list[str] | None = None,
 ) -> int:
     """Versioned snapshot chain — the warehouse-grade form of the
     reference's destructive inventory overwrite (portfolio-etl.py:648
@@ -253,6 +254,14 @@ def write_versioned(
     in test_sinks_layout). The underscore prefix keeps Spark's
     partition discovery from ever mistaking ``_changes`` for data.
 
+    ``partition_by`` (r9) lays each version out hive-partitioned on
+    the given columns; the manifest records the layout (``base`` +
+    ``partition_by``) so ``read_version`` restores the partition
+    columns through a basePath-aware scan and a filter on them PRUNES
+    FILES AT PLAN TIME (PartitionFilters — the plan-asserted property;
+    at 100 TB the difference between listing one partition and
+    scanning the table). ``compact_versioned`` preserves the layout.
+
     Schema evolution (r9): additive — a version may add (or drop)
     nullable columns; the captured change feed aligns adjacent
     versions to the union of columns (``_align_for_diff``), so an
@@ -298,10 +307,14 @@ def write_versioned(
     manifest = manifest or has_manifests
     if meta is not None and not manifest:
         raise ValueError("meta requires a manifest chain (manifest=True)")
+    def _writer(frame: DataFrame):
+        w = frame.write.mode("errorifexists")
+        return w.partitionBy(*partition_by) if partition_by else w
+
     if not manifest:
         vs = _versions(spark, path)
         new = (max(vs) + 1) if vs else 0
-        df.write.mode("errorifexists").parquet(f"{path}/v={new}")
+        _writer(df).parquet(f"{path}/v={new}")
         if capture_changes:
             # diff the WRITTEN files (cheap re-scan) against the
             # previous snapshot — never the incoming plan, which
@@ -325,7 +338,7 @@ def write_versioned(
 
     token = uuid.uuid4().hex[:12]
     data_rel = f"_staging/{token}/data"
-    df.write.mode("errorifexists").parquet(f"{path}/{data_rel}")
+    _writer(df).parquet(f"{path}/{data_rel}")
     written = spark.read.parquet(f"{path}/{data_rel}")
     for _ in range(_COMMIT_RETRIES):
         vs = _versions(spark, path)
@@ -356,6 +369,8 @@ def write_versioned(
                     if changes_rel
                     else []
                 ),
+                base=data_rel,
+                partition_by=partition_by,
             )
             return new
         except ConcurrentCommitError:
@@ -591,6 +606,8 @@ def _commit_manifest(
     files: list[str] | None = None,
     changes: list[str] | None = None,
     cas: bool = True,
+    base: str | None = None,
+    partition_by: list[str] | None = None,
 ) -> None:
     """The commit point of a manifest chain: one small JSON file
     listing the version's data (and change-feed) files, staged to a
@@ -612,10 +629,16 @@ def _commit_manifest(
 
     from datetime import datetime, timezone
 
+    layout = {}
+    if base is not None:
+        layout["base"] = base
+    if partition_by:
+        layout["partition_by"] = list(partition_by)
     doc = json.dumps(
         {
             "version": n,
             "committed_at": datetime.now(timezone.utc).isoformat(),
+            **layout,
             "files": (
                 files
                 if files is not None
@@ -673,7 +696,12 @@ def read_version(spark: SparkSession, path: str, n: int | None = None) -> DataFr
         n = vs[-1]
     m = _read_manifest(spark, path, n)
     if m is not None:
-        return spark.read.parquet(*[f"{path}/{rel}" for rel in m["files"]])
+        reader = spark.read
+        if "base" in m:
+            # basePath recovers hive-partition columns from the staged
+            # file paths; a filter on them prunes at PLAN time
+            reader = reader.option("basePath", f"{path}/{m['base']}")
+        return reader.parquet(*[f"{path}/{rel}" for rel in m["files"]])
     return spark.read.parquet(f"{path}/v={n}")
 
 
@@ -731,27 +759,30 @@ def prune_versions(spark: SparkSession, path: str, keep: int = 3) -> list[int]:
             raise IOError(f"could not un-commit manifest v={n} under {path}")
         if m is not None:
             # staged layout (r9): the manifest's file lists are the
-            # source of truth — delete each referenced parent dir
-            # (one `_staging/{token}/data|changes-N` dir per list, or
-            # the legacy v=N dir for pre-r9 manifest versions)
-            dirs = {
+            # source of truth. A writer's _staging/{token} dir holds
+            # exactly this version's data + feed (one writer, one
+            # commit), so the whole token dir goes — which also
+            # covers hive-partitioned layouts' nested dirs. Legacy
+            # (pre-staging) manifest versions delete their referenced
+            # parent dirs.
+            tokens = {
+                rel.split("/", 2)[1]
+                for rel in (m["files"] + m["changes"])
+                if rel.startswith("_staging/")
+            }
+            for tok in sorted(tokens):
+                p = hpath(f"{path}/_staging/{tok}")
+                if fs.exists(p):
+                    fs.delete(p, True)
+            legacy_dirs = {
                 rel.rsplit("/", 1)[0]
                 for rel in (m["files"] + m["changes"])
-                if "/" in rel
+                if "/" in rel and not rel.startswith("_staging/")
             }
-            for d in sorted(dirs):
+            for d in sorted(legacy_dirs):
                 p = hpath(f"{path}/{d}")
                 if fs.exists(p):
                     fs.delete(p, True)
-            # sweep token shells left empty by the dir deletes
-            for shell in {
-                d.rsplit("/", 1)[0]
-                for d in dirs
-                if d.startswith("_staging/") and d.count("/") == 2
-            }:
-                sp = hpath(f"{path}/{shell}")
-                if fs.exists(sp) and not fs.listStatus(sp):
-                    fs.delete(sp, True)
         for sub in (f"v={n}", f"_changes/v={n}"):
             p = hpath(f"{path}/{sub}")
             if fs.exists(p):
@@ -814,12 +845,23 @@ def compact_versioned(
         else:
             data_rel = f"v={new}"
             changes_rel = f"_changes/v={new}"
-        (
-            read_version(spark, path, latest)
-            .repartition(n_files)
-            .write.mode("errorifexists")
-            .parquet(f"{path}/{data_rel}")
-        )
+        pb = (m or {}).get("partition_by")
+        src = read_version(spark, path, latest)
+        if pb:
+            # preserve the hive layout: cluster rows by partition key
+            # so each partition compacts to ~one file
+            (
+                src.repartition(*[F.col(c) for c in pb])
+                .write.mode("errorifexists")
+                .partitionBy(*pb)
+                .parquet(f"{path}/{data_rel}")
+            )
+        else:
+            (
+                src.repartition(n_files)
+                .write.mode("errorifexists")
+                .parquet(f"{path}/{data_rel}")
+            )
         if captures:
             empty = (
                 spark.read.parquet(f"{path}/{data_rel}")
@@ -841,6 +883,8 @@ def compact_versioned(
                     if captures
                     else []
                 ),
+                base=data_rel,
+                partition_by=pb,
             )
             return new
         except ConcurrentCommitError:

@@ -760,14 +760,14 @@ def test_two_interleaved_writers_both_commit(spark, tmp_path):
     real_commit = sinks._commit_manifest
     state = {"intruded": False}
 
-    def intruding_commit(spark_, path_, n, meta=None, files=None, changes=None, cas=True):
+    def intruding_commit(spark_, path_, n, meta=None, **kw):
         if not state["intruded"]:
             state["intruded"] = True
             write_versioned(  # writer B: full write-and-commit of v=1
                 spark.createDataFrame([(2, 7)], "id int, qty int"), path,
                 capture_changes=True, manifest=True,
             )
-        return real_commit(spark_, path_, n, meta, files, changes, cas)
+        return real_commit(spark_, path_, n, meta, **kw)
 
     sinks._commit_manifest = intruding_commit
     try:
@@ -887,3 +887,68 @@ def test_read_version_asof_timestamp_time_travel(spark, tmp_path):
     write_versioned(spark.createDataFrame([(9,)], "id int"), plain)
     with pytest.raises(ValueError, match="committed_at"):
         read_version_asof(spark, plain, after_all)
+
+
+def test_partitioned_versioned_chain_prunes_and_compacts(spark, sf_dir, tmp_path):
+    """write_versioned(partition_by=...): the manifest records the
+    layout, read_version restores the partition columns and a filter
+    on them prunes at PLAN time (PartitionFilters), the change feed
+    carries the partition column, compaction preserves the layout,
+    and prune reclaims the whole partitioned staging tree."""
+    import glob as _g
+
+    from portfolio1_etl_spark import catalog
+    from portfolio1_etl_spark.operators.sinks import (
+        compact_versioned,
+        prune_versions,
+        read_changes,
+        read_version,
+        write_versioned,
+    )
+
+    orders = catalog.load(spark, sf_dir, "orders").limit(400)
+    path = str(tmp_path / "part_chain")
+    write_versioned(
+        orders, path, capture_changes=True, manifest=True,
+        partition_by=["o_orderpriority"],
+    )
+    got = read_version(spark, path, 0)
+    assert "o_orderpriority" in got.columns
+    assert got.count() == 400
+
+    scan = got.filter(F.col("o_orderpriority") == "1-URGENT")
+    plan = scan._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    pf = [l for l in plan.splitlines() if "PartitionFilters" in l]
+    assert pf and "o_orderpriority" in pf[0]
+    want = orders.filter(F.col("o_orderpriority") == "1-URGENT").count()
+    assert scan.count() == want
+
+    # feed carries the partition column; second write diffs correctly
+    write_versioned(
+        orders.filter(F.col("o_orderpriority") != "1-URGENT"),
+        path, capture_changes=True, manifest=True,
+        partition_by=["o_orderpriority"],
+    )
+    feed = read_changes(spark, path, 0, 1)
+    assert set(feed.select("_change").distinct().toPandas()["_change"]) == {
+        "delete"
+    }
+    assert feed.count() == want
+
+    # compaction preserves the hive layout
+    v2 = compact_versioned(spark, path)
+    m_files = read_version(spark, path, v2)
+    assert "o_orderpriority" in m_files.columns
+    assert m_files.count() == 400 - want
+    assert any(
+        "o_orderpriority=" in f for f in m_files.inputFiles()
+    )
+
+    # prune reclaims the whole partitioned staging tree of v=0
+    prune_versions(spark, path, keep=2)
+    staging_dirs = _g.glob(f"{path}/_staging/*")
+    assert len(staging_dirs) == 2  # v1 + compacted v2 remain
