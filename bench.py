@@ -216,6 +216,9 @@ HEADLINE = [
     "q210_value_percentiles_daily",
     # personalized PageRank (proximity-to-seed-set graph primitive)
     "q211_personalized_pagerank",
+    # sketch algebra + sequential pattern mining
+    "q212_hll_merge_rollup",
+    "q213_consecutive_declines",
 ]
 
 

@@ -389,3 +389,134 @@ def q195_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.abs(est / F.col("n").cast("double") - F.lit(1.0)) * 100.0, 2
         ).alias("rel_err_pct"),
     )
+
+
+@query(
+    "q212_hll_merge_rollup",
+    sql=f"""
+    WITH h AS (
+      SELECT event_type, CAST(ts AS DATE) AS d, user_id,
+             {_H48_SQL.format(c="'hll-' || user_id::VARCHAR")} AS hv
+      FROM events
+    ),
+    daily_regs AS (
+      SELECT event_type, d, hv >> {_HLL_RANK_BITS} AS bucket,
+             max(CASE WHEN (hv & {(1 << _HLL_RANK_BITS) - 1}) = 0
+                      THEN {_HLL_RANK_BITS + 1}
+                      ELSE strpos(lpad(bin(hv & {(1 << _HLL_RANK_BITS) - 1}),
+                                       {_HLL_RANK_BITS}, '0'), '1')
+                 END) AS m
+      FROM h GROUP BY 1, 2, 3
+    ),
+    merged_regs AS (
+      SELECT event_type, bucket, max(m) AS m
+      FROM daily_regs GROUP BY 1, 2
+    ),
+    direct_regs AS (
+      SELECT event_type, hv >> {_HLL_RANK_BITS} AS bucket,
+             max(CASE WHEN (hv & {(1 << _HLL_RANK_BITS) - 1}) = 0
+                      THEN {_HLL_RANK_BITS + 1}
+                      ELSE strpos(lpad(bin(hv & {(1 << _HLL_RANK_BITS) - 1}),
+                                       {_HLL_RANK_BITS}, '0'), '1')
+                 END) AS m
+      FROM h GROUP BY 1, 2
+    ),
+    fm AS (
+      SELECT event_type,
+             sum(power(2.0, -m)) + (256 - count(*)) * 1.0 AS s
+      FROM merged_regs GROUP BY event_type
+    ),
+    fd AS (
+      SELECT event_type,
+             sum(power(2.0, -m)) + (256 - count(*)) * 1.0 AS s
+      FROM direct_regs GROUP BY event_type
+    ),
+    np AS (
+      SELECT event_type, count(DISTINCT d) AS n_partials
+      FROM daily_regs GROUP BY event_type
+    )
+    SELECT fd.event_type,
+      CAST(np.n_partials AS BIGINT) AS n_partials,
+      round(({_HLL_ALPHA_SQL}) * 65536.0 / fd.s, 2) AS hll_direct,
+      round(({_HLL_ALPHA_SQL}) * 65536.0 / fm.s, 2) AS hll_merged,
+      CAST(CASE WHEN fd.s = fm.s THEN 1 ELSE 0 END AS BIGINT)
+        AS merge_exact
+    FROM fd JOIN fm USING (event_type) JOIN np USING (event_type)
+    """,
+    operators=("X-sketch-hll", "X-sketch-merge", "A-distinct"),
+)
+def q212_hll_merge_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MERGEABILITY proof for the HLL sketch — the property that
+    makes it the 100 TB cardinality plan: per-day partial register
+    files max-merge into exactly the registers a direct global pass
+    builds (max of maxes = global max, per bucket), so the rolled-up
+    estimate is BIT-IDENTICAL to the direct one (merge_exact pinned
+    to 1 on every row by the oracle). This is the shape a warehouse
+    runs: tiny per-partition sketches maintained incrementally, any
+    rollup grain served by register merge — never a re-scan."""
+    e = catalog.load(spark, sf_dir, "events")
+    rank_mask = (1 << _HLL_RANK_BITS) - 1
+    hv = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("hll-"), F.col("user_id").cast("string"))),
+            1,
+            12,
+        ),
+        16,
+        10,
+    ).cast("long")
+    rem = F.col("hv").bitwiseAND(F.lit(rank_mask))
+    rho = F.when(rem == 0, F.lit(_HLL_RANK_BITS + 1)).otherwise(
+        F.expr(
+            f"instr(lpad(conv(hv & {rank_mask}, 10, 2), "
+            f"{_HLL_RANK_BITS}, '0'), '1')"
+        )
+    )
+    h = e.select(
+        "event_type",
+        F.to_date("ts").alias("d"),
+        hv.alias("hv"),
+    ).select(
+        "event_type",
+        "d",
+        F.shiftright("hv", _HLL_RANK_BITS).alias("bucket"),
+        rho.alias("rho"),
+    )
+    daily = h.groupBy("event_type", "d", "bucket").agg(
+        F.max("rho").alias("m")
+    )
+    merged = daily.groupBy("event_type", "bucket").agg(F.max("m").alias("m"))
+    direct = h.groupBy("event_type", "bucket").agg(F.max("rho").alias("m"))
+
+    def fold(regs: DataFrame) -> DataFrame:
+        return regs.groupBy("event_type").agg(
+            (
+                F.sum(F.pow(F.lit(2.0), -F.col("m")))
+                + (F.lit(256) - F.count(F.lit(1))) * F.lit(1.0)
+            ).alias("s")
+        )
+
+    alpha = F.lit(0.7213) / (F.lit(1.0) + F.lit(1.079) / F.lit(256.0))
+    fm = fold(merged).withColumnRenamed("s", "sm")
+    fd = fold(direct)
+    np_ = daily.groupBy("event_type").agg(
+        F.countDistinct("d").alias("n_partials")
+    )
+    return (
+        fd.join(fm, "event_type")
+        .join(np_, "event_type")
+        .select(
+            "event_type",
+            F.col("n_partials").cast("long").alias("n_partials"),
+            F.round(alpha * F.lit(65536.0) / F.col("s"), 2).alias(
+                "hll_direct"
+            ),
+            F.round(alpha * F.lit(65536.0) / F.col("sm"), 2).alias(
+                "hll_merged"
+            ),
+            F.when(F.col("s") == F.col("sm"), 1)
+            .otherwise(0)
+            .cast("long")
+            .alias("merge_exact"),
+        )
+    )

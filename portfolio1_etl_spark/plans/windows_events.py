@@ -340,3 +340,107 @@ def q171_event_path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_paths"))
         .filter(F.col("n_paths") >= 10)
     )
+
+
+@query(
+    "q213_consecutive_declines",
+    sql="""
+    WITH daily AS (
+      SELECT n.n_name AS nation, CAST(l.l_shipdate AS DATE) AS d,
+             CAST(round(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                  AS DECIMAL(28,8))), 2) AS DOUBLE) AS rev
+      FROM lineitem l
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN nation n ON s.s_nationkey = n.n_nationkey
+      GROUP BY 1, 2
+    ),
+    marked AS (
+      SELECT nation, d, rev,
+             CASE WHEN rev < lag(rev) OVER w THEN 1 ELSE 0 END AS dec,
+             row_number() OVER w AS rn
+      FROM daily WINDOW w AS (PARTITION BY nation ORDER BY d)
+    ),
+    anchored AS (
+      SELECT nation, dec,
+             rn - sum(dec) OVER (PARTITION BY nation ORDER BY rn
+                                 ROWS UNBOUNDED PRECEDING) AS anchor
+      FROM marked
+    ),
+    lens AS (
+      SELECT nation, anchor, count(*) AS run_len
+      FROM anchored WHERE dec = 1 GROUP BY nation, anchor
+    ),
+    days AS (SELECT nation, count(*) AS n_days FROM daily GROUP BY 1),
+    agg AS (
+      SELECT nation, max(run_len) AS longest,
+             sum(CASE WHEN run_len >= 3 THEN 1 ELSE 0 END) AS n3
+      FROM lens GROUP BY 1
+    )
+    SELECT days.nation, CAST(days.n_days AS BIGINT) AS n_days,
+      CAST(coalesce(agg.longest, 0) AS BIGINT) AS longest_decline_run,
+      CAST(coalesce(agg.n3, 0) AS BIGINT) AS n_runs_ge3
+    FROM days LEFT JOIN agg USING (nation)
+    """,
+    operators=("Window-nav", "X-islands", "X-pattern", "A1"),
+)
+def q213_consecutive_declines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential pattern mining over the revenue series: per supplier
+    nation, the longest run of consecutive declining revenue days and
+    the count of ≥3-day slumps — the lag + anchored-island shape
+    (rn − running Σdecline groups each maximal run) that SQL pattern
+    matching compiles down to. Declines compare exact decimal-backed
+    daily revenues, so the indicator is bit-identical cross-engine.
+    Both window passes share ONE (nation, date-ordered) exchange;
+    runs aggregate on (nation, anchor) — bounded by days, not rows."""
+    l = catalog.load(spark, sf_dir, "lineitem")
+    s = catalog.load(spark, sf_dir, "supplier")
+    n = catalog.load(spark, sf_dir, "nation")
+    from portfolio1_etl_spark.functions.exact import dsum_product
+
+    daily = (
+        l.join(F.broadcast(s), l["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(n), F.col("s_nationkey") == n["n_nationkey"])
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.col("l_shipdate").cast("date").alias("d"),
+        )
+        .agg(
+            dsum_product(
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
+            ).alias("rev")
+        )
+    )
+    w = W.partitionBy("nation").orderBy("d")
+    marked = daily.select(
+        "nation",
+        F.when(F.col("rev") < F.lag("rev").over(w), 1)
+        .otherwise(0)
+        .alias("dec"),
+        F.row_number().over(w).alias("rn"),
+    )
+    wrun = (
+        W.partitionBy("nation")
+        .orderBy("rn")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    anchored = marked.select(
+        "nation", "dec", (F.col("rn") - F.sum("dec").over(wrun)).alias("anchor")
+    )
+    lens = (
+        anchored.filter(F.col("dec") == 1)
+        .groupBy("nation", "anchor")
+        .agg(F.count(F.lit(1)).alias("run_len"))
+    )
+    days = daily.groupBy("nation").agg(F.count(F.lit(1)).alias("n_days"))
+    agg = lens.groupBy("nation").agg(
+        F.max("run_len").alias("longest"),
+        F.sum(F.when(F.col("run_len") >= 3, 1).otherwise(0)).alias("n3"),
+    )
+    return days.join(agg, "nation", "left").select(
+        "nation",
+        F.col("n_days").cast("long").alias("n_days"),
+        F.coalesce("longest", F.lit(0))
+        .cast("long")
+        .alias("longest_decline_run"),
+        F.coalesce("n3", F.lit(0)).cast("long").alias("n_runs_ge3"),
+    )
