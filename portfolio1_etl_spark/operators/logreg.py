@@ -18,6 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from portfolio1_etl_spark.functions.numeric import zround
 from portfolio1_etl_spark.operators import checkpointing
 
 #: feature column names; x0 is the intercept (always 1.0)
@@ -74,12 +75,10 @@ def train_logreg(
         wdf = checkpointing.materialize(
             wdf.crossJoin(stats).select(
                 *[
-                    # + 0.0 canonicalizes signed zero (the q159 class):
-                    # Spark's round never emits -0.0, DuckDB's does —
-                    # mirrored in the oracle's w-update CTE
-                    (
-                        F.round(F.col(f"w{i}") - F.lit(lr) * F.col(f"g{i}"), 8)
-                        + F.lit(0.0)
+                    # zround canonicalizes signed zero (the q159
+                    # class) — mirrored in the oracle's w-update CTE
+                    zround(
+                        F.col(f"w{i}") - F.lit(lr) * F.col(f"g{i}"), 8
                     ).alias(f"w{i}")
                     for i in range(3)
                 ]

@@ -454,6 +454,29 @@ def _hadoop_fs(spark: SparkSession, path: str):
     return fs, jpath
 
 
+def _hive_partition_cols(spark: SparkSession, data_dir: str) -> list[str]:
+    """Partition columns of a hive-laid-out directory, recovered from
+    the ``col=value`` subdirectory chain (walking one branch — hive
+    layouts are uniform by construction). Empty list when the first
+    level holds plain files."""
+    fs, _ = _hadoop_fs(spark, data_dir)
+    jvm = spark.sparkContext._jvm
+    cols: list[str] = []
+    cur = jvm.org.apache.hadoop.fs.Path(data_dir)
+    while fs.exists(cur):
+        nxt = None
+        for st in fs.listStatus(cur):
+            name = st.getPath().getName()
+            if st.isDirectory() and "=" in name and not name.startswith((".", "_")):
+                cols.append(name.split("=", 1)[0])
+                nxt = st.getPath()
+                break
+        if nxt is None:
+            break
+        cur = nxt
+    return cols
+
+
 def _dir_versions(spark: SparkSession, path: str) -> list[int]:
     """Sorted version numbers under ``path`` by DIRECTORY listing —
     the legacy (pre-manifest) resolution, still what non-manifest
@@ -774,15 +797,8 @@ def prune_versions(spark: SparkSession, path: str, keep: int = 3) -> list[int]:
                 p = hpath(f"{path}/_staging/{tok}")
                 if fs.exists(p):
                     fs.delete(p, True)
-            legacy_dirs = {
-                rel.rsplit("/", 1)[0]
-                for rel in (m["files"] + m["changes"])
-                if "/" in rel and not rel.startswith("_staging/")
-            }
-            for d in sorted(legacy_dirs):
-                p = hpath(f"{path}/{d}")
-                if fs.exists(p):
-                    fs.delete(p, True)
+            # legacy (pre-staging) manifest rels all live under the
+            # v=N / _changes/v=N dirs the loop below deletes anyway
         for sub in (f"v={n}", f"_changes/v={n}"):
             p = hpath(f"{path}/{sub}")
             if fs.exists(p):
@@ -822,15 +838,6 @@ def compact_versioned(
             raise FileNotFoundError(f"no versions under {path}")
         latest = vs[-1]
         m = _read_manifest(spark, path, latest) if manifest else None
-        rels = (
-            m["files"]
-            if m is not None
-            else _list_rel_parquet(spark, path, f"v={latest}")
-        )
-        size = 0
-        for rel in rels:
-            size += fs.getFileStatus(hpath(f"{path}/{rel}")).getLen()
-        n_files = max(1, -(-size // target_file_bytes))
         captures = (
             bool(m["changes"])
             if m is not None
@@ -845,11 +852,18 @@ def compact_versioned(
         else:
             data_rel = f"v={new}"
             changes_rel = f"_changes/v={new}"
-        pb = (m or {}).get("partition_by")
+        if m is not None:
+            pb = m.get("partition_by")
+        else:
+            # non-manifest chains record no layout metadata — recover
+            # the hive partition columns from the directory structure
+            # itself, else compaction silently flattens the layout
+            pb = _hive_partition_cols(spark, f"{path}/v={latest}")
         src = read_version(spark, path, latest)
         if pb:
             # preserve the hive layout: cluster rows by partition key
-            # so each partition compacts to ~one file
+            # so each partition compacts to ~one file (the n_files
+            # size math is meaningless per-partition and skipped)
             (
                 src.repartition(*[F.col(c) for c in pb])
                 .write.mode("errorifexists")
@@ -857,6 +871,15 @@ def compact_versioned(
                 .parquet(f"{path}/{data_rel}")
             )
         else:
+            rels = (
+                m["files"]
+                if m is not None
+                else _list_rel_parquet(spark, path, f"v={latest}")
+            )
+            size = 0
+            for rel in rels:
+                size += fs.getFileStatus(hpath(f"{path}/{rel}")).getLen()
+            n_files = max(1, -(-size // target_file_bytes))
             (
                 src.repartition(n_files)
                 .write.mode("errorifexists")
@@ -1148,9 +1171,14 @@ def vacuum_chain(spark: SparkSession, path: str) -> list[str]:
     Returns the deleted subpaths. Raises on non-manifest chains —
     directory existence IS the commit there, so nothing is garbage.
 
-    r9: also sweeps unreferenced ``_staging/{token}`` directories —
-    the debris of crashed or commit-race-losing writers under the
-    staged CAS layout."""
+    r9: also sweeps unreferenced ``_staging/{token}`` directories (the
+    debris of crashed or commit-race-losing writers under the staged
+    CAS layout), orphan ``.{name}.{uuid}.tmp`` commit-stage files
+    under ``_manifests/`` (a writer that died between staging and
+    rename), and legacy ``v=N`` directories whose number was later
+    committed THROUGH STAGING (the pre-r9 crash leftover the old
+    number-reuse sweep handled) — referencedness, not version-number
+    membership, decides what survives."""
     import re
 
     fs, jpath = _hadoop_fs(spark, path)
@@ -1159,6 +1187,19 @@ def vacuum_chain(spark: SparkSession, path: str) -> list[str]:
     if not fs.exists(hpath(f"{path}/_manifests")):
         raise ValueError(f"{path} is not a manifest chain")
     committed = set(_versions(spark, path))
+    # every directory prefix a committed manifest actually references
+    referenced_prefixes: set[str] = set()
+    for n in committed:
+        man = _read_manifest(spark, path, n)
+        if man is None:
+            continue
+        for rel in man["files"] + man["changes"]:
+            if rel.startswith("_staging/"):
+                referenced_prefixes.add("/".join(rel.split("/", 2)[:2]))
+            elif rel.startswith("_changes/"):
+                referenced_prefixes.add("/".join(rel.split("/", 3)[:2]))
+            else:
+                referenced_prefixes.add(rel.split("/", 1)[0])
     deleted: list[str] = []
     for sub, pat in (("", r"v=(\d+)"), ("_changes/", r"v=(\d+)")):
         d = hpath(f"{path}/{sub}") if sub else jpath
@@ -1167,18 +1208,26 @@ def vacuum_chain(spark: SparkSession, path: str) -> list[str]:
         for st in fs.listStatus(d):
             name = st.getPath().getName()
             m = re.fullmatch(pat, name)
-            if m and st.isDirectory() and int(m.group(1)) not in committed:
+            if (
+                m
+                and st.isDirectory()
+                and f"{sub}{name}" not in referenced_prefixes
+            ):
                 fs.delete(st.getPath(), True)
                 deleted.append(f"{sub}{name}")
+    mdir = hpath(f"{path}/_manifests")
+    for st in fs.listStatus(mdir):
+        name = st.getPath().getName()
+        if st.isFile() and name.startswith(".") and name.endswith(".tmp"):
+            fs.delete(st.getPath(), False)
+            deleted.append(f"_manifests/{name}")
     sdir = hpath(f"{path}/_staging")
     if fs.exists(sdir):
-        referenced: set[str] = set()
-        for n in committed:
-            m = _read_manifest(spark, path, n)
-            if m is not None:
-                for rel in m["files"] + m["changes"]:
-                    if rel.startswith("_staging/"):
-                        referenced.add(rel.split("/", 2)[1])
+        referenced = {
+            p.split("/", 1)[1]
+            for p in referenced_prefixes
+            if p.startswith("_staging/")
+        }
         for st in fs.listStatus(sdir):
             token = st.getPath().getName()
             if token not in referenced:

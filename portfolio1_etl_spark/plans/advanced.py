@@ -13,6 +13,7 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from portfolio1_etl_spark import catalog
+from portfolio1_etl_spark.functions.numeric import zround
 from portfolio1_etl_spark.plans.registry import query
 
 
@@ -95,12 +96,12 @@ def q33_stats_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.groupBy(F.col("l_returnflag").alias("returnflag")).agg(
         F.round(F.stddev_samp("l_quantity"), 4).alias("sd_qty"),
         F.round(F.var_samp("l_quantity"), 4).alias("var_qty"),
-        # + 0.0: signed-zero canonicalization (q159 class) — corr and
+        # zround: signed-zero canonicalization (q159 class) — corr and
         # covariance are the sign-indefinite outputs here
-        (F.round(F.corr("l_quantity", "l_extendedprice"), 6) + F.lit(0.0)).alias(
+        zround(F.corr("l_quantity", "l_extendedprice"), 6).alias(
             "corr_qty_price"
         ),
-        (F.round(F.covar_samp("l_quantity", "l_extendedprice"), 2) + F.lit(0.0)).alias(
+        zround(F.covar_samp("l_quantity", "l_extendedprice"), 2).alias(
             "covar_qty_price"
         ),
     )

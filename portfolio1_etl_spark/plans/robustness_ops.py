@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 
 from portfolio1_etl_spark import catalog
 from portfolio1_etl_spark.functions.exact import dsum_money
+from portfolio1_etl_spark.functions.numeric import zround
 from portfolio1_etl_spark.operators.joins import salted_join
 from portfolio1_etl_spark.plans.registry import query
 
@@ -165,8 +166,7 @@ def q133_udf_groupedmap_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     return z.select(
         "doc_id",
         "source",
-        # + 0.0: signed-zero canonicalization (q159 class)
-        (F.round("zscore", 6) + F.lit(0.0)).alias("zscore"),
+        zround(F.col("zscore"), 6).alias("zscore"),
     )
 
 

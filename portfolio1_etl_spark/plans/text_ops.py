@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from portfolio1_etl_spark import catalog
+from portfolio1_etl_spark.functions.numeric import zround
 from portfolio1_etl_spark.plans.registry import query
 
 
@@ -585,15 +586,11 @@ def q94_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("w").alias("term"),
             "tf",
             "df",
-            # + 0.0 after the round: signed-zero canonicalization
-            # (q159 class; functions/numeric.zround inline form)
-            (
-                F.round(
-                    F.col("tf")
-                    * F.log(F.col("n_docs").cast("double") / F.col("df")),
-                    6,
-                )
-                + F.lit(0.0)
+            # zround: signed-zero canonicalization (q159 class)
+            zround(
+                F.col("tf")
+                * F.log(F.col("n_docs").cast("double") / F.col("df")),
+                6,
             ).alias("tfidf"),
         )
     )

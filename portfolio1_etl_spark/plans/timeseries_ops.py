@@ -27,6 +27,7 @@ from pyspark.sql import functions as F
 
 from portfolio1_etl_spark import catalog
 from portfolio1_etl_spark.functions import dsum_money
+from portfolio1_etl_spark.functions.numeric import zround
 from portfolio1_etl_spark.plans.registry import query
 
 
@@ -390,14 +391,10 @@ def q193_twap_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         seq.groupBy("user_id", "d")
         .agg(
             F.count("dt_us").alias("n_intervals"),
-            # zround form: signed-zero canonicalization (q159 class)
-            (
-                F.round(
-                    F.sum(F.col("v") * F.col("dt_us")).cast("double")
-                    / F.sum("dt_us").cast("double"),
-                    6,
-                )
-                + F.lit(0.0)
+            zround(
+                F.sum(F.col("v") * F.col("dt_us")).cast("double")
+                / F.sum("dt_us").cast("double"),
+                6,
             ).alias("twap"),
             F.sum("dt_us").alias("_span"),
         )

@@ -952,3 +952,57 @@ def test_partitioned_versioned_chain_prunes_and_compacts(spark, sf_dir, tmp_path
     prune_versions(spark, path, keep=2)
     staging_dirs = _g.glob(f"{path}/_staging/*")
     assert len(staging_dirs) == 2  # v1 + compacted v2 remain
+
+
+def test_vacuum_sweeps_tmp_debris_and_reused_number_orphans(spark, tmp_path):
+    """Review r9: a writer that died between staging and rename leaves
+    .{name}.{uuid}.tmp under _manifests, and a pre-staging crashed v=N
+    dir whose number a staged commit later REUSED is unreferenced by
+    the committed manifest — both are vacuum garbage; referencedness,
+    not version-number membership, decides."""
+    import os
+
+    from portfolio1_etl_spark.operators.sinks import (
+        read_version,
+        vacuum_chain,
+        write_versioned,
+    )
+
+    path = str(tmp_path / "vacdebris")
+    write_versioned(spark.createDataFrame([(1,)], "id int"), path, manifest=True)
+    # pre-staging orphan whose number the NEXT staged commit will reuse
+    spark.createDataFrame([(666,)], "id int").write.parquet(f"{path}/v=1")
+    write_versioned(spark.createDataFrame([(2,)], "id int"), path, manifest=True)
+    assert [r.id for r in read_version(spark, path, 1).collect()] == [2]
+    # crashed commit stage
+    with open(f"{path}/_manifests/.v=9.json.deadbeef.tmp", "w") as f:
+        f.write("{}")
+    gone = vacuum_chain(spark, path)
+    assert "_manifests/.v=9.json.deadbeef.tmp" in gone
+    assert "v=1" in gone  # the orphan, even though version 1 is committed
+    assert not os.path.exists(f"{path}/v=1")
+    assert [r.id for r in read_version(spark, path, 1).collect()] == [2]
+    assert [r.id for r in read_version(spark, path, 0).collect()] == [1]
+
+
+def test_compact_preserves_hive_layout_on_plain_chain(spark, sf_dir, tmp_path):
+    """Review r9: non-manifest chains record no layout metadata, so
+    compact recovers the partition columns from the directory
+    structure itself instead of silently flattening the layout."""
+    import glob as _g
+
+    from portfolio1_etl_spark import catalog
+    from portfolio1_etl_spark.operators.sinks import (
+        compact_versioned,
+        read_version,
+        write_versioned,
+    )
+
+    orders = catalog.load(spark, sf_dir, "orders").limit(300)
+    path = str(tmp_path / "plain_part")
+    write_versioned(orders, path, partition_by=["o_orderpriority"])
+    v1 = compact_versioned(spark, path)
+    assert _g.glob(f"{path}/v={v1}/o_orderpriority=*"), (
+        "compacted version must keep the hive layout"
+    )
+    assert read_version(spark, path, v1).count() == 300
