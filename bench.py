@@ -219,6 +219,9 @@ HEADLINE = [
     # sketch algebra + sequential pattern mining
     "q212_hll_merge_rollup",
     "q213_consecutive_declines",
+    # within-document repetition + rule-battery quality gates
+    "q214_repetition_ratio",
+    "q215_rule_quality_gates",
 ]
 
 

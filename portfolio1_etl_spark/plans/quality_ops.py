@@ -412,3 +412,151 @@ def q174_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("o").cast("double") / F.col("n")) - p_benford, 6
         ).alias("deviation"),
     )
+
+
+@query(
+    "q214_repetition_ratio",
+    sql="""
+    WITH ws AS (
+      SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ),
+    tri AS (
+      SELECT doc_id,
+             w[i] || ' ' || w[i + 1] || ' ' || w[i + 2] AS g
+      FROM ws, LATERAL unnest(generate_series(1, len(w) - 2)) AS u(i)
+      WHERE len(w) >= 3
+    ),
+    cnt AS (
+      SELECT doc_id, g, count(*) AS c FROM tri GROUP BY 1, 2
+    )
+    SELECT doc_id,
+      CAST(sum(c) AS BIGINT) AS n_trigrams,
+      CAST(sum(c) - count(*) AS BIGINT) AS n_dup_trigrams,
+      round(CAST(sum(c) - count(*) AS DOUBLE) / sum(c), 4) AS dup_ratio,
+      CAST(CASE WHEN CAST(sum(c) - count(*) AS DOUBLE) / sum(c) > 0.2
+                THEN 1 ELSE 0 END AS BIGINT) AS drop_repetitious
+    FROM cnt GROUP BY doc_id
+    """,
+    operators=("X-repetition", "X-quality", "X-tokens"),
+)
+def q214_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-trigram repetition ratio — the within-document
+    repetition gate corpus pipelines apply before any cross-document
+    dedup (boilerplate, keyword stuffing, and decoding loops repeat
+    n-grams internally; the published web-corpus rule drops documents
+    whose duplicate-trigram share exceeds a fixed threshold, 0.2
+    here). dup share = 1 − distinct/total trigrams, from exact
+    counts. ONE explode + per-(doc, gram) count + per-doc fold — the
+    same two-aggregate shape as the entropy gate; never a self-join
+    of the trigram stream."""
+    d = _docs(spark, sf_dir)
+    ws = d.select("doc_id", F.split("text", " ").alias("w")).filter(
+        F.size("w") >= 3
+    )
+    tri = ws.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(slice(w, 1, size(w) - 2),"
+                " (x, i) -> concat(x, ' ', w[i + 1], ' ', w[i + 2]))"
+            )
+        ).alias("g"),
+    )
+    cnt = tri.groupBy("doc_id", "g").agg(F.count(F.lit(1)).alias("c"))
+    dup = F.sum("c") - F.count(F.lit(1))
+    ratio = dup.cast("double") / F.sum("c")
+    return cnt.groupBy("doc_id").agg(
+        F.sum("c").cast("long").alias("n_trigrams"),
+        dup.cast("long").alias("n_dup_trigrams"),
+        F.round(ratio, 4).alias("dup_ratio"),
+        F.when(ratio > 0.2, 1).otherwise(0).cast("long").alias(
+            "drop_repetitious"
+        ),
+    )
+
+
+@query(
+    "q215_rule_quality_gates",
+    sql="""
+    WITH m AS (
+      SELECT doc_id, text,
+        string_split(text, ' ') AS w,
+        length(text) AS nc
+      FROM documents
+    ),
+    f AS (
+      SELECT doc_id,
+        len(w) AS n_words,
+        CAST(nc - len(w) + 1 AS DOUBLE) / len(w) AS mean_word_len,
+        CAST(len(list_filter(w, x -> x = 'the' OR x = 'of'
+             OR x = 'and' OR x = 'a')) AS DOUBLE) / len(w) AS stop_ratio,
+        CAST(length(regexp_replace(text, '[a-z ]', '', 'g')) AS DOUBLE)
+          / nc AS symbol_ratio
+      FROM m
+    )
+    SELECT doc_id,
+      CAST(n_words AS BIGINT) AS n_words,
+      round(mean_word_len, 4) AS mean_word_len,
+      round(stop_ratio, 4) AS stop_ratio,
+      round(symbol_ratio, 4) AS symbol_ratio,
+      CAST(CASE WHEN n_words BETWEEN 40 AND 100000 THEN 1 ELSE 0 END
+           AS BIGINT) AS pass_length,
+      CAST(CASE WHEN mean_word_len BETWEEN 2.0 AND 12.0 THEN 1 ELSE 0 END
+           AS BIGINT) AS pass_word_len,
+      CAST(CASE WHEN stop_ratio >= 0.01 THEN 1 ELSE 0 END
+           AS BIGINT) AS pass_stopwords,
+      CAST(CASE WHEN symbol_ratio <= 0.30 THEN 1 ELSE 0 END
+           AS BIGINT) AS pass_symbols,
+      CAST(CASE WHEN n_words BETWEEN 40 AND 100000
+                 AND mean_word_len BETWEEN 2.0 AND 12.0
+                 AND stop_ratio >= 0.01
+                 AND symbol_ratio <= 0.30
+            THEN 1 ELSE 0 END AS BIGINT) AS keep
+    FROM f
+    """,
+    operators=("X-rule-gates", "X-quality", "X-tokens"),
+)
+def q215_rule_quality_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The published rule-based pre-training quality gates (the
+    Gopher/C4-style heuristic battery) as one single-pass scorecard:
+    word-count bounds, mean word length band, minimum stopword
+    presence, and symbol-character ceiling — each gate reported
+    individually (nullable-free 0/1 BIGINT census convention) plus
+    the conjunctive keep. All pure codegen string/array expressions
+    over one corpus scan; thresholds are literals in both engines.
+    mean word length exploits single-space joining: Σlen(word) =
+    len(text) − (n−1)."""
+    d = _docs(spark, sf_dir)
+    w = F.split("text", " ")
+    n_words = F.size(w)
+    nc = F.length("text")
+    mean_wl = (nc - n_words + 1).cast("double") / n_words
+    is_stop = lambda x: (x == "the") | (x == "of") | (x == "and") | (x == "a")  # noqa: E731
+    stop_ratio = F.size(F.filter(w, is_stop)).cast("double") / n_words
+    symbol_ratio = (
+        F.length(F.regexp_replace("text", "[a-z ]", "")).cast("double") / nc
+    )
+    base = d.select(
+        "doc_id",
+        n_words.alias("nw"),
+        mean_wl.alias("mwl"),
+        stop_ratio.alias("sr"),
+        symbol_ratio.alias("syr"),
+    )
+    pass_len = F.col("nw").between(40, 100000)
+    pass_wl = F.col("mwl").between(2.0, 12.0)
+    pass_stop = F.col("sr") >= 0.01
+    pass_sym = F.col("syr") <= 0.30
+    as01 = lambda c: F.when(c, 1).otherwise(0).cast("long")  # noqa: E731
+    return base.select(
+        "doc_id",
+        F.col("nw").cast("long").alias("n_words"),
+        F.round("mwl", 4).alias("mean_word_len"),
+        F.round("sr", 4).alias("stop_ratio"),
+        F.round("syr", 4).alias("symbol_ratio"),
+        as01(pass_len).alias("pass_length"),
+        as01(pass_wl).alias("pass_word_len"),
+        as01(pass_stop).alias("pass_stopwords"),
+        as01(pass_sym).alias("pass_symbols"),
+        as01(pass_len & pass_wl & pass_stop & pass_sym).alias("keep"),
+    )
