@@ -222,6 +222,26 @@ HEADLINE = [
     # within-document repetition + rule-battery quality gates
     "q214_repetition_ratio",
     "q215_rule_quality_gates",
+    "q216_forecast_revenue_change",
+    "q217_shipping_lag_priority",
+    "q218_supplier_part_variety",
+    "q219_dominant_suppliers",
+    "q220_association_rules",
+    "q221_rfm_segmentation",
+    "q222_abc_migration",
+    "q223_gini_concentration",
+    "q224_link_prediction",
+    "q225_dyadic_ewma",
+    "q226_touch_attribution",
+    "q227_histogram_quantiles",
+    "q228_cohort_ltv",
+    "q229_cusum_changepoint",
+    "q230_revenue_acf",
+    "q231_holt_forecast",
+    "q232_interevent_burstiness",
+    "q233_session_stats",
+    "q234_value_histogram",
+    "q235_zipf_slope",
 ]
 
 

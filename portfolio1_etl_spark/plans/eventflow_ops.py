@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 
 from portfolio1_etl_spark import catalog
 from portfolio1_etl_spark.functions import dsum_money
+from portfolio1_etl_spark.functions.numeric import zround
 from portfolio1_etl_spark.plans.registry import query
 
 
@@ -484,4 +485,156 @@ def q207_ab_conversion_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
             (tot_conv > 0) & (tot_conv < tot_n),
             F.round(z, 4) + F.lit(0.0),
         ).alias("z_score"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q232 — inter-event burstiness (r9)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q232_interevent_burstiness",
+    sql="""
+    WITH g AS (
+      SELECT user_id,
+             epoch_us(ts) - lag(epoch_us(ts)) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+      FROM events),
+    s AS (
+      SELECT user_id,
+             CAST(count(*) AS HUGEINT) AS n,
+             sum(CAST(gap_us AS HUGEINT)) AS sg,
+             sum(CAST(gap_us AS HUGEINT) * CAST(gap_us AS HUGEINT)) AS sg2
+      FROM g WHERE gap_us IS NOT NULL
+      GROUP BY 1 HAVING count(*) >= 5)
+    SELECT user_id,
+           CAST(n AS BIGINT) AS n_gaps,
+           round((sqrt(CAST(n * sg2 - sg * sg AS DOUBLE))
+                  - CAST(sg AS DOUBLE))
+                 / (sqrt(CAST(n * sg2 - sg * sg AS DOUBLE))
+                    + CAST(sg AS DOUBLE)), 6) + 0.0 AS burstiness
+    FROM s
+    """,
+    operators=("Window-lag", "A-stats", "X-burstiness", "A1"),
+)
+def q232_interevent_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Goh–Barabási burstiness of each user's inter-event gap
+    distribution, B = (σ−μ)/(σ+μ): −1 for a metronome, 0 for a Poisson
+    process, →1 for extreme bursts. Multiplying numerator and
+    denominator through by n makes every term exact: nσ =
+    sqrt(n·Σg²−(Σg)²) and nμ = Σg over integer MICROSECOND gaps
+    accumulated in DECIMAL(38,0)/HUGEINT (gap² overflows BIGINT). The
+    only float ops are two casts of exact integers, one sqrt, and one
+    division — identical trees in both engines, then zround (a
+    perfectly regular series yields −0.0). ONE shuffle on user_id
+    serves both the lag window and the aggregate; the gap multiset is
+    invariant to timestamp-tie ordering."""
+    e = _events(spark, sf_dir)
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    g = e.select(
+        "user_id", (us - F.lag(us).over(w)).alias("gap_us")
+    ).filter(F.col("gap_us").isNotNull())
+    dec = F.col("gap_us").cast("decimal(38,0)")
+    s = (
+        g.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+            F.sum(dec).alias("sg"),
+            F.sum(dec * dec).alias("sg2"),
+        )
+        .filter(F.col("n") >= 5)
+    )
+    nsig = F.sqrt((F.col("n") * F.col("sg2") - F.col("sg") * F.col("sg")).cast("double"))
+    nmu = F.col("sg").cast("double")
+    return s.select(
+        "user_id",
+        F.col("n").cast("long").alias("n_gaps"),
+        zround((nsig - nmu) / (nsig + nmu), 6).alias("burstiness"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q233 — gap sessionization and per-user session statistics (r9)
+# ---------------------------------------------------------------------------
+
+_SESSION_GAP_US = 1_800_000_000  #: 30 min in microseconds
+
+
+@query(
+    "q233_session_stats",
+    sql=f"""
+    WITH t AS (
+      SELECT user_id, epoch_us(ts) AS us,
+             CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                    PARTITION BY user_id ORDER BY ts, event_id)
+                  > {_SESSION_GAP_US}
+                  OR lag(epoch_us(ts)) OVER (
+                    PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_s,
+             ts, event_id
+      FROM events),
+    sid AS (
+      SELECT user_id, us,
+             sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s
+      FROM t),
+    per AS (
+      SELECT user_id, s, count(*) AS n_ev, max(us) - min(us) AS span_us
+      FROM sid GROUP BY 1, 2)
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_sessions,
+           CAST(sum(n_ev) AS BIGINT) AS n_events,
+           CAST(max(n_ev) AS BIGINT) AS max_session_events,
+           CAST(max(span_us) AS BIGINT) AS max_session_span_us,
+           round(CAST(sum(n_ev) AS DOUBLE) / count(*), 4) AS avg_session_events
+    FROM per GROUP BY 1
+    """,
+    operators=("Window-lag", "X-sessionize", "A1", "Window-frame"),
+)
+def q233_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap sessionization (30-minute idle timeout) and the per-user
+    session profile: session count, total events, the largest session
+    by events, the longest session span, and mean session size. The
+    classic two-window stack — a lag to mark session starts, a running
+    sum to assign session ids — runs entirely inside each user's
+    partition slice (ONE shuffle on user_id serves both windows and
+    both aggregates; nothing global). Counts and microsecond spans are
+    exact integers; the mean is an integer ratio whose 4-dp round
+    cannot straddle a boundary (the q228 integer-ratio argument).
+    Session membership is invariant to timestamp ties because tied
+    events have gap 0 < timeout regardless of tie order."""
+    e = _events(spark, sf_dir)
+    wo = W.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    lag_us = F.lag(us).over(wo)
+    t = e.select(
+        "user_id",
+        us.alias("us"),
+        F.when(
+            lag_us.isNull() | ((us - lag_us) > _SESSION_GAP_US), 1
+        ).otherwise(0).alias("new_s"),
+        "ts",
+        "event_id",
+    )
+    sid = t.select(
+        "user_id",
+        "us",
+        F.sum("new_s")
+        .over(wo.rowsBetween(W.unboundedPreceding, W.currentRow))
+        .alias("s"),
+    )
+    per = sid.groupBy("user_id", "s").agg(
+        F.count(F.lit(1)).alias("n_ev"),
+        (F.max("us") - F.min("us")).alias("span_us"),
+    )
+    return per.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_sessions"),
+        F.sum("n_ev").cast("long").alias("n_events"),
+        F.max("n_ev").cast("long").alias("max_session_events"),
+        F.max("span_us").cast("long").alias("max_session_span_us"),
+        F.round(
+            F.sum("n_ev").cast("double") / F.count(F.lit(1)), 4
+        ).alias("avg_session_events"),
     )

@@ -1,0 +1,772 @@
+"""[ext] Data-mining / customer-analytics queries (r9): association
+rules over order baskets, RFM segmentation, year-over-year ABC class
+migration, a Gini concentration coefficient, graph link prediction,
+dyadic EWMA smoothing, marketing attribution, a mergeable histogram
+quantile sketch, cohort LTV curves, and a dyadic value histogram.
+
+These are the classic "mining on top of the warehouse" shapes a
+training-data/analytics platform serves beside its relational core.
+Reference analogue: none — the reference's pandas script stops at
+flat aggregation (portfolio-etl.py:520-610); [ext] per SURVEY §6.
+
+Float determinism strategy (the house rules):
+- Money flows as exact integer CENTS (``CAST(round(x * 100, 0) AS
+  BIGINT)`` of 2-dp doubles, or a DECIMAL spine sum scaled by 100) —
+  every cumulative/cohort sum is integer-exact in both engines.
+- Ratios (confidence, lift, Jaccard, shares, LTV) divide two exact
+  integers with the IDENTICAL expression tree in both engines, then
+  round; sign-indefinite outputs go through ``zround`` (+0.0).
+- EWMA uses alpha = 0.5 so every decay weight ``pow(0.5, k)`` is a
+  dyadic rational, exact in binary; the 16-step window keeps the
+  weighted sum under 53 mantissa bits, so it is order-independent.
+
+Scale notes (100 TB): baskets are bounded by order size (the within-
+order self-join expands by basket width, never table size); candidate
+link-prediction pairs come from a shared-neighbor join over a
+df-capped graph (hub buckets excised before enumeration, the q71/q191
+pattern); RFM/Pareto/Gini windows run over AGGREGATED dimension-grain
+rows (customers, parts), not facts — the only fact-wide exchanges are
+the initial keyed aggregates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from portfolio1_etl_spark import catalog
+from portfolio1_etl_spark.functions.numeric import zround
+from portfolio1_etl_spark.plans.registry import query
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return catalog.load(spark, sf_dir, name)
+
+
+#: exact cents of a 2-dp double (the error of x*100 vs the true cent
+#: count is ~1e-10, so round-to-nearest lands exactly in both engines)
+_CENTS = "CAST(round({x} * 100, 0) AS BIGINT)"
+
+
+def _cents(col: Column) -> Column:
+    return F.round(col * 100, 0).cast("long")
+
+
+# ---------------------------------------------------------------------------
+# q220 — association rules (market basket)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q220_association_rules",
+    sql="""
+    WITH b AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    n AS (SELECT count(DISTINCT l_orderkey) AS n_orders FROM b),
+    item AS (SELECT l_partkey, count(*) AS cnt FROM b GROUP BY 1),
+    pair AS (
+      SELECT a.l_partkey AS part_a, c.l_partkey AS part_b,
+             count(*) AS support_cnt
+      FROM b a JOIN b c
+        ON a.l_orderkey = c.l_orderkey AND a.l_partkey < c.l_partkey
+      GROUP BY 1, 2 HAVING count(*) >= 2)
+    SELECT p.part_a, p.part_b, p.support_cnt,
+           round(CAST(p.support_cnt AS DOUBLE) / ia.cnt, 6) AS conf_ab,
+           round(CAST(p.support_cnt AS DOUBLE) / ib.cnt, 6) AS conf_ba,
+           round(CAST(p.support_cnt AS DOUBLE) * n.n_orders
+                 / (CAST(ia.cnt AS DOUBLE) * ib.cnt), 6) AS lift
+    FROM pair p
+    JOIN item ia ON p.part_a = ia.l_partkey
+    JOIN item ib ON p.part_b = ib.l_partkey
+    CROSS JOIN n
+    """,
+    operators=("A-distinct", "J1", "X-assoc-rules", "A1"),
+)
+def q220_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association rules: part pairs co-purchased in ≥2
+    orders, with confidence both ways and lift. The within-order
+    self-join expands by BASKET WIDTH (bounded by order size, ~4-7
+    lines), never table size — the same bounded-block argument as the
+    LSH bucket joins. Item supports are part-grain (dimension-sized →
+    broadcast); N is a 1-row literal broadcast. Confidence and lift
+    divide exact integer counts with identical expression trees."""
+    l = _t(spark, sf_dir, "lineitem")
+    b = l.select("l_orderkey", "l_partkey").distinct()
+    n = (
+        b.agg(F.countDistinct("l_orderkey").alias("n_orders"))
+        .withColumn("jk", F.lit(1))
+    )
+    item = b.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("cnt"))
+    a = b.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("part_a"))
+    c = b.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("part_b"))
+    pair = (
+        a.join(c, "o")
+        .filter(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("support_cnt"))
+        .filter(F.col("support_cnt") >= 2)
+    )
+    ia = item.select(F.col("l_partkey").alias("ka"), F.col("cnt").alias("cnt_a"))
+    ib = item.select(F.col("l_partkey").alias("kb"), F.col("cnt").alias("cnt_b"))
+    sup = F.col("support_cnt").cast("double")
+    return (
+        pair.join(F.broadcast(ia), F.col("part_a") == F.col("ka"))
+        .join(F.broadcast(ib), F.col("part_b") == F.col("kb"))
+        .withColumn("jk", F.lit(1))
+        .join(F.broadcast(n), "jk")
+        .select(
+            "part_a",
+            "part_b",
+            "support_cnt",
+            F.round(sup / F.col("cnt_a"), 6).alias("conf_ab"),
+            F.round(sup / F.col("cnt_b"), 6).alias("conf_ba"),
+            F.round(
+                sup * F.col("n_orders")
+                / (F.col("cnt_a").cast("double") * F.col("cnt_b")),
+                6,
+            ).alias("lift"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q221 — RFM segmentation
+# ---------------------------------------------------------------------------
+
+_RFM_REF = "2001-09-01"
+
+
+@query(
+    "q221_rfm_segmentation",
+    sql=f"""
+    WITH rfm AS (
+      SELECT o_custkey,
+             date_diff('day', CAST(max(o_orderdate) AS DATE),
+                       DATE '{_RFM_REF}') AS r_days,
+             count(*) AS f_orders,
+             sum({_CENTS.format(x="o_totalprice")}) AS m_cents
+      FROM orders GROUP BY 1)
+    SELECT o_custkey AS c_custkey,
+           CAST(r_days AS BIGINT) AS r_days,
+           CAST(f_orders AS BIGINT) AS f_orders,
+           CAST(m_cents AS BIGINT) AS m_cents,
+           CAST(ntile(5) OVER (ORDER BY r_days DESC, o_custkey) AS INT)
+             AS r_score,
+           CAST(ntile(5) OVER (ORDER BY f_orders, o_custkey) AS INT)
+             AS f_score,
+           CAST(ntile(5) OVER (ORDER BY m_cents, o_custkey) AS INT)
+             AS m_score
+    FROM rfm
+    """,
+    operators=("A1", "Window-ntile", "X-rfm", "C6"),
+)
+def q221_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation: recency (days from last order to the
+    fixed reference date — a literal, so no 1-row cross join plans a
+    BNL), frequency, monetary (exact cents), each scored into ntile(5)
+    quintiles with the customer key as the deterministic tie-break
+    (ntile's remainder distribution is the SQL standard in both
+    engines). Score 5 = best (most recent / most frequent / highest
+    spend). Windows run at CUSTOMER grain — the fact table is
+    aggregated down before any global sort."""
+    o = _t(spark, sf_dir, "orders")
+    rfm = o.groupBy("o_custkey").agg(
+        F.datediff(
+            F.lit(_RFM_REF).cast("date"), F.max("o_orderdate").cast("date")
+        ).alias("r_days"),
+        F.count(F.lit(1)).alias("f_orders"),
+        F.sum(_cents(F.col("o_totalprice"))).alias("m_cents"),
+    )
+    wr = Window.orderBy(F.col("r_days").desc(), F.col("o_custkey"))
+    wf = Window.orderBy(F.col("f_orders"), F.col("o_custkey"))
+    wm = Window.orderBy(F.col("m_cents"), F.col("o_custkey"))
+    return rfm.select(
+        F.col("o_custkey").alias("c_custkey"),
+        F.col("r_days").cast("long").alias("r_days"),
+        F.col("f_orders").cast("long").alias("f_orders"),
+        F.col("m_cents").cast("long").alias("m_cents"),
+        F.ntile(5).over(wr).cast("int").alias("r_score"),
+        F.ntile(5).over(wf).cast("int").alias("f_score"),
+        F.ntile(5).over(wm).cast("int").alias("m_score"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q222 — ABC class migration (year-over-year)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q222_abc_migration",
+    sql="""
+    WITH pr AS (
+      SELECT l_partkey, CAST(year(l_shipdate) AS BIGINT) AS y,
+             CAST(round(SUM(CAST(l_extendedprice * (1 - l_discount)
+                        AS DECIMAL(28,8))) * 100, 0) AS BIGINT)
+               AS revenue_cents
+      FROM lineitem GROUP BY 1, 2),
+    c AS (
+      SELECT l_partkey, y, revenue_cents,
+             sum(revenue_cents) OVER (PARTITION BY y
+               ORDER BY revenue_cents DESC, l_partkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cum_cents,
+             sum(revenue_cents) OVER (PARTITION BY y) AS total_cents
+      FROM pr),
+    cls AS (
+      SELECT l_partkey, y,
+             CASE WHEN CAST(cum_cents AS DOUBLE) / total_cents <= 0.7
+                    THEN 'A'
+                  WHEN CAST(cum_cents AS DOUBLE) / total_cents <= 0.9
+                    THEN 'B'
+                  ELSE 'C' END AS abc_class
+      FROM c)
+    SELECT a.y AS year_from, a.abc_class AS class_from,
+           b.abc_class AS class_to,
+           CAST(count(*) AS BIGINT) AS n_parts
+    FROM cls a JOIN cls b ON a.l_partkey = b.l_partkey AND b.y = a.y + 1
+    GROUP BY 1, 2, 3
+    """,
+    operators=("A1", "Window-frame", "X-class-migration", "J2"),
+)
+def q222_abc_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Year-over-year ABC class migration: parts are Pareto-classified
+    WITHIN each ship year (partitioned cumulative-share windows — the
+    per-year sort parallelizes across years, unlike q184's one global
+    frontier), then consecutive years self-join on partkey to count
+    the 9-cell transition matrix (how much of last year's A class
+    decayed to B/C). Cumulative sums run over exact integer cents with
+    pinned tie order, so class boundaries cannot flip on sum-order
+    noise; everything downstream is integer counts. The self-join is
+    at (part, year) grain — dimension-sized."""
+    l = _t(spark, sf_dir, "lineitem")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    pr = l.groupBy(
+        "l_partkey", F.year("l_shipdate").cast("long").alias("y")
+    ).agg(
+        F.round(F.sum(rev.cast("decimal(28,8)")) * 100, 0)
+        .cast("long")
+        .alias("revenue_cents")
+    )
+    w = (
+        Window.partitionBy("y")
+        .orderBy(F.col("revenue_cents").desc(), F.col("l_partkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wt = Window.partitionBy("y")
+    share = F.col("cum_cents").cast("double") / F.col("total_cents")
+    cls = (
+        pr.select(
+            "l_partkey",
+            "y",
+            F.sum("revenue_cents").over(w).alias("cum_cents"),
+            F.sum("revenue_cents").over(wt).alias("total_cents"),
+        )
+        .select(
+            "l_partkey",
+            "y",
+            F.when(share <= 0.7, "A")
+            .when(share <= 0.9, "B")
+            .otherwise("C")
+            .alias("abc_class"),
+        )
+    )
+    a = cls.select(
+        F.col("l_partkey").alias("k"),
+        F.col("y").alias("year_from"),
+        F.col("abc_class").alias("class_from"),
+    )
+    b = cls.select(
+        F.col("l_partkey").alias("k"),
+        (F.col("y") - 1).alias("year_from"),
+        F.col("abc_class").alias("class_to"),
+    )
+    return (
+        a.join(b, ["k", "year_from"])
+        .groupBy("year_from", "class_from", "class_to")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_parts"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# q223 — Gini coefficient
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q223_gini_concentration",
+    sql=f"""
+    WITH cr AS (
+      SELECT o_custkey, sum({_CENTS.format(x="o_totalprice")}) AS cents
+      FROM orders GROUP BY 1),
+    rk AS (
+      SELECT cents,
+             row_number() OVER (ORDER BY cents, o_custkey) AS i
+      FROM cr),
+    s AS (
+      SELECT count(*) AS n,
+             sum(CAST(cents AS DECIMAL(38,0))) AS sx,
+             sum(CAST(i * cents AS DECIMAL(38,0))) AS six
+      FROM rk)
+    SELECT CAST(n AS BIGINT) AS n_customers,
+           round(2.0 * CAST(six AS DOUBLE)
+                   / (CAST(n AS DOUBLE) * CAST(sx AS DOUBLE))
+                 - (CAST(n AS DOUBLE) + 1.0) / CAST(n AS DOUBLE),
+                 6) + 0.0 AS gini
+    FROM s
+    """,
+    operators=("A1", "Window-rank", "X-gini", "A-stats"),
+)
+def q223_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of customer revenue concentration, via the
+    rank formula G = 2·Σ(i·xᵢ)/(n·Σx) − (n+1)/n over ascending-sorted
+    exact cents. Both Σ terms accumulate in DECIMAL(38,0) (integer-
+    exact), so the only float ops are the final divisions — spelled
+    with the identical expression tree in both engines, then a zround
+    (a perfectly equal distribution yields a tiny negative that must
+    canonicalize to +0.0, the q159 class). The global sort runs at
+    customer grain."""
+    o = _t(spark, sf_dir, "orders")
+    cr = o.groupBy("o_custkey").agg(
+        F.sum(_cents(F.col("o_totalprice"))).alias("cents")
+    )
+    w = Window.orderBy(F.col("cents"), F.col("o_custkey"))
+    rk = cr.select("cents", F.row_number().over(w).alias("i"))
+    s = rk.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("cents").cast("decimal(38,0)")).alias("sx"),
+        F.sum((F.col("i") * F.col("cents")).cast("decimal(38,0)")).alias("six"),
+    )
+    n_d = F.col("n").cast("double")
+    return s.select(
+        F.col("n").cast("long").alias("n_customers"),
+        zround(
+            2.0 * F.col("six").cast("double") / (n_d * F.col("sx").cast("double"))
+            - (n_d + 1.0) / n_d,
+            6,
+        ).alias("gini"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q224 — link prediction (common neighbors + Jaccard)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q224_link_prediction",
+    sql="""
+    WITH ub AS (
+      SELECT DISTINCT user_id AS u, date_trunc('hour', ts) AS h
+      FROM events WHERE event_type = 'purchase'),
+    hc AS (SELECT h FROM (SELECT h, count(*) AS nu FROM ub GROUP BY 1)
+           WHERE nu <= 40),
+    sm AS (SELECT u, h FROM ub JOIN hc USING (h)),
+    e AS (SELECT DISTINCT a.u AS u, b.u AS v
+          FROM sm a JOIN sm b USING (h) WHERE a.u < b.u),
+    nbr AS (SELECT u AS node, v AS nbr FROM e
+            UNION ALL SELECT v, u FROM e),
+    deg AS (SELECT node, count(*) AS d FROM nbr GROUP BY 1),
+    cand AS (
+      SELECT a.node AS u, b.node AS v, count(*) AS common
+      FROM nbr a JOIN nbr b ON a.nbr = b.nbr AND a.node < b.node
+      GROUP BY 1, 2 HAVING count(*) >= 5),
+    nonedge AS (
+      SELECT c.* FROM cand c
+      LEFT JOIN e ON c.u = e.u AND c.v = e.v
+      WHERE e.u IS NULL)
+    SELECT ne.u, ne.v, ne.common,
+           round(CAST(ne.common AS DOUBLE)
+                 / (du.d + dv.d - ne.common), 6) AS jaccard
+    FROM nonedge ne
+    JOIN deg du ON ne.u = du.node
+    JOIN deg dv ON ne.v = dv.node
+    """,
+    operators=("J-anti", "A-distinct", "X-link-prediction", "A1"),
+)
+def q224_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph link prediction on the q191 co-purchase graph: for every
+    NON-adjacent user pair sharing ≥5 common neighbors, the common-
+    neighbor count and neighborhood Jaccard — the classic "who should
+    be connected" primitive. Candidates come from a shared-neighbor
+    self-join (O(Σ deg²), bounded because hub hours are df-capped
+    before edge enumeration — the q71 heavy-hitter excision), then an
+    anti-join removes existing edges. Jaccard divides exact integer
+    counts; degrees broadcast at node grain.
+
+    The shared-neighbor self-join is EXPLICITLY repartitioned to the
+    configured shuffle parallelism: its shuffle INPUT (the edge list)
+    is tiny in bytes, so AQE's byte-based coalescing collapses it to a
+    few tasks — but the CPU cost is the deg² pair EXPLOSION on the
+    probe side, which the byte estimate cannot see. Pinning the
+    partition count keeps the explosion spread across the cluster
+    (3x wall-clock on the bench board; the same reasoning holds at
+    100 TB where per-bucket work, not bytes, is the bottleneck)."""
+    e = _t(spark, sf_dir, "events")
+    ub = (
+        e.filter(F.col("event_type") == "purchase")
+        .select("user_id", F.date_trunc("hour", F.col("ts")).alias("h"))
+        .distinct()
+    )
+    hcnt = ub.groupBy("h").agg(F.count(F.lit(1)).alias("nu"))
+    small = ub.join(
+        F.broadcast(hcnt.filter(F.col("nu") <= 40).select("h")), "h"
+    )
+    a = small.select(F.col("user_id").alias("u"), "h")
+    b = small.select(F.col("user_id").alias("v"), "h")
+    edges = (
+        a.join(b, "h").filter(F.col("u") < F.col("v")).select("u", "v").distinct()
+    )
+    nbr = edges.select(F.col("u").alias("node"), F.col("v").alias("nbr")).unionAll(
+        edges.select(F.col("v").alias("node"), F.col("u").alias("nbr"))
+    )
+    deg = nbr.groupBy("node").agg(F.count(F.lit(1)).alias("d"))
+    # explicit partition count disables AQE coalescing for this one
+    # exchange — see the docstring's explosion-vs-bytes argument.
+    npart = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    na = nbr.select(F.col("node").alias("cu"), "nbr").repartition(npart, "nbr")
+    nb = nbr.select(F.col("node").alias("cv"), "nbr").repartition(npart, "nbr")
+    cand = (
+        na.join(nb, "nbr")
+        .filter(F.col("cu") < F.col("cv"))
+        .groupBy("cu", "cv")
+        .agg(F.count(F.lit(1)).alias("common"))
+        .filter(F.col("common") >= 5)
+    )
+    nonedge = cand.join(
+        edges,
+        (cand["cu"] == edges["u"]) & (cand["cv"] == edges["v"]),
+        "left_anti",
+    )
+    du = deg.select(F.col("node").alias("ku"), F.col("d").alias("du"))
+    dv = deg.select(F.col("node").alias("kv"), F.col("d").alias("dv"))
+    return (
+        nonedge.join(F.broadcast(du), F.col("cu") == F.col("ku"))
+        .join(F.broadcast(dv), F.col("cv") == F.col("kv"))
+        .select(
+            F.col("cu").alias("u"),
+            F.col("cv").alias("v"),
+            "common",
+            F.round(
+                F.col("common").cast("double")
+                / (F.col("du") + F.col("dv") - F.col("common")),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q225 — dyadic EWMA smoothing
+# ---------------------------------------------------------------------------
+
+_EWMA_SPAN = 16
+
+
+@query(
+    "q225_dyadic_ewma",
+    sql=f"""
+    WITH rn AS (
+      SELECT user_id, value,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS k
+      FROM events WHERE event_type = 'view'),
+    w AS (
+      SELECT user_id,
+             sum({_CENTS.format(x="value")} * pow(0.5, k - 1)) AS num,
+             sum(pow(0.5, k - 1)) AS den
+      FROM rn WHERE k <= {_EWMA_SPAN} GROUP BY 1)
+    SELECT user_id, round(num / den / 100, 4) + 0.0 AS ewma_value
+    FROM w
+    """,
+    operators=("Window-rank", "A1", "X-ewma", "C6"),
+)
+def q225_dyadic_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average of each user's last 16
+    'view' values, alpha = 1/2 — chosen so every decay weight
+    pow(0.5, k) is a DYADIC rational (exact in binary) and the
+    weighted sum of integer cents spans < 53 mantissa bits, making the
+    fold order-independent: both engines produce bit-identical sums
+    with NO rounding tricks needed before the final display round.
+    The per-user rank is a partitioned window (no global sort); rows
+    beyond the 16-step horizon are filtered before aggregation."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    rn = (
+        e.filter(F.col("event_type") == "view")
+        .select("user_id", "value", F.row_number().over(w).alias("k"))
+        .filter(F.col("k") <= _EWMA_SPAN)
+    )
+    wgt = F.pow(0.5, F.col("k") - 1)
+    return (
+        rn.groupBy("user_id")
+        .agg(
+            F.sum(_cents(F.col("value")) * wgt).alias("num"),
+            F.sum(wgt).alias("den"),
+        )
+        .select(
+            "user_id",
+            zround(F.col("num") / F.col("den") / 100, 4).alias("ewma_value"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q226 — marketing attribution
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q226_touch_attribution",
+    sql="""
+    SELECT p.event_id AS purchase_id,
+           min(c.ts) AS first_click_ts,
+           max(c.ts) AS last_click_ts,
+           CAST(count(*) AS BIGINT) AS n_clicks
+    FROM events p
+    JOIN events c
+      ON p.user_id = c.user_id
+     AND c.event_type = 'click'
+     AND c.ts <= p.ts
+     AND c.ts >= p.ts - INTERVAL 7 DAY
+    WHERE p.event_type = 'purchase'
+    GROUP BY 1
+    """,
+    operators=("J-range", "A1", "X-attribution", "W2"),
+)
+def q226_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-touch / last-touch marketing attribution: for each
+    purchase, the earliest and latest click by the same user in the
+    preceding 7 days, plus the touch count. The range join shuffles
+    ONCE on user_id with the time band as a secondary predicate —
+    per-user expansion is bounded by a user's 7-day click activity,
+    the same bounded-band argument as the as-of join family. Pure
+    timestamp/int outputs: no float hazard."""
+    e = _t(spark, sf_dir, "events")
+    p = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("pu"),
+        F.col("ts").alias("pts"),
+    )
+    c = e.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("cu"), F.col("ts").alias("cts")
+    )
+    return (
+        p.join(
+            c,
+            (F.col("pu") == F.col("cu"))
+            & (F.col("cts") <= F.col("pts"))
+            & (F.col("cts") >= F.col("pts") - F.expr("INTERVAL 7 DAY")),
+        )
+        .groupBy("purchase_id")
+        .agg(
+            F.min("cts").alias("first_click_ts"),
+            F.max("cts").alias("last_click_ts"),
+            F.count(F.lit(1)).cast("long").alias("n_clicks"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q227 — mergeable histogram quantile sketch
+# ---------------------------------------------------------------------------
+
+_QSK_W = 2_500_000  #: histogram bucket width in cents ($25k)
+
+
+@query(
+    "q227_histogram_quantiles",
+    sql=f"""
+    WITH c AS (
+      SELECT CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents
+      FROM orders),
+    h AS (
+      SELECT cents // {_QSK_W} AS b, count(*) AS bn
+      FROM c GROUP BY 1),
+    cum AS (
+      SELECT b, bn,
+             sum(bn) OVER (ORDER BY b
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cb,
+             sum(bn) OVER () AS n
+      FROM h),
+    ps AS (SELECT unnest([CAST(0.5 AS DOUBLE), CAST(0.95 AS DOUBLE),
+                          CAST(0.99 AS DOUBLE)]) AS p),
+    hit AS (
+      SELECT p.p, c.b, c.bn, c.cb, c.n,
+             CAST(ceil(p.p * c.n) AS BIGINT) AS t
+      FROM ps p JOIN cum c
+        ON c.cb >= CAST(ceil(p.p * c.n) AS BIGINT)
+       AND c.cb - c.bn < CAST(ceil(p.p * c.n) AS BIGINT))
+    SELECT p,
+           CAST(n AS BIGINT) AS n_orders,
+           CAST(b * {_QSK_W} AS DOUBLE)
+             + (CAST(t - (cb - bn) AS DOUBLE) / CAST(bn AS DOUBLE))
+               * {_QSK_W} AS est_cents
+    FROM hit
+    """,
+    operators=("A1", "Window-frame", "X-quantile-sketch", "A-percentile"),
+)
+def q227_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable equi-width-histogram quantile sketch: order values
+    bucket into fixed $25k cells (ONE map-side-combinable aggregate —
+    the histogram is the sketch, and histograms merge by cell-wise
+    addition exactly like the q212 HLL register fold, which is what
+    makes this the 100 TB path where an exact global sort is not), and
+    p50/p95/p99 are read off the cumulative cell counts with linear
+    interpolation inside the hit cell. Every count is an exact
+    integer; the interpolation divides exact integers with the
+    identical expression tree in both engines and is emitted UNROUNDED
+    (fully deterministic — no round boundary exists to straddle)."""
+    o = _t(spark, sf_dir, "orders")
+    h = (
+        o.select(_cents(F.col("o_totalprice")).alias("cents"))
+        .groupBy((F.col("cents") / _QSK_W).cast("long").alias("b"))
+        .agg(F.count(F.lit(1)).alias("bn"))
+    )
+    cum = h.select(
+        "b",
+        "bn",
+        F.sum("bn")
+        .over(
+            Window.orderBy("b").rowsBetween(
+                Window.unboundedPreceding, Window.currentRow
+            )
+        )
+        .alias("cb"),
+        F.sum("bn").over(Window.partitionBy()).alias("n"),
+    )
+    ps = spark.createDataFrame([(0.5,), (0.95,), (0.99,)], "p double")
+    t = F.ceil(F.col("p") * F.col("n")).cast("long")
+    hit = F.broadcast(ps).join(
+        cum, (F.col("cb") >= t) & ((F.col("cb") - F.col("bn")) < t)
+    )
+    return hit.select(
+        "p",
+        F.col("n").cast("long").alias("n_orders"),
+        (
+            (F.col("b") * _QSK_W).cast("double")
+            + (
+                (t - (F.col("cb") - F.col("bn"))).cast("double")
+                / F.col("bn").cast("double")
+            )
+            * _QSK_W
+        ).alias("est_cents"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q228 — cohort LTV curves
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q228_cohort_ltv",
+    sql=f"""
+    WITH first_m AS (
+      SELECT o_custkey,
+             min(year(o_orderdate) * 12 + month(o_orderdate)) AS cm
+      FROM orders GROUP BY 1),
+    sz AS (SELECT cm, count(*) AS cohort_size FROM first_m GROUP BY 1),
+    rev AS (
+      SELECT f.cm,
+             (year(o.o_orderdate) * 12 + month(o.o_orderdate)) - f.cm
+               AS age_months,
+             sum({_CENTS.format(x="o.o_totalprice")}) AS cents
+      FROM orders o JOIN first_m f ON o.o_custkey = f.o_custkey
+      GROUP BY 1, 2),
+    cum AS (
+      SELECT cm, age_months,
+             sum(cents) OVER (PARTITION BY cm ORDER BY age_months
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cum_cents
+      FROM rev)
+    SELECT CAST(c.cm AS BIGINT) AS cohort_month_idx,
+           CAST(c.age_months AS BIGINT) AS age_months,
+           CAST(c.cum_cents AS BIGINT) AS cum_cents,
+           CAST(round(CAST(c.cum_cents AS DOUBLE) / s.cohort_size, 0)
+                AS BIGINT) AS ltv_cents_per_customer
+    FROM cum c JOIN sz s ON c.cm = s.cm
+    """,
+    operators=("A1", "Window-frame", "X-cohort-ltv", "J1"),
+)
+def q228_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value curves: customers cohorted by first-order
+    month (an integer month index — never fractional months_between),
+    cumulative exact-cents revenue by cohort age, and LTV per cohort
+    member. The cumulative window is integer cents partitioned BY
+    COHORT (parallel across cohorts, no global sort); cohort sizes
+    broadcast. LTV is emitted as integer CENTS: an integer-ratio
+    division either lands exactly on .5 (representable, rounds
+    identically in both engines) or sits ≥ 1/(2·size) away from any
+    round boundary — never the .xx5 shortest-decimal divergence a
+    2-dp currency round would hit."""
+    o = _t(spark, sf_dir, "orders")
+    midx = F.year("o_orderdate") * 12 + F.month("o_orderdate")
+    first_m = o.groupBy("o_custkey").agg(F.min(midx).alias("cm"))
+    sz = first_m.groupBy("cm").agg(F.count(F.lit(1)).alias("cohort_size"))
+    rev = (
+        o.join(first_m, "o_custkey")
+        .groupBy("cm", (midx - F.col("cm")).alias("age_months"))
+        .agg(F.sum(_cents(F.col("o_totalprice"))).alias("cents"))
+    )
+    w = (
+        Window.partitionBy("cm")
+        .orderBy("age_months")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = rev.select(
+        "cm", "age_months", F.sum("cents").over(w).alias("cum_cents")
+    )
+    return (
+        cum.join(F.broadcast(sz), "cm")
+        .select(
+            F.col("cm").cast("long").alias("cohort_month_idx"),
+            F.col("age_months").cast("long").alias("age_months"),
+            F.col("cum_cents").cast("long").alias("cum_cents"),
+            F.round(F.col("cum_cents").cast("double") / F.col("cohort_size"), 0)
+            .cast("long")
+            .alias("ltv_cents_per_customer"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q234 — dyadic order-value histogram
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q234_value_histogram",
+    sql="""
+    WITH c AS (
+      SELECT CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents
+      FROM orders)
+    SELECT CAST(length(bin(cents)) AS INT) AS bucket_bits,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           min(cents) AS min_cents,
+           max(cents) AS max_cents,
+           CAST(sum(cents) AS BIGINT) AS sum_cents
+    FROM c GROUP BY 1
+    """,
+    operators=("A1", "X-histogram", "C6"),
+)
+def q234_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Power-of-two (dyadic) histogram of order values: bucket = bit
+    length of the exact cents amount, i.e. floor(log2)+1 computed
+    WITHOUT floats — `length(bin(x))` is pure integer/string work in
+    both engines (the q195 HLL rank lesson: never floor(log2(x)), the
+    libm log2 of a value one ulp under a power of two differs across
+    platforms). Log-spaced histograms are the standard first look at
+    heavy-tailed value distributions; one map + ONE ~40-bucket
+    aggregate, all exact integers."""
+    o = _t(spark, sf_dir, "orders")
+    c = o.select(_cents(F.col("o_totalprice")).alias("cents"))
+    return c.groupBy(
+        F.length(F.bin(F.col("cents"))).cast("int").alias("bucket_bits")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.min("cents").alias("min_cents"),
+        F.max("cents").alias("max_cents"),
+        F.sum("cents").cast("long").alias("sum_cents"),
+    )

@@ -447,3 +447,230 @@ def q204_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("long").alias("n_lines"),
         )
     )
+
+
+@query(
+    "q216_forecast_revenue_change",
+    sql=f"""
+    SELECT {_DSUM.format(x="l_extendedprice * l_discount")} AS revenue,
+           CAST(count(*) AS BIGINT) AS n_lines
+    FROM lineitem l
+    WHERE l.l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l.l_shipdate <  TIMESTAMP '1998-01-01'
+      AND l.l_discount >= CAST(0.05 AS DOUBLE)
+      AND l.l_discount <= CAST(0.07 AS DOUBLE)
+      AND l.l_quantity < 24
+    """,
+    operators=("W1", "W2", "X-tpch-q6", "A1"),
+)
+def q216_forecast_revenue_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 analogue — forecasting revenue change: the total
+    discount given on small-quantity 1997 lines in a narrow discount
+    band. Single-table scan-heavy shape: every predicate (timestamp
+    range, double band, quantity cap) is pushdown-eligible at the
+    parquet scan, then ONE exact decimal aggregate to a single row —
+    the canonical 'filter reaches the scan' probe. Discount bounds
+    are cast to DOUBLE on the oracle side so both engines compare
+    against the identical IEEE literal, never a DECIMAL(3,2)."""
+    l = _t(spark, sf_dir, "lineitem")
+    disc_rev = F.col("l_extendedprice") * F.col("l_discount")
+    return (
+        l.filter(
+            (F.col("l_shipdate") >= "1997-01-01")
+            & (F.col("l_shipdate") < "1998-01-01")
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            dsum_product(disc_rev).alias("revenue"),
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+        )
+    )
+
+
+@query(
+    "q217_shipping_lag_priority",
+    sql="""
+    SELECT
+      CASE WHEN date_diff('day', CAST(o.o_orderdate AS DATE),
+                          CAST(l.l_shipdate AS DATE)) <= 30 THEN 'fast'
+           WHEN date_diff('day', CAST(o.o_orderdate AS DATE),
+                          CAST(l.l_shipdate AS DATE)) <= 90 THEN 'normal'
+           ELSE 'late' END AS ship_bucket,
+      CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+               THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+      CAST(sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+               THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE l.l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l.l_shipdate <  TIMESTAMP '1998-01-01'
+    GROUP BY 1
+    """,
+    operators=("J1", "C6", "X-tpch-q12", "A1"),
+)
+def q217_shipping_lag_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 analogue — this schema has no l_shipmode /
+    l_receiptdate, so the mode axis becomes a DERIVED ship-lag bucket
+    (order→ship day gap: fast ≤30, normal ≤90, late beyond), and the
+    high/low priority split is preserved verbatim. Plan: one
+    fact-fact shuffle join (both sides date-pruned lineitem + full
+    orders), conditional-sum pairs fold map-side into 3 rows. Day
+    arithmetic goes through DATE casts in BOTH engines so timestamp
+    sub-day components can never skew the bucket edge."""
+    l = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    lag = F.datediff(
+        F.col("l_shipdate").cast("date"), F.col("o_orderdate").cast("date")
+    )
+    bucket = (
+        F.when(lag <= 30, "fast").when(lag <= 90, "normal").otherwise("late")
+    )
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        l.filter(
+            (F.col("l_shipdate") >= "1997-01-01")
+            & (F.col("l_shipdate") < "1998-01-01")
+        )
+        .join(o, l["l_orderkey"] == o["o_orderkey"])
+        .groupBy(bucket.alias("ship_bucket"))
+        .agg(
+            F.sum(F.when(hi, 1).otherwise(0)).cast("long").alias(
+                "high_line_count"
+            ),
+            F.sum(F.when(hi, 0).otherwise(1)).cast("long").alias(
+                "low_line_count"
+            ),
+        )
+    )
+
+
+@query(
+    "q218_supplier_part_variety",
+    sql="""
+    WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+         complaints AS (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    SELECT p.p_brand, p.p_type, CAST(p.p_size AS INT) AS p_size,
+           CAST(count(DISTINCT ps.l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM ps JOIN part p ON ps.l_partkey = p.p_partkey
+    WHERE p.p_brand <> 'Brand#5'
+      AND p.p_type <> 'PROMO'
+      AND p.p_size IN (1, 4, 9, 14, 19, 23, 36, 45)
+      AND ps.l_suppkey NOT IN (SELECT s_suppkey FROM complaints)
+    GROUP BY 1, 2, 3
+    """,
+    operators=("J-anti", "A-distinct", "X-tpch-q16", "W5"),
+)
+def q218_supplier_part_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 analogue — supplier variety per (brand, type, size):
+    how many distinct non-blacklisted suppliers ship each surviving
+    part configuration. No partsupp table exists, so the part-supplier
+    relation is the DISTINCT (l_partkey, l_suppkey) projection of
+    lineitem — one exact-dedup shuffle that shrinks the fact to
+    relation grain FIRST. The complaint exclusion (NOT IN, null-free
+    key) compiles to a broadcast anti-join; the filtered part dim
+    broadcasts; then one COUNT(DISTINCT) aggregate. At 100 TB the
+    only wide exchange is the initial pair-dedup, keyed on two fixed
+    bigints."""
+    l = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    s = _t(spark, sf_dir, "supplier")
+    ps = l.select("l_partkey", "l_suppkey").distinct()
+    complaints = s.filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    pf = p.filter(
+        (F.col("p_brand") != "Brand#5")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 4, 9, 14, 19, 23, 36, 45)
+    )
+    return (
+        ps.join(
+            F.broadcast(complaints),
+            ps["l_suppkey"] == complaints["s_suppkey"],
+            "left_anti",
+        )
+        .join(F.broadcast(pf), F.col("l_partkey") == pf["p_partkey"])
+        .groupBy("p_brand", "p_type", F.col("p_size").cast("int").alias("p_size"))
+        .agg(
+            F.countDistinct("l_suppkey").cast("long").alias("supplier_cnt")
+        )
+    )
+
+
+@query(
+    "q219_dominant_suppliers",
+    sql="""
+    WITH shipped AS (
+      SELECT l_partkey, l_suppkey, sum(l_quantity) AS qty
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        AND l_shipdate <  TIMESTAMP '1998-01-01'
+      GROUP BY 1, 2),
+    tot AS (SELECT l_partkey, sum(qty) AS total_qty FROM shipped GROUP BY 1),
+    qual AS (
+      SELECT DISTINCT sh.l_suppkey
+      FROM shipped sh
+      JOIN tot t ON sh.l_partkey = t.l_partkey
+      JOIN part p ON sh.l_partkey = p.p_partkey
+      WHERE p.p_name LIKE '%bolt%'
+        AND sh.qty > CAST(0.3 AS DOUBLE) * t.total_qty)
+    SELECT s.s_name,
+           CAST(CAST(s.s_acctbal AS DECIMAL(18,2)) AS DOUBLE) AS s_acctbal,
+           n.n_name
+    FROM supplier s
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    WHERE s.s_suppkey IN (SELECT l_suppkey FROM qual)
+      AND n.n_name IN ('NATION_1', 'NATION_2', 'NATION_3', 'NATION_4')
+    """,
+    operators=("J-semi", "A1", "X-tpch-q20", "W5"),
+)
+def q219_dominant_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 analogue — suppliers who DOMINATE a bolt-like part's
+    1997 volume (their shipped quantity exceeds 30% of the part's
+    total). No partsupp/availqty exists, so the availability test
+    becomes a two-level aggregate over the same shipped relation:
+    per-(part,supplier) sums, re-aggregated per part, threshold
+    compare, then a DISTINCT supplier set SEMI-joined into the
+    supplier dim (nation-filtered). The share threshold multiplies
+    the exact integral total by the same IEEE 0.3 literal in both
+    engines, so the strict > lands identically. Plan: the 1997 filter
+    prunes the scan; both aggregates reuse the l_partkey-clustered
+    shuffle; part and nation broadcast; the final semi-join is
+    against a tiny qualifying set."""
+    l = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    shipped = (
+        l.filter(
+            (F.col("l_shipdate") >= "1997-01-01")
+            & (F.col("l_shipdate") < "1998-01-01")
+        )
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+    )
+    tot = shipped.groupBy("l_partkey").agg(
+        F.sum("qty").alias("total_qty")
+    )
+    bolts = p.filter(F.col("p_name").like("%bolt%")).select("p_partkey")
+    qual = (
+        shipped.join(tot, "l_partkey")
+        .join(F.broadcast(bolts), F.col("l_partkey") == F.col("p_partkey"))
+        .filter(F.col("qty") > F.lit(0.3) * F.col("total_qty"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    return (
+        s.join(qual, s["s_suppkey"] == qual["l_suppkey"], "left_semi")
+        .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .filter(
+            F.col("n_name").isin("NATION_1", "NATION_2", "NATION_3", "NATION_4")
+        )
+        .select(
+            "s_name",
+            F.col("s_acctbal")
+            .cast("decimal(18,2)")
+            .cast("double")
+            .alias("s_acctbal"),
+            "n_name",
+        )
+    )

@@ -721,3 +721,108 @@ def q208_html_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.length(clean).cast("double") / F.length("html"), 4
         ).alias("text_ratio"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q235 — Zipf rank-frequency slope (r9)
+# ---------------------------------------------------------------------------
+
+_ZIPF_TOP = 500  #: vocabulary ranks entering the log-log regression
+
+
+@query(
+    "q235_zipf_slope",
+    sql=f"""
+    WITH wf AS (
+      SELECT word, count(*) AS freq
+      FROM (SELECT unnest(string_split(text, ' ')) AS word
+            FROM documents)
+      GROUP BY 1),
+    rk AS (
+      SELECT CAST(round(round(ln(row_number() OVER (
+                 ORDER BY freq DESC, word)), 6) * 1000000, 0) AS BIGINT)
+               AS lx,
+             CAST(round(round(ln(freq), 6) * 1000000, 0) AS BIGINT) AS ly,
+             row_number() OVER (ORDER BY freq DESC, word) AS r
+      FROM wf QUALIFY r <= {_ZIPF_TOP}),
+    s AS (
+      SELECT CAST(count(*) AS HUGEINT) AS n,
+             sum(CAST(lx AS HUGEINT)) AS sx,
+             sum(CAST(lx AS HUGEINT) * CAST(lx AS HUGEINT)) AS sxx,
+             sum(CAST(ly AS HUGEINT)) AS sy,
+             sum(CAST(ly AS HUGEINT) * CAST(ly AS HUGEINT)) AS syy,
+             sum(CAST(lx AS HUGEINT) * CAST(ly AS HUGEINT)) AS sxy
+      FROM rk)
+    SELECT CAST(n AS BIGINT) AS n_ranks,
+           round(CAST(n * sxy - sx * sy AS DOUBLE)
+                 / CAST(n * sxx - sx * sx AS DOUBLE), 6) + 0.0 AS zipf_slope,
+           round((CAST(sy AS DOUBLE)
+                  - (CAST(n * sxy - sx * sy AS DOUBLE)
+                     / CAST(n * sxx - sx * sx AS DOUBLE))
+                    * CAST(sx AS DOUBLE))
+                 / CAST(n AS DOUBLE) / 1000000.0, 6) + 0.0 AS ln_c,
+           round(CAST(n * sxy - sx * sy AS DOUBLE)
+                 * CAST(n * sxy - sx * sy AS DOUBLE)
+                 / (CAST(n * sxx - sx * sx AS DOUBLE)
+                    * CAST(n * syy - sy * sy AS DOUBLE)), 6) AS r2
+    FROM s
+    """,
+    operators=("X-zipf", "X-regression", "A1", "Window-rank"),
+)
+def q235_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit of the corpus: OLS slope of ln(freq) on ln(rank)
+    over the top-500 vocabulary ranks (a healthy natural-language
+    corpus sits near slope −1; a templated/spammy one flattens — this
+    is a standard corpus-quality fingerprint next to q158's entropy).
+    Cross-engine float strategy: ln runs on identical INTEGER inputs
+    in both engines, is snapped to 6 dp, and re-scaled to exact
+    integers (the q177 pattern) so all five moment sums accumulate in
+    DECIMAL(38,0)/HUGEINT — the regression itself never adds floats.
+    The slope is invariant to the common 1e6 axis scaling; the
+    intercept divides it back out. The vocabulary rank window is
+    vocab-grain (bounded by distinct words, not corpus size)."""
+    from pyspark.sql import Window as W
+
+    d = _docs(spark, sf_dir)
+    wf = (
+        d.select(F.explode(F.split("text", " ")).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    r = F.row_number().over(W.orderBy(F.col("freq").desc(), F.col("word")))
+    scaled = lambda c: F.round(F.round(F.log(c), 6) * 1000000, 0).cast(  # noqa: E731
+        "long"
+    )
+    rk = (
+        wf.select("freq", r.alias("r"), F.col("word"))
+        .filter(F.col("r") <= _ZIPF_TOP)
+        .select(
+            scaled(F.col("r")).alias("lx"),
+            scaled(F.col("freq")).alias("ly"),
+        )
+    )
+    dec = "decimal(38,0)"
+    lx, ly = F.col("lx").cast(dec), F.col("ly").cast(dec)
+    s = rk.agg(
+        F.count(F.lit(1)).cast(dec).alias("n"),
+        F.sum(lx).alias("sx"),
+        F.sum(lx * lx).alias("sxx"),
+        F.sum(ly).alias("sy"),
+        F.sum(ly * ly).alias("syy"),
+        F.sum(lx * ly).alias("sxy"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    den = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    deny = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    slope = num / den
+    return s.select(
+        F.col("n").cast("long").alias("n_ranks"),
+        zround(slope, 6).alias("zipf_slope"),
+        zround(
+            (F.col("sy").cast("double") - slope * F.col("sx").cast("double"))
+            / F.col("n").cast("double")
+            / 1000000.0,
+            6,
+        ).alias("ln_c"),
+        F.round(num * num / (den * deny), 6).alias("r2"),
+    )

@@ -401,3 +401,271 @@ def q193_twap_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("_span") > 0)
         .drop("_span")
     )
+
+
+# ---------------------------------------------------------------------------
+# q229 — CUSUM change-point detection (r9)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q229_cusum_changepoint",
+    sql="""
+    WITH d AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+                  AS BIGINT) AS cents
+      FROM orders GROUP BY 1),
+    c AS (
+      SELECT day, cents,
+             CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS k,
+             sum(cents) OVER (ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s_k,
+             CAST(count(*) OVER () AS BIGINT) AS n,
+             sum(cents) OVER () AS s_n
+      FROM d),
+    stat AS (
+      SELECT day, cents,
+             CAST(n * s_k - k * s_n AS BIGINT) AS cusum_stat FROM c)
+    SELECT day, cents, cusum_stat,
+           CAST(CASE WHEN abs(cusum_stat) = max(abs(cusum_stat)) OVER ()
+                THEN 1 ELSE 0 END AS BIGINT) AS is_changepoint
+    FROM stat
+    """,
+    operators=("A1", "Window-frame", "X-cusum", "X-anomaly"),
+)
+def q229_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM change-point detection over the daily revenue series: the
+    scaled statistic D_k = n*S_k - k*S_n (the cumulative deviation from
+    a constant-mean fit, multiplied through by n so it stays INTEGER —
+    the float mean never appears), with the argmax |D_k| day flagged as
+    the level-shift point. Every value is exact integer cents arithmetic
+    in both engines; bounded to BIGINT up to ~sf1 (swap the products to
+    a DECIMAL(38,0)/HUGEINT spine beyond). All windows run at DAY grain
+    after the one fact-table shuffle."""
+    o = catalog.load(spark, sf_dir, "orders")
+    d = o.groupBy(F.col("o_orderdate").cast("date").alias("day")).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long")).alias("cents")
+    )
+    wo = W.orderBy("day")
+    c = d.select(
+        "day",
+        "cents",
+        F.row_number().over(wo).cast("long").alias("k"),
+        F.sum("cents")
+        .over(wo.rowsBetween(W.unboundedPreceding, W.currentRow))
+        .alias("s_k"),
+        F.count(F.lit(1)).over(W.partitionBy()).cast("long").alias("n"),
+        F.sum("cents").over(W.partitionBy()).alias("s_n"),
+    )
+    stat = c.select(
+        "day",
+        "cents",
+        (F.col("n") * F.col("s_k") - F.col("k") * F.col("s_n")).alias("cusum_stat"),
+    )
+    return stat.select(
+        "day",
+        "cents",
+        "cusum_stat",
+        F.when(
+            F.abs(F.col("cusum_stat"))
+            == F.max(F.abs(F.col("cusum_stat"))).over(W.partitionBy()),
+            1,
+        )
+        .otherwise(0)
+        .cast("long")
+        .alias("is_changepoint"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q230 — autocorrelation function of the daily revenue series (r9)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q230_revenue_acf",
+    sql="""
+    WITH d AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS cents
+      FROM orders GROUP BY 1),
+    s AS (SELECT CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS i,
+                 cents FROM d),
+    lags AS (SELECT unnest(range(1, 8)) AS lag_k),
+    pair AS (
+      SELECT l.lag_k, a.cents AS x, b.cents AS y
+      FROM lags l JOIN s a ON TRUE JOIN s b ON b.i = a.i + l.lag_k),
+    agg AS (
+      SELECT lag_k,
+             CAST(count(*) AS HUGEINT) AS n,
+             sum(CAST(x AS HUGEINT)) AS sx,
+             sum(CAST(y AS HUGEINT)) AS sy,
+             sum(CAST(x AS HUGEINT) * CAST(y AS HUGEINT)) AS sxy,
+             sum(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS sxx,
+             sum(CAST(y AS HUGEINT) * CAST(y AS HUGEINT)) AS syy
+      FROM pair GROUP BY 1)
+    SELECT CAST(lag_k AS BIGINT) AS lag_k,
+           CAST(n AS BIGINT) AS n_pairs,
+           round(CAST(n * sxy - sx * sy AS DOUBLE)
+                 / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                    * sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 6) + 0.0
+             AS acf
+    FROM agg
+    """,
+    operators=("A-stats", "J2", "X-acf", "Window-rank"),
+)
+def q230_revenue_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1..7 autocorrelation of the daily revenue series (the
+    Pearson correlation of the series against its k-day shift),
+    computed from EXACT integer-cents sums: every Σx, Σxy, Σx²
+    accumulates in DECIMAL(38,0) (Spark) / HUGEINT (DuckDB), so the
+    only float ops are the final casts, one sqrt per side, and one
+    division — spelled as the identical expression tree in both
+    engines, then zround (the q159 class: a flat series rounds to
+    −0.0 without canonicalization). The lag pairing is a day-grain
+    self-join (the series is |days| rows regardless of fact volume);
+    the 7-row lag dimension broadcasts."""
+    o = catalog.load(spark, sf_dir, "orders")
+    d = o.groupBy(F.col("o_orderdate").cast("date").alias("day")).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long")).alias("cents")
+    )
+    s = d.select(
+        F.row_number().over(W.orderBy("day")).cast("long").alias("i"),
+        "cents",
+    )
+    lags = spark.range(1, 8).select(F.col("id").alias("lag_k"))
+    a = s.select(F.col("i").alias("ia"), F.col("cents").alias("x"))
+    b = s.select(F.col("i").alias("ib"), F.col("cents").alias("y"))
+    pair = (
+        a.join(F.broadcast(lags), F.lit(True))
+        .join(b, F.col("ib") == F.col("ia") + F.col("lag_k"))
+    )
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    agg = pair.groupBy("lag_k").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum(dec("x")).alias("sx"),
+        F.sum(dec("y")).alias("sy"),
+        F.sum(dec("x") * dec("y")).alias("sxy"),
+        F.sum(dec("x") * dec("x")).alias("sxx"),
+        F.sum(dec("y") * dec("y")).alias("syy"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    den1 = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    den2 = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    return agg.select(
+        F.col("lag_k").cast("long").alias("lag_k"),
+        F.col("n").cast("long").alias("n_pairs"),
+        zround(num / (F.sqrt(den1) * F.sqrt(den2)), 6).alias("acf"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q231 — Holt linear-trend forecast, compile-time symbolic unroll (r9)
+# ---------------------------------------------------------------------------
+
+_HOLT_H = 16  #: window length (days); weights below are exact for this H
+_HOLT_Q = 1 << 28  #: common dyadic denominator the weights are scaled by
+
+
+def _holt_weights() -> tuple[list[int], list[int], list[int]]:
+    """Unroll the Holt linear-trend recurrence SYMBOLICALLY at import
+    time: with alpha = beta = 1/2 and the standard init (l_1 = x_1,
+    b_1 = x_2 - x_1), level/trend/forecast after H steps are LINEAR in
+    the window values with exact dyadic-rational coefficients. Running
+    the recurrence over Fraction-valued unit vectors yields those
+    coefficients exactly; scaling by the common denominator 2**28
+    turns the whole operator into INTEGER arithmetic (order-independent
+    in any engine, no float appears until one exact final division).
+    The scaled dot product accumulates in DECIMAL(38,0)/HUGEINT —
+    weight·cents terms reach ~2**62 at sf1 and would overflow BIGINT."""
+    from fractions import Fraction
+
+    H = _HOLT_H
+    half = Fraction(1, 2)
+    # l[i]/b[i] = coefficient of x_{i+1} in the current level/trend
+    l = [Fraction(0)] * H
+    b = [Fraction(0)] * H
+    l[0] = Fraction(1)
+    b[0], b[1] = Fraction(-1), Fraction(1)
+    for t in range(1, H):
+        x_t = [Fraction(1) if i == t else Fraction(0) for i in range(H)]
+        new_l = [half * x_t[i] + half * (l[i] + b[i]) for i in range(H)]
+        new_b = [half * (new_l[i] - l[i]) + half * b[i] for i in range(H)]
+        l, b = new_l, new_b
+    scale = lambda ws: [int(w * _HOLT_Q) for w in ws]  # noqa: E731
+    for w in l + b:
+        assert (w * _HOLT_Q).denominator == 1, "non-dyadic Holt weight"
+    return scale(l), scale(b), scale([l[i] + b[i] for i in range(H)])
+
+
+_HOLT_WL, _HOLT_WB, _HOLT_WF = _holt_weights()
+
+
+def _holt_sql_arr(ws: list[int]) -> str:
+    return "[" + ", ".join(f"CAST({w} AS HUGEINT)" for w in ws) + "]"
+
+
+@query(
+    "q231_holt_forecast",
+    sql=f"""
+    WITH d AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS cents
+      FROM orders GROUP BY 1),
+    w AS (
+      SELECT cents,
+             row_number() OVER (ORDER BY day DESC) AS rn
+      FROM d QUALIFY rn <= {_HOLT_H}),
+    ix AS (SELECT cents, CAST({_HOLT_H + 1} - rn AS INT) AS t FROM w),
+    s AS (
+      SELECT sum(({_holt_sql_arr(_HOLT_WL)})[t] * CAST(cents AS HUGEINT)) AS sl,
+             sum(({_holt_sql_arr(_HOLT_WB)})[t] * CAST(cents AS HUGEINT)) AS sb,
+             sum(({_holt_sql_arr(_HOLT_WF)})[t] * CAST(cents AS HUGEINT)) AS sf,
+             CAST(count(*) AS BIGINT) AS n_days
+      FROM ix)
+    SELECT n_days,
+           CAST(sl AS DOUBLE) / {_HOLT_Q} AS level_cents,
+           CAST(sb AS DOUBLE) / {_HOLT_Q} AS trend_cents,
+           CAST(sf AS DOUBLE) / {_HOLT_Q} AS forecast_cents
+    FROM s
+    """,
+    operators=("A1", "Window-rank", "X-holt-forecast", "X-ewma"),
+)
+def q231_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-step-ahead Holt linear-trend forecast of daily revenue over
+    the trailing 16-day window. The recurrence is unrolled at COMPILE
+    time into exact integer weights (see _holt_weights): the query
+    itself is one day-grain aggregate, a 16-row rank filter, and ONE
+    integer dot product — no iteration, no UDF, no state. The only
+    float ops are the final exact-integer→DOUBLE casts (correctly
+    rounded, identical in both engines) and an exact division by
+    2**28. Weight
+    lookup is element_at on a literal array — a constant-folded
+    expression, not a join."""
+    o = catalog.load(spark, sf_dir, "orders")
+    d = o.groupBy(F.col("o_orderdate").cast("date").alias("day")).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long")).alias("cents")
+    )
+    rn = F.row_number().over(W.orderBy(F.col("day").desc()))
+    ix = (
+        d.select("cents", rn.alias("rn"))
+        .filter(F.col("rn") <= _HOLT_H)
+        .select("cents", (F.lit(_HOLT_H + 1) - F.col("rn")).cast("int").alias("t"))
+    )
+    arr = lambda ws: F.array(  # noqa: E731
+        *[F.lit(w).cast("decimal(38,0)") for w in ws]
+    )
+    cents_dec = F.col("cents").cast("decimal(38,0)")
+    s = ix.agg(
+        F.sum(F.element_at(arr(_HOLT_WL), F.col("t")) * cents_dec).alias("sl"),
+        F.sum(F.element_at(arr(_HOLT_WB), F.col("t")) * cents_dec).alias("sb"),
+        F.sum(F.element_at(arr(_HOLT_WF), F.col("t")) * cents_dec).alias("sf"),
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+    )
+    return s.select(
+        "n_days",
+        (F.col("sl").cast("double") / _HOLT_Q).alias("level_cents"),
+        (F.col("sb").cast("double") / _HOLT_Q).alias("trend_cents"),
+        (F.col("sf").cast("double") / _HOLT_Q).alias("forecast_cents"),
+    )

@@ -174,6 +174,17 @@ _SANCTIONED_BNLJ = {
     "q173_chi_square_independence",
     # Benford: the 9 digit rows cross the broadcast ONE-ROW total.
     "q174_benford_audit",
+    # association rules: the pair table crosses the broadcast ONE-ROW
+    # order count for the lift denominator (the q94/q118 pattern).
+    "q220_association_rules",
+    # ACF: the day-grain series crosses the broadcast SEVEN-ROW lag
+    # dimension (the q179 bounded-offset pattern) before the shifted
+    # self-join.
+    "q230_revenue_acf",
+    # histogram quantile sketch: the THREE-ROW quantile spec joins the
+    # ~25-row cumulative histogram on a range predicate — both sides
+    # bounded by construction (the q179 pattern).
+    "q227_histogram_quantiles",
 }
 
 

@@ -96,6 +96,7 @@ def test_every_operator_family_inside_window():
         "multimodal-governance": "q164_exif_privacy_scrub",  # was q152
         # MPEG census; the EXIF scrub re-parses what it rewrites
         "timeseries": "q193_twap_daily",  # was q156 rolling median
+        "mining": "q220_association_rules",  # r9, NEW family this round
     }
     outside = {f: q for f, q in families.items() if q not in window}
     assert not outside, f"families outside the {WINDOW}-entry window: {outside}"
