@@ -76,6 +76,9 @@ QUERIES = [
     "q140_mixture_temperature",
     # smoothed bigram transitions on degenerate-repeat/1-token docs
     "q141_bigram_logprob",
+    # Zipf log-log OLS on tiny random vocabularies (n_ranks < top-500
+    # cap; scaled-integer moment path on ln of small ints)
+    "q235_zipf_slope",
 ]
 
 _VOCAB = (
@@ -216,6 +219,17 @@ _EVENT_QUERIES = [
     "q171_event_path_trigrams",
     # chi-square contingency on random type-by-hour distributions
     "q173_chi_square_independence",
+    # r9 behavioral family: dyadic EWMA over bursty last-16 windows,
+    # 7-day touch attribution on random purchase/click interleavings,
+    # burstiness on degenerate (metronome/same-second) gap patterns,
+    # 30-min sessionization across the generator's 2000s gaps
+    "q225_dyadic_ewma",
+    "q226_touch_attribution",
+    "q232_interevent_burstiness",
+    "q233_session_stats",
+    # link prediction on random co-occurrence graphs (hub-cap and
+    # anti-join paths on shapes the fixed table never makes)
+    "q224_link_prediction",
 ]
 
 
@@ -313,6 +327,22 @@ _RELATIONAL_QUERIES = [
     "q172_replica_reconcile",
     # Benford digit audit on random price distributions
     "q174_benford_audit",
+    # r9 mining/timeseries family on random value distributions:
+    # basket rules under duplicate (order, part) pairs, RFM with
+    # NEGATIVE recency (orders after the reference date), per-year ABC
+    # migration on sparse years, Gini on near-equal books, histogram
+    # quantiles at bucket edges, cohort LTV with gap months, CUSUM /
+    # ACF / Holt on short irregular daily series, dyadic histograms
+    "q220_association_rules",
+    "q221_rfm_segmentation",
+    "q222_abc_migration",
+    "q223_gini_concentration",
+    "q227_histogram_quantiles",
+    "q228_cohort_ltv",
+    "q229_cusum_changepoint",
+    "q230_revenue_acf",
+    "q231_holt_forecast",
+    "q234_value_histogram",
 ]
 
 
