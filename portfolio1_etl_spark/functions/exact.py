@@ -58,3 +58,16 @@ def dsum_product(col: Column) -> Column:
 def dmoney(col: Column) -> Column:
     """Exact per-row decimal snap of a derived money product."""
     return col.cast("decimal(28,8)").cast("double")
+
+
+#: SQL twin of :func:`cents_of` for oracle strings (format with x=expr)
+CENTS_SQL = "CAST(round({x} * 100, 0) AS BIGINT)"
+
+
+def cents_of(col: Column | str) -> Column:
+    """Exact integer CENTS of a structurally-2-decimal double: x*100
+    sits within ~1e-10 of the true cent count, so round-to-nearest
+    lands exactly — the integer-money spine the mining/time-series
+    families accumulate on."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.round(c * 100, 0).cast("long")

@@ -109,11 +109,12 @@ PRIORITY: tuple[str, ...] = (
     "q93_kmeans",
     # frequency sketches
     "q92_cms_heavy_hitters",
-    # deduplication layer
-    "q220_association_rules",   # mining family (r9, NEW this round —
-                                # was q100 corpus-prep composite, whose
+    # mining family
+    "q220_association_rules",   # r9, NEW this round — took the slot of
+                                # the q100 corpus-prep composite, whose
                                 # pieces q71/q73/q74/q117 all stay
-                                # in-window individually)
+                                # in-window individually
+    # deduplication layer
     "q71_dedup_exact_keep",
     "q72_ngram_jaccard",
     "q73_minhash_lsh",

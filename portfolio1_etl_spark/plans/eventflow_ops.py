@@ -510,10 +510,12 @@ def q207_ab_conversion_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
       GROUP BY 1 HAVING count(*) >= 5)
     SELECT user_id,
            CAST(n AS BIGINT) AS n_gaps,
-           round((sqrt(CAST(n * sg2 - sg * sg AS DOUBLE))
-                  - CAST(sg AS DOUBLE))
-                 / (sqrt(CAST(n * sg2 - sg * sg AS DOUBLE))
-                    + CAST(sg AS DOUBLE)), 6) + 0.0 AS burstiness
+           CASE WHEN sg > 0
+                THEN round((sqrt(CAST(n * sg2 - sg * sg AS DOUBLE))
+                       - CAST(sg AS DOUBLE))
+                      / (sqrt(CAST(n * sg2 - sg * sg AS DOUBLE))
+                         + CAST(sg AS DOUBLE)), 6) + 0.0
+                ELSE NULL END AS burstiness
     FROM s
     """,
     operators=("Window-lag", "A-stats", "X-burstiness", "A1"),
@@ -527,9 +529,12 @@ def q232_interevent_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     accumulated in DECIMAL(38,0)/HUGEINT (gap² overflows BIGINT). The
     only float ops are two casts of exact integers, one sqrt, and one
     division — identical trees in both engines, then zround (a
-    perfectly regular series yields −0.0). ONE shuffle on user_id
-    serves both the lag window and the aggregate; the gap multiset is
-    invariant to timestamp-tie ordering."""
+    perfectly regular series yields −0.0). An ALL-same-second user
+    (every gap 0 → σ = μ = 0) yields NULL rather than 0/0: Spark's
+    ANSI mode throws on double division by zero where DuckDB returns
+    NULL, so the guard is spelled in both engines. ONE shuffle on
+    user_id serves both the lag window and the aggregate; the gap
+    multiset is invariant to timestamp-tie ordering."""
     e = _events(spark, sf_dir)
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
     us = F.unix_micros(F.col("ts").cast("timestamp"))
@@ -551,7 +556,9 @@ def q232_interevent_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     return s.select(
         "user_id",
         F.col("n").cast("long").alias("n_gaps"),
-        zround((nsig - nmu) / (nsig + nmu), 6).alias("burstiness"),
+        F.when(
+            F.col("sg") > 0, zround((nsig - nmu) / (nsig + nmu), 6)
+        ).alias("burstiness"),
     )
 
 

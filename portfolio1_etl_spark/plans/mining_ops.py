@@ -31,25 +31,18 @@ the initial keyed aggregates.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from portfolio1_etl_spark import catalog
+from portfolio1_etl_spark.functions.exact import CENTS_SQL as _CENTS
+from portfolio1_etl_spark.functions.exact import cents_of as _cents
 from portfolio1_etl_spark.functions.numeric import zround
 from portfolio1_etl_spark.plans.registry import query
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return catalog.load(spark, sf_dir, name)
-
-
-#: exact cents of a 2-dp double (the error of x*100 vs the true cent
-#: count is ~1e-10, so round-to-nearest lands exactly in both engines)
-_CENTS = "CAST(round({x} * 100, 0) AS BIGINT)"
-
-
-def _cents(col: Column) -> Column:
-    return F.round(col * 100, 0).cast("long")
 
 
 # ---------------------------------------------------------------------------

@@ -754,17 +754,23 @@ _ZIPF_TOP = 500  #: vocabulary ranks entering the log-log regression
              sum(CAST(lx AS HUGEINT) * CAST(ly AS HUGEINT)) AS sxy
       FROM rk)
     SELECT CAST(n AS BIGINT) AS n_ranks,
-           round(CAST(n * sxy - sx * sy AS DOUBLE)
-                 / CAST(n * sxx - sx * sx AS DOUBLE), 6) + 0.0 AS zipf_slope,
-           round((CAST(sy AS DOUBLE)
-                  - (CAST(n * sxy - sx * sy AS DOUBLE)
-                     / CAST(n * sxx - sx * sx AS DOUBLE))
-                    * CAST(sx AS DOUBLE))
-                 / CAST(n AS DOUBLE) / 1000000.0, 6) + 0.0 AS ln_c,
-           round(CAST(n * sxy - sx * sy AS DOUBLE)
-                 * CAST(n * sxy - sx * sy AS DOUBLE)
-                 / (CAST(n * sxx - sx * sx AS DOUBLE)
-                    * CAST(n * syy - sy * sy AS DOUBLE)), 6) AS r2
+           CASE WHEN n * sxx - sx * sx > 0
+                THEN round(CAST(n * sxy - sx * sy AS DOUBLE)
+                      / CAST(n * sxx - sx * sx AS DOUBLE), 6) + 0.0
+                END AS zipf_slope,
+           CASE WHEN n * sxx - sx * sx > 0
+                THEN round((CAST(sy AS DOUBLE)
+                       - (CAST(n * sxy - sx * sy AS DOUBLE)
+                          / CAST(n * sxx - sx * sx AS DOUBLE))
+                         * CAST(sx AS DOUBLE))
+                      / CAST(n AS DOUBLE) / 1000000.0, 6) + 0.0
+                END AS ln_c,
+           CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+                THEN round(CAST(n * sxy - sx * sy AS DOUBLE)
+                      * CAST(n * sxy - sx * sy AS DOUBLE)
+                      / (CAST(n * sxx - sx * sx AS DOUBLE)
+                         * CAST(n * syy - sy * sy AS DOUBLE)), 6)
+                END AS r2
     FROM s
     """,
     operators=("X-zipf", "X-regression", "A1", "Window-rank"),
@@ -779,8 +785,12 @@ def q235_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     integers (the q177 pattern) so all five moment sums accumulate in
     DECIMAL(38,0)/HUGEINT — the regression itself never adds floats.
     The slope is invariant to the common 1e6 axis scaling; the
-    intercept divides it back out. The vocabulary rank window is
-    vocab-grain (bounded by distinct words, not corpus size)."""
+    intercept divides it back out. Degenerate corpora (one rank, or
+    all top ranks at one frequency) yield NULL fits rather than 0/0 —
+    Spark's ANSI mode throws on double division by zero where DuckDB
+    returns NULL, so the guard is spelled in both engines. The
+    vocabulary rank window is vocab-grain (bounded by distinct words,
+    not corpus size)."""
     from pyspark.sql import Window as W
 
     d = _docs(spark, sf_dir)
@@ -812,17 +822,23 @@ def q235_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(lx * ly).alias("sxy"),
     )
     num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
-    den = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
-    deny = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    dx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    dy = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    den, deny = dx.cast("double"), dy.cast("double")
     slope = num / den
     return s.select(
         F.col("n").cast("long").alias("n_ranks"),
-        zround(slope, 6).alias("zipf_slope"),
-        zround(
-            (F.col("sy").cast("double") - slope * F.col("sx").cast("double"))
-            / F.col("n").cast("double")
-            / 1000000.0,
-            6,
+        F.when(dx > 0, zround(slope, 6)).alias("zipf_slope"),
+        F.when(
+            dx > 0,
+            zround(
+                (F.col("sy").cast("double") - slope * F.col("sx").cast("double"))
+                / F.col("n").cast("double")
+                / 1000000.0,
+                6,
+            ),
         ).alias("ln_c"),
-        F.round(num * num / (den * deny), 6).alias("r2"),
+        F.when((dx > 0) & (dy > 0), F.round(num * num / (den * deny), 6)).alias(
+            "r2"
+        ),
     )

@@ -27,12 +27,29 @@ from pyspark.sql import functions as F
 
 from portfolio1_etl_spark import catalog
 from portfolio1_etl_spark.functions import dsum_money
+from portfolio1_etl_spark.functions.exact import cents_of
 from portfolio1_etl_spark.functions.numeric import zround
 from portfolio1_etl_spark.plans.registry import query
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return catalog.load(spark, sf_dir, "events")
+
+
+#: shared daily-revenue spine of the r9 series queries (q229-q231):
+#: ONE fact shuffle down to day grain, exact integer cents.
+_DAILY_CENTS_SQL = """d AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+                  AS BIGINT) AS cents
+      FROM orders GROUP BY 1)"""
+
+
+def _daily_cents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = catalog.load(spark, sf_dir, "orders")
+    return o.groupBy(F.col("o_orderdate").cast("date").alias("day")).agg(
+        F.sum(cents_of("o_totalprice")).alias("cents")
+    )
 
 
 def _bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -410,12 +427,8 @@ def q193_twap_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q229_cusum_changepoint",
-    sql="""
-    WITH d AS (
-      SELECT CAST(o_orderdate AS DATE) AS day,
-             CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
-                  AS BIGINT) AS cents
-      FROM orders GROUP BY 1),
+    sql=f"""
+    WITH {_DAILY_CENTS_SQL},
     c AS (
       SELECT day, cents,
              CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS k,
@@ -443,10 +456,7 @@ def q229_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     in both engines; bounded to BIGINT up to ~sf1 (swap the products to
     a DECIMAL(38,0)/HUGEINT spine beyond). All windows run at DAY grain
     after the one fact-table shuffle."""
-    o = catalog.load(spark, sf_dir, "orders")
-    d = o.groupBy(F.col("o_orderdate").cast("date").alias("day")).agg(
-        F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long")).alias("cents")
-    )
+    d = _daily_cents(spark, sf_dir)
     wo = W.orderBy("day")
     c = d.select(
         "day",
@@ -485,11 +495,8 @@ def q229_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q230_revenue_acf",
-    sql="""
-    WITH d AS (
-      SELECT CAST(o_orderdate AS DATE) AS day,
-             sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS cents
-      FROM orders GROUP BY 1),
+    sql=f"""
+    WITH {_DAILY_CENTS_SQL},
     s AS (SELECT CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS i,
                  cents FROM d),
     lags AS (SELECT unnest(range(1, 8)) AS lag_k),
@@ -507,10 +514,11 @@ def q229_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM pair GROUP BY 1)
     SELECT CAST(lag_k AS BIGINT) AS lag_k,
            CAST(n AS BIGINT) AS n_pairs,
-           round(CAST(n * sxy - sx * sy AS DOUBLE)
-                 / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
-                    * sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 6) + 0.0
-             AS acf
+           CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+                THEN round(CAST(n * sxy - sx * sy AS DOUBLE)
+                      / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                         * sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 6) + 0.0
+                ELSE NULL END AS acf
     FROM agg
     """,
     operators=("A-stats", "J2", "X-acf", "Window-rank"),
@@ -523,13 +531,13 @@ def q230_revenue_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
     only float ops are the final casts, one sqrt per side, and one
     division — spelled as the identical expression tree in both
     engines, then zround (the q159 class: a flat series rounds to
-    −0.0 without canonicalization). The lag pairing is a day-grain
-    self-join (the series is |days| rows regardless of fact volume);
-    the 7-row lag dimension broadcasts."""
-    o = catalog.load(spark, sf_dir, "orders")
-    d = o.groupBy(F.col("o_orderdate").cast("date").alias("day")).agg(
-        F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long")).alias("cents")
-    )
+    −0.0 without canonicalization). A zero-variance side (a lag group
+    with one pair, or a constant series) yields NULL rather than 0/0 —
+    Spark's ANSI mode throws on double division by zero where DuckDB
+    returns NULL, so the guard is spelled in BOTH engines. The lag
+    pairing is a day-grain self-join (the series is |days| rows
+    regardless of fact volume); the 7-row lag dimension broadcasts."""
+    d = _daily_cents(spark, sf_dir)
     s = d.select(
         F.row_number().over(W.orderBy("day")).cast("long").alias("i"),
         "cents",
@@ -551,12 +559,17 @@ def q230_revenue_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(dec("y") * dec("y")).alias("syy"),
     )
     num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
-    den1 = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
-    den2 = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    d1 = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    d2 = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
     return agg.select(
         F.col("lag_k").cast("long").alias("lag_k"),
         F.col("n").cast("long").alias("n_pairs"),
-        zround(num / (F.sqrt(den1) * F.sqrt(den2)), 6).alias("acf"),
+        F.when(
+            (d1 > 0) & (d2 > 0),
+            zround(
+                num / (F.sqrt(d1.cast("double")) * F.sqrt(d2.cast("double"))), 6
+            ),
+        ).alias("acf"),
     )
 
 
@@ -609,10 +622,7 @@ def _holt_sql_arr(ws: list[int]) -> str:
 @query(
     "q231_holt_forecast",
     sql=f"""
-    WITH d AS (
-      SELECT CAST(o_orderdate AS DATE) AS day,
-             sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS cents
-      FROM orders GROUP BY 1),
+    WITH {_DAILY_CENTS_SQL},
     w AS (
       SELECT cents,
              row_number() OVER (ORDER BY day DESC) AS rn
@@ -625,9 +635,12 @@ def _holt_sql_arr(ws: list[int]) -> str:
              CAST(count(*) AS BIGINT) AS n_days
       FROM ix)
     SELECT n_days,
-           CAST(sl AS DOUBLE) / {_HOLT_Q} AS level_cents,
-           CAST(sb AS DOUBLE) / {_HOLT_Q} AS trend_cents,
-           CAST(sf AS DOUBLE) / {_HOLT_Q} AS forecast_cents
+           CASE WHEN n_days = {_HOLT_H}
+                THEN CAST(sl AS DOUBLE) / {_HOLT_Q} END AS level_cents,
+           CASE WHEN n_days = {_HOLT_H}
+                THEN CAST(sb AS DOUBLE) / {_HOLT_Q} END AS trend_cents,
+           CASE WHEN n_days = {_HOLT_H}
+                THEN CAST(sf AS DOUBLE) / {_HOLT_Q} END AS forecast_cents
     FROM s
     """,
     operators=("A1", "Window-rank", "X-holt-forecast", "X-ewma"),
@@ -642,11 +655,11 @@ def q231_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     rounded, identical in both engines) and an exact division by
     2**28. Weight
     lookup is element_at on a literal array — a constant-folded
-    expression, not a join."""
-    o = catalog.load(spark, sf_dir, "orders")
-    d = o.groupBy(F.col("o_orderdate").cast("date").alias("day")).agg(
-        F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long")).alias("cents")
-    )
+    expression, not a join. A series SHORTER than the window emits
+    NULL fits (the fixed weight vector would silently mis-weight a
+    short history's tail positions; refusing is the honest answer,
+    and n_days says why)."""
+    d = _daily_cents(spark, sf_dir)
     rn = F.row_number().over(W.orderBy(F.col("day").desc()))
     ix = (
         d.select("cents", rn.alias("rn"))
@@ -663,9 +676,10 @@ def q231_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.element_at(arr(_HOLT_WF), F.col("t")) * cents_dec).alias("sf"),
         F.count(F.lit(1)).cast("long").alias("n_days"),
     )
+    full = F.col("n_days") == _HOLT_H
     return s.select(
         "n_days",
-        (F.col("sl").cast("double") / _HOLT_Q).alias("level_cents"),
-        (F.col("sb").cast("double") / _HOLT_Q).alias("trend_cents"),
-        (F.col("sf").cast("double") / _HOLT_Q).alias("forecast_cents"),
+        F.when(full, F.col("sl").cast("double") / _HOLT_Q).alias("level_cents"),
+        F.when(full, F.col("sb").cast("double") / _HOLT_Q).alias("trend_cents"),
+        F.when(full, F.col("sf").cast("double") / _HOLT_Q).alias("forecast_cents"),
     )
