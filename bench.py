@@ -242,6 +242,8 @@ HEADLINE = [
     "q233_session_stats",
     "q234_value_histogram",
     "q235_zipf_slope",
+    "q236_holt_backtest",
+    "q237_clustering_coefficient",
 ]
 
 

@@ -2,7 +2,8 @@
 rules over order baskets, RFM segmentation, year-over-year ABC class
 migration, a Gini concentration coefficient, graph link prediction,
 dyadic EWMA smoothing, marketing attribution, a mergeable histogram
-quantile sketch, cohort LTV curves, and a dyadic value histogram.
+quantile sketch, cohort LTV curves, a dyadic value histogram, and the
+local clustering coefficient of the co-purchase graph.
 
 These are the classic "mining on top of the warehouse" shapes a
 training-data/analytics platform serves beside its relational core.
@@ -762,4 +763,109 @@ def q234_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("cents").alias("min_cents"),
         F.max("cents").alias("max_cents"),
         F.sum("cents").cast("long").alias("sum_cents"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q237 — local clustering coefficient
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q237_clustering_coefficient",
+    sql="""
+    WITH ub AS (
+      SELECT DISTINCT user_id AS u, date_trunc('hour', ts) AS h
+      FROM events WHERE event_type = 'purchase'),
+    hc AS (SELECT h FROM (SELECT h, count(*) AS nu FROM ub GROUP BY 1)
+           WHERE nu <= 40),
+    sm AS (SELECT u, h FROM ub JOIN hc USING (h)),
+    e AS (SELECT DISTINCT a.u AS u, b.u AS v
+          FROM sm a JOIN sm b USING (h) WHERE a.u < b.u),
+    nbr AS (SELECT u AS node, v AS nbr FROM e
+            UNION ALL SELECT v, u FROM e),
+    deg AS (SELECT node, count(*) AS d FROM nbr GROUP BY 1
+            HAVING count(*) >= 2),
+    wedge AS (
+      SELECT a.node, a.nbr AS wa, b.nbr AS wb
+      FROM nbr a JOIN nbr b
+        ON a.node = b.node AND a.nbr < b.nbr),
+    tri AS (
+      SELECT w.node, count(*) AS triangles
+      FROM wedge w JOIN e ON w.wa = e.u AND w.wb = e.v
+      GROUP BY 1)
+    SELECT d.node AS user_id,
+           CAST(d.d AS BIGINT) AS degree,
+           CAST(coalesce(t.triangles, 0) AS BIGINT) AS triangles,
+           round(2.0 * coalesce(t.triangles, 0)
+                 / (CAST(d.d AS DOUBLE) * (d.d - 1)), 6) AS clustering_coef
+    FROM deg d LEFT JOIN tri t ON d.node = t.node
+    """,
+    operators=("J-star", "A-distinct", "X-clustering-coef", "J2"),
+)
+def q237_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local clustering coefficient on the q224 co-purchase graph: for
+    every node of degree ≥ 2, the fraction of its neighbor pairs that
+    are themselves connected, cc = 2·T/(d·(d−1)) — the standard
+    community-density fingerprint next to q150's global triangle
+    count. Wedges enumerate via the ordered neighbor self-join
+    (O(Σ deg²), bounded by the hub-hour cap excised BEFORE edge
+    enumeration — the q224 argument) and close into triangles against
+    the canonical u<v edge list. The wedge join is explicitly
+    repartitioned like q224's: its cost is the output explosion, which
+    AQE's byte-based coalescing cannot see. The d ≥ 2 filter makes the
+    ratio's denominator structurally positive; counts are exact ints."""
+    e = _t(spark, sf_dir, "events")
+    ub = (
+        e.filter(F.col("event_type") == "purchase")
+        .select("user_id", F.date_trunc("hour", F.col("ts")).alias("h"))
+        .distinct()
+    )
+    hcnt = ub.groupBy("h").agg(F.count(F.lit(1)).alias("nu"))
+    small = ub.join(
+        F.broadcast(hcnt.filter(F.col("nu") <= 40).select("h")), "h"
+    )
+    a = small.select(F.col("user_id").alias("u"), "h")
+    b = small.select(F.col("user_id").alias("v"), "h")
+    edges = (
+        a.join(b, "h").filter(F.col("u") < F.col("v")).select("u", "v").distinct()
+    )
+    nbr = edges.select(F.col("u").alias("node"), F.col("v").alias("nbr")).unionAll(
+        edges.select(F.col("v").alias("node"), F.col("u").alias("nbr"))
+    )
+    deg = (
+        nbr.groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+        .filter(F.col("d") >= 2)
+    )
+    npart = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    na = nbr.select(F.col("node").alias("cn"), F.col("nbr").alias("wa")).repartition(
+        npart, "cn"
+    )
+    nb = nbr.select(F.col("node").alias("cn"), F.col("nbr").alias("wb")).repartition(
+        npart, "cn"
+    )
+    wedge = na.join(nb, "cn").filter(F.col("wa") < F.col("wb"))
+    tri = (
+        wedge.join(
+            edges, (F.col("wa") == F.col("u")) & (F.col("wb") == F.col("v"))
+        )
+        .groupBy("cn")
+        .agg(F.count(F.lit(1)).alias("triangles"))
+    )
+    return (
+        deg.join(tri, deg["node"] == tri["cn"], "left")
+        .select(
+            deg["node"].alias("user_id"),
+            F.col("d").cast("long").alias("degree"),
+            F.coalesce(F.col("triangles"), F.lit(0))
+            .cast("long")
+            .alias("triangles"),
+            F.round(
+                2.0
+                * F.coalesce(F.col("triangles"), F.lit(0))
+                / (F.col("d").cast("double") * (F.col("d") - 1)),
+                6,
+            ).alias("clustering_coef"),
+        )
     )

@@ -683,3 +683,97 @@ def q231_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(full, F.col("sb").cast("double") / _HOLT_Q).alias("trend_cents"),
         F.when(full, F.col("sf").cast("double") / _HOLT_Q).alias("forecast_cents"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q236 — rolling-origin Holt backtest (r9)
+# ---------------------------------------------------------------------------
+
+_BT_ORIGINS = 8  #: how many trailing days are scored out-of-sample
+
+
+@query(
+    "q236_holt_backtest",
+    sql=f"""
+    WITH {_DAILY_CENTS_SQL},
+    s AS (SELECT CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS i,
+                 day, cents FROM d),
+    nmax AS (SELECT max(i) AS n FROM s),
+    o AS (
+      SELECT s.i AS oi, s.day, s.cents AS actual_cents
+      FROM s CROSS JOIN nmax
+      WHERE s.i > nmax.n - {_BT_ORIGINS}),
+    win AS (
+      SELECT o.oi, o.day, o.actual_cents,
+             sum(({_holt_sql_arr(_HOLT_WF)})[CAST(s.i - o.oi + {_HOLT_H + 1}
+                                             AS INT)]
+                 * CAST(s.cents AS HUGEINT)) AS sf,
+             count(*) AS n_win
+      FROM o JOIN s
+        ON s.i >= o.oi - {_HOLT_H} AND s.i <= o.oi - 1
+      GROUP BY 1, 2, 3),
+    f AS (
+      SELECT day, CAST(actual_cents AS BIGINT) AS actual_cents,
+             CASE WHEN n_win = {_HOLT_H}
+                  THEN CAST(sf AS DOUBLE) / {_HOLT_Q} END AS forecast_cents
+      FROM win)
+    SELECT day, actual_cents, forecast_cents,
+           abs(forecast_cents - actual_cents) AS abs_err_cents
+    FROM f
+    """,
+    operators=("J-range", "A1", "X-holt-backtest", "Window-rank"),
+)
+def q236_holt_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-origin backtest of the q231 Holt forecaster: for each of
+    the last 8 days, the one-step-ahead forecast from the 16 days
+    before it, next to the realized value and the absolute error —
+    the honest way to put an error bar on a forecasting operator
+    without ever iterating (each origin is the SAME compile-time
+    integer dot product, shifted). Origins with an incomplete window
+    emit NULL (the q231 rule). The range join is an 8-row origin spec
+    against the day-grain series — bounded by construction; the
+    forecast is exact dyadic arithmetic so the error column is
+    deterministic to the bit."""
+    d = _daily_cents(spark, sf_dir)
+    s = d.select(
+        F.row_number().over(W.orderBy("day")).cast("long").alias("i"),
+        "day",
+        "cents",
+    )
+    nmax = s.agg(F.max("i").alias("n"))
+    o = (
+        s.join(F.broadcast(nmax), F.lit(True))
+        .filter(F.col("i") > F.col("n") - _BT_ORIGINS)
+        .select(
+            F.col("i").alias("oi"),
+            "day",
+            F.col("cents").alias("actual_cents"),
+        )
+    )
+    sw = s.select(F.col("i").alias("wi"), F.col("cents").alias("wc"))
+    t = (F.col("wi") - F.col("oi") + (_HOLT_H + 1)).cast("int")
+    wf_arr = F.array(*[F.lit(w).cast("decimal(38,0)") for w in _HOLT_WF])
+    win = (
+        F.broadcast(o)
+        .join(
+            sw,
+            (F.col("wi") >= F.col("oi") - _HOLT_H)
+            & (F.col("wi") <= F.col("oi") - 1),
+        )
+        .groupBy("oi", "day", "actual_cents")
+        .agg(
+            F.sum(
+                F.element_at(wf_arr, t) * F.col("wc").cast("decimal(38,0)")
+            ).alias("sf"),
+            F.count(F.lit(1)).alias("n_win"),
+        )
+    )
+    forecast = F.when(
+        F.col("n_win") == _HOLT_H, F.col("sf").cast("double") / _HOLT_Q
+    )
+    return win.select(
+        "day",
+        F.col("actual_cents").cast("long").alias("actual_cents"),
+        forecast.alias("forecast_cents"),
+        F.abs(forecast - F.col("actual_cents")).alias("abs_err_cents"),
+    )

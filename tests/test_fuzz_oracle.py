@@ -230,6 +230,9 @@ _EVENT_QUERIES = [
     # link prediction on random co-occurrence graphs (hub-cap and
     # anti-join paths on shapes the fixed table never makes)
     "q224_link_prediction",
+    # local clustering coefficient on the same random graphs (wedge
+    # closure with zero-triangle and degree-2 nodes)
+    "q237_clustering_coefficient",
 ]
 
 
@@ -343,6 +346,9 @@ _RELATIONAL_QUERIES = [
     "q230_revenue_acf",
     "q231_holt_forecast",
     "q234_value_histogram",
+    # rolling-origin Holt backtest (short random series exercise the
+    # incomplete-window NULL path at several origins)
+    "q236_holt_backtest",
 ]
 
 

@@ -185,6 +185,10 @@ _SANCTIONED_BNLJ = {
     # ~25-row cumulative histogram on a range predicate — both sides
     # bounded by construction (the q179 pattern).
     "q227_histogram_quantiles",
+    # Holt backtest: the ONE-ROW max-index aggregate crosses the
+    # day-grain series, then the EIGHT-ROW origin spec range-joins it
+    # (both sides bounded; the q179/q227 pattern).
+    "q236_holt_backtest",
 }
 
 
