@@ -14,13 +14,13 @@ Pieces:
   or 21-bit (3-D) non-negative longs via the classic magic-mask spread
   sequence — five shift/AND steps per column, whole-stage-codegen
   friendly, no UDF.
-- ``zorder_key``: rank-free normalization of arbitrary numeric
-  columns into the interleave domain by min/max linear scaling (ONE
-  tiny aggregate; the two scalars ride into the expression as
-  literals). Linear scaling is the simplicity/scale trade: skewed
-  columns get uneven cells (range-bucketed boundaries would fix that
-  at the cost of per-column sorts), which only degrades pruning,
-  never correctness.
+- ``zorder_key``: normalization of arbitrary numeric columns into the
+  interleave domain — ``linear`` min/max scaling (ONE tiny aggregate;
+  the two scalars ride into the expression as literals) or
+  ``quantile`` rank cells from a one-pass Greenwald–Khanna sketch,
+  which keep cells evenly POPULATED under skew (a heavy-tailed column
+  under linear scaling collapses into a few cells and stops pruning;
+  under quantile boundaries every cell holds ~1/256 of the rows).
 - ``write_zordered``: repartitionByRange on the z-key +
   sortWithinPartitions, so each output file owns a contiguous curve
   segment — the property min/max pruning feeds on.
@@ -88,18 +88,59 @@ def morton3(a: Column, b: Column, c: Column) -> Column:
     )
 
 
-def zorder_key(df: DataFrame, cols: list[str]) -> Column:
-    """Z-order key expression over 2 or 3 numeric columns: min/max
-    linear scaling into the per-dimension bit budget, then the Morton
-    interleave. The normalization bounds come from ONE driver-side
-    2k-scalar aggregate (the only action here); they are layout
-    metadata, not data — the same trade Delta's OPTIMIZE makes.
-    Constant columns collapse to bucket 0 (their bits carry no
-    information either way)."""
+#: quantile-mode resolution: 256 rank buckets per dimension is plenty
+#: for any realistic file count (a 65k-file layout still gets distinct
+#: cells) while keeping the boundary array codegen-friendly.
+_Q_BUCKETS = 256
+
+
+def zorder_key(
+    df: DataFrame, cols: list[str], boundaries: str = "linear"
+) -> Column:
+    """Z-order key expression over 2 or 3 numeric columns, then the
+    Morton interleave. Two normalization modes:
+
+    - ``linear`` (default): min/max scaling into the per-dimension bit
+      budget — ONE 2k-scalar aggregate, zero sorts. Skewed columns get
+      uneven cells (pruning degrades, never correctness).
+    - ``quantile``: 255 approximate quantile boundaries per column
+      (Greenwald–Khanna sketch — one pass, mergeable, the same
+      machinery Delta's OPTIMIZE samples with); the bucket is the
+      value's RANK CELL, so every cell holds ~1/256 of the rows no
+      matter how skewed the distribution. The boundary lookup compiles
+      to a codegen array-filter count, not a join.
+
+    Bounds/boundaries are layout metadata, not data — driver-side
+    scalars riding into the expression as literals. Constant columns
+    collapse to bucket 0 (their bits carry no information either way)."""
     if len(cols) not in _BITS:
         raise ValueError("zorder_key supports exactly 2 or 3 columns")
+    if boundaries not in ("linear", "quantile"):
+        raise ValueError("boundaries must be 'linear' or 'quantile'")
     bits = _BITS[len(cols)]
     top = (1 << bits) - 1
+    buckets = []
+    if boundaries == "quantile":
+        probes = [i / _Q_BUCKETS for i in range(1, _Q_BUCKETS)]
+        all_qs = df.stat.approxQuantile(
+            [c for c in cols], probes, 1.0 / (4 * _Q_BUCKETS)
+        )
+        for c, qs in zip(cols, all_qs):
+            cuts = sorted(set(qs))
+            if not cuts:
+                buckets.append(F.lit(0).cast("long"))
+                continue
+            arr = F.array(*[F.lit(float(b)) for b in cuts])
+            x = F.col(c).cast("double")
+            rank_cell = F.size(F.filter(arr, lambda b: x >= b)).cast("long")
+            # spread the rank cells across the FULL per-dimension bit
+            # budget: a low-cardinality column would otherwise carry
+            # its information in LOW bit positions only, and the
+            # interleave's top splits would all land on the other
+            # column (no pruning on this one).
+            factor = top // (len(cuts) + 1)
+            buckets.append(rank_cell * F.lit(factor))
+        return (morton2 if len(cols) == 2 else morton3)(*buckets)
     aggs = []
     for c in cols:
         aggs += [
@@ -107,7 +148,6 @@ def zorder_key(df: DataFrame, cols: list[str]) -> Column:
             F.max(F.col(c).cast("double")).alias(f"mx_{c}"),
         ]
     row = df.agg(*aggs).collect()[0]
-    buckets = []
     for c in cols:
         mn, mx = row[f"mn_{c}"], row[f"mx_{c}"]
         if mn is None or mx is None or mx <= mn:
@@ -123,7 +163,11 @@ def zorder_key(df: DataFrame, cols: list[str]) -> Column:
 
 
 def write_zordered(
-    df: DataFrame, path: str, cols: list[str], num_files: int = 16
+    df: DataFrame,
+    path: str,
+    cols: list[str],
+    num_files: int = 16,
+    boundaries: str = "linear",
 ) -> None:
     """Write ``df`` as parquet clustered along the z-curve of ``cols``:
     range-partition on the z-key (each task owns one contiguous curve
@@ -132,7 +176,7 @@ def write_zordered(
     tight too. At cluster scale this is the layout job you run once
     per table region; readers need no special support — parquet
     min/max stats do the skipping."""
-    z = zorder_key(df, cols).alias("_z")
+    z = zorder_key(df, cols, boundaries=boundaries).alias("_z")
     (
         df.select("*", z)
         .repartitionByRange(num_files, F.col("_z"))

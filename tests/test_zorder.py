@@ -123,3 +123,29 @@ def test_zorder_key_constant_column(spark):
     rows = df.select("x", zorder_key(df, ["x", "y"]).alias("z")).collect()
     zs = [r["z"] for r in sorted(rows, key=lambda r: r["x"])]
     assert zs == sorted(zs)
+
+
+def test_quantile_boundaries_beat_linear_under_skew(spark, tmp_path):
+    """Heavy-tailed column: linear min/max scaling collapses ~95% of
+    rows into the lowest cells (the max dominates the scale), so
+    z-order pruning on the dense region degrades; quantile boundaries
+    keep cells evenly populated and restore the skipping."""
+    side = 400
+    # y is exponentially distributed over 20 octaves: half the rows at
+    # the bottom octave, max value 2^19 — linear bucket 0 holds ~all
+    df = _grid(spark, side).selectExpr(
+        "x", "CAST(shiftleft(1L, CAST(y % 20 AS INT)) AS BIGINT) AS y"
+    )
+    lin = os.path.join(str(tmp_path), "zlin")
+    qua = os.path.join(str(tmp_path), "zqua")
+    write_zordered(df, lin, ["x", "y"], num_files=16, boundaries="linear")
+    write_zordered(df, qua, ["x", "y"], num_files=16, boundaries="quantile")
+    # a point-ish predicate in the DENSE low region of y
+    lin_y = scan_fraction(lin, "y", 1, 2)
+    qua_y = scan_fraction(qua, "y", 1, 2)
+    assert qua_y < lin_y, f"quantile {qua_y} should beat linear {lin_y}"
+    assert qua_y <= 0.5, f"quantile layout still reads {qua_y}"
+    # both layouts keep pruning on the uniform x column
+    assert scan_fraction(qua, "x", 100, 109) <= 0.5
+    # correctness: same rows back
+    assert spark.read.parquet(qua).count() == side * side
