@@ -244,6 +244,7 @@ HEADLINE = [
     "q235_zipf_slope",
     "q236_holt_backtest",
     "q237_clustering_coefficient",
+    "q238_variant_shredding",
 ]
 
 

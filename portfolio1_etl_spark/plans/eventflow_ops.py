@@ -645,3 +645,109 @@ def q233_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_ev").cast("double") / F.count(F.lit(1)), 4
         ).alias("avg_session_events"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q238 — VARIANT shredding census over heterogeneous JSON (r9)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q238_variant_shredding",
+    sql="""
+    WITH j AS (
+      SELECT event_type,
+             CASE event_type
+               WHEN 'purchase' THEN
+                 '{"amount": ' ||
+                 CAST(CAST(round(value * 100, 0) AS BIGINT) AS VARCHAR) ||
+                 ', "flag": true}'
+               WHEN 'click' THEN
+                 '{"pos": {"x": ' || CAST(user_id % 100 AS VARCHAR) ||
+                 ', "y": ' || CAST(event_id % 100 AS VARCHAR) || '}}'
+               WHEN 'view' THEN
+                 '{"dur": [' || CAST(event_id % 7 AS VARCHAR) || ', ' ||
+                 CAST(user_id % 5 AS VARCHAR) || ']}'
+               ELSE '{bad'
+             END AS doc
+      FROM events),
+    x AS (
+      SELECT event_type,
+             json_valid(doc) AS ok,
+             CASE WHEN json_valid(doc)
+                  THEN CAST(json_extract(doc, '$.amount') AS BIGINT) END
+               AS amount,
+             CASE WHEN json_valid(doc)
+                  THEN CAST(json_extract(doc, '$.pos.x') AS BIGINT) END
+               AS pos_x,
+             CASE WHEN json_valid(doc)
+                  THEN CAST(json_extract(doc, '$.dur[0]') AS BIGINT) END
+               AS dur0
+      FROM j)
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CASE WHEN ok THEN 1 ELSE 0 END) AS BIGINT) AS n_valid,
+           CAST(sum(amount) AS BIGINT) AS sum_amount_cents,
+           CAST(max(pos_x) AS BIGINT) AS max_pos_x,
+           CAST(sum(dur0) AS BIGINT) AS sum_dur0
+    FROM x GROUP BY 1
+    """,
+    operators=("F1-variant", "C15", "A1", "X-schema-on-read"),
+)
+def q238_variant_shredding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-on-read shredding of HETEROGENEOUS semi-structured
+    payloads through Spark 4's VARIANT type: each event type carries a
+    different JSON shape (scalar + bool, nested object, array — built
+    deterministically from typed columns so both engines parse
+    byte-identical documents; the 'error' type carries MALFORMED
+    JSON), and the census extracts a typed path per shape with
+    ``try_variant_get`` — missing paths and parse failures surface as
+    NULL, never as exceptions, which is the property a 100 TB
+    mixed-vintage metadata column needs (one bad row cannot kill the
+    scan). parse_json/variant_get stay inside codegen; the oracle
+    spells the same shred with json_valid + json_extract."""
+    e = _events(spark, sf_dir)
+    s = lambda c: c.cast("string")  # noqa: E731
+    cents = F.round(F.col("value") * 100, 0).cast("long")
+    doc = (
+        F.when(
+            F.col("event_type") == "purchase",
+            F.concat(F.lit('{"amount": '), s(cents), F.lit(', "flag": true}')),
+        )
+        .when(
+            F.col("event_type") == "click",
+            F.concat(
+                F.lit('{"pos": {"x": '),
+                s(F.col("user_id") % 100),
+                F.lit(', "y": '),
+                s(F.col("event_id") % 100),
+                F.lit("}}"),
+            ),
+        )
+        .when(
+            F.col("event_type") == "view",
+            F.concat(
+                F.lit('{"dur": ['),
+                s(F.col("event_id") % 7),
+                F.lit(", "),
+                s(F.col("user_id") % 5),
+                F.lit("]}"),
+            ),
+        )
+        .otherwise(F.lit("{bad"))
+    )
+    v = F.try_parse_json(doc)
+    x = e.select(
+        "event_type",
+        v.isNotNull().alias("ok"),
+        F.try_variant_get(v, "$.amount", "bigint").alias("amount"),
+        F.try_variant_get(v, "$.pos.x", "bigint").alias("pos_x"),
+        F.try_variant_get(v, "$.dur[0]", "bigint").alias("dur0"),
+    )
+    return x.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum(F.when(F.col("ok"), 1).otherwise(0)).cast("long").alias("n_valid"),
+        F.sum("amount").cast("long").alias("sum_amount_cents"),
+        F.max("pos_x").cast("long").alias("max_pos_x"),
+        F.sum("dur0").cast("long").alias("sum_dur0"),
+    )

@@ -233,6 +233,9 @@ _EVENT_QUERIES = [
     # local clustering coefficient on the same random graphs (wedge
     # closure with zero-triangle and degree-2 nodes)
     "q237_clustering_coefficient",
+    # VARIANT shredding of heterogeneous JSON built from random typed
+    # columns (every shape x type combination, including malformed)
+    "q238_variant_shredding",
 ]
 
 

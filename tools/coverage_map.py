@@ -51,7 +51,9 @@ MODULE_COVERAGE = {
     "EP1/EP2 channels": "sources.channels: all 13 reference channels as configured connectors/feeds (tests/test_channels.py)",
     "J-skew": "operators.joins.salted_join (tests/test_joins_robustness.py)",
     "J-bucketed": "operators.bucketing.write_bucketed (tests/test_bucketing.py)",
-    "K-zorder": "operators.zorder.write_zordered — Morton-curve multi-column clustering; footer-stats scan_fraction proves both-column pruning (tests/test_zorder.py::test_zorder_layout_prunes_both_columns)",
+    "K-zorder": "operators.zorder.write_zordered — Morton-curve multi-column clustering (linear + skew-proof quantile boundaries); footer-stats scan_fraction proves both-column pruning (tests/test_zorder.py::test_zorder_layout_prunes_both_columns)",
+    "S-pydatasource": "sources.pydatasource.FramedFeedDataSource — custom connector via Spark 4's Python DataSource API: partition-per-file reads, site filter pruned at FILE level, staged atomic writes, loud corrupt-frame errors (tests/test_pydatasource.py)",
+    "Stream-source-custom": "sources.pydatasource.FramedFeedStreamReader — micro-batch source with file-count offsets over immutable staged files; exactly-once replay pinned by a two-run availableNow checkpoint test (tests/test_pydatasource.py::test_streaming_picks_up_only_new_files)",
     "UDF-pandas": "operators.udfs.token_count_udf (pandas_udf, pinned to built-in twin) (tests/test_udfs.py)",
     "UDF-groupedmap": "operators.udfs.zscore_per_group (applyInPandas, pinned to window twin) (tests/test_udfs.py)",
     "UDF-UDAF": "operators.udfs.geometric_mean_udaf (grouped-agg pandas_udf, pinned to exp(avg(ln)) twin) (tests/test_udfs.py::test_grouped_agg_udaf_matches_expression_twin)",
