@@ -42,11 +42,11 @@ from portfolio1_etl_spark.plans import dedup_recall_ops  # noqa: F401,E402
 #: Explicit registry order. External correctness harnesses may sample a
 #: prefix of ``queries()`` (the driver checks the first 50 entries), so
 #: the prefix must contain at least one representative of EVERY operator
-#: family. ROTATED each round (r9): 18 of the 50 slots hold queries NOT
-#: in the r8 window — 15 that had NEVER been under the external gate
+#: family. ROTATED each round (r9): 19 of the 50 slots hold queries NOT
+#: in the r8 window — 16 that had NEVER been under the external gate
 #: (q163, q164, q168, q172, q174, q178, q179, q185, q187, q189–q193,
-#: plus this round's brand-new q220 mining query) and 3
-#: rotated back in (q25, q18, q31) — so the external gate
+#: plus this round's brand-new q220 mining and q238 VARIANT queries)
+#: and 3 rotated back in (q25, q18, q31) — so the external gate
 #: re-verifies a different slice of the registry every round instead of
 #: re-checking a fixed favored set; everything outside the window stays
 #: covered by tools/check_oracle.py (full-registry) and pytest. q159
@@ -58,7 +58,11 @@ PRIORITY: tuple[str, ...] = (
     "q25_intersect",            # set family (r9 rotation: was q26 except)
     "q09_sortmerge_join",       # fact-fact join (q29 keeps broadcast rep)
     "q18_cube",                 # hierarchical agg (r9: was q30 gsets)
-    "q27_json_extract",         # JSON parse
+    "q238_variant_shredding",   # semi-structured parse (r9 session 3,
+                                # NEW: the VARIANT shred replaces
+                                # q27's fixed-schema from_json as the
+                                # family's windowed rep; q27 stays
+                                # covered by check_oracle + pytest)
     "q39_unpivot",              # pivot family
     "q29_star_join",            # multi-dim star broadcast
     # advanced joins / aggregates

@@ -39,7 +39,7 @@ def test_every_operator_family_inside_window():
         "topk": "q189_top_revenue_supplier",  # was q59; the same
         # TakeOrdered-over-aggregate shape (TPC-H Q15 analogue)
         "hierarchical-agg": "q18_cube",  # was q30 grouping sets
-        "json": "q27_json_extract",
+        "json": "q238_variant_shredding",  # r9 s3: was q27 from_json
         "pivot-family": "q39_unpivot",
         "star-join": "q29_star_join",
         "exotic-join": "q31_full_outer_join",  # was q176 attribution
