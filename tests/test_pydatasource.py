@@ -117,3 +117,32 @@ def test_streaming_picks_up_only_new_files(spark, tmp_path, feed_dir):
         fh.write(encode_frames(extra))
     # the second availableNow run appends ONLY the new file's rows
     assert run_once() == sorted(_ROWS_A + _ROWS_B + extra)
+
+
+# --- property-based codec hardening (pure Python, no Spark) ---------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_sku = st.text(
+    st.characters(blacklist_categories=("Cs",)), min_size=0, max_size=30
+)
+_rec = st.tuples(_sku, st.integers(min_value=-(2**62), max_value=2**62), _sku)
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(_rec, max_size=40))
+def test_frames_roundtrip_any_records(records):
+    assert list(decode_frames(encode_frames(records))) == [
+        (s, int(q), t) for s, q, t in records
+    ]
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.lists(_rec, min_size=1, max_size=10), st.integers(1, 4))
+def test_any_truncation_is_loud(records, cut):
+    """Chopping ANY nonzero suffix off a feed must raise, never
+    silently yield a prefix of the records and stop."""
+    b = encode_frames(records)
+    with pytest.raises(ValueError, match="truncated"):
+        list(decode_frames(b[: len(b) - cut]))
