@@ -808,13 +808,17 @@ def q237_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
     every node of degree ≥ 2, the fraction of its neighbor pairs that
     are themselves connected, cc = 2·T/(d·(d−1)) — the standard
     community-density fingerprint next to q150's global triangle
-    count. Spark counts triangles DEGREE-ORIENTED
-    (operators.graph.triangle_counts: every edge re-oriented from its
-    (degree, id)-smaller endpoint, so wedge fan-out is O(√m) per node
-    even at hubs — the oracle's id-ordered neighbor self-join is a
-    DIFFERENT algorithm, so their agreement gates the orientation
-    logic, the q150 pattern). The d ≥ 2 filter makes the ratio's
-    denominator structurally positive; counts are exact ints."""
+    count. Wedges enumerate via the ordered neighbor self-join and
+    close against the canonical u<v edge list: Σ deg² is ALREADY
+    bounded here because hub hours are df-capped before edge
+    enumeration (the q224 argument), and an A/B against the
+    degree-oriented operators.graph.triangle_counts showed the
+    checkpoint-materialized oriented form ~1.7x SLOWER on this capped
+    graph — orientation pays off on uncapped power-law graphs (q150
+    uses it there), not after the cap has removed the hubs. The wedge
+    join is explicitly repartitioned (the q224 AQE-explosion lesson);
+    the d ≥ 2 filter makes the ratio's denominator structurally
+    positive; counts are exact ints."""
     e = _t(spark, sf_dir, "events")
     ub = (
         e.filter(F.col("event_type") == "purchase")
@@ -830,8 +834,6 @@ def q237_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = (
         a.join(b, "h").filter(F.col("u") < F.col("v")).select("u", "v").distinct()
     )
-    from portfolio1_etl_spark.operators.graph import triangle_counts
-
     nbr = edges.select(F.col("u").alias("node"), F.col("v").alias("nbr")).unionAll(
         edges.select(F.col("v").alias("node"), F.col("u").alias("nbr"))
     )
@@ -840,8 +842,20 @@ def q237_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("d"))
         .filter(F.col("d") >= 2)
     )
-    tri = triangle_counts(edges).select(
-        F.col("node").alias("cn"), F.col("n_triangles").alias("triangles")
+    npart = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    na = nbr.select(F.col("node").alias("cn"), F.col("nbr").alias("wa")).repartition(
+        npart, "cn"
+    )
+    nb = nbr.select(F.col("node").alias("cn"), F.col("nbr").alias("wb")).repartition(
+        npart, "cn"
+    )
+    wedge = na.join(nb, "cn").filter(F.col("wa") < F.col("wb"))
+    tri = (
+        wedge.join(
+            edges, (F.col("wa") == F.col("u")) & (F.col("wb") == F.col("v"))
+        )
+        .groupBy("cn")
+        .agg(F.count(F.lit(1)).alias("triangles"))
     )
     return (
         deg.join(tri, deg["node"] == tri["cn"], "left")
