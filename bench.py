@@ -262,24 +262,35 @@ def _previous_round_timings(here: str) -> tuple[str, dict[str, float]] | None:
         m = re.search(r"(?:BENCH|bench_full)_r0*(\d+)\.json$", os.path.basename(p))
         return int(m.group(1)) if m else None
 
-    benches = sorted(
-        (
-            p
-            for pat in ("BENCH_r*.json", "bench_full_r*.json")
-            for p in glob.glob(os.path.join(here, pat))
-            if _round_no(p) is not None
-        ),
-        key=lambda p: (_round_no(p), "BENCH" in os.path.basename(p)),
-        reverse=True,
-    )
-    for path in benches:
+    by_round: dict[int, list[str]] = {}
+    for pat in ("BENCH_r*.json", "bench_full_r*.json"):
+        for p in glob.glob(os.path.join(here, pat)):
+            rn = _round_no(p)
+            if rn is not None:
+                by_round.setdefault(rn, []).append(p)
+
+    def _queries(path: str) -> dict[str, float] | None:
         try:
             with open(path) as f:
                 data = json.load(f)
             parsed = data.get("parsed") or data
-            return os.path.basename(path), dict(parsed["queries"])
+            return dict(parsed["queries"])
         except (OSError, KeyError, TypeError, ValueError, json.JSONDecodeError):
-            continue
+            return None
+
+    for rn in sorted(by_round, reverse=True):
+        # Merge every parseable artifact of the round; a tail-truncated
+        # driver capture must not shadow the committed full artifact, so
+        # bench_full (sorted last) overwrites BENCH on shared queries.
+        merged: dict[str, float] = {}
+        used: list[str] = []
+        for path in sorted(by_round[rn], key=lambda p: "bench_full" in p):
+            qs = _queries(path)
+            if qs:
+                merged.update(qs)
+                used.append(os.path.basename(path))
+        if merged:
+            return "+".join(used), merged
     return None
 
 

@@ -14,6 +14,8 @@ that overwrites its own input (:648). The idiomatic Spark replacements:
 
 from __future__ import annotations
 
+import os
+import urllib.parse
 from functools import reduce
 
 from pyspark.sql import DataFrame, SparkSession
@@ -567,15 +569,20 @@ def _write_small_file_atomic(
       replace (HDFS server-side; ``Files.move(REPLACE_EXISTING)`` on
       local). There is no delete-then-rename window in which a
       concurrent reader sees the pointer file absent.
-    - ``overwrite=False`` → ``Options.Rename.NONE``: create-exclusive
-      — the rename fails with ``FileAlreadyExistsException`` when the
-      destination exists, surfaced here as ``ConcurrentCommitError``.
-      This is the compare-and-swap primitive the manifest chain's
+    - ``overwrite=False`` → create-exclusive, surfaced as
+      ``ConcurrentCommitError`` when the destination exists. This is
+      the compare-and-swap primitive the manifest chain's
       concurrent-writer protocol commits through (the same pattern as
-      Delta's HDFS LogStore ``putIfAbsent``). On HDFS the
-      existence check + rename is one atomic server-side op; plain
-      object stores without atomic rename need their usual
-      consistency shim, same as every rename-based commit protocol.
+      Delta's HDFS LogStore ``putIfAbsent``). The guarantee is
+      store-scoped: on HDFS ``Options.Rename.NONE`` is one atomic
+      server-side op; on the LOCAL filesystem Hadoop's
+      ``RawLocalFs.rename`` is exists-check-then-rename — a
+      check-then-act window two genuinely concurrent writers can both
+      pass — so local (``file:``/schemeless) paths take a pure-POSIX
+      branch instead: ``os.link(tmp, final)``, whose ``EEXIST`` is a
+      kernel-atomic putIfAbsent. Plain object stores without atomic
+      rename need their usual consistency shim (external lock /
+      conditional PUT), same as every rename-based commit protocol.
 
     A single-file rename is atomic on HDFS/local and an atomic
     single-object copy on S3-style stores — which is exactly why every
@@ -588,6 +595,32 @@ def _write_small_file_atomic(
     import uuid
 
     from py4j.protocol import Py4JJavaError
+
+    parsed = urllib.parse.urlparse(path)
+    if parsed.scheme in ("", "file"):
+        local = parsed.path if parsed.scheme == "file" else path
+        tmp_local = os.path.join(
+            os.path.dirname(local),
+            f".{os.path.basename(local)}.{uuid.uuid4().hex[:12]}.tmp",
+        )
+        os.makedirs(os.path.dirname(local), exist_ok=True)
+        with open(tmp_local, "w", encoding="utf-8") as fh:
+            fh.write(text)
+        try:
+            if overwrite:
+                os.replace(tmp_local, local)  # POSIX-atomic swap
+            else:
+                try:
+                    os.link(tmp_local, local)  # kernel-atomic putIfAbsent
+                except FileExistsError as e:
+                    raise ConcurrentCommitError(
+                        f"lost the commit race for {path}: another "
+                        "writer's file landed first"
+                    ) from e
+        finally:
+            if os.path.exists(tmp_local):
+                os.remove(tmp_local)
+        return
 
     fs, _ = _hadoop_fs(spark, path)
     sc = spark.sparkContext

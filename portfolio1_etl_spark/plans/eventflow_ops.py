@@ -424,16 +424,17 @@ def q206_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     wide AS (
       SELECT
-        (SELECT n FROM agg WHERE arm = 0) AS n0,
-        (SELECT conv FROM agg WHERE arm = 0) AS c0,
-        (SELECT n FROM agg WHERE arm = 1) AS n1,
-        (SELECT conv FROM agg WHERE arm = 1) AS c1
+        COALESCE((SELECT n FROM agg WHERE arm = 0), 0) AS n0,
+        COALESCE((SELECT conv FROM agg WHERE arm = 0), 0) AS c0,
+        COALESCE((SELECT n FROM agg WHERE arm = 1), 0) AS n1,
+        COALESCE((SELECT conv FROM agg WHERE arm = 1), 0) AS c1
     )
     SELECT CAST(n0 AS BIGINT) AS n_control, CAST(c0 AS BIGINT) AS conv_control,
       CAST(n1 AS BIGINT) AS n_treatment, CAST(c1 AS BIGINT) AS conv_treatment,
-      round(CAST(c0 AS DOUBLE) / n0, 4) AS p_control,
-      round(CAST(c1 AS DOUBLE) / n1, 4) AS p_treatment,
-      CASE WHEN c0 + c1 > 0 AND c0 + c1 < n0 + n1 THEN
+      CASE WHEN n0 > 0 THEN round(CAST(c0 AS DOUBLE) / n0, 4) END AS p_control,
+      CASE WHEN n1 > 0 THEN round(CAST(c1 AS DOUBLE) / n1, 4) END AS p_treatment,
+      CASE WHEN n0 > 0 AND n1 > 0
+                AND c0 + c1 > 0 AND c0 + c1 < n0 + n1 THEN
         round((CAST(c1 AS DOUBLE) / n1 - CAST(c0 AS DOUBLE) / n0)
               / sqrt((CAST(c0 + c1 AS DOUBLE) / (n0 + n1))
                      * (1.0 - CAST(c0 + c1 AS DOUBLE) / (n0 + n1))
@@ -459,13 +460,17 @@ def q207_ab_conversion_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
     arm0 = F.col("user_id") % 2 == 0
     is_p = F.col("event_type") == "purchase"
     one = e.agg(
-        F.sum(F.when(arm0, 1).otherwise(0)).alias("n0"),
-        F.sum(F.when(arm0 & is_p, 1).otherwise(0)).alias("c0"),
-        F.sum(F.when(~arm0, 1).otherwise(0)).alias("n1"),
-        F.sum(F.when(~arm0 & is_p, 1).otherwise(0)).alias("c1"),
+        F.coalesce(F.sum(F.when(arm0, 1).otherwise(0)), F.lit(0)).alias("n0"),
+        F.coalesce(F.sum(F.when(arm0 & is_p, 1).otherwise(0)), F.lit(0)).alias("c0"),
+        F.coalesce(F.sum(F.when(~arm0, 1).otherwise(0)), F.lit(0)).alias("n1"),
+        F.coalesce(F.sum(F.when(~arm0 & is_p, 1).otherwise(0)), F.lit(0)).alias("c1"),
     )
-    p0 = F.col("c0").cast("double") / F.col("n0")
-    p1 = F.col("c1").cast("double") / F.col("n1")
+    # Every division sits behind an n > 0 guard: an empty assignment arm
+    # is reachable (filtered / tiny inputs) and ANSI mode would throw
+    # DIVIDE_BY_ZERO where the oracle's CASE yields NULL.
+    both_arms = (F.col("n0") > 0) & (F.col("n1") > 0)
+    p0 = F.when(F.col("n0") > 0, F.col("c0").cast("double") / F.col("n0"))
+    p1 = F.when(F.col("n1") > 0, F.col("c1").cast("double") / F.col("n1"))
     tot_conv = F.col("c0") + F.col("c1")
     tot_n = F.col("n0") + F.col("n1")
     pp = tot_conv.cast("double") / tot_n
@@ -482,7 +487,7 @@ def q207_ab_conversion_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(p0, 4).alias("p_control"),
         F.round(p1, 4).alias("p_treatment"),
         F.when(
-            (tot_conv > 0) & (tot_conv < tot_n),
+            both_arms & (tot_conv > 0) & (tot_conv < tot_n),
             F.round(z, 4) + F.lit(0.0),
         ).alias("z_score"),
     )

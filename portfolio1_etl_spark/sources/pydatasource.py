@@ -126,42 +126,57 @@ class FramedFeedReader(DataSourceReader):
 
 class FramedFeedStreamReader(SimpleDataSourceStreamReader):
     """Micro-batch source over the feed directory: the offset is the
-    COUNT of consumed files in sorted-name order. Feed files are
-    immutable once visible (the writer stages to ``.tmp`` and renames
-    atomically), so a (start, end) offset pair always replays the
-    identical row set — the exactly-once contract Structured Streaming
-    needs from ``readBetweenOffsets``."""
+    SET of consumed file basenames (stored sorted for a stable JSON
+    form). Feed filenames carry a uuid (``site=<tag>__<uuid>.feed``)
+    and so do NOT sort in arrival order — a count-of-sorted-files
+    offset would both re-emit consumed files and silently skip a new
+    file whose name sorts into the consumed prefix. Name-set offsets
+    are insertion-order-free: ``read`` emits exactly the names not in
+    the start set, and ``readBetweenOffsets`` replays exactly the
+    end-minus-start name difference. Feed files are immutable once
+    visible (the writer stages to ``.tmp`` and renames atomically), so
+    the replay is byte-identical — the exactly-once contract
+    Structured Streaming needs."""
 
     def __init__(self, options):
         self.path = options.get("path")
         if not self.path:
             raise ValueError("framed_feed requires a path")
 
-    def _files(self):
+    def _names(self):
         if not os.path.isdir(self.path):
             return []
-        return sorted(
-            os.path.join(self.path, f)
-            for f in os.listdir(self.path)
-            if f.endswith(".feed")
-        )
+        return sorted(f for f in os.listdir(self.path) if f.endswith(".feed"))
 
     def initialOffset(self):
-        return {"n": 0}
+        return {"files": []}
 
-    def _rows(self, files):
+    @staticmethod
+    def _consumed(offset) -> set:
+        # Back-compat: a pre-fix checkpoint stored {"n": count} meaning
+        # "first n sorted names". Translate once on resume; every new
+        # offset this reader emits is the name-set form.
+        if "files" in offset:
+            return set(offset["files"])
+        return set()  # {"n": k} cannot be trusted (names re-sort); replay all
+
+    def _rows(self, names):
         out = []
-        for f in files:
-            with open(f, "rb") as fh:
-                out.extend(decode_frames(fh.read(), f))
+        for name in names:
+            with open(os.path.join(self.path, name), "rb") as fh:
+                out.extend(decode_frames(fh.read(), name))
         return out
 
     def read(self, start):
-        files = self._files()
-        return iter(self._rows(files[start["n"]:])), {"n": len(files)}
+        consumed = self._consumed(start)
+        names = self._names()
+        fresh = [n for n in names if n not in consumed]
+        end = {"files": sorted(consumed | set(fresh))}
+        return iter(self._rows(fresh)), end
 
     def readBetweenOffsets(self, start, end):
-        return iter(self._rows(self._files()[start["n"]:end["n"]]))
+        delta = sorted(self._consumed(end) - self._consumed(start))
+        return iter(self._rows(delta))
 
 
 class _FeedCommit(WriterCommitMessage):

@@ -101,3 +101,34 @@ def test_degenerate_inputs_yield_null_not_divide_by_zero(spark, tmp_path):
     assert b.loc[b["user_id"] == 2, "burstiness"].notna().all()
     z = REGISTRY["q235_zipf_slope"].fn(spark, base).toPandas()
     assert z["n_ranks"][0] == 1 and pd.isna(z["zipf_slope"][0])
+
+
+def test_ab_ztest_empty_arm_yields_null(spark, tmp_path):
+    """q207 with every event in ONE assignment arm (all-odd user_ids):
+    p_control and z must be NULL in both engines, not a
+    DIVIDE_BY_ZERO throw from ANSI mode."""
+    base = str(tmp_path / "onearm")
+    os.makedirs(base)
+    t0 = datetime.datetime(2024, 1, 1, 12, 0, 0)
+    erows = [
+        (i, t0 + datetime.timedelta(seconds=i), 2 * (i % 4) + 1,
+         "purchase" if i % 3 == 0 else "view", 1.0, "{}")
+        for i in range(24)
+    ]
+    spark.createDataFrame(
+        erows,
+        "event_id long, ts timestamp_ntz, user_id long, "
+        "event_type string, value double, props string",
+    ).coalesce(1).write.parquet(f"{base}/events.parquet")
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{base}/events.parquet/*.parquet')"
+    )
+    q = REGISTRY["q207_ab_conversion_ztest"]
+    got = q.fn(spark, base).toPandas()  # must not raise
+    ok, msg = _compare(got, con.sql(q.sql).df())
+    assert ok, msg
+    assert got["n_control"][0] == 0
+    assert pd.isna(got["p_control"][0]) and pd.isna(got["z_score"][0])
+    assert got["p_treatment"].notna().all()

@@ -236,6 +236,10 @@ _EVENT_QUERIES = [
     # VARIANT shredding of heterogeneous JSON built from random typed
     # columns (every shape x type combination, including malformed)
     "q238_variant_shredding",
+    # A/B z-test: random tables can leave an assignment arm empty or
+    # fully-converted — both the div-zero guard and the pooled-variance
+    # guard must agree with the oracle's CASE semantics
+    "q207_ab_conversion_ztest",
 ]
 
 

@@ -90,8 +90,11 @@ def test_decode_rejects_oversize_and_bad_json():
 
 def test_streaming_picks_up_only_new_files(spark, tmp_path, feed_dir):
     """availableNow run 1 consumes both fixture files; a file appended
-    afterwards is the ONLY content of run 2 under the same checkpoint —
-    the file-count offset replays exactly once."""
+    afterwards is the ONLY content of run 2 under the same checkpoint.
+    Run 3 appends a file whose name sorts BEFORE every consumed name —
+    uuid filenames don't sort in arrival order, so a count-of-sorted-
+    files offset would both skip it and re-emit an old file; the
+    name-set offset must emit it exactly once."""
     _register(spark)
     ckpt = str(tmp_path / "ckpt")
     sink = str(tmp_path / "sink")
@@ -117,6 +120,10 @@ def test_streaming_picks_up_only_new_files(spark, tmp_path, feed_dir):
         fh.write(encode_frames(extra))
     # the second availableNow run appends ONLY the new file's rows
     assert run_once() == sorted(_ROWS_A + _ROWS_B + extra)
+    early = [("sku-early", 7, "web")]
+    with open(os.path.join(feed_dir, "site=web__000.feed"), "wb") as fh:
+        fh.write(encode_frames(early))
+    assert run_once() == sorted(_ROWS_A + _ROWS_B + extra + early)
 
 
 # --- property-based codec hardening (pure Python, no Spark) ---------------

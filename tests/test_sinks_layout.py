@@ -715,6 +715,47 @@ def test_cas_primitive_create_exclusive(spark, tmp_path):
     assert _read_small_file(spark, p) == "c"
 
 
+def test_cas_primitive_true_parallel_race(spark, tmp_path):
+    """16 threads genuinely racing the create-exclusive commit on a
+    LOCAL path (where Hadoop's RawLocalFs rename is check-then-act,
+    not atomic): exactly ONE wins, the rest get ConcurrentCommitError,
+    and the surviving content is the winner's intact payload — the
+    POSIX os.link branch's kernel-level putIfAbsent, not a serialized
+    monkeypatch interleave."""
+    import threading
+
+    from portfolio1_etl_spark.operators.sinks import (
+        ConcurrentCommitError,
+        _read_small_file,
+        _write_small_file_atomic,
+    )
+
+    p = f"{tmp_path}/racefile"
+    barrier = threading.Barrier(16)
+    outcomes = [None] * 16
+
+    def attempt(i):
+        barrier.wait()
+        try:
+            _write_small_file_atomic(spark, p, f"writer-{i}", overwrite=False)
+            outcomes[i] = "won"
+        except ConcurrentCommitError:
+            outcomes[i] = "lost"
+
+    threads = [threading.Thread(target=attempt, args=(i,)) for i in range(16)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert outcomes.count("won") == 1, outcomes
+    winner = outcomes.index("won")
+    assert _read_small_file(spark, p) == f"writer-{winner}"
+    import os as _os
+
+    leftover = [f for f in _os.listdir(tmp_path) if f.endswith(".tmp")]
+    assert not leftover, leftover
+
+
 def test_manifest_commit_cas_rejects_duplicate_version(spark, tmp_path):
     """Two manifests for the same version number: the second commit
     raises instead of silently replacing the winner's file list."""
