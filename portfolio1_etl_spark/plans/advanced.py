@@ -14,6 +14,12 @@ from pyspark.sql import functions as F
 
 from portfolio1_etl_spark import catalog
 from portfolio1_etl_spark.functions.numeric import zround
+from portfolio1_etl_spark.operators.ranks import (
+    cume_dist_from_rank,
+    ntile_from_rank,
+    percent_rank_from_rank,
+    with_exact_rank,
+)
 from portfolio1_etl_spark.plans.registry import query
 
 
@@ -824,19 +830,31 @@ def q170_balance_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     what makes ntile's bucket assignment deterministic under equal
     balances (both engines distribute rows, not values). percent_rank
     and cume_dist are exact small-integer ratios — identical doubles —
-    rounded 6 dp per the registry contract. One window pass + one
-    grouped aggregate; at scale the window shuffles once on the
-    segment key, the standard ranked-report shape."""
+    rounded 6 dp per the registry contract.
+
+    A 5-value partition key is the single-reducer hazard in disguise
+    (each segment is ~1/5 of ALL customers — billions of rows per
+    window partition at 100 TB), so the ranking trio is recomputed
+    from operators/ranks.with_exact_rank over $100-wide balance cells
+    (acctbal's domain is spec-fixed [−999.99, 9999.99] at every SF →
+    ≤ 110 cells per segment; within-cell sorts stay bounded), then
+    ntile/percent_rank/cume_dist derived arithmetically from the
+    exact rank — same values, no partition holds more than one cell."""
     c = catalog.load(spark, sf_dir, "customer")
-    w = (
-        W.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    rk = with_exact_rank(
+        c.select(
+            F.col("c_mktsegment").alias("segment"), "c_acctbal", "c_custkey"
+        ),
+        order_by=[F.col("c_acctbal"), F.col("c_custkey")],
+        bucket=F.floor(F.col("c_acctbal") / 100).cast("long"),
+        group_cols=["segment"],
     )
-    ranked = c.select(
-        F.col("c_mktsegment").alias("segment"),
+    ranked = rk.select(
+        "segment",
         "c_acctbal",
-        F.ntile(10).over(w).alias("decile"),
-        F.percent_rank().over(w).alias("pr"),
-        F.cume_dist().over(w).alias("cd"),
+        ntile_from_rank(F.col("_rank"), F.col("_n"), 10).alias("decile"),
+        percent_rank_from_rank(F.col("_rank"), F.col("_n")).alias("pr"),
+        cume_dist_from_rank(F.col("_rank"), F.col("_n")).alias("cd"),
     )
     return ranked.groupBy("segment", F.col("decile").cast("long").alias("decile")).agg(
         F.count(F.lit(1)).alias("n_customers"),

@@ -20,6 +20,7 @@ from pyspark.sql import functions as F
 
 from portfolio1_etl_spark import catalog
 from portfolio1_etl_spark.functions import dsum_product, zround
+from portfolio1_etl_spark.operators.ranks import with_exact_rank
 from portfolio1_etl_spark.plans.registry import query
 
 
@@ -287,10 +288,13 @@ def q184_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
     cumulative sum runs over EXACT 2-dp decimals (order-independent),
     so the share and therefore the class boundary are bit-identical in
     both engines — boundary rows cannot flip class on sum-order noise.
-    Tie order is pinned on (revenue DESC, partkey). The window is
-    single-partition but over the PER-PART aggregate (bounded by the
-    part dimension, not lineitem); a 100× part dimension would switch
-    to the two-phase range-partitioned prefix sum."""
+    Tie order is pinned on (revenue DESC, partkey). The part dimension
+    SCALES with SF, so the prefix sum is the two-phase
+    operators/ranks.with_exact_rank composition — per-cell sums over
+    scale-free log2 revenue cells + broadcast cell offsets + a
+    within-cell running sum — not a partitionless window funneling
+    every part through one reducer. Exact-decimal accumulation holds
+    in both phases (cell sums and offsets stay DECIMAL(38,2))."""
     li = _t(spark, sf_dir, "lineitem")
     rev = li.groupBy("l_partkey").agg(
         dsum_product(
@@ -299,15 +303,16 @@ def q184_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("decimal(18,2)")
         .alias("revenue")
     )
-    w_cum = W.orderBy(F.desc("revenue"), "l_partkey").rowsBetween(
-        W.unboundedPreceding, 0
-    )
-    w_all = W.partitionBy()
-    ranked = rev.select(
-        "l_partkey",
-        "revenue",
-        F.sum("revenue").over(w_cum).alias("cum"),
-        F.sum("revenue").over(w_all).alias("total"),
+    ranked = with_exact_rank(
+        rev,
+        order_by=[F.desc("revenue"), F.col("l_partkey")],
+        bucket=(
+            -F.floor(F.log2(F.col("revenue").cast("double") + 2.0) * 8)
+        ).cast("long"),
+        sum_col=F.col("revenue"),
+        sum_type="decimal(38,2)",
+        cumsum_name="cum",
+        total_name="total",
     )
     share = F.col("cum").cast("double") / F.col("total").cast("double")
     return ranked.select(

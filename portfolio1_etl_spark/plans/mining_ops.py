@@ -39,6 +39,7 @@ from portfolio1_etl_spark import catalog
 from portfolio1_etl_spark.functions.exact import CENTS_SQL as _CENTS
 from portfolio1_etl_spark.functions.exact import cents_of as _cents
 from portfolio1_etl_spark.functions.numeric import zround
+from portfolio1_etl_spark.operators.ranks import ntile_from_rank, with_exact_rank
 from portfolio1_etl_spark.plans.registry import query
 
 
@@ -160,8 +161,22 @@ def q221_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     quintiles with the customer key as the deterministic tie-break
     (ntile's remainder distribution is the SQL standard in both
     engines). Score 5 = best (most recent / most frequent / highest
-    spend). Windows run at CUSTOMER grain — the fact table is
-    aggregated down before any global sort."""
+    spend). The fact table is aggregated to customer grain first —
+    and the three quintiles come from operators/ranks.with_exact_rank
+    (count-per-cell + broadcast offsets + within-cell row_number +
+    arithmetic ntile), NOT partitionless windows, which would funnel
+    the whole customer dimension through one reducer at 100 TB.
+    Cell choices, each monotone along its window order:
+
+    - recency: 16-day cells of −r_days (the date span is a fixed
+      ~2,500-day domain at every SF → ≤ 160 cells);
+    - frequency: f_orders has ~dozens of distinct values no matter
+      the scale — every cell of any value-only coarsening is a heavy
+      hitter — so cells are (f_orders, custkey-sixteenth), the
+      sixteenths cut by an in-plan percentile_approx on the TIEBREAK
+      column (broadcast 1-row bounds; ties on f_orders are resolved
+      by custkey, so refining by custkey keeps the cell order exact);
+    - monetary: scale-free log2 histogram cells of cents (q223's)."""
     o = _t(spark, sf_dir, "orders")
     rfm = o.groupBy("o_custkey").agg(
         F.datediff(
@@ -170,17 +185,46 @@ def q221_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("f_orders"),
         F.sum(_cents(F.col("o_totalprice"))).alias("m_cents"),
     )
-    wr = Window.orderBy(F.col("r_days").desc(), F.col("o_custkey"))
-    wf = Window.orderBy(F.col("f_orders"), F.col("o_custkey"))
-    wm = Window.orderBy(F.col("m_cents"), F.col("o_custkey"))
-    return rfm.select(
+    probes = [i / 16 for i in range(1, 16)]
+    bounds = rfm.agg(
+        F.percentile_approx(
+            "o_custkey", F.array(*[F.lit(p) for p in probes]), 1000
+        ).alias("_kb")
+    )
+    rfm = rfm.join(F.broadcast(bounds))
+    ck = F.col("o_custkey")
+    sub16 = F.size(F.filter(F.col("_kb"), lambda bnd: bnd < ck))
+    ranked = with_exact_rank(
+        rfm,
+        order_by=[F.col("r_days").desc(), ck],
+        bucket=F.floor(-F.col("r_days") / 16).cast("long"),
+        rank_name="_rr",
+        n_name="_nn",
+    )
+    ranked = with_exact_rank(
+        ranked,
+        order_by=[F.col("f_orders"), ck],
+        bucket=F.struct(F.col("f_orders"), sub16.alias("s")),
+        rank_name="_rf",
+        n_name="_nf",
+    )
+    ranked = with_exact_rank(
+        ranked,
+        order_by=[F.col("m_cents"), ck],
+        bucket=F.floor(
+            F.log2(F.col("m_cents").cast("double") + 2.0) * 8
+        ).cast("long"),
+        rank_name="_rm",
+        n_name="_nm",
+    )
+    return ranked.select(
         F.col("o_custkey").alias("c_custkey"),
         F.col("r_days").cast("long").alias("r_days"),
         F.col("f_orders").cast("long").alias("f_orders"),
         F.col("m_cents").cast("long").alias("m_cents"),
-        F.ntile(5).over(wr).cast("int").alias("r_score"),
-        F.ntile(5).over(wf).cast("int").alias("f_score"),
-        F.ntile(5).over(wm).cast("int").alias("m_score"),
+        ntile_from_rank(F.col("_rr"), F.col("_nn"), 5).cast("int").alias("r_score"),
+        ntile_from_rank(F.col("_rf"), F.col("_nf"), 5).cast("int").alias("f_score"),
+        ntile_from_rank(F.col("_rm"), F.col("_nm"), 5).cast("int").alias("m_score"),
     )
 
 
@@ -224,14 +268,18 @@ def q221_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q222_abc_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Year-over-year ABC class migration: parts are Pareto-classified
-    WITHIN each ship year (partitioned cumulative-share windows — the
-    per-year sort parallelizes across years, unlike q184's one global
-    frontier), then consecutive years self-join on partkey to count
-    the 9-cell transition matrix (how much of last year's A class
-    decayed to B/C). Cumulative sums run over exact integer cents with
-    pinned tie order, so class boundaries cannot flip on sum-order
-    noise; everything downstream is integer counts. The self-join is
-    at (part, year) grain — dimension-sized."""
+    WITHIN each ship year, then consecutive years self-join on partkey
+    to count the 9-cell transition matrix (how much of last year's A
+    class decayed to B/C). A year is a ~7-value partition key — every
+    per-year window partition is the WHOLE part dimension, the q170
+    single-reducer hazard with a different label — so the per-year
+    cumulative share runs through operators/ranks.with_exact_rank
+    grouped by year over scale-free log2 revenue cells (per-cell
+    integer-cent sums, broadcast offsets, within-cell running sum).
+    Cumulative sums stay exact integer cents with pinned tie order, so
+    class boundaries cannot flip on sum-order noise; everything
+    downstream is integer counts. The self-join is at (part, year)
+    grain — dimension-sized."""
     l = _t(spark, sf_dir, "lineitem")
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     pr = l.groupBy(
@@ -241,19 +289,21 @@ def q222_abc_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("revenue_cents")
     )
-    w = (
-        Window.partitionBy("y")
-        .orderBy(F.col("revenue_cents").desc(), F.col("l_partkey"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    wt = Window.partitionBy("y")
     share = F.col("cum_cents").cast("double") / F.col("total_cents")
     cls = (
-        pr.select(
-            "l_partkey",
-            "y",
-            F.sum("revenue_cents").over(w).alias("cum_cents"),
-            F.sum("revenue_cents").over(wt).alias("total_cents"),
+        with_exact_rank(
+            pr,
+            order_by=[F.col("revenue_cents").desc(), F.col("l_partkey")],
+            bucket=(
+                -F.floor(
+                    F.log2(F.col("revenue_cents").cast("double") + 2.0) * 8
+                )
+            ).cast("long"),
+            group_cols=["y"],
+            sum_col=F.col("revenue_cents"),
+            sum_type="decimal(38,0)",
+            cumsum_name="cum_cents",
+            total_name="total_cents",
         )
         .select(
             "l_partkey",
@@ -317,14 +367,27 @@ def q223_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact), so the only float ops are the final divisions — spelled
     with the identical expression tree in both engines, then a zround
     (a perfectly equal distribution yields a tiny negative that must
-    canonicalize to +0.0, the q159 class). The global sort runs at
-    customer grain."""
+    canonicalize to +0.0, the q159 class).
+
+    The exact global rank i comes from operators/ranks.with_exact_rank
+    over log2-histogram cells of cents (≤ ~280 cells at ANY scale —
+    log cells are scale-free), NOT a partitionless window: a
+    customer-grain ``Window.orderBy`` is a single-reducer sort of the
+    whole dimension at 100 TB. Count-per-cell + broadcast prefix
+    offsets + within-cell row_number is exact regardless of cell
+    balance."""
     o = _t(spark, sf_dir, "orders")
     cr = o.groupBy("o_custkey").agg(
         F.sum(_cents(F.col("o_totalprice"))).alias("cents")
     )
-    w = Window.orderBy(F.col("cents"), F.col("o_custkey"))
-    rk = cr.select("cents", F.row_number().over(w).alias("i"))
+    rk = with_exact_rank(
+        cr,
+        order_by=[F.col("cents"), F.col("o_custkey")],
+        bucket=F.floor(F.log2(F.col("cents").cast("double") + 2.0) * 8).cast(
+            "long"
+        ),
+        rank_name="i",
+    ).select("cents", "i")
     s = rk.agg(
         F.count(F.lit(1)).alias("n"),
         F.sum(F.col("cents").cast("decimal(38,0)")).alias("sx"),

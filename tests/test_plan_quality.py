@@ -370,3 +370,42 @@ def test_no_unhonorable_join_hints_in_join_family():
     assert proc.returncode == 0, proc.stderr[-3000:]
     warns = [ln for ln in proc.stderr.splitlines() if "HintErrorLogger" in ln]
     assert not warns, "\n".join(warns)
+
+
+# Partitionless windows whose input grain is DOMAIN-bounded (does not
+# grow with SF), so the single partition stays tiny at any scale:
+#   q181 — distinct-retail-price grain (spec-fixed price domain)
+#   q227 — fixed-width histogram cells
+#   q229/q230/q236 — calendar-day grain (the dataset's fixed span)
+_SANCTIONED_TINY_GRAIN_WINDOW = {
+    "q181_price_size_skyline",
+    "q227_histogram_quantiles",
+    "q229_cusum_changepoint",
+    "q230_revenue_acf",
+    "q236_holt_backtest",
+}
+
+
+def test_no_partitionless_window_over_scaling_data(spark, sf_dir):
+    """A Window whose child is Exchange SinglePartition is a
+    single-reducer sort of its whole input — the r9 verdict's one
+    `weak` (q170/q221/q223 dimension-grain ntile/rank). Those now run
+    through operators/ranks.with_exact_rank; this guard keeps the
+    pattern from creeping back. Only the sanctioned DOMAIN-bounded
+    grains above may plan one."""
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "simple"
+    )
+    offenders = {}
+    for name, q in REGISTRY.items():
+        plan = q.fn(spark, sf_dir)._jdf.queryExecution().explainString(mode)
+        lines = plan.splitlines()
+        hits = 0
+        for i, line in enumerate(lines):
+            stripped = line.lstrip(" +-:*")
+            if stripped.startswith(("Window ", "WindowGroupLimit ")):
+                if "Exchange SinglePartition" in "\n".join(lines[i + 1 : i + 3]):
+                    hits += 1
+        if hits and name not in _SANCTIONED_TINY_GRAIN_WINDOW:
+            offenders[name] = hits
+    assert not offenders, f"partitionless WindowExec over scaling data: {offenders}"
