@@ -585,3 +585,125 @@ def encode_mp3_vbr_stub(
         out += b"ID3\x04\x00\x00" + ss + b"\x00" * id3v2_bytes
     out += stream
     return bytes(out)
+
+
+# --- ADTS (AAC transport) tier (r10) ----------------------------------------
+#
+# ADTS is the self-framing AAC container (ISO/IEC 13818-7 §6.2, public
+# spec): fixed 7-byte headers (9 with CRC) carrying profile, sampling
+# index, channel config, and an explicit 13-bit frame length — so a
+# census walks frames exactly like the MPEG audio tier. Each frame
+# holds (number_of_raw_data_blocks + 1) × 1024 samples. AAC payload
+# decode stays the module's documented boundary; the FRAMING here is
+# spec-exact.
+
+#: ADTS sampling_frequency_index table (indices 0–12; 13–14 reserved).
+_ADTS_RATES = (
+    96000, 88200, 64000, 48000, 44100, 32000,
+    24000, 22050, 16000, 12000, 11025, 8000, 7350,
+)
+
+#: ADTS 2-bit profile field (Audio Object Type − 1).
+_ADTS_PROFILES = ("main", "lc", "ssr", "ltp")
+
+
+def probe_adts_metadata(
+    content: bytes,
+) -> tuple[str, int, int, int, int, int]:
+    """(profile, sample_rate, channels, n_frames, total_blocks,
+    duration_ms) from an ADTS stream's fixed headers alone — every
+    frame's declared length walked to the end of the buffer, so
+    truncation and trailing garbage raise instead of censusing a
+    prefix. Mixed profile/rate/channels across frames raise too (a
+    legal ADTS stream keeps them constant). Distinguishable from MPEG
+    audio by construction: both sync on 0xFFF, but ADTS requires
+    layer bits 00, which is the RESERVED (invalid) MPEG layer."""
+    pos, end = 0, len(content)
+    n_frames = total_blocks = 0
+    sig = None
+    while pos < end:
+        if pos + 7 > end:
+            raise ValueError("truncated ADTS header")
+        b = content[pos : pos + 9]
+        if b[0] != 0xFF or (b[1] & 0xF0) != 0xF0:
+            raise ValueError("ADTS syncword missing")
+        if (b[1] >> 1) & 3 != 0:
+            raise ValueError("ADTS layer bits must be 00")
+        protection_absent = b[1] & 1
+        profile_idx = b[2] >> 6
+        sidx = (b[2] >> 2) & 0xF
+        if sidx >= len(_ADTS_RATES):
+            raise ValueError(f"reserved ADTS sampling index {sidx}")
+        channels = ((b[2] & 1) << 2) | (b[3] >> 6)
+        if channels == 0:
+            raise ValueError("ADTS channel config 0 (PCE) unsupported")
+        frame_len = ((b[3] & 0x3) << 11) | (b[4] << 3) | (b[5] >> 5)
+        blocks = (b[6] & 0x3) + 1
+        header_len = 7 if protection_absent else 9
+        if frame_len < header_len:
+            raise ValueError(f"ADTS frame length {frame_len} < header")
+        if pos + frame_len > end:
+            raise ValueError("truncated ADTS frame payload")
+        this = (profile_idx, sidx, channels)
+        if sig is None:
+            sig = this
+        elif this != sig:
+            raise ValueError("mixed profile/rate/channels in ADTS stream")
+        n_frames += 1
+        total_blocks += blocks
+        pos += frame_len
+    if n_frames == 0:
+        raise ValueError("no ADTS frames")
+    rate = _ADTS_RATES[sig[1]]
+    return (
+        _ADTS_PROFILES[sig[0]],
+        rate,
+        sig[2],
+        n_frames,
+        total_blocks,
+        total_blocks * 1024 * 1000 // rate,
+    )
+
+
+def encode_adts_stub(
+    profile: str,
+    sample_rate: int,
+    channels: int,
+    payload_sizes: list[int],
+    blocks_per_frame: int = 1,
+    crc: bool = False,
+) -> bytes:
+    """Structurally-valid ADTS stream: one frame per entry of
+    ``payload_sizes`` (zero payloads of that many bytes — the
+    documented codec boundary), spec-exact fixed headers, optional
+    CRC slot (zeroed). The ``encode_mp3_stub`` analogue for AAC."""
+    try:
+        profile_idx = _ADTS_PROFILES.index(profile)
+    except ValueError:
+        raise ValueError(f"unknown ADTS profile {profile!r}") from None
+    try:
+        sidx = _ADTS_RATES.index(sample_rate)
+    except ValueError:
+        raise ValueError(f"unsupported ADTS sample rate {sample_rate}") from None
+    if not 1 <= channels <= 7:
+        raise ValueError("ADTS channel config must be 1..7")
+    if not 1 <= blocks_per_frame <= 4:
+        raise ValueError("ADTS raw data blocks per frame must be 1..4")
+    header_len = 9 if crc else 7
+    out = bytearray()
+    for psize in payload_sizes:
+        frame_len = header_len + psize
+        if frame_len >= 1 << 13:
+            raise ValueError(f"ADTS frame of {frame_len} bytes exceeds 13 bits")
+        h = bytearray(header_len)
+        h[0] = 0xFF
+        h[1] = 0xF0 | (0 << 3) | (0 << 1) | (0 if crc else 1)
+        h[2] = (
+            (profile_idx << 6) | (sidx << 2) | ((channels >> 2) & 1)
+        )
+        h[3] = ((channels & 3) << 6) | ((frame_len >> 11) & 0x3)
+        h[4] = (frame_len >> 3) & 0xFF
+        h[5] = ((frame_len & 0x7) << 5) | 0x1F  # buffer fullness hi (VBR)
+        h[6] = (0x3F << 2) | (blocks_per_frame - 1)  # fullness lo + blocks
+        out += h + b"\x00" * psize
+    return bytes(out)

@@ -1801,3 +1801,169 @@ def q194_mp3_vbr_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         "declared_bytes long, walked_frames long, duration_ms long, "
         "mean_kbps long",
     )
+
+
+# ---------------------------------------------------------------------------
+# q241 — mixed MPEG-audio / ADTS-AAC transport census (r10)
+# ---------------------------------------------------------------------------
+
+
+def _synthesize_mixed_audio_media(docs):
+    """Deterministic mixed-transport corpus: per doc_id one of CBR
+    MPEG audio, VBR MPEG audio (Xing-headed or bare), or ADTS AAC —
+    with framing-corrupt objects salted in. All parameters are pure
+    id arithmetic so the DuckDB oracle replays the census in closed
+    form without parsing a byte."""
+    from portfolio1_etl_spark.operators.audio import (
+        encode_adts_stub,
+        encode_mp3_stub,
+        encode_mp3_vbr_stub,
+    )
+
+    pool = (32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320)
+    mp3_rates = (44100, 48000, 32000)
+    aac_rates = (48000, 44100, 32000, 24000, 16000)
+
+    def _one(doc_id: int) -> bytes:
+        if doc_id % 29 == 0:
+            return b"\xff\xf9corrupt-not-a-frame"
+        nf = 1 + doc_id % 17
+        kind = doc_id % 3
+        if kind == 0:
+            return encode_mp3_stub(
+                pool[doc_id % 14], mp3_rates[(doc_id // 3) % 3], nf
+            )
+        if kind == 1:
+            return encode_mp3_vbr_stub(
+                [pool[(doc_id + i) % 14] for i in range(nf)],
+                mp3_rates[(doc_id // 3) % 3],
+                vbr_header="xing" if doc_id % 2 == 1 else None,
+            )
+        return encode_adts_stub(
+            ("main", "lc", "ssr", "ltp")[doc_id % 4],
+            aac_rates[(doc_id // 3) % 5],
+            1 + doc_id % 2,
+            [(doc_id + 7 * i) % 300 for i in range(nf)],
+            blocks_per_frame=1 + doc_id % 2,
+        )
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "path": pdf["doc_id"].astype(str),
+                    "modality": "audio",
+                    "content": [_one(int(d)) for d in pdf["doc_id"]],
+                }
+            )
+
+    return docs.select("doc_id").mapInPandas(
+        op, "path string, modality string, content binary"
+    )
+
+
+@query(
+    "q241_adts_census",
+    sql="""
+    WITH p AS (
+      SELECT doc_id,
+        doc_id % 3 AS kind,
+        1 + doc_id % 17 AS nf,
+        list_extract([44100,48000,32000],
+          1 + CAST((doc_id // 3) % 3 AS INTEGER)) AS mrate,
+        list_extract([48000,44100,32000,24000,16000],
+          1 + CAST((doc_id // 3) % 5 AS INTEGER)) AS arate,
+        1 + doc_id % 2 AS blocks
+      FROM documents
+    )
+    SELECT doc_id,
+      CASE WHEN doc_id % 29 = 0 THEN 'corrupt'
+           WHEN kind = 2 THEN 'aac-adts' ELSE 'mpeg-audio' END AS codec,
+      CASE WHEN doc_id % 29 = 0 OR kind = 2 THEN NULL
+           WHEN kind = 1 AND doc_id % 2 = 1 THEN 'xing'
+           ELSE 'none' END AS vbr_method,
+      CASE WHEN doc_id % 29 = 0 THEN NULL
+           WHEN kind = 2 THEN CAST(nf AS BIGINT)
+           WHEN kind = 1 AND doc_id % 2 = 1 THEN CAST(nf + 1 AS BIGINT)
+           ELSE CAST(nf AS BIGINT) END AS n_frames,
+      CASE WHEN doc_id % 29 = 0 THEN NULL
+           WHEN kind = 2 THEN CAST(nf * blocks * 1024 * 1000 // arate AS BIGINT)
+           WHEN kind = 1 AND doc_id % 2 = 1
+             THEN CAST((nf + 1) * 1152 * 1000 // mrate AS BIGINT)
+           ELSE CAST(nf * 1152 * 1000 // mrate AS BIGINT) END AS duration_ms,
+      CASE WHEN doc_id % 29 = 0 THEN NULL
+           WHEN kind = 2 THEN CAST(arate AS BIGINT)
+           ELSE CAST(mrate AS BIGINT) END AS sample_rate,
+      CASE WHEN doc_id % 29 = 0 OR kind <> 2 THEN NULL
+           ELSE list_extract(['main','lc','ssr','ltp'],
+                             1 + CAST(doc_id % 4 AS INTEGER)) END AS profile,
+      CASE WHEN doc_id % 29 = 0 OR kind <> 2 THEN NULL
+           ELSE CAST(1 + doc_id % 2 AS BIGINT) END AS channels
+    FROM p
+    """,
+    operators=("X-multimodal", "X-adts-probe", "X-mp3-probe", "X-mp3-vbr"),
+)
+def q241_adts_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixed audio-transport census (r10): one pass over a corpus of
+    MPEG audio (CBR + VBR) AND ADTS AAC objects, dispatching by
+    framing alone — both transports sync on 0xFFF, but ADTS requires
+    the layer bits MPEG reserves, so the two probes are mutually
+    exclusive by construction (operators/audio.py) and the census
+    never needs a filename hint. Per object: codec, VBR seek-header
+    kind, exact frame-walked frame count and duration (the q194
+    frame-walk discipline — CBR math lies for VBR and for
+    multi-block ADTS), sample rate, and the AAC profile/channel
+    config from the fixed header. Framing-corrupt objects surface as
+    'corrupt'/NULL rows, never a crash. Scale shape: synthesis and
+    probe are one narrow Arrow-batched mapInPandas chain — no
+    shuffle; AAC/MP3 payload decode stays the documented boundary."""
+    from portfolio1_etl_spark.operators.audio import (
+        probe_adts_metadata,
+        probe_mp3_metadata,
+        probe_mp3_vbr_info,
+    )
+
+    media = _synthesize_mixed_audio_media(catalog.load(spark, sf_dir, "documents"))
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: dict[str, list] = {
+                "doc_id": [], "codec": [], "vbr_method": [], "n_frames": [],
+                "duration_ms": [], "sample_rate": [], "profile": [],
+                "channels": [],
+            }
+            for path, content in zip(pdf["path"], pdf["content"]):
+                b = bytes(content)
+                codec = method = profile = None
+                nf = dur = rate = chans = None
+                try:
+                    profile, rate, chans, nf, _blocks, dur = (
+                        probe_adts_metadata(b)
+                    )
+                    codec = "aac-adts"
+                except (ValueError, IndexError, struct.error):
+                    try:
+                        _kbps, rate, nf, dur, _layer = probe_mp3_metadata(b)
+                        method, _df, _db = probe_mp3_vbr_info(b)
+                        codec = "mpeg-audio"
+                        if method in ("info",):
+                            method = "none"
+                    except (ValueError, IndexError, struct.error):
+                        codec = "corrupt"
+                        rate = nf = dur = None
+                        method = None
+                rows["doc_id"].append(int(path))
+                rows["codec"].append(codec)
+                rows["vbr_method"].append(method)
+                rows["n_frames"].append(nf)
+                rows["duration_ms"].append(dur)
+                rows["sample_rate"].append(rate)
+                rows["profile"].append(profile)
+                rows["channels"].append(chans)
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(
+        op,
+        "doc_id long, codec string, vbr_method string, n_frames long, "
+        "duration_ms long, sample_rate long, profile string, channels long",
+    )

@@ -866,3 +866,278 @@ def q192_merge_full_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         action.alias("action"),
     )
     return out.filter(F.col("action").isin("keep", "update", "insert"))
+
+
+# ---------------------------------------------------------------------------
+# q239 — MERGE into a manifest chain via row-level delta commits (r10)
+# ---------------------------------------------------------------------------
+
+#: q239 state definitions — closed-form id arithmetic so DuckDB
+#: replays every version of the delta chain without any storage:
+#:   v0  base snapshot: orders with id % 3 != 0
+#:   v1  upsert of every id % 7 == 0 order (val + 55): matched ids
+#:       update, the id % 21-ish ids absent from v0 insert
+#:   v2  delete of every id % 11 == 0 key
+_D_SQL = {
+    0: "SELECT o_orderkey AS id, o_custkey AS val FROM orders "
+       "WHERE o_orderkey % 3 <> 0",
+    1: """SELECT o_orderkey AS id, o_custkey + 55 AS val FROM orders
+          WHERE o_orderkey % 7 = 0
+          UNION ALL
+          SELECT o_orderkey, o_custkey FROM orders
+          WHERE o_orderkey % 3 <> 0 AND o_orderkey % 7 <> 0""",
+}
+_D_SQL[2] = f"SELECT * FROM ({_D_SQL[1]}) WHERE id % 11 <> 0"
+
+
+@query(
+    "q239_merge_into_chain",
+    sql=f"""
+    WITH d0 AS ({_D_SQL[0]}), d1 AS ({_D_SQL[1]}), d2 AS ({_D_SQL[2]}),
+    agg AS (
+      SELECT 0 AS version, count(*) AS n_rows, sum(val) AS sum_val FROM d0
+      UNION ALL SELECT 1, count(*), sum(val) FROM d1
+      UNION ALL SELECT 2, count(*), sum(val) FROM d2
+    ),
+    feeds AS (
+      SELECT 0 AS version, (SELECT count(*) FROM d0) AS n_inserts,
+             0 AS n_deletes
+      UNION ALL
+      SELECT 1,
+        (SELECT count(*) FROM (SELECT * FROM d1 EXCEPT ALL SELECT * FROM d0)),
+        (SELECT count(*) FROM (SELECT * FROM d0 EXCEPT ALL SELECT * FROM d1))
+      UNION ALL
+      SELECT 2,
+        (SELECT count(*) FROM (SELECT * FROM d2 EXCEPT ALL SELECT * FROM d1)),
+        (SELECT count(*) FROM (SELECT * FROM d1 EXCEPT ALL SELECT * FROM d2))
+    )
+    SELECT a.version, CAST(a.n_rows AS BIGINT) AS n_rows,
+           CAST(a.sum_val AS BIGINT) AS sum_val,
+           CAST(f.n_inserts AS BIGINT) AS n_inserts,
+           CAST(f.n_deletes AS BIGINT) AS n_deletes
+    FROM agg a JOIN feeds f ON a.version = f.version
+    """,
+    operators=(
+        "K-versioned",
+        "X-row-delete",
+        "X-merge-delta",
+        "X-cdc-feed",
+        "X-time-travel",
+    ),
+)
+def q239_merge_into_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The r10 row-level delta commits ON the scoreboard: a manifest
+    chain takes a base snapshot, then a MERGE (``upsert_into_chain``:
+    every id % 7 == 0 order updates val + 55, the ones absent from the
+    base insert) and a DELETE (``delete_from_chain``: id % 11 == 0) —
+    each an O(delta) commit that reuses the prior data files
+    byte-for-byte and adds only equality-delete vectors + appended
+    rows (the scale answer to the reference's read-modify-write
+    inventory overwrite, portfolio-etl.py:634-648, which rewrites the
+    whole table to change a slice). Every version then reads BACK
+    through ``read_version`` (the anti-join delete resolution) and
+    every step's captured feed through ``read_changes``; the oracle
+    replays all three states and their multiset diffs in closed form,
+    so a wrong seq rule (a delete suppressing its own commit's
+    appends), a broken vector, or a corrupted feed all
+    hash-mismatch."""
+    from portfolio1_etl_spark.operators.sinks import (
+        _hadoop_fs,
+        delete_from_chain,
+        read_changes,
+        read_version,
+        upsert_into_chain,
+        write_versioned,
+    )
+
+    path = catalog.scratch_path("deltachain", sf_dir)
+    fs, jpath = _hadoop_fs(spark, path)
+    if fs.exists(jpath):
+        fs.delete(jpath, True)
+    o = _t(spark, sf_dir, "orders")
+    base = o.select(
+        F.col("o_orderkey").alias("id"), F.col("o_custkey").alias("val")
+    )
+    write_versioned(
+        base.filter(F.col("id") % 3 != 0), path,
+        capture_changes=True, manifest=True,
+    )
+    upsert_into_chain(
+        spark,
+        path,
+        base.filter(F.col("id") % 7 == 0).select(
+            "id", (F.col("val") + 55).alias("val")
+        ),
+        ["id"],
+    )
+    delete_from_chain(
+        spark,
+        path,
+        base.filter((F.col("id") % 11 == 0)).select("id"),
+        ["id"],
+    )
+    out = None
+    for v in range(3):
+        agg = read_version(spark, path, v).agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum("val").cast("long").alias("sum_val"),
+        )
+        if v == 0:
+            row = agg.select(
+                F.lit(0).cast("long").alias("version"),
+                "n_rows",
+                "sum_val",
+                F.col("n_rows").alias("n_inserts"),
+                F.lit(0).cast("long").alias("n_deletes"),
+            )
+        else:
+            feed = read_changes(spark, path, v - 1, v).agg(
+                F.coalesce(
+                    F.sum(F.when(F.col("_change") == "insert", 1).otherwise(0)),
+                    F.lit(0),
+                ).cast("long").alias("n_inserts"),
+                F.coalesce(
+                    F.sum(F.when(F.col("_change") == "delete", 1).otherwise(0)),
+                    F.lit(0),
+                ).cast("long").alias("n_deletes"),
+            )
+            row = agg.crossJoin(feed).select(
+                F.lit(v).cast("long").alias("version"),
+                "n_rows",
+                "sum_val",
+                "n_inserts",
+                "n_deletes",
+            )
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# q240 — type-widening schema evolution on a versioned chain (r10)
+# ---------------------------------------------------------------------------
+
+#: q240 state definitions — v0 stores val as INT (small id arithmetic),
+#: v1 rewrites it as BIGINT with values only a 64-bit column can hold
+#: (custkey * 2^33 on id % 6 == 0), so the promotion is load-bearing:
+#: an engine that silently kept INT would overflow, one that refused
+#: the promotion could not commit v1 at all.
+_W_SQL = {
+    0: "SELECT o_orderkey AS id, CAST(o_custkey AS INTEGER) AS val "
+       "FROM orders WHERE o_orderkey % 2 = 0",
+    1: """SELECT o_orderkey AS id,
+                 CAST(o_custkey AS BIGINT)
+                   * CASE WHEN o_orderkey % 6 = 0
+                          THEN CAST(8589934592 AS BIGINT) ELSE 1 END AS val
+          FROM orders WHERE o_orderkey % 2 = 0""",
+}
+
+
+@query(
+    "q240_widened_chain",
+    sql=f"""
+    WITH w0 AS ({_W_SQL[0]}), w1 AS ({_W_SQL[1]}),
+    agg AS (
+      SELECT 0 AS version, count(*) AS n_rows, sum(CAST(val AS BIGINT)) AS sum_val
+      FROM w0
+      UNION ALL SELECT 1, count(*), sum(val) FROM w1
+    ),
+    feeds AS (
+      SELECT 0 AS version, (SELECT count(*) FROM w0) AS n_inserts,
+             0 AS n_deletes
+      UNION ALL
+      SELECT 1,
+        (SELECT count(*) FROM (SELECT id, CAST(val AS BIGINT) AS v FROM w1
+                               EXCEPT ALL
+                               SELECT id, CAST(val AS BIGINT) FROM w0)),
+        (SELECT count(*) FROM (SELECT id, CAST(val AS BIGINT) AS v FROM w0
+                               EXCEPT ALL
+                               SELECT id, CAST(val AS BIGINT) FROM w1))
+    )
+    SELECT a.version, CAST(a.n_rows AS BIGINT) AS n_rows,
+           CAST(a.sum_val AS BIGINT) AS sum_val,
+           CAST(f.n_inserts AS BIGINT) AS n_inserts,
+           CAST(f.n_deletes AS BIGINT) AS n_deletes
+    FROM agg a JOIN feeds f ON a.version = f.version
+    """,
+    operators=("K-versioned", "X-type-widening", "X-cdc-feed", "X-time-travel"),
+)
+def q240_widened_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-widening ON the scoreboard (r10): a manifest chain whose
+    value column promotes INT → BIGINT mid-history, with v1 values
+    only the wide type can hold. The write path audits the promotion
+    against the predecessor's footer schema and RECORDS it in the
+    manifest (``type_promotions``); the captured change feed crosses
+    the boundary by lifting both sides to the wide type (injective
+    cast — unchanged rows net to zero); time travel returns each
+    version's own schema. The query reads every version and the
+    boundary feed back through the machinery; the oracle replays both
+    states and the boundary diff in closed form over BIGINT-lifted
+    values, so a dropped promotion record, an overflow, or a
+    mis-folded boundary feed all hash-mismatch."""
+    from portfolio1_etl_spark.operators.sinks import (
+        _hadoop_fs,
+        _read_manifest,
+        read_changes,
+        read_version,
+        write_versioned,
+    )
+
+    path = catalog.scratch_path("widechain", sf_dir)
+    fs, jpath = _hadoop_fs(spark, path)
+    if fs.exists(jpath):
+        fs.delete(jpath, True)
+    o = _t(spark, sf_dir, "orders")
+    even = o.filter(F.col("o_orderkey") % 2 == 0)
+    write_versioned(
+        even.select(
+            F.col("o_orderkey").alias("id"),
+            F.col("o_custkey").cast("int").alias("val"),
+        ),
+        path,
+        capture_changes=True,
+        manifest=True,
+    )
+    write_versioned(
+        even.select(
+            F.col("o_orderkey").alias("id"),
+            (
+                F.col("o_custkey").cast("long")
+                * F.when(F.col("o_orderkey") % 6 == 0, F.lit(8589934592))
+                .otherwise(F.lit(1))
+            ).alias("val"),
+        ),
+        path,
+        capture_changes=True,
+        manifest=True,
+    )
+    # the promotion must actually be on record — fail the query loudly
+    # if the manifest lost it (a driver row-count would not catch that)
+    promos = (_read_manifest(spark, path, 1) or {}).get("type_promotions")
+    if promos != {"val": {"from": "int", "to": "bigint"}}:
+        raise AssertionError(f"manifest lost the promotion record: {promos}")
+    v0 = read_version(spark, path, 0).agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum(F.col("val").cast("long")).cast("long").alias("sum_val"),
+    )
+    v1 = read_version(spark, path, 1).agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum("val").cast("long").alias("sum_val"),
+    )
+    feed = read_changes(spark, path, 0, 1).agg(
+        F.coalesce(
+            F.sum(F.when(F.col("_change") == "insert", 1).otherwise(0)), F.lit(0)
+        ).cast("long").alias("n_inserts"),
+        F.coalesce(
+            F.sum(F.when(F.col("_change") == "delete", 1).otherwise(0)), F.lit(0)
+        ).cast("long").alias("n_deletes"),
+    )
+    r0 = v0.select(
+        F.lit(0).cast("long").alias("version"), "n_rows", "sum_val",
+        F.col("n_rows").alias("n_inserts"),
+        F.lit(0).cast("long").alias("n_deletes"),
+    )
+    r1 = v1.crossJoin(feed).select(
+        F.lit(1).cast("long").alias("version"), "n_rows", "sum_val",
+        "n_inserts", "n_deletes",
+    )
+    return r0.unionByName(r1)

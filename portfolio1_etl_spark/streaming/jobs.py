@@ -815,3 +815,75 @@ def versioned_cdc_stream(events: DataFrame, path: str, stream_id: str = "default
     writer = events.writeStream.outputMode("append").foreachBatch(_fold)
     writer.epoch_fold = _fold  # exposed for retry tests
     return writer
+
+
+# --- streaming VARIANT ingestion (r10) --------------------------------------
+
+
+def variant_shred_census(feed: DataFrame) -> DataFrame:
+    """q238's schema-on-read shred applied to a framed-feed frame
+    (sku/qty/site) whose ``sku`` column carries heterogeneous JSON
+    payloads: ``try_parse_json`` → typed ``try_variant_get`` paths,
+    malformed documents surfacing as NULL/invalid rows — never an
+    exception — then a per-site census. Shared verbatim by the
+    streaming fold and its batch twin so stream==batch equality tests
+    one function, not two spellings."""
+    v = F.try_parse_json(F.col("sku"))
+    x = feed.select(
+        "site",
+        "qty",
+        v.isNotNull().alias("ok"),
+        F.try_variant_get(v, "$.amount", "bigint").alias("amount"),
+        F.try_variant_get(v, "$.pos.x", "bigint").alias("pos_x"),
+    )
+    return x.groupBy("site").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum(F.when(F.col("ok"), 1).otherwise(0)).cast("long").alias("n_valid"),
+        F.sum("amount").cast("long").alias("sum_amount"),
+        F.max("pos_x").cast("long").alias("max_pos_x"),
+        F.sum("qty").cast("long").alias("sum_qty"),
+    )
+
+
+def variant_ingest_stream(feed_stream: DataFrame, state: dict):
+    """Streaming VARIANT ingestion (r10 — the two r9 pieces composed):
+    micro-batches arrive through the custom Python DataSource stream
+    (``sources/pydatasource.py``, name-set offsets) and each batch runs
+    the SAME ``variant_shred_census`` shred the batch twin uses —
+    schema-on-read ON ARRIVAL, one malformed payload degrading one row
+    to NULL instead of killing the stream. The census is additive
+    (counts/sums; max is monotone), so the fold is union +
+    re-aggregate, epoch-guarded against foreachBatch's at-least-once
+    redelivery. Stream==batch equality, epoch idempotence, and
+    kill-and-resume are pinned in tests/test_streaming.py."""
+
+    def _fold(batch_df: DataFrame, epoch_id: int) -> None:
+        if _epoch_already_folded(state, epoch_id):
+            return
+        b = variant_shred_census(batch_df)
+        prev = state.get("census")
+        if prev is not None:
+            b = (
+                prev.unionByName(b)
+                .groupBy("site")
+                .agg(
+                    F.sum("n_rows").cast("long").alias("n_rows"),
+                    F.sum("n_valid").cast("long").alias("n_valid"),
+                    F.sum("sum_amount").cast("long").alias("sum_amount"),
+                    F.max("max_pos_x").cast("long").alias("max_pos_x"),
+                    F.sum("sum_qty").cast("long").alias("sum_qty"),
+                )
+            )
+        state["census"] = b.localCheckpoint(eager=True)
+        _epoch_folded(state, epoch_id)
+
+    writer = feed_stream.writeStream.outputMode("append").foreachBatch(_fold)
+    writer.epoch_fold = _fold  # exposed for retry tests
+    return writer
+
+
+def variant_ingest_finalize(state: dict) -> DataFrame:
+    """The maintained per-site VARIANT census."""
+    if "census" not in state:
+        raise ValueError("variant ingest stream has not folded any batch")
+    return state["census"]

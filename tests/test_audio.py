@@ -12,6 +12,8 @@ samples."""
 
 import numpy as np
 import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
 
 from portfolio1_etl_spark.operators.audio import (
     INDEX_TABLE,
@@ -386,3 +388,90 @@ def test_mp3_vbr_probe_skips_id3_and_audits_tamper():
 
     with pytest.raises(ValueError):
         probe_mp3_vbr_info(b"\xff\xfbjunk")
+
+
+class TestAdts:
+    def test_roundtrip_all_profiles_rates_blocks(self):
+        from portfolio1_etl_spark.operators.audio import (
+            _ADTS_RATES,
+            encode_adts_stub,
+            probe_adts_metadata,
+        )
+
+        for profile in ("main", "lc", "ssr", "ltp"):
+            for rate in _ADTS_RATES:
+                for blocks in (1, 2, 4):
+                    b = encode_adts_stub(
+                        profile, rate, 2, [11, 0, 300], blocks_per_frame=blocks
+                    )
+                    p, r, ch, nf, tb, dur = probe_adts_metadata(b)
+                    assert (p, r, ch, nf, tb) == (profile, rate, 2, 3, 3 * blocks)
+                    assert dur == 3 * blocks * 1024 * 1000 // rate
+
+    def test_crc_header_length(self):
+        from portfolio1_etl_spark.operators.audio import (
+            encode_adts_stub,
+            probe_adts_metadata,
+        )
+
+        plain = encode_adts_stub("lc", 44100, 1, [50])
+        with_crc = encode_adts_stub("lc", 44100, 1, [50], crc=True)
+        assert len(with_crc) == len(plain) + 2
+        assert probe_adts_metadata(with_crc)[:4] == probe_adts_metadata(plain)[:4]
+
+    def test_mpeg_and_adts_are_mutually_exclusive(self):
+        from portfolio1_etl_spark.operators.audio import (
+            encode_adts_stub,
+            encode_mp3_stub,
+            probe_adts_metadata,
+            probe_mp3_metadata,
+        )
+
+        mp3 = encode_mp3_stub(128, 44100, 3)
+        aac = encode_adts_stub("lc", 48000, 2, [10, 20])
+        with pytest.raises(ValueError, match="layer"):
+            probe_adts_metadata(mp3)
+        with pytest.raises(ValueError, match="layer"):
+            probe_mp3_metadata(aac)
+
+    def test_malformed_is_loud(self):
+        from portfolio1_etl_spark.operators.audio import (
+            encode_adts_stub,
+            probe_adts_metadata,
+        )
+
+        good = encode_adts_stub("lc", 44100, 2, [64, 64])
+        for cut in (1, 3, 64):
+            with pytest.raises(ValueError, match="truncated"):
+                probe_adts_metadata(good[:-cut])
+        with pytest.raises(ValueError, match="sync"):
+            probe_adts_metadata(b"\x00" * 16)
+        with pytest.raises(ValueError, match="no ADTS frames"):
+            probe_adts_metadata(b"")
+        # mixed stream parameters are one stream's corruption signal
+        two = bytearray(
+            encode_adts_stub("lc", 44100, 2, [8])
+            + encode_adts_stub("main", 44100, 2, [8])
+        )
+        with pytest.raises(ValueError, match="mixed"):
+            probe_adts_metadata(bytes(two))
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.sampled_from(["main", "lc", "ssr", "ltp"]),
+    st.sampled_from([96000, 48000, 44100, 22050, 8000]),
+    st.integers(1, 7),
+    st.lists(st.integers(0, 2000), min_size=1, max_size=12),
+    st.integers(1, 4),
+)
+def test_adts_any_shape_roundtrips(profile, rate, channels, sizes, blocks):
+    from portfolio1_etl_spark.operators.audio import (
+        encode_adts_stub,
+        probe_adts_metadata,
+    )
+
+    b = encode_adts_stub(profile, rate, channels, sizes, blocks_per_frame=blocks)
+    p, r, ch, nf, tb, dur = probe_adts_metadata(b)
+    assert (p, r, ch, nf, tb) == (profile, rate, channels, len(sizes), len(sizes) * blocks)
+    assert dur == len(sizes) * blocks * 1024 * 1000 // rate

@@ -356,6 +356,11 @@ _RELATIONAL_QUERIES = [
     # rolling-origin Holt backtest (short random series exercise the
     # incomplete-window NULL path at several origins)
     "q236_holt_backtest",
+    # r10 storage family on random orders: row-level delta commits
+    # (empty upsert/delete arms on sparse id residues) and the
+    # int→bigint widened chain's boundary feed
+    "q239_merge_into_chain",
+    "q240_widened_chain",
 ]
 
 

@@ -89,6 +89,13 @@ def test_whole_stage_codegen_covers_scan_and_agg(spark, sf_dir):
 #: q54 crosses four single-row funnel-stage counts.
 _SANCTIONED_BNLJ = {
     "q32_cross_join",
+    # RFM: the tiebreak sub-bucket boundaries ride in as a broadcast
+    # ONE-ROW percentile_approx aggregate (the q94 1-row pattern).
+    "q221_rfm_segmentation",
+    # chain scoreboards: per-version 1-row aggregate × 1-row feed
+    # counts (the q168 report shape).
+    "q239_merge_into_chain",
+    "q240_widened_chain",
     "q80_cosine_topk",
     "q83_ivf_ann",
     # k-means assignment: corpus × broadcast k-row codebook — the

@@ -28,75 +28,69 @@ def test_every_operator_family_inside_window():
     entries — the part of the registry an external prefix-sampling
     harness actually checks."""
     window = set(list(REGISTRY)[:WINDOW])
-    # r9 ROTATION: representatives intentionally changed so the
-    # external prefix gate re-verifies a fresh slice each round — the
-    # r8 representatives sit past the window but stay oracle-backed
-    # for CI (test_demoted_queries_still_oracle_backed).
+    # r10 ROTATION: 28 of the 50 window slots hold queries never
+    # previously under the external gate (incl. the new q239/q240/q241
+    # storage + codec rows); each family keeps one representative in
+    # the window, and everything rotated out stays oracle-backed for
+    # CI (test_demoted_queries_still_oracle_backed).
     families = {
         "relational-agg": "q01_pricing_summary",
-        "sets": "q25_intersect",  # was q26 except
-        "fact-fact-join": "q09_sortmerge_join",
-        "topk": "q189_top_revenue_supplier",  # was q59; the same
-        # TakeOrdered-over-aggregate shape (TPC-H Q15 analogue)
-        "hierarchical-agg": "q18_cube",  # was q30 grouping sets
-        "json": "q238_variant_shredding",  # r9 s3: was q27 from_json
-        "pivot-family": "q39_unpivot",
-        "star-join": "q29_star_join",
-        "exotic-join": "q31_full_outer_join",  # was q176 attribution
-        "stats-agg": "q190_winsorized_stats",  # was q160 MAD; composes
-        # the same discrete-percentile bound op per group
-        "collect-agg": "q35_approx_aggregates",
-        "interval-join": "q179_geo_grid_knn",  # was q38 range join; the
-        # grid block is the same interval-band equi-join family
-        "subquery-scalar": "q187_national_market_share",  # was q153
-        # advisor (stays oracle-backed in the tail); the scalar-
-        # subquery-vs-aggregate shape (TPC-H Q11)
-        "curation-pack": "q117_sequence_pack",
-        "curation-schedule": "q120_curation_pipeline",
-        "curation-card": "q174_benford_audit",  # was q161 DP release;
-        # the forensic audit is the other publishing gate
+        "sets": "q26_except",  # rotate-back (was q25)
+        "fact-fact-join": "q130_salted_join",  # the skew-salted shape
+        "topk": "q219_dominant_suppliers",  # top-over-agg (was q189)
+        "hierarchical-agg": "q17_rollup",  # rotate-back (was q18)
+        "json": "q238_variant_shredding",  # kept: VARIANT flagship
+        "pivot-family": "q28_pivot",  # rotate-back (was q39)
+        "star-join": "q84_local_supplier_volume",  # TPC-H Q5 shape
+        "exotic-join": "q88_lateral_topn",  # was q31 full outer
+        "stats-agg": "q177_group_regression",  # was q190 winsorized
+        "collect-agg": "q195_hll_distinct",  # approx-agg (was q35)
+        "interval-join": "q179_geo_grid_knn",  # kept
+        "subquery-scalar": "q188_min_balance_supplier",  # TPC-H Q2
+        "curation-pack": "q121_sequence_pack_bpe",  # was q117
+        "curation-schedule": "q140_mixture_temperature",  # was q120
+        "curation-card": "q215_rule_quality_gates",  # was q174
         "pipeline": "q43_enriched_sales",
-        "merge-upsert": "q192_merge_full_matrix",  # was q151 feed; the
-        # FULL MERGE matrix incl. conditional DELETE
-        "cdc": "q185_incremental_agg",  # was q151; the matview
-        # maintained FROM the captured feed re-gates capture end-to-end
+        "merge-upsert": "q239_merge_into_chain",  # r10: MERGE as an
+        # O(delta) transactional commit, not just a query shape
+        "cdc": "q240_widened_chain",  # r10: boundary feed across a
+        # type promotion, read from the captured delta files
         "warehouse-txn": "q168_versioned_time_travel",  # re-gates the
-        # r9 staged CAS commit rework under the external hash gate
+        # r10 local-path CAS rework (os.link putIfAbsent)
         "stream-window": "q154_gap_fill_resample",
-        "stream-session": "q52_session_window",
-        "udf-shapes": "q133_udf_groupedmap_zscore",
-        "window-frame": "q178_ewma_activity",  # was q155 interpolate;
-        # the EWMA is the recursive running-frame window
+        "stream-session": "q233_session_stats",  # was q52
+        "udf-shapes": "q132_udf_scalar_tokens",  # was q133
+        "window-frame": "q225_dyadic_ewma",  # was q178 EWMA — the
+        # same recursive-smoothing frame, dyadic-exact
         "date-spine": "q154_gap_fill_resample",
-        "text-words": "q158_char_entropy",
-        "text-quality": "q126_logreg_quality",
+        "text-words": "q87_token_histogram",  # was q158 entropy
+        "text-quality": "q214_repetition_ratio",  # was q126 logreg
         "text-langid": "q69_langid_classifier",
-        "text-lm": "q148_kneser_ney_logprob",
-        "text-bpe": "q136_pack_trained_bpe",
+        "text-lm": "q141_bigram_logprob",  # was q148 KN
+        "text-bpe": "q123_bpe_train",  # was q136 pack
         "dedup-exact": "q71_dedup_exact_keep",
-        "dedup-fingerprint": "q72_ngram_jaccard",
+        "dedup-fingerprint": "q79_fingerprint_match",  # was q72
         "dedup-minhash": "q73_minhash_lsh",
-        "dedup-simhash": "q74_simhash",
+        "dedup-simhash": "q75_simhash_pairs",  # was q74
         "dedup-embedding": "q78_embedding_neardup",
-        "dedup-spans": "q159_bigram_pmi",  # KEPT: r8's one red row —
-        # the signed-zero fix must be proven by the gate that caught it
-        "dedup-cc": "q89_dup_clusters",
-        "graph-iterative": "q191_bfs_levels",  # was q101 pagerank; the
-        # frontier-join iteration is the same checkpointed loop shape
-        "graph-peel": "q163_user_kcore",  # never windowed before
+        "dedup-spans": "q97_decontaminate",  # was q159 — the shingle
+        # span-removal decontamination is the family core
+        "dedup-cc": "q150_neardup_triangles",  # was q89
+        "graph-iterative": "q211_personalized_pagerank",  # was q191
+        "graph-peel": "q163_user_kcore",  # kept
         "sketch-cms": "q92_cms_heavy_hitters",
         "sketch-bloom": "q104_bloom_prune",
-        "digest-reconcile": "q172_replica_reconcile",  # never windowed
+        "digest-reconcile": "q172_replica_reconcile",
         "cluster-kmeans": "q93_kmeans",
-        "sim-knn": "q80_cosine_topk",
+        "sim-knn": "q114_ann_recall",  # the knn recall scoreboard
         "sim-lsh": "q82_lsh_ann",
         "sim-ivf": "q135_ivf_index_probe",
         "sim-quantized": "q103_pq_sampled_train",
-        "multimodal-decode": "q145_gif_animation_census",
-        "multimodal-governance": "q164_exif_privacy_scrub",  # was q152
-        # MPEG census; the EXIF scrub re-parses what it rewrites
-        "timeseries": "q193_twap_daily",  # was q156 rolling median
-        "mining": "q220_association_rules",  # r9, NEW family this round
+        "multimodal-decode": "q241_adts_census",  # r10: mixed
+        # MPEG/ADTS transport census (was q145 GIF)
+        "multimodal-governance": "q147_exif_tiff_census",  # was q164
+        "timeseries": "q210_value_percentiles_daily",  # was q193
+        "mining": "q226_touch_attribution",  # was q220
     }
     outside = {f: q for f, q in families.items() if q not in window}
     assert not outside, f"families outside the {WINDOW}-entry window: {outside}"

@@ -969,3 +969,86 @@ def test_versioned_cdc_stream_rejects_foreign_stream_id(spark, tmp_path):
     # the ORIGINAL id still folds new epochs
     writer.epoch_fold(slice0.limit(3), 2)
     assert len(_versions(spark, chain)) == len(vs_before) + 1
+
+
+# --- streaming VARIANT ingestion (r10) --------------------------------------
+
+
+def test_variant_ingest_stream_matches_batch_over_pydatasource(
+    spark, tmp_path
+):
+    """q238's VARIANT shred composed with the custom Python DataSource
+    stream: JSON payloads (incl. malformed) ride the framed feed's sku
+    column; the streamed per-site census must equal the batch twin
+    over the same feed dir, survive a kill-and-resume picking up ONLY
+    new files, and fold a re-delivered epoch exactly once."""
+    from portfolio1_etl_spark.sources.pydatasource import (
+        encode_frames,
+        register,
+    )
+    from portfolio1_etl_spark.streaming.jobs import (
+        variant_ingest_finalize,
+        variant_ingest_stream,
+        variant_shred_census,
+    )
+
+    register(spark)
+    feed_dir = tmp_path / "feed"
+    feed_dir.mkdir()
+
+    def _doc(i: int) -> str:
+        if i % 5 == 0:
+            return "{bad json"
+        if i % 2 == 0:
+            return '{"amount": %d}' % (i * 10)
+        return '{"pos": {"x": %d}}' % (i % 50)
+
+    def _write(name: str, lo: int, hi: int, site: str) -> None:
+        recs = [(_doc(i), i, site) for i in range(lo, hi)]
+        (feed_dir / name).write_bytes(encode_frames(recs))
+
+    _write("site=web__bbb.feed", 0, 40, "web")
+    _write("site=app__mmm.feed", 40, 70, "app")
+
+    ckpt = str(tmp_path / "ckpt")
+    state: dict = {}
+
+    def run_once():
+        stream = spark.readStream.format("framed_feed").load(str(feed_dir))
+        q = (
+            variant_ingest_stream(stream, state)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_once()
+    batch = spark.read.format("framed_feed").load(str(feed_dir))
+    want = sorted(
+        tuple(r) for r in variant_shred_census(batch).collect()
+    )
+    got = sorted(tuple(r) for r in variant_ingest_finalize(state).collect())
+    assert got == want
+    n_valid = {r[0]: r[2] for r in got}
+    assert n_valid["web"] < 40  # the malformed docs really went NULL
+
+    # kill-and-resume: a new file — sorting BEFORE the consumed names —
+    # is the only new content of run 2
+    _write("site=web__000.feed", 70, 90, "web")
+    run_once()
+    batch2 = spark.read.format("framed_feed").load(str(feed_dir))
+    want2 = sorted(tuple(r) for r in variant_shred_census(batch2).collect())
+    got2 = sorted(tuple(r) for r in variant_ingest_finalize(state).collect())
+    assert got2 == want2
+
+    # at-least-once: re-delivering the last epoch folds exactly once
+    before = sorted(tuple(r) for r in variant_ingest_finalize(state).collect())
+    dup = spark.createDataFrame(
+        [("{\"amount\": 5}", 1, "web")], "sku string, qty bigint, site string"
+    )
+    stream = spark.readStream.format("framed_feed").load(str(feed_dir))
+    w = variant_ingest_stream(stream, state)
+    w.epoch_fold(dup, state["_last_epoch"])
+    after = sorted(tuple(r) for r in variant_ingest_finalize(state).collect())
+    assert after == before
