@@ -487,3 +487,77 @@ def q210_value_percentiles_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percentile("value", F.lit(0.95)), 4).alias("p95"),
         F.round(F.percentile("value", F.lit(0.99)), 4).alias("p99"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q242 — exact weighted median, distributed (r10)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q242_weighted_median",
+    sql="""
+    WITH b AS (
+      SELECT l_returnflag AS rf, l_linestatus AS ls,
+             l_extendedprice AS x,
+             CAST(l_quantity AS BIGINT) AS w,
+             l_orderkey AS k, l_linenumber AS ln
+      FROM lineitem),
+    c AS (
+      SELECT rf, ls, x, w,
+             sum(w) OVER (PARTITION BY rf, ls ORDER BY x, k, ln
+                          ROWS UNBOUNDED PRECEDING) AS cw,
+             sum(w) OVER (PARTITION BY rf, ls) AS tw
+      FROM b)
+    SELECT rf AS returnflag, ls AS linestatus,
+           CAST(count(*) AS BIGINT) AS n_items,
+           CAST(max(tw) AS BIGINT) AS total_weight,
+           round(min(CASE WHEN 2 * cw >= tw THEN x END), 2)
+             AS weighted_median
+    FROM c GROUP BY 1, 2
+    """,
+    operators=("A-percentile", "X-weighted-median", "Window-frame", "A1"),
+)
+def q242_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT quantity-weighted median price per (returnflag,
+    linestatus) — the robust-statistics op every per-segment pricing
+    report wants, and the shape that defeats both approxQuantile
+    (approximate) and a partitionless cumulative window (each of the
+    ~6 groups is the whole fact table — the q170 single-reducer
+    hazard at FACT grain, worse than dimension grain). Built on
+    operators/ranks.with_exact_rank's prefix-sum mode: integer
+    weights accumulate per log2-price cell map-side, cell offsets
+    broadcast, and the within-cell running weight finds the first row
+    where 2·cum ≥ total. No arithmetic ever touches the price values
+    (only ordering and min), and the weight sums are exact integers —
+    bit-identical across engines by construction."""
+    li = _t(spark, sf_dir, "lineitem")
+    b = li.select(
+        F.col("l_returnflag").alias("rf"),
+        F.col("l_linestatus").alias("ls"),
+        F.col("l_extendedprice").alias("x"),
+        F.col("l_quantity").cast("long").alias("w"),
+        F.col("l_orderkey").alias("k"),
+        F.col("l_linenumber").alias("ln"),
+    )
+    r = with_exact_rank(
+        b,
+        order_by=[F.col("x"), F.col("k"), F.col("ln")],
+        bucket=F.floor(F.log2(F.col("x").cast("double") + 2.0) * 8).cast(
+            "long"
+        ),
+        group_cols=["rf", "ls"],
+        sum_col=F.col("w"),
+        sum_type="decimal(38,0)",
+        cumsum_name="cw",
+        total_name="tw",
+    )
+    return r.groupBy(
+        F.col("rf").alias("returnflag"), F.col("ls").alias("linestatus")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_items"),
+        F.max("tw").cast("long").alias("total_weight"),
+        F.round(
+            F.min(F.when(2 * F.col("cw") >= F.col("tw"), F.col("x"))), 2
+        ).alias("weighted_median"),
+    )

@@ -520,3 +520,70 @@ def q211_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ranks = personalized_pagerank(edges, seeds, iters=_ITERS, damping=_DAMP)
     return ranks.select(F.col("node").alias("nation"), "rank")
+
+
+# ---------------------------------------------------------------------------
+# q243 — transitive closure by path doubling (recursive-CTE analogue, r10)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q243_transitive_closure",
+    sql="""
+    WITH RECURSIVE e AS (
+      SELECT p_partkey AS child, p_partkey // 10 AS parent
+      FROM part WHERE p_partkey >= 10),
+    anc AS (
+      SELECT child, parent AS anc, 1 AS dist FROM e
+      UNION ALL
+      SELECT a.child, e.parent, a.dist + 1
+      FROM anc a JOIN e ON a.anc = e.child)
+    SELECT CAST(dist AS BIGINT) AS dist,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(sum(anc) AS BIGINT) AS sum_anc,
+           CAST(sum(child) AS BIGINT) AS sum_child
+    FROM anc GROUP BY 1
+    """,
+    operators=("X-transitive-closure", "X-recursive-cte", "J1", "A1"),
+)
+def q243_transitive_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full ancestor closure of a part hierarchy (child → parent =
+    partkey // 10, a 10-ary forest — the BOM-explosion shape) — the
+    WITH RECURSIVE analogue, since Spark has no recursive CTE. The
+    plan is PATH DOUBLING, not level-at-a-time chaining: round k
+    composes the closure-so-far with itself (anc ∘ anc on the
+    midpoint key), so paths up to 2^k resolve in k joins — 5 rounds
+    cover depth 32, enough for 10-ary keys up to 10^32 (a 100 TB part
+    dimension is depth ~11; a frontier BFS would need 11 sequential
+    shuffles where this needs 5). A forest has exactly one path per
+    (child, ancestor) pair, but doubling re-derives each long path
+    from several split points, so every round dedups on the full
+    (child, anc, dist) triple. The oracle IS DuckDB's recursive CTE —
+    the closure, per-distance pair counts, and key checksums must all
+    agree."""
+    p = catalog.load(spark, sf_dir, "part")
+    e = (
+        p.filter(F.col("p_partkey") >= 10)
+        .select(
+            F.col("p_partkey").alias("child"),
+            F.floor(F.col("p_partkey") / 10).cast("long").alias("anc"),
+            F.lit(1).cast("long").alias("dist"),
+        )
+    )
+    closure = e
+    for _ in range(5):
+        a = closure.select(
+            F.col("child"), F.col("anc").alias("mid"), F.col("dist").alias("d1")
+        )
+        b = closure.select(
+            F.col("child").alias("mid"), F.col("anc"), F.col("dist").alias("d2")
+        )
+        longer = a.join(b, "mid").select(
+            "child", "anc", (F.col("d1") + F.col("d2")).alias("dist")
+        )
+        closure = closure.unionByName(longer).distinct()
+    return closure.groupBy(F.col("dist").cast("long").alias("dist")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.sum("anc").cast("long").alias("sum_anc"),
+        F.sum("child").cast("long").alias("sum_child"),
+    )

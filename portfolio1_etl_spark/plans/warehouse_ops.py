@@ -1141,3 +1141,117 @@ def q240_widened_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_inserts", "n_deletes",
     )
     return r0.unionByName(r1)
+
+
+# ---------------------------------------------------------------------------
+# q244 — incremental JOIN-view maintenance from two CDC chains (r10)
+# ---------------------------------------------------------------------------
+
+#: q244 state definitions, closed-form:
+#:   fact A: v0 = orders with id % 3 <> 0; v1 drops id % 5 = 0 and
+#:           adds the id % 3 = 0, id % 7 = 0 orders
+#:   dim  B: v0 = customers as-is; v1 moves ck % 11 = 0 to 'MOVED'
+#: The oracle only needs the FINAL states — the incremental algebra
+#: under test must land on exactly the state a direct join computes.
+_J_A1 = (
+    "SELECT o_orderkey AS id, o_custkey AS ck, "
+    "CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents FROM orders "
+    "WHERE (o_orderkey % 3 <> 0 AND o_orderkey % 5 <> 0) "
+    "OR (o_orderkey % 3 = 0 AND o_orderkey % 7 = 0)"
+)
+_J_B1 = (
+    "SELECT c_custkey AS ck, CASE WHEN c_custkey % 11 = 0 "
+    "THEN 'MOVED' ELSE c_mktsegment END AS seg FROM customer"
+)
+
+
+@query(
+    "q244_incremental_join_view",
+    sql=f"""
+    WITH a1 AS ({_J_A1}),
+    b1 AS ({_J_B1})
+    SELECT b1.seg AS segment,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(a1.cents) AS BIGINT) AS sum_cents
+    FROM a1 JOIN b1 ON a1.ck = b1.ck
+    GROUP BY 1
+    """,
+    operators=(
+        "X-join-matview",
+        "X-z-relation",
+        "X-cdc-feed",
+        "K-versioned",
+        "A1",
+    ),
+)
+def q244_incremental_join_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental JOIN-view maintenance (r10): a fact chain and a
+    dimension chain each advance one CDC-captured version (fact rows
+    leave and arrive; a dimension slice re-segments), and the
+    materialized fact⋈dim view refreshes from the TWO DELTA FEEDS via
+    the Z-relation algebra ΔJ = ΔA⋈B₁ + A₁⋈ΔB − ΔA⋈ΔB
+    (operators/matview.apply_join_delta) — cost O(|Δ|·fanout), never
+    a full re-join; at 100 TB the deltas are the only thing that
+    shuffles. The refreshed view then aggregates per segment, and the
+    oracle computes the FINAL-STATE join in closed form — a wrong
+    sign, a missed −ΔA⋈ΔB double-count, or a stale multiplicity all
+    hash-mismatch. Exact integer cents throughout."""
+    from portfolio1_etl_spark.operators.matview import (
+        apply_join_delta,
+        join_view,
+    )
+    from portfolio1_etl_spark.operators.sinks import (
+        _hadoop_fs,
+        read_changes,
+        read_version,
+        write_versioned,
+    )
+
+    base = catalog.scratch_path("joinview", sf_dir)
+    fs, jpath = _hadoop_fs(spark, base)
+    if fs.exists(jpath):
+        fs.delete(jpath, True)
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    ok = F.col("o_orderkey")
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("long")
+    a_states = [
+        o.filter(ok % 3 != 0).select(
+            ok.alias("id"), F.col("o_custkey").alias("ck"), cents.alias("cents")
+        ),
+        o.filter(
+            ((ok % 3 != 0) & (ok % 5 != 0)) | ((ok % 3 == 0) & (ok % 7 == 0))
+        ).select(
+            ok.alias("id"), F.col("o_custkey").alias("ck"), cents.alias("cents")
+        ),
+    ]
+    b_states = [
+        c.select(F.col("c_custkey").alias("ck"), F.col("c_mktsegment").alias("seg")),
+        c.select(
+            F.col("c_custkey").alias("ck"),
+            F.when(F.col("c_custkey") % 11 == 0, F.lit("MOVED"))
+            .otherwise(F.col("c_mktsegment"))
+            .alias("seg"),
+        ),
+    ]
+    for st in a_states:
+        write_versioned(st, f"{base}/a", capture_changes=True, manifest=True)
+    for st in b_states:
+        write_versioned(st, f"{base}/b", capture_changes=True, manifest=True)
+    view0 = join_view(
+        read_version(spark, f"{base}/a", 0),
+        read_version(spark, f"{base}/b", 0),
+        ["ck"],
+    )
+    refreshed = apply_join_delta(
+        view0,
+        read_version(spark, f"{base}/a", 1),
+        read_version(spark, f"{base}/b", 1),
+        read_changes(spark, f"{base}/a", 0, 1),
+        read_changes(spark, f"{base}/b", 0, 1),
+        ["ck"],
+    )
+    return refreshed.groupBy(F.col("seg").alias("segment")).agg(
+        F.sum("_mult").cast("long").alias("n_rows"),
+        F.sum(F.col("cents") * F.col("_mult")).cast("long").alias("sum_cents"),
+    )

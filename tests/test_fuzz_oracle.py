@@ -361,6 +361,11 @@ _RELATIONAL_QUERIES = [
     # int→bigint widened chain's boundary feed
     "q239_merge_into_chain",
     "q240_widened_chain",
+    # exact weighted median over random price/quantity multisets
+    # (duplicate prices, tiny groups, single-row groups)
+    "q242_weighted_median",
+    # incremental join-view refresh on random both-sides-changed keys
+    "q244_incremental_join_view",
 ]
 
 
@@ -620,6 +625,8 @@ def test_random_star_schema_matches_oracle(spark, tmp_path, seed):
         # multi-supplier orders and random part-size populations
         "q165_small_quantity_revenue",
         "q166_waiting_suppliers",
+        # path-doubling closure on the random 50-part 10-ary forest
+        "q243_transitive_closure",
     ):
         q = REGISTRY[name]
         got = _normalize(q.fn(spark, sf).toPandas())

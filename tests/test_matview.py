@@ -134,3 +134,83 @@ def test_keyed_feed_rejected_loudly(spark):
     out = apply_delta(sum_count_view(v0, ["grp"], "val"), feed, ["grp"], "val")
     with pytest.raises(Exception, match="unexpected _change"):
         out.collect()
+
+
+# --- incremental JOIN view maintenance (r10) --------------------------------
+
+
+def _mk(spark, rows, schema):
+    return spark.createDataFrame(rows, schema)
+
+
+def test_join_view_delta_refresh_equals_recompute(spark):
+    """The Z-relation join algebra: ΔJ = ΔA⋈B_new + A_new⋈ΔB − ΔA⋈ΔB,
+    exercised with every interaction at once — an insert joining an
+    unchanged dim row, a dim UPDATE (delete+insert) fanning out to
+    its facts, a fact delete, a BOTH-sides-changed key (the −ΔA⋈ΔB
+    double-count case), duplicate fact rows (multiset), and a key
+    leaving the join entirely."""
+    from portfolio1_etl_spark.operators.matview import (
+        apply_join_delta,
+        join_view,
+    )
+
+    a0 = _mk(
+        spark,
+        [(1, 10), (1, 10), (2, 20), (3, 30), (4, 40)],
+        "k long, av long",
+    )
+    b0 = _mk(spark, [(1, "x"), (2, "y"), (3, "z"), (5, "w")], "k long, bv string")
+    view = join_view(a0, b0, ["k"]).localCheckpoint()
+
+    # A: insert (5,50) [new join partner], delete one (1,10) dup,
+    #    insert (3,31) on the both-changed key
+    feed_a = _mk(
+        spark,
+        [("insert", 5, 50), ("delete", 1, 10), ("insert", 3, 31)],
+        "_change string, k long, av long",
+    )
+    # B: update key 2's dim row, delete key 3's dim row (both-changed)
+    feed_b = _mk(
+        spark,
+        [
+            ("delete", 2, "y"), ("insert", 2, "Y"),
+            ("delete", 3, "z"),
+        ],
+        "_change string, k long, bv string",
+    )
+    a1 = _mk(
+        spark,
+        [(1, 10), (2, 20), (3, 30), (3, 31), (4, 40), (5, 50)],
+        "k long, av long",
+    )
+    b1 = _mk(spark, [(1, "x"), (2, "Y"), (5, "w")], "k long, bv string")
+
+    got = apply_join_delta(view, a1, b1, feed_a, feed_b, ["k"])
+    want = join_view(a1, b1, ["k"])
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, want.collect())
+    )
+    # sanity on the interesting cells: key 3 vanished (dim deleted),
+    # key 2 refreshed, the (1,10) multiplicity dropped 2 -> 1
+    rows = {(r.k, r.av, r.bv): r._mult for r in got.collect()}
+    assert (1, 10, "x") in rows and rows[(1, 10, "x")] == 1
+    assert (2, 20, "Y") in rows
+    assert not any(k == 3 for (k, _, _) in rows)
+
+
+def test_join_view_empty_feeds_are_identity(spark):
+    from portfolio1_etl_spark.operators.matview import (
+        apply_join_delta,
+        join_view,
+    )
+
+    a = _mk(spark, [(1, 10), (2, 20)], "k long, av long")
+    b = _mk(spark, [(1, "x")], "k long, bv string")
+    view = join_view(a, b, ["k"])
+    empty = _mk(spark, [], "_change string, k long, av long")
+    empty_b = _mk(spark, [], "_change string, k long, bv string")
+    out = apply_join_delta(view, a, b, empty, empty_b, ["k"])
+    assert sorted(map(tuple, out.collect())) == sorted(
+        map(tuple, view.collect())
+    )
