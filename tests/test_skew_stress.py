@@ -212,3 +212,47 @@ def test_mixture_sampler_skewed_domain_stays_bounded(spark):
     per_bucket = {r.b: r["count"] for r in hist}
     cut = min(per_bucket)  # budget 70 < one bucket's token mass
     assert per_bucket[cut] < n_giant / 4
+
+
+def test_exact_rank_constant_key_stays_parallel(spark):
+    """The adversarial shape for any order-preserving partitioner: a
+    100%-constant rank key (every row ties). A value-only bucket
+    would send ALL rows to one cell/reducer; the percentile_approx
+    tiebreak sub-bucket (the q221 frequency pattern) must spread the
+    tie block across cells while the composed rank stays EXACTLY the
+    tiebreak order."""
+    from pyspark.sql import functions as F
+
+    from portfolio1_etl_spark.operators.ranks import with_exact_rank
+
+    n = 50_000
+    df = spark.range(0, n).select(
+        F.lit(7).alias("k"),  # fully constant rank key
+        F.col("id").alias("tb"),
+    )
+    probes = [i / 16 for i in range(1, 16)]
+    bounds = df.agg(
+        F.percentile_approx("tb", F.array(*[F.lit(p) for p in probes]), 1000)
+        .alias("_b")
+    )
+    df = df.join(F.broadcast(bounds))
+    tb = F.col("tb")
+    sub = F.size(F.filter(F.col("_b"), lambda b: b < tb))
+    ranked = with_exact_rank(
+        df,
+        order_by=[F.col("k"), tb],
+        bucket=F.struct(F.col("k"), sub.alias("s")),
+    )
+    # exactness: rank == tiebreak position
+    bad = ranked.filter(F.col("_rank") != F.col("tb") + 1).count()
+    assert bad == 0
+    # parallelism: the tie block landed in ~16 cells, and the largest
+    # cell holds a bounded fraction — no single-reducer tie block
+    cells = (
+        df.select(F.struct(F.col("k"), sub.alias("s")).alias("c"))
+        .groupBy("c")
+        .count()
+        .collect()
+    )
+    assert len(cells) >= 8
+    assert max(r["count"] for r in cells) < n * 0.3
