@@ -863,3 +863,264 @@ def q170_balance_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.max("pr"), 6).alias("max_percent_rank"),
         F.round(F.max("cd"), 6).alias("max_cume_dist"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q245 — rollup with GROUPING labels (r10)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q245_rollup_grouping_labels",
+    sql="""
+    SELECT COALESCE(o_orderpriority, 'ALL') AS priority,
+           CASE WHEN GROUPING(y) = 1 THEN -1 ELSE y END AS year,
+           CAST(GROUPING(o_orderpriority) * 2 + GROUPING(y) AS BIGINT)
+             AS gid,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(cents) AS BIGINT) AS sum_cents
+    FROM (
+      SELECT o_orderpriority,
+             CAST(year(o_orderdate) AS BIGINT) AS y,
+             CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents
+      FROM orders)
+    GROUP BY ROLLUP(o_orderpriority, y)
+    """,
+    operators=("A-rollup", "X-grouping-id", "A1"),
+)
+def q245_rollup_grouping_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP with ``grouping()``/``grouping_id()`` LABELS — the part
+    of the hierarchical-agg surface q17/q18 left unexercised: report
+    rows must distinguish a real NULL group from a rollup TOTAL row,
+    which only the grouping indicator can do (a priority literally
+    named 'ALL' would collide with the coalesced label otherwise; the
+    indicator is authoritative). gid is the standard bit encoding
+    (first grouping column = MSB — spelled explicitly in the oracle
+    so both engines agree by construction, not by dialect accident).
+    Exact integer cents; one map-side-combinable rollup pass."""
+    o = catalog.load(spark, sf_dir, "orders")
+    src = o.select(
+        "o_orderpriority",
+        F.year("o_orderdate").cast("long").alias("y"),
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents"),
+    )
+    g = src.rollup("o_orderpriority", "y").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.sum("cents").cast("long").alias("sum_cents"),
+        F.grouping("o_orderpriority").alias("gp"),
+        F.grouping("y").alias("gy"),
+    )
+    return g.select(
+        F.coalesce(F.col("o_orderpriority"), F.lit("ALL")).alias("priority"),
+        F.when(F.col("gy") == 1, F.lit(-1)).otherwise(F.col("y")).alias("year"),
+        (F.col("gp") * 2 + F.col("gy")).cast("long").alias("gid"),
+        "n_orders",
+        "sum_cents",
+    )
+
+
+# ---------------------------------------------------------------------------
+# q246 — NEAREST-match as-of join (r10)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q246_asof_nearest",
+    sql="""
+    WITH e AS (
+      SELECT user_id, event_type, epoch_us(ts) AS us, event_id
+      FROM events),
+    w AS (
+      SELECT user_id, event_type, us,
+        last_value(CASE WHEN event_type = 'purchase' THEN us END
+                   IGNORE NULLS)
+          OVER (PARTITION BY user_id ORDER BY us, event_id
+                ROWS UNBOUNDED PRECEDING) AS prev_p,
+        last_value(CASE WHEN event_type = 'purchase' THEN us END
+                   IGNORE NULLS)
+          OVER (PARTITION BY user_id ORDER BY us DESC, event_id DESC
+                ROWS UNBOUNDED PRECEDING) AS next_p
+      FROM e)
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_errors,
+           CAST(sum(CASE WHEN prev_p IS NOT NULL OR next_p IS NOT NULL
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_matched,
+           CAST(sum(least(coalesce(us - prev_p, next_p - us),
+                          coalesce(next_p - us, us - prev_p)))
+                AS BIGINT) AS sum_abs_gap_us
+    FROM w WHERE event_type = 'error'
+    GROUP BY 1
+    """,
+    operators=("J-asof", "X-asof-nearest", "Window-frame"),
+)
+def q246_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAREST-match as-of — q37 covered the backward direction; this
+    is the |Δt|-minimizing variant every incident-correlation join
+    wants (which purchase is closest to each error, before OR after).
+    Composed scalably as TWO running last(ignorenulls) frames over the
+    same per-user sort — one forward (previous purchase), one
+    REVERSE-ordered (next purchase; a (CURRENT ROW, UNBOUNDED
+    FOLLOWING) frame would re-aggregate the tail per row, the
+    documented O(n²) WindowExec trap) — then least() of the two gaps.
+    All math in exact integer microseconds. Per-user windows, no
+    single-partition hazard; ties on equidistant purchases don't
+    affect the output (only the gap is emitted)."""
+    e = _t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+        "event_id",
+    )
+    p_us = F.when(F.col("event_type") == "purchase", F.col("us"))
+    fwd = (
+        W.partitionBy("user_id")
+        .orderBy("us", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    rev = (
+        W.partitionBy("user_id")
+        .orderBy(F.col("us").desc(), F.col("event_id").desc())
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    w = e.select(
+        "user_id",
+        "event_type",
+        "us",
+        F.last(p_us, ignorenulls=True).over(fwd).alias("prev_p"),
+        F.last(p_us, ignorenulls=True).over(rev).alias("next_p"),
+    )
+    gap = F.least(
+        F.coalesce(F.col("us") - F.col("prev_p"), F.col("next_p") - F.col("us")),
+        F.coalesce(F.col("next_p") - F.col("us"), F.col("us") - F.col("prev_p")),
+    )
+    return (
+        w.filter(F.col("event_type") == "error")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_errors"),
+            F.sum(
+                F.when(
+                    F.col("prev_p").isNotNull() | F.col("next_p").isNotNull(), 1
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_matched"),
+            F.sum(gap).cast("long").alias("sum_abs_gap_us"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q247 — BAG set operations (INTERSECT ALL / EXCEPT ALL) (r10)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q247_bag_set_ops",
+    sql="""
+    WITH a AS (
+      SELECT o_custkey AS ck, o_orderpriority AS pri FROM orders
+      WHERE o_orderstatus = 'O'),
+    b AS (
+      SELECT o_custkey AS ck, o_orderpriority AS pri FROM orders
+      WHERE o_orderdate >= DATE '1996-01-01'),
+    i AS (SELECT * FROM a INTERSECT ALL SELECT * FROM b),
+    x AS (SELECT * FROM a EXCEPT ALL SELECT * FROM b)
+    SELECT pri,
+           (SELECT CAST(count(*) AS BIGINT) FROM i WHERE i.pri = p.pri)
+             AS n_intersect_all,
+           (SELECT CAST(count(*) AS BIGINT) FROM x WHERE x.pri = p.pri)
+             AS n_except_all
+    FROM (SELECT DISTINCT o_orderpriority AS pri FROM orders) p
+    """,
+    operators=("U-intersect-all", "U-except-all", "A1"),
+)
+def q247_bag_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT ALL / EXCEPT ALL — the BAG (multiset) semantics the
+    q25/q26 DISTINCT set ops deliberately do not exercise: duplicates
+    intersect by min(count) and subtract by count difference, which
+    matters whenever (key, attr) pairs legitimately repeat (here a
+    customer ordering at the same priority several times). Spark's
+    intersectAll/exceptAll plan as count-aggregate + generate — one
+    shuffle each, no row-by-row matching. Counts per priority keep
+    the output grain bounded; the oracle spells the same bag algebra
+    with SQL INTERSECT ALL / EXCEPT ALL."""
+    o = _t(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_orderstatus") == "O").select(
+        F.col("o_custkey").alias("ck"), F.col("o_orderpriority").alias("pri")
+    )
+    b = o.filter(F.col("o_orderdate") >= F.lit("1996-01-01").cast("date")).select(
+        F.col("o_custkey").alias("ck"), F.col("o_orderpriority").alias("pri")
+    )
+    i = a.intersectAll(b).groupBy("pri").agg(
+        F.count(F.lit(1)).cast("long").alias("n_intersect_all")
+    )
+    x = a.exceptAll(b).groupBy("pri").agg(
+        F.count(F.lit(1)).cast("long").alias("n_except_all")
+    )
+    pris = o.select(F.col("o_orderpriority").alias("pri")).distinct()
+    return (
+        pris.join(i, "pri", "left")
+        .join(x, "pri", "left")
+        .select(
+            "pri",
+            F.coalesce("n_intersect_all", F.lit(0)).alias("n_intersect_all"),
+            F.coalesce("n_except_all", F.lit(0)).alias("n_except_all"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q248 — null-safe equality join (r10)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q248_null_safe_join",
+    sql="""
+    WITH a AS (
+      SELECT CASE WHEN o_orderkey % 7 = 0 THEN NULL
+                  ELSE o_orderkey % 50 END AS k,
+             count(*) AS na
+      FROM orders WHERE o_orderstatus = 'O' GROUP BY 1),
+    b AS (
+      SELECT CASE WHEN o_orderkey % 11 = 0 THEN NULL
+                  ELSE o_orderkey % 50 END AS k,
+             count(*) AS nb
+      FROM orders WHERE o_orderstatus = 'F' GROUP BY 1)
+    SELECT CAST(coalesce(a.k, -1) AS BIGINT) AS k_label,
+           CAST(a.na AS BIGINT) AS na, CAST(b.nb AS BIGINT) AS nb
+    FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k
+    """,
+    operators=("J-null-safe", "A1"),
+)
+def q248_null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality join (``<=>`` / IS NOT DISTINCT FROM): a
+    NULL bucket on both sides MATCHES — the semantics a plain equi
+    join silently drops (NULL = NULL is NULL, the row vanishes, and
+    nobody notices the unattributed bucket is missing). This is the
+    standard gotcha in sessionless/unattributed-key rollup joins.
+    Spark plans ``eqNullSafe`` as a hash join on a null-safe key (no
+    nested loop); both sides aggregate to the ≤51-key grain first, so
+    the join is dimension-sized."""
+    o = _t(spark, sf_dir, "orders")
+
+    def side(status: str, mod: int, alias: str) -> DataFrame:
+        return (
+            o.filter(F.col("o_orderstatus") == status)
+            .select(
+                F.when(F.col("o_orderkey") % mod == 0, F.lit(None))
+                .otherwise(F.col("o_orderkey") % 50)
+                .alias("k")
+            )
+            .groupBy("k")
+            .agg(F.count(F.lit(1)).cast("long").alias(alias))
+        )
+
+    a = side("O", 7, "na")
+    b = side("F", 11, "nb").withColumnRenamed("k", "kb")
+    return a.join(b, F.col("k").eqNullSafe(F.col("kb"))).select(
+        F.coalesce(F.col("k"), F.lit(-1)).cast("long").alias("k_label"),
+        "na",
+        "nb",
+    )

@@ -240,6 +240,9 @@ _EVENT_QUERIES = [
     # fully-converted — both the div-zero guard and the pooled-variance
     # guard must agree with the oracle's CASE semantics
     "q207_ab_conversion_ztest",
+    # nearest-match as-of on bursty/same-second orderings (users with
+    # no purchases at all, errors before the first purchase)
+    "q246_asof_nearest",
 ]
 
 
@@ -366,6 +369,11 @@ _RELATIONAL_QUERIES = [
     "q242_weighted_median",
     # incremental join-view refresh on random both-sides-changed keys
     "q244_incremental_join_view",
+    # rollup grouping labels / bag set-ops / null-safe join on random
+    # priority distributions (incl. every-dup and all-null-bucket shapes)
+    "q245_rollup_grouping_labels",
+    "q247_bag_set_ops",
+    "q248_null_safe_join",
 ]
 
 
