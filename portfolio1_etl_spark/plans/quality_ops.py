@@ -33,7 +33,7 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q158_char_entropy",
-    sql="""
+    sql=r"""
     WITH ch AS (
       SELECT doc_id, unnest(regexp_extract_all(text, '[\s\S]')) AS c
       FROM documents

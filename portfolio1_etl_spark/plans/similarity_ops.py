@@ -418,3 +418,101 @@ def q125_embedding_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter((F.col("rn") == 1) & (F.col("sim") >= 0.35))
         .select("vec_id", "label", F.col("eval_id").alias("nearest_eval_id"), "sim")
     )
+
+
+# ---------------------------------------------------------------------------
+# q250 — label centroid separation (r10)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q250_label_centroid_separation",
+    sql="""
+    WITH comp AS (
+      SELECT label,
+             generate_subscripts(embedding, 1) AS idx,
+             CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000000, 0)
+                  AS BIGINT) AS v6
+      FROM embeddings),
+    cent AS (
+      SELECT label, idx,
+             sum(v6) AS s, count(*) AS n
+      FROM comp GROUP BY 1, 2),
+    pair AS (
+      SELECT a.label AS label_a, b.label AS label_b,
+             max(a.n) AS n_a, max(b.n) AS n_b,
+             sum(CAST(a.s * b.n - b.s * a.n AS HUGEINT)
+                 * CAST(a.s * b.n - b.s * a.n AS HUGEINT)) AS num2
+      FROM cent a JOIN cent b ON a.idx = b.idx AND a.label < b.label
+      GROUP BY 1, 2)
+    SELECT CAST(label_a AS BIGINT) AS label_a,
+           CAST(label_b AS BIGINT) AS label_b,
+           CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+           round(sqrt(CAST(num2 AS DOUBLE)) / (CAST(n_a AS DOUBLE) * n_b)
+                 / 1000000.0, 6) AS centroid_dist
+    FROM pair
+    """,
+    operators=("X-centroid", "X-class-separation", "A1", "J1"),
+)
+def q250_label_centroid_separation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise L2 distance between per-label embedding CENTROIDS —
+    the class-separability readout a labeled-corpus audit runs before
+    training a classifier head (labels whose centroids collapse are
+    either mislabeled or indistinguishable). Cross-row float summation
+    is the cross-engine hazard here, so the math stays INTEGER until
+    one terminal sqrt: components snap to scaled BIGINT (round(x·1e6)
+    — float32 inputs land far from .5 ties), per-(label, dim) sums
+    are exact, and the squared distance accumulates as
+    Σ(s_a·n_b − s_b·n_a)² in DECIMAL(38,0)/HUGEINT over the common
+    denominator (n_a·n_b)² — order-independent, bit-identical. The
+    pair join is at (label × dim) grain — 10 × 64 rows — after one
+    map-side-combinable aggregate over the corpus; the components
+    explode as a narrow posexplode map, no UDF."""
+    e = catalog.load(spark, sf_dir, "embeddings")
+    comp = e.select(
+        "label", F.posexplode("embedding").alias("pos", "x")
+    ).select(
+        "label",
+        (F.col("pos") + 1).alias("idx"),
+        F.round(F.col("x").cast("double") * 1000000, 0)
+        .cast("long")
+        .alias("v6"),
+    )
+    cent = comp.groupBy("label", "idx").agg(
+        F.sum("v6").alias("s"), F.count(F.lit(1)).alias("n")
+    )
+    a = cent.select(
+        F.col("label").alias("label_a"),
+        "idx",
+        F.col("s").alias("sa"),
+        F.col("n").alias("na"),
+    )
+    b = cent.select(
+        F.col("label").alias("label_b"),
+        "idx",
+        F.col("s").alias("sb"),
+        F.col("n").alias("nb"),
+    )
+    dec = "decimal(38,0)"
+    num = (F.col("sa") * F.col("nb") - F.col("sb") * F.col("na")).cast(dec)
+    pair = (
+        a.join(b, (a.idx == b.idx) & (F.col("label_a") < F.col("label_b")))
+        .groupBy("label_a", "label_b")
+        .agg(
+            F.max("na").alias("n_a"),
+            F.max("nb").alias("n_b"),
+            F.sum((num * num).cast(dec)).alias("num2"),
+        )
+    )
+    return pair.select(
+        F.col("label_a").cast("long").alias("label_a"),
+        F.col("label_b").cast("long").alias("label_b"),
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        F.round(
+            F.sqrt(F.col("num2").cast("double"))
+            / (F.col("n_a").cast("double") * F.col("n_b"))
+            / 1000000.0,
+            6,
+        ).alias("centroid_dist"),
+    )

@@ -842,3 +842,249 @@ def q235_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
             "r2"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# q249 — Heaps'-law vocabulary growth fit (r10)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q249_heaps_law",
+    sql="""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS word
+      FROM documents),
+    ladder_docs AS (
+      SELECT doc_id, length(bin(CAST(doc_id + 1 AS BIGINT))) AS lad,
+             count(*) AS n_tok
+      FROM tok GROUP BY 1, 2),
+    tok_per_lad AS (
+      SELECT lad, sum(n_tok) AS t FROM ladder_docs GROUP BY 1),
+    first_seen AS (
+      SELECT word, length(bin(CAST(min(doc_id) + 1 AS BIGINT))) AS lad
+      FROM tok GROUP BY 1),
+    voc_per_lad AS (SELECT lad, count(*) AS v FROM first_seen GROUP BY 1),
+    cum AS (
+      SELECT t.lad,
+             sum(t.t) OVER (ORDER BY t.lad
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ct,
+             sum(coalesce(v.v, 0)) OVER (ORDER BY t.lad
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cv
+      FROM tok_per_lad t LEFT JOIN voc_per_lad v ON t.lad = v.lad),
+    pts AS (
+      SELECT CAST(round(round(ln(ct), 6) * 1000000, 0) AS BIGINT) AS lx,
+             CAST(round(round(ln(cv), 6) * 1000000, 0) AS BIGINT) AS ly
+      FROM cum WHERE ct > 0 AND cv > 0),
+    s AS (
+      SELECT CAST(count(*) AS HUGEINT) AS n,
+             sum(CAST(lx AS HUGEINT)) AS sx,
+             sum(CAST(lx AS HUGEINT) * CAST(lx AS HUGEINT)) AS sxx,
+             sum(CAST(ly AS HUGEINT)) AS sy,
+             sum(CAST(lx AS HUGEINT) * CAST(ly AS HUGEINT)) AS sxy
+      FROM pts)
+    SELECT CAST(n AS BIGINT) AS n_points,
+           CASE WHEN n * sxx - sx * sx > 0
+                THEN round(CAST(n * sxy - sx * sy AS DOUBLE)
+                      / CAST(n * sxx - sx * sx AS DOUBLE), 6) + 0.0
+                END AS heaps_beta,
+           CASE WHEN n * sxx - sx * sx > 0
+                THEN round((CAST(sy AS DOUBLE)
+                       - (CAST(n * sxy - sx * sy AS DOUBLE)
+                          / CAST(n * sxx - sx * sx AS DOUBLE))
+                         * CAST(sx AS DOUBLE))
+                      / CAST(n AS DOUBLE) / 1000000.0, 6) + 0.0
+                END AS ln_k
+    FROM s
+    """,
+    operators=("X-heaps-law", "X-regression", "A1", "Window-frame"),
+)
+def q249_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law fit V(n) = K·n^β — vocabulary growth against tokens
+    seen, q235's Zipf companion and the estimator a tokenizer-budget
+    plan reads (β says how fast new text keeps minting new types; a
+    scrape whose β jumps is a domain shift or a spam injection).
+    Checkpoints are the doc-id bit-length ladder (length(bin(id+1)) —
+    INTEGER-exact in both engines, ≤ ~40 cells at ANY corpus size, no
+    float log at a power-of-two boundary to disagree on): cumulative
+    tokens come from per-cell token sums, cumulative vocabulary from
+    each word's FIRST cell (min doc_id — one aggregate, no per-
+    checkpoint rescan), both folded by a ladder-grain window. The OLS
+    runs on scaled-integer ln values with DECIMAL(38,0)/HUGEINT
+    moments — the q235/q177 bit-exact recipe."""
+    from pyspark.sql import Window as W
+
+    docs = _docs(spark, sf_dir)
+    dec = "decimal(38,0)"
+    tok = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("word")
+    )
+    lad = F.length(F.bin(F.col("doc_id") + 1))
+    tok_per = (
+        tok.groupBy(lad.alias("lad"))
+        .agg(F.count(F.lit(1)).alias("t"))
+    )
+    voc_per = (
+        tok.groupBy("word")
+        .agg(F.min("doc_id").alias("fd"))
+        .groupBy(F.length(F.bin(F.col("fd") + 1)).alias("lad"))
+        .agg(F.count(F.lit(1)).alias("v"))
+    )
+    w = W.orderBy("lad").rowsBetween(W.unboundedPreceding, W.currentRow)
+    cum = (
+        tok_per.join(voc_per, "lad", "left")
+        .select(
+            "lad",
+            F.sum("t").over(w).alias("ct"),
+            F.sum(F.coalesce(F.col("v"), F.lit(0))).over(w).alias("cv"),
+        )
+        .filter((F.col("ct") > 0) & (F.col("cv") > 0))
+    )
+    lx = F.round(F.round(F.log(F.col("ct").cast("double")), 6) * 1000000, 0).cast(
+        "long"
+    )
+    ly = F.round(F.round(F.log(F.col("cv").cast("double")), 6) * 1000000, 0).cast(
+        "long"
+    )
+    pts = cum.select(lx.alias("lx"), ly.alias("ly"))
+    s = pts.agg(
+        F.count(F.lit(1)).cast(dec).alias("n"),
+        F.sum(F.col("lx").cast(dec)).alias("sx"),
+        F.sum((F.col("lx").cast(dec) * F.col("lx")).cast(dec)).alias("sxx"),
+        F.sum(F.col("ly").cast(dec)).alias("sy"),
+        F.sum((F.col("lx").cast(dec) * F.col("ly")).cast(dec)).alias("sxy"),
+    )
+    den = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    beta = num / den
+    return s.select(
+        F.col("n").cast("long").alias("n_points"),
+        F.when(den > 0, zround(beta, 6)).alias("heaps_beta"),
+        F.when(
+            den > 0,
+            zround(
+                (F.col("sy").cast("double") - beta * F.col("sx").cast("double"))
+                / F.col("n").cast("double")
+                / 1000000.0,
+                6,
+            ),
+        ).alias("ln_k"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q251 — BM25 retrieval scoring (r10)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q251_bm25_retrieval",
+    sql="""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+    tf AS (SELECT doc_id, w, count(*) AS tf FROM toks GROUP BY 1, 2),
+    dfc AS (SELECT w, count(*) AS df FROM tf GROUP BY 1),
+    qterms AS (
+      SELECT w, df FROM (
+        SELECT w, df FROM dfc ORDER BY df DESC, w ASC LIMIT 12)
+      ORDER BY df ASC, w DESC LIMIT 3),
+    dl AS (
+      SELECT doc_id, len(string_split(text, ' ')) AS dl FROM documents),
+    stats AS (
+      SELECT count(*) AS n_docs,
+             CASE WHEN count(*) > 0
+                  THEN CAST(sum(dl) AS DOUBLE) / count(*) END AS avgdl
+      FROM dl),
+    scored AS (
+      SELECT tf.doc_id,
+             CAST(round(round(
+               ln(CAST(1 AS DOUBLE)
+                  + (CAST(stats.n_docs - qterms.df AS DOUBLE) + 0.5)
+                    / (CAST(qterms.df AS DOUBLE) + 0.5))
+               * (CAST(tf.tf AS DOUBLE) * (1.2 + 1.0))
+                 / (CAST(tf.tf AS DOUBLE)
+                    + 1.2 * (1.0 - 0.75
+                             + 0.75 * CAST(dl.dl AS DOUBLE) / stats.avgdl)),
+               6) * 1000000, 0) AS BIGINT) AS v6
+      FROM tf
+      JOIN qterms ON tf.w = qterms.w
+      JOIN dl ON tf.doc_id = dl.doc_id
+      CROSS JOIN stats),
+    perdoc AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS terms_hit,
+             CAST(sum(v6) AS BIGINT) AS s6
+      FROM scored GROUP BY 1)
+    SELECT doc_id, terms_hit,
+           round(CAST(s6 AS DOUBLE) / 1000000.0, 6) AS bm25
+    FROM perdoc
+    ORDER BY s6 DESC, doc_id ASC LIMIT 10
+    """,
+    operators=("X-bm25", "X-retrieval", "A1", "O2", "J1"),
+)
+def q251_bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 (k1=1.2, b=0.75) document scoring for a deterministic
+    mid-frequency query — the retrieval ranker a RAG/data-curation
+    pipeline runs where TF-IDF (q94) stops: document-length
+    normalization plus term-frequency saturation. The query picks
+    itself from the corpus (vocabulary ranks 10-12 by document
+    frequency, two nested sort-limits — TakeOrdered top-k, never a
+    global window), so the query works at ANY scale factor. Exactness:
+    per-(doc, term) scores round to 6 dp then snap to scaled BIGINT
+    and the per-doc sum (≤3 terms) is integer — the cross-row float
+    summation that differs between engines never happens. One corpus
+    explode feeds tf, df derives from tf, corpus stats ride in as a
+    broadcast 1-row aggregate, and the final top-10 is a sort-limit
+    with a doc_id tie-break. ANSI guard: avgdl is NULL (not ÷0) on an
+    empty corpus."""
+    d = _docs(spark, sf_dir)
+    toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+    tf = toks.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("tf"))
+    dfc = tf.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
+    qterms = (
+        dfc.orderBy(F.desc("df"), F.asc("w"))
+        .limit(12)
+        .orderBy(F.asc("df"), F.desc("w"))
+        .limit(3)
+    )
+    dl = d.select("doc_id", F.size(F.split("text", " ")).alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.when(
+            F.count(F.lit(1)) > 0,
+            F.sum("dl").cast("double") / F.count(F.lit(1)),
+        ).alias("avgdl"),
+    )
+    idf = F.log(
+        F.lit(1.0)
+        + ((F.col("n_docs") - F.col("df")).cast("double") + 0.5)
+        / (F.col("df").cast("double") + 0.5)
+    )
+    sat = (F.col("tf").cast("double") * (1.2 + 1.0)) / (
+        F.col("tf").cast("double")
+        + 1.2
+        * (1.0 - 0.75 + 0.75 * F.col("dl").cast("double") / F.col("avgdl"))
+    )
+    scored = (
+        tf.join(F.broadcast(qterms), "w")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            F.round(F.round(idf * sat, 6) * 1000000, 0)
+            .cast("long")
+            .alias("v6"),
+        )
+    )
+    perdoc = scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("terms_hit"),
+        F.sum("v6").cast("long").alias("s6"),
+    )
+    return (
+        perdoc.orderBy(F.desc("s6"), F.asc("doc_id"))
+        .limit(10)
+        .select(
+            "doc_id",
+            "terms_hit",
+            F.round(F.col("s6").cast("double") / 1000000.0, 6).alias("bm25"),
+        )
+    )

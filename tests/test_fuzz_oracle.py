@@ -79,6 +79,13 @@ QUERIES = [
     # Zipf log-log OLS on tiny random vocabularies (n_ranks < top-500
     # cap; scaled-integer moment path on ln of small ints)
     "q235_zipf_slope",
+    # Heaps vocabulary-growth OLS on the same random corpora (single-
+    # ladder-cell and degenerate-repeat shapes)
+    "q249_heaps_law",
+    # BM25 on random corpora: tiny vocabularies exercise the
+    # rank-10-12 query selection below 12 terms and the empty-corpus
+    # avgdl NULL guard
+    "q251_bm25_retrieval",
 ]
 
 _VOCAB = (
@@ -153,6 +160,9 @@ _SIM_QUERIES = [
     "q82_lsh_ann",
     "q95_quantized_ann",
     "q125_embedding_decontaminate",
+    # centroid separation on random labels incl. near-dup clusters and
+    # the zero-heavy vector (exact-integer distance accumulation)
+    "q250_label_centroid_separation",
 ]
 
 

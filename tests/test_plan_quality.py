@@ -386,6 +386,7 @@ def test_no_unhonorable_join_hints_in_join_family():
 #   q229/q230/q236 — calendar-day grain (the dataset's fixed span)
 _SANCTIONED_TINY_GRAIN_WINDOW = {
     "q181_price_size_skyline",
+    "q249_heaps_law",  # doc-id bit-length ladder (≤ ~40 cells ever)
     "q227_histogram_quantiles",
     "q229_cusum_changepoint",
     "q230_revenue_acf",
