@@ -23,8 +23,10 @@ from pyspark.sql import functions as F
 from portfolio1_etl_spark import catalog
 from portfolio1_etl_spark.operators.similarity import (
     DOT as _DOT,
+    QDIST2,
     brute_force_topk,
     quantized_topk,
+    scalar_quantize,
     signbit_lsh_topk,
     threshold_pairs,
     with_norms,
@@ -515,4 +517,279 @@ def q250_label_centroid_separation(spark: SparkSession, sf_dir: str) -> DataFram
             / 1000000.0,
             6,
         ).alias("centroid_dist"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q252 — reciprocal-rank fusion of two retrievers (r10)
+# ---------------------------------------------------------------------------
+
+
+def _rrf_sql() -> str:
+    return f"""
+    WITH vecs AS ({_VECTORS_SQL}),
+    expl AS (
+      SELECT vec_id, unnest(v) AS x, generate_subscripts(v, 1) AS i FROM vecs
+    ),
+    bounds AS (SELECT i, min(x) AS mn, max(x) AS mx FROM expl GROUP BY i),
+    qs AS (
+      SELECT vec_id, i,
+             CASE WHEN mx > mn
+                  THEN CAST(least(floor((x - mn) / (mx - mn) * 256), 255) AS BIGINT)
+                  ELSE 0 END AS q
+      FROM expl JOIN bounds USING (i)
+    ),
+    qvt AS (SELECT vec_id, list(q ORDER BY i) AS qv FROM qs GROUP BY vec_id),
+    exact_r AS (
+      SELECT query_id, neighbor_id, rnk FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               row_number() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY list_dot_product(q.v, c.v) / (q.nrm * c.nrm) DESC,
+                          c.vec_id ASC) AS rnk
+        FROM vecs q JOIN vecs c ON q.vec_id <> c.vec_id
+        WHERE q.vec_id < 8
+      ) WHERE rnk <= 20),
+    quant_r AS (
+      SELECT query_id, neighbor_id, rnk FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               row_number() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY CAST(list_sum(list_transform(generate_series(1, 64),
+                   i -> (q.qv[i] - c.qv[i]) * (q.qv[i] - c.qv[i]))) AS BIGINT)
+                   ASC, c.vec_id ASC) AS rnk
+        FROM qvt q JOIN qvt c ON q.vec_id <> c.vec_id
+        WHERE q.vec_id < 8
+      ) WHERE rnk <= 20),
+    fused AS (
+      SELECT coalesce(e.query_id, u.query_id) AS query_id,
+             coalesce(e.neighbor_id, u.neighbor_id) AS neighbor_id,
+             CAST(coalesce(e.rnk, 0) AS BIGINT) AS rank_exact,
+             CAST(coalesce(u.rnk, 0) AS BIGINT) AS rank_quant,
+             round(coalesce(CAST(1 AS DOUBLE) / (60 + e.rnk), 0.0)
+                   + coalesce(CAST(1 AS DOUBLE) / (60 + u.rnk), 0.0), 6)
+               AS rrf
+      FROM exact_r e FULL OUTER JOIN quant_r u
+        ON e.query_id = u.query_id AND e.neighbor_id = u.neighbor_id)
+    SELECT query_id, neighbor_id, rank_exact, rank_quant, rrf, fused_rank
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                 ORDER BY rrf DESC, neighbor_id ASC) AS fused_rank
+      FROM fused
+    ) WHERE fused_rank <= 5
+    """
+
+
+@query(
+    "q252_rrf_fusion",
+    sql=_rrf_sql(),
+    operators=("X-rank-fusion", "X-sim-topk", "X-sim-quantized"),
+)
+def q252_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion (k=60) of two retrievers — the exact
+    cosine ranker and the int8 scalar-quantized L2 ranker — the list
+    merge a hybrid retrieval stack runs when no single ranker is
+    trusted alone. Each ranker contributes its top-20 per query (rank
+    via a per-query PARTITIONED window — candidate lists are capped
+    before fusion, so the fused join is k×queries, never corpus-wide);
+    a neighbor absent from one list simply contributes no term. Score
+    = Σ 1/(60+rank) — at most two IEEE terms per row, so the float
+    math is a single deterministic addition (ranks are integers; the
+    quantized ranker is bit-reproducible integer L2, q95's recipe).
+    Missing ranks surface as 0 sentinels, not NULLs (nullable-int
+    hash parity)."""
+    vecs = _vectors(spark, sf_dir)
+    anchors = vecs.filter(F.col("vec_id") < 8)
+    sims = (
+        vecs.crossJoin(
+            F.broadcast(
+                anchors.select(
+                    F.col("vec_id").alias("query_id"),
+                    F.col("v").alias("qv_f"),
+                    F.col("nrm").alias("qnrm"),
+                )
+            )
+        )
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            (
+                F.expr(_DOT.format(a="qv_f", b="v"))
+                / (F.col("qnrm") * F.col("nrm"))
+            ).alias("sim"),
+        )
+    )
+    w_e = W.partitionBy("query_id").orderBy(
+        F.desc("sim"), F.asc("neighbor_id")
+    )
+    exact_r = (
+        sims.withColumn("rnk", F.row_number().over(w_e))
+        .filter(F.col("rnk") <= 20)
+        .select("query_id", "neighbor_id", "rnk")
+    )
+    qv = scalar_quantize(vecs).localCheckpoint(eager=True)
+    qcand = (
+        qv.crossJoin(
+            F.broadcast(
+                qv.filter(F.col("vec_id") < 8).select(
+                    F.col("vec_id").alias("query_id"),
+                    F.col("qv").alias("qqv"),
+                )
+            )
+        )
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.expr(QDIST2.format(a="qqv", b="qv")).alias("qd2"),
+        )
+    )
+    w_q = W.partitionBy("query_id").orderBy(
+        F.asc("qd2"), F.asc("neighbor_id")
+    )
+    quant_r = (
+        qcand.withColumn("rnk", F.row_number().over(w_q))
+        .filter(F.col("rnk") <= 20)
+        .select("query_id", "neighbor_id", "rnk")
+    )
+    e = exact_r.select(
+        "query_id", "neighbor_id", F.col("rnk").alias("re")
+    )
+    u = quant_r.select(
+        F.col("query_id").alias("query_id_q"),
+        F.col("neighbor_id").alias("neighbor_id_q"),
+        F.col("rnk").alias("rq"),
+    )
+    fused = (
+        e.join(
+            u,
+            (e.query_id == u.query_id_q)
+            & (e.neighbor_id == u.neighbor_id_q),
+            "full_outer",
+        )
+        .select(
+            F.coalesce("query_id", "query_id_q").alias("query_id"),
+            F.coalesce("neighbor_id", "neighbor_id_q").alias("neighbor_id"),
+            F.coalesce("re", F.lit(0)).cast("long").alias("rank_exact"),
+            F.coalesce("rq", F.lit(0)).cast("long").alias("rank_quant"),
+            F.round(
+                F.coalesce(F.lit(1.0) / (F.col("re") + 60), F.lit(0.0))
+                + F.coalesce(F.lit(1.0) / (F.col("rq") + 60), F.lit(0.0)),
+                6,
+            ).alias("rrf"),
+        )
+    )
+    w_f = W.partitionBy("query_id").orderBy(
+        F.desc("rrf"), F.asc("neighbor_id")
+    )
+    return (
+        fused.withColumn("fused_rank", F.row_number().over(w_f).cast("long"))
+        .filter(F.col("fused_rank") <= 5)
+        .select(
+            "query_id", "neighbor_id", "rank_exact", "rank_quant",
+            "rrf", "fused_rank",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q253 — hard-negative mining with positive margin (r10)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q253_hard_negative_mining",
+    sql=f"""
+    WITH vecs AS ({_VECTORS_SQL}),
+    sims AS (
+      SELECT q.vec_id AS query_id, q.label AS qlabel,
+             c.vec_id AS neighbor_id,
+             CASE WHEN c.label = q.label THEN 'pos' ELSE 'neg' END AS side,
+             list_dot_product(q.v, c.v) / (q.nrm * c.nrm) AS sim
+      FROM vecs q JOIN vecs c ON q.vec_id <> c.vec_id
+      WHERE q.vec_id < 8),
+    best AS (
+      SELECT query_id, qlabel, neighbor_id, side, sim FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id, side
+                   ORDER BY sim DESC, neighbor_id ASC) AS rn
+        FROM sims) WHERE rn = 1)
+    SELECT query_id,
+           CAST(max(qlabel) AS BIGINT) AS label,
+           CAST(max(CASE WHEN side = 'neg' THEN neighbor_id END)
+                AS BIGINT) AS hard_neg_id,
+           max(CASE WHEN side = 'neg' THEN sim END) AS neg_sim,
+           CAST(max(CASE WHEN side = 'pos' THEN neighbor_id END)
+                AS BIGINT) AS nearest_pos_id,
+           max(CASE WHEN side = 'pos' THEN sim END) AS pos_sim,
+           max(CASE WHEN side = 'pos' THEN sim END)
+             - max(CASE WHEN side = 'neg' THEN sim END) AS margin,
+           CAST(CASE WHEN max(CASE WHEN side = 'neg' THEN sim END)
+                       < max(CASE WHEN side = 'pos' THEN sim END)
+                THEN 1 ELSE 0 END AS BIGINT) AS is_semi_hard
+    FROM best GROUP BY query_id
+    """,
+    operators=("X-hard-negatives", "X-contrastive-mining", "X-sim-topk"),
+)
+def q253_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training: per anchor, the
+    most-similar vector with a DIFFERENT label (the hardest negative)
+    and the most-similar same-label vector (the nearest positive),
+    plus the margin between them — the readout that decides whether a
+    triplet is semi-hard (positive still closer than the negative) or
+    a label-noise suspect (negative closer than every positive). One
+    broadcast anchors×corpus pass is tagged pos/neg and a PARTITIONED
+    (query, side) window keeps rank 1 of each side; the conditional
+    aggregate pivots the two rows per anchor into one. Cosines are
+    sequential double folds — bit-identical across engines — and the
+    margin is one IEEE subtraction of those, so no rounding recipe is
+    needed; the flag is 0/1 BIGINT, never nullable BOOLEAN. At scale
+    the anchor set broadcasts and the corpus streams; the blocked/LSH
+    variants (q78, q82) are the corpus×corpus path."""
+    vecs = _vectors(spark, sf_dir)
+    anchors = vecs.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("qlabel"),
+        F.col("v").alias("qv_f"),
+        F.col("nrm").alias("qnrm"),
+    )
+    sims = (
+        vecs.crossJoin(F.broadcast(anchors))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "qlabel",
+            F.col("vec_id").alias("neighbor_id"),
+            F.when(F.col("label") == F.col("qlabel"), "pos")
+            .otherwise("neg")
+            .alias("side"),
+            (
+                F.expr(_DOT.format(a="qv_f", b="v"))
+                / (F.col("qnrm") * F.col("nrm"))
+            ).alias("sim"),
+        )
+    )
+    w = W.partitionBy("query_id", "side").orderBy(
+        F.desc("sim"), F.asc("neighbor_id")
+    )
+    best = sims.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") == 1
+    )
+    neg_sim = F.max(F.when(F.col("side") == "neg", F.col("sim")))
+    pos_sim = F.max(F.when(F.col("side") == "pos", F.col("sim")))
+    return best.groupBy("query_id").agg(
+        F.max("qlabel").cast("long").alias("label"),
+        F.max(F.when(F.col("side") == "neg", F.col("neighbor_id")))
+        .cast("long")
+        .alias("hard_neg_id"),
+        neg_sim.alias("neg_sim"),
+        F.max(F.when(F.col("side") == "pos", F.col("neighbor_id")))
+        .cast("long")
+        .alias("nearest_pos_id"),
+        pos_sim.alias("pos_sim"),
+        (pos_sim - neg_sim).alias("margin"),
+        F.when(neg_sim < pos_sim, F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("is_semi_hard"),
     )

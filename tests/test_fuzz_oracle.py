@@ -163,6 +163,11 @@ _SIM_QUERIES = [
     # centroid separation on random labels incl. near-dup clusters and
     # the zero-heavy vector (exact-integer distance accumulation)
     "q250_label_centroid_separation",
+    # rank fusion: full-outer rank join + RRF terms on random corpora
+    "q252_rrf_fusion",
+    # hard negatives: single-label corpora leave the neg side empty
+    # (NULL sims and sentinel flags must agree cross-engine)
+    "q253_hard_negative_mining",
 ]
 
 

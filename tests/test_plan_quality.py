@@ -98,6 +98,13 @@ _SANCTIONED_BNLJ = {
     "q240_widened_chain",
     "q80_cosine_topk",
     "q83_ivf_ann",
+    # BM25: cross with the broadcast ONE-ROW corpus-stats aggregate
+    # (n_docs, avgdl) — the q94 tf-idf pattern.
+    "q251_bm25_retrieval",
+    # rank fusion + hard negatives: corpus × broadcast 8-row anchor
+    # set with a non-equi self-exclusion — the q80 brute-force shape.
+    "q252_rrf_fusion",
+    "q253_hard_negative_mining",
     # k-means assignment: corpus × broadcast k-row codebook — the
     # nested loop's inner side is k rows by construction.
     "q93_kmeans",
