@@ -42,10 +42,11 @@ from portfolio1_etl_spark.plans import dedup_recall_ops  # noqa: F401,E402
 #: Explicit registry order. External correctness harnesses may sample a
 #: prefix of ``queries()`` (the driver checks the first 50 entries), so
 #: the prefix must contain at least one representative of EVERY operator
-#: family. ROTATED each round (r10): 38 of the 50 slots hold queries
+#: family. ROTATED each round (r10): 44 of the 50 slots hold queries
 #: that have NEVER been under the external gate in any round — the
-#: r9 families (q210–q237), this round's brand-new storage/codec rows
-#: (q239 delta MERGE, q240 widened chain, q241 ADTS census), and
+#: r9 families (q210–q237), this round's brand-new rows (q239 delta
+#: MERGE, q240 widened chain, q241 ADTS census, q245/q247 grouping +
+#: bag set-ops, q249–q253 Heaps/centroids/BM25/RRF/hard-negatives), and
 #: long-unwindowed members of every family (each slot keeps its
 #: family, so coverage breadth is unchanged). Deliberately KEPT
 #: in-window: q01 (entry flagship), q43 (EP3 reference pipeline),
@@ -58,9 +59,9 @@ from portfolio1_etl_spark.plans import dedup_recall_ops  # noqa: F401,E402
 PRIORITY: tuple[str, ...] = (
     # relational core representatives
     "q01_pricing_summary",      # flagship group-by agg (entry())
-    "q26_except",               # set family (rotate-back)
+    "q247_bag_set_ops",         # set family: INTERSECT/EXCEPT ALL (r10 NEW)
     "q130_salted_join",         # skew-salted fact join (never gated)
-    "q17_rollup",               # hierarchical agg (rotate-back)
+    "q245_rollup_grouping_labels",  # hierarchical agg + GROUPING bits (r10 NEW)
     "q238_variant_shredding",   # json family (kept: VARIANT flagship)
     "q28_pivot",                # pivot family (rotate-back)
     "q84_local_supplier_volume",  # TPC-H Q5 star shape (never gated)
@@ -96,11 +97,11 @@ PRIORITY: tuple[str, ...] = (
     # clustering / sketches / reconcile
     "q93_kmeans",
     "q92_cms_heavy_hitters",
-    "q172_replica_reconcile",
+    "q250_label_centroid_separation",  # r10 NEW: class-separability audit
     # mining family
     "q226_touch_attribution",   # (never gated)
     # deduplication layer
-    "q71_dedup_exact_keep",
+    "q249_heaps_law",           # r10 NEW: vocabulary-growth OLS (text)
     "q79_fingerprint_match",    # winnowing match (never gated)
     "q73_minhash_lsh",
     "q75_simhash_pairs",        # simhash banding (never gated)
@@ -112,9 +113,9 @@ PRIORITY: tuple[str, ...] = (
     "q163_user_kcore",          # peel family (kept)
     # similarity search layer
     "q114_ann_recall",          # knn recall scoreboard (never gated)
-    "q82_lsh_ann",
+    "q252_rrf_fusion",          # r10 NEW: rank fusion of two retrievers
     "q135_ivf_index_probe",
-    "q103_pq_sampled_train",
+    "q253_hard_negative_mining",  # r10 NEW: contrastive mining margins
     # multimodal layer
     "q241_adts_census",         # r10 NEW: mixed MPEG/ADTS census
     "q147_exif_tiff_census",    # governance (never gated)
