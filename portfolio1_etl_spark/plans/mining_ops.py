@@ -936,3 +936,229 @@ def q237_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("clustering_coef"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q254 — GNN-style neighborhood feature aggregation (r10)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q254_neighborhood_features",
+    sql="""
+    WITH ub AS (
+      SELECT DISTINCT user_id AS u, date_trunc('hour', ts) AS h
+      FROM events WHERE event_type = 'purchase'),
+    hc AS (SELECT h FROM (SELECT h, count(*) AS nu FROM ub GROUP BY 1)
+           WHERE nu <= 40),
+    sm AS (SELECT u, h FROM ub JOIN hc USING (h)),
+    e AS (SELECT DISTINCT a.u AS u, b.u AS v
+          FROM sm a JOIN sm b USING (h) WHERE a.u < b.u),
+    nbr AS (SELECT u AS node, v AS nbr FROM e
+            UNION ALL SELECT v, u FROM e),
+    deg AS (SELECT node, CAST(count(*) AS BIGINT) AS deg FROM nbr GROUP BY 1),
+    hop1 AS (
+      SELECT n.node,
+             CAST(sum(d2.deg) AS BIGINT) AS nbr_deg_sum,
+             CAST(max(d2.deg) AS BIGINT) AS nbr_deg_max
+      FROM nbr n JOIN deg d2 ON n.nbr = d2.node
+      GROUP BY 1),
+    hop2 AS (
+      SELECT a.node,
+             CAST(count(DISTINCT b.nbr) AS BIGINT) AS two_hop_reach
+      FROM nbr a JOIN nbr b ON a.nbr = b.node
+      WHERE b.nbr <> a.node
+      GROUP BY 1)
+    SELECT d.node AS user_id, d.deg,
+           h1.nbr_deg_sum, h1.nbr_deg_max,
+           round(CAST(h1.nbr_deg_sum AS DOUBLE) / d.deg, 6) AS avg_nbr_deg,
+           h2.two_hop_reach
+    FROM deg d
+    JOIN hop1 h1 ON d.node = h1.node
+    JOIN hop2 h2 ON d.node = h2.node
+    """,
+    operators=("X-graph-features", "X-message-passing", "A1", "J1"),
+)
+def q254_neighborhood_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GNN-style neighborhood feature table on the q224 co-purchase
+    graph — one round of message passing computed relationally: per
+    node, its degree, the sum/max of neighbor degrees (the 2-walk
+    count — exactly what a sum-aggregator GNN layer sees), the mean
+    neighbor degree, and the distinct 2-hop reach (friends-of-friends
+    minus self). This is the feature-prep pass a graph-ML pipeline
+    runs before training an embedding model. Hub hours are df-capped
+    BEFORE edge enumeration (q71 excision), so the hop-2 self-join is
+    bounded deg² on a capped graph; both sides of that join are
+    explicitly repartitioned — AQE's byte-based coalescing cannot see
+    the probe-side pair explosion (the q224 lesson). All features are
+    exact integers; the one division rounds to 6 dp and deg ≥ 1 by
+    construction (nodes exist only via edges)."""
+    e = _t(spark, sf_dir, "events")
+    ub = (
+        e.filter(F.col("event_type") == "purchase")
+        .select("user_id", F.date_trunc("hour", F.col("ts")).alias("h"))
+        .distinct()
+    )
+    hc = (
+        ub.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("nu"))
+        .filter(F.col("nu") <= 40)
+        .select("h")
+    )
+    sm = ub.join(hc, "h")
+    a_side = sm.select(F.col("user_id").alias("ua"), "h")
+    b_side = sm.select(F.col("user_id").alias("ub"), "h")
+    edges = (
+        a_side.join(b_side, "h")
+        .filter(F.col("ua") < F.col("ub"))
+        .select(F.col("ua").alias("u"), F.col("ub").alias("v"))
+        .distinct()
+    )
+    nbr = edges.select(F.col("u").alias("node"), F.col("v").alias("nbr")).unionAll(
+        edges.select(F.col("v").alias("node"), F.col("u").alias("nbr"))
+    )
+    deg = nbr.groupBy("node").agg(F.count(F.lit(1)).cast("long").alias("deg"))
+    hop1 = (
+        nbr.join(
+            deg.select(F.col("node").alias("nbr"), F.col("deg").alias("d2")),
+            "nbr",
+        )
+        .groupBy("node")
+        .agg(
+            F.sum("d2").cast("long").alias("nbr_deg_sum"),
+            F.max("d2").cast("long").alias("nbr_deg_max"),
+        )
+    )
+    npart = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    na = nbr.select(F.col("node").alias("src"), F.col("nbr").alias("mid")).repartition(
+        npart, "mid"
+    )
+    nb = nbr.select(F.col("node").alias("mid"), F.col("nbr").alias("dst")).repartition(
+        npart, "mid"
+    )
+    hop2 = (
+        na.join(nb, "mid")
+        .filter(F.col("dst") != F.col("src"))
+        .groupBy(F.col("src").alias("node"))
+        .agg(F.countDistinct("dst").cast("long").alias("two_hop_reach"))
+    )
+    return (
+        deg.join(hop1, "node")
+        .join(hop2, "node")
+        .select(
+            F.col("node").alias("user_id"),
+            "deg",
+            "nbr_deg_sum",
+            "nbr_deg_max",
+            F.round(
+                F.col("nbr_deg_sum").cast("double") / F.col("deg"), 6
+            ).alias("avg_nbr_deg"),
+            "two_hop_reach",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q255 — deterministic negative sampling for link-prediction training (r10)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q255_negative_sampling",
+    sql="""
+    WITH pos AS (
+      SELECT DISTINCT o.o_custkey AS u, l.l_partkey AS p
+      FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+    pmax AS (SELECT max(p_partkey) AS pm FROM part),
+    corrupted AS (
+      SELECT u, p,
+             1 + ('0x' || substr(md5('neg-' || u::VARCHAR || ':'
+                                      || p::VARCHAR), 1, 12))::BIGINT
+                 % pmax.pm AS p_neg
+      FROM pos CROSS JOIN pmax),
+    kept AS (
+      SELECT c.u, c.p_neg,
+             CASE WHEN pp.u IS NULL THEN 1 ELSE 0 END AS is_clean
+      FROM corrupted c
+      LEFT JOIN pos pp ON c.u = pp.u AND c.p_neg = pp.p),
+    seg AS (SELECT c_custkey, c_mktsegment FROM customer)
+    SELECT s.c_mktsegment AS segment,
+           CAST(count(*) AS BIGINT) AS n_pos,
+           CAST(sum(k.is_clean) AS BIGINT) AS n_neg_kept,
+           CAST(count(*) - sum(k.is_clean) AS BIGINT) AS n_collisions,
+           round(CAST(count(*) - sum(k.is_clean) AS DOUBLE)
+                 / count(*), 6) AS collision_rate
+    FROM kept k JOIN seg s ON k.u = s.c_custkey
+    GROUP BY 1
+    """,
+    operators=("X-negative-sampling", "X-training-pairs", "J-anti", "A1"),
+)
+def q255_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic negative sampling for link-prediction /
+    recommender training on the customer→part interaction bipartite
+    graph: every positive (customer, part) pair is tail-corrupted to a
+    pseudo-random part via the portable 48-bit md5 hash (Spark
+    conv(md5) ≡ DuckDB '0x'||md5 cast, the dedup-layer family — NEVER
+    rand(), so the sample is reproducible across engines and runs),
+    then collisions with true positives are detected by a left
+    anti-style join and reported per market segment. This is the
+    labeled-pair factory a two-tower model trains on; the census
+    output is its quality scoreboard (collision rate ≈ user activity
+    density). Linear in the positive set — corruption is a map, the
+    collision check shuffles on (u, p) — and the max-partkey rides in
+    as a broadcast 1-row aggregate. Counts are exact integers; the one
+    division rounds to 6 dp (n_pos ≥ 1 per emitted segment)."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    cust = _t(spark, sf_dir, "customer")
+    pos = (
+        o.select("o_orderkey", "o_custkey")
+        .join(li.select("l_orderkey", "l_partkey"),
+              F.col("o_orderkey") == F.col("l_orderkey"))
+        .select(F.col("o_custkey").alias("u"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    pmax = part.agg(F.max("p_partkey").alias("pm"))
+    h48 = F.expr(
+        "cast(conv(substring(md5(concat('neg-', cast(u as string), ':', "
+        "cast(p as string))), 1, 12), 16, 10) as bigint)"
+    )
+    corrupted = pos.crossJoin(F.broadcast(pmax)).select(
+        "u", "p", (F.lit(1) + h48 % F.col("pm")).alias("p_neg")
+    )
+    pos_probe = pos.select(
+        F.col("u").alias("pu"), F.col("p").alias("pp")
+    )
+    kept = corrupted.join(
+        pos_probe,
+        (F.col("u") == F.col("pu")) & (F.col("p_neg") == F.col("pp")),
+        "left",
+    ).select(
+        "u",
+        F.when(F.col("pu").isNull(), F.lit(1)).otherwise(F.lit(0)).alias(
+            "is_clean"
+        ),
+    )
+    return (
+        kept.join(
+            cust.select(
+                F.col("c_custkey").alias("u"),
+                F.col("c_mktsegment").alias("segment"),
+            ),
+            "u",
+        )
+        .groupBy("segment")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pos"),
+            F.sum("is_clean").cast("long").alias("n_neg_kept"),
+            (F.count(F.lit(1)) - F.sum("is_clean"))
+            .cast("long")
+            .alias("n_collisions"),
+            F.round(
+                (F.count(F.lit(1)) - F.sum("is_clean")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("collision_rate"),
+        )
+    )

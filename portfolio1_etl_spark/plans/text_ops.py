@@ -1088,3 +1088,117 @@ def q251_bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("s6").cast("double") / 1000000.0, 6).alias("bm25"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q256 — quality-threshold retention curve (r10)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q256_quality_retention_curve",
+    sql="""
+    WITH scored AS (
+      SELECT doc_id,
+             len(string_split(text, ' ')) AS n_tokens,
+             len(list_distinct(string_split(text, ' ')))
+               + len(string_split(text, ' '))
+               - len(list_filter(string_split(text, ' '),
+                   x -> x = 'the' OR x = 'a' OR x = 'of' OR x = 'and'))
+               AS q_num
+      FROM documents),
+    tot AS (
+      SELECT CAST(count(*) AS BIGINT) AS total_docs,
+             CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+      FROM scored),
+    ladder AS (
+      SELECT s.doc_id, s.n_tokens, s.q_num, k.k,
+             CASE WHEN 10 * s.q_num >= k.k * s.n_tokens
+                  THEN 1 ELSE 0 END AS keep
+      FROM scored s CROSS JOIN (SELECT unnest(range(0, 20)) AS k) k)
+    SELECT CAST(l.k AS BIGINT) AS threshold_step,
+           round(CAST(l.k AS DOUBLE) / 20.0, 6) AS threshold,
+           CAST(sum(l.keep) AS BIGINT) AS docs_kept,
+           CAST(sum(l.keep * l.n_tokens) AS BIGINT) AS tokens_kept,
+           round(CAST(sum(l.keep) AS DOUBLE) / max(t.total_docs), 6)
+             AS doc_frac,
+           round(CAST(sum(l.keep * l.n_tokens) AS DOUBLE)
+                 / max(t.total_tokens), 6) AS token_frac
+    FROM ladder l CROSS JOIN tot t
+    GROUP BY l.k
+    """,
+    operators=("X-retention-curve", "X-quality", "A1"),
+)
+def q256_quality_retention_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-threshold retention curve — for each candidate quality
+    bar, how many documents and tokens survive the q62 filter. This is
+    the sweep a curation run does BEFORE committing to a threshold
+    (the knee of the token curve is the budget decision). The q62
+    score quality = (n_distinct + n_tokens − n_stop)/(2·n_tokens) is
+    never materialized as a float: the bar test quality ≥ k/20
+    cross-multiplies to 10·q_num ≥ k·n_tokens — pure INTEGER
+    comparisons, so boundary docs land on the same side in both
+    engines. The 20-step ladder explodes per doc AFTER the string ops
+    collapse to two ints (a ×20 fan-out of 3-int rows, then one
+    map-side-combinable aggregate); corpus totals ride in as a
+    broadcast 1-row aggregate."""
+    d = _docs(spark, sf_dir)
+    toks = F.split("text", " ")
+    n_tokens = F.size(toks)
+    n_stop = F.size(
+        F.filter(
+            toks,
+            lambda x: (x == "the") | (x == "a") | (x == "of") | (x == "and"),
+        )
+    )
+    n_distinct = F.size(F.array_distinct(toks))
+    scored = d.select(
+        "doc_id",
+        n_tokens.cast("long").alias("n_tokens"),
+        (n_distinct + n_tokens - n_stop).cast("long").alias("q_num"),
+    )
+    tot = scored.agg(
+        F.count(F.lit(1)).cast("long").alias("total_docs"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+    )
+    ladder = scored.select(
+        "n_tokens",
+        "q_num",
+        F.explode(F.sequence(F.lit(0), F.lit(19))).alias("k"),
+    ).select(
+        "n_tokens",
+        F.col("k").cast("long").alias("k"),
+        F.when(
+            10 * F.col("q_num") >= F.col("k") * F.col("n_tokens"), F.lit(1)
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("keep"),
+    )
+    return (
+        ladder.crossJoin(F.broadcast(tot))
+        .groupBy("k")
+        .agg(
+            F.round(F.col("k").cast("double") / 20.0, 6).alias("threshold"),
+            F.sum("keep").cast("long").alias("docs_kept"),
+            F.sum(F.col("keep") * F.col("n_tokens"))
+            .cast("long")
+            .alias("tokens_kept"),
+            F.round(
+                F.sum("keep").cast("double") / F.max("total_docs"), 6
+            ).alias("doc_frac"),
+            F.round(
+                F.sum(F.col("keep") * F.col("n_tokens")).cast("double")
+                / F.max("total_tokens"),
+                6,
+            ).alias("token_frac"),
+        )
+        .select(
+            F.col("k").alias("threshold_step"),
+            "threshold",
+            "docs_kept",
+            "tokens_kept",
+            "doc_frac",
+            "token_frac",
+        )
+    )

@@ -86,6 +86,10 @@ QUERIES = [
     # rank-10-12 query selection below 12 terms and the empty-corpus
     # avgdl NULL guard
     "q251_bm25_retrieval",
+    # retention curve: integer cross-multiplied thresholds on random
+    # stopword densities (all-stopword and all-distinct docs sit
+    # exactly on ladder boundaries)
+    "q256_quality_retention_curve",
 ]
 
 _VOCAB = (
@@ -248,6 +252,9 @@ _EVENT_QUERIES = [
     # local clustering coefficient on the same random graphs (wedge
     # closure with zero-triangle and degree-2 nodes)
     "q237_clustering_coefficient",
+    # 2-hop neighborhood features on the same random graphs (isolated
+    # stars, cliques, and degree-1 chains stress the hop-2 distinct)
+    "q254_neighborhood_features",
     # VARIANT shredding of heterogeneous JSON built from random typed
     # columns (every shape x type combination, including malformed)
     "q238_variant_shredding",
@@ -389,6 +396,9 @@ _RELATIONAL_QUERIES = [
     "q245_rollup_grouping_labels",
     "q247_bag_set_ops",
     "q248_null_safe_join",
+    # deterministic negative sampling: random interaction sets push
+    # collision density and the modulo tail of the portable 48-bit hash
+    "q255_negative_sampling",
 ]
 
 
@@ -479,6 +489,29 @@ def test_random_lineitem_orders_match_oracle(spark, tmp_path, seed):
             T.StructField("c_mktsegment", T.StringType()),
         ]
     )
+    # minimal part dimension for q255 (p_partkey spans the l_partkey
+    # range so tail corruption can both hit and miss real parts)
+    prows = [
+        (
+            pk,
+            f"Part#{pk}",
+            f"Brand#{pk % 5}",
+            rng.choice(["BRASS", "STEEL", "TIN"]),
+            rng.randint(1, 50),
+            round(rng.uniform(100, 2000), 2),
+        )
+        for pk in range(1, 51)
+    ]
+    pschema = T.StructType(
+        [
+            T.StructField("p_partkey", T.LongType()),
+            T.StructField("p_name", T.StringType()),
+            T.StructField("p_brand", T.StringType()),
+            T.StructField("p_type", T.StringType()),
+            T.StructField("p_size", T.IntegerType()),
+            T.StructField("p_retailprice", T.DoubleType()),
+        ]
+    )
     sf = str(tmp_path / f"relfuzz{seed}")
     import os
 
@@ -492,8 +525,11 @@ def test_random_lineitem_orders_match_oracle(spark, tmp_path, seed):
     spark.createDataFrame(crows, cschema).coalesce(1).write.parquet(
         f"{sf}/customer.parquet"
     )
+    spark.createDataFrame(prows, pschema).coalesce(1).write.parquet(
+        f"{sf}/part.parquet"
+    )
     con = duckdb.connect()
-    for t in ("orders", "lineitem", "customer"):
+    for t in ("orders", "lineitem", "customer", "part"):
         con.sql(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet/*.parquet')"
         )

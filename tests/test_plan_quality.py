@@ -96,11 +96,16 @@ _SANCTIONED_BNLJ = {
     # counts (the q168 report shape).
     "q239_merge_into_chain",
     "q240_widened_chain",
+    # negative sampling: positives × the broadcast ONE-ROW max-partkey
+    # aggregate (the q94 1-row pattern).
+    "q255_negative_sampling",
     "q80_cosine_topk",
     "q83_ivf_ann",
     # BM25: cross with the broadcast ONE-ROW corpus-stats aggregate
     # (n_docs, avgdl) — the q94 tf-idf pattern.
     "q251_bm25_retrieval",
+    # retention curve: ladder × the broadcast ONE-ROW corpus totals.
+    "q256_quality_retention_curve",
     # rank fusion + hard negatives: corpus × broadcast 8-row anchor
     # set with a non-equi self-exclusion — the q80 brute-force shape.
     "q252_rrf_fusion",
