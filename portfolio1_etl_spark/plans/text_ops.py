@@ -1202,3 +1202,84 @@ def q256_quality_retention_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             "token_frac",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q257 — tokenizer fertility by language (r10)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q257_tokenizer_fertility",
+    sql=f"""
+    WITH scored AS (
+      SELECT CASE
+               WHEN contains(text, ' der ') OR contains(text, ' und ') THEN 'de'
+               WHEN contains(text, ' le ')  OR contains(text, ' et ')  THEN 'fr'
+               WHEN contains(text, ' el ')  OR contains(text, ' y ')   THEN 'es'
+               WHEN contains(text, ' the ') OR contains(text, ' a ')   THEN 'en'
+               ELSE 'und' END AS lang_guess,
+             len(string_split(text, ' ')) AS n_words,
+             len(regexp_extract_all(text, '{_SUBTOKEN_RE}')) AS n_subtokens,
+             octet_length(CAST(text AS BLOB)) AS n_bytes
+      FROM documents)
+    SELECT lang_guess,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_words) AS BIGINT) AS total_words,
+           CAST(sum(n_subtokens) AS BIGINT) AS total_subtokens,
+           CAST(sum(n_bytes) AS BIGINT) AS total_bytes,
+           CASE WHEN sum(n_words) > 0
+                THEN round(CAST(sum(n_subtokens) AS DOUBLE)
+                           / CAST(sum(n_words) AS BIGINT), 6) END
+             AS fertility,
+           CASE WHEN sum(n_subtokens) > 0
+                THEN round(CAST(sum(n_bytes) AS DOUBLE)
+                           / CAST(sum(n_subtokens) AS BIGINT), 6) END
+             AS bytes_per_subtoken
+    FROM scored GROUP BY 1
+    """,
+    operators=("X-tokenizer-fertility", "X-langid", "A1"),
+)
+def q257_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility (subtokens per whitespace word) and bytes
+    per subtoken, by detected language — the budget readout a
+    multilingual tokenizer review runs (a language whose fertility is
+    2× English pays 2× the context window; byte rate exposes
+    script density). Language comes from the q63 heuristic, subtokens
+    from the portable BPE-ish regex (q60), bytes from octet_length —
+    all whole-stage-codegen expressions collapsing per doc to four
+    ints before one 5-group aggregate. Ratios divide exact integer
+    sums (summed as BIGINT in both engines — never float sums) with
+    zero-denominator guards mirrored cross-engine."""
+    d = _docs(spark, sf_dir)
+    t = F.col("text")
+    guess = (
+        F.when(t.contains(" der ") | t.contains(" und "), "de")
+        .when(t.contains(" le ") | t.contains(" et "), "fr")
+        .when(t.contains(" el ") | t.contains(" y "), "es")
+        .when(t.contains(" the ") | t.contains(" a "), "en")
+        .otherwise("und")
+    )
+    scored = d.select(
+        guess.alias("lang_guess"),
+        F.size(F.split("text", " ")).cast("long").alias("n_words"),
+        F.size(F.expr(f"regexp_extract_all(text, '{_SUBTOKEN_RE}', 0)"))
+        .cast("long")
+        .alias("n_subtokens"),
+        F.octet_length("text").cast("long").alias("n_bytes"),
+    )
+    words = F.sum("n_words").cast("long")
+    subs = F.sum("n_subtokens").cast("long")
+    byts = F.sum("n_bytes").cast("long")
+    return scored.groupBy("lang_guess").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        words.alias("total_words"),
+        subs.alias("total_subtokens"),
+        byts.alias("total_bytes"),
+        F.when(words > 0, F.round(subs.cast("double") / words, 6)).alias(
+            "fertility"
+        ),
+        F.when(subs > 0, F.round(byts.cast("double") / subs, 6)).alias(
+            "bytes_per_subtoken"
+        ),
+    )

@@ -90,6 +90,9 @@ QUERIES = [
     # stopword densities (all-stopword and all-distinct docs sit
     # exactly on ladder boundaries)
     "q256_quality_retention_curve",
+    # fertility: random corpora hit the 'und' bucket and single-doc
+    # languages (zero-word docs exercise both denominator guards)
+    "q257_tokenizer_fertility",
 ]
 
 _VOCAB = (
