@@ -42,11 +42,13 @@ from portfolio1_etl_spark.plans import dedup_recall_ops  # noqa: F401,E402
 #: Explicit registry order. External correctness harnesses may sample a
 #: prefix of ``queries()`` (the driver checks the first 50 entries), so
 #: the prefix must contain at least one representative of EVERY operator
-#: family. ROTATED each round (r10): 44 of the 50 slots hold queries
+#: family. ROTATED each round (r10): 42 of the 50 slots hold queries
 #: that have NEVER been under the external gate in any round — the
 #: r9 families (q210–q237), this round's brand-new rows (q239 delta
 #: MERGE, q240 widened chain, q241 ADTS census, q245/q247 grouping +
-#: bag set-ops, q249–q253 Heaps/centroids/BM25/RRF/hard-negatives), and
+#: bag set-ops, q249 Heaps, q252 RRF) — every swap stays INSIDE its
+#: operator family (test_registry_order pins the map), so q250/q251/
+#: q253–q257 gate via the full-registry oracle + fuzz instead, and
 #: long-unwindowed members of every family (each slot keeps its
 #: family, so coverage breadth is unchanged). Deliberately KEPT
 #: in-window: q01 (entry flagship), q43 (EP3 reference pipeline),
@@ -85,7 +87,7 @@ PRIORITY: tuple[str, ...] = (
     "q225_dyadic_ewma",         # recursive frame smoothing (never gated)
     "q210_value_percentiles_daily",  # daily series stats (never gated)
     # text analysis
-    "q87_token_histogram",      # token stats (never gated)
+    "q249_heaps_law",           # token/vocab stats (r10 NEW)
     "q214_repetition_ratio",    # quality gate (never gated)
     "q69_langid_classifier",    # (never gated)
     "q141_bigram_logprob",      # LM gate (never gated)
@@ -97,11 +99,11 @@ PRIORITY: tuple[str, ...] = (
     # clustering / sketches / reconcile
     "q93_kmeans",
     "q92_cms_heavy_hitters",
-    "q250_label_centroid_separation",  # r10 NEW: class-separability audit
+    "q172_replica_reconcile",
     # mining family
     "q226_touch_attribution",   # (never gated)
     # deduplication layer
-    "q249_heaps_law",           # r10 NEW: vocabulary-growth OLS (text)
+    "q71_dedup_exact_keep",
     "q79_fingerprint_match",    # winnowing match (never gated)
     "q73_minhash_lsh",
     "q75_simhash_pairs",        # simhash banding (never gated)
@@ -113,9 +115,9 @@ PRIORITY: tuple[str, ...] = (
     "q163_user_kcore",          # peel family (kept)
     # similarity search layer
     "q114_ann_recall",          # knn recall scoreboard (never gated)
-    "q252_rrf_fusion",          # r10 NEW: rank fusion of two retrievers
+    "q82_lsh_ann",
     "q135_ivf_index_probe",
-    "q253_hard_negative_mining",  # r10 NEW: contrastive mining margins
+    "q252_rrf_fusion",          # r10 NEW: re-gates the SQ8 quantized ranker + fusion
     # multimodal layer
     "q241_adts_census",         # r10 NEW: mixed MPEG/ADTS census
     "q147_exif_tiff_census",    # governance (never gated)

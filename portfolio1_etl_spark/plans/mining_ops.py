@@ -47,6 +47,35 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return catalog.load(spark, sf_dir, name)
 
 
+def _copurchase_graph(spark: SparkSession, sf_dir: str, cap: int = 40):
+    """Hub-capped co-purchase user graph shared by q224/q237/q254:
+    distinct (user, purchase-hour) pairs, hours with more than ``cap``
+    users excised BEFORE edge enumeration (the q71 heavy-hitter
+    excision — bounds every downstream deg² self-join), then the
+    within-hour pair explosion deduped to a canonical u<v edge list.
+    Returns (edges, nbr): the canonical edges and the symmetric
+    neighbor list."""
+    e = _t(spark, sf_dir, "events")
+    ub = (
+        e.filter(F.col("event_type") == "purchase")
+        .select("user_id", F.date_trunc("hour", F.col("ts")).alias("h"))
+        .distinct()
+    )
+    hcnt = ub.groupBy("h").agg(F.count(F.lit(1)).alias("nu"))
+    small = ub.join(
+        F.broadcast(hcnt.filter(F.col("nu") <= cap).select("h")), "h"
+    )
+    a = small.select(F.col("user_id").alias("u"), "h")
+    b = small.select(F.col("user_id").alias("v"), "h")
+    edges = (
+        a.join(b, "h").filter(F.col("u") < F.col("v")).select("u", "v").distinct()
+    )
+    nbr = edges.select(F.col("u").alias("node"), F.col("v").alias("nbr")).unionAll(
+        edges.select(F.col("v").alias("node"), F.col("u").alias("nbr"))
+    )
+    return edges, nbr
+
+
 # ---------------------------------------------------------------------------
 # q220 — association rules (market basket)
 # ---------------------------------------------------------------------------
@@ -458,24 +487,7 @@ def q224_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     partition count keeps the explosion spread across the cluster
     (3x wall-clock on the bench board; the same reasoning holds at
     100 TB where per-bucket work, not bytes, is the bottleneck)."""
-    e = _t(spark, sf_dir, "events")
-    ub = (
-        e.filter(F.col("event_type") == "purchase")
-        .select("user_id", F.date_trunc("hour", F.col("ts")).alias("h"))
-        .distinct()
-    )
-    hcnt = ub.groupBy("h").agg(F.count(F.lit(1)).alias("nu"))
-    small = ub.join(
-        F.broadcast(hcnt.filter(F.col("nu") <= 40).select("h")), "h"
-    )
-    a = small.select(F.col("user_id").alias("u"), "h")
-    b = small.select(F.col("user_id").alias("v"), "h")
-    edges = (
-        a.join(b, "h").filter(F.col("u") < F.col("v")).select("u", "v").distinct()
-    )
-    nbr = edges.select(F.col("u").alias("node"), F.col("v").alias("nbr")).unionAll(
-        edges.select(F.col("v").alias("node"), F.col("u").alias("nbr"))
-    )
+    edges, nbr = _copurchase_graph(spark, sf_dir)
     deg = nbr.groupBy("node").agg(F.count(F.lit(1)).alias("d"))
     # explicit partition count disables AQE coalescing for this one
     # exchange — see the docstring's explosion-vs-bytes argument.
@@ -882,24 +894,7 @@ def q237_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
     join is explicitly repartitioned (the q224 AQE-explosion lesson);
     the d ≥ 2 filter makes the ratio's denominator structurally
     positive; counts are exact ints."""
-    e = _t(spark, sf_dir, "events")
-    ub = (
-        e.filter(F.col("event_type") == "purchase")
-        .select("user_id", F.date_trunc("hour", F.col("ts")).alias("h"))
-        .distinct()
-    )
-    hcnt = ub.groupBy("h").agg(F.count(F.lit(1)).alias("nu"))
-    small = ub.join(
-        F.broadcast(hcnt.filter(F.col("nu") <= 40).select("h")), "h"
-    )
-    a = small.select(F.col("user_id").alias("u"), "h")
-    b = small.select(F.col("user_id").alias("v"), "h")
-    edges = (
-        a.join(b, "h").filter(F.col("u") < F.col("v")).select("u", "v").distinct()
-    )
-    nbr = edges.select(F.col("u").alias("node"), F.col("v").alias("nbr")).unionAll(
-        edges.select(F.col("v").alias("node"), F.col("u").alias("nbr"))
-    )
+    edges, nbr = _copurchase_graph(spark, sf_dir)
     deg = (
         nbr.groupBy("node")
         .agg(F.count(F.lit(1)).alias("d"))
@@ -972,10 +967,10 @@ def q237_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT d.node AS user_id, d.deg,
            h1.nbr_deg_sum, h1.nbr_deg_max,
            round(CAST(h1.nbr_deg_sum AS DOUBLE) / d.deg, 6) AS avg_nbr_deg,
-           h2.two_hop_reach
+           CAST(coalesce(h2.two_hop_reach, 0) AS BIGINT) AS two_hop_reach
     FROM deg d
     JOIN hop1 h1 ON d.node = h1.node
-    JOIN hop2 h2 ON d.node = h2.node
+    LEFT JOIN hop2 h2 ON d.node = h2.node
     """,
     operators=("X-graph-features", "X-message-passing", "A1", "J1"),
 )
@@ -993,30 +988,10 @@ def q254_neighborhood_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     the probe-side pair explosion (the q224 lesson). All features are
     exact integers; the one division rounds to 6 dp and deg ≥ 1 by
     construction (nodes exist only via edges)."""
-    e = _t(spark, sf_dir, "events")
-    ub = (
-        e.filter(F.col("event_type") == "purchase")
-        .select("user_id", F.date_trunc("hour", F.col("ts")).alias("h"))
-        .distinct()
-    )
-    hc = (
-        ub.groupBy("h")
-        .agg(F.count(F.lit(1)).alias("nu"))
-        .filter(F.col("nu") <= 40)
-        .select("h")
-    )
-    sm = ub.join(hc, "h")
-    a_side = sm.select(F.col("user_id").alias("ua"), "h")
-    b_side = sm.select(F.col("user_id").alias("ub"), "h")
-    edges = (
-        a_side.join(b_side, "h")
-        .filter(F.col("ua") < F.col("ub"))
-        .select(F.col("ua").alias("u"), F.col("ub").alias("v"))
-        .distinct()
-    )
-    nbr = edges.select(F.col("u").alias("node"), F.col("v").alias("nbr")).unionAll(
-        edges.select(F.col("v").alias("node"), F.col("u").alias("nbr"))
-    )
+    _, nbr = _copurchase_graph(spark, sf_dir)
+    # nbr fans out four ways (deg, hop1, both hop2 sides) — materialize
+    # once instead of re-running the edge self-join per branch
+    nbr = nbr.localCheckpoint(eager=True)
     deg = nbr.groupBy("node").agg(F.count(F.lit(1)).cast("long").alias("deg"))
     hop1 = (
         nbr.join(
@@ -1042,9 +1017,12 @@ def q254_neighborhood_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("src").alias("node"))
         .agg(F.countDistinct("dst").cast("long").alias("two_hop_reach"))
     )
+    # LEFT join: a node whose only 2-hop walks backtrack to itself
+    # (isolated single-edge component) still belongs in the feature
+    # table, with two_hop_reach = 0
     return (
         deg.join(hop1, "node")
-        .join(hop2, "node")
+        .join(hop2, "node", "left")
         .select(
             F.col("node").alias("user_id"),
             "deg",
@@ -1053,7 +1031,9 @@ def q254_neighborhood_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(
                 F.col("nbr_deg_sum").cast("double") / F.col("deg"), 6
             ).alias("avg_nbr_deg"),
-            "two_hop_reach",
+            F.coalesce(F.col("two_hop_reach"), F.lit(0))
+            .cast("long")
+            .alias("two_hop_reach"),
         )
     )
 

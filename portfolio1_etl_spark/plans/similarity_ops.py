@@ -443,8 +443,9 @@ def q125_embedding_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair AS (
       SELECT a.label AS label_a, b.label AS label_b,
              max(a.n) AS n_a, max(b.n) AS n_b,
-             sum(CAST(a.s * b.n - b.s * a.n AS HUGEINT)
-                 * CAST(a.s * b.n - b.s * a.n AS HUGEINT)) AS num2
+             sum((CAST(a.s AS HUGEINT) * b.n - CAST(b.s AS HUGEINT) * a.n)
+                 * (CAST(a.s AS HUGEINT) * b.n - CAST(b.s AS HUGEINT) * a.n))
+               AS num2
       FROM cent a JOIN cent b ON a.idx = b.idx AND a.label < b.label
       GROUP BY 1, 2)
     SELECT CAST(label_a AS BIGINT) AS label_a,
@@ -495,8 +496,12 @@ def q250_label_centroid_separation(spark: SparkSession, sf_dir: str) -> DataFram
         F.col("s").alias("sb"),
         F.col("n").alias("nb"),
     )
+    # cast BEFORE the multiplies: s*n in 64-bit wraps (silently with
+    # ANSI off) at ~2M rows/label; decimal(38,0) ≡ HUGEINT headroom
     dec = "decimal(38,0)"
-    num = (F.col("sa") * F.col("nb") - F.col("sb") * F.col("na")).cast(dec)
+    num = F.col("sa").cast(dec) * F.col("nb") - F.col("sb").cast(dec) * F.col(
+        "na"
+    )
     pair = (
         a.join(b, (a.idx == b.idx) & (F.col("label_a") < F.col("label_b")))
         .groupBy("label_a", "label_b")
@@ -600,33 +605,9 @@ def q252_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash parity)."""
     vecs = _vectors(spark, sf_dir)
     anchors = vecs.filter(F.col("vec_id") < 8)
-    sims = (
-        vecs.crossJoin(
-            F.broadcast(
-                anchors.select(
-                    F.col("vec_id").alias("query_id"),
-                    F.col("v").alias("qv_f"),
-                    F.col("nrm").alias("qnrm"),
-                )
-            )
-        )
-        .filter(F.col("vec_id") != F.col("query_id"))
-        .select(
-            "query_id",
-            F.col("vec_id").alias("neighbor_id"),
-            (
-                F.expr(_DOT.format(a="qv_f", b="v"))
-                / (F.col("qnrm") * F.col("nrm"))
-            ).alias("sim"),
-        )
-    )
-    w_e = W.partitionBy("query_id").orderBy(
-        F.desc("sim"), F.asc("neighbor_id")
-    )
-    exact_r = (
-        sims.withColumn("rnk", F.row_number().over(w_e))
-        .filter(F.col("rnk") <= 20)
-        .select("query_id", "neighbor_id", "rnk")
+    # the canonical brute-force baseline IS ranker A — reuse it
+    exact_r = brute_force_topk(vecs, anchors, k=20).select(
+        "query_id", "neighbor_id", F.col("rank").alias("rnk")
     )
     qv = scalar_quantize(vecs).localCheckpoint(eager=True)
     qcand = (

@@ -35,10 +35,10 @@ def test_every_operator_family_inside_window():
     # CI (test_demoted_queries_still_oracle_backed).
     families = {
         "relational-agg": "q01_pricing_summary",
-        "sets": "q26_except",  # rotate-back (was q25)
+        "sets": "q247_bag_set_ops",  # r10: bag INTERSECT/EXCEPT ALL (was q26)
         "fact-fact-join": "q130_salted_join",  # the skew-salted shape
         "topk": "q219_dominant_suppliers",  # top-over-agg (was q189)
-        "hierarchical-agg": "q17_rollup",  # rotate-back (was q18)
+        "hierarchical-agg": "q245_rollup_grouping_labels",  # r10 (was q17)
         "json": "q238_variant_shredding",  # kept: VARIANT flagship
         "pivot-family": "q28_pivot",  # rotate-back (was q39)
         "star-join": "q84_local_supplier_volume",  # TPC-H Q5 shape
@@ -63,7 +63,7 @@ def test_every_operator_family_inside_window():
         "window-frame": "q225_dyadic_ewma",  # was q178 EWMA — the
         # same recursive-smoothing frame, dyadic-exact
         "date-spine": "q154_gap_fill_resample",
-        "text-words": "q87_token_histogram",  # was q158 entropy
+        "text-words": "q249_heaps_law",  # r10: vocab-growth OLS (was q87)
         "text-quality": "q214_repetition_ratio",  # was q126 logreg
         "text-langid": "q69_langid_classifier",
         "text-lm": "q141_bigram_logprob",  # was q148 KN
@@ -85,7 +85,8 @@ def test_every_operator_family_inside_window():
         "sim-knn": "q114_ann_recall",  # the knn recall scoreboard
         "sim-lsh": "q82_lsh_ann",
         "sim-ivf": "q135_ivf_index_probe",
-        "sim-quantized": "q103_pq_sampled_train",
+        "sim-quantized": "q252_rrf_fusion",  # r10: re-gates the SQ8
+        # ranker inside the fusion (PQ stays oracle-backed via q99/q103)
         "multimodal-decode": "q241_adts_census",  # r10: mixed
         # MPEG/ADTS transport census (was q145 GIF)
         "multimodal-governance": "q147_exif_tiff_census",  # was q164
