@@ -43,7 +43,27 @@ _FEATS_SQL = """
 """
 
 
-def _logreg_sql(rounds: int = _ROUNDS, lr: float = _LR) -> str:
+def _features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, x0, x1, x2, y): the 6-dp-rounded heuristic features and
+    the synthetic language label shared by q126 (training) and q258
+    (calibration)."""
+    d = catalog.load(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    n = F.size(toks)
+    is_stop = lambda x: (x == "the") | (x == "a") | (x == "of") | (x == "and")  # noqa: E731
+    return d.select(
+        "doc_id",
+        F.lit(1.0).alias("x0"),
+        F.round(F.size(F.filter(toks, is_stop)).cast("double") / n, 6).alias("x1"),
+        F.round(F.size(F.array_distinct(toks)).cast("double") / n, 6).alias("x2"),
+        F.when(F.col("lang") == "en", 1.0).otherwise(0.0).alias("y"),
+    )
+
+
+def _logreg_weight_ctes(rounds: int = _ROUNDS, lr: float = _LR):
+    """The unrolled GD CTE chain shared by q126 (full per-round board)
+    and q258 (calibration over the FINAL weights). Returns
+    (ctes, per_round_finals, final_weights_cte_name)."""
     ctes = [_FEATS_SQL, "w0cte AS MATERIALIZED (SELECT 0.0 AS w0, 0.0 AS w1, 0.0 AS w2)"]
     finals = []
     prev = "w0cte"
@@ -69,7 +89,41 @@ def _logreg_sql(rounds: int = _ROUNDS, lr: float = _LR) -> str:
             f"FROM w{r}cte, a{r}"
         )
         prev = f"w{r}cte"
+    return ctes, finals, prev
+
+
+def _logreg_sql(rounds: int = _ROUNDS, lr: float = _LR) -> str:
+    ctes, finals, _ = _logreg_weight_ctes(rounds, lr)
     return "WITH " + ",\n    ".join(ctes) + "\n" + "\nUNION ALL\n".join(finals)
+
+
+def _calibration_sql(rounds: int = _ROUNDS, lr: float = _LR) -> str:
+    ctes, _, wfinal = _logreg_weight_ctes(rounds, lr)
+    ctes = list(ctes)
+    ctes.append(
+        "scored AS MATERIALIZED (SELECT doc_id, y, CAST(round((1.0 / (1.0 + "
+        f"exp(-round(w0 * x0 + w1 * x1 + w2 * x2, 6)))) * 1000000, 0) "
+        f"AS BIGINT) AS p6e6 FROM f, {wfinal})"
+    )
+    ctes.append(
+        "binned AS (SELECT CAST(ntile(10) OVER (ORDER BY p6e6, doc_id) "
+        "AS BIGINT) AS bin, y, p6e6 FROM scored)"
+    )
+    return (
+        "WITH " + ",\n    ".join(ctes) + "\n"
+        "SELECT CAST(bin AS BIGINT) AS bin,\n"
+        "       CAST(count(*) AS BIGINT) AS n_docs,\n"
+        "       round(CAST(sum(p6e6) AS BIGINT) / CAST(count(*) AS DOUBLE)\n"
+        "             / 1000000.0, 6) AS mean_confidence,\n"
+        "       round(CAST(sum(CAST(y AS BIGINT)) AS BIGINT)\n"
+        "             / CAST(count(*) AS DOUBLE), 6) AS observed_rate,\n"
+        "       round(abs(round(CAST(sum(p6e6) AS BIGINT)\n"
+        "                       / CAST(count(*) AS DOUBLE) / 1000000.0, 6)\n"
+        "                 - round(CAST(sum(CAST(y AS BIGINT)) AS BIGINT)\n"
+        "                         / CAST(count(*) AS DOUBLE), 6)), 6)\n"
+        "         AS calibration_gap\n"
+        "FROM binned GROUP BY bin\n"
+    )
 
 
 @query(
@@ -90,15 +144,81 @@ def q126_logreg_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: the feature extraction is one narrow pass (materialized);
     each round is ONE 1-row mean-gradient aggregate + a broadcast
     update — weights never visit the driver."""
-    d = catalog.load(spark, sf_dir, "documents")
-    toks = F.split("text", " ")
-    n = F.size(toks)
-    is_stop = lambda x: (x == "the") | (x == "a") | (x == "of") | (x == "and")  # noqa: E731
-    feats = d.select(
-        "doc_id",
-        F.lit(1.0).alias("x0"),
-        F.round(F.size(F.filter(toks, is_stop)).cast("double") / n, 6).alias("x1"),
-        F.round(F.size(F.array_distinct(toks)).cast("double") / n, 6).alias("x2"),
-        F.when(F.col("lang") == "en", 1.0).otherwise(0.0).alias("y"),
+    return train_logreg(_features(spark, sf_dir), rounds=_ROUNDS, lr=_LR)
+
+
+@query(
+    "q258_calibration_bins",
+    sql=_calibration_sql(),
+    operators=("X-calibration", "X-classifier", "A1"),
+)
+def q258_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability diagram for the q126 classifier: documents bucket
+    into EQUAL-MASS probability deciles (adaptive calibration bins —
+    fixed-width deciles collapse to one cell when a lightly-trained
+    model concentrates its scores) under the FINAL trained weights, and
+    each bin reports mean confidence vs observed positive rate — the
+    per-bin terms of expected calibration error, the check a model-
+    gated curation pipeline runs before trusting classifier scores as
+    sampling weights. Numerics: the margin rounds to 6 dp BEFORE the
+    sigmoid (exp ulps must not pick a bin), probabilities snap to
+    scaled BIGINT, and the equal-mass decile comes from
+    operators/ranks.with_exact_rank + ntile arithmetic over a total
+    order (p6e6, doc_id) — no partitionless window, engine-exact bin
+    membership; the two per-bin ratios round from exact integer sums
+    and the gap subtracts the ROUNDED pair.
+    Scale: training is q126's machinery (1-row aggregates per round);
+    scoring is one broadcast-weights map over the feature table; the
+    output is 10 rows at any corpus size."""
+    from portfolio1_etl_spark.operators.ranks import (
+        ntile_from_rank,
+        with_exact_rank,
     )
-    return train_logreg(feats, rounds=_ROUNDS, lr=_LR)
+
+    feats = _features(spark, sf_dir)
+    w = (
+        train_logreg(feats, rounds=_ROUNDS, lr=_LR)
+        .filter(F.col("round") == _ROUNDS)
+        .select("w0", "w1", "w2")
+    )
+    z6 = F.round(
+        F.col("w0") * F.col("x0")
+        + F.col("w1") * F.col("x1")
+        + F.col("w2") * F.col("x2"),
+        6,
+    )
+    prob = F.lit(1.0) / (F.lit(1.0) + F.exp(-z6))
+    scored = feats.crossJoin(F.broadcast(w)).select(
+        "doc_id", "y", F.round(prob * 1000000, 0).cast("long").alias("p6e6")
+    )
+    ranked = with_exact_rank(
+        scored,
+        order_by=[F.col("p6e6"), F.col("doc_id")],
+        bucket=F.expr("p6e6 div 1000"),
+    )
+    binned = ranked.select(
+        ntile_from_rank(F.col("_rank"), F.col("_n"), 10)
+        .cast("long")
+        .alias("bin"),
+        "y",
+        "p6e6",
+    )
+    n_docs = F.count(F.lit(1))
+    conf = F.round(
+        F.sum("p6e6").cast("long").cast("double") / n_docs / 1000000.0, 6
+    )
+    obs = F.round(
+        F.sum(F.col("y").cast("long")).cast("long").cast("double") / n_docs, 6
+    )
+    return binned.groupBy("bin").agg(
+        n_docs.cast("long").alias("n_docs"),
+        conf.alias("mean_confidence"),
+        obs.alias("observed_rate"),
+        F.round(F.abs(conf - obs), 6).alias("calibration_gap"),
+    ).select(
+        F.col("bin").cast("long").alias("bin"),
+        "n_docs",
+        "mean_confidence",
+        "observed_rate",
+        "calibration_gap",
+    )

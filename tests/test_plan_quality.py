@@ -142,8 +142,10 @@ _SANCTIONED_BNLJ = {
     "q123_bpe_train",
     "q124_bpe_train_apply",
     # logistic regression: per-round 1-row weight broadcast into the
-    # feature table (same pattern).
+    # feature table (same pattern). q258 scores the corpus under the
+    # same broadcast final-weights row.
     "q126_logreg_quality",
+    "q258_calibration_bins",
     # data card: one aggregate over the sanctioned q120 composite.
     "q127_data_card",
     # curriculum schedule: composes q118 (sanctioned 1-row total).
