@@ -231,7 +231,13 @@ def q183_fuzzy_part_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
         _t(spark, sf_dir, "part")
         .groupBy(
             "p_name",
-            F.element_at(F.split("p_name", " "), 2).alias("block"),
+            # try_element_at + '' : a space-free name must block on ''
+            # exactly like DuckDB's split_part (plain element_at THROWS
+            # under ANSI when the token is missing)
+            F.coalesce(
+                F.try_element_at(F.split("p_name", " "), F.lit(2)),
+                F.lit(""),
+            ).alias("block"),
         )
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
@@ -560,4 +566,124 @@ def q242_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(
             F.min(F.when(2 * F.col("cw") >= F.col("tw"), F.col("x"))), 2
         ).alias("weighted_median"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q259 — golden-record survivorship after fuzzy linkage (r10)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q259_golden_record",
+    sql="""
+    WITH RECURSIVE names AS (
+      SELECT p_name, split_part(p_name, ' ', 2) AS block,
+             count(*) AS cnt,
+             min(p_partkey) AS min_pk,
+             max(p_retailprice) AS max_price
+      FROM part GROUP BY 1, 2),
+    pairs AS (
+      SELECT a.p_name AS na, b.p_name AS nb
+      FROM names a JOIN names b
+        ON a.block = b.block AND a.p_name <> b.p_name
+      WHERE levenshtein(a.p_name, b.p_name) <= 3),
+    reach(node, r, d) AS (
+      SELECT na, nb, 1 FROM pairs
+      UNION
+      SELECT reach.node, p.nb, d + 1
+      FROM reach JOIN pairs p ON reach.r = p.na
+      WHERE d < 32 AND p.nb <> reach.node),
+    canon AS (
+      SELECT n.p_name,
+             least(n.p_name, coalesce(min(reach.r), n.p_name)) AS canonical
+      FROM names n LEFT JOIN reach ON n.p_name = reach.node
+      GROUP BY n.p_name)
+    SELECT c.canonical AS canonical_name,
+           CAST(count(*) AS BIGINT) AS n_names,
+           CAST(sum(n.cnt) AS BIGINT) AS n_records,
+           CAST(min(n.min_pk) AS BIGINT) AS surviving_partkey,
+           max(n.max_price) AS max_retailprice
+    FROM canon c JOIN names n ON c.p_name = n.p_name
+    GROUP BY 1
+    """,
+    operators=("X-survivorship", "X-record-linkage", "X-transitive-closure", "A1"),
+)
+def q259_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Golden-record survivorship — the step AFTER q183's fuzzy
+    linkage that an MDM/entity-resolution pipeline actually ships:
+    matched name variants collapse into one canonical entity and the
+    surviving attributes come from deterministic rules (canonical =
+    lexicographic min of the cluster, surviving id = min partkey,
+    price = max across members, volume = summed multiplicity). The
+    match graph lives at DISTINCT-NAME grain (the q183 scale move —
+    quadratic in the value domain, never in records); clusters come
+    from a bounded transitive closure: 5 path-doubling rounds resolve
+    every path up to length 2^5 = 32, and the oracle's recursive CTE
+    carries the SAME depth-32 bound, so both engines compute the
+    identical reachability set by construction (a 33-hop name chain
+    would need a 6th round — the q243 depth-budget argument). Closure
+    state dedups on (node, reach) each round; canonical assignment and
+    survivorship are one left join + two aggregates."""
+    names = (
+        _t(spark, sf_dir, "part")
+        .groupBy(
+            "p_name",
+            # try_element_at + '' : a space-free name must block on ''
+            # exactly like DuckDB's split_part (plain element_at THROWS
+            # under ANSI when the token is missing)
+            F.coalesce(
+                F.try_element_at(F.split("p_name", " "), F.lit(2)),
+                F.lit(""),
+            ).alias("block"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.min("p_partkey").alias("min_pk"),
+            F.max("p_retailprice").alias("max_price"),
+        )
+    )
+    a, b = names.alias("a"), names.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.block") == F.col("b.block"))
+            & (F.col("a.p_name") != F.col("b.p_name")),
+        )
+        .filter(
+            F.levenshtein(F.col("a.p_name"), F.col("b.p_name")) <= 3
+        )
+        .select(
+            F.col("a.p_name").alias("node"), F.col("b.p_name").alias("r")
+        )
+    )
+    closure = pairs.localCheckpoint(eager=True)
+    for _ in range(5):
+        left = closure.select("node", F.col("r").alias("mid"))
+        right = closure.select(F.col("node").alias("mid"), "r")
+        longer = (
+            left.join(right, "mid")
+            .filter(F.col("node") != F.col("r"))
+            .select("node", "r")
+        )
+        closure = closure.unionByName(longer).distinct()
+    canon = (
+        names.select("p_name")
+        .join(closure, names["p_name"] == closure["node"], "left")
+        .groupBy("p_name")
+        .agg(
+            F.least(
+                F.col("p_name"), F.coalesce(F.min("r"), F.col("p_name"))
+            ).alias("canonical")
+        )
+    )
+    return (
+        canon.join(names, "p_name")
+        .groupBy(F.col("canonical").alias("canonical_name"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_names"),
+            F.sum("cnt").cast("long").alias("n_records"),
+            F.min("min_pk").cast("long").alias("surviving_partkey"),
+            F.max("max_price").alias("max_retailprice"),
+        )
     )

@@ -402,6 +402,12 @@ _RELATIONAL_QUERIES = [
     # deterministic negative sampling: random interaction sets push
     # collision density and the modulo tail of the portable 48-bit hash
     "q255_negative_sampling",
+    # survivorship: the synthetic space-free part names collapse to a
+    # single '' block (dense match graph, diameter 1) — stresses the
+    # closure dedup and the single-cluster survivorship rules; q183 is
+    # the upstream linkage (its ANSI element_at throw was found HERE)
+    "q183_fuzzy_part_linkage",
+    "q259_golden_record",
 ]
 
 
