@@ -687,3 +687,72 @@ def q259_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("max_price").alias("max_retailprice"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q261 — weight-of-evidence categorical encoding (r10)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q261_woe_encoding",
+    sql="""
+    WITH cells AS (
+      SELECT o_orderpriority AS category,
+             CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_bad,
+             CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 0 ELSE 1 END)
+                  AS BIGINT) AS n_good
+      FROM orders GROUP BY 1),
+    tot AS (
+      SELECT CAST(sum(n_bad) AS BIGINT) AS bad_tot,
+             CAST(sum(n_good) AS BIGINT) AS good_tot
+      FROM cells)
+    SELECT c.category, c.n_good, c.n_bad,
+           round(ln(((c.n_good + 0.5) / (t.good_tot + 1.0))
+                    / ((c.n_bad + 0.5) / (t.bad_tot + 1.0))), 6) + 0.0
+             AS woe,
+           round((round((c.n_good + 0.5) / (t.good_tot + 1.0), 6)
+                  - round((c.n_bad + 0.5) / (t.bad_tot + 1.0), 6))
+                 * (round(ln(((c.n_good + 0.5) / (t.good_tot + 1.0))
+                             / ((c.n_bad + 0.5) / (t.bad_tot + 1.0))), 6)
+                    + 0.0), 6) + 0.0 AS iv_term
+    FROM cells c CROSS JOIN tot t
+    """,
+    operators=("X-woe-encoding", "X-feature-prep", "A1"),
+)
+def q261_woe_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-of-evidence encoding of a categorical feature against a
+    binary outcome (order priority vs final-status), with each
+    category's information-value term — the standard feature-prep
+    transform a credit/quality scorecard pipeline applies before a
+    linear model, and the feature-selection readout (ΣIV) beside it.
+    Laplace 0.5/1.0 smoothing keeps empty cells finite. Numerics:
+    counts are exact integers; the smoothed odds ratio is ONE
+    identical expression tree in both engines, ln rounds to 6 dp
+    through zround (WOE is sign-indefinite), and the IV term
+    multiplies ROUNDED shares by the ROUNDED woe before its own
+    rounding — transcendental ulps never compound. The category table
+    is 5 cells; totals ride in as a broadcast 1-row aggregate."""
+    o = _t(spark, sf_dir, "orders")
+    bad = F.when(F.col("o_orderstatus") == "F", 1).otherwise(0)
+    cells = o.groupBy(F.col("o_orderpriority").alias("category")).agg(
+        F.sum(1 - bad).cast("long").alias("n_good"),
+        F.sum(bad).cast("long").alias("n_bad"),
+    )
+    tot = cells.agg(
+        F.sum("n_bad").cast("long").alias("bad_tot"),
+        F.sum("n_good").cast("long").alias("good_tot"),
+    )
+    good_share = (F.col("n_good") + 0.5) / (F.col("good_tot") + 1.0)
+    bad_share = (F.col("n_bad") + 0.5) / (F.col("bad_tot") + 1.0)
+    woe = zround(F.log(good_share / bad_share), 6)
+    return cells.crossJoin(F.broadcast(tot)).select(
+        "category",
+        "n_good",
+        "n_bad",
+        woe.alias("woe"),
+        zround(
+            (F.round(good_share, 6) - F.round(bad_share, 6)) * woe, 6
+        ).alias("iv_term"),
+    )

@@ -774,3 +774,103 @@ def q253_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("is_semi_hard"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q260 — multi-probe LSH ANN (r10)
+# ---------------------------------------------------------------------------
+
+#: probe list: the signature itself plus each single-bit flip (Hamming
+#: radius 1 over the 8-bit sign signature) — 9 probes per query.
+_PROBES_SPARK = (
+    "transform(sequence(0, 8), i -> CASE WHEN i = 0 THEN {sig} "
+    "ELSE concat(substring({sig}, 1, i - 1), "
+    "if(substring({sig}, i, 1) = '1', '0', '1'), "
+    "substring({sig}, i + 1, 8 - i)) END)"
+)
+_PROBES_SQL = (
+    "list_transform(generate_series(0, 8), i -> CASE WHEN i = 0 THEN {sig} "
+    "ELSE substr({sig}, 1, i - 1) || "
+    "(CASE WHEN substr({sig}, i, 1) = '1' THEN '0' ELSE '1' END) || "
+    "substr({sig}, i + 1, 8 - i) END)"
+)
+
+
+@query(
+    "q260_multiprobe_lsh_ann",
+    sql=f"""
+    WITH vecs AS ({_VECTORS_SQL}),
+    bucketed AS (SELECT vec_id, v, nrm, {_BUCKET_SQL} AS bucket FROM vecs),
+    q AS (SELECT * FROM bucketed WHERE vec_id < 8),
+    probes AS (
+      SELECT vec_id, v, nrm,
+             unnest({_PROBES_SQL.format(sig="bucket")}) AS probe
+      FROM q),
+    sims AS (
+      SELECT p.vec_id AS query_id, c.vec_id AS neighbor_id,
+             list_dot_product(p.v, c.v) / (p.nrm * c.nrm) AS sim
+      FROM probes p JOIN bucketed c
+        ON p.probe = c.bucket AND p.vec_id <> c.vec_id),
+    cand AS (
+      SELECT query_id, CAST(count(*) AS BIGINT) AS candidates_seen
+      FROM sims GROUP BY 1)
+    SELECT s.query_id, s.neighbor_id, s.sim, s.rank, c.candidates_seen
+    FROM (
+      SELECT query_id, neighbor_id, sim,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY sim DESC, neighbor_id ASC) AS rank
+      FROM sims
+    ) s JOIN cand c ON s.query_id = c.query_id
+    WHERE s.rank <= 3
+    """,
+    operators=("X-sim-lsh", "X-sim-multiprobe", "A1"),
+)
+def q260_multiprobe_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe LSH ANN — q82's recall knob made concrete: each
+    query probes its own sign-signature bucket PLUS the 8 buckets at
+    Hamming distance 1 (a 9-way explode on the query side only — the
+    corpus stays bucketed exactly once, and the join is still a pure
+    equi-join on the signature, never a cross product). Multi-probe is
+    the standard way to buy ANN recall without more hash tables: the
+    neighbors a single-probe query misses are overwhelmingly in
+    adjacent buckets (one sign bit flipped by noise). Per query the
+    output also carries candidates_seen — the probe-cost scoreboard a
+    recall/latency tuner reads next to q114's recall row. Candidate
+    sims are exact double folds (bit-identical cross-engine); dedup is
+    unnecessary because Hamming-1 probes are pairwise distinct buckets
+    and a corpus vector lives in exactly one."""
+    vecs = _vectors(spark, sf_dir).withColumn(
+        "bucket", F.expr(_BUCKET_SPARK.format(v="v"))
+    )
+    q = vecs.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv_f"),
+        F.col("nrm").alias("qnrm"),
+        F.explode(F.expr(_PROBES_SPARK.format(sig="bucket"))).alias("probe"),
+    )
+    sims = (
+        vecs.join(
+            F.broadcast(q),
+            (F.col("probe") == F.col("bucket"))
+            & (F.col("vec_id") != F.col("query_id")),
+        )
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            (
+                F.expr(_DOT.format(a="qv_f", b="v"))
+                / (F.col("qnrm") * F.col("nrm"))
+            ).alias("sim"),
+        )
+    )
+    sims = sims.localCheckpoint(eager=True)
+    cand = sims.groupBy("query_id").agg(
+        F.count(F.lit(1)).cast("long").alias("candidates_seen")
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        sims.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 3)
+        .join(cand, "query_id")
+        .select("query_id", "neighbor_id", "sim", "rank", "candidates_seen")
+    )

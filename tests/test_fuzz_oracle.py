@@ -175,6 +175,9 @@ _SIM_QUERIES = [
     # hard negatives: single-label corpora leave the neg side empty
     # (NULL sims and sentinel flags must agree cross-engine)
     "q253_hard_negative_mining",
+    # multi-probe: random sign patterns make Hamming-1 buckets dense
+    # or empty; candidates_seen must agree exactly
+    "q260_multiprobe_lsh_ann",
 ]
 
 
@@ -408,6 +411,9 @@ _RELATIONAL_QUERIES = [
     # the upstream linkage (its ANSI element_at throw was found HERE)
     "q183_fuzzy_part_linkage",
     "q259_golden_record",
+    # WOE: random status mixes hit all-good / all-bad cells — the
+    # Laplace smoothing and rounded-intermediate IV must agree
+    "q261_woe_encoding",
 ]
 
 

@@ -106,6 +106,8 @@ _SANCTIONED_BNLJ = {
     "q251_bm25_retrieval",
     # retention curve: ladder × the broadcast ONE-ROW corpus totals.
     "q256_quality_retention_curve",
+    # WOE: 5 category cells × the broadcast ONE-ROW class totals.
+    "q261_woe_encoding",
     # rank fusion + hard negatives: corpus × broadcast 8-row anchor
     # set with a non-equi self-exclusion — the q80 brute-force shape.
     "q252_rrf_fusion",
