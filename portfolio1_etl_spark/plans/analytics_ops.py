@@ -756,3 +756,116 @@ def q261_woe_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.round(good_share, 6) - F.round(bad_share, 6)) * woe, 6
         ).alias("iv_term"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q262 — ratio-to-parent hierarchy shares (r10)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q262_ratio_to_parent",
+    sql="""
+    WITH cust_rev AS (
+      SELECT c.c_nationkey,
+             CAST(sum(CAST(round(o.o_totalprice * 100, 0) AS BIGINT))
+                  AS BIGINT) AS cents
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      GROUP BY 1),
+    nat AS (
+      SELECT n.n_nationkey, n.n_name, n.n_regionkey, r.r_name,
+             coalesce(cr.cents, 0) AS nation_cents
+      FROM nation n
+      JOIN region r ON n.n_regionkey = r.r_regionkey
+      LEFT JOIN cust_rev cr ON n.n_nationkey = cr.c_nationkey),
+    reg AS (
+      SELECT n_regionkey,
+             CAST(sum(nation_cents) AS BIGINT) AS region_cents
+      FROM nat GROUP BY 1),
+    tot AS (SELECT CAST(sum(region_cents) AS BIGINT) AS total_cents FROM reg)
+    SELECT nat.r_name AS region, nat.n_name AS nation,
+           CAST(nat.nation_cents AS BIGINT) AS nation_cents,
+           reg.region_cents,
+           CASE WHEN reg.region_cents > 0
+                THEN round(CAST(nat.nation_cents AS DOUBLE)
+                           / reg.region_cents, 6) END AS share_of_region,
+           CASE WHEN tot.total_cents > 0
+                THEN round(CAST(reg.region_cents AS DOUBLE)
+                           / tot.total_cents, 6) END AS region_share_of_total
+    FROM nat
+    JOIN reg ON nat.n_regionkey = reg.n_regionkey
+    CROSS JOIN tot
+    """,
+    operators=("X-ratio-to-parent", "X-hierarchy-share", "A1", "J1"),
+)
+def q262_ratio_to_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ratio-to-parent report down the region → nation hierarchy —
+    the percent-of-parent readout every BI layer ships (each nation's
+    share of its region's revenue, each region's share of the total).
+    Implemented as LEVEL AGGREGATES joined back down, never a
+    partitionless ratio_to_report window: the fact table aggregates
+    once at nation grain (exact integer cents), nation rows roll up to
+    region and total at dimension grain, and shares divide exact
+    integers (zero-denominator guarded both engines — a region with no
+    orders yields NULL shares, not ANSI ÷0). Nations with no customers
+    keep a row (LEFT join, 0 cents). At 100 TB the single fact-wide
+    exchange is the nation-grain aggregate; everything above it is
+    25/5/1-row arithmetic."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    cust_rev = (
+        o.join(
+            c.select("c_custkey", "c_nationkey"),
+            o["o_custkey"] == c["c_custkey"],
+        )
+        .groupBy("c_nationkey")
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long"))
+            .cast("long")
+            .alias("cents")
+        )
+    )
+    nat = (
+        n.join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .join(cust_rev, n["n_nationkey"] == cust_rev["c_nationkey"], "left")
+        .select(
+            "n_name",
+            "n_regionkey",
+            "r_name",
+            F.coalesce(F.col("cents"), F.lit(0)).cast("long").alias(
+                "nation_cents"
+            ),
+        )
+    )
+    reg = nat.groupBy("n_regionkey").agg(
+        F.sum("nation_cents").cast("long").alias("region_cents")
+    )
+    tot = reg.agg(F.sum("region_cents").cast("long").alias("total_cents"))
+    return (
+        nat.join(F.broadcast(reg), "n_regionkey")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col("r_name").alias("region"),
+            F.col("n_name").alias("nation"),
+            "nation_cents",
+            "region_cents",
+            F.when(
+                F.col("region_cents") > 0,
+                F.round(
+                    F.col("nation_cents").cast("double")
+                    / F.col("region_cents"),
+                    6,
+                ),
+            ).alias("share_of_region"),
+            F.when(
+                F.col("total_cents") > 0,
+                F.round(
+                    F.col("region_cents").cast("double")
+                    / F.col("total_cents"),
+                    6,
+                ),
+            ).alias("region_share_of_total"),
+        )
+    )

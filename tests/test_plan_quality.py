@@ -108,6 +108,8 @@ _SANCTIONED_BNLJ = {
     "q256_quality_retention_curve",
     # WOE: 5 category cells × the broadcast ONE-ROW class totals.
     "q261_woe_encoding",
+    # ratio-to-parent: 25 nation rows × the broadcast ONE-ROW total.
+    "q262_ratio_to_parent",
     # rank fusion + hard negatives: corpus × broadcast 8-row anchor
     # set with a non-equi self-exclusion — the q80 brute-force shape.
     "q252_rrf_fusion",
