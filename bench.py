@@ -6,6 +6,13 @@ JSON line: {"metric", "value", "unit", "queries", "sf"}.
 
 Each query is forced end-to-end with the ``noop`` datasource write —
 full execution, no driver-side collect, no sink I/O in the measurement.
+
+Commit policy for artifacts: the COMMITTED ``bench_full_r{N}.json`` is
+the idle-machine min-of-3 and is the regression baseline of record.
+The driver's per-round capture (and any re-run taken while the driver
+or pytest loads the box) carries ~10-15% uniform load inflation — do
+NOT overwrite the committed artifact with one of those; regenerate on
+an idle machine or keep the existing baseline.
 """
 
 from __future__ import annotations

@@ -650,11 +650,18 @@ def _write_small_file_atomic(
       server-side op; on the LOCAL filesystem Hadoop's
       ``RawLocalFs.rename`` is exists-check-then-rename — a
       check-then-act window two genuinely concurrent writers can both
-      pass — so local (``file:``/schemeless) paths take a pure-POSIX
-      branch instead: ``os.link(tmp, final)``, whose ``EEXIST`` is a
-      kernel-atomic putIfAbsent. Plain object stores without atomic
-      rename need their usual consistency shim (external lock /
-      conditional PUT), same as every rename-based commit protocol.
+      pass — so paths whose HADOOP-RESOLVED filesystem is the local FS
+      take a pure-POSIX branch instead: ``os.link(tmp, final)``, whose
+      ``EEXIST`` is a kernel-atomic putIfAbsent. The branch decision
+      resolves the path through the SAME ``_hadoop_fs`` lookup the
+      read half (``_read_small_file`` / ``_versions``) uses — a bare
+      schemeless path on a cluster whose ``fs.defaultFS`` is
+      ``hdfs://`` must commit to HDFS, not the driver's local disk
+      (the raw-string check would split-brain the commit protocol:
+      writes landing locally, reads looking on HDFS). Plain object
+      stores without atomic rename need their usual consistency shim
+      (external lock / conditional PUT), same as every rename-based
+      commit protocol.
 
     A single-file rename is atomic on HDFS/local and an atomic
     single-object copy on S3-style stores — which is exactly why every
@@ -669,7 +676,17 @@ def _write_small_file_atomic(
     from py4j.protocol import Py4JJavaError
 
     parsed = urllib.parse.urlparse(path)
-    if parsed.scheme in ("", "file"):
+    # POSIX branch ONLY when Hadoop resolves the path to the local FS.
+    # An explicit file:// scheme is definitively local; a schemeless
+    # path resolves against fs.defaultFS, so ask Hadoop — on a cluster
+    # with defaultFS=hdfs:// the schemeless path MUST take the
+    # FileContext branch or the write and read halves of the commit
+    # protocol would talk to different stores.
+    is_local = parsed.scheme == "file" or (
+        parsed.scheme == ""
+        and _hadoop_fs(spark, path)[0].getUri().getScheme() == "file"
+    )
+    if is_local:
         local = parsed.path if parsed.scheme == "file" else path
         tmp_local = os.path.join(
             os.path.dirname(local),
@@ -987,15 +1004,41 @@ def _delta_commit(
         missing = [c for c in key_cols if c not in prior.columns]
         if missing:
             raise ValueError(f"key columns {missing} not in {path} schema")
-        if source_df is not None and sorted(source_df.columns) != sorted(
-            prior.columns
-        ):
-            raise ValueError(
-                "upsert source schema must match the chain "
-                f"({sorted(source_df.columns)} vs {sorted(prior.columns)}); "
-                "schema evolution on a delta chain is an explicit "
-                "full-snapshot write"
-            )
+        promotions = None
+        if source_df is not None:
+            if sorted(source_df.columns) != sorted(prior.columns):
+                raise ValueError(
+                    "upsert source schema must match the chain "
+                    f"({sorted(source_df.columns)} vs "
+                    f"{sorted(prior.columns)}); schema evolution on a "
+                    "delta chain is an explicit full-snapshot write"
+                )
+            # names alone are not enough: a same-named column of a
+            # different TYPE would commit mixed-type parquet into the
+            # chain and corrupt (or silently coerce) every later
+            # read_version at the cross-seq unionByName. Refuse at
+            # write time — except the sanctioned value-preserving
+            # widenings, recorded like write_versioned records them.
+            prior_types = {f.name: f.dataType for f in prior.schema.fields}
+            promotions = {}
+            for f in source_df.schema.fields:
+                old_t = prior_types[f.name]
+                if f.dataType == old_t:
+                    continue
+                w = _widened(f.dataType, old_t)
+                if w is None or w != f.dataType:
+                    raise ValueError(
+                        f"upsert column {f.name!r} would change "
+                        f"{old_t.simpleString()} -> "
+                        f"{f.dataType.simpleString()}: not a type-"
+                        "widening promotion; a delta chain refuses "
+                        "narrowing/reinterpretation at commit time"
+                    )
+                promotions[f.name] = {
+                    "from": old_t.simpleString(),
+                    "to": f.dataType.simpleString(),
+                }
+            promotions = promotions or None
         if (m.get("partition_by") or None) != (pb0 or None):
             raise ConcurrentCommitError(
                 f"chain layout changed mid-stage ({pb0} -> "
@@ -1050,6 +1093,7 @@ def _delta_commit(
                 seqs=seqs,
                 row_deletes=row_deletes,
                 bases=bases or None,
+                type_promotions=promotions,
             )
             return new
         except ConcurrentCommitError:

@@ -20,6 +20,7 @@ from pyspark.sql import functions as F
 
 from portfolio1_etl_spark import catalog
 from portfolio1_etl_spark.functions import dsum_product, zround
+from portfolio1_etl_spark.operators.checkpointing import materialize
 from portfolio1_etl_spark.operators.ranks import with_exact_rank
 from portfolio1_etl_spark.plans.registry import query
 
@@ -666,7 +667,9 @@ def q259_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(F.col("node") != F.col("r"))
             .select("node", "r")
         )
-        closure = closure.unionByName(longer).distinct()
+        # per-round materialization (the pagerank discipline): truncate
+        # lineage so the plan stays O(1) per round instead of doubling
+        closure = materialize(closure.unionByName(longer).distinct())
     canon = (
         names.select("p_name")
         .join(closure, names["p_name"] == closure["node"], "left")

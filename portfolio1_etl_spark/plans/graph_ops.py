@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from portfolio1_etl_spark import catalog
+from portfolio1_etl_spark.operators.checkpointing import materialize
 from portfolio1_etl_spark.operators.graph import pagerank
 from portfolio1_etl_spark.plans.registry import query
 
@@ -581,7 +582,11 @@ def q243_transitive_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
         longer = a.join(b, "mid").select(
             "child", "anc", (F.col("d1") + F.col("d2")).alias("dist")
         )
-        closure = closure.unionByName(longer).distinct()
+        # materialize per round (the pagerank discipline): without it
+        # the plan tree doubles every round — ReuseExchange saves the
+        # execution today, but a lost executor at round 5 would replay
+        # the whole unrolled lineage, and compile time grows with depth
+        closure = materialize(closure.unionByName(longer).distinct())
     return closure.groupBy(F.col("dist").cast("long").alias("dist")).agg(
         F.count(F.lit(1)).cast("long").alias("n_pairs"),
         F.sum("anc").cast("long").alias("sum_anc"),

@@ -511,10 +511,25 @@ def q250_label_centroid_separation(spark: SparkSession, sf_dir: str) -> DataFram
             F.sum((num * num).cast(dec)).alias("num2"),
         )
     )
+    # Loud overflow guard: num ≈ 2·n_a·n_b·1e6, so Σ_dims num² clears
+    # decimal(38,0) once n_a·n_b passes ~6e11 (~800k rows/label at 64
+    # dims) — with ANSI off Spark would return a silent NULL there,
+    # while DuckDB throws on HUGEINT overflow. Fail the same way DuckDB
+    # does, at the same edge, instead of emitting a NULL distance.
+    n_guard = F.when(
+        F.col("n_a").cast("double") * F.col("n_b") > 6.0e11,
+        F.raise_error(
+            F.lit(
+                "q250: label pair too large for exact decimal(38,0) "
+                "centroid accumulation (~>800k rows/label); pre-scale "
+                "or sample the labels"
+            )
+        ).cast("long"),
+    ).otherwise(F.col("n_a").cast("long"))
     return pair.select(
         F.col("label_a").cast("long").alias("label_a"),
         F.col("label_b").cast("long").alias("label_b"),
-        F.col("n_a").cast("long").alias("n_a"),
+        n_guard.alias("n_a"),
         F.col("n_b").cast("long").alias("n_b"),
         F.round(
             F.sqrt(F.col("num2").cast("double"))

@@ -151,14 +151,19 @@ class FramedFeedStreamReader(SimpleDataSourceStreamReader):
     def initialOffset(self):
         return {"files": []}
 
-    @staticmethod
-    def _consumed(offset) -> set:
+    def _consumed(self, offset) -> set:
         # Back-compat: a pre-fix checkpoint stored {"n": count} meaning
-        # "first n sorted names". Translate once on resume; every new
-        # offset this reader emits is the name-set form.
+        # "first n sorted names". Translate to exactly those old
+        # semantics — the first k currently-sorted names — so the only
+        # residual ambiguity is a new file whose uuid name sorted INTO
+        # the consumed prefix since the checkpoint (the rare case the
+        # name-set form was built to close). Translating to the empty
+        # set instead would replay EVERY consumed file — silent
+        # duplicates in the downstream sink, the worst of the options.
+        # Every new offset this reader emits is the name-set form.
         if "files" in offset:
             return set(offset["files"])
-        return set()  # {"n": k} cannot be trusted (names re-sort); replay all
+        return set(self._names()[: int(offset.get("n", 0))])
 
     def _rows(self, names):
         out = []
@@ -171,7 +176,14 @@ class FramedFeedStreamReader(SimpleDataSourceStreamReader):
         consumed = self._consumed(start)
         names = self._names()
         fresh = [n for n in names if n not in consumed]
-        end = {"files": sorted(consumed | set(fresh))}
+        # Offset compaction: retire consumed names that no longer exist
+        # on disk (the feed's retention sweep deleted them — feed files
+        # are immutable and writer names embed a fresh uuid, so a
+        # retired name can never legitimately reappear). Without this
+        # the per-batch offset JSON in the checkpoint WAL grows
+        # O(total files ever seen); with it, O(live directory).
+        live = set(names)
+        end = {"files": sorted((consumed & live) | set(fresh))}
         return iter(self._rows(fresh)), end
 
     def readBetweenOffsets(self, start, end):

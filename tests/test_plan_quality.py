@@ -435,3 +435,29 @@ def test_no_partitionless_window_over_scaling_data(spark, sf_dir):
         if hits and name not in _SANCTIONED_TINY_GRAIN_WINDOW:
             offenders[name] = hits
     assert not offenders, f"partitionless WindowExec over scaling data: {offenders}"
+
+
+def test_doubling_loops_truncate_lineage(spark, sf_dir):
+    """The path-doubling closures (q243 ancestor closure, q259
+    survivorship linkage) materialize their round state via
+    operators/checkpointing.materialize — without that the plan tree
+    ~doubles per round (the r10 verdict's two `weak` items: 108/166
+    shuffle nodes; ReuseExchange saved execution, but a lost executor
+    at round 5 replayed the whole unrolled lineage and compile time
+    grew with depth). With per-round truncation the FINAL plan is the
+    last aggregate over a checkpoint scan: a handful of shuffles,
+    independent of round count."""
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "simple"
+    )
+    for name in ("q243_transitive_closure", "q259_golden_record"):
+        plan = (
+            REGISTRY[name].fn(spark, sf_dir)
+            ._jdf.queryExecution()
+            .explainString(mode)
+        )
+        n_exchange = plan.count("Exchange")
+        assert n_exchange <= 12, (
+            f"{name}: {n_exchange} Exchange nodes in the final plan — "
+            "round state is not being materialized per round"
+        )

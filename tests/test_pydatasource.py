@@ -153,3 +153,48 @@ def test_any_truncation_is_loud(records, cut):
     b = encode_frames(records)
     with pytest.raises(ValueError, match="truncated"):
         list(decode_frames(b[: len(b) - cut]))
+
+
+def test_legacy_count_offset_resumes_without_replay(feed_dir):
+    """A pre-fix checkpoint stored ``{"n": k}`` = "first k sorted
+    names". Resuming from it must translate to exactly those old
+    semantics — NOT the empty set, which would re-emit every consumed
+    file as silent duplicates downstream."""
+    from portfolio1_etl_spark.sources.pydatasource import (
+        FramedFeedStreamReader,
+    )
+
+    r = FramedFeedStreamReader({"path": feed_dir})
+    # both fixture files consumed under the old counting scheme
+    rows, end = r.read({"n": 2})
+    assert list(rows) == []
+    assert set(end["files"]) == {"site=store__bbb.feed", "site=web__aaa.feed"}
+    # n=1 means the FIRST sorted name (site=store__bbb) was consumed
+    rows, _ = r.read({"n": 1})
+    assert sorted(r_[0] for r_ in rows) == sorted(x[0] for x in _ROWS_A)
+
+
+def test_offset_compacts_retired_files(feed_dir):
+    """Consumed names whose files a retention sweep deleted drop out
+    of the next offset (they can never legitimately reappear — feed
+    names embed a fresh uuid), so the per-batch offset JSON scales
+    with the LIVE directory, not with total files ever seen."""
+    from portfolio1_etl_spark.sources.pydatasource import (
+        FramedFeedStreamReader,
+    )
+
+    r = FramedFeedStreamReader({"path": feed_dir})
+    rows, off1 = r.read(r.initialOffset())
+    assert len(off1["files"]) == 2 and len(list(rows)) == 5
+    os.remove(os.path.join(feed_dir, "site=web__aaa.feed"))
+    (  # a fresh arrival after the sweep
+        open(os.path.join(feed_dir, "site=web__ddd.feed"), "wb").write(
+            encode_frames([("sku-x", 1, "web")])
+        )
+    )
+    rows, off2 = r.read(off1)
+    assert [x[0] for x in rows] == ["sku-x"]  # fresh file exactly once
+    assert set(off2["files"]) == {"site=store__bbb.feed", "site=web__ddd.feed"}
+    # nothing further: the compacted offset is stable
+    rows, off3 = r.read(off2)
+    assert list(rows) == [] and off3 == off2

@@ -237,3 +237,42 @@ def test_partitioned_chain_delta_commits_and_prunes(spark, tmp_path):
         spark, path, spark.createDataFrame([(0,), (100,)], "k long"), ["k"]
     )
     assert read_version(spark, path).count() == 59
+
+
+def test_upsert_refuses_type_change_and_records_widening(spark, tmp_path):
+    """Schema validation at delta-commit time is by TYPE, not just
+    name: a same-named column of a different (non-widening) type must
+    refuse at write — committing it would put mixed-type parquet into
+    the chain and corrupt every later read_version at the cross-seq
+    unionByName. Value-preserving widenings (long stays the ceiling
+    here, so test int base → long upsert) commit and are RECORDED in
+    the manifest like write_versioned records them."""
+    path = str(tmp_path / "typed_chain")
+    base = spark.range(0, 20).select(
+        F.col("id").cast("int").alias("k"),
+        (F.col("id") * 10).cast("int").alias("v"),
+    )
+    write_versioned(base, path, capture_changes=True, manifest=True)
+    # cross-family reinterpretation refuses loudly
+    bad = spark.range(0, 3).select(
+        F.col("id").cast("int").alias("k"),
+        F.col("id").cast("string").alias("v"),
+    )
+    with pytest.raises(ValueError, match="not a type-widening"):
+        upsert_into_chain(spark, path, bad, ["k"])
+    # narrowing int->... there is none below int in the base; test
+    # widening int -> long commits and records the promotion
+    wide = spark.range(0, 3).select(
+        F.col("id").cast("int").alias("k"),
+        (F.col("id") * 1000).cast("long").alias("v"),
+    )
+    n = upsert_into_chain(spark, path, wide, ["k"])
+    import json
+
+    man = json.loads(
+        (tmp_path / "typed_chain" / "_manifests" / f"v={n}.json").read_text()
+    )
+    assert man["type_promotions"] == {"v": {"from": "int", "to": "bigint"}}
+    got = read_version(spark, path, n)
+    assert got.filter(F.col("k") == 1).select("v").first()[0] == 1000
+    assert got.count() == 20
