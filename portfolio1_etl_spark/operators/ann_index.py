@@ -381,3 +381,182 @@ def ingest_vectors(
         .partitionBy("cell")
         .parquet(f"{root}/vectors")
     )
+
+
+def build_ivfpq_index(
+    vecs: DataFrame,
+    path: str,
+    k_cells: int = 8,
+    iters: int = 3,
+    n_sub: int = 8,
+    sub_dim: int = 8,
+    n_cent: int = 16,
+    checkpoint_mode: str = "local",
+) -> None:
+    """The COMPOSED billion-vector layout (r11 — faiss's IVF-PQ): the
+    IVF half partitions the corpus into cells (this module's DPP probe
+    mechanism), the PQ half compresses every vector to one byte-code
+    per subspace (operators/pq.py's 64× compression) — so a probe
+    scans only n_probe cell directories AND reads only byte codes
+    there, touching full floats for nothing but the final shortlist
+    re-rank. Persisted layout:
+
+    - ``{root}/centroids``   — IVF codebook (c_id, cvec), tiny;
+    - ``{root}/pq_codebook`` — per-subspace PQ codebook (sub, c_id,
+      cvec), tiny (n_sub·n_cent rows);
+    - ``{root}/codes``       — (vec_id, sub, code) partitioned by
+      ``cell`` — the ADC scan's input, 1 byte of payload per
+      (vector, subspace);
+    - ``{root}/vectors``     — (vec_id, v, nrm) partitioned by
+      ``cell`` — read only by the shortlist re-rank, DPP-pruned to
+      the probed cells.
+
+    PQ trains on the raw vectors with a codebook SHARED across cells
+    (the residual-encoding variant is a quality refinement, not a
+    layout change). Training cost: one grouped Lloyd per half; at
+    100 TB both train on a hash sample (``train_fraction`` of the
+    underlying k-means) while encoding covers the full corpus."""
+    from portfolio1_etl_spark.operators.pq import (
+        _assign,
+        split_subspaces,
+        train_codebook,
+    )
+
+    assigned, cent = lloyd_kmeans(
+        vecs, k=k_cells, iters=iters, checkpoint_mode=checkpoint_mode
+    )
+    cent.coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
+    sub = split_subspaces(vecs, n_sub, sub_dim)
+    pq_cent = train_codebook(sub, n_cent, checkpoint_mode=checkpoint_mode)
+    pq_cent.coalesce(1).write.mode("overwrite").parquet(f"{path}/pq_codebook")
+    codes = _assign(sub, pq_cent, "vec_id").select("vec_id", "sub", "code")
+    cells = assigned.select("vec_id", "cell")
+    (
+        codes.join(cells, "vec_id")
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(f"{path}/codes")
+    )
+    (
+        assigned.select("vec_id", "v", "cell")
+        .join(vecs.select("vec_id", "nrm"), "vec_id")
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(f"{path}/vectors")
+    )
+
+
+def query_ivfpq_index(
+    spark: SparkSession,
+    path: str,
+    queries: DataFrame,
+    n_probe: int = 3,
+    shortlist: int = 32,
+    k: int = 3,
+    n_sub: int = 8,
+    sub_dim: int = 8,
+) -> DataFrame:
+    """Top-``k`` cosine neighbors through the IVF-PQ index: rank IVF
+    cells per query (broadcast centroid table), join the byte-code
+    scan on the PARTITION column so DPP prunes unprobed cell
+    directories, ADC-score candidates from the broadcast per-query
+    subspace distance table (DECIMAL(18,6) sums — exact,
+    order-independent), keep the ``shortlist`` best per query, and
+    exact-cosine re-rank only those (full vectors read DPP-pruned from
+    the probed cells). Queries must be corpus members carrying
+    (vec_id, v, nrm) — the pq_topk precondition."""
+    cent = spark.read.parquet(f"{path}/centroids")
+    pq_cent = spark.read.parquet(f"{path}/pq_codebook")
+    q = queries.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qnrm"),
+    )
+    d2 = F.expr(
+        "round(aggregate(zip_with(qv, cvec, (x, y) -> (x - y) * (x - y)), "
+        "cast(0.0 as double), (acc, x) -> acc + x), 6)"
+    )
+    probes = (
+        q.crossJoin(F.broadcast(cent))
+        .select("query_id", "qv", "qnrm", "c_id", d2.alias("d2"))
+        .withColumn(
+            "prn",
+            F.row_number().over(
+                W.partitionBy("query_id").orderBy("d2", "c_id")
+            ),
+        )
+        .filter(F.col("prn") <= n_probe)
+        .select("query_id", F.col("c_id").alias("cell"))
+    )
+    qsub = q.select(
+        "query_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(s).alias("sub"),
+                        F.slice("qv", s * sub_dim + 1, sub_dim).alias("sv"),
+                    )
+                    for s in range(n_sub)
+                ]
+            )
+        ).alias("x"),
+    ).select("query_id", "x.sub", "x.sv")
+    subdist = F.expr(
+        "round(aggregate(zip_with(sv, cvec, (a, b) -> (a - b) * (a - b)), "
+        "cast(0.0 as double), (acc, x) -> acc + x), 6)"
+    )
+    qdist = qsub.join(F.broadcast(pq_cent), "sub").select(
+        "query_id",
+        "sub",
+        F.col("c_id").alias("code"),
+        subdist.cast("decimal(18,6)").alias("qd"),
+    )
+    codes = spark.read.parquet(f"{path}/codes")
+    adc = (
+        codes.join(probes, "cell")
+        .join(F.broadcast(qdist), ["query_id", "sub", "code"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
+        .agg(F.sum("qd").cast("double").alias("adc"))
+    )
+    short = (
+        adc.withColumn(
+            "srn",
+            F.row_number().over(
+                W.partitionBy("query_id").orderBy(
+                    F.col("adc").asc(), F.col("neighbor_id").asc()
+                )
+            ),
+        )
+        .filter(F.col("srn") <= shortlist)
+        .select("query_id", "neighbor_id")
+    )
+    vectors = spark.read.parquet(f"{path}/vectors")
+    # the re-rank reads full vectors ONLY within the probed cells —
+    # the same DPP prune as the code scan (shortlist ids live there
+    # by construction)
+    rerank = (
+        vectors.join(probes, "cell")
+        .withColumnRenamed("vec_id", "neighbor_id")
+        .join(short, ["query_id", "neighbor_id"])
+        .join(
+            F.broadcast(
+                q.select("query_id", "qv", "qnrm")
+            ),
+            "query_id",
+        )
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine("qv", "v", "qnrm", "nrm").alias("sim"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        rerank.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "sim", "rank")
+    )

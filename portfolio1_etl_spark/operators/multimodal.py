@@ -1240,3 +1240,184 @@ def encode_mp4_stub(
         + box(b"moov", box(b"mvhd", mvhd) + traks)
         + box(b"mdat", b"")
     )
+
+
+def encode_mp4_sample_tables(tracks: list[dict]) -> bytes:
+    """A structurally-valid MP4 whose per-track SAMPLE TABLES (stbl)
+    carry real census data — codec fourcc in stsd, decode timeline in
+    stts (run-length), sample byte sizes in stsz (uniform or
+    per-sample) — inside the full trak → mdia → mdhd/minf → stbl
+    nesting a real muxer writes. Each track dict:
+    ``{"codec": 4-char str, "timescale": int, "runs": [(count, delta),
+    ...], "sizes": int | list[int]}`` (int = uniform sample size; the
+    sample count then comes from the runs). Media PAYLOAD stays absent
+    (mdat is empty): decode is the documented library boundary; the
+    sample-table census is plain public ISO 14496-12 structure."""
+
+    def box(typ: bytes, payload: bytes) -> bytes:
+        return struct.pack(">I", 8 + len(payload)) + typ + payload
+
+    mvhd = bytes(20) + struct.pack(">II", 1000, 0)
+    mvhd += bytes(70) + struct.pack(">I", len(tracks) + 1)
+    traks = b""
+    for i, tr in enumerate(tracks):
+        n_samples = sum(c for c, _ in tr["runs"])
+        tkhd = bytes(12) + struct.pack(">I", i + 1) + bytes(72)
+        # stsd: one sample entry — fourcc + minimal 8-byte entry body
+        entry = struct.pack(">I", 16) + tr["codec"].encode("ascii") + bytes(8)
+        stsd = box(b"stsd", bytes(4) + struct.pack(">I", 1) + entry)
+        stts = box(
+            b"stts",
+            bytes(4)
+            + struct.pack(">I", len(tr["runs"]))
+            + b"".join(struct.pack(">II", c, d) for c, d in tr["runs"]),
+        )
+        sizes = tr["sizes"]
+        if isinstance(sizes, int):
+            stsz = box(
+                b"stsz", bytes(4) + struct.pack(">II", sizes, n_samples)
+            )
+        else:
+            if len(sizes) != n_samples:
+                raise ValueError("stsz table length != stts sample count")
+            stsz = box(
+                b"stsz",
+                bytes(4)
+                + struct.pack(">II", 0, n_samples)
+                + b"".join(struct.pack(">I", s) for s in sizes),
+            )
+        mdhd = bytes(12) + struct.pack(">II", tr["timescale"], 0) + bytes(4)
+        mdia = box(
+            b"mdia",
+            box(b"mdhd", mdhd)
+            + box(b"minf", box(b"stbl", stsd + stts + stsz)),
+        )
+        traks += box(b"trak", box(b"tkhd", tkhd) + mdia)
+    return (
+        box(b"ftyp", b"isom" + bytes(4) + b"isomiso2")
+        + box(b"moov", box(b"mvhd", mvhd) + traks)
+        + box(b"mdat", b"")
+    )
+
+
+def probe_mp4_sample_tables(
+    content: bytes,
+) -> list[tuple[int, str, int, int, int, int]]:
+    """Per-track sample-table census from MP4 box structure alone —
+    q149's moov walk extended one level down, into what a real video
+    pipeline actually audits before spending GPU decode: one
+    ``(track_idx, codec, n_samples, total_bytes, duration_ms,
+    bitrate_bps)`` tuple per track, from stsd (codec fourcc), stts
+    (sum of count·delta in mdhd timescale units → duration), and stsz
+    (uniform size or per-sample table → total bytes). Bitrate is
+    exact integer ``bytes·8·timescale // duration_units``. Raises
+    ValueError on any malformed/truncated table, a missing stbl, or a
+    stts/stsz sample-count disagreement — a censused track is either
+    fully consistent or NULL, never half-read. (Payload DECODE stays
+    the library boundary: this reads ISO 14496-12 structure only.)"""
+    if len(content) < 8 or content[4:8] != b"ftyp":
+        raise ValueError("not an MP4 (missing ftyp)")
+
+    def boxes(b: bytes, pos: int, end: int):
+        while pos + 8 <= end:
+            size = struct.unpack(">I", b[pos : pos + 4])[0]
+            typ = b[pos + 4 : pos + 8]
+            hdr = 8
+            if size == 1:
+                if pos + 16 > end:
+                    raise ValueError("truncated MP4 largesize box")
+                size = struct.unpack(">Q", b[pos + 8 : pos + 16])[0]
+                hdr = 16
+            elif size == 0:
+                size = end - pos
+            if size < hdr or pos + size > end:
+                raise ValueError("malformed MP4 box size")
+            yield typ, pos + hdr, pos + size
+            pos += size
+
+    def child(b: bytes, pos: int, end: int, want: bytes):
+        for typ, body, bend in boxes(b, pos, end):
+            if typ == want:
+                return body, bend
+        return None
+
+    out = []
+    moov = child(content, 0, len(content), b"moov")
+    if moov is None:
+        raise ValueError("MP4 missing moov")
+    idx = 0
+    for typ, tb, te in boxes(content, *moov):
+        if typ != b"trak":
+            continue
+        idx += 1
+        mdia = child(content, tb, te, b"mdia")
+        if mdia is None:
+            raise ValueError(f"track {idx}: missing mdia")
+        mdhd = child(content, *mdia, b"mdhd")
+        if mdhd is None or mdhd[0] + 20 > mdhd[1]:
+            raise ValueError(f"track {idx}: missing/truncated mdhd")
+        ver = content[mdhd[0]]
+        ts_off = mdhd[0] + (20 if ver == 1 else 12)
+        timescale = struct.unpack(">I", content[ts_off : ts_off + 4])[0]
+        if timescale == 0:
+            raise ValueError(f"track {idx}: mdhd timescale is zero")
+        minf = child(content, *mdia, b"minf")
+        stbl = child(content, *minf, b"stbl") if minf else None
+        if stbl is None:
+            raise ValueError(f"track {idx}: missing stbl")
+        stsd = child(content, *stbl, b"stsd")
+        if stsd is None or stsd[0] + 16 > stsd[1]:
+            raise ValueError(f"track {idx}: missing/truncated stsd")
+        codec = content[stsd[0] + 12 : stsd[0] + 16].decode(
+            "ascii", errors="replace"
+        )
+        stts = child(content, *stbl, b"stts")
+        if stts is None or stts[0] + 8 > stts[1]:
+            raise ValueError(f"track {idx}: missing/truncated stts")
+        n_runs = struct.unpack(">I", content[stts[0] + 4 : stts[0] + 8])[0]
+        if stts[0] + 8 + 8 * n_runs > stts[1]:
+            raise ValueError(f"track {idx}: truncated stts run table")
+        n_stts = dur_units = 0
+        for r in range(n_runs):
+            c, d = struct.unpack(
+                ">II", content[stts[0] + 8 + 8 * r : stts[0] + 16 + 8 * r]
+            )
+            n_stts += c
+            dur_units += c * d
+        stsz = child(content, *stbl, b"stsz")
+        if stsz is None or stsz[0] + 12 > stsz[1]:
+            raise ValueError(f"track {idx}: missing/truncated stsz")
+        uniform, n_stsz = struct.unpack(
+            ">II", content[stsz[0] + 4 : stsz[0] + 12]
+        )
+        if n_stsz != n_stts:
+            raise ValueError(
+                f"track {idx}: stsz/stts sample counts disagree "
+                f"({n_stsz} vs {n_stts})"
+            )
+        if uniform:
+            total = uniform * n_stsz
+        else:
+            if stsz[0] + 12 + 4 * n_stsz > stsz[1]:
+                raise ValueError(f"track {idx}: truncated stsz table")
+            total = sum(
+                struct.unpack(
+                    ">I", content[stsz[0] + 12 + 4 * i : stsz[0] + 16 + 4 * i]
+                )[0]
+                for i in range(n_stsz)
+            )
+        if dur_units == 0:
+            raise ValueError(f"track {idx}: zero duration timeline")
+        out.append(
+            (
+                idx,
+                codec,
+                n_stts,
+                total,
+                dur_units * 1000 // timescale,
+                total * 8 * timescale // dur_units,
+            )
+        )
+    if not out:
+        raise ValueError("MP4 has no tracks")
+    return out

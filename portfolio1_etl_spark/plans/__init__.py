@@ -42,85 +42,89 @@ from portfolio1_etl_spark.plans import dedup_recall_ops  # noqa: F401,E402
 #: Explicit registry order. External correctness harnesses may sample a
 #: prefix of ``queries()`` (the driver checks the first 50 entries), so
 #: the prefix must contain at least one representative of EVERY operator
-#: family. ROTATED each round (r10): 42 of the 50 slots hold queries
+#: family. ROTATED each round (r11): 32 of the 50 slots hold queries
 #: that have NEVER been under the external gate in any round — the
-#: r9 families (q210–q237), this round's brand-new rows (q239 delta
-#: MERGE, q240 widened chain, q241 ADTS census, q245/q247 grouping +
-#: bag set-ops, q249 Heaps, q252 RRF) — every swap stays INSIDE its
-#: operator family (test_registry_order pins the map), so q250/q251/
-#: q253–q257 gate via the full-registry oracle + fuzz instead, and
-#: long-unwindowed members of every family (each slot keeps its
-#: family, so coverage breadth is unchanged). Deliberately KEPT
-#: in-window: q01 (entry flagship), q43 (EP3 reference pipeline),
-#: q73 (LSH core), q93/q104/q135 (clustering/bloom/persisted-index
-#: plan shapes), and q168 — the local-path CAS commit primitive was
-#: reworked THIS round (os.link putIfAbsent), so the chain commit
-#: path must be re-verified by the external gate, not just CI.
+#: long-unwindowed r9/r10 tail families (skyline, Holt, calibration,
+#: fertility, islands, UDTF, subquery-exists, Zipf, …) plus this
+#: round's brand-new rows (q263 row-level deltas → join view, q264
+#: MP4 stbl census, q265 composed IVF-PQ). Every swap stays INSIDE
+#: its operator family (test_registry_order pins the map), so the
+#: rotated-out members gate via the full-registry oracle + fuzz
+#: instead. Deliberately KEPT in-window: q01 (entry flagship), q43
+#: (EP3 reference pipeline), q73 (LSH core), q93/q104 (clustering/
+#: bloom plan shapes), q168 — the one-file commit primitive's local-FS
+#: branch resolution was reworked THIS round (Hadoop-resolved scheme,
+#: not raw string), so the chain commit path re-verifies under the
+#: external gate — and q114, whose scoreboard gained the q265 row.
+#: q243/q259 enter the window BECAUSE their closure loops were
+#: reworked this round (per-round materialization).
 #: Everything rotated out stays covered by tools/check_oracle.py
 #: (full-registry) and pytest.
 PRIORITY: tuple[str, ...] = (
     # relational core representatives
     "q01_pricing_summary",      # flagship group-by agg (entry())
-    "q247_bag_set_ops",         # set family: INTERSECT/EXCEPT ALL (r10 NEW)
-    "q130_salted_join",         # skew-salted fact join (never gated)
-    "q245_rollup_grouping_labels",  # hierarchical agg + GROUPING bits (r10 NEW)
+    "q247_bag_set_ops",         # set family (kept from r10)
+    "q248_null_safe_join",      # null-safe fact join (never gated)
+    "q262_ratio_to_parent",     # hierarchy shares (never gated)
     "q238_variant_shredding",   # json family (kept: VARIANT flagship)
-    "q28_pivot",                # pivot family (rotate-back)
-    "q84_local_supplier_volume",  # TPC-H Q5 star shape (never gated)
-    # advanced joins / aggregates
-    "q88_lateral_topn",         # lateral/exotic join (never gated)
-    "q177_group_regression",    # per-group OLS stats (never gated)
-    "q195_hll_distinct",        # approx/collect agg (never gated)
-    "q219_dominant_suppliers",  # top-over-aggregate (never gated)
+    "q28_pivot",                # pivot family
+    "q199_market_share",        # TPC-H Q8 star shape (never gated)
+    "q246_asof_nearest",        # nearest as-of join (never gated)
+    "q242_weighted_median",     # exact weighted median (never gated)
+    "q212_hll_merge_rollup",    # mergeable-sketch rollup (never gated)
+    "q181_price_size_skyline",  # skyline top-set (never gated)
     "q179_geo_grid_knn",        # interval-band join (kept)
     # reference EP3 pipeline + warehouse maintenance
-    "q188_min_balance_supplier",  # correlated subquery (never gated)
+    "q166_waiting_suppliers",   # correlated exists subquery (never gated)
     "q43_enriched_sales",
     "q104_bloom_prune",         # bloom family
-    "q239_merge_into_chain",    # r10 NEW: row-level delta MERGE commit
-    "q240_widened_chain",       # r10 NEW: type-widening evolution + CDC
-    "q168_versioned_time_travel",  # re-gates THIS round's local CAS rework
+    "q263_joinview_row_deltas", # r11 NEW: DELETE/MERGE commits -> join view
+    "q244_incremental_join_view",  # CDC-fed view algebra (never gated)
+    "q168_versioned_time_travel",  # re-gates THIS round's POSIX-branch
+    # resolution fix in the one-file commit primitive
     # streaming batch twins + time-series layer
     "q154_gap_fill_resample",   # stream-window + date-spine (kept)
-    "q233_session_stats",       # sessionization (never gated)
-    "q132_udf_scalar_tokens",   # §2.12 pandas-UDF shape (never gated)
-    "q225_dyadic_ewma",         # recursive frame smoothing (never gated)
-    "q210_value_percentiles_daily",  # daily series stats (never gated)
+    "q175_activity_islands",    # gaps-and-islands sessions (never gated)
+    "q134_udtf_ngrams",         # §2.12 UDTF shape (never gated)
+    "q213_consecutive_declines",  # streak frames (never gated)
+    "q231_holt_forecast",       # double-exponential smoothing (never gated)
     # text analysis
-    "q249_heaps_law",           # token/vocab stats (r10 NEW)
-    "q214_repetition_ratio",    # quality gate (never gated)
-    "q69_langid_classifier",    # (never gated)
-    "q141_bigram_logprob",      # LM gate (never gated)
-    "q123_bpe_train",           # BPE training (never gated)
+    "q235_zipf_slope",          # log-log OLS vocab law (never gated)
+    "q256_quality_retention_curve",  # threshold ladder (never gated)
+    "q257_tokenizer_fertility", # per-language fertility (never gated)
+    "q118_unigram_logprob",     # LM gate (never gated)
+    "q109_chunking_bpe",        # BPE chunk packing (never gated)
     # corpus governance
-    "q121_sequence_pack_bpe",   # token-exact packing (never gated)
-    "q140_mixture_temperature", # mixture scheduling (never gated)
-    "q215_rule_quality_gates",  # release battery (never gated)
+    "q122_pack_materialize",    # token-exact packing (never gated)
+    "q258_calibration_bins",    # equal-mass calibration (never gated)
+    "q186_validation_suite",    # rule battery (never gated)
     # clustering / sketches / reconcile
     "q93_kmeans",
     "q92_cms_heavy_hitters",
     "q172_replica_reconcile",
     # mining family
-    "q226_touch_attribution",   # (never gated)
+    "q259_golden_record",       # re-gates THIS round's per-round
+    # materialize rework in the survivorship closure (never gated)
     # deduplication layer
     "q71_dedup_exact_keep",
-    "q79_fingerprint_match",    # winnowing match (never gated)
+    "q79_fingerprint_match",
     "q73_minhash_lsh",
-    "q75_simhash_pairs",        # simhash banding (never gated)
-    "q97_decontaminate",        # span/shingle removal (never gated)
-    "q78_embedding_neardup",    # (never gated)
-    "q150_neardup_triangles",   # dup-graph transitivity (never gated)
+    "q112_image_neardup",       # dHash pigeonhole banding (never gated)
+    "q125_embedding_decontaminate",  # semantic decontamination (never gated)
+    "q97_decontaminate",        # span/shingle removal (kept)
+    "q139_leakage_safe_split",  # CC-cluster split keys (never gated)
     # graph
-    "q211_personalized_pagerank",  # iterative (never gated)
+    "q243_transitive_closure",  # re-gates THIS round's per-round
+    # materialize rework in the path-doubling closure (never gated)
     "q163_user_kcore",          # peel family (kept)
     # similarity search layer
-    "q114_ann_recall",          # knn recall scoreboard (never gated)
-    "q82_lsh_ann",
-    "q135_ivf_index_probe",
-    "q252_rrf_fusion",          # r10 NEW: re-gates the SQ8 quantized ranker + fusion
+    "q114_ann_recall",          # scoreboard EXTENDED this round (q265 row)
+    "q260_multiprobe_lsh_ann",  # Hamming-1 probes (never gated)
+    "q265_ivfpq_index_probe",   # r11 NEW: composed IVF-PQ index
+    "q253_hard_negative_mining",  # contrastive margins (never gated)
     # multimodal layer
-    "q241_adts_census",         # r10 NEW: mixed MPEG/ADTS census
-    "q147_exif_tiff_census",    # governance (never gated)
+    "q144_adpcm_decode",        # ADPCM state-machine decode (never gated)
+    "q264_mp4_sample_table_census",  # r11 NEW: stbl census
 )
 
 

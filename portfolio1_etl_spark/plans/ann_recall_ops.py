@@ -25,7 +25,13 @@ from portfolio1_etl_spark.plans.registry import REGISTRY, query
 #: every ANN variant reports top-3; the exact q80 baseline reports
 #: top-5 and is truncated to rank ≤ 3 as the shared ground truth.
 _K = 3
-_METHODS = ("q82_lsh_ann", "q83_ivf_ann", "q95_quantized_ann", "q99_pq_ann")
+_METHODS = (
+    "q82_lsh_ann",
+    "q83_ivf_ann",
+    "q95_quantized_ann",
+    "q99_pq_ann",
+    "q265_ivfpq_index_probe",
+)
 
 
 def _recall_sql() -> str:

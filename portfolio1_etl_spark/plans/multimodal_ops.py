@@ -1967,3 +1967,137 @@ def q241_adts_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id long, codec string, vbr_method string, n_frames long, "
         "duration_ms long, sample_rate long, profile string, channels long",
     )
+
+
+# --- q264: MP4 SAMPLE-TABLE census (stbl walk, r11) -------------------------
+
+#: q264 synthesis — MP4 containers with REAL per-track sample tables
+#: (stsd codec entry, two-run stts timeline, uniform-or-table stsz),
+#: all parameters doc_id arithmetic; every 31st doc is box-corrupt
+#: (q149's class) and every 37th is TABLE-corrupt (a valid container
+#: whose stts run count lies about the bytes present) — both must
+#: surface as NULL rows. Payload decode stays the library boundary;
+#: per ISO 14496-12 the census is pure structure.
+
+
+def _synthesize_mp4_stbl_media(docs):
+    from portfolio1_etl_spark.operators.multimodal import (
+        encode_mp4_sample_tables,
+    )
+
+    def _one(doc_id: int) -> bytes:
+        if doc_id % 31 == 0:
+            return b"\x00\x00\x00\x10ftypisom corrupt"
+        tracks = []
+        for t in range(1 + doc_id % 2):
+            k = doc_id + t
+            n = 10 + (k % 20)
+            tracks.append(
+                {
+                    "codec": ("avc1", "hvc1", "mp4a", "av01")[k % 4],
+                    "timescale": 1000 * (1 + k % 3),
+                    "runs": [(n // 2, 100), (n - n // 2, 200)],
+                    "sizes": (
+                        50 + (k % 100)
+                        if k % 2 == 0
+                        else [41 + i for i in range(n)]
+                    ),
+                }
+            )
+        data = encode_mp4_sample_tables(tracks)
+        if doc_id % 37 == 0:
+            # table corruption: stts claims 2^16 runs, bytes hold 2 —
+            # the probe must refuse the whole object, not half-read it
+            i = data.index(b"stts") + 4
+            data = data[: i + 4] + b"\x00\x01\x00\x00" + data[i + 8 :]
+        return data
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "path": pdf["doc_id"].astype(str),
+                    "modality": "video",
+                    "content": [_one(int(d)) for d in pdf["doc_id"]],
+                }
+            )
+
+    return docs.select("doc_id").mapInPandas(
+        op, "path string, modality string, content binary"
+    )
+
+
+@query(
+    "q264_mp4_sample_table_census",
+    sql="""
+    WITH tracks AS (
+      SELECT doc_id, t, doc_id + t AS k, 10 + ((doc_id + t) % 20) AS n
+      FROM documents, range(2) r(t)
+      WHERE doc_id % 31 <> 0 AND doc_id % 37 <> 0 AND t < 1 + doc_id % 2),
+    calc AS (
+      SELECT doc_id, t, k, n,
+             list_extract(['avc1','hvc1','mp4a','av01'],
+                          1 + CAST(k % 4 AS INTEGER)) AS codec,
+             1000 * (1 + k % 3) AS timescale,
+             200 * n - 100 * (n // 2) AS dur_units,
+             CASE WHEN k % 2 = 0 THEN n * (50 + (k % 100))
+                  ELSE 40 * n + n * (n + 1) // 2 END AS total
+      FROM tracks)
+    SELECT doc_id, CAST(t + 1 AS BIGINT) AS track_idx, codec,
+           CAST(n AS BIGINT) AS n_samples,
+           CAST(total AS BIGINT) AS total_bytes,
+           CAST(dur_units * 1000 // timescale AS BIGINT) AS duration_ms,
+           CAST(total * 8 * timescale // dur_units AS BIGINT) AS bitrate_bps
+    FROM calc
+    UNION ALL
+    SELECT doc_id, NULL, NULL, NULL, NULL, NULL, NULL
+    FROM documents WHERE doc_id % 31 = 0 OR doc_id % 37 = 0
+    """,
+    operators=("X-multimodal", "X-media-metadata", "X-mp4-stbl"),
+)
+def q264_mp4_sample_table_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MP4 SAMPLE-TABLE census (r11 — the r10 verdict's remaining
+    multimodal headroom): q149's box walk extended into stbl, reading
+    per-track codec fourcc (stsd), sample count + exact byte volume
+    (stsz, uniform and per-sample forms), timeline duration (two-run
+    stts in mdhd timescale units), and exact integer average bitrate
+    — the audit a 100 TB video corpus runs BEFORE spending GPU decode
+    (which stays the documented loud boundary). One output row per
+    track; box-corrupt (every 31st) and table-corrupt (every 37th —
+    an stts run count lying about the bytes present, caught by the
+    probe's full-consistency rule) objects surface as single NULL
+    rows. Narrow mapInPandas over synthesized containers; the oracle
+    replays the synthesis as doc_id arithmetic (q137/q149 pattern)."""
+    from portfolio1_etl_spark.operators.multimodal import (
+        probe_mp4_sample_tables,
+    )
+
+    media = _synthesize_mp4_stbl_media(catalog.load(spark, sf_dir, "documents"))
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: dict[str, list] = {
+                "doc_id": [], "track_idx": [], "codec": [],
+                "n_samples": [], "total_bytes": [], "duration_ms": [],
+                "bitrate_bps": [],
+            }
+            for path, content in zip(pdf["path"], pdf["content"]):
+                try:
+                    tracks = probe_mp4_sample_tables(bytes(content))
+                except (ValueError, IndexError, struct.error):
+                    tracks = [(None, None, None, None, None, None)]
+                for ti, codec, ns, tb, dur, bps in tracks:
+                    rows["doc_id"].append(int(path))
+                    rows["track_idx"].append(ti)
+                    rows["codec"].append(codec)
+                    rows["n_samples"].append(ns)
+                    rows["total_bytes"].append(tb)
+                    rows["duration_ms"].append(dur)
+                    rows["bitrate_bps"].append(bps)
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(
+        op,
+        "doc_id long, track_idx long, codec string, n_samples long, "
+        "total_bytes long, duration_ms long, bitrate_bps long",
+    )

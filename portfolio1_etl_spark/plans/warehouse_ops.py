@@ -1255,3 +1255,119 @@ def q244_incremental_join_view(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("_mult").cast("long").alias("n_rows"),
         F.sum(F.col("cents") * F.col("_mult")).cast("long").alias("sum_cents"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q263 — join view maintained through ROW-LEVEL delta commits (r11)
+# ---------------------------------------------------------------------------
+
+#: q263 closed-form final states. The fact chain advances by a DELETE
+#: commit (keys ok % 10 = 1) then an UPSERT commit (ok % 10 = 2 gets
+#: cents+7; the ok % 20 = 1 half of the DELETED keys re-inserts at
+#: 2*cents — exercising Iceberg's strictly-older equality-delete rule
+#: through the view); the dim chain re-segments ck % 7 = 0 by upsert.
+_JRD_A = (
+    "SELECT o_orderkey AS id, o_custkey AS ck, "
+    "CASE WHEN o_orderkey % 10 = 2 "
+    "  THEN CAST(round(o_totalprice * 100, 0) AS BIGINT) + 7 "
+    "WHEN o_orderkey % 20 = 1 "
+    "  THEN 2 * CAST(round(o_totalprice * 100, 0) AS BIGINT) "
+    "ELSE CAST(round(o_totalprice * 100, 0) AS BIGINT) END AS cents "
+    "FROM orders WHERE o_orderkey % 10 <> 1 OR o_orderkey % 20 = 1"
+)
+_JRD_B = (
+    "SELECT c_custkey AS ck, CASE WHEN c_custkey % 7 = 0 "
+    "THEN 'MOVED' ELSE c_mktsegment END AS seg FROM customer"
+)
+
+
+@query(
+    "q263_joinview_row_deltas",
+    sql=f"""
+    WITH a1 AS ({_JRD_A}),
+    b1 AS ({_JRD_B})
+    SELECT b1.seg AS segment,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(a1.cents) AS BIGINT) AS sum_cents
+    FROM a1 JOIN b1 ON a1.ck = b1.ck
+    GROUP BY 1
+    """,
+    operators=(
+        "X-join-matview",
+        "X-z-relation",
+        "X-row-level-delete",
+        "K-versioned",
+        "A1",
+    ),
+)
+def q263_joinview_row_deltas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q244's incremental join view driven by ROW-LEVEL delta commits
+    instead of snapshot writes (r11 — the composition the r10 verdict
+    flagged untested): the fact chain takes a DELETE commit
+    (equality-delete key vector, prior files byte-identical) then an
+    UPSERT commit whose source re-inserts HALF the deleted keys — the
+    Iceberg strictly-older rule must let those re-appear — and the dim
+    chain re-segments a slice by upsert. The view refreshes from the
+    chains' captured CDC feeds alone (read_changes folds the fact
+    span's two delta feeds into one net feed), via the same Z-relation
+    algebra as q244: cost O(|Δ|·fanout), never a re-join of the full
+    chains. Oracle = the closed-form final-state join; a delete that
+    leaked through, a lost re-insert, or a stale segment all
+    hash-mismatch. Exact integer cents throughout."""
+    from portfolio1_etl_spark.operators.matview import (
+        apply_join_delta,
+        join_view,
+    )
+    from portfolio1_etl_spark.operators.sinks import (
+        _hadoop_fs,
+        delete_from_chain,
+        read_changes,
+        read_version,
+        upsert_into_chain,
+        write_versioned,
+    )
+
+    base = catalog.scratch_path("joinview_rd", sf_dir)
+    fs, jpath = _hadoop_fs(spark, base)
+    if fs.exists(jpath):
+        fs.delete(jpath, True)
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    ok = F.col("o_orderkey")
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("long")
+    a0 = o.select(
+        ok.alias("id"), F.col("o_custkey").alias("ck"), cents.alias("cents")
+    )
+    b0 = c.select(
+        F.col("c_custkey").alias("ck"), F.col("c_mktsegment").alias("seg")
+    )
+    write_versioned(a0, f"{base}/a", capture_changes=True, manifest=True)
+    write_versioned(b0, f"{base}/b", capture_changes=True, manifest=True)
+    delete_from_chain(
+        spark, f"{base}/a", a0.filter(F.col("id") % 10 == 1).select("id"), ["id"]
+    )
+    upsert_src = o.filter((ok % 10 == 2) | (ok % 20 == 1)).select(
+        ok.alias("id"),
+        F.col("o_custkey").alias("ck"),
+        F.when(ok % 10 == 2, cents + 7).otherwise(cents * 2).alias("cents"),
+    )
+    upsert_into_chain(spark, f"{base}/a", upsert_src, ["id"])
+    upsert_into_chain(
+        spark,
+        f"{base}/b",
+        b0.filter(F.col("ck") % 7 == 0).withColumn("seg", F.lit("MOVED")),
+        ["ck"],
+    )
+    view0 = join_view(a0, b0, ["ck"])
+    refreshed = apply_join_delta(
+        view0,
+        read_version(spark, f"{base}/a", 2),
+        read_version(spark, f"{base}/b", 1),
+        read_changes(spark, f"{base}/a", 0, 2),
+        read_changes(spark, f"{base}/b", 0, 1),
+        ["ck"],
+    )
+    return refreshed.groupBy(F.col("seg").alias("segment")).agg(
+        F.sum("_mult").cast("long").alias("n_rows"),
+        F.sum(F.col("cents") * F.col("_mult")).cast("long").alias("sum_cents"),
+    )

@@ -8,6 +8,7 @@ from portfolio1_etl_spark.streaming.jobs import (
     dedup_events_stream,
     paired_events_stream,
     inventory_merge_stream,
+    joinview_maintenance_stream,
     read_events_stream,
     running_user_totals_stream,
     scd2_maintenance_stream,
@@ -30,4 +31,5 @@ __all__ = [
     "corpus_prep_stream",
     "corpus_prep_finalize",
     "versioned_cdc_stream",
+    "joinview_maintenance_stream",
 ]

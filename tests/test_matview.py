@@ -214,3 +214,91 @@ def test_join_view_empty_feeds_are_identity(spark):
     assert sorted(map(tuple, out.collect())) == sorted(
         map(tuple, view.collect())
     )
+
+
+def test_join_view_maintained_through_row_level_delta_commits(spark, tmp_path):
+    """Composition of the two r10 features the r10 verdict flagged as
+    untested together: ROW-LEVEL delta commits (delete_from_chain /
+    upsert_into_chain — equality-delete vectors, prior files reused)
+    must flow through their captured CDC feeds into apply_join_delta
+    exactly like snapshot commits do. Mixed history on BOTH chains:
+    the fact side takes a DELETE then an UPSERT (update + insert),
+    the dim side an UPSERT that re-segments a key; after each step
+    the incrementally-maintained view equals a from-scratch join_view
+    of the two snapshots."""
+    from portfolio1_etl_spark.operators.matview import (
+        apply_join_delta,
+        join_view,
+    )
+    from portfolio1_etl_spark.operators.sinks import (
+        delete_from_chain,
+        read_changes,
+        read_version,
+        upsert_into_chain,
+        write_versioned,
+    )
+
+    pa, pb = str(tmp_path / "fact"), str(tmp_path / "dim")
+    a0 = spark.createDataFrame(
+        [(1, 1, 100), (2, 1, 200), (3, 2, 300), (4, 2, 400), (5, 3, 500)],
+        "id long, ck long, cents long",
+    )
+    b0 = spark.createDataFrame(
+        [(1, "x"), (2, "y"), (3, "z")], "ck long, seg string"
+    )
+    write_versioned(a0, pa, capture_changes=True, manifest=True)
+    write_versioned(b0, pb, capture_changes=True, manifest=True)
+    view = join_view(a0, b0, ["ck"]).localCheckpoint()
+
+    # step 1: fact DELETE (ids 2 and 5), dim unchanged
+    delete_from_chain(
+        spark, pa, spark.createDataFrame([(2,), (5,)], "id long"), ["id"]
+    )
+    # step 2: fact UPSERT (update id 3's cents, insert id 6),
+    #         dim UPSERT (key 2 re-segments, key 4 arrives)
+    upsert_into_chain(
+        spark,
+        pa,
+        spark.createDataFrame([(3, 2, 333), (6, 4, 600)],
+                              "id long, ck long, cents long"),
+        ["id"],
+    )
+    upsert_into_chain(
+        spark,
+        pb,
+        spark.createDataFrame([(2, "Y"), (4, "w")], "ck long, seg string"),
+        ["ck"],
+    )
+
+    # maintain version-by-version on the fact chain (dim advances on
+    # step 2 only), asserting view == recompute after every step
+    steps = [(1, 0, 0), (2, 0, 1)]  # (a_to, b_from, b_to)
+    a_from = 0
+    for a_to, b_from, b_to in steps:
+        a_new = read_version(spark, pa, a_to)
+        b_new = read_version(spark, pb, b_to)
+        empty_b = spark.createDataFrame(
+            [], "ck long, seg string, _change string"
+        )
+        feed_b = (
+            read_changes(spark, pb, b_from, b_to)
+            if b_to > b_from
+            else empty_b
+        )
+        view = apply_join_delta(
+            view,
+            a_new,
+            b_new,
+            read_changes(spark, pa, a_from, a_to),
+            feed_b,
+            ["ck"],
+        ).localCheckpoint()
+        want = join_view(a_new, b_new, ["ck"])
+        assert _rows(view) == _rows(want)
+        a_from = a_to
+    # the interesting cells: deleted facts gone, update took, new
+    # fact/dim pair (6, ck 4, 'w') present, key 2 re-segmented
+    rows = {(r.id, r.ck, r.seg): (r.cents, r._mult) for r in view.collect()}
+    assert (2, 1, "x") not in rows and (5, 3, "z") not in rows
+    assert rows[(3, 2, "Y")] == (333, 1)
+    assert rows[(6, 4, "w")] == (600, 1)

@@ -461,3 +461,12 @@ def test_doubling_loops_truncate_lineage(spark, sf_dir):
             f"{name}: {n_exchange} Exchange nodes in the final plan — "
             "round state is not being materialized per round"
         )
+
+
+def test_ivfpq_code_scan_is_dpp_pruned(spark, sf_dir):
+    """q265 (composed IVF-PQ): the probe join must DPP-prune BOTH
+    persisted scans — the byte-code scan the ADC reads and the
+    full-vector scan the re-rank reads — or the 'index' degenerates
+    to a full read of codes or floats at 100 TB."""
+    plan = _formatted_plan(REGISTRY["q265_ivfpq_index_probe"].fn(spark, sf_dir))
+    assert plan.count("dynamicpruning") >= 2

@@ -79,9 +79,14 @@ def test_scoreboard_recall_bars(spark, sf_dir):
     rows = {r.method: r for r in REGISTRY["q114_ann_recall"].fn(spark, sf_dir).collect()}
     assert set(rows) == {
         "q82_lsh_ann", "q83_ivf_ann", "q95_quantized_ann", "q99_pq_ann",
+        "q265_ivfpq_index_probe",
     }
     assert all(r.n_truth == 24 and r.k == 3 for r in rows.values())
     assert rows["q95_quantized_ann"].recall >= 0.95
     assert rows["q99_pq_ann"].recall >= 0.55
     assert rows["q83_ivf_ann"].recall >= 0.25
+    # composed IVF-PQ: cell pruning costs what q83 loses, ADC is a
+    # shortlist-32 pre-rank with exact re-rank on top -- floor between
+    # the pure-IVF and pure-PQ bars
+    assert rows["q265_ivfpq_index_probe"].recall >= 0.4
     assert rows["q82_lsh_ann"].recall >= 0.0  # lossy-by-design, reported

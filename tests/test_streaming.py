@@ -1052,3 +1052,107 @@ def test_variant_ingest_stream_matches_batch_over_pydatasource(
     w.epoch_fold(dup, state["_last_epoch"])
     after = sorted(tuple(r) for r in variant_ingest_finalize(state).collect())
     assert after == before
+
+
+# --- streaming join-view maintenance (r11) ----------------------------------
+
+
+def test_joinview_maintenance_stream(spark, tmp_path):
+    """Streaming maintenance of the incremental join view: the
+    foreachBatch job fast-forwards the view chain from the two source
+    chains' CDC feeds — through SNAPSHOT and ROW-LEVEL delta commits
+    alike — and the committed view equals a from-scratch join of the
+    snapshots after every epoch. Exactly-once is version-driven: a
+    duplicate epoch delivery (and an epoch where nothing advanced)
+    must not commit a new view version."""
+    from portfolio1_etl_spark.operators.matview import join_view
+    from portfolio1_etl_spark.operators.sinks import (
+        _versions,
+        delete_from_chain,
+        read_version,
+        upsert_into_chain,
+        write_versioned,
+    )
+    from portfolio1_etl_spark.streaming import (
+        joinview_maintenance_stream,
+        read_events_stream,
+    )
+
+    pa, pb, pv = (str(tmp_path / d) for d in ("fact", "dim", "view"))
+    a0 = spark.createDataFrame(
+        [(1, 1, 100), (2, 1, 200), (3, 2, 300), (4, 3, 400)],
+        "id long, ck long, cents long",
+    )
+    b0 = spark.createDataFrame(
+        [(1, "x"), (2, "y"), (3, "z")], "ck long, seg string"
+    )
+    write_versioned(a0, pa, capture_changes=True, manifest=True)
+    write_versioned(b0, pb, capture_changes=True, manifest=True)
+
+    land, _ = _cdc_land_events(spark, tmp_path, n_slices=2)
+    writer = joinview_maintenance_stream(
+        read_events_stream(spark, str(land)), pa, pb, pv, ["ck"]
+    )
+
+    def _check():
+        got = sorted(map(tuple, read_version(spark, pv).collect()))
+        want = sorted(
+            map(
+                tuple,
+                join_view(
+                    read_version(spark, pa), read_version(spark, pb), ["ck"]
+                ).collect(),
+            )
+        )
+        assert got == want
+
+    # plumbing: a real availableNow run seeds the view chain (v0)
+    q = writer.option(
+        "checkpointLocation", str(tmp_path / "ckpt")
+    ).trigger(availableNow=True).start()
+    q.awaitTermination(120)
+    assert _versions(spark, pv) == [0]
+    _check()
+
+    dummy = spark.createDataFrame([(1,)], "x long")
+    # epoch with no chain advance: no new view version
+    writer.epoch_fold(dummy, 99)
+    assert _versions(spark, pv) == [0]
+
+    # fact DELETE commit, then an epoch → v1 reflects it
+    delete_from_chain(
+        spark, pa, spark.createDataFrame([(2,)], "id long"), ["id"]
+    )
+    writer.epoch_fold(dummy, 100)
+    assert _versions(spark, pv) == [0, 1]
+    _check()
+
+    # BOTH chains advance (fact upsert + dim upsert), one epoch
+    upsert_into_chain(
+        spark,
+        pa,
+        spark.createDataFrame(
+            [(3, 2, 333), (5, 9, 500)], "id long, ck long, cents long"
+        ),
+        ["id"],
+    )
+    upsert_into_chain(
+        spark,
+        pb,
+        spark.createDataFrame([(2, "Y"), (9, "q")], "ck long, seg string"),
+        ["ck"],
+    )
+    writer.epoch_fold(dummy, 101)
+    assert _versions(spark, pv) == [0, 1, 2]
+    _check()
+    rows = {
+        (r.id, r.ck, r.seg): (r.cents, r._mult)
+        for r in read_version(spark, pv).collect()
+    }
+    assert rows[(3, 2, "Y")] == (333, 1)
+    assert rows[(5, 9, "q")] == (500, 1)
+    assert (2, 1, "x") not in rows
+
+    # duplicate delivery of the SAME epoch: durable marker no-ops
+    writer.epoch_fold(dummy, 101)
+    assert _versions(spark, pv) == [0, 1, 2]

@@ -274,3 +274,34 @@ class TestScrubExif:
         clean, had_gps, ori = scrub_exif(b"\xff\xd8" + app1 + b"\xff\xdaZ")
         assert had_gps and ori == 5
         assert scrub_exif(clean)[1] is False
+
+
+def test_mp4_sample_table_probe_roundtrip():
+    from portfolio1_etl_spark.operators.multimodal import (
+        encode_mp4_sample_tables,
+        probe_mp4_sample_tables,
+    )
+
+    b = encode_mp4_sample_tables(
+        [
+            {"codec": "avc1", "timescale": 3000,
+             "runs": [(5, 100), (5, 200)], "sizes": list(range(41, 51))},
+            {"codec": "mp4a", "timescale": 1000,
+             "runs": [(12, 100)], "sizes": 73},
+        ]
+    )
+    assert probe_mp4_sample_tables(b) == [
+        (1, "avc1", 10, 455, 500, 7280),
+        (2, "mp4a", 12, 876, 1200, 5840),
+    ]
+    # count disagreement between stts and stsz refuses the object
+    import pytest as _pytest
+
+    bad = encode_mp4_sample_tables(
+        [{"codec": "avc1", "timescale": 1000,
+          "runs": [(4, 100)], "sizes": 10}]
+    )
+    i = bad.index(b"stts") + 4
+    bad = bad[: i + 4] + b"\x00\x00\x00\x09" + bad[i + 8 :]
+    with _pytest.raises(ValueError):
+        probe_mp4_sample_tables(bad)

@@ -44,6 +44,7 @@ MODULE_COVERAGE = {
     "Stream-watermark": "streaming.windowed_counts_stream watermark (tests/test_streaming.py)",
     "Stream-dedup-wm": "streaming.dedup_events_stream (tests/test_streaming.py)",
     "Stream-foreachBatch": "streaming.inventory_merge_stream (tests/test_streaming.py::test_inventory_merge_foreachbatch)",
+    "Stream-joinview": "streaming.joinview_maintenance_stream — per-epoch Z-relation join-view refresh from two chains' CDC, version-driven exactly-once (tests/test_streaming.py::test_joinview_maintenance_stream)",
     "Stream-custom-state": "streaming.running_user_totals_stream (applyInPandasWithState) (tests/test_streaming.py::test_custom_stateful_running_totals)",
     "X-multimodal": "operators.multimodal (binaryFile source, mapInPandas featurize; REAL PPM/PNG/WAV codecs incl. zlib PNG with full unfiltering, real resize + frame sampling; lossy formats NotImplementedError-gated) (tests/test_multimodal_sinks.py) + q90/q91/q102",
     "X-dedup-dfcap": "operators.dedup.jaccard_pairs(df_cap)/lsh_candidates(bucket_cap) heavy-hitter guards + q77 (tests/test_invariants.py::test_df_cap_bounds_hot_shingle_candidates)",
@@ -53,7 +54,7 @@ MODULE_COVERAGE = {
     "J-bucketed": "operators.bucketing.write_bucketed (tests/test_bucketing.py)",
     "K-zorder": "operators.zorder.write_zordered — Morton-curve multi-column clustering (linear + skew-proof quantile boundaries); footer-stats scan_fraction proves both-column pruning (tests/test_zorder.py::test_zorder_layout_prunes_both_columns)",
     "S-pydatasource": "sources.pydatasource.FramedFeedDataSource — custom connector via Spark 4's Python DataSource API: partition-per-file reads, site filter pruned at FILE level, staged atomic writes, loud corrupt-frame errors (tests/test_pydatasource.py)",
-    "Stream-source-custom": "sources.pydatasource.FramedFeedStreamReader — micro-batch source with file-count offsets over immutable staged files; exactly-once replay pinned by a two-run availableNow checkpoint test (tests/test_pydatasource.py::test_streaming_picks_up_only_new_files)",
+    "Stream-source-custom": "sources.pydatasource.FramedFeedStreamReader — micro-batch source with name-set offsets (live-directory compacted) over immutable staged files; exactly-once replay pinned by a two-run availableNow checkpoint test (tests/test_pydatasource.py::test_streaming_picks_up_only_new_files)",
     "UDF-pandas": "operators.udfs.token_count_udf (pandas_udf, pinned to built-in twin) (tests/test_udfs.py)",
     "UDF-groupedmap": "operators.udfs.zscore_per_group (applyInPandas, pinned to window twin) (tests/test_udfs.py)",
     "UDF-UDAF": "operators.udfs.geometric_mean_udaf (grouped-agg pandas_udf, pinned to exp(avg(ln)) twin) (tests/test_udfs.py::test_grouped_agg_udaf_matches_expression_twin)",
