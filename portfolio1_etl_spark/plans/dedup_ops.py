@@ -346,55 +346,111 @@ def q74_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- SimHash hamming pairs (pigeonhole-blocked) ----------------------------
 
 
-def _simhash_pairs_sql() -> str:
-    # chunks: 5+5+6 bits; hamming <= 2 => at least one chunk equal
+#: hot-bucket cap for the q75 chunk join: a (chunk, value) bucket
+#: larger than this is excised before the self-join (identical-
+#: fingerprint families from degenerate/duplicated corpora are the
+#: only way a 16-bit-value bucket gets hot under a 48-bit hash).
+#: Mirrored EXACTLY in the oracle so capped runs still value-match.
+_SIMHASH_BUCKET_CAP = 1000
+
+
+def _simhash48_sql() -> str:
+    bit_terms = " + ".join(
+        f"(CASE WHEN 2 * sum((h >> {b}) & 1) > count(*) THEN {1 << b}::BIGINT ELSE 0 END)"
+        for b in range(48)
+    )
     return f"""
-    WITH fp AS ({_simhash_sql()}),
+    SELECT doc_id, {bit_terms} AS simhash48
+    FROM (
+      SELECT doc_id, {_H48_SQL.format(c='w')} AS h
+      FROM (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS w
+            FROM documents)
+    ) GROUP BY doc_id
+    """
+
+
+def _simhash_pairs_sql() -> str:
+    # chunks: 3 x 16 bits; hamming <= 2 => at least one chunk equal
+    return f"""
+    WITH fp AS ({_simhash48_sql()}),
     chunks AS (
-      SELECT doc_id, simhash16, 0 AS chunk_id, simhash16 % 32 AS chunk_val FROM fp
+      SELECT doc_id, simhash48, 0 AS chunk_id, simhash48 % 65536 AS chunk_val FROM fp
       UNION ALL
-      SELECT doc_id, simhash16, 1, (simhash16 // 32) % 32 FROM fp
+      SELECT doc_id, simhash48, 1, (simhash48 // 65536) % 65536 FROM fp
       UNION ALL
-      SELECT doc_id, simhash16, 2, simhash16 // 1024 FROM fp
+      SELECT doc_id, simhash48, 2, simhash48 // 4294967296 FROM fp
     ),
+    cold AS (
+      SELECT chunk_id, chunk_val FROM chunks
+      GROUP BY 1, 2 HAVING count(*) <= {_SIMHASH_BUCKET_CAP}
+    ),
+    kept AS (SELECT c.* FROM chunks c JOIN cold USING (chunk_id, chunk_val)),
     cand AS (
-      SELECT DISTINCT a.doc_id AS doc_a, a.simhash16 AS ha,
-                      b.doc_id AS doc_b, b.simhash16 AS hb
-      FROM chunks a JOIN chunks b
+      SELECT DISTINCT a.doc_id AS doc_a, a.simhash48 AS ha,
+                      b.doc_id AS doc_b, b.simhash48 AS hb
+      FROM kept a JOIN kept b
         ON a.chunk_id = b.chunk_id AND a.chunk_val = b.chunk_val
        AND a.doc_id < b.doc_id
     )
-    SELECT CAST(bit_count(xor(ha::BIGINT, hb::BIGINT)) AS BIGINT) AS hamming,
+    SELECT CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming,
            count(*) AS n_pairs,
            min(doc_a) AS min_doc_a
     FROM cand
-    WHERE bit_count(xor(ha::BIGINT, hb::BIGINT)) <= 2
+    WHERE bit_count(xor(ha, hb)) <= 2
     GROUP BY 1
     """
 
 
 @query("q75_simhash_pairs", sql=_simhash_pairs_sql(), operators=("X-dedup-simhash", "J-range"))
 def q75_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup pairs by SimHash Hamming distance ≤ 2, with pigeonhole
-    blocking: the 16-bit fingerprint splits into 3 chunks (5+5+6 bits);
-    any pair within distance 2 agrees on ≥1 whole chunk, so candidates
-    come from an equi-join on (chunk_id, chunk_value) — never an
-    all-pairs scan — and the exact bit_count(xor) check runs only on
-    candidates. This is the standard multi-index Hamming search shape
-    at any corpus size."""
-    fp = simhash(_docs(spark, sf_dir), "text")
+    """Near-dup pairs by SimHash Hamming distance <= 2, with pigeonhole
+    blocking: the 48-BIT fingerprint splits into 3 chunks of 16 bits;
+    any pair within distance 2 agrees on >= 1 whole chunk, so
+    candidates come from an equi-join on (chunk_id, chunk_value) --
+    never an all-pairs scan -- and the exact bit_count(xor) check runs
+    only on candidates.
+
+    r11 SCALE FIX, surfaced by the sf1 checkpoint (SCALING.md): the
+    original 16-bit fingerprint pigeonholed into 5/5/6-bit chunks,
+    whose 32/64-value spaces saturate -- every bucket holds ~n/32 of
+    the corpus, so the "blocked" join was quadratic in disguise
+    (measured 48.7x wall-time at 10x data; 243 s at sf1). With 16-bit
+    chunk values the bucket occupancy is n/65536 and the same factor-10
+    amplification times at ~1x-linear. A (chunk, value) bucket larger
+    than _SIMHASH_BUCKET_CAP (identical-fingerprint families from
+    degenerate corpora -- random 48-bit hashes cannot make a 16-bit
+    bucket hot below ~10^8 docs) is excised before the join, q73's
+    bucket_cap discipline; the oracle mirrors the excision exactly."""
+    fp = simhash(_docs(spark, sf_dir), "text", bits=48)
+    h = F.col("simhash48")
     chunks = fp.select(
         "doc_id",
-        "simhash16",
+        "simhash48",
         F.explode(
             F.array(
-                F.struct(F.lit(0).alias("chunk_id"), (F.col("simhash16") % 32).alias("chunk_val")),
-                F.struct(F.lit(1).alias("chunk_id"), ((F.col("simhash16") / 32).cast("int") % 32).alias("chunk_val")),
-                F.struct(F.lit(2).alias("chunk_id"), (F.col("simhash16") / 1024).cast("int").alias("chunk_val")),
+                F.struct(
+                    F.lit(0).alias("chunk_id"),
+                    (h % 65536).alias("chunk_val"),
+                ),
+                F.struct(
+                    F.lit(1).alias("chunk_id"),
+                    ((h / 65536).cast("long") % 65536).alias("chunk_val"),
+                ),
+                F.struct(
+                    F.lit(2).alias("chunk_id"),
+                    (h / 4294967296).cast("long").alias("chunk_val"),
+                ),
             )
         ).alias("c"),
-    ).select("doc_id", "simhash16", "c.chunk_id", "c.chunk_val")
-    a, b = chunks.alias("a"), chunks.alias("b")
+    ).select("doc_id", "simhash48", "c.chunk_id", "c.chunk_val")
+    cold = (
+        chunks.groupBy("chunk_id", "chunk_val")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") <= _SIMHASH_BUCKET_CAP)
+        .select("chunk_id", "chunk_val")
+    )
+    kept = chunks.join(F.broadcast(cold), ["chunk_id", "chunk_val"])
+    a, b = kept.alias("a"), kept.alias("b")
     cand = (
         a.join(
             b,
@@ -404,14 +460,14 @@ def q75_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(
             F.col("a.doc_id").alias("doc_a"),
-            F.col("a.simhash16").alias("ha"),
+            F.col("a.simhash48").alias("ha"),
             F.col("b.doc_id").alias("doc_b"),
-            F.col("b.simhash16").alias("hb"),
+            F.col("b.simhash48").alias("hb"),
         )
         .distinct()
     )
     hamming = F.bit_count(
-        F.col("ha").cast("long").bitwiseXOR(F.col("hb").cast("long"))
+        F.col("ha").bitwiseXOR(F.col("hb"))
     ).cast("long")
     return (
         cand.withColumn("hamming", hamming)

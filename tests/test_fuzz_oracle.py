@@ -21,6 +21,10 @@ QUERIES = [
     "q61_word_frequency",
     "q62_quality_score",
     "q64_fingerprint",
+    # 48-bit simhash pigeonhole pairs (r11): degenerate-repeat docs
+    # form identical-fingerprint families that exercise the
+    # _SIMHASH_BUCKET_CAP excision in BOTH engines
+    "q75_simhash_pairs",
     "q96_repetition_filter",
     "q115_pii_redact",
     "q116_mixture_sample",

@@ -1,0 +1,37 @@
+"""The sf1 scaling checkpoint's committed artifact must be CLEAN:
+every timed query under the near-linear bar. The measurement itself
+needs the amplified dataset (tools/gen_scale.py) and ~20 minutes, so
+CI pins the committed artifact instead of re-measuring; the artifact
+regenerates per round via tools/scaling_check.py."""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+
+import pytest
+
+_HERE = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _latest():
+    files = sorted(
+        glob.glob(os.path.join(_HERE, "scaling_r*.json")),
+        key=lambda p: int(p.rsplit("_r", 1)[1].split(".")[0]),
+    )
+    return files[-1] if files else None
+
+
+def test_scaling_artifact_is_clean():
+    path = _latest()
+    if path is None:
+        pytest.skip("no scaling artifact committed yet")
+    art = json.load(open(path))
+    assert art["failures"] == [], (
+        f"{os.path.basename(path)}: queries over the {art['bar']}x "
+        f"scaling bar: {art['failures']}"
+    )
+    # the artifact must actually carry both scale points per query
+    for name, row in art["queries"].items():
+        assert row["sf0.1_sec"] > 0 and row["sf1_sec"] > 0, name

@@ -1,0 +1,139 @@
+"""The sf1 scaling checkpoint (r11 — the r10 verdict's top ask).
+
+Times the most expensive registry queries at sf0.1 AND at a 10×
+amplified sf1 (tools/gen_scale.py) in ONE warm JVM, and grades each
+against a near-linear scaling bar: wall-time ratio ≤ BAR (default 15×
+for 10× data — linear plus headroom for fixed overheads and the
+shuffles whose cost is n·log n, not n). A query past the bar is a
+plan defect (hidden quadratic constant, unbounded bucket, driver-side
+state) that sf0.1 could never surface. Results land in
+``scaling_r{N}.json`` and are summarized in SCALING.md.
+
+Methodology mirrors bench.py: each query runs end-to-end through the
+``noop`` datasource write (full execution, no collect, no sink I/O),
+min-of-``runs`` per scale, sf0.1 first then sf1 so cache states match.
+
+Usage:
+  python tools/gen_scale.py /root/testdata/sf0.1 /tmp/spark_graft_sf1 10
+  python tools/scaling_check.py [sf1_dir] [runs]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from portfolio1_etl_spark import get_spark
+from portfolio1_etl_spark.plans import REGISTRY
+
+#: the expensive tail of bench_full plus every iterative/composed
+#: operator whose scale story was previously plan-level only
+QUERIES = [
+    "q129_dedup_recall",            # composite dedup scoreboard
+    "q237_clustering_coefficient",  # wedge join on the capped graph
+    "q254_neighborhood_features",   # hop-2 self-join fanout
+    "q114_ann_recall",              # ANN scoreboard (5 pipelines)
+    "q69_langid_classifier",        # bigram explode
+    "q100_corpus_prep",             # end-to-end corpus composite
+    "q239_merge_into_chain",        # row-level delta commits
+    "q244_incremental_join_view",   # CDC join-view algebra
+    "q243_transitive_closure",      # path-doubling closure (r11 rework)
+    "q139_leakage_safe_split",      # CC-cluster split
+    "q75_simhash_pairs",            # pigeonhole banding
+    "q89_dup_clusters",             # large/small-star CC
+    "q259_golden_record",           # survivorship closure (r11 rework)
+    "q265_ivfpq_index_probe",       # composed IVF-PQ build+probe (r11)
+    "q263_joinview_row_deltas",     # deletes -> matview composition (r11)
+    "q73_minhash_lsh",              # banded LSH core
+]
+
+#: data grows 10×; allow linear + fixed-overhead/log headroom
+BAR = 15.0
+
+
+def _time(spark, name: str, sf_dir: str, runs: int) -> float:
+    best = float("inf")
+    for _ in range(runs):
+        t0 = time.monotonic()
+        REGISTRY[name].fn(spark, sf_dir).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        best = min(best, time.monotonic() - t0)
+    return best
+
+
+def main() -> int:
+    sf1 = sys.argv[1] if len(sys.argv) > 1 else "/tmp/spark_graft_sf1"
+    runs = int(sys.argv[2]) if len(sys.argv) > 2 else 2
+    sf01 = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark()
+    # warm the JVM/codegen caches off the measured path
+    REGISTRY["q01_pricing_summary"].fn(spark, sf01).write.format(
+        "noop"
+    ).mode("overwrite").save()
+    rows = {}
+    for name in QUERIES:
+        t_small = _time(spark, name, sf01, runs)
+        t_big = _time(spark, name, sf1, runs)
+        ratio = t_big / t_small if t_small > 0 else float("inf")
+        rows[name] = {
+            "sf0.1_sec": round(t_small, 3),
+            "sf1_sec": round(t_big, 3),
+            "ratio": round(ratio, 2),
+            "pass": ratio <= BAR,
+        }
+        print(
+            f"{name}: {t_small:.2f}s -> {t_big:.2f}s  ({ratio:.1f}x)"
+            f"  {'ok' if ratio <= BAR else 'OVER BAR'}",
+            flush=True,
+        )
+    out = {
+        "bar": BAR,
+        "factor": 10,
+        "runs": runs,
+        "queries": rows,
+        "failures": [n for n, r in rows.items() if not r["pass"]],
+    }
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    ns = [
+        int(f.split("_r")[1].split(".")[0])
+        for f in os.listdir(here)
+        if f.startswith("scaling_r") and f.endswith(".json")
+    ] + [
+        int(f.split("_r")[1].split(".")[0])
+        for f in os.listdir(here)
+        if f.startswith("BENCH_r") and f.endswith(".json")
+    ]
+    n = max(ns) + 1 if ns else 1
+    path = os.path.join(here, f"scaling_r{n}.json")
+    # don't bump the round number on a re-run within the same round
+    for f in os.listdir(here):
+        if f.startswith("scaling_r") and f.endswith(".json"):
+            existing = max(
+                int(x.split("_r")[1].split(".")[0])
+                for x in os.listdir(here)
+                if x.startswith("scaling_r")
+            )
+            bench = max(
+                (
+                    int(x.split("_r")[1].split(".")[0])
+                    for x in os.listdir(here)
+                    if x.startswith("BENCH_r")
+                ),
+                default=0,
+            )
+            if existing > bench:
+                path = os.path.join(here, f"scaling_r{existing}.json")
+            break
+    with open(path, "w") as fh:
+        json.dump(out, fh, indent=1)
+    print(f"wrote {path}")
+    return 1 if out["failures"] else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
