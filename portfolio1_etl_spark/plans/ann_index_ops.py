@@ -339,3 +339,133 @@ def q265_ivfpq_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_sub=_PQ_N_SUB,
         sub_dim=_PQ_SUB_DIM,
     )
+
+
+# ---------------------------------------------------------------------------
+# q270 — incremental IVF ingest against a frozen codebook (r11)
+# ---------------------------------------------------------------------------
+
+
+def ivf_ingest_path(sf_dir: str) -> str:
+    return catalog.scratch_path("ivf_ing", sf_dir)
+
+
+def _ivf_ingest_sql() -> str:
+    """q135's unrolled chain with TWO changes that mirror incremental
+    maintenance: the codebook trains on the EVEN half only, and the
+    final index assignment covers ALL vectors — exactly what
+    ``ingest_vectors`` produces by assigning arrivals to the frozen
+    persisted centroids with the same 6 dp argmin."""
+    train = "SELECT * FROM vecs WHERE vec_id % 2 = 0"
+    ctes = [
+        "vecs AS (SELECT vec_id, embedding::DOUBLE[] AS v, "
+        "sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm "
+        "FROM embeddings)",
+        f"train AS ({train})",
+        f"cent0 AS (SELECT vec_id AS c_id, v AS cvec FROM train "
+        f"WHERE vec_id IN (SELECT vec_id FROM train ORDER BY vec_id LIMIT {_K_CELLS}))",
+    ]
+    for t in range(1, _ITERS + 1):
+        ctes.append(
+            f"""a{t} AS (
+      SELECT vec_id, v, cell FROM (
+        SELECT v.vec_id, v.v, c.c_id AS cell,
+               row_number() OVER (PARTITION BY v.vec_id
+                                  ORDER BY {_DIST2_SQL} ASC, c.c_id ASC) AS rn
+        FROM train v CROSS JOIN cent{t - 1} c
+      ) WHERE rn = 1
+    )"""
+        )
+        if t < _ITERS:
+            ctes.append(
+                f"""cent{t} AS (
+      SELECT cell AS c_id, list(cx ORDER BY i) AS cvec FROM (
+        SELECT cell, i, round(avg(x), 4) AS cx
+        FROM (SELECT cell, unnest(v) AS x, generate_subscripts(v, 1) AS i FROM a{t})
+        GROUP BY cell, i
+      ) GROUP BY cell
+    )"""
+            )
+    last_c = f"cent{_ITERS - 1}"
+    ctes.append(
+        f"""index_vecs AS (
+      SELECT vec_id, v, nrm, cell FROM (
+        SELECT v.vec_id, v.v, v.nrm, c.c_id AS cell,
+               row_number() OVER (PARTITION BY v.vec_id
+                                  ORDER BY {_DIST2_SQL} ASC, c.c_id ASC) AS rn
+        FROM vecs v CROSS JOIN {last_c} c
+      ) WHERE rn = 1
+    )"""
+    )
+    ctes.append(
+        f"""probes AS (
+      SELECT query_id, qv, qnrm, cell FROM (
+        SELECT v.vec_id AS query_id, v.v AS qv, v.nrm AS qnrm,
+               c.c_id AS cell,
+               row_number() OVER (PARTITION BY v.vec_id
+                                  ORDER BY {_DIST2_SQL} ASC, c.c_id ASC) AS prn
+        FROM vecs v CROSS JOIN {last_c} c WHERE v.vec_id < 8
+      ) WHERE prn <= {_N_PROBE}
+    )"""
+    )
+    ctes.append(
+        """sims AS (
+      SELECT p.query_id, i.vec_id AS neighbor_id,
+             list_dot_product(p.qv, i.v) / (p.qnrm * i.nrm) AS sim
+      FROM probes p JOIN index_vecs i
+        ON i.cell = p.cell AND p.query_id <> i.vec_id
+    )"""
+    )
+    body = ",\n    ".join(ctes)
+    return f"""
+    WITH {body}
+    SELECT query_id, neighbor_id, sim, rank FROM (
+      SELECT query_id, neighbor_id, sim,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY sim DESC, neighbor_id ASC) AS rank
+      FROM sims
+    ) WHERE rank <= {_TOP_K}
+    """
+
+
+@query(
+    "q270_ivf_incremental_ingest",
+    sql=_ivf_ingest_sql(),
+    operators=("X-ann-index", "X-ann-ingest", "X-sim-ivf"),
+)
+def q270_ivf_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL index maintenance on the scoreboard (r11): the IVF
+    index builds on HALF the corpus (even vec_ids), then the other
+    half ARRIVES in two ``ingest_vectors`` batches — assigned to the
+    frozen persisted codebook with a broadcast narrow map and APPENDED
+    to their cell partitions, no rebuild, existing files untouched —
+    and the probe answers over the drifted index. This is the
+    steady-state life of a 100 TB vector index (build once, ingest
+    forever, rebalance on skew); the oracle replays it exactly:
+    training CTEs over the even half, final assignment over ALL
+    vectors (the frozen-codebook argmin is the same 6 dp expression
+    for built and ingested rows), probe + exact re-rank on top. A
+    drift anywhere — ingest assignment math, the append layout, probe
+    ranking over mixed built+ingested partitions — moves the value
+    hash."""
+    from portfolio1_etl_spark.operators.ann_index import (
+        build_ivf_index,
+        ingest_vectors,
+        query_ivf_index,
+    )
+    from portfolio1_etl_spark.operators.sinks import _hadoop_fs
+
+    vecs = with_norms(catalog.load(spark, sf_dir, "embeddings"))
+    path = ivf_ingest_path(sf_dir)
+    fs, jpath = _hadoop_fs(spark, path)
+    if fs.exists(jpath):
+        fs.delete(jpath, True)
+    build_ivf_index(
+        vecs.filter(F.col("vec_id") % 2 == 0), path, k=_K_CELLS, iters=_ITERS
+    )
+    ingest_vectors(spark, path, vecs.filter(F.col("vec_id") % 4 == 1))
+    ingest_vectors(spark, path, vecs.filter(F.col("vec_id") % 4 == 3))
+    queries = vecs.filter(F.col("vec_id") < 8)
+    return query_ivf_index(
+        spark, path, queries, n_probe=_N_PROBE, k=_TOP_K
+    ).select("query_id", "neighbor_id", "sim", "rank")

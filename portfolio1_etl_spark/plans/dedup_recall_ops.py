@@ -101,3 +101,88 @@ def q129_dedup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("recall"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q267 — quality-aware keep-best survivorship per near-dup cluster (r11)
+# ---------------------------------------------------------------------------
+
+
+def _keepbest_sql() -> str:
+    cc = REGISTRY["q89_dup_clusters"].sql
+    return f"""
+    WITH cc AS ({cc}),
+    q AS (
+      SELECT doc_id, source, n_chars,
+             len(list_distinct(string_split(text, ' '))) AS ntok
+      FROM documents
+    ),
+    full_cc AS (
+      SELECT q.doc_id, coalesce(cc.cluster_id, q.doc_id) AS cluster_id,
+             q.source, q.n_chars, q.ntok
+      FROM q LEFT JOIN cc ON q.doc_id = cc.doc_id
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY cluster_id
+                                   ORDER BY ntok DESC, doc_id ASC) AS rn
+      FROM full_cc
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(sum(CASE WHEN rn = 1 THEN n_chars ELSE 0 END) AS BIGINT)
+             AS kept_chars,
+           CAST(sum(CASE WHEN rn = 1 AND doc_id <> cluster_id
+                         THEN 1 ELSE 0 END) AS BIGINT) AS kept_non_min
+    FROM ranked GROUP BY 1
+    """
+
+
+@query(
+    "q267_cluster_keep_best",
+    sql=_keepbest_sql(),
+    operators=("X-dedup-keepbest", "X-survivorship", "X-dedup-cc"),
+)
+def q267_cluster_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QUALITY-AWARE survivorship (r11): the step between q89's
+    min-id clusters and a shipped training corpus — per near-dup
+    cluster keep the HIGHEST-QUALITY member (here: most distinct
+    tokens, doc_id tiebreak), not the arbitrary minimum id; docs in no
+    pair survive as their own singleton cluster. ``kept_non_min``
+    counts clusters where quality-keep and naive min-id survivorship
+    DISAGREE — the rows a min-id pipeline would have thrown away
+    better data for. Composed from the REGISTERED q89 (the q114
+    pattern: Spark body calls its fn, oracle splices its SQL), so the
+    keep decision is measured over exactly the gated clusters.
+
+    Scale shape: the cluster ranking window is keyed on cluster_id
+    (cluster grain — no partitionless window); quality is one narrow
+    map over documents; everything else is the q89 machinery."""
+    from portfolio1_etl_spark import catalog
+    from pyspark.sql import Window as W
+
+    cc = REGISTRY["q89_dup_clusters"].fn(spark, sf_dir).select(
+        "doc_id", "cluster_id"
+    )
+    docs = catalog.load(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.size(F.array_distinct(F.split("text", " "))).alias("ntok"),
+    )
+    full_cc = docs.join(cc, "doc_id", "left").withColumn(
+        "cluster_id", F.coalesce("cluster_id", F.col("doc_id"))
+    )
+    w = W.partitionBy("cluster_id").orderBy(
+        F.desc("ntok"), F.asc("doc_id")
+    )
+    ranked = full_cc.withColumn("rn", F.row_number().over(w))
+    kept = (F.col("rn") == 1).cast("long")
+    return ranked.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(kept).cast("long").alias("n_kept"),
+        F.sum(kept * F.col("n_chars")).cast("long").alias("kept_chars"),
+        F.sum(
+            kept * (F.col("doc_id") != F.col("cluster_id")).cast("long")
+        ).cast("long").alias("kept_non_min"),
+    )

@@ -889,3 +889,422 @@ def q260_multiprobe_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(cand, "query_id")
         .select("query_id", "neighbor_id", "sim", "rank", "candidates_seen")
     )
+
+
+# ---------------------------------------------------------------------------
+# q266 — late-interaction MaxSim retrieval (r11)
+# ---------------------------------------------------------------------------
+
+_MAXSIM_NSUB = 8
+_MAXSIM_DIM = 8
+
+
+def _maxsim_sql() -> str:
+    """MaxSim in SQL: explode both sides into 8-dim sub-vectors
+    ("token" vectors), per-(pair, query-sub) MAX dot, then the exact
+    DECIMAL(18,6) sum of the 8 rounded maxima."""
+    return f"""
+    WITH vecs AS ({_VECTORS_SQL}),
+    q AS (SELECT vec_id, v FROM vecs WHERE vec_id < 8),
+    c AS (SELECT vec_id, v FROM vecs WHERE vec_id >= 8),
+    permax AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, ri.i,
+             CAST(round(max(list_dot_product(
+               q.v[(ri.i * {_MAXSIM_DIM} + 1):((ri.i + 1) * {_MAXSIM_DIM})],
+               c.v[(rj.j * {_MAXSIM_DIM} + 1):((rj.j + 1) * {_MAXSIM_DIM})]
+             )), 6) AS DECIMAL(18,6)) AS mx
+      FROM q, c, range({_MAXSIM_NSUB}) ri(i), range({_MAXSIM_NSUB}) rj(j)
+      GROUP BY 1, 2, 3
+    ),
+    scored AS (
+      SELECT query_id, neighbor_id,
+             CAST(sum(mx) AS DOUBLE) AS maxsim
+      FROM permax GROUP BY 1, 2
+    )
+    SELECT query_id, neighbor_id, maxsim, rank FROM (
+      SELECT query_id, neighbor_id, maxsim,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY maxsim DESC, neighbor_id ASC) AS rank
+      FROM scored
+    ) WHERE rank <= 3
+    """
+
+
+@query(
+    "q266_maxsim_retrieval",
+    sql=_maxsim_sql(),
+    operators=("X-sim-maxsim", "X-late-interaction", "X-sim-topk"),
+)
+def q266_maxsim_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LATE-INTERACTION retrieval (r11 — the ColBERT scoring shape):
+    each vector is treated as 8 contiguous 8-dim "token" sub-vectors,
+    and score(q, d) = Σ_i max_j ⟨q_i, d_j⟩ — the sum over query tokens
+    of each one's best-matching document token. Unlike the single-dot
+    q80 bi-encoder this rewards per-aspect matches, and it is the
+    standard second-stage scorer over an ANN shortlist.
+
+    Scale shape: the 64 sub-dot products per (query, doc) pair fold in
+    ONE nested higher-order expression (zip_with/aggregate inside
+    array_max inside a decimal sum) — a narrow map over the corpus
+    with the 8 queries broadcast: no explode, no extra shuffle, whole
+    row count = |corpus|. Determinism: each per-i max rounds to 6 dp
+    and the 8 maxima sum in DECIMAL(18,6) — exact and order-free, so
+    the oracle's grouped-aggregate formulation matches bitwise."""
+    vecs = _vectors(spark, sf_dir)
+    q = vecs.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    c = vecs.filter(F.col("vec_id") >= 8).select(
+        F.col("vec_id").alias("neighbor_id"), "v"
+    )
+    d, ns = _MAXSIM_DIM, _MAXSIM_NSUB
+    terms = []
+    for i in range(ns):
+        dots = F.array(
+            *[
+                F.expr(
+                    f"aggregate(zip_with(slice(qv, {i * d + 1}, {d}), "
+                    f"slice(v, {j * d + 1}, {d}), (x, y) -> x * y), "
+                    "cast(0.0 as double), (acc, x) -> acc + x)"
+                )
+                for j in range(ns)
+            ]
+        )
+        terms.append(
+            F.round(F.array_max(dots), 6).cast("decimal(18,6)")
+        )
+    score = terms[0]
+    for t in terms[1:]:
+        score = score + t
+    scored = c.crossJoin(F.broadcast(q)).select(
+        "query_id", "neighbor_id", score.cast("double").alias("maxsim")
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.desc("maxsim"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 3)
+        .select("query_id", "neighbor_id", "maxsim", "rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q268 — matryoshka prefix-dimension recall (r11)
+# ---------------------------------------------------------------------------
+
+
+def _matryoshka_sql() -> str:
+    legs = []
+    for pd_ in (16, 32, 64):
+        legs.append(f"""
+      SELECT {pd_} AS prefix_dim, query_id, neighbor_id FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               list_dot_product(q.v[1:{pd_}], c.v[1:{pd_}])
+                 / (sqrt(list_dot_product(q.v[1:{pd_}], q.v[1:{pd_}]))
+                    * sqrt(list_dot_product(c.v[1:{pd_}], c.v[1:{pd_}]))) AS sim,
+               row_number() OVER (PARTITION BY q.vec_id
+                                  ORDER BY list_dot_product(q.v[1:{pd_}], c.v[1:{pd_}])
+                 / (sqrt(list_dot_product(q.v[1:{pd_}], q.v[1:{pd_}]))
+                    * sqrt(list_dot_product(c.v[1:{pd_}], c.v[1:{pd_}]))) DESC,
+                                  c.vec_id ASC) AS rank
+        FROM q JOIN vecs c ON q.vec_id <> c.vec_id
+      ) WHERE rank <= 3""")
+    union = " UNION ALL ".join(legs)
+    return f"""
+    WITH vecs AS ({_VECTORS_SQL}),
+    q AS (SELECT vec_id, v FROM vecs WHERE vec_id < 8),
+    results AS ({union}),
+    truth AS (SELECT query_id, neighbor_id FROM results WHERE prefix_dim = 64),
+    t AS (SELECT count(*) AS n_truth FROM truth)
+    SELECT r.prefix_dim,
+           CAST(count(h.query_id) AS BIGINT) AS n_hits,
+           CAST(max(t.n_truth) AS BIGINT) AS n_truth,
+           round(CAST(count(h.query_id) AS DOUBLE) / max(t.n_truth), 4) AS recall
+    FROM results r
+    LEFT JOIN truth h ON r.query_id = h.query_id
+                     AND r.neighbor_id = h.neighbor_id, t
+    GROUP BY 1
+    """
+
+
+@query(
+    "q268_matryoshka_recall",
+    sql=_matryoshka_sql(),
+    operators=("X-sim-matryoshka", "X-sim-recall", "X-sim-topk"),
+)
+def q268_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATRYOSHKA-style prefix-dimension evaluation (r11): retrieval
+    quality when only the first 16 / 32 / 64 dimensions of the
+    embedding are used — recall@3 of each prefix against the full
+    64-dim truth. This is the audit run before shipping truncated
+    embeddings (the matryoshka deployment trick: store the prefix,
+    pay 1/4 the bytes and FLOPs — IF the recall holds). Brute-force
+    cosine per prefix over the broadcast 8-query set (the q80 shape:
+    corpus stays partitioned, only per-partition top-k survives); the
+    exact sequential-fold dot products are bit-identical to DuckDB's
+    list_dot_product, so ranks and the recall fractions match with no
+    rounding slack."""
+    vecs = _vectors(spark, sf_dir)
+    q = vecs.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    c = vecs.select(F.col("vec_id").alias("neighbor_id"), "v")
+    legs = []
+    for pd_ in (16, 32, 64):
+        dot = (
+            f"aggregate(zip_with(slice(qv, 1, {pd_}), slice(v, 1, {pd_}), "
+            "(x, y) -> x * y), cast(0.0 as double), (acc, x) -> acc + x)"
+        )
+        qn = (
+            f"sqrt(aggregate(zip_with(slice(qv, 1, {pd_}), slice(qv, 1, {pd_}), "
+            "(x, y) -> x * y), cast(0.0 as double), (acc, x) -> acc + x))"
+        )
+        cn = (
+            f"sqrt(aggregate(zip_with(slice(v, 1, {pd_}), slice(v, 1, {pd_}), "
+            "(x, y) -> x * y), cast(0.0 as double), (acc, x) -> acc + x))"
+        )
+        sim = F.expr(dot) / (F.expr(qn) * F.expr(cn))
+        w = W.partitionBy("query_id").orderBy(
+            F.desc("sim"), F.asc("neighbor_id")
+        )
+        legs.append(
+            c.crossJoin(F.broadcast(q))
+            .filter(F.col("query_id") != F.col("neighbor_id"))
+            .select("query_id", "neighbor_id", sim.alias("sim"))
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= 3)
+            .select(
+                F.lit(pd_).cast("long").alias("prefix_dim"),
+                "query_id",
+                "neighbor_id",
+            )
+        )
+    results = legs[0].unionByName(legs[1]).unionByName(legs[2])
+    truth = results.filter(F.col("prefix_dim") == 64).select(
+        "query_id", "neighbor_id"
+    )
+    hits = results.join(
+        truth.withColumn("hit", F.lit(1)), ["query_id", "neighbor_id"], "left"
+    )
+    n_truth = truth.agg(F.count(F.lit(1)).alias("n_truth"))
+    return (
+        hits.groupBy("prefix_dim")
+        .agg(F.sum(F.coalesce("hit", F.lit(0))).cast("long").alias("n_hits"))
+        .crossJoin(F.broadcast(n_truth))
+        .select(
+            "prefix_dim",
+            "n_hits",
+            F.col("n_truth").cast("long").alias("n_truth"),
+            F.round(
+                F.col("n_hits").cast("double") / F.col("n_truth"), 4
+            ).alias("recall"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q269 — maximal-marginal-relevance diversified top-k (r11)
+# ---------------------------------------------------------------------------
+
+_MMR_LAMBDA = 0.7
+
+
+def _mmr_sql() -> str:
+    """Unrolled 3-round MMR in SQL: each round picks the argmax of
+    λ·rel − (1−λ)·max-sim-to-picked over the remaining candidates.
+    Relevance and pairwise sims are exact sequential-fold cosines, so
+    the float score arithmetic (one multiply, one subtract per term)
+    is IEEE-identical across engines and the argmax agrees exactly."""
+    lam, mu = _MMR_LAMBDA, round(1 - _MMR_LAMBDA, 10)
+    return f"""
+    WITH vecs AS ({_VECTORS_SQL}),
+    q AS (SELECT vec_id, v, nrm FROM vecs WHERE vec_id < 8),
+    c AS (SELECT vec_id, v, nrm FROM vecs WHERE vec_id >= 8),
+    rel AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS cand_id, c.v AS cv,
+             c.nrm AS cnrm,
+             list_dot_product(q.v, c.v) / (q.nrm * c.nrm) AS rel
+      FROM q, c
+    ),
+    s1 AS (
+      SELECT query_id, cand_id, cv, cnrm, rel FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY rel DESC, cand_id ASC) AS rn
+        FROM rel) WHERE rn = 1
+    ),
+    r2 AS (
+      SELECT r.query_id, r.cand_id, r.cv, r.cnrm, r.rel,
+             {lam} * r.rel - {mu} *
+               (list_dot_product(r.cv, s.cv) / (r.cnrm * s.cnrm)) AS score
+      FROM rel r JOIN s1 s ON r.query_id = s.query_id
+      WHERE r.cand_id <> s.cand_id
+    ),
+    s2 AS (
+      SELECT query_id, cand_id, cv, cnrm, rel, score FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY score DESC, cand_id ASC) AS rn
+        FROM r2) WHERE rn = 1
+    ),
+    r3 AS (
+      SELECT r.query_id, r.cand_id, r.rel,
+             {lam} * r.rel - {mu} * greatest(
+               list_dot_product(r.cv, s1.cv) / (r.cnrm * s1.cnrm),
+               list_dot_product(r.cv, s2.cv) / (r.cnrm * s2.cnrm)) AS score
+      FROM rel r
+      JOIN s1 ON r.query_id = s1.query_id
+      JOIN s2 ON r.query_id = s2.query_id
+      WHERE r.cand_id <> s1.cand_id AND r.cand_id <> s2.cand_id
+    ),
+    s3 AS (
+      SELECT query_id, cand_id, score FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY score DESC, cand_id ASC) AS rn
+        FROM r3) WHERE rn = 1
+    )
+    SELECT query_id, CAST(1 AS BIGINT) AS rank, cand_id AS picked_id,
+           round(rel, 6) AS score FROM s1
+    UNION ALL
+    SELECT query_id, 2, cand_id, round(score, 6) FROM s2
+    UNION ALL
+    SELECT query_id, 3, cand_id, round(score, 6) FROM s3
+    """
+
+
+@query(
+    "q269_mmr_diversified_topk",
+    sql=_mmr_sql(),
+    operators=("X-sim-mmr", "X-sim-topk", "X-retrieval-diversity"),
+)
+def q269_mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal-marginal-relevance retrieval (r11): the diversified
+    top-3 a RAG context builder actually wants — round k picks
+    argmax λ·relevance − (1−λ)·max-similarity-to-already-picked, so
+    the second and third picks are penalized for redundancy with the
+    first (λ = 0.7, the Carbonell-Goldstein default). The greedy loop
+    unrolls into 3 rounds; each round is one broadcast join of the
+    (query, picked) rows — 8·k tiny rows — against the candidate
+    relevance table, never a corpus×corpus product, and the candidate
+    table computes ONCE (localCheckpoint) rather than once per round.
+    The oracle unrolls identically; scores are exact-fold cosines
+    composed with one multiply/subtract per term, IEEE-identical
+    across engines, so every argmax agrees exactly."""
+    vecs = _vectors(spark, sf_dir)
+    lam, mu = _MMR_LAMBDA, round(1 - _MMR_LAMBDA, 10)
+    q = vecs.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qnrm"),
+    )
+    c = vecs.filter(F.col("vec_id") >= 8).select(
+        F.col("vec_id").alias("cand_id"),
+        F.col("v").alias("cv"),
+        F.col("nrm").alias("cnrm"),
+    )
+    rel = (
+        c.crossJoin(F.broadcast(q))
+        .select(
+            "query_id",
+            "cand_id",
+            "cv",
+            "cnrm",
+            (
+                F.expr(_DOT.format(a="qv", b="cv"))
+                / (F.col("qnrm") * F.col("cnrm"))
+            ).alias("rel"),
+        )
+        .localCheckpoint(eager=False)
+    )
+
+    def _top1(df, score_col):
+        w = W.partitionBy("query_id").orderBy(
+            F.desc(score_col), F.asc("cand_id")
+        )
+        return df.withColumn("rn", F.row_number().over(w)).filter(
+            F.col("rn") == 1
+        ).drop("rn")
+
+    def _pick(df):
+        return df.select(
+            "query_id",
+            F.col("cand_id").alias("p_id"),
+            F.col("cv").alias("pv"),
+            F.col("cnrm").alias("pnrm"),
+        )
+
+    psim = F.expr(_DOT.format(a="cv", b="pv")) / (
+        F.col("cnrm") * F.col("pnrm")
+    )
+    s1 = _top1(rel, "rel")
+    p1 = _pick(s1)
+    r2 = (
+        rel.join(F.broadcast(p1), "query_id")
+        .filter(F.col("cand_id") != F.col("p_id"))
+        .select(
+            "query_id", "cand_id", "cv", "cnrm", "rel",
+            (F.lit(lam) * F.col("rel") - F.lit(mu) * psim).alias("score"),
+        )
+    )
+    s2 = _top1(r2, "score")
+    p2 = _pick(s2.select("query_id", "cand_id", "cv", "cnrm"))
+    sim1 = F.expr(_DOT.format(a="cv", b="p1v")) / (
+        F.col("cnrm") * F.col("p1n")
+    )
+    sim2 = F.expr(_DOT.format(a="cv", b="p2v")) / (
+        F.col("cnrm") * F.col("p2n")
+    )
+    r3 = (
+        rel.join(
+            F.broadcast(
+                p1.select(
+                    "query_id",
+                    F.col("p_id").alias("p1_id"),
+                    F.col("pv").alias("p1v"),
+                    F.col("pnrm").alias("p1n"),
+                )
+            ),
+            "query_id",
+        )
+        .join(
+            F.broadcast(
+                p2.select(
+                    "query_id",
+                    F.col("p_id").alias("p2_id"),
+                    F.col("pv").alias("p2v"),
+                    F.col("pnrm").alias("p2n"),
+                )
+            ),
+            "query_id",
+        )
+        .filter(
+            (F.col("cand_id") != F.col("p1_id"))
+            & (F.col("cand_id") != F.col("p2_id"))
+        )
+        .select(
+            "query_id", "cand_id", "rel",
+            (
+                F.lit(lam) * F.col("rel")
+                - F.lit(mu) * F.greatest(sim1, sim2)
+            ).alias("score"),
+        )
+    )
+    s3 = _top1(r3, "score")
+    out1 = s1.select(
+        "query_id",
+        F.lit(1).cast("long").alias("rank"),
+        F.col("cand_id").alias("picked_id"),
+        F.round("rel", 6).alias("score"),
+    )
+    out2 = s2.select(
+        "query_id",
+        F.lit(2).cast("long").alias("rank"),
+        F.col("cand_id").alias("picked_id"),
+        F.round("score", 6).alias("score"),
+    )
+    out3 = s3.select(
+        "query_id",
+        F.lit(3).cast("long").alias("rank"),
+        F.col("cand_id").alias("picked_id"),
+        F.round("score", 6).alias("score"),
+    )
+    return out1.unionByName(out2).unionByName(out3)
