@@ -162,6 +162,16 @@ _SANCTIONED_BNLJ = {
     # crosses the 8 scoreboard queries with the broadcast k-row
     # codebook (the q83 pattern).
     "q135_ivf_index_probe",
+    # composed IVF-PQ + incremental ingest: queries × broadcast k-row
+    # centroid table for probe ranking — the q135 probe shape; the
+    # corpus-sized scans themselves join by equi-key and DPP-prune.
+    "q265_ivfpq_index_probe",
+    "q270_ivf_incremental_ingest",
+    # MaxSim / matryoshka / MMR: corpus × broadcast 8-row query set —
+    # the q80 brute-force shape (queries ≪ corpus by construction).
+    "q266_maxsim_retrieval",
+    "q268_matryoshka_recall",
+    "q269_mmr_diversified_topk",
     # temperature mixture: the ~20-row per-source table crosses the
     # broadcast ONE-ROW corpus-total aggregate to derive budgets (the
     # q94/q118 1-row-total pattern); the corpus side stays equi-joined.
