@@ -707,3 +707,116 @@ def encode_adts_stub(
         h[6] = (0x3F << 2) | (blocks_per_frame - 1)  # fullness lo + blocks
         out += h + b"\x00" * psize
     return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# FLAC container: STREAMINFO header census (r11)
+# ---------------------------------------------------------------------------
+
+#: FLAC metadata block types the prober names (spec §METADATA_BLOCK_HEADER)
+_FLAC_BLOCK_TYPES = {
+    0: "streaminfo",
+    1: "padding",
+    2: "application",
+    3: "seektable",
+    4: "vorbis_comment",
+    5: "cuesheet",
+    6: "picture",
+}
+
+
+def encode_flac_stub(
+    sample_rate: int,
+    channels: int,
+    bits_per_sample: int,
+    total_samples: int,
+    comment: str | None = None,
+    padding: int = 0,
+) -> bytes:
+    """A real FLAC container head: 'fLaC' magic + STREAMINFO (spec-exact
+    34-byte body with the 20/3/5/36-bit packed field) and optional
+    VORBIS_COMMENT / PADDING blocks. Audio frames are NOT emitted —
+    like the MP3/ADTS stubs, payload stays the loud boundary; the
+    census tier only ever reads metadata blocks."""
+    if not 1 <= channels <= 8:
+        raise ValueError("FLAC channels must be 1..8")
+    if not 4 <= bits_per_sample <= 32:
+        raise ValueError("FLAC bits-per-sample must be 4..32")
+    if sample_rate >= 1 << 20 or sample_rate <= 0:
+        raise ValueError("FLAC sample rate must fit 20 bits and be > 0")
+    if total_samples >= 1 << 36:
+        raise ValueError("FLAC total-samples must fit 36 bits")
+    body = bytearray()
+    body += (4096).to_bytes(2, "big")  # min block size
+    body += (4096).to_bytes(2, "big")  # max block size
+    body += (0).to_bytes(3, "big")  # min frame size (unknown)
+    body += (0).to_bytes(3, "big")  # max frame size (unknown)
+    packed = (
+        (sample_rate << 44)
+        | ((channels - 1) << 41)
+        | ((bits_per_sample - 1) << 36)
+        | total_samples
+    )
+    body += packed.to_bytes(8, "big")
+    body += bytes(16)  # unset MD5 signature
+    blocks = [(0, bytes(body))]
+    if comment is not None:
+        vendor = b"pyspark-engine"
+        cbody = (
+            len(vendor).to_bytes(4, "little")
+            + vendor
+            + (1).to_bytes(4, "little")
+            + len(comment.encode()).to_bytes(4, "little")
+            + comment.encode()
+        )
+        blocks.append((4, cbody))
+    if padding:
+        blocks.append((1, bytes(padding)))
+    out = bytearray(b"fLaC")
+    for i, (btype, bbody) in enumerate(blocks):
+        last = 0x80 if i == len(blocks) - 1 else 0
+        out += bytes([last | btype]) + len(bbody).to_bytes(3, "big")
+        out += bbody
+    return bytes(out)
+
+
+def probe_flac_streaminfo(
+    content: bytes,
+) -> tuple[int, int, int, int, int, list[str]]:
+    """Walk a FLAC container's metadata blocks and decode STREAMINFO:
+    returns (sample_rate, channels, bits_per_sample, total_samples,
+    duration_ms, block_type_names). Raises ValueError on anything that
+    is not a well-formed FLAC head — bad magic, truncated block,
+    missing or short STREAMINFO, zero sample rate — the loud-boundary
+    contract of every probe in this module."""
+    if content[:4] != b"fLaC":
+        raise ValueError("not a FLAC stream (bad magic)")
+    pos = 4
+    names: list[str] = []
+    info: bytes | None = None
+    while True:
+        if pos + 4 > len(content):
+            raise ValueError("truncated FLAC metadata block header")
+        hdr = content[pos]
+        btype = hdr & 0x7F
+        if btype == 127:
+            raise ValueError("invalid FLAC metadata block type 127")
+        size = int.from_bytes(content[pos + 1 : pos + 4], "big")
+        if pos + 4 + size > len(content):
+            raise ValueError("truncated FLAC metadata block body")
+        names.append(_FLAC_BLOCK_TYPES.get(btype, f"reserved{btype}"))
+        if btype == 0:
+            info = content[pos + 4 : pos + 4 + size]
+        pos += 4 + size
+        if hdr & 0x80:
+            break
+    if info is None or len(info) < 34:
+        raise ValueError("FLAC STREAMINFO missing or short")
+    packed = int.from_bytes(info[10:18], "big")
+    rate = packed >> 44
+    channels = ((packed >> 41) & 0x7) + 1
+    bits = ((packed >> 36) & 0x1F) + 1
+    total = packed & ((1 << 36) - 1)
+    if rate == 0:
+        raise ValueError("FLAC sample rate 0 is invalid")
+    return rate, channels, bits, total, total * 1000 // rate, names

@@ -872,3 +872,309 @@ def q262_ratio_to_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("region_share_of_total"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q272 — Jaro-Winkler record linkage (DuckDB-builtin parity) (r11)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q272_jaro_winkler_linkage",
+    sql="""
+    WITH names AS (
+      SELECT p_name, split_part(p_name, ' ', 2) AS block,
+             count(*) AS cnt
+      FROM part GROUP BY 1, 2
+    )
+    SELECT a.p_name AS name_a, b.p_name AS name_b,
+           round(jaro_winkler_similarity(a.p_name, b.p_name), 6) AS jw,
+           CAST(a.cnt * b.cnt AS BIGINT) AS n_part_pairs
+    FROM names a JOIN names b
+      ON a.block = b.block AND a.p_name < b.p_name
+    WHERE jaro_winkler_similarity(a.p_name, b.p_name) >= 0.5
+    """,
+    operators=("X-record-linkage", "J-blocked", "UDF-pandas", "C-jaro-winkler"),
+)
+def q272_jaro_winkler_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked record linkage scored by Jaro-Winkler — the
+    prefix-weighted metric every entity-resolution stack pairs with
+    Levenshtein (q183), and one Spark has NO built-in for: the score
+    runs through an Arrow-vectorized pandas UDF
+    (operators/udfs.jaro_winkler_udf) calibrated BIT-EXACTLY to
+    DuckDB's ``jaro_winkler_similarity`` (boost threshold 0.7, prefix
+    cap 4, p=0.1, empty strings score 0 — the 6000-pair fuzz in
+    tests/test_udfs.py pins every branch), so the oracle is the
+    builtin itself. Scale discipline is q183's: canonicalize to
+    DISTINCT-NAME grain before the quadratic step (the UDF prices
+    each string pair once — the value domain, not the corpus, bounds
+    the slow path; record volume rides along as the multiplicity
+    product), block on the noun token, and keep the UDF OUT of the
+    join condition (score once post-join, filter on the scored
+    column) so the Arrow batches stay large."""
+    from portfolio1_etl_spark.operators.udfs import jaro_winkler_udf
+
+    names = (
+        _t(spark, sf_dir, "part")
+        .groupBy(
+            "p_name",
+            F.coalesce(
+                F.try_element_at(F.split("p_name", " "), F.lit(2)),
+                F.lit(""),
+            ).alias("block"),
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    a, b = names.alias("a"), names.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.block") == F.col("b.block"))
+            & (F.col("a.p_name") < F.col("b.p_name")),
+        )
+        .select(
+            F.col("a.p_name").alias("name_a"),
+            F.col("b.p_name").alias("name_b"),
+            jaro_winkler_udf(F.col("a.p_name"), F.col("b.p_name")).alias("jw_raw"),
+            (F.col("a.cnt") * F.col("b.cnt")).cast("long").alias("n_part_pairs"),
+        )
+        .filter(F.col("jw_raw") >= 0.5)
+        .select(
+            "name_a",
+            "name_b",
+            F.round(F.col("jw_raw"), 6).alias("jw"),
+            "n_part_pairs",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q273 — leave-one-out target encoding (r11)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q273_loo_target_encoding",
+    sql="""
+    WITH base AS (
+      SELECT c.c_mktsegment AS segment,
+             CASE WHEN o.o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS y
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey),
+    g AS (SELECT count(*) AS n_all, sum(y) AS y_all FROM base),
+    s AS (SELECT segment, count(*) AS n_seg, sum(y) AS y_seg
+          FROM base GROUP BY 1)
+    SELECT b.segment, CAST(b.y AS BIGINT) AS y,
+           round(CASE WHEN s.n_seg > 1
+                 THEN CAST(s.y_seg - b.y AS DOUBLE) / (s.n_seg - 1)
+                 ELSE CAST(g.y_all AS DOUBLE) / g.n_all END, 6) AS loo_enc,
+           CAST(count(*) AS BIGINT) AS n_orders
+    FROM base b JOIN s ON b.segment = s.segment CROSS JOIN g
+    GROUP BY 1, 2, 3
+    """,
+    operators=("X-target-encoding", "X-leakage-free", "A1", "J1"),
+)
+def q273_loo_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out target encoding of a categorical feature — the
+    leakage-free sibling of q261's WOE: each row's encoded value
+    excludes its OWN label ((Σy_seg − y_i)/(n_seg − 1)), so a model
+    trained on the encoding never sees its target reflected back (the
+    q139 leakage discipline applied to feature engineering, not
+    splitting); singleton categories fall back to the global prior.
+    The plan is two tiny aggregates (segment grain and one global
+    row) broadcast back onto the fact scan — no per-row shuffle
+    beyond the encode's own group-by, and the output collapses to
+    (segment, y) grain because LOO encoding takes exactly one value
+    per (category, label) pair — a property the oracle gate proves
+    for free (any within-pair variance would fan out extra rows).
+    Integer-ratio divisions keep every value bit-identical across
+    engines."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    base = o.join(c, F.col("o_custkey") == F.col("c_custkey")).select(
+        F.col("c_mktsegment").alias("segment"),
+        F.when(F.col("o_orderpriority") == "1-URGENT", F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("y"),
+    )
+    g = base.agg(
+        F.count(F.lit(1)).alias("n_all"), F.sum("y").alias("y_all")
+    )
+    s = base.groupBy("segment").agg(
+        F.count(F.lit(1)).alias("n_seg"), F.sum("y").alias("y_seg")
+    )
+    return (
+        base.join(F.broadcast(s), "segment")
+        .crossJoin(F.broadcast(g))
+        .select(
+            "segment",
+            F.col("y").cast("long").alias("y"),
+            F.round(
+                F.when(
+                    F.col("n_seg") > 1,
+                    (F.col("y_seg") - F.col("y")).cast("double")
+                    / (F.col("n_seg") - 1),
+                ).otherwise(
+                    F.col("y_all").cast("double") / F.col("n_all")
+                ),
+                6,
+            ).alias("loo_enc"),
+        )
+        .groupBy("segment", "y", "loo_enc")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_orders"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# q277 — Poisson-bootstrap confidence intervals (r11)
+# ---------------------------------------------------------------------------
+
+#: Poisson(1) CDF, written as identical decimal literals in BOTH
+#: engines (each parses to the same nearest double); the inverse-CDF
+#: CASE ladder turns a [0,1) uniform into a bootstrap weight.
+_POIS_CDF = (
+    "0.36787944117144233",
+    "0.7357588823428847",
+    "0.9196986029286058",
+    "0.9810118431238463",
+    "0.9963401531726563",
+    "0.9994058151824183",
+    "0.999916758850712",
+    "0.9999897508033253",
+    "0.999998874797402",
+)
+
+_BOOT_B = 64  # replicates; CI = 2nd / 63rd order statistics (~95%)
+
+
+def _pois_case_sql(u: str) -> str:
+    branches = "\n             ".join(
+        f"WHEN {u} < {c} THEN {k}" for k, c in enumerate(_POIS_CDF)
+    )
+    return f"CASE {branches} ELSE 9 END"
+
+
+@query(
+    "q277_poisson_bootstrap_ci",
+    sql=f"""
+    WITH reps AS (SELECT unnest(range({_BOOT_B})) AS b),
+    weighted AS (
+      SELECT c.c_mktsegment AS segment, r.b,
+             CAST(round(o.o_totalprice * 100, 0) AS BIGINT) AS cents,
+             {_pois_case_sql(
+                 "(('0x' || substr(md5('boot-' || r.b::VARCHAR || ':' "
+                 "|| o.o_orderkey::VARCHAR), 1, 12))::BIGINT "
+                 "/ 281474976710656.0)")} AS w
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      CROSS JOIN reps r),
+    rep_means AS (
+      SELECT segment, b,
+             CAST(sum(w * cents) AS DOUBLE) / sum(w) AS mean_b
+      FROM weighted GROUP BY 1, 2 HAVING sum(w) > 0),
+    ranked AS (
+      SELECT segment, mean_b,
+             row_number() OVER (PARTITION BY segment
+                                ORDER BY mean_b, b) AS rn,
+             count(*) OVER (PARTITION BY segment) AS nb
+      FROM rep_means),
+    point AS (
+      SELECT c.c_mktsegment AS segment,
+             count(*) AS n_orders,
+             sum(CAST(round(o.o_totalprice * 100, 0) AS BIGINT)) AS tot_cents
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      GROUP BY 1)
+    SELECT p.segment,
+           CAST(p.n_orders AS BIGINT) AS n_orders,
+           round(CAST(p.tot_cents AS DOUBLE) / p.n_orders / 100.0, 4)
+               AS mean_order_value,
+           round(max(CASE WHEN r.rn = 2 THEN r.mean_b END) / 100.0, 4)
+               AS ci_lo,
+           round(max(CASE WHEN r.rn = r.nb - 1 THEN r.mean_b END) / 100.0, 4)
+               AS ci_hi
+    FROM point p JOIN ranked r ON p.segment = r.segment
+    GROUP BY 1, 2, 3
+    """,
+    operators=("X-bootstrap", "X-resampling", "A1", "W-rank"),
+)
+def q277_poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson-bootstrap confidence intervals for mean order value per
+    segment — THE bootstrap that works on distributed data: classic
+    resampling needs n draws WITH replacement from a shuffled global
+    ordering (a driver-side loop at any scale), while Poisson(1)
+    weights are independent per row, so each of the B=64 replicates is
+    a narrow map (weight from the portable 48-bit md5 hash — q255's
+    never-rand() reproducibility — through an inverse-CDF CASE ladder
+    whose thresholds are written as IDENTICAL decimal literals in both
+    engines) followed by a partial-aggregated group-by. The ×64 row
+    fan-out never shuffles: weights collapse map-side to (segment, b)
+    grain, ~320 rows at ANY corpus size, and the CI is the 2nd/63rd
+    order statistic of the replicate means (exact row_number pick over
+    integer-ratio doubles — deterministic, no percentile
+    interpolation). u = h48/2^48 divides a 48-bit int by a power of
+    two: exact, bit-identical."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    base = o.join(c, F.col("o_custkey") == F.col("c_custkey")).select(
+        F.col("c_mktsegment").alias("segment"),
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents"),
+    )
+    reps = spark.range(_BOOT_B).select(F.col("id").alias("b"))
+    u = (
+        F.expr(
+            "cast(conv(substring(md5(concat('boot-', cast(b as string), ':', "
+            "cast(o_orderkey as string))), 1, 12), 16, 10) as bigint)"
+        )
+        / F.lit(281474976710656.0)
+    )
+    w = F.when(u < float(_POIS_CDF[0]), 0)
+    for k, cdf in enumerate(_POIS_CDF[1:], start=1):
+        w = w.when(u < float(cdf), k)
+    w = w.otherwise(9)
+    weighted = base.crossJoin(F.broadcast(reps)).select(
+        "segment", "b", "cents", w.alias("w")
+    )
+    rep_means = (
+        weighted.groupBy("segment", "b")
+        .agg(F.sum(F.col("w") * F.col("cents")).alias("swx"),
+             F.sum("w").alias("sw"))
+        .filter(F.col("sw") > 0)
+        .select(
+            "segment",
+            "b",
+            (F.col("swx").cast("double") / F.col("sw")).alias("mean_b"),
+        )
+    )
+    wseg = W.partitionBy("segment")
+    ranked = rep_means.select(
+        "segment",
+        "mean_b",
+        F.row_number()
+        .over(wseg.orderBy(F.col("mean_b"), F.col("b")))
+        .alias("rn"),
+        F.count(F.lit(1)).over(wseg).alias("nb"),
+    )
+    point = base.groupBy("segment").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum("cents").alias("tot_cents"),
+    )
+    return (
+        point.join(ranked, "segment")
+        .groupBy(
+            "segment",
+            F.col("n_orders").cast("long").alias("n_orders"),
+            F.round(
+                F.col("tot_cents").cast("double") / F.col("n_orders") / 100.0,
+                4,
+            ).alias("mean_order_value"),
+        )
+        .agg(
+            F.round(
+                F.max(F.when(F.col("rn") == 2, F.col("mean_b"))) / 100.0, 4
+            ).alias("ci_lo"),
+            F.round(
+                F.max(F.when(F.col("rn") == F.col("nb") - 1, F.col("mean_b")))
+                / 100.0,
+                4,
+            ).alias("ci_hi"),
+        )
+    )

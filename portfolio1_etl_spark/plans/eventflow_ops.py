@@ -756,3 +756,208 @@ def q238_variant_shredding(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("pos_x").cast("long").alias("max_pos_x"),
         F.sum("dur0").cast("long").alias("sum_dur0"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q274 — propensity-stratified treatment effect with clipping (r11)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q274_propensity_stratified_effect",
+    sql="""
+    WITH per_user AS (
+      SELECT user_id,
+             sum(CASE WHEN event_type IN ('click', 'view')
+                      THEN 1 ELSE 0 END) AS n_act,
+             max(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS t,
+             sum(CASE WHEN event_type = 'purchase'
+                      THEN CAST(round(value * 100, 0) AS BIGINT)
+                      ELSE 0 END) AS y_cents
+      FROM events GROUP BY 1),
+    strat AS (
+      SELECT least(n_act // 10, 5) AS stratum, t, y_cents FROM per_user),
+    agg AS (
+      SELECT stratum,
+             count(*) AS n_users,
+             sum(t) AS n_treated,
+             sum(CASE WHEN t = 1 THEN y_cents ELSE 0 END) AS yt_cents,
+             sum(CASE WHEN t = 0 THEN y_cents ELSE 0 END) AS yc_cents
+      FROM strat GROUP BY 1)
+    SELECT CAST(stratum AS BIGINT) AS stratum,
+           CAST(n_users AS BIGINT) AS n_users,
+           CAST(n_treated AS BIGINT) AS n_treated,
+           round(CAST(n_treated AS DOUBLE) / n_users, 6) AS e_hat,
+           round(greatest(least(CAST(n_treated AS DOUBLE) / n_users,
+                                0.95), 0.05), 6) AS e_clipped,
+           CASE WHEN n_treated > 0
+                THEN round(CAST(yt_cents AS DOUBLE) / n_treated / 100.0, 4)
+                END AS mean_y_treated,
+           CASE WHEN n_users - n_treated > 0
+                THEN round(CAST(yc_cents AS DOUBLE)
+                           / (n_users - n_treated) / 100.0, 4)
+                END AS mean_y_control,
+           CASE WHEN n_treated > 0 AND n_users - n_treated > 0
+                THEN round(CAST(yt_cents AS DOUBLE) / n_treated / 100.0
+                           - CAST(yc_cents AS DOUBLE)
+                             / (n_users - n_treated) / 100.0, 4)
+                END AS strat_effect
+    FROM agg
+    """,
+    operators=("X-causal-ipw", "X-propensity", "A1", "C-case"),
+)
+def q274_propensity_stratified_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Observational treatment-effect estimation by propensity
+    stratification with clipping — the causal-inference workhorse a
+    product analytics stack runs when it can't randomize (q207 is the
+    randomized twin): treatment = the user signed up, outcome = total
+    purchase value, strata = pre-treatment activity buckets
+    (click/view volume, capped at 6 strata so every cell stays
+    populated at any scale). Per stratum: the raw propensity ê_s, the
+    positivity-clipped weight base (ê clipped to [0.05, 0.95] — the
+    overlap guard every IPW estimator needs before weighting), and
+    the within-stratum effect (treated mean − control mean). The
+    output stays at STRATUM grain deliberately: every column is a
+    single integer-ratio division (exact cents spine, q193's
+    discipline), bit-identical across engines, where the collapsed
+    IPW scalar would be a cross-strata DOUBLE FOLD whose summation
+    order neither engine pins — the one cross-engine shape this
+    registry refuses to hash (registry.py determinism contract); the
+    scalar combine is one broadcast-side reduction the caller owns.
+    One shuffle to user grain, one to stratum grain, nothing else."""
+    e = catalog.load(spark, sf_dir, "events")
+    per_user = e.groupBy("user_id").agg(
+        F.sum(
+            F.when(F.col("event_type").isin("click", "view"), 1).otherwise(0)
+        ).alias("n_act"),
+        F.max(
+            F.when(F.col("event_type") == "signup", 1).otherwise(0)
+        ).alias("t"),
+        F.sum(
+            F.when(
+                F.col("event_type") == "purchase",
+                F.round(F.col("value") * 100, 0).cast("long"),
+            ).otherwise(F.lit(0).cast("long"))
+        ).alias("y_cents"),
+    )
+    agg = (
+        per_user.select(
+            F.least(F.floor(F.col("n_act") / 10), F.lit(5)).alias("stratum"),
+            "t",
+            "y_cents",
+        )
+        .groupBy("stratum")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.sum("t").alias("n_treated"),
+            F.sum(F.when(F.col("t") == 1, F.col("y_cents")).otherwise(0)).alias(
+                "yt_cents"
+            ),
+            F.sum(F.when(F.col("t") == 0, F.col("y_cents")).otherwise(0)).alias(
+                "yc_cents"
+            ),
+        )
+    )
+    nt = F.col("n_treated")
+    nc = F.col("n_users") - F.col("n_treated")
+    mt = F.col("yt_cents").cast("double") / nt / 100.0
+    mc = F.col("yc_cents").cast("double") / nc / 100.0
+    return agg.select(
+        F.col("stratum").cast("long").alias("stratum"),
+        F.col("n_users").cast("long").alias("n_users"),
+        nt.cast("long").alias("n_treated"),
+        F.round(nt.cast("double") / F.col("n_users"), 6).alias("e_hat"),
+        F.round(
+            F.greatest(
+                F.least(nt.cast("double") / F.col("n_users"), F.lit(0.95)),
+                F.lit(0.05),
+            ),
+            6,
+        ).alias("e_clipped"),
+        F.when(nt > 0, F.round(mt, 4)).alias("mean_y_treated"),
+        F.when(nc > 0, F.round(mc, 4)).alias("mean_y_control"),
+        F.when((nt > 0) & (nc > 0), F.round(mt - mc, 4)).alias("strat_effect"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q279 — sequence-pattern matching (MATCH_RECOGNIZE analogue) (r11)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q279_sequence_pattern_match",
+    sql="""
+    WITH coded AS (
+      SELECT user_id,
+             CASE event_type WHEN 'view' THEN 'v' WHEN 'click' THEN 'c'
+                  WHEN 'purchase' THEN 'p' WHEN 'error' THEN 'e'
+                  WHEN 'signup' THEN 's' ELSE 'x' END AS ch,
+             ts, event_id
+      FROM events),
+    seqs AS (
+      SELECT user_id,
+             string_agg(ch, '' ORDER BY ts, event_id) AS seq
+      FROM coded GROUP BY 1),
+    scored AS (
+      SELECT user_id,
+             len(regexp_extract_all(seq, 'v[vc]*p')) AS n_matches,
+             length(seq) AS seq_len
+      FROM seqs)
+    SELECT CAST(n_matches AS BIGINT) AS n_matches,
+           CAST(count(*) AS BIGINT) AS n_users,
+           CAST(sum(seq_len) AS BIGINT) AS sum_events
+    FROM scored GROUP BY 1
+    """,
+    operators=("X-match-recognize", "X-sequence-pattern", "A-collect", "C-regex"),
+)
+def q279_sequence_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-sequence pattern matching — the MATCH_RECOGNIZE analogue
+    (Spark has no row-pattern clause): each user's event stream
+    collapses to a character string in exact (ts, event_id) order
+    (collect_list of structs + array_sort — the struct's field order
+    IS the sort key, so the encode stays deterministic under any task
+    schedule; the oracle's ORDER BY inside string_agg is the same
+    contract), and the funnel pattern `v[vc]*p` (a view, any
+    views/clicks, closing purchase, no error/signup between) counts
+    NON-OVERLAPPING matches per user via regexp_count — leftmost
+    greedy semantics agree between Java regex and DuckDB's RE2 for
+    this alternation-free pattern class (backtracking-divergent
+    constructs like lazy quantifiers or nested alternation are
+    deliberately out of contract). Per-user strings are bounded by
+    per-user event volume (the q233 session bound); the output is the
+    match-count histogram. At 100 TB the collect_list group state is
+    the one memory term — bounded by the busiest user, the same bound
+    every sessionization op here already carries."""
+    e = catalog.load(spark, sf_dir, "events")
+    coded = e.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(F.col("event_type") == "view", "v")
+        .when(F.col("event_type") == "click", "c")
+        .when(F.col("event_type") == "purchase", "p")
+        .when(F.col("event_type") == "error", "e")
+        .when(F.col("event_type") == "signup", "s")
+        .otherwise("x")
+        .alias("ch"),
+    )
+    seqs = coded.groupBy("user_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("ts", "event_id", "ch"))
+                ),
+                lambda a: a["ch"],
+            ),
+            "",
+        ).alias("seq")
+    )
+    scored = seqs.select(
+        F.regexp_count(F.col("seq"), F.lit("v[vc]*p")).alias("n_matches"),
+        F.length("seq").alias("seq_len"),
+    )
+    return scored.groupBy(F.col("n_matches").cast("long").alias("n_matches")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.sum("seq_len").cast("long").alias("sum_events"),
+    )

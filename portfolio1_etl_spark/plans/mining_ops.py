@@ -1142,3 +1142,208 @@ def q255_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("collision_rate"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q271 — synchronous label-propagation communities (r11)
+# ---------------------------------------------------------------------------
+
+_LPA_ROUNDS = 3
+
+
+def _lpa_sql() -> str:
+    ctes = [
+        """ub AS (
+      SELECT DISTINCT user_id AS u, date_trunc('hour', ts) AS h
+      FROM events WHERE event_type = 'purchase')""",
+        "hc AS (SELECT h FROM ub GROUP BY h HAVING count(*) <= 40)",
+        "sm AS (SELECT ub.u, ub.h FROM ub JOIN hc ON ub.h = hc.h)",
+        """edges AS (
+      SELECT DISTINCT a.u AS u, b.u AS v
+      FROM sm a JOIN sm b ON a.h = b.h AND a.u < b.u)""",
+        """nbr AS (
+      SELECT u AS node, v AS nbr FROM edges
+      UNION ALL
+      SELECT v AS node, u AS nbr FROM edges)""",
+        "l0 AS (SELECT DISTINCT node, node AS label FROM nbr)",
+    ]
+    for t in range(1, _LPA_ROUNDS + 1):
+        ctes.append(
+            f"""ct{t} AS (
+      SELECT g.node, l.label, count(*) AS c
+      FROM nbr g JOIN l{t - 1} l ON g.nbr = l.node
+      GROUP BY 1, 2)""",
+        )
+        ctes.append(
+            f"""l{t} AS (
+      SELECT node, label FROM (
+        SELECT node, label,
+               row_number() OVER (PARTITION BY node
+                                  ORDER BY c DESC, label ASC) AS rn
+        FROM ct{t}) WHERE rn = 1)""",
+        )
+    body = ",\n    ".join(ctes)
+    return f"""
+    WITH {body}
+    SELECT CAST(label AS BIGINT) AS community,
+           CAST(count(*) AS BIGINT) AS n_members,
+           CAST(sum(node) AS BIGINT) AS sum_members
+    FROM l{_LPA_ROUNDS} GROUP BY 1
+    """
+
+
+@query(
+    "q271_label_propagation",
+    sql=_lpa_sql(),
+    operators=("X-community-detection", "X-lpa", "W-rank", "A1"),
+)
+def q271_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection by SYNCHRONOUS majority label propagation
+    on the hub-capped co-purchase graph (q224/q237/q254's shared
+    builder): every node starts in its own community, and each round
+    adopts the most frequent label among its neighbors with the
+    deterministic tie-break (count DESC, label ASC) — the async
+    random-order LPA of the literature is unreproducible across
+    engines AND across Spark task schedules, so the synchronous
+    variant is the only one an oracle gate can hold (same reasoning
+    as q255's never-rand() sampling). Three rounds; each is one
+    shuffle-join of the static neighbor list against the O(nodes)
+    label frontier plus a node-partitioned window (bounded groups —
+    never the partitionless shape ranks.py exists to kill), and each
+    round's frontier routes through checkpointing.materialize (the
+    pagerank/q243 discipline: bounded lineage, one round replayed on
+    executor loss, not the unrolled tree). The oracle unrolls the
+    identical rounds as CTEs — integer counts and min-label
+    tie-breaks make every round bit-deterministic. Output is the
+    community census with a membership checksum."""
+    from portfolio1_etl_spark.operators.checkpointing import materialize
+
+    _, nbr = _copurchase_graph(spark, sf_dir)
+    nbr = materialize(nbr)
+    labels = nbr.select("node").distinct().select(
+        "node", F.col("node").alias("label")
+    )
+    w = Window.partitionBy("node").orderBy(F.col("c").desc(), F.col("label").asc())
+    for _ in range(_LPA_ROUNDS):
+        counts = (
+            nbr.join(
+                labels.select(F.col("node").alias("nbr"), "label"), "nbr"
+            )
+            .groupBy("node", "label")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        labels = materialize(
+            counts.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("node", "label")
+        )
+    return labels.groupBy(F.col("label").cast("long").alias("community")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_members"),
+        F.sum("node").cast("long").alias("sum_members"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q281 — item-item collaborative-filtering similarity (r11)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q281_item_item_similarity",
+    sql="""
+    WITH b AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    item AS (SELECT l_partkey, count(*) AS cnt FROM b GROUP BY 1),
+    pair AS (
+      SELECT a.l_partkey AS part_a, c.l_partkey AS part_b,
+             count(*) AS co_cnt
+      FROM b a JOIN b c
+        ON a.l_orderkey = c.l_orderkey AND a.l_partkey < c.l_partkey
+      GROUP BY 1, 2 HAVING count(*) >= 2),
+    sym AS (
+      SELECT part_a AS item, part_b AS other, co_cnt FROM pair
+      UNION ALL
+      SELECT part_b AS item, part_a AS other, co_cnt FROM pair),
+    scored AS (
+      SELECT s.item, s.other,
+             s.co_cnt / sqrt(CAST(ia.cnt AS DOUBLE) * ib.cnt) AS sim,
+             row_number() OVER (
+               PARTITION BY s.item
+               ORDER BY s.co_cnt / sqrt(CAST(ia.cnt AS DOUBLE) * ib.cnt)
+                        DESC, s.other ASC) AS rn
+      FROM sym s
+      JOIN item ia ON s.item = ia.l_partkey
+      JOIN item ib ON s.other = ib.l_partkey)
+    SELECT item, other, round(sim, 6) AS cosine_sim,
+           CAST(rn AS BIGINT) AS rank
+    FROM scored WHERE rn <= 3
+    """,
+    operators=("X-recommender", "X-item-item-cf", "J1", "W-rank"),
+)
+def q281_item_item_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-item collaborative filtering — the neighborhood
+    recommender's core table (q220's association rules are the
+    directional/confidence view; this is the symmetric cosine view a
+    k-NN recommender serves from): co-occurrence counts over distinct
+    order baskets, cosine similarity co/√(cnt_a·cnt_b), top-3
+    neighbors per item. Determinism: the product of exact integer
+    counts casts to double exactly (< 2^53) and IEEE sqrt is
+    CORRECTLY ROUNDED in both engines, so sim is bit-identical and
+    the (sim DESC, other ASC) rank never diverges. Scale shape: the
+    basket self-join is support-floored (≥2 co-orders) and its
+    candidate volume is bounded by per-order basket size (the q220
+    bound); the rank window partitions by ITEM — never global; at
+    100 TB the serving table shards on item, which is exactly this
+    output's grain."""
+    li = _t(spark, sf_dir, "lineitem")
+    b = li.select("l_orderkey", "l_partkey").distinct()
+    item = b.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("cnt"))
+    a, c = b.alias("a"), b.alias("c")
+    pair = (
+        a.join(
+            c,
+            (F.col("a.l_orderkey") == F.col("c.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("c.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("c.l_partkey").alias("part_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("co_cnt"))
+        .filter(F.col("co_cnt") >= 2)
+    )
+    sym = pair.select(
+        F.col("part_a").alias("item"), F.col("part_b").alias("other"), "co_cnt"
+    ).unionAll(
+        pair.select(
+            F.col("part_b").alias("item"),
+            F.col("part_a").alias("other"),
+            "co_cnt",
+        )
+    )
+    ia = item.select(F.col("l_partkey").alias("item"), F.col("cnt").alias("cnt_a"))
+    ib = item.select(F.col("l_partkey").alias("other"), F.col("cnt").alias("cnt_b"))
+    sim = F.col("co_cnt") / F.sqrt(
+        F.col("cnt_a").cast("double") * F.col("cnt_b")
+    )
+    scored = (
+        sym.join(ia, "item")
+        .join(ib, "other")
+        .select(
+            "item",
+            "other",
+            sim.alias("sim"),
+            F.row_number()
+            .over(
+                Window.partitionBy("item").orderBy(
+                    sim.desc(), F.col("other").asc()
+                )
+            )
+            .alias("rn"),
+        )
+    )
+    return scored.filter(F.col("rn") <= 3).select(
+        "item",
+        "other",
+        F.round("sim", 6).alias("cosine_sim"),
+        F.col("rn").cast("long").alias("rank"),
+    )

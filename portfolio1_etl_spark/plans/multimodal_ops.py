@@ -2101,3 +2101,128 @@ def q264_mp4_sample_table_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id long, track_idx long, codec string, n_samples long, "
         "total_bytes long, duration_ms long, bitrate_bps long",
     )
+
+
+# ---------------------------------------------------------------------------
+# q278 — FLAC STREAMINFO census (r11)
+# ---------------------------------------------------------------------------
+
+
+def _synthesize_flac_media(docs):
+    """Deterministic FLAC corpus: per doc_id one real container head
+    ('fLaC' magic + spec-exact packed STREAMINFO, optionally a
+    VORBIS_COMMENT and a PADDING block) with truncation-corrupt
+    objects salted in. Pure id arithmetic, so the oracle replays the
+    census in closed form without parsing a byte."""
+    from portfolio1_etl_spark.operators.audio import encode_flac_stub
+
+    rates = (44100, 48000, 96000, 22050)
+
+    def _one(doc_id: int) -> bytes:
+        if doc_id % 31 == 0:
+            return b"fLaC\x00\x00\x00"  # truncated metadata header
+        return encode_flac_stub(
+            rates[(doc_id // 2) % 4],
+            1 + doc_id % 3,
+            16 + 8 * (doc_id % 2),
+            1000 + (doc_id % 97) * 441,
+            comment=("t" * (1 + doc_id % 7)) if doc_id % 3 == 0 else None,
+            padding=4 if doc_id % 5 == 0 else 0,
+        )
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "path": pdf["doc_id"].astype(str),
+                    "modality": "audio",
+                    "content": [_one(int(d)) for d in pdf["doc_id"]],
+                }
+            )
+
+    return docs.select("doc_id").mapInPandas(
+        op, "path string, modality string, content binary"
+    )
+
+
+@query(
+    "q278_flac_census",
+    sql="""
+    SELECT doc_id,
+      CASE WHEN doc_id % 31 = 0 THEN 'corrupt' ELSE 'ok' END AS status,
+      CASE WHEN doc_id % 31 = 0 THEN NULL
+           ELSE CAST(list_extract([44100,48000,96000,22050],
+                     1 + CAST((doc_id // 2) % 4 AS INTEGER)) AS BIGINT)
+           END AS sample_rate,
+      CASE WHEN doc_id % 31 = 0 THEN NULL
+           ELSE CAST(1 + doc_id % 3 AS BIGINT) END AS channels,
+      CASE WHEN doc_id % 31 = 0 THEN NULL
+           ELSE CAST(16 + 8 * (doc_id % 2) AS BIGINT) END AS bits_per_sample,
+      CASE WHEN doc_id % 31 = 0 THEN NULL
+           ELSE CAST(1000 + (doc_id % 97) * 441 AS BIGINT) END AS total_samples,
+      CASE WHEN doc_id % 31 = 0 THEN NULL
+           ELSE CAST((1000 + (doc_id % 97) * 441) * 1000
+                     // list_extract([44100,48000,96000,22050],
+                                     1 + CAST((doc_id // 2) % 4 AS INTEGER))
+                     AS BIGINT) END AS duration_ms,
+      CASE WHEN doc_id % 31 = 0 THEN NULL
+           ELSE 'streaminfo'
+                || CASE WHEN doc_id % 3 = 0 THEN ',vorbis_comment' ELSE '' END
+                || CASE WHEN doc_id % 5 = 0 THEN ',padding' ELSE '' END
+           END AS blocks
+    FROM documents
+    """,
+    operators=("X-multimodal", "X-flac-probe", "UDF-mapInPandas"),
+)
+def q278_flac_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FLAC container census (r11) — the lossless-audio member of the
+    transport tier (MP3 q194, ADTS q241, MP4 stbl q264, WAV q162):
+    walk every object's metadata blocks and decode the spec-packed
+    STREAMINFO (20-bit rate / 3-bit channels / 5-bit depth / 36-bit
+    sample count in one 64-bit big-endian field) into rate, channels,
+    bit depth, exact sample count, and derived duration; the block
+    walk itself is reported (streaminfo,vorbis_comment,padding) so a
+    governance sweep can find tagged objects. Truncated containers
+    surface as 'corrupt'/NULL rows — the probe raises loudly and the
+    census catches per-object (the q149 pattern), never a crash.
+    Audio-frame decode stays the documented loud boundary
+    (operators/audio.py). Scale shape: synthesis and probe are one
+    narrow Arrow-batched mapInPandas chain over the corpus — zero
+    shuffles; the oracle replays the id arithmetic in closed form."""
+    from portfolio1_etl_spark.operators.audio import probe_flac_streaminfo
+
+    media = _synthesize_flac_media(catalog.load(spark, sf_dir, "documents"))
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: dict[str, list] = {
+                "doc_id": [], "status": [], "sample_rate": [],
+                "channels": [], "bits_per_sample": [], "total_samples": [],
+                "duration_ms": [], "blocks": [],
+            }
+            for path, content in zip(pdf["path"], pdf["content"]):
+                rate = chans = bits = total = dur = names = None
+                status = "ok"
+                try:
+                    rate, chans, bits, total, dur, blist = (
+                        probe_flac_streaminfo(bytes(content))
+                    )
+                    names = ",".join(blist)
+                except (ValueError, IndexError):
+                    status = "corrupt"
+                rows["doc_id"].append(int(path))
+                rows["status"].append(status)
+                rows["sample_rate"].append(rate)
+                rows["channels"].append(chans)
+                rows["bits_per_sample"].append(bits)
+                rows["total_samples"].append(total)
+                rows["duration_ms"].append(dur)
+                rows["blocks"].append(names)
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(
+        op,
+        "doc_id long, status string, sample_rate long, channels long, "
+        "bits_per_sample long, total_samples long, duration_ms long, "
+        "blocks string",
+    )

@@ -13,6 +13,7 @@ entirely inside (pandas row loops, :63-76, :129-133).
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from portfolio1_etl_spark import catalog
@@ -199,3 +200,124 @@ def q134_udtf_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SELECT d.doc_id, CAST(g.pos AS BIGINT) AS pos, g.ngram "
         "FROM q134_docs d, LATERAL q134_ngrams(d.text, 3) g"
     )
+
+
+# ---------------------------------------------------------------------------
+# q280 — join-key skew diagnostics (r11)
+# ---------------------------------------------------------------------------
+
+#: join keys q280 profiles: (label, table, key column)
+_SKEW_KEYS = (
+    ("lineitem.l_partkey", "lineitem", "l_partkey"),
+    ("lineitem.l_suppkey", "lineitem", "l_suppkey"),
+    ("lineitem.l_orderkey", "lineitem", "l_orderkey"),
+    ("orders.o_custkey", "orders", "o_custkey"),
+)
+
+
+def _skew_sql() -> str:
+    parts = []
+    for label, table, key in _SKEW_KEYS:
+        parts.append(f"""
+    SELECT '{label}' AS join_key, n_keys, total_rows, max_cnt,
+           top_share_ppm, median_cnt, p99_cnt,
+           max_cnt * 1000000 // median_cnt AS skew_ratio_ppm,
+           CASE WHEN top_share_ppm >= 5000 THEN 'salt'
+                WHEN n_keys <= 10000 THEN 'broadcast'
+                ELSE 'shuffle-hash' END AS recommend
+    FROM (
+      SELECT CAST(sum(freq) AS BIGINT) AS n_keys,
+             CAST(sum(cnt * freq) AS BIGINT) AS total_rows,
+             CAST(max(cnt) AS BIGINT) AS max_cnt,
+             CAST(max(cnt) * 1000000 // sum(cnt * freq) AS BIGINT)
+                 AS top_share_ppm,
+             CAST(min(CASE WHEN cum >= nk // 2 + 1
+                      THEN cnt END) AS BIGINT) AS median_cnt,
+             CAST(min(CASE WHEN cum * 100 >= 99 * nk
+                      THEN cnt END) AS BIGINT) AS p99_cnt
+      FROM (
+        SELECT cnt, freq, sum(freq) OVER (ORDER BY cnt) AS cum,
+               sum(freq) OVER () AS nk
+        FROM (SELECT cnt, count(*) AS freq
+              FROM (SELECT {key}, count(*) AS cnt
+                    FROM {table} GROUP BY 1)
+              GROUP BY 1))
+    )""")
+    return "\nUNION ALL\n".join(parts)
+
+
+@query(
+    "q280_skew_diagnostics",
+    sql=_skew_sql(),
+    operators=("X-skew-advisor", "X-data-profiling", "A1", "W-frame"),
+)
+def q280_skew_diagnostics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew diagnostics — the profiler that decides BETWEEN
+    this engine's join strategies (q130's salting, q08's broadcast,
+    the default shuffle hash) before a production join runs: for each
+    candidate key, the per-key count distribution collapses to
+    COUNT-OF-COUNTS grain (cnt → how many keys have that cnt — the
+    domain a count distribution actually lives in: a few hundred
+    distinct multiplicities even when the key has 200M values), and
+    median / p99 / top-share read off its cumulative sum as exact
+    order statistics. The two-level aggregate is the scale move: the
+    first group-by is the only key-grain shuffle, the count-of-counts
+    frame is domain-bounded (same sanction class as q227's histogram
+    cells), and everything downstream is integer arithmetic — ppm
+    shares by integer floor division, never a float. The recommend
+    column encodes the engine's own playbook: ≥0.5% single-key share
+    → salt (AQE skew splits help reads, not the hot reducer's write);
+    small key domain → broadcast the dim side; else shuffle-hash."""
+    out = None
+    for label, table, key in _SKEW_KEYS:
+        t = catalog.load(spark, sf_dir, table)
+        per_key = t.groupBy(key).agg(F.count(F.lit(1)).alias("cnt"))
+        dist = per_key.groupBy("cnt").agg(F.count(F.lit(1)).alias("freq"))
+        wcum = Window.orderBy("cnt").rowsBetween(Window.unboundedPreceding, 0)
+        wall = Window.partitionBy()
+        cum = dist.select(
+            "cnt",
+            "freq",
+            F.sum("freq").over(wcum).alias("cum"),
+            F.sum("freq").over(wall).alias("nk"),
+        )
+        stats = cum.agg(
+            F.sum("freq").cast("long").alias("n_keys"),
+            F.sum(F.col("cnt") * F.col("freq")).cast("long").alias("total_rows"),
+            F.max("cnt").cast("long").alias("max_cnt"),
+            F.floor(
+                F.max("cnt") * 1000000 / F.sum(F.col("cnt") * F.col("freq"))
+            )
+            .cast("long")
+            .alias("top_share_ppm"),
+            F.min(
+                F.when(
+                    F.col("cum") >= F.floor(F.col("nk") / 2) + 1, F.col("cnt")
+                )
+            )
+            .cast("long")
+            .alias("median_cnt"),
+            F.min(
+                F.when(F.col("cum") * 100 >= 99 * F.col("nk"), F.col("cnt"))
+            )
+            .cast("long")
+            .alias("p99_cnt"),
+        )
+        row = stats.select(
+            F.lit(label).alias("join_key"),
+            "n_keys",
+            "total_rows",
+            "max_cnt",
+            "top_share_ppm",
+            "median_cnt",
+            "p99_cnt",
+            F.floor(F.col("max_cnt") * 1000000 / F.col("median_cnt"))
+            .cast("long")
+            .alias("skew_ratio_ppm"),
+            F.when(F.col("top_share_ppm") >= 5000, "salt")
+            .when(F.col("n_keys") <= 10000, "broadcast")
+            .otherwise("shuffle-hash")
+            .alias("recommend"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out

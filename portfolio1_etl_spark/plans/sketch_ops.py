@@ -520,3 +520,170 @@ def q212_hll_merge_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("merge_exact"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q283 — KMV sketch intersections (r11)
+# ---------------------------------------------------------------------------
+
+_KMV_K = 256
+_H_SPACE = 281474976710656  # 2^48
+
+
+@query(
+    "q283_kmv_intersection",
+    sql=f"""
+    WITH uh AS (
+      SELECT DISTINCT event_type AS t, user_id AS u,
+        ('0x' || substr(md5('kmv:' || user_id::VARCHAR), 1, 12))::BIGINT AS h
+      FROM events),
+    rk AS (
+      SELECT t, h, row_number() OVER (PARTITION BY t ORDER BY h) AS rn,
+             count(*) OVER (PARTITION BY t) AS n_t
+      FROM (SELECT DISTINCT t, h FROM uh)),
+    sk AS (SELECT * FROM rk WHERE rn <= {_KMV_K}),
+    theta AS (
+      SELECT t,
+             CASE WHEN max(n_t) >= {_KMV_K}
+                  THEN max(CASE WHEN rn = {_KMV_K} THEN h END)
+                  ELSE {_H_SPACE} END AS theta_t,
+             CASE WHEN max(n_t) >= {_KMV_K}
+                  THEN round({_KMV_K - 1}.0 * {_H_SPACE}.0
+                             / max(CASE WHEN rn = {_KMV_K} THEN h END), 2)
+                  ELSE CAST(max(n_t) AS DOUBLE) END AS est_t
+      FROM sk GROUP BY 1),
+    pairs AS (
+      SELECT a.t AS ta, b.t AS tb,
+             least(a.theta_t, b.theta_t) AS theta,
+             a.est_t AS est_a, b.est_t AS est_b
+      FROM theta a JOIN theta b ON a.t < b.t),
+    common AS (
+      SELECT p.ta, p.tb,
+             sum(CASE WHEN sb.h IS NOT NULL AND sa.h < p.theta
+                 THEN 1 ELSE 0 END) AS c
+      FROM pairs p
+      JOIN sk sa ON sa.t = p.ta
+      LEFT JOIN sk sb ON sb.t = p.tb AND sb.h = sa.h
+      GROUP BY 1, 2),
+    ti AS (
+      SELECT a.t AS ta, b.t AS tb, count(*) AS true_common
+      FROM uh a JOIN uh b ON a.u = b.u AND a.t < b.t
+      GROUP BY 1, 2)
+    SELECT p.ta AS type_a, p.tb AS type_b,
+           p.est_a, p.est_b,
+           CAST(c.c AS BIGINT) AS common_in_sketch,
+           round(CAST(c.c AS DOUBLE) * {_H_SPACE}.0 / p.theta, 2)
+               AS est_intersection,
+           CAST(coalesce(ti.true_common, 0) AS BIGINT) AS true_intersection
+    FROM pairs p
+    JOIN common c ON p.ta = c.ta AND p.tb = c.tb
+    LEFT JOIN ti ON p.ta = ti.ta AND p.tb = ti.tb
+    """,
+    operators=("X-kmv-sketch", "X-sketch-intersection", "W-rank", "A-distinct"),
+)
+def q283_kmv_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (k-minimum-values / theta-style) distinct sketches with
+    INTERSECTION estimation — the capability HLL (q195/q212)
+    structurally lacks: "how many users did BOTH X and Y" without
+    scanning at pair grain. Each event type keeps its k=256 smallest
+    48-bit md5 user hashes (the portable hash family — the sketch is
+    REPRODUCIBLE across engines, runs, and merges, never rand()); θ
+    = the k-th smallest (full space when the sketch isn't full, which
+    makes the estimate EXACT in that regime), and the pairwise
+    estimator counts common hashes below least(θ_a, θ_b) scaled by
+    2^48/θ — every sketch row below the smaller θ is a complete
+    uniform sample of the intersection. The exact pair count rides
+    along as the scoreboard column (the q114 recall-board pattern).
+    Scale shape: sketches are built by a PARTITIONED rank window (k
+    rows survive per type), pair joins touch only k-row sketches —
+    at 100 TB the pairwise stage costs the same as at 100 MB; only
+    the distinct-user pass scales with data. Estimates are single
+    int-ratio doubles — bit-identical."""
+    from pyspark.sql import Window
+
+    e = catalog.load(spark, sf_dir, "events")
+    uh = e.select(
+        F.col("event_type").alias("t"),
+        F.col("user_id").alias("u"),
+        F.expr(
+            "cast(conv(substring(md5(concat('kmv:', cast(user_id as string))),"
+            " 1, 12), 16, 10) as bigint)"
+        ).alias("h"),
+    ).distinct()
+    th = uh.select("t", "h").distinct()
+    wt = Window.partitionBy("t")
+    rk = th.select(
+        "t",
+        "h",
+        F.row_number().over(wt.orderBy("h")).alias("rn"),
+        F.count(F.lit(1)).over(wt).alias("n_t"),
+    )
+    sk = rk.filter(F.col("rn") <= _KMV_K)
+    kth = F.max(F.when(F.col("rn") == _KMV_K, F.col("h")))
+    theta = sk.groupBy("t").agg(
+        F.when(F.max("n_t") >= _KMV_K, kth)
+        .otherwise(F.lit(_H_SPACE))
+        .alias("theta_t"),
+        F.when(
+            F.max("n_t") >= _KMV_K,
+            F.round(
+                F.lit(float(_KMV_K - 1)) * F.lit(float(_H_SPACE)) / kth, 2
+            ),
+        )
+        .otherwise(F.max("n_t").cast("double"))
+        .alias("est_t"),
+    )
+    a, b = theta.alias("a"), theta.alias("b")
+    pairs = a.join(b, F.col("a.t") < F.col("b.t")).select(
+        F.col("a.t").alias("ta"),
+        F.col("b.t").alias("tb"),
+        F.least(F.col("a.theta_t"), F.col("b.theta_t")).alias("theta"),
+        F.col("a.est_t").alias("est_a"),
+        F.col("b.est_t").alias("est_b"),
+    )
+    sa = sk.select(F.col("t").alias("ta"), F.col("h").alias("ha"))
+    sb = sk.select(F.col("t").alias("tb2"), F.col("h").alias("hb"))
+    common = (
+        pairs.join(sa, "ta")
+        .join(
+            sb,
+            (F.col("tb") == F.col("tb2")) & (F.col("ha") == F.col("hb")),
+            "left",
+        )
+        .groupBy("ta", "tb")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("hb").isNotNull() & (F.col("ha") < F.col("theta")),
+                    1,
+                ).otherwise(0)
+            ).alias("c")
+        )
+    )
+    ua = uh.select(F.col("t").alias("ta"), "u")
+    ub = uh.select(F.col("t").alias("tb"), "u")
+    ti = (
+        ua.join(ub, "u")
+        .filter(F.col("ta") < F.col("tb"))
+        .groupBy("ta", "tb")
+        .agg(F.count(F.lit(1)).alias("true_common"))
+    )
+    return (
+        pairs.join(common, ["ta", "tb"])
+        .join(ti, ["ta", "tb"], "left")
+        .select(
+            F.col("ta").alias("type_a"),
+            F.col("tb").alias("type_b"),
+            "est_a",
+            "est_b",
+            F.col("c").cast("long").alias("common_in_sketch"),
+            F.round(
+                F.col("c").cast("double") * F.lit(float(_H_SPACE))
+                / F.col("theta"),
+                2,
+            ).alias("est_intersection"),
+            F.coalesce(F.col("true_common"), F.lit(0))
+            .cast("long")
+            .alias("true_intersection"),
+        )
+    )

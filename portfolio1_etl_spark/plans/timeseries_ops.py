@@ -777,3 +777,111 @@ def q236_holt_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
         forecast.alias("forecast_cents"),
         F.abs(forecast - F.col("actual_cents")).alias("abs_err_cents"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q275 — split-conformal forecast interval (r11)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q275_conformal_interval",
+    sql="""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS d,
+             sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS rev_cents
+      FROM orders GROUP BY 1),
+    pred AS (
+      SELECT d, rev_cents,
+             lag(rev_cents, 7) OVER (ORDER BY d) AS yhat_cents
+      FROM daily),
+    resid AS (
+      SELECT d, abs(rev_cents - yhat_cents) AS ar,
+             row_number() OVER (ORDER BY d) AS rnk,
+             count(*) OVER () AS n_r
+      FROM pred WHERE yhat_cents IS NOT NULL),
+    marked AS (
+      SELECT *, CAST(ceil(0.7 * n_r) AS BIGINT) AS n_cal FROM resid),
+    cal AS (SELECT * FROM marked WHERE rnk <= n_cal),
+    qpick AS (
+      SELECT ar AS qhat_cents FROM (
+        SELECT ar, n_cal,
+               row_number() OVER (ORDER BY ar, rnk) AS qr
+        FROM cal)
+      WHERE qr = least(CAST(ceil(0.9 * (n_cal + 1)) AS BIGINT), n_cal)),
+    test AS (SELECT * FROM marked WHERE rnk > n_cal)
+    SELECT CAST(max(t.n_cal) AS BIGINT) AS n_cal,
+           CAST(count(*) AS BIGINT) AS n_test,
+           round(CAST(max(q.qhat_cents) AS DOUBLE) / 100.0, 2) AS qhat,
+           round(CAST(sum(CASE WHEN t.ar <= q.qhat_cents
+                          THEN 1 ELSE 0 END) AS DOUBLE)
+                 / count(*), 6) AS coverage,
+           round(2.0 * max(q.qhat_cents) / 100.0, 2) AS interval_width
+    FROM test t CROSS JOIN qpick q
+    """,
+    operators=("X-conformal", "X-forecast-eval", "W-lag", "A1"),
+)
+def q275_conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-conformal prediction interval for the daily-revenue
+    forecast — the distribution-free calibration layer that turns ANY
+    point forecaster (here the seasonal-naive lag-7, q231/q236's
+    baseline) into an interval with a finite-sample coverage
+    guarantee: the first 70% of residual days calibrate q̂ = the
+    ⌈0.9·(n+1)⌉-th smallest absolute residual (the EXACT order
+    statistic, picked by row_number with a date tie-break — never an
+    interpolating percentile, whose float interpolation the two
+    engines round differently), and the held-out 30% reports
+    empirical coverage of ŷ ± q̂. The integer-cents spine (q193)
+    makes every residual exact, so rank order is bit-deterministic.
+    Scale shape: one shuffle to day grain, then all windows run at
+    DAY grain (≤ tens of thousands of rows at any corpus size — the
+    date-domain bound, not the fact-table bound, prices the sort);
+    the one-row q̂ broadcast-joins back onto the test days."""
+    o = catalog.load(spark, sf_dir, "orders")
+    daily = o.groupBy(F.col("o_orderdate").cast("date").alias("d")).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long")).alias(
+            "rev_cents"
+        )
+    )
+    wd = W.orderBy("d")
+    pred = daily.select(
+        "d", "rev_cents", F.lag("rev_cents", 7).over(wd).alias("yhat_cents")
+    ).filter(F.col("yhat_cents").isNotNull())
+    resid = pred.select(
+        "d",
+        F.abs(F.col("rev_cents") - F.col("yhat_cents")).alias("ar"),
+        F.row_number().over(wd).alias("rnk"),
+    )
+    n_r = resid.agg(F.count(F.lit(1)).alias("n_r"))
+    marked = resid.crossJoin(F.broadcast(n_r)).withColumn(
+        "n_cal", F.ceil(0.7 * F.col("n_r")).cast("long")
+    )
+    cal = marked.filter(F.col("rnk") <= F.col("n_cal"))
+    qpick = (
+        cal.withColumn(
+            "qr",
+            F.row_number().over(W.orderBy(F.col("ar"), F.col("rnk"))),
+        )
+        .filter(
+            F.col("qr")
+            == F.least(
+                F.ceil(0.9 * (F.col("n_cal") + 1)).cast("long"),
+                F.col("n_cal"),
+            )
+        )
+        .select(F.col("ar").alias("qhat_cents"))
+    )
+    test = marked.filter(F.col("rnk") > F.col("n_cal"))
+    return test.crossJoin(F.broadcast(qpick)).agg(
+        F.max("n_cal").cast("long").alias("n_cal"),
+        F.count(F.lit(1)).cast("long").alias("n_test"),
+        F.round(F.max("qhat_cents").cast("double") / 100.0, 2).alias("qhat"),
+        F.round(
+            F.sum(
+                F.when(F.col("ar") <= F.col("qhat_cents"), 1).otherwise(0)
+            ).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("coverage"),
+        F.round(2.0 * F.max("qhat_cents") / 100.0, 2).alias("interval_width"),
+    )

@@ -475,3 +475,52 @@ def test_adts_any_shape_roundtrips(profile, rate, channels, sizes, blocks):
     p, r, ch, nf, tb, dur = probe_adts_metadata(b)
     assert (p, r, ch, nf, tb) == (profile, rate, channels, len(sizes), len(sizes) * blocks)
     assert dur == len(sizes) * blocks * 1024 * 1000 // rate
+
+
+def test_flac_roundtrip_and_loud_boundaries():
+    """encode_flac_stub -> probe_flac_streaminfo roundtrip across the
+    packed-field extremes, plus every loud-boundary branch: bad magic,
+    truncated header, truncated body, missing STREAMINFO, zero rate,
+    and the invalid block type 127."""
+    import pytest
+
+    from portfolio1_etl_spark.operators.audio import (
+        encode_flac_stub,
+        probe_flac_streaminfo,
+    )
+
+    for rate, ch, bits, total in [
+        (8000, 1, 16, 0),            # zero samples: duration 0
+        (44100, 2, 16, 441000),
+        (96000, 8, 32, (1 << 36) - 1),  # field maxima
+        ((1 << 20) - 1, 3, 4, 7),       # 20-bit rate max, 4-bit depth min
+    ]:
+        b = encode_flac_stub(rate, ch, bits, total, comment="x", padding=3)
+        r, c, bi, t, dur, names = probe_flac_streaminfo(b)
+        assert (r, c, bi, t) == (rate, ch, bits, total)
+        assert dur == total * 1000 // rate
+        assert names == ["streaminfo", "vorbis_comment", "padding"]
+
+    good = encode_flac_stub(44100, 2, 16, 1000)
+    with pytest.raises(ValueError, match="magic"):
+        probe_flac_streaminfo(b"OggS" + good[4:])
+    with pytest.raises(ValueError, match="truncated"):
+        probe_flac_streaminfo(good[:6])
+    with pytest.raises(ValueError, match="truncated"):
+        probe_flac_streaminfo(good[:-5])
+    # a padding-only chain never yields STREAMINFO
+    with pytest.raises(ValueError, match="STREAMINFO"):
+        probe_flac_streaminfo(b"fLaC" + bytes([0x81]) + (2).to_bytes(3, "big") + b"\x00\x00")
+    # zero sample rate is spec-invalid
+    zero = bytearray(encode_flac_stub(1, 1, 16, 0))
+    packed = int.from_bytes(zero[18:26], "big") & ((1 << 44) - 1)
+    zero[18:26] = packed.to_bytes(8, "big")
+    with pytest.raises(ValueError, match="rate 0"):
+        probe_flac_streaminfo(bytes(zero))
+    with pytest.raises(ValueError, match="127"):
+        probe_flac_streaminfo(b"fLaC" + bytes([0xFF]) + (0).to_bytes(3, "big"))
+    # encoder refuses out-of-range fields loudly
+    for bad in [(0, 1, 16, 0), (44100, 9, 16, 0), (44100, 1, 33, 0),
+                (44100, 1, 16, 1 << 36), (1 << 20, 1, 16, 0)]:
+        with pytest.raises(ValueError):
+            encode_flac_stub(*bad)

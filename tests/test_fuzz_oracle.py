@@ -62,6 +62,9 @@ QUERIES = [
     "q148_kneser_ney_logprob",
     # MP4 box-structure census (doc_id arithmetic)
     "q149_video_metadata_census",
+    # FLAC STREAMINFO block-walk census (doc_id arithmetic; corrupt
+    # truncation and the packed 20/3/5/36-bit field on random ids)
+    "q278_flac_census",
     # MPEG audio frame-header census (doc_id arithmetic, ID3-wrapped)
     "q152_audio_bitrate_census",
     # WAV waveform census (doc_id arithmetic, real container decode)
@@ -275,6 +278,22 @@ _EVENT_QUERIES = [
     # nearest-match as-of on bursty/same-second orderings (users with
     # no purchases at all, errors before the first purchase)
     "q246_asof_nearest",
+    # r11 synchronous LPA: random co-purchase graphs make cliques,
+    # chains, and majority ties — the (count DESC, label ASC)
+    # tie-break must agree with the oracle's unrolled CTE rounds
+    "q271_label_propagation",
+    # r11 propensity stratification: this generator emits NO signup
+    # events, so every stratum has an empty treated arm — the
+    # clipping floor and the NULL treated-mean guard must agree
+    "q274_propensity_stratified_effect",
+    # r11 MATCH_RECOGNIZE analogue: same-second ties exercise the
+    # (ts, event_id) ordering contract; 'cart' takes the else-'x'
+    # arm; idle users produce empty sequences
+    "q279_sequence_pattern_match",
+    # r11 KMV sketches: 15-user corpora never fill k=256, so the
+    # exact (not-full) estimator arm and zero-intersection pairs
+    # must agree with the oracle
+    "q283_kmv_intersection",
 ]
 
 

@@ -182,6 +182,16 @@ _SANCTIONED_BNLJ = {
     # Kneser-Ney: cross with the broadcast ONE-ROW bigram-type count
     # for the continuation-probability denominator (same pattern).
     "q148_kneser_ney_logprob",
+    # LOO encoding: fact scan × the broadcast ONE-ROW global prior
+    # (the q118 1-row-total pattern); the segment stats broadcast-hash.
+    "q273_loo_target_encoding",
+    # conformal: day-grain residuals × the broadcast ONE-ROW count,
+    # then × the broadcast ONE-ROW q-hat pick (the q32 shape).
+    "q275_conformal_interval",
+    # Poisson bootstrap: fact scan × the broadcast 64-ROW replicate
+    # index — a bounded 64× map-side expansion by construction (the
+    # q179 cell-offset pattern); replicate means collapse map-side.
+    "q277_poisson_bootstrap_ci",
     # join advisor: three 1×1 crosses of single-row profile aggregates
     # (the q32 shape) — the entire frame is 3 rows by construction.
     "q153_join_strategy_advisor",
@@ -419,6 +429,10 @@ _SANCTIONED_TINY_GRAIN_WINDOW = {
     "q229_cusum_changepoint",
     "q230_revenue_acf",
     "q236_holt_backtest",
+    "q275_conformal_interval",  # calendar-day residual grain
+    "q280_skew_diagnostics",  # count-of-counts grain (distinct
+    # multiplicities of a key's count distribution — a few hundred
+    # cells even when the key itself has 200M values)
 }
 
 

@@ -103,3 +103,47 @@ def test_grouped_agg_udaf_matches_expression_twin(spark, sf_dir):
     assert set(got) == set(want)
     for k in want:
         assert abs(got[k] - want[k]) < 1e-9
+
+
+def test_jaro_winkler_matches_duckdb_bit_exactly():
+    """q272's whole determinism story: _jaro_winkler_py must equal
+    DuckDB's jaro_winkler_similarity BIT-FOR-BIT (same IEEE ops in the
+    same order), so the 6-dp round in query and oracle can never
+    straddle. 2000-pair fuzz over short alphabets (maximizes matches/
+    transpositions/prefix collisions) plus the documented edge cases:
+    empty-vs-empty scores 0, the unclamped match window ('ab'/'ba' ->
+    0), and the 0.7 boost threshold."""
+    import random
+
+    import duckdb
+
+    from portfolio1_etl_spark.operators.udfs import _jaro_winkler_py
+
+    con = duckdb.connect()
+    rng = random.Random(272)
+    cases = [("", ""), ("", "x"), ("x", "x"), ("ab", "ba"),
+             ("dixon", "dicksonx"), ("martha", "marhta"),
+             ("small ring", "small rng"), ("red widget", "red gadget")]
+    for _ in range(2000):
+        alphabet = rng.choice(["ab", "abcde", "abcdefghij klm"])
+        cases.append((
+            "".join(rng.choices(alphabet, k=rng.randint(0, 14))),
+            "".join(rng.choices(alphabet, k=rng.randint(0, 14))),
+        ))
+    for a, b in cases:
+        want = con.execute(
+            "SELECT jaro_winkler_similarity(?, ?)", [a, b]
+        ).fetchone()[0]
+        got = _jaro_winkler_py(a, b)
+        assert got == want, (a, b, got.hex(), want.hex())
+
+
+def test_jaro_winkler_udf_nulls(spark):
+    """NULL in either side propagates NULL through the pandas UDF."""
+    from portfolio1_etl_spark.operators.udfs import jaro_winkler_udf
+
+    rows = spark.createDataFrame(
+        [("abc", None), (None, "abc"), ("abc", "abd")], "a string, b string"
+    ).select(jaro_winkler_udf("a", "b").alias("jw")).collect()
+    assert rows[0].jw is None and rows[1].jw is None
+    assert rows[2].jw is not None and 0.0 < rows[2].jw <= 1.0
