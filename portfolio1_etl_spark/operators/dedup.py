@@ -386,19 +386,53 @@ def connected_components(
 def verify_candidates(
     sh: DataFrame, cand: DataFrame, threshold: float, id_col: str = "doc_id"
 ) -> DataFrame:
-    """Exact-Jaccard verification restricted to LSH survivors: the
-    shingle set shrinks to candidate documents (broadcast semi-join)
-    BEFORE pair enumeration — the verify join never sees the rest of
-    the corpus."""
-    cand_docs = (
+    """Exact-Jaccard verification restricted to LSH survivors, scoped
+    to candidate PAIRS (r11): the common-shingle count joins each
+    pair's left-side shingles through the (doc_b, h) equi-join, so
+    the intermediate is Σ_pairs |shingles(doc_a)| — LINEAR in the
+    candidate list × doc length. The previous shape (shrink shingles
+    to candidate DOCS, then all-pairs-by-shingle among them) was
+    quadratic in disguise: any shingle shared by many candidate docs
+    (boilerplate, near-dup families) re-exploded every doc pair
+    sharing it before the final pair filter — the sf1 checkpoint
+    measured q73 at 15.2× for 10× data from exactly this, with the
+    band join itself fully linear. Same output, pair-bounded cost."""
+    cand_sizes = (
         cand.select(F.col("doc_a").alias(id_col))
         .union(cand.select(F.col("doc_b").alias(id_col)))
         .distinct()
+        .join(
+            sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n")),
+            id_col,
+        )
     )
-    sh_c = sh.join(F.broadcast(cand_docs), id_col, "left_semi")
-    verified = jaccard_pairs(sh_c, threshold, id_col=id_col)
-    return cand.join(verified, ["doc_a", "doc_b"]).select(
-        "doc_a", "doc_b", "jaccard"
+    sa = sh.select(F.col(id_col).alias("doc_a"), "h")
+    sb = sh.select(F.col(id_col).alias("doc_b"), "h")
+    common = (
+        cand.join(sa, "doc_a")
+        .join(sb, ["doc_b", "h"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    na = cand_sizes.select(
+        F.col(id_col).alias("doc_a"), F.col("n").alias("na")
+    )
+    nb = cand_sizes.select(
+        F.col(id_col).alias("doc_b"), F.col("n").alias("nb")
+    )
+    return (
+        common.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.col("c").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("c"))
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
     )
 
 

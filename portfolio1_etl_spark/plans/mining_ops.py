@@ -1347,3 +1347,206 @@ def q281_item_item_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("sim", 6).alias("cosine_sim"),
         F.col("rn").cast("long").alias("rank"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q284 — recommender evaluation: leave-one-out basket hit rate (r11)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q284_recommender_eval",
+    sql="""
+    WITH days AS (
+      SELECT d, row_number() OVER (ORDER BY d) AS rnk,
+             count(*) OVER () AS nd
+      FROM (SELECT DISTINCT CAST(o_orderdate AS DATE) AS d FROM orders)),
+    cutoff AS (
+      SELECT d AS cut FROM days
+      WHERE rnk = CAST(ceil(0.8 * nd) AS BIGINT)),
+    ob AS (
+      SELECT o_orderkey, CAST(o_orderdate AS DATE) AS d FROM orders),
+    b AS (
+      SELECT DISTINCT l.l_orderkey, l.l_partkey, ob.d
+      FROM lineitem l JOIN ob ON l.l_orderkey = ob.o_orderkey),
+    train AS (
+      SELECT l_orderkey, l_partkey FROM b CROSS JOIN cutoff
+      WHERE d <= cut),
+    test AS (
+      SELECT l_orderkey, l_partkey FROM b CROSS JOIN cutoff
+      WHERE d > cut),
+    item AS (SELECT l_partkey, count(*) AS cnt FROM train GROUP BY 1),
+    pair AS (
+      SELECT a.l_partkey AS part_a, c.l_partkey AS part_b,
+             count(*) AS co_cnt
+      FROM train a JOIN train c
+        ON a.l_orderkey = c.l_orderkey AND a.l_partkey < c.l_partkey
+      GROUP BY 1, 2 HAVING count(*) >= 2),
+    sym AS (
+      SELECT part_a AS item, part_b AS other, co_cnt FROM pair
+      UNION ALL
+      SELECT part_b, part_a, co_cnt FROM pair),
+    recs AS (
+      SELECT item, other FROM (
+        SELECT s.item, s.other,
+               row_number() OVER (
+                 PARTITION BY s.item
+                 ORDER BY s.co_cnt / sqrt(CAST(ia.cnt AS DOUBLE) * ib.cnt)
+                          DESC, s.other ASC) AS rn
+        FROM sym s
+        JOIN item ia ON s.item = ia.l_partkey
+        JOIN item ib ON s.other = ib.l_partkey)
+      WHERE rn <= 3),
+    targets AS (
+      SELECT t.l_orderkey, t.l_partkey AS target, q.l_partkey AS query_item
+      FROM test t JOIN test q
+        ON t.l_orderkey = q.l_orderkey AND t.l_partkey <> q.l_partkey),
+    hits AS (
+      SELECT DISTINCT tg.l_orderkey, tg.target
+      FROM targets tg
+      JOIN recs r ON tg.query_item = r.item AND tg.target = r.other),
+    n_targets AS (
+      SELECT count(*) AS nt FROM
+        (SELECT DISTINCT l_orderkey, target FROM targets)),
+    n_hits AS (SELECT count(*) AS nh FROM hits),
+    counts AS (
+      SELECT (SELECT count(DISTINCT l_orderkey) FROM train) AS n_train,
+             (SELECT count(DISTINCT l_orderkey) FROM test) AS n_test)
+    SELECT CAST(c.n_train AS BIGINT) AS n_train_orders,
+           CAST(c.n_test AS BIGINT) AS n_test_orders,
+           CAST(t.nt AS BIGINT) AS n_targets,
+           CAST(h.nh AS BIGINT) AS n_hits,
+           round(CAST(h.nh AS DOUBLE) / t.nt, 6) AS hit_rate
+    FROM counts c CROSS JOIN n_targets t CROSS JOIN n_hits h
+    """,
+    operators=("X-recommender-eval", "X-temporal-split", "J1", "W-rank"),
+)
+def q284_recommender_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Offline recommender evaluation — the scoreboard q281's serving
+    table answers to (the q114/q129 recall-board pattern for the
+    recommendation family): a TEMPORAL split (train = baskets up to
+    the 80th-percentile order day, picked as an exact order statistic
+    of the date domain — never a random split, which both leaks
+    future co-purchases backwards in time and is unreproducible),
+    the item-item cosine top-3 rebuilt on train baskets only, then
+    leave-one-out basket evaluation on test: each held-out item is a
+    hit if ANY other item in its basket recommends it. The hit rate
+    over all (basket, target) pairs is the headline. Scale shape:
+    identical to q281 for the model build; the eval stage's
+    basket-pair explosion is bounded by basket size (TPC-H ~7), and
+    the hit probe is an equi-join of (query_item, target) against
+    the 3-rows-per-item rec table. Integer counts, one rounded
+    division."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    days = (
+        o.select(F.col("o_orderdate").cast("date").alias("d"))
+        .distinct()
+        .select(
+            "d",
+            F.row_number().over(Window.orderBy("d")).alias("rnk"),
+            F.count(F.lit(1)).over(Window.partitionBy()).alias("nd"),
+        )
+    )
+    cutoff = days.filter(
+        F.col("rnk") == F.ceil(0.8 * F.col("nd")).cast("long")
+    ).select(F.col("d").alias("cut"))
+    b = (
+        li.select("l_orderkey", "l_partkey")
+        .join(
+            o.select(
+                "o_orderkey", F.col("o_orderdate").cast("date").alias("d")
+            ),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .select("l_orderkey", "l_partkey", "d")
+        .distinct()
+        .crossJoin(F.broadcast(cutoff))
+    )
+    train = b.filter(F.col("d") <= F.col("cut")).select(
+        "l_orderkey", "l_partkey"
+    )
+    test = b.filter(F.col("d") > F.col("cut")).select(
+        "l_orderkey", "l_partkey"
+    )
+    item = train.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("cnt"))
+    a, c = train.alias("a"), train.alias("c")
+    pair = (
+        a.join(
+            c,
+            (F.col("a.l_orderkey") == F.col("c.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("c.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("c.l_partkey").alias("part_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("co_cnt"))
+        .filter(F.col("co_cnt") >= 2)
+    )
+    sym = pair.select(
+        F.col("part_a").alias("item"), F.col("part_b").alias("other"), "co_cnt"
+    ).unionAll(
+        pair.select(
+            F.col("part_b").alias("item"),
+            F.col("part_a").alias("other"),
+            "co_cnt",
+        )
+    )
+    ia = item.select(F.col("l_partkey").alias("item"), F.col("cnt").alias("cnt_a"))
+    ib = item.select(F.col("l_partkey").alias("other"), F.col("cnt").alias("cnt_b"))
+    sim = F.col("co_cnt") / F.sqrt(F.col("cnt_a").cast("double") * F.col("cnt_b"))
+    recs = (
+        sym.join(ia, "item")
+        .join(ib, "other")
+        .select(
+            "item",
+            "other",
+            F.row_number()
+            .over(
+                Window.partitionBy("item").orderBy(sim.desc(), F.col("other").asc())
+            )
+            .alias("rn"),
+        )
+        .filter(F.col("rn") <= 3)
+        .select("item", "other")
+    )
+    t, q2 = test.alias("t"), test.alias("q")
+    targets = t.join(
+        q2,
+        (F.col("t.l_orderkey") == F.col("q.l_orderkey"))
+        & (F.col("t.l_partkey") != F.col("q.l_partkey")),
+    ).select(
+        F.col("t.l_orderkey").alias("okey"),
+        F.col("t.l_partkey").alias("target"),
+        F.col("q.l_partkey").alias("query_item"),
+    )
+    hits = (
+        targets.join(
+            recs,
+            (F.col("query_item") == F.col("item"))
+            & (F.col("target") == F.col("other")),
+        )
+        .select("okey", "target")
+        .distinct()
+    )
+    nt = targets.select("okey", "target").distinct().agg(
+        F.count(F.lit(1)).alias("nt")
+    )
+    nh = hits.agg(F.count(F.lit(1)).alias("nh"))
+    cnts = train.agg(
+        F.countDistinct("l_orderkey").alias("n_train")
+    ).crossJoin(test.agg(F.countDistinct("l_orderkey").alias("n_test")))
+    return (
+        cnts.crossJoin(F.broadcast(nt))
+        .crossJoin(F.broadcast(nh))
+        .select(
+            F.col("n_train").cast("long").alias("n_train_orders"),
+            F.col("n_test").cast("long").alias("n_test_orders"),
+            F.col("nt").cast("long").alias("n_targets"),
+            F.col("nh").cast("long").alias("n_hits"),
+            F.round(F.col("nh").cast("double") / F.col("nt"), 6).alias(
+                "hit_rate"
+            ),
+        )
+    )

@@ -1308,3 +1308,179 @@ def q269_mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("score", 6).alias("score"),
     )
     return out1.unionByName(out2).unionByName(out3)
+
+
+# ---------------------------------------------------------------------------
+# q286 — label-noise detection by leave-one-out nearest centroid (r11)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q286_label_noise_detection",
+    sql="""
+    WITH comp AS (
+      SELECT vec_id, label,
+             generate_subscripts(embedding, 1) AS idx,
+             CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000, 0)
+                  AS BIGINT) AS v3
+      FROM embeddings),
+    cent AS (
+      SELECT label, idx, sum(v3) AS s, count(*) AS n
+      FROM comp GROUP BY 1, 2),
+    dots AS (
+      SELECT c.vec_id, c.label AS own, ct.label AS cand,
+             max(ct.n) AS n_cand,
+             sum((CAST(c.v3 AS HUGEINT)
+                  * (CASE WHEN ct.label = c.label THEN ct.n - 1 ELSE ct.n END)
+                  - (ct.s - CASE WHEN ct.label = c.label
+                            THEN c.v3 ELSE 0 END))
+                 * (CAST(c.v3 AS HUGEINT)
+                  * (CASE WHEN ct.label = c.label THEN ct.n - 1 ELSE ct.n END)
+                  - (ct.s - CASE WHEN ct.label = c.label
+                            THEN c.v3 ELSE 0 END))) AS num
+      FROM comp c JOIN cent ct ON c.idx = ct.idx
+      GROUP BY 1, 2, 3),
+    dists AS (
+      SELECT vec_id, own, cand, num,
+             CAST(CASE WHEN cand = own THEN n_cand - 1 ELSE n_cand END
+                  AS HUGEINT)
+             * (CASE WHEN cand = own THEN n_cand - 1 ELSE n_cand END) AS den
+      FROM dots
+      WHERE (CASE WHEN cand = own THEN n_cand - 1 ELSE n_cand END) > 0),
+    best AS (
+      SELECT d1.vec_id, d1.own, d1.cand AS predicted
+      FROM dists d1 JOIN dists d2 ON d1.vec_id = d2.vec_id
+      GROUP BY d1.vec_id, d1.own, d1.cand, d1.num, d1.den
+      HAVING sum(CASE WHEN d2.num * d1.den < d1.num * d2.den
+                      OR (d2.num * d1.den = d1.num * d2.den
+                          AND d2.cand < d1.cand)
+                 THEN 1 ELSE 0 END) = 0)
+    SELECT CAST(own AS BIGINT) AS label,
+           CAST(predicted AS BIGINT) AS predicted,
+           CAST(count(*) AS BIGINT) AS n_vectors,
+           CAST(CASE WHEN own <> predicted THEN 1 ELSE 0 END AS BIGINT)
+               AS is_noise
+    FROM best GROUP BY own, predicted
+    """,
+    operators=("X-label-noise", "X-centroid-assign", "A1", "J1"),
+)
+def q286_label_noise_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-noise detection by LEAVE-ONE-OUT nearest centroid — the
+    confident-learning-style audit a labeled corpus gets before
+    training (q250 reads class separability at LABEL grain; this
+    assigns every VECTOR and reports the confusion census): each
+    embedding is scored against every label centroid, its OWN label's
+    centroid computed WITHOUT it (the self-inclusion bias is exactly
+    what hides mislabeled points), and a vector whose nearest
+    centroid is a different label is flagged noise. Cross-engine
+    determinism is the q250 discipline pushed one level further:
+    components snap to scaled integers (1e3 — chosen so the ARGMIN's
+    cross-multiplied rational comparison num·den' vs num'·den stays
+    inside decimal(38)/HUGEINT at any plausible label size), squared
+    distances accumulate as exact integers over per-label common
+    denominators, and the argmin itself is the L×L integer
+    cross-comparison per vector (ties break to the smaller label) —
+    never a float rank. Singleton labels have no LOO centroid; their
+    rows drop from their own candidate set and the vector classifies
+    to the nearest OTHER label. Scale shape: one corpus-grain
+    posexplode, the dot-product join against the L×D centroid table
+    (broadcast; the q93 assignment shape), then L²-per-vector integer
+    comparisons — linear in the corpus with a tiny constant."""
+    e = catalog.load(spark, sf_dir, "embeddings")
+    dec = "decimal(38,0)"
+    comp = e.select(
+        "vec_id", "label", F.posexplode("embedding").alias("pos", "x")
+    ).select(
+        "vec_id",
+        "label",
+        (F.col("pos") + 1).alias("idx"),
+        F.round(F.col("x").cast("double") * 1000, 0).cast("long").alias("v3"),
+    )
+    cent = comp.groupBy(F.col("label").alias("cand"), "idx").agg(
+        F.sum("v3").alias("s"), F.count(F.lit(1)).alias("n")
+    )
+    n_eff = F.when(F.col("cand") == F.col("label"), F.col("n") - 1).otherwise(
+        F.col("n")
+    )
+    s_eff = F.col("s") - F.when(
+        F.col("cand") == F.col("label"), F.col("v3")
+    ).otherwise(F.lit(0))
+    term = F.col("v3").cast(dec) * n_eff - s_eff
+    dots = (
+        comp.join(F.broadcast(cent), "idx")
+        .groupBy("vec_id", F.col("label").alias("own"), "cand")
+        .agg(
+            F.max("n").alias("n_cand"),
+            F.max(F.when(F.col("cand") == F.col("label"), 1).otherwise(0)).alias(
+                "is_own"
+            ),
+            F.sum((term * term).cast(dec)).alias("num"),
+        )
+    )
+    den_base = F.when(
+        F.col("is_own") == 1, F.col("n_cand") - 1
+    ).otherwise(F.col("n_cand"))
+    # Loud headroom guard (the q250 discipline): the argmin's
+    # cross-multiplied comparison num·den' peaks at ~2.6e8·n⁴, which
+    # clears decimal(38,0) once a label passes ~2.8e7 rows — Spark
+    # (ANSI off) would turn that into a silent NULL comparison while
+    # DuckDB throws on HUGEINT overflow; fail the same way, loudly.
+    n_guarded = F.when(
+        F.col("n_cand") > 20_000_000,
+        F.raise_error(
+            F.lit(
+                "q286: label too large for exact decimal(38,0) "
+                "cross-multiplied argmin (~>2e7 rows/label); "
+                "pre-scale or sample the labels"
+            )
+        ).cast("long"),
+    ).otherwise(F.col("n_cand"))
+    dists = dots.withColumn("n_cand", n_guarded).filter(den_base > 0).select(
+        "vec_id",
+        "own",
+        "cand",
+        "num",
+        (den_base.cast(dec) * den_base).alias("den"),
+    )
+    d1 = dists.alias("d1")
+    d2 = dists.select(
+        F.col("vec_id").alias("vec_id2"),
+        F.col("cand").alias("cand2"),
+        F.col("num").alias("num2"),
+        F.col("den").alias("den2"),
+    )
+    best = (
+        d1.join(d2, F.col("d1.vec_id") == F.col("vec_id2"))
+        .groupBy(
+            F.col("d1.vec_id").alias("vec_id"),
+            F.col("d1.own").alias("own"),
+            F.col("d1.cand").alias("predicted"),
+            F.col("d1.num").alias("num"),
+            F.col("d1.den").alias("den"),
+        )
+        .agg(
+            F.sum(
+                F.when(
+                    (F.col("num2") * F.col("den") < F.col("num") * F.col("den2"))
+                    | (
+                        (F.col("num2") * F.col("den")
+                         == F.col("num") * F.col("den2"))
+                        & (F.col("cand2") < F.col("d1.cand"))
+                    ),
+                    1,
+                ).otherwise(0)
+            ).alias("n_better")
+        )
+        .filter(F.col("n_better") == 0)
+    )
+    return best.groupBy(
+        F.col("own").cast("long").alias("label"),
+        F.col("predicted").cast("long").alias("predicted"),
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_vectors"),
+        F.max(
+            F.when(F.col("own") != F.col("predicted"), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("is_noise"),
+    )

@@ -687,3 +687,159 @@ def q283_kmv_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("true_intersection"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q287 — KMV mergeable rollup: partition sketches == direct sketch (r11)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q287_kmv_mergeable_rollup",
+    sql=f"""
+    WITH uh AS (
+      SELECT DISTINCT CAST(ts AS DATE) AS d, user_id AS u,
+        ('0x' || substr(md5('kmv:' || user_id::VARCHAR), 1, 12))::BIGINT AS h
+      FROM events),
+    daily AS (
+      SELECT d, h FROM (
+        SELECT d, h, row_number() OVER (PARTITION BY d ORDER BY h) AS rn
+        FROM (SELECT DISTINCT d, h FROM uh))
+      WHERE rn <= {_KMV_K}),
+    merged AS (
+      SELECT h FROM (
+        SELECT h, row_number() OVER (ORDER BY h) AS rn
+        FROM (SELECT DISTINCT h FROM daily))
+      WHERE rn <= {_KMV_K}),
+    direct AS (
+      SELECT h FROM (
+        SELECT h, row_number() OVER (ORDER BY h) AS rn
+        FROM (SELECT DISTINCT h FROM uh))
+      WHERE rn <= {_KMV_K}),
+    m AS (SELECT count(*) AS n_m, max(h) AS theta_m, sum(h) AS sum_m
+          FROM merged),
+    dd AS (SELECT count(*) AS n_d, max(h) AS theta_d, sum(h) AS sum_d
+           FROM direct),
+    meta AS (
+      SELECT count(DISTINCT d) AS n_days, count(*) AS n_sketch_rows
+      FROM daily),
+    tot AS (SELECT count(DISTINCT u) AS true_distinct FROM uh)
+    SELECT CAST(meta.n_days AS BIGINT) AS n_days,
+           CAST(meta.n_sketch_rows AS BIGINT) AS n_sketch_rows,
+           CAST(m.theta_m AS BIGINT) AS theta_merged,
+           CAST(dd.theta_d AS BIGINT) AS theta_direct,
+           CASE WHEN m.n_m >= {_KMV_K}
+                THEN round({_KMV_K - 1}.0 * {_H_SPACE}.0 / m.theta_m, 2)
+                ELSE CAST(m.n_m AS DOUBLE) END AS est_merged,
+           CASE WHEN dd.n_d >= {_KMV_K}
+                THEN round({_KMV_K - 1}.0 * {_H_SPACE}.0 / dd.theta_d, 2)
+                ELSE CAST(dd.n_d AS DOUBLE) END AS est_direct,
+           CAST(CASE WHEN m.n_m = dd.n_d AND m.theta_m = dd.theta_d
+                     AND m.sum_m = dd.sum_d THEN 1 ELSE 0 END AS BIGINT)
+               AS sketches_identical,
+           CAST(tot.true_distinct AS BIGINT) AS true_distinct
+    FROM m CROSS JOIN dd CROSS JOIN meta CROSS JOIN tot
+    """,
+    operators=("X-kmv-sketch", "X-mergeable-rollup", "W-rank", "A-distinct"),
+)
+def q287_kmv_mergeable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV mergeability on the scoreboard — the property that makes
+    the sketch tier (q283) a WAREHOUSE primitive rather than a query
+    trick: per-day-partition sketches (k smallest user hashes per
+    day) merged by re-ranking their union are IDENTICAL — not
+    approximately, identical as sets — to the sketch built in one
+    pass over all data, because any hash in the global top-k must be
+    in its own partition's top-k (fewer than k hashes beat it
+    anywhere). The query computes both routes and emits the equality
+    verdict (count, θ, and hash-sum all compared exactly) plus both
+    estimates and the true distinct count (the q212 HLL-rollup
+    pattern, but with a sketch whose merge is EXACT, so the identity
+    is assertable, not approximate). At 100 TB this is the incremental
+    pattern: each new partition contributes one k-row sketch;
+    re-estimating all-time distincts touches k·partitions rows, never
+    the data. Day-partitioned rank windows build the partition
+    sketches (WindowGroupLimit partial-limits them map-side); both
+    global top-k's are orderBy+limit (TakeOrderedAndProject — the
+    distributed top-k, never a single-reducer sort)."""
+    from pyspark.sql import Window
+
+    e = catalog.load(spark, sf_dir, "events")
+    uh = e.select(
+        F.col("ts").cast("date").alias("d"),
+        F.col("user_id").alias("u"),
+        F.expr(
+            "cast(conv(substring(md5(concat('kmv:', cast(user_id as string))),"
+            " 1, 12), 16, 10) as bigint)"
+        ).alias("h"),
+    ).distinct()
+    dh = uh.select("d", "h").distinct()
+    daily = (
+        dh.select(
+            "d",
+            "h",
+            F.row_number()
+            .over(Window.partitionBy("d").orderBy("h"))
+            .alias("rn"),
+        )
+        .filter(F.col("rn") <= _KMV_K)
+        .select("d", "h")
+    )
+
+    def _topk(df):
+        # orderBy + limit plans TakeOrderedAndProject — a distributed
+        # top-k (per-partition heads reduced at the driver), never the
+        # single-reducer sort a partitionless rank window would be
+        # over the corpus-sized distinct-hash set
+        return df.orderBy("h").limit(_KMV_K).select("h")
+
+    merged = _topk(daily.select("h").distinct())
+    direct = _topk(uh.select("h").distinct())
+    m = merged.agg(
+        F.count(F.lit(1)).alias("n_m"),
+        F.max("h").alias("theta_m"),
+        F.sum("h").alias("sum_m"),
+    )
+    dd = direct.agg(
+        F.count(F.lit(1)).alias("n_d"),
+        F.max("h").alias("theta_d"),
+        F.sum("h").alias("sum_d"),
+    )
+    meta = daily.agg(
+        F.countDistinct("d").alias("n_days"),
+        F.count(F.lit(1)).alias("n_sketch_rows"),
+    )
+    tot = uh.agg(F.countDistinct("u").alias("true_distinct"))
+
+    def _est(n_col, theta_col):
+        return F.when(
+            F.col(n_col) >= _KMV_K,
+            F.round(
+                F.lit(float(_KMV_K - 1)) * F.lit(float(_H_SPACE))
+                / F.col(theta_col),
+                2,
+            ),
+        ).otherwise(F.col(n_col).cast("double"))
+
+    return (
+        m.crossJoin(dd)
+        .crossJoin(F.broadcast(meta))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col("n_days").cast("long").alias("n_days"),
+            F.col("n_sketch_rows").cast("long").alias("n_sketch_rows"),
+            F.col("theta_m").cast("long").alias("theta_merged"),
+            F.col("theta_d").cast("long").alias("theta_direct"),
+            _est("n_m", "theta_m").alias("est_merged"),
+            _est("n_d", "theta_d").alias("est_direct"),
+            F.when(
+                (F.col("n_m") == F.col("n_d"))
+                & (F.col("theta_m") == F.col("theta_d"))
+                & (F.col("sum_m") == F.col("sum_d")),
+                1,
+            )
+            .otherwise(0)
+            .cast("long")
+            .alias("sketches_identical"),
+            F.col("true_distinct").cast("long").alias("true_distinct"),
+        )
+    )

@@ -885,3 +885,119 @@ def q275_conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("coverage"),
         F.round(2.0 * F.max("qhat_cents") / 100.0, 2).alias("interval_width"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q285 — forecast-accuracy evaluation board (r11)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q285_forecast_eval",
+    sql="""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS d,
+             sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS rc
+      FROM orders GROUP BY 1),
+    lagged AS (
+      SELECT d, rc,
+             lag(rc, 1) OVER (ORDER BY d) AS l1,
+             lag(rc, 7) OVER (ORDER BY d) AS l7,
+             sum(rc) OVER (ORDER BY d
+                           ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING) AS s7,
+             count(rc) OVER (ORDER BY d
+                             ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING) AS c7
+      FROM daily),
+    ev AS (
+      SELECT abs(rc - l1) AS e_n1,
+             abs(rc - l7) AS e_s7,
+             abs(7 * rc - s7) AS e_ma7
+      FROM lagged WHERE l7 IS NOT NULL AND c7 = 7),
+    sums AS (
+      SELECT count(*) AS n, sum(e_n1) AS sn1, sum(e_s7) AS ss7,
+             sum(e_ma7) AS sma7
+      FROM ev)
+    SELECT 'naive-1' AS model, CAST(n AS BIGINT) AS n_days,
+           round(CAST(sn1 AS DOUBLE) / n / 100.0, 4) AS mae,
+           round(CAST(sn1 AS DOUBLE) / sn1, 6) AS mase
+    FROM sums
+    UNION ALL
+    SELECT 'seasonal-naive-7', CAST(n AS BIGINT),
+           round(CAST(ss7 AS DOUBLE) / n / 100.0, 4),
+           round(CAST(ss7 AS DOUBLE) / sn1, 6)
+    FROM sums
+    UNION ALL
+    SELECT 'moving-average-7', CAST(n AS BIGINT),
+           round(CAST(sma7 AS DOUBLE) / n / 700.0, 4),
+           round(CAST(sma7 AS DOUBLE) / (7.0 * sn1), 6)
+    FROM sums
+    """,
+    operators=("X-forecast-eval", "X-mase", "W-lag", "W-frame"),
+)
+def q285_forecast_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forecast-accuracy board — the model-selection readout that sits
+    in front of q231/q236 (Holt) and q275 (conformal): three baseline
+    forecasters of daily revenue (naive lag-1, seasonal-naive lag-7,
+    trailing 7-day moving average) scored with MAE and MASE on the
+    same aligned day set. The integer discipline makes the board
+    hashable where the textbook formulas are not: residuals live on
+    the exact cents spine, the moving-average residual is SCALED BY 7
+    (7·y − Σ7 — an integer, where y − Σ7/7 would be an
+    order-dependent float), sMAPE is deliberately absent (a per-day
+    rational fold neither engine pins — the q274 one-fold-refused
+    rule), and MASE is a single division of two exact integer sums.
+    Day-grain windows (date-domain bounded); one shuffle to day
+    grain. Scale: identical at any corpus size — the day domain is
+    the working set."""
+    o = catalog.load(spark, sf_dir, "orders")
+    daily = o.groupBy(F.col("o_orderdate").cast("date").alias("d")).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long")).alias("rc")
+    )
+    wd = W.orderBy("d")
+    w7 = wd.rowsBetween(-7, -1)
+    lagged = daily.select(
+        "rc",
+        F.lag("rc", 1).over(wd).alias("l1"),
+        F.lag("rc", 7).over(wd).alias("l7"),
+        F.sum("rc").over(w7).alias("s7"),
+        F.count("rc").over(w7).alias("c7"),
+    )
+    ev = lagged.filter(F.col("l7").isNotNull() & (F.col("c7") == 7)).select(
+        F.abs(F.col("rc") - F.col("l1")).alias("e_n1"),
+        F.abs(F.col("rc") - F.col("l7")).alias("e_s7"),
+        F.abs(7 * F.col("rc") - F.col("s7")).alias("e_ma7"),
+    )
+    sums = ev.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("e_n1").alias("sn1"),
+        F.sum("e_s7").alias("ss7"),
+        F.sum("e_ma7").alias("sma7"),
+    )
+    def _row(model, s_col, mae_den, mase_expr):
+        return sums.select(
+            F.lit(model).alias("model"),
+            F.col("n").cast("long").alias("n_days"),
+            F.round(F.col(s_col).cast("double") / F.col("n") / mae_den, 4).alias(
+                "mae"
+            ),
+            F.round(mase_expr, 6).alias("mase"),
+        )
+
+    return (
+        _row(
+            "naive-1", "sn1", 100.0,
+            F.col("sn1").cast("double") / F.col("sn1"),
+        )
+        .unionByName(
+            _row(
+                "seasonal-naive-7", "ss7", 100.0,
+                F.col("ss7").cast("double") / F.col("sn1"),
+            )
+        )
+        .unionByName(
+            _row(
+                "moving-average-7", "sma7", 700.0,
+                F.col("sma7").cast("double") / (F.lit(7.0) * F.col("sn1")),
+            )
+        )
+    )

@@ -185,6 +185,10 @@ _SIM_QUERIES = [
     # multi-probe: random sign patterns make Hamming-1 buckets dense
     # or empty; candidates_seen must agree exactly
     "q260_multiprobe_lsh_ann",
+    # r11 LOO nearest-centroid: near-dup clusters with different
+    # labels are exactly the noise this flags; the cross-multiplied
+    # integer argmin and singleton-label drop must agree
+    "q286_label_noise_detection",
 ]
 
 
@@ -294,6 +298,9 @@ _EVENT_QUERIES = [
     # exact (not-full) estimator arm and zero-intersection pairs
     # must agree with the oracle
     "q283_kmv_intersection",
+    # r11 KMV mergeable rollup: the merged==direct identity must
+    # hold on any day partitioning, including single-day corpora
+    "q287_kmv_mergeable_rollup",
 ]
 
 

@@ -182,6 +182,15 @@ _SANCTIONED_BNLJ = {
     # Kneser-Ney: cross with the broadcast ONE-ROW bigram-type count
     # for the continuation-probability denominator (same pattern).
     "q148_kneser_ney_logprob",
+    # KMV sketches: the pairwise stage inequality-joins the per-TYPE
+    # theta table (≤ |event-type domain| rows, ~5) with itself, and
+    # the rollup crosses four 1-row aggregates (the q32 shape); the
+    # corpus-scale stages (hashing, distinct, rank) are all equi.
+    "q283_kmv_intersection",
+    "q287_kmv_mergeable_rollup",
+    # recommender eval: the fact side crosses the broadcast ONE-ROW
+    # date cutoff, and the final report crosses three 1-row counts.
+    "q284_recommender_eval",
     # LOO encoding: fact scan × the broadcast ONE-ROW global prior
     # (the q118 1-row-total pattern); the segment stats broadcast-hash.
     "q273_loo_target_encoding",
@@ -251,11 +260,18 @@ def test_no_cartesian_product_in_any_registered_query(spark, sf_dir):
     assert not offenders, f"scale-killer join nodes: {offenders}"
 
 
-def test_lsh_verify_uses_broadcast_semi_join(spark, sf_dir):
-    """verify_candidates must shrink the shingle table with a broadcast
-    semi-join on the (tiny) LSH survivor set before pair enumeration."""
+def test_lsh_verify_is_pair_scoped(spark, sf_dir):
+    """verify_candidates (r11): the common-shingle count must route
+    THROUGH the candidate-pair list (cand ⋈ shingles(doc_a) ⋈
+    shingles on (doc_b, h)) — pair-bounded cost — never re-enumerate
+    all-pairs-by-shingle among candidate docs (quadratic in shared
+    shingles; the sf1 checkpoint measured 15.2× for 10× data from
+    that shape). The candidate list is tiny → broadcast joins."""
     plan = _formatted_plan(REGISTRY["q73_minhash_lsh"].fn(spark, sf_dir))
-    assert "LeftSemi" in plan and "BroadcastHashJoin" in plan
+    assert "BroadcastHashJoin" in plan
+    # the old doc-scoped shape semi-joined the shingle table once per
+    # side; the pair-scoped plan has no LeftSemi against shingles
+    assert "LeftSemi" not in plan
 
 
 def test_ivf_probe_is_broadcast(spark, sf_dir):
@@ -430,6 +446,8 @@ _SANCTIONED_TINY_GRAIN_WINDOW = {
     "q230_revenue_acf",
     "q236_holt_backtest",
     "q275_conformal_interval",  # calendar-day residual grain
+    "q284_recommender_eval",  # calendar-day split-cutoff grain
+    "q285_forecast_eval",  # calendar-day grain
     "q280_skew_diagnostics",  # count-of-counts grain (distinct
     # multiplicities of a key's count distribution — a few hundred
     # cells even when the key itself has 200M values)

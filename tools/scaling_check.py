@@ -49,6 +49,11 @@ QUERIES = [
     "q265_ivfpq_index_probe",       # composed IVF-PQ build+probe (r11)
     "q263_joinview_row_deltas",     # deletes -> matview composition (r11)
     "q73_minhash_lsh",              # banded LSH core
+    "q271_label_propagation",       # 3-round synchronous LPA (r11)
+    "q277_poisson_bootstrap_ci",    # 64× replicate fan-out (r11)
+    "q279_sequence_pattern_match",  # per-user string collect (r11)
+    "q281_item_item_similarity",    # basket self-join + item rank (r11)
+    "q283_kmv_intersection",        # sketch build + pair stage (r11)
 ]
 
 #: data grows 10×; allow linear + fixed-overhead/log headroom
