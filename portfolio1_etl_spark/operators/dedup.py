@@ -397,17 +397,20 @@ def verify_candidates(
     sharing it before the final pair filter — the sf1 checkpoint
     measured q73 at 15.2× for 10× data from exactly this, with the
     band join itself fully linear. Same output, pair-bounded cost."""
-    cand_sizes = (
+    cand_docs = (
         cand.select(F.col("doc_a").alias(id_col))
         .union(cand.select(F.col("doc_b").alias(id_col)))
         .distinct()
-        .join(
-            sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n")),
-            id_col,
-        )
     )
-    sa = sh.select(F.col(id_col).alias("doc_a"), "h")
-    sb = sh.select(F.col(id_col).alias("doc_b"), "h")
+    # shrink the shingle table to candidate docs FIRST (broadcast
+    # semi-join — linear, and it thins the pair-scoped joins' build
+    # sides), but never re-enumerate pairs from the shrunk table
+    sh_c = sh.join(F.broadcast(cand_docs), id_col, "left_semi")
+    cand_sizes = cand_docs.join(
+        sh_c.groupBy(id_col).agg(F.count(F.lit(1)).alias("n")), id_col
+    )
+    sa = sh_c.select(F.col(id_col).alias("doc_a"), "h")
+    sb = sh_c.select(F.col(id_col).alias("doc_b"), "h")
     common = (
         cand.join(sa, "doc_a")
         .join(sb, ["doc_b", "h"])
