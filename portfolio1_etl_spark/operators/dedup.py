@@ -396,7 +396,16 @@ def verify_candidates(
     (boilerplate, near-dup families) re-exploded every doc pair
     sharing it before the final pair filter — the sf1 checkpoint
     measured q73 at 15.2× for 10× data from exactly this, with the
-    band join itself fully linear. Same output, pair-bounded cost."""
+    band join itself fully linear. Same output, pair-bounded cost.
+
+    PRECONDITION (enforced below): the pair-scoped common-shingle
+    count requires ``cand`` to be pair-DISTINCT — a duplicated
+    (doc_a, doc_b) row doubles the common count ``c`` while
+    ``na``/``nb`` stay fixed, inflating the jaccard. The old join-back
+    shape was duplicate-tolerant; this one is not, so the pair list is
+    defensively distinct-ed here (one cheap shuffle of the small pair
+    table) rather than trusting every caller forever."""
+    cand = cand.select("doc_a", "doc_b").distinct()
     cand_docs = (
         cand.select(F.col("doc_a").alias(id_col))
         .union(cand.select(F.col("doc_b").alias(id_col)))

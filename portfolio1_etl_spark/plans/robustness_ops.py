@@ -285,14 +285,13 @@ def q280_skew_diagnostics(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("freq").cast("long").alias("n_keys"),
             F.sum(F.col("cnt") * F.col("freq")).cast("long").alias("total_rows"),
             F.max("cnt").cast("long").alias("max_cnt"),
-            F.floor(
-                F.max("cnt") * 1000000 / F.sum(F.col("cnt") * F.col("freq"))
-            )
-            .cast("long")
-            .alias("top_share_ppm"),
+            # exact bigint order statistics: `div` keeps the median
+            # threshold and the ppm shares in integer arithmetic at ANY
+            # magnitude — double-floor drifts by 1 once the products
+            # pass 2^53, breaking the bit-identical oracle contract
             F.min(
                 F.when(
-                    F.col("cum") >= F.floor(F.col("nk") / 2) + 1, F.col("cnt")
+                    F.col("cum") >= F.expr("nk div 2") + 1, F.col("cnt")
                 )
             )
             .cast("long")
@@ -308,13 +307,15 @@ def q280_skew_diagnostics(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_keys",
             "total_rows",
             "max_cnt",
-            "top_share_ppm",
+            F.expr("max_cnt * 1000000L div total_rows")
+            .cast("long")
+            .alias("top_share_ppm"),
             "median_cnt",
             "p99_cnt",
-            F.floor(F.col("max_cnt") * 1000000 / F.col("median_cnt"))
+            F.expr("max_cnt * 1000000L div median_cnt")
             .cast("long")
             .alias("skew_ratio_ppm"),
-            F.when(F.col("top_share_ppm") >= 5000, "salt")
+            F.when(F.expr("max_cnt * 1000000L div total_rows") >= 5000, "salt")
             .when(F.col("n_keys") <= 10000, "broadcast")
             .otherwise("shuffle-hash")
             .alias("recommend"),

@@ -272,8 +272,29 @@ def test_lsh_verify_is_pair_scoped(spark, sf_dir):
     equi-join on (doc_b, h) carries NO doc_a<doc_b inequality (the
     all-pairs enumeration always does), and the scaling artifact
     carries the measured ratio."""
+    import re
+
     plan = _formatted_plan(REGISTRY["q73_minhash_lsh"].fn(spark, sf_dir))
+    # the candidate-doc shrink is a broadcast semi-join
     assert "LeftSemi" in plan and "BroadcastHashJoin" in plan
+    # the common-shingle count routes through the PAIR list: a two-key
+    # (doc_b, h) equi-join must exist — the r11 pair-scoped shape
+    assert re.search(r"keys \[2\]: \[doc_b#\d+L?, h#\d+", plan), (
+        "pair-scoped (doc_b, h) equi-join missing from q73's verify plan"
+    )
+    # the banned all-pairs re-enumeration signatures must NOT appear:
+    # (a) a doc_a<doc_b inequality join condition in the verify plan
+    # (candidate generation is materialized out by the checkpoint, so
+    # any inequality here is the quadratic re-enumeration), (b) a
+    # shingle-shingle join keyed on h ALONE
+    for line in plan.splitlines():
+        if line.startswith("Join condition:"):
+            assert not re.search(r"doc_a#\d+L? [<>]", line), (
+                f"all-pairs inequality join leaked into the verify plan: {line}"
+            )
+    assert not re.search(r"keys \[1\]: \[h#\d+", plan), (
+        "shingle-shingle join keyed on h alone — the quadratic shape"
+    )
 
 
 def test_ivf_probe_is_broadcast(spark, sf_dir):
