@@ -383,6 +383,49 @@ def ingest_vectors(
     )
 
 
+def ingest_vectors_ivfpq(
+    spark: SparkSession, path: str, new_vecs: DataFrame
+) -> None:
+    """Incremental ingest into the COMPOSED IVF-PQ layout (r12 — the
+    :func:`ingest_vectors` contract extended to both halves): arriving
+    vectors assign to their IVF cell against the frozen ``centroids``
+    AND encode to byte codes against the frozen ``pq_codebook`` (both
+    broadcast narrow maps), then append to the ``codes`` and
+    ``vectors`` cell partitions — no rebuild, existing files
+    untouched, probes answer mid-ingest over mixed built+ingested
+    partitions. Codebook drift is the same accepted trade as the
+    plain-IVF ingest: recall degrades gracefully until a rebuild
+    re-trains both codebooks. Sub-vector geometry (n_sub, sub_dim)
+    reads off the persisted PQ codebook itself, so callers can't
+    desync it from the build."""
+    from portfolio1_etl_spark.operators.pq import _assign, split_subspaces
+
+    cent = spark.read.parquet(f"{path}/centroids")
+    pq_cent = spark.read.parquet(f"{path}/pq_codebook")
+    n_sub, sub_dim = (
+        pq_cent.selectExpr(
+            "max(sub) + 1 AS ns", "max(size(cvec)) AS sd"
+        ).first()
+    )
+    assigned = assign_cells(new_vecs.select("vec_id", "v"), cent)
+    cells = assigned.select("vec_id", "cell")
+    sub = split_subspaces(new_vecs, int(n_sub), int(sub_dim))
+    codes = _assign(sub, pq_cent, "vec_id").select("vec_id", "sub", "code")
+    (
+        codes.join(cells, "vec_id")
+        .write.mode("append")
+        .partitionBy("cell")
+        .parquet(f"{path}/codes")
+    )
+    (
+        assigned.select("vec_id", "v", "cell")
+        .join(new_vecs.select("vec_id", "nrm"), "vec_id")
+        .write.mode("append")
+        .partitionBy("cell")
+        .parquet(f"{path}/vectors")
+    )
+
+
 def build_ivfpq_index(
     vecs: DataFrame,
     path: str,

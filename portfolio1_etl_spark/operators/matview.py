@@ -9,10 +9,14 @@ plus the SIGNED aggregate of the delta — no rescan of the base table.
 That is the whole point of publishing deltas at 100 TB: the refresh
 cost is proportional to the CHANGE volume, not the table.
 
-Non-distributive aggregates (MIN/MAX under deletes, exact distinct)
-are out of scope by design: a delete can expose a new minimum that
-only a rescan (or an auxiliary structure) can find. Callers needing
-those maintain a small per-group top-k sidecar or fall back to
+Non-distributive aggregates split two ways. MIN/MAX (r12,
+:func:`agg_view`/:func:`apply_agg_delta`): inserts fold monotonically
+(least/greatest); a delete can expose a new extremum, so groups whose
+deleted values REACH the current extremum are re-aggregated from the
+new base state, semi-joined to that (small) dirty-key set — rescan
+cost proportional to dirty-group volume, never the table, and
+partition-prunable when the base is laid out by group key. Exact
+distinct stays out of scope: callers maintain a per-group sketch or
 recompute; this module refuses rather than silently corrupting.
 
 Reference analogue: the reference recomputes its report aggregates
@@ -90,6 +94,114 @@ def apply_delta(
         ).alias("sum_val"),
     )
     return merged.filter(F.col("n_rows") > 0)
+
+
+def agg_view(state: DataFrame, keys: Sequence[str], val: str) -> DataFrame:
+    """The full aggregate-view SHAPE (r12): per-key ``n_rows``,
+    ``sum_val``, ``min_val``, ``max_val`` — the reference's
+    soldvalue/final_result report grain (portfolio-etl.py:615,627),
+    maintained incrementally by :func:`apply_agg_delta` instead of
+    recomputed per run."""
+    return state.groupBy(*keys).agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum(val).alias("sum_val"),
+        F.min(val).alias("min_val"),
+        F.max(val).alias("max_val"),
+    )
+
+
+def apply_agg_delta(
+    view: DataFrame,
+    feed: DataFrame,
+    base_new: DataFrame,
+    keys: Sequence[str],
+    val: str,
+) -> DataFrame:
+    """Refresh an :func:`agg_view` with one CDC feed step.
+
+    COUNT/SUM fold additively exactly as :func:`apply_delta` (one
+    key-grain shuffle of the feed). MIN/MAX are not groupwise
+    invertible under deletes, so the refresh splits the touched
+    groups:
+
+    - CLEAN: no deleted value reaches the group's candidate extremum
+      (``least(old_min, inserted_min)`` / ``greatest(old_max,
+      inserted_max)``) — the candidate IS the new extremum, no rescan;
+    - DIRTY: some delete ties-or-beats a candidate extremum — the
+      deleted value may have BEEN the extremum, so the group
+      re-aggregates from ``base_new`` restricted to the dirty keys
+      (broadcast semi-join: the dirty set is change-volume bounded).
+      At 100 TB the rescan prunes to the dirty groups' partitions when
+      the base is laid out by group key; the common append-mostly feed
+      has no dirty groups at all.
+
+    ``base_new`` must be the base state the feed leads TO (e.g.
+    ``read_version`` of the chain head). Groups whose count reaches
+    zero leave the view."""
+    keys = list(keys)
+    sign = (
+        F.when(F.col(CHANGE_COL) == "insert", F.lit(1))
+        .when(F.col(CHANGE_COL) == "delete", F.lit(-1))
+        .otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit("apply_agg_delta: unexpected _change value '"),
+                    F.col(CHANGE_COL),
+                    F.lit(
+                        "' — pass the PLAIN insert/delete feed "
+                        "(read_changes without key_cols)"
+                    ),
+                )
+            ).cast("int")
+        )
+    )
+    is_ins = F.col(CHANGE_COL) == "insert"
+    v = F.col(val)
+    delta = feed.groupBy(*keys).agg(
+        F.sum(sign).cast("long").alias("_dn"),
+        F.sum(sign * v).alias("_ds"),
+        F.min(F.when(is_ins, v)).alias("_ins_min"),
+        F.max(F.when(is_ins, v)).alias("_ins_max"),
+        F.min(F.when(~is_ins, v)).alias("_del_min"),
+        F.max(F.when(~is_ins, v)).alias("_del_max"),
+    )
+    merged = (
+        view.join(delta, keys, "full")
+        .select(
+            *keys,
+            (
+                F.coalesce(F.col("n_rows"), F.lit(0))
+                + F.coalesce(F.col("_dn"), F.lit(0))
+            ).alias("n_rows"),
+            (
+                F.coalesce(F.col("sum_val"), F.lit(0))
+                + F.coalesce(F.col("_ds"), F.lit(0))
+            ).alias("sum_val"),
+            # least/greatest skip nulls, so an untouched group keeps its
+            # extremum and a brand-new group takes the inserted one
+            F.least("min_val", "_ins_min").alias("min_val"),
+            F.greatest("max_val", "_ins_max").alias("max_val"),
+            (
+                F.col("_del_min").isNotNull()
+                & (
+                    (F.col("_del_min") <= F.least("min_val", "_ins_min"))
+                    | (F.col("_del_max") >= F.greatest("max_val", "_ins_max"))
+                )
+            ).alias("_dirty"),
+        )
+        .filter(F.col("n_rows") > 0)
+    )
+    clean = merged.filter(~F.coalesce(F.col("_dirty"), F.lit(False))).drop(
+        "_dirty"
+    )
+    dirty = merged.filter(F.coalesce(F.col("_dirty"), F.lit(False)))
+    rescanned = (
+        base_new.join(F.broadcast(dirty.select(*keys)), keys, "left_semi")
+        .groupBy(*keys)
+        .agg(F.min(val).alias("min_val"), F.max(val).alias("max_val"))
+    )
+    fixed = dirty.drop("min_val", "max_val", "_dirty").join(rescanned, keys)
+    return clean.unionByName(fixed.select(*clean.columns))
 
 
 def refresh_from_chain(

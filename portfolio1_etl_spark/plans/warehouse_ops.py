@@ -1371,3 +1371,107 @@ def q263_joinview_row_deltas(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("_mult").cast("long").alias("n_rows"),
         F.sum(F.col("cents") * F.col("_mult")).cast("long").alias("sum_cents"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q288 — incremental AGGREGATE-view maintenance from row-level deltas (r12)
+# ---------------------------------------------------------------------------
+
+#: q288 closed-form final state: a DELETE commit removes ok % 10 = 3
+#: (minima leave — the dirty-group rescan path); an UPSERT commit gives
+#: ok % 10 = 4 cents+13 and re-inserts the ok % 20 = 3 half of the
+#: deleted keys at 3× cents (new maxima arrive — the monotone fold).
+_AGV_A = (
+    "SELECT o_orderkey AS id, o_orderpriority AS grp, "
+    "CASE WHEN o_orderkey % 10 = 4 "
+    "  THEN CAST(round(o_totalprice * 100, 0) AS BIGINT) + 13 "
+    "WHEN o_orderkey % 20 = 3 "
+    "  THEN 3 * CAST(round(o_totalprice * 100, 0) AS BIGINT) "
+    "ELSE CAST(round(o_totalprice * 100, 0) AS BIGINT) END AS cents "
+    "FROM orders WHERE o_orderkey % 10 <> 3 OR o_orderkey % 20 = 3"
+)
+
+
+@query(
+    "q288_aggview_row_deltas",
+    sql=f"""
+    WITH a1 AS ({_AGV_A})
+    SELECT grp,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(cents) AS BIGINT) AS sum_cents,
+           CAST(min(cents) AS BIGINT) AS min_cents,
+           CAST(max(cents) AS BIGINT) AS max_cents
+    FROM a1 GROUP BY 1
+    """,
+    operators=(
+        "X-agg-matview",
+        "X-cdc-feed",
+        "X-row-level-delete",
+        "K-versioned",
+        "A1",
+    ),
+)
+def q288_aggview_row_deltas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental GROUP-BY aggregate-view maintenance (r12 — the r11
+    verdict's Missing #2, the most common warehouse materialized-view
+    shape; the reference recomputes this report grain from scratch
+    every run, portfolio-etl.py:615,627): the base chain takes a
+    DELETE commit (equality-delete key vector) then an UPSERT commit
+    that re-inserts half the deleted keys at 3× value, and the per-
+    priority n_rows/sum/min/max view refreshes from the chain's
+    captured CDC feed alone (operators/matview.apply_agg_delta).
+    COUNT/SUM fold additively from the signed delta — one key-grain
+    shuffle of the CHANGE volume; MIN/MAX fold monotonically for
+    inserts, and only groups whose deleted values reach the current
+    extremum re-aggregate, semi-joined to the dirty-key set against
+    the chain head. Oracle = the closed-form final state recomputed
+    whole: a missed dirty group (stale min after its row left), a
+    double-subtracted update, or a lost re-insert all hash-mismatch.
+    Exact integer cents throughout."""
+    from portfolio1_etl_spark.operators.matview import agg_view, apply_agg_delta
+    from portfolio1_etl_spark.operators.sinks import (
+        _hadoop_fs,
+        delete_from_chain,
+        read_changes,
+        read_version,
+        upsert_into_chain,
+        write_versioned,
+    )
+
+    base = catalog.scratch_path("aggview_rd", sf_dir)
+    fs, jpath = _hadoop_fs(spark, base)
+    if fs.exists(jpath):
+        fs.delete(jpath, True)
+    o = _t(spark, sf_dir, "orders")
+    ok = F.col("o_orderkey")
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("long")
+    a0 = o.select(
+        ok.alias("id"),
+        F.col("o_orderpriority").alias("grp"),
+        cents.alias("cents"),
+    )
+    write_versioned(a0, f"{base}/a", capture_changes=True, manifest=True)
+    delete_from_chain(
+        spark, f"{base}/a", a0.filter(F.col("id") % 10 == 3).select("id"), ["id"]
+    )
+    upsert_src = o.filter((ok % 10 == 4) | (ok % 20 == 3)).select(
+        ok.alias("id"),
+        F.col("o_orderpriority").alias("grp"),
+        F.when(ok % 10 == 4, cents + 13).otherwise(cents * 3).alias("cents"),
+    )
+    upsert_into_chain(spark, f"{base}/a", upsert_src, ["id"])
+    view0 = agg_view(a0, ["grp"], "cents")
+    refreshed = apply_agg_delta(
+        view0,
+        read_changes(spark, f"{base}/a", 0, 2),
+        read_version(spark, f"{base}/a", 2),
+        ["grp"],
+        "cents",
+    )
+    return refreshed.select(
+        "grp",
+        F.col("n_rows").cast("long").alias("n_rows"),
+        F.col("sum_val").cast("long").alias("sum_cents"),
+        F.col("min_val").cast("long").alias("min_cents"),
+        F.col("max_val").cast("long").alias("max_cents"),
+    )

@@ -1,6 +1,7 @@
 """Structured Streaming surface (SURVEY.md §2.11)."""
 
 from portfolio1_etl_spark.streaming.jobs import (
+    aggview_maintenance_stream,
     bloom_maintenance_stream,
     cms_maintenance_stream,
     corpus_prep_finalize,
@@ -32,4 +33,5 @@ __all__ = [
     "corpus_prep_finalize",
     "versioned_cdc_stream",
     "joinview_maintenance_stream",
+    "aggview_maintenance_stream",
 ]

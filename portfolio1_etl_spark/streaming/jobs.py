@@ -641,8 +641,19 @@ def ann_index_ingest_stream(vec_stream: DataFrame, index_path: str):
     (operators.ann_index.ingest_vectors) — the index answers queries
     mid-ingest, and a full-probe query over the streamed index equals
     one over a batch-written index (tested). State lives entirely IN
-    the index directory; the job itself is stateless."""
-    from portfolio1_etl_spark.operators.ann_index import ingest_vectors
+    the index directory; the job itself is stateless.
+
+    r12: the job serves BOTH persisted layouts — when the index root
+    carries a ``pq_codebook`` (the composed IVF-PQ layout,
+    ``build_ivfpq_index``), each batch also PQ-encodes against the
+    frozen subspace codebook and appends byte codes next to the full
+    vectors (``ingest_vectors_ivfpq``); otherwise the plain-IVF append
+    runs as before. Layout detection re-checks per epoch so the job
+    can start before the index is even built."""
+    from portfolio1_etl_spark.operators.ann_index import (
+        ingest_vectors,
+        ingest_vectors_ivfpq,
+    )
     from portfolio1_etl_spark.operators.similarity import with_norms
 
     folded: set[int] = set()  # epoch memory: appends are NOT idempotent
@@ -653,7 +664,14 @@ def ann_index_ingest_stream(vec_stream: DataFrame, index_path: str):
         if batch_df.isEmpty():
             folded.add(epoch_id)
             return
-        ingest_vectors(batch_df.sparkSession, index_path, with_norms(batch_df))
+        spark = batch_df.sparkSession
+        from portfolio1_etl_spark.operators.sinks import _hadoop_fs
+
+        fs, pq_path = _hadoop_fs(spark, f"{index_path}/pq_codebook")
+        if fs.exists(pq_path):
+            ingest_vectors_ivfpq(spark, index_path, with_norms(batch_df))
+        else:
+            ingest_vectors(spark, index_path, with_norms(batch_df))
         folded.add(epoch_id)
 
     writer = vec_stream.writeStream.outputMode("append").foreachBatch(_fold)
@@ -994,6 +1012,79 @@ def joinview_maintenance_stream(
             view_path,
             manifest=True,
             meta={"fact_v": fact_v, "dim_v": dim_v, "stream_id": stream_id},
+        )
+
+    writer = trigger.writeStream.foreachBatch(_refresh)
+    writer.epoch_fold = _refresh  # exposed for retry tests
+    return writer
+
+
+def aggview_maintenance_stream(
+    trigger: DataFrame,
+    base_path: str,
+    view_path: str,
+    keys: list[str],
+    val: str,
+    stream_id: str = "default",
+):
+    """Streaming maintenance of an incremental AGGREGATE view (r12 —
+    the join-view job's GROUP-BY twin, the most common warehouse
+    materialized-view shape): per micro-batch, fast-forward the
+    per-key n_rows/sum/min/max view (operators/matview.agg_view) from
+    the base chain's CDC feed via ``apply_agg_delta`` and commit the
+    refreshed view as the next version of its own manifest chain.
+    COUNT/SUM fold additively from the delta alone; a delete that
+    reaches a group's extremum re-aggregates just that group from the
+    chain HEAD (dirty-key semi-join — delta-bounded, never a rescan).
+
+    Exactly-once is VERSION-driven exactly as the join-view job: the
+    view manifest's meta records ``base_v``, committed atomically with
+    the view data; duplicate epochs and restarts re-read the marker
+    and no-op when the chain hasn't advanced."""
+    from portfolio1_etl_spark.operators.matview import (
+        agg_view,
+        apply_agg_delta,
+    )
+    from portfolio1_etl_spark.operators.sinks import (
+        _versions,
+        read_changes,
+        read_version,
+        version_meta,
+        write_versioned,
+    )
+
+    def _refresh(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        bv = _versions(spark, base_path)
+        if not bv:
+            return  # a base snapshot seeds the view
+        base_v = bv[-1]
+        head = read_version(spark, base_path, base_v)
+        vs = _versions(spark, view_path)
+        if not vs:
+            write_versioned(
+                agg_view(head, keys, val),
+                view_path,
+                manifest=True,
+                meta={"base_v": base_v, "stream_id": stream_id},
+            )
+            return
+        marker = version_meta(spark, view_path, vs[-1])
+        va = int(marker["base_v"])
+        if va >= base_v:
+            return  # nothing advanced (incl. duplicate epoch delivery)
+        refreshed = apply_agg_delta(
+            read_version(spark, view_path, vs[-1]),
+            read_changes(spark, base_path, va, base_v),
+            head,
+            keys,
+            val,
+        )
+        write_versioned(
+            refreshed,
+            view_path,
+            manifest=True,
+            meta={"base_v": base_v, "stream_id": stream_id},
         )
 
     writer = trigger.writeStream.foreachBatch(_refresh)

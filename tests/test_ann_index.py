@@ -389,3 +389,85 @@ def test_generational_build_rejects_existing_index(spark, sf_dir, tmp_path):
     build_ivf_index(vecs, gen, k=K_CELLS, generational=True)
     with pytest.raises(ValueError, match="rebalance_index"):
         build_ivf_index(vecs, gen, k=K_CELLS, generational=True)
+
+
+def test_streaming_ivfpq_ingest_equals_batch_index(spark, sf_dir, tmp_path):
+    """r12: the ingest stream serves the COMPOSED IVF-PQ layout.
+    Build IVF-PQ on the even half, stream the odd half in 3
+    micro-batches (layout auto-detected from the persisted
+    pq_codebook), and the streamed index must be ROW-IDENTICAL — both
+    the byte-code table and the full-vector table — to one where the
+    same rows arrived through one batch ingest_vectors_ivfpq call;
+    probes over the streamed index keep the q265 recall floor against
+    exact truth, and a re-delivered epoch must not double-append."""
+    from portfolio1_etl_spark.operators.ann_index import (
+        build_ivfpq_index,
+        ingest_vectors_ivfpq,
+        query_ivfpq_index,
+    )
+    from portfolio1_etl_spark.streaming.jobs import ann_index_ingest_stream
+
+    vecs = _vecs(spark, sf_dir)
+    first = vecs.filter(F.col("vec_id") % 2 == 0)
+    rest = vecs.filter(F.col("vec_id") % 2 == 1)
+    rest_raw = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .filter(F.col("vec_id") % 2 == 1)
+    )
+    p_stream = str(tmp_path / "ivfpq_stream")
+    p_batch = str(tmp_path / "ivfpq_batch")
+    for p in (p_stream, p_batch):
+        build_ivfpq_index(first, p, k_cells=K_CELLS)
+    ingest_vectors_ivfpq(spark, p_batch, rest)
+
+    land = tmp_path / "vec_landing_pq"
+    land.mkdir()
+    for i in range(3):
+        rest_raw.filter(F.col("vec_id") % 3 == i).coalesce(1).write.parquet(
+            str(land / f"part{i}")
+        )
+    stream = (
+        spark.readStream.schema("vec_id long, embedding array<float>, label int")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(land / "part*"))
+    )
+    writer = ann_index_ingest_stream(stream, p_stream)
+    q = writer.start()
+    q.processAllAvailable()
+    q.stop()
+
+    # stream == batch: both index tables row-identical
+    for table in ("codes", "vectors"):
+        got = sorted(
+            map(
+                tuple,
+                spark.read.parquet(f"{p_stream}/{table}")
+                .select("vec_id", "cell")
+                .collect(),
+            )
+        )
+        want = sorted(
+            map(
+                tuple,
+                spark.read.parquet(f"{p_batch}/{table}")
+                .select("vec_id", "cell")
+                .collect(),
+            )
+        )
+        assert got == want, f"streamed {table} diverged from batch ingest"
+
+    # a re-delivered epoch must not double-append (epoch memory)
+    n_before = spark.read.parquet(f"{p_stream}/codes").count()
+    writer.epoch_fold(rest_raw.limit(1), 0)
+    assert spark.read.parquet(f"{p_stream}/codes").count() == n_before
+
+    # the streamed index keeps the q265-board recall floor vs exact
+    queries = vecs.filter(F.col("vec_id") < 8)
+    got_k = _topk_sets(
+        query_ivfpq_index(
+            spark, p_stream, queries, n_probe=3, shortlist=32, k=3
+        ).collect()
+    )
+    want_k = _topk_sets(brute_force_topk(vecs, queries, k=3).collect())
+    hits = sum(len(got_k.get(qid, set()) & s) for qid, s in want_k.items())
+    assert hits / sum(len(s) for s in want_k.values()) >= 0.4

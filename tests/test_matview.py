@@ -302,3 +302,150 @@ def test_join_view_maintained_through_row_level_delta_commits(spark, tmp_path):
     assert (2, 1, "x") not in rows and (5, 3, "z") not in rows
     assert rows[(3, 2, "Y")] == (333, 1)
     assert rows[(6, 4, "w")] == (600, 1)
+
+
+# --- aggregate-view maintenance (r12) ---------------------------------------
+
+
+def test_agg_view_delta_refresh_equals_recompute(spark):
+    """Mixed feed against every min/max case at once: group a loses
+    its MINIMUM (dirty — rescan must find the survivor), group b gains
+    a new MAXIMUM by insert (clean monotone fold), group c is
+    untouched, group d empties (leaves the view), group e is brand
+    new. The refreshed view must equal a from-scratch agg_view of the
+    new base state."""
+    from portfolio1_etl_spark.operators.matview import agg_view, apply_agg_delta
+
+    v0 = spark.createDataFrame(
+        [
+            (1, "a", 10), (2, "a", 20), (3, "a", 30),
+            (4, "b", 5), (5, "b", 7),
+            (6, "c", 100),
+            (7, "d", 1),
+        ],
+        "id long, grp string, val long",
+    )
+    v1 = spark.createDataFrame(
+        [
+            (2, "a", 20), (3, "a", 30),
+            (4, "b", 5), (5, "b", 7), (8, "b", 99),
+            (6, "c", 100),
+            (9, "e", 42),
+        ],
+        "id long, grp string, val long",
+    )
+    feed = spark.createDataFrame(
+        [
+            ("delete", "a", 10),   # removes a's min -> dirty rescan
+            ("insert", "b", 99),   # new max -> monotone fold
+            ("delete", "d", 1),    # group empties
+            ("insert", "e", 42),   # brand-new group
+        ],
+        "_change string, grp string, val long",
+    )
+    got = apply_agg_delta(
+        agg_view(v0, ["grp"], "val"), feed, v1, ["grp"], "val"
+    )
+    assert _rows(got) == _rows(agg_view(v1, ["grp"], "val"))
+
+
+def test_agg_view_delete_of_non_extremum_stays_clean(spark):
+    """A delete strictly inside the (min, max) interval must refresh
+    WITHOUT consulting the base: passing an empty base table proves
+    the rescan path never ran."""
+    from portfolio1_etl_spark.operators.matview import agg_view, apply_agg_delta
+
+    v0 = spark.createDataFrame(
+        [(1, "a", 10), (2, "a", 20), (3, "a", 30)],
+        "id long, grp string, val long",
+    )
+    feed = spark.createDataFrame(
+        [("delete", "a", 20)], "_change string, grp string, val long"
+    )
+    empty_base = spark.createDataFrame([], "id long, grp string, val long")
+    got = apply_agg_delta(
+        agg_view(v0, ["grp"], "val"), feed, empty_base, ["grp"], "val"
+    )
+    assert _rows(got) == [("a", 2, 40, 10, 30)]
+
+
+def test_agg_view_same_step_insert_then_delete_of_new_min(spark):
+    """An insert and its own delete in ONE feed step: the candidate
+    min comes from the insert, the delete ties it — the group must go
+    dirty and rescan, not keep the phantom inserted minimum."""
+    from portfolio1_etl_spark.operators.matview import agg_view, apply_agg_delta
+
+    v0 = spark.createDataFrame(
+        [(1, "a", 10)], "id long, grp string, val long"
+    )
+    v1 = spark.createDataFrame(
+        [(1, "a", 10), (2, "a", 50)], "id long, grp string, val long"
+    )
+    feed = spark.createDataFrame(
+        [("insert", "a", 3), ("insert", "a", 50), ("delete", "a", 3)],
+        "_change string, grp string, val long",
+    )
+    got = apply_agg_delta(
+        agg_view(v0, ["grp"], "val"), feed, v1, ["grp"], "val"
+    )
+    assert _rows(got) == [("a", 2, 60, 10, 50)]
+
+
+def test_agg_view_keyed_feed_rejected_loudly(spark):
+    """update_preimage/update_postimage rows (read_changes with
+    key_cols) must raise at execution, never silently corrupt."""
+    import pytest
+
+    from portfolio1_etl_spark.operators.matview import agg_view, apply_agg_delta
+
+    v0 = spark.createDataFrame(
+        [(1, "a", 10)], "id long, grp string, val long"
+    )
+    feed = spark.createDataFrame(
+        [("update_preimage", "a", 10)], "_change string, grp string, val long"
+    )
+    with pytest.raises(Exception, match="unexpected _change"):
+        apply_agg_delta(
+            agg_view(v0, ["grp"], "val"), feed, v0, ["grp"], "val"
+        ).collect()
+
+
+def test_agg_view_maintained_through_row_level_delta_commits(spark, tmp_path):
+    """The q288 composition at unit grain: DELETE commit (minima
+    leave), UPSERT commit (update + re-insert at new extremes), view
+    fast-forwarded across the whole span equals recompute."""
+    from portfolio1_etl_spark.operators.matview import agg_view, apply_agg_delta
+    from portfolio1_etl_spark.operators.sinks import (
+        delete_from_chain,
+        read_changes,
+        read_version,
+        upsert_into_chain,
+        write_versioned,
+    )
+
+    pa = str(tmp_path / "base")
+    a0 = spark.createDataFrame(
+        [(1, "a", 100), (2, "a", 200), (3, "b", 300), (4, "b", 400)],
+        "id long, grp string, val long",
+    )
+    write_versioned(a0, pa, capture_changes=True, manifest=True)
+    view = agg_view(a0, ["grp"], "val").localCheckpoint()
+    # v1: delete a's max and b's min
+    delete_from_chain(
+        spark, pa, spark.createDataFrame([(2,), (3,)], "id long"), ["id"]
+    )
+    # v2: update id 1 (a's only row: both extremes move), insert id 5
+    upsert_into_chain(
+        spark,
+        pa,
+        spark.createDataFrame(
+            [(1, "a", 150), (5, "b", 50)], "id long, grp string, val long"
+        ),
+        ["id"],
+    )
+    head = read_version(spark, pa, 2)
+    view = apply_agg_delta(
+        view, read_changes(spark, pa, 0, 2), head, ["grp"], "val"
+    )
+    assert _rows(view) == _rows(agg_view(head, ["grp"], "val"))
+    assert _rows(view) == [("a", 1, 150, 150, 150), ("b", 2, 450, 50, 400)]

@@ -1156,3 +1156,91 @@ def test_joinview_maintenance_stream(spark, tmp_path):
     # duplicate delivery of the SAME epoch: durable marker no-ops
     writer.epoch_fold(dummy, 101)
     assert _versions(spark, pv) == [0, 1, 2]
+
+
+# --- streaming aggregate-view maintenance (r12) ------------------------------
+
+
+def test_aggview_maintenance_stream(spark, tmp_path):
+    """Streaming maintenance of the incremental AGGREGATE view: the
+    foreachBatch job fast-forwards the per-key n_rows/sum/min/max view
+    chain from the base chain's CDC feed — through snapshot and
+    row-level delta commits alike — and the committed view equals a
+    from-scratch agg_view of the head snapshot after every epoch,
+    including a DELETE that removes a group minimum (the dirty-group
+    rescan path). Exactly-once is version-driven: a duplicate epoch
+    and a no-advance epoch must not commit a new view version."""
+    from portfolio1_etl_spark.operators.matview import agg_view
+    from portfolio1_etl_spark.operators.sinks import (
+        _versions,
+        delete_from_chain,
+        read_version,
+        upsert_into_chain,
+        write_versioned,
+    )
+    from portfolio1_etl_spark.streaming import (
+        aggview_maintenance_stream,
+        read_events_stream,
+    )
+
+    pa, pv = str(tmp_path / "base"), str(tmp_path / "view")
+    a0 = spark.createDataFrame(
+        [(1, "a", 100), (2, "a", 200), (3, "b", 300), (4, "b", 400)],
+        "id long, grp string, val long",
+    )
+    write_versioned(a0, pa, capture_changes=True, manifest=True)
+
+    land, _ = _cdc_land_events(spark, tmp_path, n_slices=2)
+    writer = aggview_maintenance_stream(
+        read_events_stream(spark, str(land)), pa, pv, ["grp"], "val"
+    )
+
+    def _check():
+        got = sorted(map(tuple, read_version(spark, pv).collect()))
+        want = sorted(
+            map(tuple, agg_view(read_version(spark, pa), ["grp"], "val").collect())
+        )
+        assert got == want
+
+    # plumbing: a real availableNow run seeds the view chain (v0)
+    q = writer.option(
+        "checkpointLocation", str(tmp_path / "ckpt")
+    ).trigger(availableNow=True).start()
+    q.awaitTermination(120)
+    assert _versions(spark, pv) == [0]
+    _check()
+
+    dummy = spark.createDataFrame([(1,)], "x long")
+    # epoch with no chain advance: no new view version
+    writer.epoch_fold(dummy, 99)
+    assert _versions(spark, pv) == [0]
+
+    # DELETE commit removing group a's minimum -> dirty rescan path
+    delete_from_chain(
+        spark, pa, spark.createDataFrame([(1,)], "id long"), ["id"]
+    )
+    writer.epoch_fold(dummy, 100)
+    assert _versions(spark, pv) == [0, 1]
+    _check()
+
+    # UPSERT commit: update id 3 (b's min moves), insert new group c
+    upsert_into_chain(
+        spark,
+        pa,
+        spark.createDataFrame(
+            [(3, "b", 333), (5, "c", 500)], "id long, grp string, val long"
+        ),
+        ["id"],
+    )
+    writer.epoch_fold(dummy, 101)
+    assert _versions(spark, pv) == [0, 1, 2]
+    _check()
+    rows = {r.grp: (r.n_rows, r.sum_val, r.min_val, r.max_val)
+            for r in read_version(spark, pv).collect()}
+    assert rows["a"] == (1, 200, 200, 200)
+    assert rows["b"] == (2, 733, 333, 400)
+    assert rows["c"] == (1, 500, 500, 500)
+
+    # duplicate delivery of the SAME epoch: durable marker no-ops
+    writer.epoch_fold(dummy, 101)
+    assert _versions(spark, pv) == [0, 1, 2]
