@@ -10,9 +10,13 @@ full execution, no driver-side collect, no sink I/O in the measurement.
 Commit policy for artifacts: the COMMITTED ``bench_full_r{N}.json`` is
 the idle-machine min-of-3 and is the regression baseline of record.
 The driver's per-round capture (and any re-run taken while the driver
-or pytest loads the box) carries ~10-15% uniform load inflation — do
-NOT overwrite the committed artifact with one of those; regenerate on
-an idle machine or keep the existing baseline.
+or pytest loads the box) carries ~10-15% uniform load inflation — so
+(r12) full-registry results land in a SCRATCH file under the system
+temp dir unless ``--promote`` is passed; only a deliberate promoted
+run can create/overwrite the in-repo artifact, which keeps ``git
+status`` clean after a driver pass (the r10 AND r11 recurrence).
+Every artifact now carries an ``env`` block (load average, cpu count,
+promoted flag) so cross-artifact numbers are comparable.
 """
 
 from __future__ import annotations
@@ -110,17 +114,41 @@ def _regression_report(timings: dict[str, float], here: str) -> None:
         print(f"# WARNING: >2x regressions: {regressions}", file=sys.stderr)
 
 
+def _env_block() -> dict:
+    """Measurement environment, embedded in every timing artifact —
+    three r11 q237 numbers from three contexts were not comparable
+    because none recorded the load it ran under."""
+    try:
+        la1, la5, la15 = os.getloadavg()
+    except OSError:
+        la1 = la5 = la15 = -1.0
+    ncpu = os.cpu_count() or 0
+    return {
+        "loadavg_1m": round(la1, 2),
+        "loadavg_5m": round(la5, 2),
+        "cpus": ncpu,
+        "spark_graft_cpus": os.environ.get("SPARK_GRAFT_CPUS", ""),
+        # >25% of cores already busy when the run started — any
+        # timings taken here carry external-load inflation
+        "loaded": la1 > 0.25 * ncpu,
+        "runs_per_query": 3,
+    }
+
+
 def _write_full_artifact(
     timings: dict[str, float], total: float, sf: float, here: str
 ) -> None:
-    """Persist ALL headline timings to ``bench_full_r{N}.json`` in the
-    repo (N = latest driver-recorded round + 1). The driver's own
-    BENCH capture truncates to a log tail (r8 kept 61 of 105 rows),
-    which degraded round-over-round comparison to whatever survived —
-    this artifact is the durable, complete record, committed each
-    round."""
+    """Persist ALL headline timings to ``bench_full_r{N}.json`` — in
+    the repo ONLY when ``--promote`` is passed; otherwise to a scratch
+    file under the system temp dir (printed on stderr). The driver's
+    own BENCH capture truncates to a log tail (r8 kept 61 of 105
+    rows), so this artifact is the durable, complete record — but the
+    driver also re-runs bench.py under load, and twice (r10, r11) that
+    re-run overwrote the committed idle-machine baseline in the
+    working tree. Promotion is now explicit."""
     import glob
     import re
+    import tempfile
 
     # round number from the newest BENCH_r{N}.json FILENAME — never
     # its contents (r8's tail-truncated capture was unparseable, which
@@ -131,7 +159,11 @@ def _write_full_artifact(
         if (m := re.search(r"BENCH_r(\d+)\.json$", os.path.basename(p)))
     ]
     n = (max(rounds) + 1) if rounds else 1
-    out = os.path.join(here, f"bench_full_r{n}.json")
+    promote = "--promote" in sys.argv
+    if promote:
+        out = os.path.join(here, f"bench_full_r{n}.json")
+    else:
+        out = os.path.join(tempfile.gettempdir(), f"bench_full_r{n}.scratch.json")
     with open(out, "w") as f:
         json.dump(
             {
@@ -141,6 +173,8 @@ def _write_full_artifact(
                 "value": total,
                 "unit": "sec",
                 "runs_per_query": 3,
+                "promoted": promote,
+                "env": _env_block(),
                 "excluded": EXCLUDED,
                 "queries": timings,
             },
@@ -148,7 +182,8 @@ def _write_full_artifact(
             indent=1,
         )
         f.write("\n")
-    print(f"# wrote {out} ({len(timings)} queries)", file=sys.stderr)
+    kind = "PROMOTED" if promote else "scratch (pass --promote to commit)"
+    print(f"# wrote {out} ({len(timings)} queries) [{kind}]", file=sys.stderr)
 
 
 def main() -> None:

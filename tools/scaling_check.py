@@ -30,9 +30,15 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from portfolio1_etl_spark import get_spark
 from portfolio1_etl_spark.plans import REGISTRY
 
-#: the expensive tail of bench_full plus every iterative/composed
-#: operator whose scale story was previously plan-level only
+#: curated floor: every iterative/composed operator whose scale story
+#: was previously plan-level only. The ACTUAL measured set is this
+#: list UNION the top-10 most expensive queries of the newest
+#: committed bench_full artifact (_bench_top) — so anything that
+#: climbs the cost board is timed at sf1 automatically instead of
+#: waiting for a hand edit (the r11 verdict caught q105 sharing the
+#: rewritten verify path while absent from this list).
 QUERIES = [
+    "q105_prefix_jaccard",          # lossless candidates = verify worst case (r12)
     "q129_dedup_recall",            # composite dedup scoreboard
     "q237_clustering_coefficient",  # wedge join on the capped graph
     "q254_neighborhood_features",   # hop-2 self-join fanout
@@ -60,6 +66,44 @@ QUERIES = [
 BAR = 15.0
 
 
+def _bench_top(here: str, k: int = 10) -> list[str]:
+    """Top-``k`` most expensive queries from the newest committed
+    bench_full artifact — auto-included in the scaling set."""
+    import glob
+    import re
+
+    paths = glob.glob(os.path.join(here, "bench_full_r*.json"))
+    if not paths:
+        return []
+    newest = max(
+        paths,
+        key=lambda p: int(re.search(r"_r(\d+)\.json$", p).group(1)),
+    )
+    try:
+        with open(newest) as f:
+            qs = json.load(f)["queries"]
+    except (OSError, KeyError, ValueError):
+        return []
+    return [n for n, _ in sorted(qs.items(), key=lambda kv: -kv[1])[:k]]
+
+
+def _env_block() -> dict:
+    """Measurement environment (see bench.py) — embedded in the
+    artifact so cross-artifact numbers are comparable."""
+    try:
+        la1, la5, _ = os.getloadavg()
+    except OSError:
+        la1 = la5 = -1.0
+    ncpu = os.cpu_count() or 0
+    return {
+        "loadavg_1m": round(la1, 2),
+        "loadavg_5m": round(la5, 2),
+        "cpus": ncpu,
+        "spark_graft_cpus": os.environ.get("SPARK_GRAFT_CPUS", ""),
+        "loaded": la1 > 0.25 * ncpu,
+    }
+
+
 def _time(spark, name: str, sf_dir: str, runs: int) -> float:
     best = float("inf")
     for _ in range(runs):
@@ -80,8 +124,12 @@ def main() -> int:
     REGISTRY["q01_pricing_summary"].fn(spark, sf01).write.format(
         "noop"
     ).mode("overwrite").save()
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    top = [n for n in _bench_top(here) if n in REGISTRY and n not in QUERIES]
+    if top:
+        print(f"auto-included from bench top-10: {top}", flush=True)
     rows = {}
-    for name in QUERIES:
+    for name in QUERIES + top:
         t_small = _time(spark, name, sf01, runs)
         t_big = _time(spark, name, sf1, runs)
         ratio = t_big / t_small if t_small > 0 else float("inf")
@@ -100,10 +148,11 @@ def main() -> int:
         "bar": BAR,
         "factor": 10,
         "runs": runs,
+        "env": _env_block(),
+        "bench_top_included": top,
         "queries": rows,
         "failures": [n for n, r in rows.items() if not r["pass"]],
     }
-    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     ns = [
         int(f.split("_r")[1].split(".")[0])
         for f in os.listdir(here)
