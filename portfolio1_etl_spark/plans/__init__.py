@@ -42,89 +42,88 @@ from portfolio1_etl_spark.plans import dedup_recall_ops  # noqa: F401,E402
 #: Explicit registry order. External correctness harnesses may sample a
 #: prefix of ``queries()`` (the driver checks the first 50 entries), so
 #: the prefix must contain at least one representative of EVERY operator
-#: family. ROTATED each round (r11): 32 of the 50 slots hold queries
+#: family. ROTATED each round (r12): 20 of the 50 slots hold queries
 #: that have NEVER been under the external gate in any round — the
-#: long-unwindowed r9/r10 tail families (skyline, Holt, calibration,
-#: fertility, islands, UDTF, subquery-exists, Zipf, …) plus this
-#: round's brand-new rows (q263 row-level deltas → join view, q264
-#: MP4 stbl census, q265 composed IVF-PQ). Every swap stays INSIDE
-#: its operator family (test_registry_order pins the map), so the
-#: rotated-out members gate via the full-registry oracle + fuzz
-#: instead. Deliberately KEPT in-window: q01 (entry flagship), q43
-#: (EP3 reference pipeline), q73 (LSH core), q93/q104 (clustering/
-#: bloom plan shapes), q168 — the one-file commit primitive's local-FS
-#: branch resolution was reworked THIS round (Hadoop-resolved scheme,
-#: not raw string), so the chain commit path re-verifies under the
-#: external gate — and q114, whose scoreboard gained the q265 row.
-#: q243/q259 enter the window BECAUSE their closure loops were
-#: reworked this round (per-round materialization).
-#: Everything rotated out stays covered by tools/check_oracle.py
-#: (full-registry) and pytest.
+#: q196–q237 relational/behavioral long tail (Q7/Q9/Q18/Q22 shapes,
+#: deciles, bitmap distinct), the never-gated text/curation members
+#: (token histogram, repetition gate, chunking, weighted sampling,
+#: table stats, source KL), the r11 eval tier (forecast eval,
+#: recommender eval, Jaro-Winkler linkage, IVF incremental ingest,
+#: centroid separation, video census, skew diagnostics), and this
+#: round's brand-new q288 (incremental aggregate view). Every swap
+#: stays INSIDE its operator family (test_registry_order pins the
+#: map); the rotated-out members stay covered by the full-registry
+#: oracle + fuzz. Deliberately KEPT in-window: q01 (entry flagship),
+#: q43 (EP3 reference pipeline), q168 (commit primitive), q93/q104
+#: (clustering/bloom plan shapes), q114 (the ANN scoreboard). q73,
+#: q254, and q280 sit in the window BECAUSE r12 changed them
+#: (verify_candidates' defensive pair-distinct; the hop-2 symmetry
+#: halving; exact bigint ppm division) — changed code re-verifies
+#: under the external gate.
 PRIORITY: tuple[str, ...] = (
     # relational core representatives
     "q01_pricing_summary",      # flagship group-by agg (entry())
-    "q247_bag_set_ops",         # set family (kept from r10)
-    "q248_null_safe_join",      # null-safe fact join (never gated)
-    "q262_ratio_to_parent",     # hierarchy shares (never gated)
+    "q247_bag_set_ops",         # set family
+    "q203_large_volume_customers",  # TPC-H Q18 fact-fact (never gated)
+    "q262_ratio_to_parent",     # hierarchy shares
     "q238_variant_shredding",   # json family (kept: VARIANT flagship)
     "q28_pivot",                # pivot family
-    "q199_market_share",        # TPC-H Q8 star shape (never gated)
-    "q246_asof_nearest",        # nearest as-of join (never gated)
-    "q242_weighted_median",     # exact weighted median (never gated)
-    "q212_hll_merge_rollup",    # mergeable-sketch rollup (never gated)
-    "q181_price_size_skyline",  # skyline top-set (never gated)
+    "q205_profit_by_nation_year",  # TPC-H Q9 star shape (never gated)
+    "q246_asof_nearest",        # nearest as-of join
+    "q280_skew_diagnostics",    # exact order-stat profiler (never
+    # gated; re-gates THIS round's integer-division ppm fix)
+    "q182_bitmap_distinct",     # bitmap collect-agg (never gated)
+    "q181_price_size_skyline",  # skyline top-set
     "q179_geo_grid_knn",        # interval-band join (kept)
     # reference EP3 pipeline + warehouse maintenance
-    "q166_waiting_suppliers",   # correlated exists subquery (never gated)
+    "q167_untapped_customers",  # TPC-H Q22 anti-subquery (never gated)
     "q43_enriched_sales",
     "q104_bloom_prune",         # bloom family
-    "q263_joinview_row_deltas", # r11 NEW: DELETE/MERGE commits -> join view
-    "q244_incremental_join_view",  # CDC-fed view algebra (never gated)
-    "q168_versioned_time_travel",  # re-gates THIS round's POSIX-branch
-    # resolution fix in the one-file commit primitive
+    "q263_joinview_row_deltas", # DELETE/MERGE commits -> join view
+    "q288_aggview_row_deltas",  # r12 NEW: incremental AGG view (never gated)
+    "q168_versioned_time_travel",  # commit primitive (kept)
     # streaming batch twins + time-series layer
     "q154_gap_fill_resample",   # stream-window + date-spine (kept)
-    "q175_activity_islands",    # gaps-and-islands sessions (never gated)
-    "q134_udtf_ngrams",         # §2.12 UDTF shape (never gated)
-    "q213_consecutive_declines",  # streak frames (never gated)
-    "q231_holt_forecast",       # double-exponential smoothing (never gated)
+    "q175_activity_islands",    # gaps-and-islands sessions
+    "q272_jaro_winkler_linkage",  # Arrow-UDF linkage (never gated)
+    "q170_balance_deciles",     # ntile/percent_rank frames (never gated)
+    "q285_forecast_eval",       # rolling-origin eval board (never gated)
     # text analysis
-    "q235_zipf_slope",          # log-log OLS vocab law (never gated)
-    "q256_quality_retention_curve",  # threshold ladder (never gated)
-    "q257_tokenizer_fertility", # per-language fertility (never gated)
-    "q118_unigram_logprob",     # LM gate (never gated)
-    "q109_chunking_bpe",        # BPE chunk packing (never gated)
+    "q87_token_histogram",      # corpus token law (never gated)
+    "q96_repetition_filter",    # repetition quality gate (never gated)
+    "q257_tokenizer_fertility", # per-language fertility
+    "q119_source_kl",           # per-source LM divergence (never gated)
+    "q109_chunking_bpe",        # BPE chunk packing
     # corpus governance
-    "q122_pack_materialize",    # token-exact packing (never gated)
-    "q258_calibration_bins",    # equal-mass calibration (never gated)
-    "q186_validation_suite",    # rule battery (never gated)
+    "q107_chunking",            # span chunking (never gated)
+    "q106_weighted_sample",     # deterministic weighted sampling (never gated)
+    "q138_table_stats",         # data-card profiling (never gated)
     # clustering / sketches / reconcile
     "q93_kmeans",
     "q92_cms_heavy_hitters",
     "q172_replica_reconcile",
     # mining family
-    "q259_golden_record",       # re-gates THIS round's per-round
-    # materialize rework in the survivorship closure (never gated)
+    "q284_recommender_eval",    # temporal-split hit rate (never gated)
     # deduplication layer
     "q71_dedup_exact_keep",
     "q79_fingerprint_match",
-    "q73_minhash_lsh",
-    "q112_image_neardup",       # dHash pigeonhole banding (never gated)
-    "q125_embedding_decontaminate",  # semantic decontamination (never gated)
+    "q73_minhash_lsh",          # re-gates r12 defensive pair-distinct
+    "q112_image_neardup",       # dHash banding (decodes PNGs in-pipeline)
+    "q250_label_centroid_separation",  # embedding-space audit (never gated)
     "q97_decontaminate",        # span/shingle removal (kept)
-    "q139_leakage_safe_split",  # CC-cluster split keys (never gated)
+    "q139_leakage_safe_split",  # CC-cluster split keys
     # graph
-    "q243_transitive_closure",  # re-gates THIS round's per-round
-    # materialize rework in the path-doubling closure (never gated)
+    "q243_transitive_closure",  # path-doubling closure
     "q163_user_kcore",          # peel family (kept)
+    "q254_neighborhood_features",  # re-gates THIS round's hop-2
+    # symmetry halving (never gated; the r11 scaling `weak` fix)
     # similarity search layer
-    "q114_ann_recall",          # scoreboard EXTENDED this round (q265 row)
-    "q260_multiprobe_lsh_ann",  # Hamming-1 probes (never gated)
-    "q265_ivfpq_index_probe",   # r11 NEW: composed IVF-PQ index
-    "q253_hard_negative_mining",  # contrastive margins (never gated)
+    "q114_ann_recall",          # five-pipeline scoreboard (kept)
+    "q260_multiprobe_lsh_ann",  # Hamming-1 probes
+    "q270_ivf_incremental_ingest",  # frozen-codebook ingest (never gated)
+    "q253_hard_negative_mining",  # contrastive margins
     # multimodal layer
-    "q144_adpcm_decode",        # ADPCM state-machine decode (never gated)
-    "q264_mp4_sample_table_census",  # r11 NEW: stbl census
+    "q149_video_metadata_census",  # container census (never gated)
 )
 
 

@@ -234,6 +234,70 @@ def test_random_embeddings_match_oracle(spark, tmp_path, seed):
     assert not failures, f"seed {seed}: engine divergence in {failures}"
 
 
+#: r12 — the 64-dim retrieval tier (q266 slices 8×8-dim token
+#: sub-vectors, q268 evaluates 16/32/64 prefixes): needs full-width
+#: vectors, so it gets its own generator instead of the 16-dim one
+_WIDE_SIM_QUERIES = [
+    # MaxSim's nested fold over sliced sub-vectors: near-dup clusters
+    # make per-token maxima tie across docs; exact-dup vectors tie the
+    # whole score — the (maxsim DESC, neighbor_id ASC) rank must agree
+    "q266_maxsim_retrieval",
+    # matryoshka prefixes: random vectors where the prefix ordering
+    # DISAGREES with the full-dim ordering are the interesting case —
+    # recall fractions must match bitwise
+    "q268_matryoshka_recall",
+    # MMR greedy: exact-duplicate candidates make the redundancy
+    # penalty exactly cancel relevance ties — every unrolled argmax
+    # tie-break must agree with the oracle's
+    "q269_mmr_diversified_topk",
+]
+
+
+@pytest.mark.parametrize("seed", [909, 1212, 1515])
+def test_random_wide_embeddings_match_oracle(spark, tmp_path, seed):
+    """Differential gate over a random 64-dim embeddings table for the
+    late-interaction / matryoshka / MMR retrieval tier (r11 additions
+    the r11 verdict asked to fuzz): ragged similarity structure —
+    near-dup clusters, EXACT duplicates (score ties through every
+    greedy round), and heavy-tailed coordinates."""
+    rng = random.Random(seed)
+    rows = []
+    for i in range(60):
+        if i % 9 == 4 and i > 8:  # near-dup of the previous vector
+            base = rows[-1][1]
+            v = [x + rng.uniform(-0.005, 0.005) for x in base]
+        elif i % 13 == 11 and i > 8:  # EXACT duplicate -> score ties
+            v = list(rows[-2][1])
+        else:
+            v = [round(rng.uniform(-1, 1), 6) for _ in range(64)]
+        rows.append((i, [float(x) for x in v], i % 4))
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    sf = str(tmp_path / f"wfuzz{seed}")
+    import os
+
+    os.makedirs(sf)
+    emb.coalesce(1).write.parquet(f"{sf}/embeddings.parquet")
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{sf}/embeddings.parquet/*.parquet')"
+    )
+    failures = []
+    for name in _WIDE_SIM_QUERIES:
+        q = REGISTRY[name]
+        got = _normalize(q.fn(spark, sf).toPandas())
+        want = _normalize(con.sql(q.sql).df())
+        if not (
+            len(got) == len(want)
+            and list(got.columns) == list(want.columns)
+            and got.equals(want)
+        ):
+            failures.append(name)
+    assert not failures, f"seed {seed}: engine divergence in {failures}"
+
+
 _EVENT_QUERIES = [
     "q50_tumbling_window",
     "q51_sliding_window",
@@ -427,6 +491,14 @@ _RELATIONAL_QUERIES = [
     "q242_weighted_median",
     # incremental join-view refresh on random both-sides-changed keys
     "q244_incremental_join_view",
+    # r12 incremental AGG view: random orders make sparse delete/upsert
+    # residues — empty dirty sets, same-step insert+delete, and groups
+    # whose min/max both move in one span must equal the recompute
+    "q288_aggview_row_deltas",
+    # r11 recommender eval: random order dates squeeze the temporal
+    # split (all-train or tiny-test cutoffs) and random baskets make
+    # empty rec lists — the hit-rate denominator must agree exactly
+    "q284_recommender_eval",
     # rollup grouping labels / bag set-ops / null-safe join on random
     # priority distributions (incl. every-dup and all-null-bucket shapes)
     "q245_rollup_grouping_labels",

@@ -28,79 +28,86 @@ def test_every_operator_family_inside_window():
     entries — the part of the registry an external prefix-sampling
     harness actually checks."""
     window = set(list(REGISTRY)[:WINDOW])
-    # r11 ROTATION: 32 of the 50 window slots hold queries never
-    # previously under the external gate (incl. the new q263/q264/q265
-    # storage + index rows); each family keeps one representative in
-    # the window, and everything rotated out stays oracle-backed for
-    # CI (test_demoted_queries_still_oracle_backed).
+    # r12 ROTATION: 20 of the 50 window slots hold queries never
+    # previously under the external gate (the q196+ relational tail,
+    # the never-gated text/curation members, the r11 eval tier, and
+    # the new q288 aggregate view); each family keeps one
+    # representative in the window, and everything rotated out stays
+    # oracle-backed for CI (test_demoted_queries_still_oracle_backed).
     families = {
         "relational-agg": "q01_pricing_summary",
         "sets": "q247_bag_set_ops",
-        "fact-fact-join": "q248_null_safe_join",  # r11: null-safe
-        # equality join (the salted q130 shape stays oracle-backed)
-        "topk": "q181_price_size_skyline",  # r11: skyline top-set
-        "hierarchical-agg": "q262_ratio_to_parent",  # r11 (was q245)
+        "fact-fact-join": "q203_large_volume_customers",  # r12: TPC-H
+        # Q18 having-join (the null-safe q248 stays oracle-backed)
+        "topk": "q181_price_size_skyline",
+        "hierarchical-agg": "q262_ratio_to_parent",
         "json": "q238_variant_shredding",  # kept: VARIANT flagship
         "pivot-family": "q28_pivot",
-        "star-join": "q199_market_share",  # r11: TPC-H Q8 (was q84 Q5)
-        "exotic-join": "q246_asof_nearest",  # r11: nearest as-of (was q88)
-        "stats-agg": "q242_weighted_median",  # r11 (was q177)
-        "collect-agg": "q212_hll_merge_rollup",  # r11: mergeable
-        # sketch rollup (was q195 plain HLL)
+        "star-join": "q205_profit_by_nation_year",  # r12: TPC-H Q9
+        # (was q199 Q8)
+        "exotic-join": "q246_asof_nearest",
+        "stats-agg": "q280_skew_diagnostics",  # r12: exact order-stat
+        # count-of-counts profiler; re-gates the bigint-div ppm fix
+        # (was q242 weighted median)
+        "collect-agg": "q182_bitmap_distinct",  # r12: bitmap distinct
+        # (was q212 HLL rollup)
         "interval-join": "q179_geo_grid_knn",  # kept
-        "subquery-scalar": "q166_waiting_suppliers",  # r11: correlated
-        # EXISTS (was q188 scalar min)
-        "curation-pack": "q122_pack_materialize",  # r11 (was q121)
-        "curation-schedule": "q258_calibration_bins",  # r11 (was q140)
-        "curation-card": "q186_validation_suite",  # r11 (was q215)
+        "subquery-scalar": "q167_untapped_customers",  # r12: TPC-H Q22
+        # NOT EXISTS + scalar avg (was q166 correlated EXISTS)
+        "curation-pack": "q107_chunking",  # r12 (was q122)
+        "curation-schedule": "q106_weighted_sample",  # r12:
+        # deterministic mixture sampling (was q258 calibration)
+        "curation-card": "q138_table_stats",  # r12: data-card
+        # profiling (was q186 rule battery)
         "pipeline": "q43_enriched_sales",
-        "merge-upsert": "q263_joinview_row_deltas",  # r11 NEW: the
-        # DELETE/MERGE delta commits drive an incremental join view
-        "cdc": "q244_incremental_join_view",  # r11: CDC-fed Z-relation
-        # view algebra (was q240 widening feed)
-        "warehouse-txn": "q168_versioned_time_travel",  # re-gates the
-        # r11 local-FS branch-resolution fix in the commit primitive
+        "merge-upsert": "q263_joinview_row_deltas",
+        "cdc": "q288_aggview_row_deltas",  # r12 NEW: the CDC feed
+        # drives an incremental GROUP-BY view (was q244 join view)
+        "warehouse-txn": "q168_versioned_time_travel",
         "stream-window": "q154_gap_fill_resample",
-        "stream-session": "q175_activity_islands",  # r11: gaps-and-
-        # islands sessionization (was q233 window-native sessions)
-        "udf-shapes": "q134_udtf_ngrams",  # r11: UDTF (was q132 scalar)
-        "window-frame": "q213_consecutive_declines",  # r11 (was q225)
+        "stream-session": "q175_activity_islands",
+        "udf-shapes": "q272_jaro_winkler_linkage",  # r12: the
+        # bit-exact Arrow-vectorized UDF (was q134 UDTF)
+        "window-frame": "q170_balance_deciles",  # r12: ntile/
+        # percent_rank/cume_dist (was q213 streak frames)
         "date-spine": "q154_gap_fill_resample",
-        "text-words": "q235_zipf_slope",  # r11 (was q249 Heaps)
-        "text-quality": "q256_quality_retention_curve",  # r11 (was q214)
-        "text-langid": "q257_tokenizer_fertility",  # r11: per-language
-        # fertility reuses the q69 profile (was q69)
-        "text-lm": "q118_unigram_logprob",  # r11 (was q141)
-        "text-bpe": "q109_chunking_bpe",  # r11 (was q123)
+        "text-words": "q87_token_histogram",  # r12 (was q235 Zipf)
+        "text-quality": "q96_repetition_filter",  # r12 (was q256)
+        "text-langid": "q257_tokenizer_fertility",
+        "text-lm": "q119_source_kl",  # r12: per-source divergence
+        # (was q118 unigram logprob)
+        "text-bpe": "q109_chunking_bpe",
         "dedup-exact": "q71_dedup_exact_keep",
         "dedup-fingerprint": "q79_fingerprint_match",
-        "dedup-minhash": "q73_minhash_lsh",
-        "dedup-simhash": "q112_image_neardup",  # r11: dHash pigeonhole
-        # banding — the simhash family's image member (was q75)
-        "dedup-embedding": "q125_embedding_decontaminate",  # r11 (was q78)
+        "dedup-minhash": "q73_minhash_lsh",  # re-gates r12's
+        # defensive pair-distinct in verify_candidates
+        "dedup-simhash": "q112_image_neardup",
+        "dedup-embedding": "q250_label_centroid_separation",  # r12
+        # (was q125 decontaminate)
         "dedup-spans": "q97_decontaminate",  # kept
-        "dedup-cc": "q139_leakage_safe_split",  # r11: split keys ARE
-        # the CC cluster ids (was q150 triangles)
-        "graph-iterative": "q243_transitive_closure",  # r11: re-gates
-        # the per-round materialize rework (was q211)
+        "dedup-cc": "q139_leakage_safe_split",
+        "graph-iterative": "q243_transitive_closure",
         "graph-peel": "q163_user_kcore",  # kept
+        "graph-features": "q254_neighborhood_features",  # r12 NEW
+        # family slot: re-gates the hop-2 symmetry halving
         "sketch-cms": "q92_cms_heavy_hitters",
         "sketch-bloom": "q104_bloom_prune",
         "digest-reconcile": "q172_replica_reconcile",
         "cluster-kmeans": "q93_kmeans",
-        "sim-knn": "q114_ann_recall",  # kept: board gained the q265 row
-        "sim-lsh": "q260_multiprobe_lsh_ann",  # r11 (was q82)
-        "sim-ivf": "q265_ivfpq_index_probe",  # r11 NEW: composed
-        # IVF-PQ persisted index (was q135 plain IVF)
-        "sim-quantized": "q253_hard_negative_mining",  # r11: margin
-        # mining over the quantized sims (was q252 RRF)
-        "multimodal-decode": "q144_adpcm_decode",  # r11: ADPCM state
-        # machine (was q241 ADTS)
-        "multimodal-governance": "q264_mp4_sample_table_census",  # r11
-        # NEW: stbl census (was q147 EXIF)
-        "timeseries": "q231_holt_forecast",  # r11 (was q210)
-        "mining": "q259_golden_record",  # r11: re-gates the per-round
-        # materialize rework in the survivorship closure (was q226)
+        "sim-knn": "q114_ann_recall",  # kept: the five-pipeline board
+        "sim-lsh": "q260_multiprobe_lsh_ann",
+        "sim-ivf": "q270_ivf_incremental_ingest",  # r12: frozen-
+        # codebook ingest (was q265 build+probe)
+        "sim-quantized": "q253_hard_negative_mining",
+        "multimodal-decode": "q112_image_neardup",  # r12: shares the
+        # dedup-simhash slot — q112 synthesizes AND PNG-decodes its
+        # thumbs in-pipeline (was q144 ADPCM, now oracle-backed)
+        "multimodal-governance": "q149_video_metadata_census",  # r12
+        # (was q264 stbl census)
+        "timeseries": "q285_forecast_eval",  # r12: rolling-origin
+        # eval board (was q231 Holt point forecast)
+        "mining": "q284_recommender_eval",  # r12: temporal-split
+        # hit-rate board (was q259 golden record)
     }
     outside = {f: q for f, q in families.items() if q not in window}
     assert not outside, f"families outside the {WINDOW}-entry window: {outside}"
