@@ -205,7 +205,9 @@ def prefix_jaccard_pairs(
         .distinct()
         .localCheckpoint(eager=True)
     )
-    return verify_candidates(sh, cand, t_num / t_den, id_col=id_col)
+    return verify_candidates(
+        sh, cand, t_num / t_den, id_col=id_col, assume_pair_distinct=True
+    )
 
 
 def minhash_signatures(sh: DataFrame, id_col: str = "doc_id") -> DataFrame:
@@ -384,7 +386,11 @@ def connected_components(
 
 
 def verify_candidates(
-    sh: DataFrame, cand: DataFrame, threshold: float, id_col: str = "doc_id"
+    sh: DataFrame,
+    cand: DataFrame,
+    threshold: float,
+    id_col: str = "doc_id",
+    assume_pair_distinct: bool = False,
 ) -> DataFrame:
     """Exact-Jaccard verification restricted to LSH survivors, scoped
     to candidate PAIRS (r11): the common-shingle count joins each
@@ -401,11 +407,18 @@ def verify_candidates(
     PRECONDITION (enforced below): the pair-scoped common-shingle
     count requires ``cand`` to be pair-DISTINCT — a duplicated
     (doc_a, doc_b) row doubles the common count ``c`` while
-    ``na``/``nb`` stay fixed, inflating the jaccard. The old join-back
-    shape was duplicate-tolerant; this one is not, so the pair list is
-    defensively distinct-ed here (one cheap shuffle of the small pair
-    table) rather than trusting every caller forever."""
-    cand = cand.select("doc_a", "doc_b").distinct()
+    ``na``/``nb`` stay fixed, inflating the jaccard (the old join-back
+    shape was duplicate-tolerant; this one is not). By default the
+    pair list is defensively distinct-ed here; callers whose
+    candidates are distinct BY CONSTRUCTION (``lsh_candidates`` and
+    the prefix join both end in ``.distinct().localCheckpoint()``)
+    pass ``assume_pair_distinct=True`` to skip the redundant shuffle —
+    on the LOSSLESS candidate lists that re-shuffle is not cheap: the
+    unconditional form cost the q129 scoreboard 96.7 → 242 s at sf1
+    (three verify pipelines, each re-distincting an already-distinct
+    checkpointed pair table)."""
+    if not assume_pair_distinct:
+        cand = cand.select("doc_a", "doc_b").distinct()
     cand_docs = (
         cand.select(F.col("doc_a").alias(id_col))
         .union(cand.select(F.col("doc_b").alias(id_col)))

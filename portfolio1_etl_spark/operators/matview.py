@@ -204,6 +204,113 @@ def apply_agg_delta(
     return clean.unionByName(fixed.select(*clean.columns))
 
 
+def distinct_view(
+    state: DataFrame, keys: Sequence[str], val: str
+) -> tuple[DataFrame, DataFrame]:
+    """Exact per-key COUNT DISTINCT maintained under deletes (r12):
+    returns ``(aux, view)`` where ``aux`` is the (keys, val) → ``cnt``
+    multiplicity sidecar (the auxiliary structure the module docstring
+    promises for non-invertible aggregates) and ``view`` is the
+    per-key distinct count derived from it. Store BOTH; refresh with
+    :func:`apply_distinct_delta` — the sidecar makes distinct-count
+    fully incremental: a delete decrements one (key, val) cell and
+    the count drops only when the cell reaches zero."""
+    keys = list(keys)
+    aux = state.groupBy(*keys, val).agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    view = aux.groupBy(*keys).agg(
+        F.count(F.lit(1)).cast("long").alias("n_distinct")
+    )
+    return aux, view
+
+
+def apply_distinct_delta(
+    aux: DataFrame,
+    view: DataFrame,
+    feed: DataFrame,
+    keys: Sequence[str],
+    val: str,
+) -> tuple[DataFrame, DataFrame]:
+    """One CDC step of a :func:`distinct_view` — the DBSP ``distinct``
+    operator, never a rescan of the BASE table:
+
+    1. fold the signed feed per (keys, val) and full-outer merge it
+       into the sidecar — one sidecar-grain shuffle (value-domain
+       sized, co-partitioned with the delta; at 100 TB lay the stored
+       sidecar out by (keys, val) and this merge is join-local),
+       never base-grain;
+    2. a cell crossing 0 → +n contributes +1 to its key's distinct
+       count, a cell crossing +n → 0 contributes −1, every other
+       transition contributes nothing — so the VIEW fold is
+       delta-proportional: untouched cells have ``_d`` null and fold
+       a structural 0.
+
+    Returns the refreshed ``(aux, view)``. Negative cell counts (a
+    delete for a value never inserted) raise at execution — a signed
+    multiset with negative multiplicity means the feed and sidecar
+    have diverged, and silently clamping would corrupt every
+    downstream refresh."""
+    keys = list(keys)
+    signed = _signed(feed)
+    delta = signed.groupBy(*keys, val).agg(
+        F.sum("_sign").cast("long").alias("_d")
+    )
+    cells = aux.join(delta, [*keys, val], "full").select(
+        *keys,
+        val,
+        F.col("_d").isNotNull().alias("_touched"),
+        F.coalesce(F.col("cnt"), F.lit(0)).alias("_old"),
+        (
+            F.coalesce(F.col("cnt"), F.lit(0))
+            + F.coalesce(F.col("_d"), F.lit(0))
+        ).alias("cnt"),
+    )
+    guarded = cells.withColumn(
+        "cnt",
+        F.when(
+            F.col("cnt") < 0,
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        "apply_distinct_delta: cell multiplicity went "
+                        "negative — the feed deletes a value the "
+                        "sidecar never held (keys="
+                    ),
+                    F.concat_ws(
+                        ",", *[F.col(k).cast("string") for k in keys]
+                    ),
+                    F.lit(")"),
+                )
+            ).cast("long"),
+        ).otherwise(F.col("cnt")),
+    )
+    step = (
+        F.when((F.col("_old") == 0) & (F.col("cnt") > 0), F.lit(1))
+        .when((F.col("_old") > 0) & (F.col("cnt") == 0), F.lit(-1))
+        .otherwise(F.lit(0))
+    )
+    vdelta = (
+        guarded.filter(F.col("_touched"))
+        .select(*keys, step.alias("_s"))
+        .groupBy(*keys)
+        .agg(F.sum("_s").cast("long").alias("_dn"))
+    )
+    new_view = (
+        view.join(vdelta, keys, "full")
+        .select(
+            *keys,
+            (
+                F.coalesce(F.col("n_distinct"), F.lit(0))
+                + F.coalesce(F.col("_dn"), F.lit(0))
+            ).alias("n_distinct"),
+        )
+        .filter(F.col("n_distinct") > 0)
+    )
+    new_aux = guarded.filter(F.col("cnt") > 0).select(*keys, val, "cnt")
+    return new_aux, new_view.select(*keys, "n_distinct")
+
+
 def refresh_from_chain(
     spark,
     path: str,

@@ -312,7 +312,7 @@ def q73_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     cluster, substitute a reliable checkpoint or DISK_ONLY persist."""
     sh = shingle_hashes(_docs(spark, sf_dir), "text").localCheckpoint(eager=True)
     cand = lsh_candidates(minhash_signatures(sh))
-    return verify_candidates(sh, cand, 0.4)
+    return verify_candidates(sh, cand, 0.4, assume_pair_distinct=True)
 
 
 # --- SimHash ---------------------------------------------------------------

@@ -1475,3 +1475,94 @@ def q288_aggview_row_deltas(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("min_val").cast("long").alias("min_cents"),
         F.col("max_val").cast("long").alias("max_cents"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q289 — incremental DISTINCT-COUNT view from row-level deltas (r12)
+# ---------------------------------------------------------------------------
+
+#: q289 closed-form final state: DELETE removes ok % 10 = 5; the
+#: UPSERT commit re-keys ok % 10 = 6 to a shifted customer (the value
+#: the distinct count tracks CHANGES — a delete+insert pair in the
+#: feed) and re-inserts the ok % 20 = 5 half of the deleted keys at
+#: another shifted customer.
+_DCV_A = (
+    "SELECT o_orderkey AS id, o_orderpriority AS grp, "
+    "CASE WHEN o_orderkey % 10 = 6 THEN o_custkey + 7 "
+    "WHEN o_orderkey % 20 = 5 THEN o_custkey + 3 "
+    "ELSE o_custkey END AS ck "
+    "FROM orders WHERE o_orderkey % 10 <> 5 OR o_orderkey % 20 = 5"
+)
+
+
+@query(
+    "q289_distinctview_row_deltas",
+    sql=f"""
+    WITH a1 AS ({_DCV_A})
+    SELECT grp,
+           CAST(count(DISTINCT ck) AS BIGINT) AS n_distinct
+    FROM a1 GROUP BY 1
+    """,
+    operators=(
+        "X-distinct-matview",
+        "X-cdc-feed",
+        "X-row-level-delete",
+        "K-versioned",
+        "A-distinct",
+    ),
+)
+def q289_distinctview_row_deltas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental per-key COUNT DISTINCT under deletes (r12 — the
+    aggregate the module docstring long refused as non-invertible,
+    now maintained exactly via the (key, value) multiplicity sidecar:
+    the DBSP ``distinct`` operator): the base chain takes a DELETE
+    commit then an UPSERT that RE-KEYS a slice to different customers
+    (the tracked value itself changes — the hardest feed shape, a
+    delete+insert pair per row), and the per-priority distinct
+    customer count refreshes from the captured CDC feed alone
+    (operators/matview.apply_distinct_delta). The sidecar merge is
+    one value-domain-grain shuffle, the view fold is ±1s from cells
+    crossing zero — delta-proportional; the base table is never
+    rescanned. Oracle = the final state recomputed whole: a cell that
+    failed to cross zero, a double-counted re-key, or a leaked delete
+    all move the distinct counts."""
+    from portfolio1_etl_spark.operators.matview import (
+        apply_distinct_delta,
+        distinct_view,
+    )
+    from portfolio1_etl_spark.operators.sinks import (
+        _hadoop_fs,
+        delete_from_chain,
+        read_changes,
+        upsert_into_chain,
+        write_versioned,
+    )
+
+    base = catalog.scratch_path("distinctview_rd", sf_dir)
+    fs, jpath = _hadoop_fs(spark, base)
+    if fs.exists(jpath):
+        fs.delete(jpath, True)
+    o = _t(spark, sf_dir, "orders")
+    ok = F.col("o_orderkey")
+    a0 = o.select(
+        ok.alias("id"),
+        F.col("o_orderpriority").alias("grp"),
+        F.col("o_custkey").alias("ck"),
+    )
+    write_versioned(a0, f"{base}/a", capture_changes=True, manifest=True)
+    delete_from_chain(
+        spark, f"{base}/a", a0.filter(F.col("id") % 10 == 5).select("id"), ["id"]
+    )
+    upsert_src = o.filter((ok % 10 == 6) | (ok % 20 == 5)).select(
+        ok.alias("id"),
+        F.col("o_orderpriority").alias("grp"),
+        F.when(ok % 10 == 6, F.col("o_custkey") + 7)
+        .otherwise(F.col("o_custkey") + 3)
+        .alias("ck"),
+    )
+    upsert_into_chain(spark, f"{base}/a", upsert_src, ["id"])
+    aux0, view0 = distinct_view(a0, ["grp"], "ck")
+    _, refreshed = apply_distinct_delta(
+        aux0, view0, read_changes(spark, f"{base}/a", 0, 2), ["grp"], "ck"
+    )
+    return refreshed.select("grp", F.col("n_distinct").cast("long").alias("n_distinct"))

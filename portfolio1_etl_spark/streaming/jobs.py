@@ -494,7 +494,9 @@ def corpus_prep_finalize(
     sh_capped = sh_surv.join(
         F.broadcast(hot_shingles(sh_surv, df_cap).select("h")), "h", "left_anti"
     ).localCheckpoint(eager=True)
-    pairs = verify_candidates(sh_capped, cand, jaccard_threshold)
+    pairs = verify_candidates(
+        sh_capped, cand, jaccard_threshold, assume_pair_distinct=True
+    )
     cc = connected_components(pairs)
     near_dupes = cc.filter(F.col("node") != F.col("component")).select(
         F.col("node").alias("doc_id")

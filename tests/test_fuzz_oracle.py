@@ -499,6 +499,10 @@ _RELATIONAL_QUERIES = [
     # split (all-train or tiny-test cutoffs) and random baskets make
     # empty rec lists — the hit-rate denominator must agree exactly
     "q284_recommender_eval",
+    # r12 incremental DISTINCT-count view: random custkey collisions
+    # make duplicate cells whose last copy leaves vs. copies that
+    # survive — every 0-crossing must agree with the recompute
+    "q289_distinctview_row_deltas",
     # rollup grouping labels / bag set-ops / null-safe join on random
     # priority distributions (incl. every-dup and all-null-bucket shapes)
     "q245_rollup_grouping_labels",

@@ -449,3 +449,118 @@ def test_agg_view_maintained_through_row_level_delta_commits(spark, tmp_path):
     )
     assert _rows(view) == _rows(agg_view(head, ["grp"], "val"))
     assert _rows(view) == [("a", 1, 150, 150, 150), ("b", 2, 450, 50, 400)]
+
+
+# --- distinct-count view maintenance (r12) ----------------------------------
+
+
+def test_distinct_view_refresh_equals_recompute(spark):
+    """Mixed feed across every cell transition at once: a value whose
+    last copy leaves (+n -> 0, -1), a duplicate copy leaving (no
+    transition), a brand-new value (0 -> +n, +1), a re-key
+    (delete+insert pair moving a row between values), an untouched
+    group, and a group that empties entirely."""
+    from portfolio1_etl_spark.operators.matview import (
+        apply_distinct_delta,
+        distinct_view,
+    )
+
+    v0 = spark.createDataFrame(
+        [
+            (1, "a", 10), (2, "a", 10), (3, "a", 20),
+            (4, "b", 5),
+            (5, "c", 7),
+        ],
+        "id long, grp string, val long",
+    )
+    v1 = spark.createDataFrame(
+        [
+            (2, "a", 10), (3, "a", 30),
+            (4, "b", 5),
+        ],
+        "id long, grp string, val long",
+    )
+    feed = spark.createDataFrame(
+        [
+            ("delete", "a", 10),   # duplicate copy leaves: count stays
+            ("delete", "a", 20),   # last copy leaves: -1
+            ("insert", "a", 30),   # new value: +1 (the re-key pair)
+            ("delete", "c", 7),    # group empties
+        ],
+        "_change string, grp string, val long",
+    )
+    aux0, view0 = distinct_view(v0, ["grp"], "val")
+    aux1, view1 = apply_distinct_delta(aux0, view0, feed, ["grp"], "val")
+    waux, wview = distinct_view(v1, ["grp"], "val")
+    assert _rows(aux1) == _rows(waux)
+    assert _rows(view1) == _rows(wview)
+    assert _rows(view1) == [("a", 2), ("b", 1)]
+
+
+def test_distinct_view_negative_cell_raises(spark):
+    """A delete for a value the sidecar never held means feed and
+    sidecar diverged — must raise, never clamp."""
+    import pytest
+
+    from portfolio1_etl_spark.operators.matview import (
+        apply_distinct_delta,
+        distinct_view,
+    )
+
+    v0 = spark.createDataFrame(
+        [(1, "a", 10)], "id long, grp string, val long"
+    )
+    feed = spark.createDataFrame(
+        [("delete", "a", 99)], "_change string, grp string, val long"
+    )
+    aux0, view0 = distinct_view(v0, ["grp"], "val")
+    aux1, view1 = apply_distinct_delta(aux0, view0, feed, ["grp"], "val")
+    with pytest.raises(Exception, match="negative"):
+        aux1.collect()
+
+
+def test_distinct_view_multi_step_chain(spark, tmp_path):
+    """Two row-level delta commits folded step-by-step: the maintained
+    (aux, view) pair equals a from-scratch distinct_view of every
+    intermediate snapshot."""
+    from portfolio1_etl_spark.operators.matview import (
+        apply_distinct_delta,
+        distinct_view,
+    )
+    from portfolio1_etl_spark.operators.sinks import (
+        delete_from_chain,
+        read_changes,
+        read_version,
+        upsert_into_chain,
+        write_versioned,
+    )
+
+    pa = str(tmp_path / "base")
+    a0 = spark.createDataFrame(
+        [(1, "a", 10), (2, "a", 10), (3, "a", 20), (4, "b", 5)],
+        "id long, grp string, val long",
+    )
+    write_versioned(a0, pa, capture_changes=True, manifest=True)
+    aux, view = distinct_view(a0, ["grp"], "val")
+    aux, view = aux.localCheckpoint(), view.localCheckpoint()
+    delete_from_chain(
+        spark, pa, spark.createDataFrame([(2,), (3,)], "id long"), ["id"]
+    )
+    upsert_into_chain(
+        spark,
+        pa,
+        spark.createDataFrame(
+            [(1, "a", 99), (5, "b", 5)], "id long, grp string, val long"
+        ),
+        ["id"],
+    )
+    for v in (1, 2):
+        aux, view = apply_distinct_delta(
+            aux, view, read_changes(spark, pa, v - 1, v), ["grp"], "val"
+        )
+        aux, view = aux.localCheckpoint(), view.localCheckpoint()
+        waux, wview = distinct_view(read_version(spark, pa, v), ["grp"], "val")
+        assert _rows(aux) == _rows(waux)
+        assert _rows(view) == _rows(wview)
+    # final: a={99}, b={5} (two rows, one value)
+    assert _rows(view) == [("a", 1), ("b", 1)]
