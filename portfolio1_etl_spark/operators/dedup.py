@@ -176,7 +176,48 @@ def prefix_jaccard_pairs(
     value is 2, silently shortening the prefix below the lemma's
     bound — a data-dependent false-negative bug that float-vs-decimal
     engine differences make worse. Verification reuses
-    ``verify_candidates`` (exact Jaccard on the candidates only)."""
+    ``verify_candidates`` (exact Jaccard on the candidates only).
+
+    Candidates are pruned by PPJoin's LOSSLESS length + positional
+    filters before verification (the r12 fix for the 18× sf1 scaling
+    blow-up — near-dup families whose every pair collides in the
+    prefixes made the verify stage's input superlinear):
+
+    - length: ``c ≤ min(na, nb)`` and ``J ≥ t ⟺ c·(t_num+t_den) ≥
+      t_num·(na+nb)`` force ``min·(t_num+t_den) ≥ t_num·(na+nb)``
+      (⟺ min ≥ t·max) — applied inside the join condition, before
+      the pair ever shuffles.
+    - positional: let w be the (df, h)-minimal colliding prefix
+      token, at ranks (ra, rb). Any common token globally smaller
+      than w would sit at ranks < ra / < rb — inside BOTH prefixes —
+      and collide, contradicting w's minimality; so every common
+      token is ≥ w and ``c ≤ 1 + min(na − ra, nb − rb)``. Pairs whose
+      bound can't reach the required overlap are dropped exactly —
+      integer arithmetic throughout. This is what kills the near-dup
+      family explosion: each copy's perturbed shingles are df=1 and
+      sort FIRST, so cross-copy pairs first collide midway through
+      the prefix and their bound lands below t/(1+t)·(na+nb).
+
+    Verification uses the SET form (``verify_candidates_sets``): the
+    lossless candidate list is orders of magnitude denser than LSH
+    survivors, so the array shape's |cand|-row shuffle wins there."""
+    cand = prefix_candidates(sh, t_num, t_den, id_col=id_col).localCheckpoint(
+        eager=True
+    )
+    return verify_candidates_sets(sh, cand, t_num / t_den, id_col=id_col)
+
+
+def prefix_candidates(
+    sh: DataFrame,
+    t_num: int,
+    t_den: int,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Pair-distinct (doc_a, doc_b) candidates for Jaccard ≥
+    t_num/t_den: prefix-filter collision join + PPJoin length and
+    positional filters (all lossless — see ``prefix_jaccard_pairs``).
+    Exposed separately so the pruning invariants are testable without
+    reaching through the verify stage."""
     df_tab = sh.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
     w_rank = W.partitionBy(id_col).orderBy("df", "h")
     # the set size rides the SAME sorted window pass as the rank (full
@@ -189,24 +230,41 @@ def prefix_jaccard_pairs(
         .withColumn("rn", F.row_number().over(w_rank))
         .withColumn("n", F.count(F.lit(1)).over(w_size))
         .filter(F.col("rn") <= F.col("n") - F.expr(ceil_tn) + 1)
-        .select(id_col, "h")
+        .select(id_col, "h", "df", "rn", "n")
     )
     a, b = prefix.alias("a"), prefix.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.h") == F.col("b.h"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .select(
-            F.col(f"a.{id_col}").alias("doc_a"),
-            F.col(f"b.{id_col}").alias("doc_b"),
-        )
-        .distinct()
-        .localCheckpoint(eager=True)
+    t_sum = t_num + t_den
+    length_ok = (
+        F.least(F.col("a.n"), F.col("b.n")) * t_sum
+        >= t_num * (F.col("a.n") + F.col("b.n"))
     )
-    return verify_candidates(
-        sh, cand, t_num / t_den, id_col=id_col, assume_pair_distinct=True
+    coll = a.join(
+        b,
+        (F.col("a.h") == F.col("b.h"))
+        & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        & length_ok,
+    ).select(
+        F.col(f"a.{id_col}").alias("doc_a"),
+        F.col(f"b.{id_col}").alias("doc_b"),
+        # struct min under (df, h) = the global sort order picks the
+        # minimal colliding token's ranks; na/nb are pair constants
+        F.struct(
+            F.col("a.df").alias("df"),
+            F.col("a.h").alias("h"),
+            F.col("a.rn").alias("ra"),
+            F.col("b.rn").alias("rb"),
+            F.col("a.n").alias("na"),
+            F.col("b.n").alias("nb"),
+        ).alias("w"),
+    )
+    ubound = F.lit(1) + F.least(
+        F.col("w.na") - F.col("w.ra"), F.col("w.nb") - F.col("w.rb")
+    )
+    return (
+        coll.groupBy("doc_a", "doc_b")
+        .agg(F.min("w").alias("w"))
+        .filter(ubound * t_sum >= t_num * (F.col("w.na") + F.col("w.nb")))
+        .select("doc_a", "doc_b")
     )
 
 
@@ -458,6 +516,67 @@ def verify_candidates(
         )
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def verify_candidates_sets(
+    sh: DataFrame,
+    cand: DataFrame,
+    threshold: float,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact-Jaccard verification on candidate pairs via per-document
+    shingle-hash SETS: each candidate doc's hashes aggregate once into
+    a sorted array, the pair table joins the two arrays on, and
+    ``array_intersect`` computes the common count JVM-side. Work is
+    Σ_pairs (na + nb) — the same asymptotic as the pair-scoped
+    row-join in ``verify_candidates`` — but the shuffle is |cand| rows
+    of packed arrays instead of Σ_pairs |shingles(doc_a)| exploded
+    rows (the r12 q105 profile: 1.8 M candidates × ~52 shingles ≈
+    92 M join rows → 1.8 M array rows, 5× wall-time).
+
+    SEMANTICS: set Jaccard on the DISTINCT (doc, h) pairs. Identical
+    to the row-based multiset form unless two of a document's distinct
+    shingles collide into one 48-bit hash (~n²/2⁴⁹ per doc); callers'
+    oracles must dedupe the same way (``SELECT DISTINCT doc_id, h``).
+
+    SCALE BOUND: one array row per candidate document — fine while
+    per-doc shingle counts are document-sized (chunked corpora); a
+    pathological million-shingle document makes an 8 MB row, where the
+    row-based ``verify_candidates`` degrades more gracefully."""
+    cand_docs = (
+        cand.select(F.col("doc_a").alias(id_col))
+        .union(cand.select(F.col("doc_b").alias(id_col)))
+        .distinct()
+    )
+    doc_sets = (
+        sh.join(F.broadcast(cand_docs), id_col, "left_semi")
+        .groupBy(id_col)
+        .agg(F.array_sort(F.collect_set("h")).alias("hs"))
+        .withColumn("n", F.size("hs"))
+    )
+    sa = doc_sets.select(
+        F.col(id_col).alias("doc_a"),
+        F.col("hs").alias("hs_a"),
+        F.col("n").alias("na"),
+    )
+    sb = doc_sets.select(
+        F.col(id_col).alias("doc_b"),
+        F.col("hs").alias("hs_b"),
+        F.col("n").alias("nb"),
+    )
+    c = F.size(F.array_intersect("hs_a", "hs_b"))
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                c.cast("double") / (F.col("na") + F.col("nb") - c)
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
     )
 
 

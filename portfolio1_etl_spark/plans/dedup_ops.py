@@ -49,6 +49,28 @@ _HASHED_SQL = f"""
   )
 """
 
+#: q105's twin — identical except the (doc_id, h) grain is explicitly
+#: DISTINCT: the Spark side verifies via per-doc hash SETS
+#: (``verify_candidates_sets``), so the oracle pins the same set
+#: semantics even in the ~n²/2⁴⁹ case where two of a document's
+#: distinct shingles collide into one 48-bit hash.
+_PAIR_JACCARD_SET_SQL = f"""
+    sh AS (SELECT DISTINCT doc_id, h FROM ({_HASHED_SQL})),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    common AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+      FROM sh a JOIN sh b ON a.h = b.h AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT doc_a, doc_b,
+             CAST(c AS DOUBLE) / (sa.n + sb.n - c) AS jaccard
+      FROM common
+      JOIN sizes sa ON doc_a = sa.doc_id
+      JOIN sizes sb ON doc_b = sb.doc_id
+    )
+"""
+
 _PAIR_JACCARD_SQL = f"""
     sh AS ({_HASHED_SQL}),
     sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
@@ -721,7 +743,7 @@ def q97_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q105_prefix_jaccard",
     sql=f"""
-    WITH {_PAIR_JACCARD_SQL}
+    WITH {_PAIR_JACCARD_SET_SQL}
     SELECT doc_a, doc_b, jaccard FROM pairs WHERE jaccard >= 0.4
     """,
     operators=("X-dedup-ngram", "X-dedup-prefix", "Window-rank"),

@@ -25,6 +25,11 @@ QUERIES = [
     # form identical-fingerprint families that exercise the
     # _SIMHASH_BUCKET_CAP excision in BOTH engines
     "q75_simhash_pairs",
+    # lossless PPJoin prefix+positional+length filters (r12): random
+    # corpora are dense with near-boundary pairs — a single pair
+    # pruned wrongly by the positional bound diverges from the
+    # complete-join oracle here
+    "q105_prefix_jaccard",
     "q96_repetition_filter",
     "q115_pii_redact",
     "q116_mixture_sample",

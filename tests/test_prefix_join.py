@@ -88,3 +88,44 @@ def test_prefix_index_is_smaller(spark):
         F.col("rn") <= F.col("n") - F.expr("(3 * n + 3) div 4") + 1
     ).count()
     assert n_prefix <= n_full // 3
+
+
+def test_positional_filter_prunes_neardup_family(spark):
+    # the r12 sf1 blow-up shape: a family of K copies of one base set,
+    # each copy holding its own df=1 perturbed tokens (sorting FIRST in
+    # the df-ordered prefix) plus a shared half below threshold. Every
+    # cross-copy pair collides in the prefixes, but the first common
+    # token appears only after each copy's unique run — the PPJoin
+    # positional bound 1 + min(na-ra, nb-rb) lands below
+    # t/(1+t)·(na+nb), so NO cross-copy pair may reach verification.
+    from portfolio1_etl_spark.operators.dedup import prefix_candidates
+
+    base = list(range(1000, 1016))          # 16 shared tokens (df=K)
+    sets = {
+        k: sorted(base[:8] + [2000 + 100 * k + i for i in range(8)])
+        for k in range(6)
+    }  # J(copy_i, copy_j) = 8/24 = 1/3 < 2/5
+    sh = _sh(spark, sets)
+    cand = prefix_candidates(sh, 2, 5)
+    assert cand.count() == 0
+    # and the un-pruned collision join would have produced candidates:
+    # every pair shares 8 prefix-eligible tokens
+    assert _pairs(prefix_jaccard_pairs(sh, 2, 5)) == _pairs(
+        jaccard_pairs(sh, 0.4)
+    )
+
+
+def test_positional_filter_keeps_boundary_pair(spark):
+    # a pair EXACTLY at threshold whose first common token is the last
+    # possible prefix slot — the positional bound equals the required
+    # overlap, so pruning it would be a false negative. |A|=|B|=5,
+    # A∩B = {50,51,52} → J = 3/7 ≥ 2/5; unique tokens are rarer (df=1)
+    # so the common run starts at rank 3 of 5.
+    sets = {
+        1: [10, 11, 50, 51, 52],
+        2: [20, 21, 50, 51, 52],
+    }
+    sh = _sh(spark, sets)
+    got = _pairs(prefix_jaccard_pairs(sh, 2, 5))
+    assert got == _pairs(jaccard_pairs(sh, 0.4))
+    assert len(got) == 1
