@@ -23,7 +23,11 @@ from portfolio1_etl_spark.operators.multimodal import (
 from portfolio1_etl_spark.operators.jpeg import decode_jpeg, encode_jpeg
 from portfolio1_etl_spark.operators.gif import decode_gif, encode_gif
 from portfolio1_etl_spark.operators.sinks import (
+    add_chain_constraint,
+    chain_constraints,
+    clone_chain,
     compact_parquet,
+    drop_chain_constraint,
     overwrite_partitions,
     prune_versions,
     read_changes,
@@ -176,5 +180,9 @@ __all__ = [
     "read_version",
     "read_changes",
     "prune_versions",
+    "clone_chain",
+    "add_chain_constraint",
+    "drop_chain_constraint",
+    "chain_constraints",
     "materialize",
 ]

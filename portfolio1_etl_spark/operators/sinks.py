@@ -346,6 +346,15 @@ def write_versioned(
         vs = _versions(spark, path)
         new = (max(vs) + 1) if vs else 0
         promotions = None
+        constraints = None
+        if new > 0:
+            # constraints ride every manifest and carry forward; the
+            # incoming snapshot validates per CAS attempt (a lost race
+            # may have ADDED a constraint under this writer's feet)
+            constraints = (_read_manifest(spark, path, new - 1) or {}).get(
+                "constraints"
+            )
+            _enforce_constraints(written, constraints, "snapshot write")
         if new > 0:
             # widening audit against the ACTUAL predecessor (re-derived
             # per CAS attempt): value-preserving promotions commit and
@@ -403,6 +412,7 @@ def write_versioned(
                 base=data_rel,
                 partition_by=partition_by,
                 type_promotions=promotions,
+                constraints=constraints,
             )
             return new
         except ConcurrentCommitError:
@@ -743,6 +753,49 @@ def _write_small_file_atomic(
         raise IOError(f"atomic rename to {path} failed: {e}") from e
 
 
+def _enforce_constraints(df: DataFrame, cons: dict | None, what: str) -> None:
+    """Validate ``df`` against a manifest's ``constraints`` block
+    (``{"not_null": [col, ...], "check": {name: sql_expr, ...}}``) —
+    one scan of the INCOMING rows only, never the table. ANSI CHECK
+    semantics: a check fails only when its expression evaluates to
+    FALSE (NULL passes — that's what ``not_null`` is for). Raises with
+    the violated constraint names and up to three offending rows."""
+    if not cons:
+        return
+    fails = []
+    for c in cons.get("not_null", []):
+        if c not in df.columns:
+            raise ValueError(
+                f"{what} is missing NOT NULL constrained column {c!r}"
+            )
+        fails.append(F.when(F.col(c).isNull(), F.lit(f"NOT NULL {c}")))
+    for name, expr in (cons.get("check") or {}).items():
+        fails.append(
+            F.when(
+                ~F.coalesce(F.expr(expr), F.lit(True)),
+                F.lit(f"CHECK {name}"),
+            )
+        )
+    if not fails:
+        return
+    bad = (
+        df.withColumn("_violated", F.array_compact(F.array(*fails)))
+        .filter(F.size("_violated") > 0)
+        .limit(3)
+        .collect()
+    )
+    if bad:
+        names = sorted({v for r in bad for v in r["_violated"]})
+        rows = [
+            {k: v for k, v in r.asDict().items() if k != "_violated"}
+            for r in bad
+        ]
+        raise ValueError(
+            f"{what} violates chain constraints {names}; "
+            f"e.g. {rows} — nothing was committed"
+        )
+
+
 def _commit_manifest(
     spark: SparkSession,
     path: str,
@@ -757,6 +810,8 @@ def _commit_manifest(
     row_deletes: list[dict] | None = None,
     bases: dict[str, str] | None = None,
     type_promotions: dict[str, dict] | None = None,
+    clone_of: dict | None = None,
+    constraints: dict | None = None,
 ) -> None:
     """The commit point of a manifest chain: one small JSON file
     listing the version's data (and change-feed) files, staged to a
@@ -791,6 +846,10 @@ def _commit_manifest(
         layout["bases"] = bases
     if type_promotions:
         layout["type_promotions"] = type_promotions
+    if clone_of is not None:
+        layout["clone_of"] = clone_of
+    if constraints:
+        layout["constraints"] = constraints
     doc = json.dumps(
         {
             "version": n,
@@ -877,6 +936,7 @@ def read_version(spark: SparkSession, path: str, n: int | None = None) -> DataFr
         return spark.read.parquet(f"{path}/v={n}")
     row_deletes = m.get("row_deletes") or []
     bases = _manifest_bases(m)
+    clone = m.get("clone_of")
 
     def _scan(rels: list[str], seq: int):
         reader = spark.read
@@ -887,12 +947,26 @@ def read_version(spark: SparkSession, path: str, n: int | None = None) -> DataFr
         return reader.parquet(*[f"{path}/{rel}" for rel in rels])
 
     if not row_deletes:
+        if clone is not None:
+            # shallow clone (r12): the manifest owns no files — the
+            # read DELEGATES to the pinned source version (zero-copy;
+            # pruning/vacuuming the source breaks the clone, the
+            # documented lakehouse contract)
+            return read_version(spark, clone["path"], clone["version"])
         return _scan(m["files"], m["version"])
     seqs = m.get("seqs") or {}
     by_seq: dict[int, list[str]] = {}
     for rel in m["files"]:
         by_seq.setdefault(int(seqs.get(rel, m["version"])), []).append(rel)
     data = None
+    if clone is not None:
+        # delta commits on top of a shallow clone: the delegated
+        # source state is the seq-0 base (every delete commits at
+        # seq ≥ 1, so it suppresses clone-base rows but never rows
+        # appended by the same or a later commit)
+        data = read_version(
+            spark, clone["path"], clone["version"]
+        ).withColumn("_seq", F.lit(0))
     for s in sorted(by_seq):
         part = _scan(by_seq[s], s).withColumn("_seq", F.lit(s))
         data = part if data is None else data.unionByName(part)
@@ -1051,6 +1125,13 @@ def _delta_commit(
                     f"chain already carries deletes keyed on "
                     f"{entry['key_cols']}; one chain, one key set"
                 )
+        constraints = m.get("constraints")
+        if source_df is not None and constraints:
+            _enforce_constraints(
+                spark.read.parquet(f"{path}/{data_rel}"),
+                constraints,
+                "upsert source",
+            )
         captures = bool(m["changes"])
         changes_rel = None
         if captures:
@@ -1094,6 +1175,8 @@ def _delta_commit(
                 row_deletes=row_deletes,
                 bases=bases or None,
                 type_promotions=promotions,
+                clone_of=m.get("clone_of"),
+                constraints=constraints,
             )
             return new
         except ConcurrentCommitError:
@@ -1322,6 +1405,9 @@ def compact_versioned(
                 ),
                 base=data_rel,
                 partition_by=pb,
+                # a layout rewrite materializes a clone (clone_of is
+                # deliberately NOT carried) but keeps the rules
+                constraints=m.get("constraints") if m else None,
             )
             return new
         except ConcurrentCommitError:
@@ -1650,3 +1736,237 @@ def vacuum_chain(spark: SparkSession, path: str) -> list[str]:
                     raise IOError(f"could not vacuum staging dir {token}")
                 deleted.append(f"_staging/{token}")
     return sorted(deleted)
+
+
+def clone_chain(
+    spark: SparkSession, src: str, dst: str, n: int | None = None
+) -> int:
+    """SHALLOW CLONE (r12): start a new manifest chain at ``dst``
+    whose v=0 is a ZERO-COPY reference to version ``n`` (default:
+    latest) of the manifest chain at ``src`` — the lakehouse
+    branch-for-experiments primitive (Delta ``CREATE TABLE ... SHALLOW
+    CLONE``): a 100 TB table forks in one small-file write, and every
+    subsequent write to the clone (snapshots, row-level deletes,
+    upserts, compaction) is isolated from the source.
+
+    Mechanics: the clone's v=0 manifest owns NO data files — it
+    carries ``clone_of = {path, version}`` and readers DELEGATE
+    (``read_version``). Delta commits on top of the clone treat the
+    delegated state as the seq-0 base, so equality-deletes suppress
+    source rows without touching source storage; a full snapshot
+    write or ``compact_versioned`` materializes the clone and drops
+    the delegation. ``prune_versions`` / ``vacuum_chain`` on the
+    clone only ever see the clone's own staging — they CANNOT reclaim
+    source files. The flip side of zero-copy is the standard
+    lakehouse contract: pruning/vacuuming the SOURCE below the pinned
+    version breaks the clone (pass a stable absolute path/URI).
+
+    Constraints active on the source version carry into the clone
+    (it starts with the same rules; ``drop_chain_constraint`` on the
+    clone never touches the source). Returns the clone's version (0).
+    """
+    fs, _ = _hadoop_fs(spark, src)
+    jvm = spark.sparkContext._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path
+    if not fs.exists(hpath(f"{src}/_manifests")):
+        raise ValueError(
+            f"{src} is not a manifest chain — shallow clones pin a "
+            "manifest version (directory chains have no atomic state "
+            "to reference)"
+        )
+    vs = _versions(spark, src)
+    if not vs:
+        raise FileNotFoundError(f"no versions under {src}")
+    if n is None:
+        n = vs[-1]
+    if n not in vs:
+        raise FileNotFoundError(f"no version {n} under {src}")
+    dfs, _ = _hadoop_fs(spark, dst)
+    if dfs.exists(hpath(f"{dst}/_manifests")) or _dir_versions(spark, dst):
+        raise ValueError(f"{dst} already holds a chain; clone into a "
+                         "fresh path")
+    src_m = _read_manifest(spark, src, n) or {}
+    _commit_manifest(
+        spark,
+        dst,
+        0,
+        {"cloned_at_src_version": n},
+        files=[],
+        changes=[],
+        clone_of={"path": src, "version": n},
+        constraints=src_m.get("constraints"),
+    )
+    return 0
+
+
+def chain_constraints(spark: SparkSession, path: str) -> dict:
+    """The constraint block active at the chain head:
+    ``{"not_null": [col, ...], "check": {name: sql_expr, ...}}``
+    (empty dict when none)."""
+    vs = _versions(spark, path)
+    if not vs:
+        raise FileNotFoundError(f"no versions under {path}")
+    m = _read_manifest(spark, path, vs[-1])
+    if m is None:
+        raise ValueError(f"{path} is not a manifest chain")
+    return m.get("constraints") or {}
+
+
+def _constraints_commit(spark: SparkSession, path: str, mutate) -> int:
+    """Shared CAS loop of add/drop constraint: a METADATA-ONLY commit
+    that reuses every prior data file byte-for-byte (same files/seqs/
+    deletes/clone marker; empty change feed — a rule change is not a
+    data change) and rewrites only the ``constraints`` block via
+    ``mutate(head_manifest) -> dict | None``."""
+    fs, _ = _hadoop_fs(spark, path)
+    if not fs.exists(
+        spark.sparkContext._jvm.org.apache.hadoop.fs.Path(
+            f"{path}/_manifests"
+        )
+    ):
+        raise ValueError(
+            f"{path} is not a manifest chain — constraints commit "
+            "through atomic one-file manifests"
+        )
+    import uuid
+
+    for _ in range(_COMMIT_RETRIES):
+        vs = _versions(spark, path)
+        if not vs:
+            raise FileNotFoundError(f"no versions under {path}")
+        m = _read_manifest(spark, path, vs[-1])
+        if m is None:
+            raise ValueError(f"{path} v={vs[-1]} has no manifest")
+        new_cons = mutate(m)
+        changes_rel = None
+        if m["changes"]:
+            # capture chains get an explicitly EMPTY feed (a rule
+            # change is not a data change) — otherwise read_changes
+            # would self-heal this step with two full snapshot scans
+            changes_rel = f"_staging/{uuid.uuid4().hex[:12]}/changes"
+            (
+                read_version(spark, path, vs[-1])
+                .limit(0)
+                .withColumn("_change", F.lit("insert"))
+                .write.mode("errorifexists")
+                .parquet(f"{path}/{changes_rel}")
+            )
+        try:
+            _commit_manifest(
+                spark,
+                path,
+                vs[-1] + 1,
+                m.get("meta") or None,
+                files=list(m["files"]),
+                changes=(
+                    _list_rel_parquet(spark, path, changes_rel)
+                    if changes_rel
+                    else []
+                ),
+                # base/bases carry in their ORIGINAL form: a single
+                # 'base' remaps to the new version number inside
+                # _manifest_bases, while a seq-keyed 'bases' dict stays
+                # keyed by the carried seqs — both keep partition
+                # columns recoverable through basePath
+                base=m.get("base"),
+                partition_by=m.get("partition_by"),
+                seqs=m.get("seqs"),
+                row_deletes=m.get("row_deletes"),
+                bases=m.get("bases"),
+                clone_of=m.get("clone_of"),
+                constraints=new_cons,
+            )
+            return vs[-1] + 1
+        except ConcurrentCommitError:
+            continue  # re-read the advanced head and re-derive
+    raise ConcurrentCommitError(
+        f"gave up committing constraints to {path} after "
+        f"{_COMMIT_RETRIES} lost races"
+    )
+
+
+def add_chain_constraint(
+    spark: SparkSession,
+    path: str,
+    name: str | None = None,
+    check: str | None = None,
+    not_null: list[str] | None = None,
+) -> int:
+    """Add write-time constraints to a manifest chain (Delta's ALTER
+    TABLE ADD CONSTRAINT): ``check`` is a SQL boolean expression
+    enforced on every future snapshot write and upsert (ANSI
+    semantics — only FALSE violates, NULL passes); ``not_null`` lists
+    columns that must be non-null. EXISTING rows validate first —
+    a constraint the current head already violates refuses loudly
+    (one scan of the head, before anything commits), so a green
+    ADD CONSTRAINT certifies the whole table, not just future writes.
+
+    Commits a new metadata-only version (empty CDC feed, all data
+    files reused); enforcement happens inside every later commit's
+    CAS attempt, so a constraint added under a concurrent writer's
+    feet still gates that writer's commit. Returns the new version."""
+    if check is None and not not_null:
+        raise ValueError("nothing to add: pass check= and/or not_null=")
+    if check is not None and not name:
+        raise ValueError("a check constraint needs a name")
+    add_block = {
+        "not_null": list(not_null or []),
+        "check": {name: check} if check is not None else {},
+    }
+    # validate existing rows BEFORE the CAS loop (one scan; the loop
+    # itself is metadata-only). A racing write that lands between this
+    # scan and the commit was itself validated against the OLD rules —
+    # the standard ADD CONSTRAINT race every lakehouse documents.
+    _enforce_constraints(
+        read_version(spark, path), add_block, "existing table data"
+    )
+
+    def _mutate(m: dict) -> dict:
+        cons = {
+            "not_null": list((m.get("constraints") or {}).get("not_null", [])),
+            "check": dict((m.get("constraints") or {}).get("check", {})),
+        }
+        for c in add_block["not_null"]:
+            if c not in cons["not_null"]:
+                cons["not_null"].append(c)
+        for k, v in add_block["check"].items():
+            if k in cons["check"] and cons["check"][k] != v:
+                raise ValueError(
+                    f"check constraint {k!r} already exists with a "
+                    "different expression; drop it first"
+                )
+            cons["check"][k] = v
+        return cons
+
+    return _constraints_commit(spark, path, _mutate)
+
+
+def drop_chain_constraint(
+    spark: SparkSession,
+    path: str,
+    name: str | None = None,
+    not_null: list[str] | None = None,
+) -> int:
+    """Drop a named check constraint and/or NOT NULL columns from the
+    chain head (metadata-only commit). Unknown names refuse loudly —
+    silently 'dropping' a constraint that never existed would let a
+    typo pass as a policy change. Returns the new version."""
+    if name is None and not not_null:
+        raise ValueError("nothing to drop: pass name= and/or not_null=")
+
+    def _mutate(m: dict) -> dict | None:
+        cons = {
+            "not_null": list((m.get("constraints") or {}).get("not_null", [])),
+            "check": dict((m.get("constraints") or {}).get("check", {})),
+        }
+        if name is not None:
+            if name not in cons["check"]:
+                raise ValueError(f"no check constraint {name!r} on {path}")
+            del cons["check"][name]
+        for c in not_null or []:
+            if c not in cons["not_null"]:
+                raise ValueError(f"column {c!r} is not NOT NULL on {path}")
+            cons["not_null"].remove(c)
+        return cons if (cons["not_null"] or cons["check"]) else None
+
+    return _constraints_commit(spark, path, _mutate)
