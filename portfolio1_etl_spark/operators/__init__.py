@@ -24,7 +24,9 @@ from portfolio1_etl_spark.operators.jpeg import decode_jpeg, encode_jpeg
 from portfolio1_etl_spark.operators.gif import decode_gif, encode_gif
 from portfolio1_etl_spark.operators.sinks import (
     add_chain_constraint,
+    analyze_chain,
     chain_constraints,
+    chain_stats,
     clone_chain,
     compact_parquet,
     drop_chain_constraint,
@@ -181,6 +183,8 @@ __all__ = [
     "read_changes",
     "prune_versions",
     "clone_chain",
+    "analyze_chain",
+    "chain_stats",
     "add_chain_constraint",
     "drop_chain_constraint",
     "chain_constraints",

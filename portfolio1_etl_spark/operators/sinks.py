@@ -812,6 +812,7 @@ def _commit_manifest(
     type_promotions: dict[str, dict] | None = None,
     clone_of: dict | None = None,
     constraints: dict | None = None,
+    stats: dict | None = None,
 ) -> None:
     """The commit point of a manifest chain: one small JSON file
     listing the version's data (and change-feed) files, staged to a
@@ -850,6 +851,8 @@ def _commit_manifest(
         layout["clone_of"] = clone_of
     if constraints:
         layout["constraints"] = constraints
+    if stats:
+        layout["stats"] = stats
     doc = json.dumps(
         {
             "version": n,
@@ -1812,12 +1815,16 @@ def chain_constraints(spark: SparkSession, path: str) -> dict:
     return m.get("constraints") or {}
 
 
-def _constraints_commit(spark: SparkSession, path: str, mutate) -> int:
-    """Shared CAS loop of add/drop constraint: a METADATA-ONLY commit
-    that reuses every prior data file byte-for-byte (same files/seqs/
-    deletes/clone marker; empty change feed — a rule change is not a
-    data change) and rewrites only the ``constraints`` block via
-    ``mutate(head_manifest) -> dict | None``."""
+def _metadata_commit(spark: SparkSession, path: str, mutate) -> int:
+    """Shared CAS loop of the metadata-only operations (add/drop
+    constraint, ANALYZE): a commit that reuses every prior data file
+    byte-for-byte (same files/seqs/deletes/clone marker; explicitly
+    empty change feed on capture chains — a metadata change is not a
+    data change) and rewrites only the blocks ``mutate(head_manifest)
+    -> {"constraints": ..., "stats": ...}`` returns. Blocks the mutate
+    does not mention CARRY FORWARD (the files are identical, so e.g.
+    stats stay valid through a constraints commit); data commits drop
+    ``stats`` naturally because they never pass the kwarg."""
     fs, _ = _hadoop_fs(spark, path)
     if not fs.exists(
         spark.sparkContext._jvm.org.apache.hadoop.fs.Path(
@@ -1825,7 +1832,7 @@ def _constraints_commit(spark: SparkSession, path: str, mutate) -> int:
         )
     ):
         raise ValueError(
-            f"{path} is not a manifest chain — constraints commit "
+            f"{path} is not a manifest chain — metadata commits go "
             "through atomic one-file manifests"
         )
     import uuid
@@ -1837,7 +1844,11 @@ def _constraints_commit(spark: SparkSession, path: str, mutate) -> int:
         m = _read_manifest(spark, path, vs[-1])
         if m is None:
             raise ValueError(f"{path} v={vs[-1]} has no manifest")
-        new_cons = mutate(m)
+        extras = {
+            "constraints": m.get("constraints"),
+            "stats": m.get("stats"),
+        }
+        extras.update(mutate(m))
         changes_rel = None
         if m["changes"]:
             # capture chains get an explicitly EMPTY feed (a rule
@@ -1874,7 +1885,7 @@ def _constraints_commit(spark: SparkSession, path: str, mutate) -> int:
                 row_deletes=m.get("row_deletes"),
                 bases=m.get("bases"),
                 clone_of=m.get("clone_of"),
-                constraints=new_cons,
+                **extras,
             )
             return vs[-1] + 1
         except ConcurrentCommitError:
@@ -1938,7 +1949,7 @@ def add_chain_constraint(
             cons["check"][k] = v
         return cons
 
-    return _constraints_commit(spark, path, _mutate)
+    return _metadata_commit(spark, path, lambda m: {"constraints": _mutate(m)})
 
 
 def drop_chain_constraint(
@@ -1969,4 +1980,98 @@ def drop_chain_constraint(
             cons["not_null"].remove(c)
         return cons if (cons["not_null"] or cons["check"]) else None
 
-    return _constraints_commit(spark, path, _mutate)
+    return _metadata_commit(spark, path, lambda m: {"constraints": _mutate(m)})
+
+
+def analyze_chain(
+    spark: SparkSession,
+    path: str,
+    columns: list[str] | None = None,
+    exact_ndv: bool = False,
+) -> int:
+    """ANALYZE for the manifest chain (Delta/Iceberg table statistics):
+    one aggregate scan of the head version computes ``n_rows`` and
+    per-column {min, max, n_nulls, ndv} for ``columns`` (default:
+    every atomic non-binary column), committed as a METADATA-ONLY
+    version pinned to the data it describes — the stats and the file
+    list live in the same atomic manifest, so a reader can never see
+    stats detached from their snapshot. Data commits DROP the stats
+    block (stale statistics are worse than none); ``chain_stats``
+    reports which version the surviving stats describe so callers see
+    staleness explicitly.
+
+    ``ndv`` uses ``approx_count_distinct`` (HLL — the 100 TB answer;
+    ±~2%) unless ``exact_ndv=True`` (deterministic, for tests and
+    small dimensions). min/max are stringified for the JSON manifest;
+    consumers needing typed bounds read the schema alongside.
+
+    Consumers: ``operators.advisor.join_advice_frame`` computes the
+    same (rows, ndv, width) profile by scanning — a chain with fresh
+    stats feeds the advisor for free; file-skipping stays with the
+    parquet footers (finer grain), table-level stats drive JOIN-SIDE
+    decisions (broadcast threshold, skew suspicion). Returns the new
+    version."""
+    head = read_version(spark, path)
+    if columns is None:
+        columns = [
+            f.name
+            for f in head.schema.fields
+            if f.dataType.typeName()
+            not in ("binary", "array", "map", "struct")
+        ]
+    missing = [c for c in columns if c not in head.columns]
+    if missing:
+        raise ValueError(f"columns {missing} not in {path} schema")
+    ndv = (
+        (lambda c: F.countDistinct(c))
+        if exact_ndv
+        else (lambda c: F.approx_count_distinct(c))
+    )
+    aggs = [F.count(F.lit(1)).alias("_rows")]
+    for c in columns:
+        aggs += [
+            F.min(c).cast("string").alias(f"_min_{c}"),
+            F.max(c).cast("string").alias(f"_max_{c}"),
+            F.sum(F.col(c).isNull().cast("long")).alias(f"_nulls_{c}"),
+            ndv(c).alias(f"_ndv_{c}"),
+        ]
+    row = head.agg(*aggs).collect()[0]
+    cols = {
+        c: {
+            "min": row[f"_min_{c}"],
+            "max": row[f"_max_{c}"],
+            "n_nulls": int(row[f"_nulls_{c}"]),
+            "ndv": int(row[f"_ndv_{c}"]),
+        }
+        for c in columns
+    }
+
+    def _mutate(m: dict) -> dict:
+        return {
+            "stats": {
+                "analyzed_version": m["version"],
+                "n_rows": int(row["_rows"]),
+                "exact_ndv": bool(exact_ndv),
+                "columns": cols,
+            }
+        }
+
+    return _metadata_commit(spark, path, _mutate)
+
+
+def chain_stats(
+    spark: SparkSession, path: str, n: int | None = None
+) -> dict | None:
+    """The stats block valid at version ``n`` (default: head), or None.
+    No walk-back is needed: metadata-only commits carry stats forward
+    (identical files — the stats still describe the data exactly) and
+    every DATA commit drops the block, so a manifest either holds
+    valid stats or the table changed since the last ANALYZE. The
+    block's ``analyzed_version`` records where it was computed."""
+    vs = _versions(spark, path)
+    if not vs:
+        raise FileNotFoundError(f"no versions under {path}")
+    if n is None:
+        n = vs[-1]
+    m = _read_manifest(spark, path, n)
+    return None if m is None else m.get("stats")

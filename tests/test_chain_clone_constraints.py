@@ -242,3 +242,50 @@ def test_constraints_survive_compaction_and_clone(
     drop_chain_constraint(spark, dst, name="k_pos")
     assert chain_constraints(spark, dst) == {}
     assert "k_pos" in chain_constraints(spark, src_chain)["check"]
+
+
+# --- ANALYZE / table statistics ----------------------------------------------
+
+
+def test_analyze_chain_stats_roundtrip(spark, tmp_path, src_chain):
+    from portfolio1_etl_spark.operators.sinks import analyze_chain, chain_stats
+
+    v = analyze_chain(spark, src_chain, exact_ndv=True)
+    st = chain_stats(spark, src_chain)
+    assert st["analyzed_version"] == v - 1
+    assert st["n_rows"] == 4
+    assert st["columns"]["k"] == {
+        "min": "1",
+        "max": "4",
+        "n_nulls": 0,
+        "ndv": 4,
+    }
+    assert st["columns"]["v"]["ndv"] == 4
+    # stats carry through a METADATA commit (identical files)...
+    add_chain_constraint(spark, src_chain, name="k_pos", check="k > 0")
+    assert chain_stats(spark, src_chain)["n_rows"] == 4
+    # ...and DROP on any data commit (stale stats are worse than none)
+    upsert_into_chain(spark, src_chain, _mk(spark, [(9, "z")]), ["k"])
+    assert chain_stats(spark, src_chain) is None
+    # historical versions keep their pinned stats (time travel)
+    assert chain_stats(spark, src_chain, v)["n_rows"] == 4
+
+
+def test_analyze_chain_null_counts_and_bad_column(spark, tmp_path):
+    from portfolio1_etl_spark.operators.sinks import analyze_chain, chain_stats
+
+    path = str(tmp_path / "chain")
+    write_versioned(
+        _mk(spark, [(1, "a"), (2, None), (None, "c")]), path, manifest=True
+    )
+    analyze_chain(spark, path, columns=["v"], exact_ndv=True)
+    st = chain_stats(spark, path)
+    assert st["columns"]["v"] == {
+        "min": "a",
+        "max": "c",
+        "n_nulls": 1,
+        "ndv": 2,
+    }
+    assert "k" not in st["columns"]
+    with pytest.raises(ValueError, match="ghost"):
+        analyze_chain(spark, path, columns=["ghost"])
