@@ -174,7 +174,8 @@ def _write_full_artifact(
                 "unit": "sec",
                 "runs_per_query": 3,
                 "promoted": promote,
-                "env": _env_block(),
+                "env": env,
+                "loadavg_end_1m": _env_block()["loadavg_1m"],
                 "excluded": EXCLUDED,
                 "queries": timings,
             },
@@ -189,6 +190,10 @@ def _write_full_artifact(
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0)
+    # ambient environment BEFORE the run: recording at write time would
+    # measure the benchmark's own 32-thread load and self-flag every
+    # clean run as loaded (the r12 artifact-comparability fix)
+    env = _env_block()
     spark = get_spark(app_name="bench")
 
     # Warm up: JVM JIT + parquet footer cache, outside the measurement.

@@ -71,13 +71,27 @@ def _copy(table: pa.Table, name: str, i: int) -> pa.Table:
     if name == "documents":
         idx = out.schema.get_field_index("text")
         tag = f"cp{i}"
+        # Tiered vocabulary remap (r12, the sf10 lesson): copies
+        # 0..9 form ONE near-dup family tier; every block of 10
+        # beyond that gets a per-tier suffix on EVERY token — fresh
+        # content that shares no shingles with other tiers. Without
+        # it, factor-100 amplification builds 100-strong near-dup
+        # families: shared prefix tokens reach df=factor and the
+        # LOSSLESS candidate join's collision count grows ~factor²
+        # (measured: 1.24e9 collision rows / 75.7M candidates at
+        # factor 100 vs 14.6M / 1.78M at factor 10). Real corpora
+        # grow by ADDING content — vocabulary up ~sqrt(size), family
+        # density constant — which the tier remap models; factor ≤ 10
+        # output is bit-identical to the pre-r12 generator.
+        tier = i // 10
+        ttag = f"tr{tier}" if tier else ""
         texts = out.column("text").to_pylist()
         marked_texts = []
         for t in texts:
             words = t.split(" ")
             marked_texts.append(
                 " ".join(
-                    w + tag if j % 8 == 7 else w
+                    (w + tag if j % 8 == 7 else w) + ttag
                     for j, w in enumerate(words)
                 )
             )

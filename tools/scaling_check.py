@@ -119,6 +119,9 @@ def main() -> int:
     sf1 = sys.argv[1] if len(sys.argv) > 1 else "/tmp/spark_graft_sf1"
     runs = int(sys.argv[2]) if len(sys.argv) > 2 else 2
     sf01 = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    # ambient env BEFORE the run — at write time the loadavg would be
+    # the board's own 32-thread work and 'loaded' would self-flag
+    env = _env_block()
     spark = get_spark()
     # warm the JVM/codegen caches off the measured path
     REGISTRY["q01_pricing_summary"].fn(spark, sf01).write.format(
@@ -148,7 +151,8 @@ def main() -> int:
         "bar": BAR,
         "factor": 10,
         "runs": runs,
-        "env": _env_block(),
+        "env": env,
+        "loadavg_end_1m": _env_block()["loadavg_1m"],
         "bench_top_included": top,
         "queries": rows,
         "failures": [n for n, r in rows.items() if not r["pass"]],

@@ -37,6 +37,9 @@ QUERIES = [
     "q254_neighborhood_features",
     "q114_ann_recall",
     "q277_poisson_bootstrap_ci",
+    # joined the sf1 top tier after the r12 q105/q129 fixes shrank
+    # everything above it: bigram explode, linear in tokens by design
+    "q69_langid_classifier",
 ]
 
 BAR = 15.0
@@ -71,6 +74,9 @@ def main() -> int:
     sf10 = sys.argv[1] if len(sys.argv) > 1 else "/tmp/spark_graft_sf10"
     runs = int(sys.argv[2]) if len(sys.argv) > 2 else 1
     sf1 = os.environ.get("SPARK_GRAFT_SF1_DIR", "/tmp/spark_graft_sf1")
+    # ambient env BEFORE the run — at write time the loadavg would be
+    # the spot-check's own 32-thread work and 'loaded' would self-flag
+    env = _env_block()
     spark = get_spark()
     REGISTRY["q01_pricing_summary"].fn(spark, sf1).write.format("noop").mode(
         "overwrite"
@@ -107,7 +113,8 @@ def main() -> int:
         "bar": BAR,
         "factor": 10,
         "runs": runs,
-        "env": _env_block(),
+        "env": env,
+        "loadavg_end_1m": _env_block()["loadavg_1m"],
         "queries": rows,
         "failures": [n for n, r in rows.items() if not r["pass"]],
     }
