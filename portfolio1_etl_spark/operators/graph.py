@@ -200,8 +200,17 @@ def triangle_counts(edges: DataFrame, checkpoint_mode: str = "local") -> DataFra
             F.col("x.a").alias("p"), F.col("x.b").alias("q"), F.col("y.b").alias("r")
         )
     )
+    # SHUFFLE_HASH, not sort-merge, for the closure probe: the wedge
+    # table is the quadratic side (Σ d_out² rows) and an SMJ would
+    # SORT it. Below the broadcast threshold AQE broadcasts the edge
+    # set and the hint is moot; past it (the r12 sf10 spot: the edge
+    # set outgrew 64 MB and the silent SMJ flip sorted ~10× the wedge
+    # volume, 20× wall-time for 10× data) the hash join builds on the
+    # edge PARTITIONS — per-partition memory, no sort of either side —
+    # which is also the 100 TB plan: edges partition-resident, wedges
+    # streamed.
     tri = w.join(
-        e.alias("z"),
+        e.alias("z").hint("shuffle_hash"),
         (F.col("p") == F.col("z.a")) & (F.col("r") == F.col("z.b")),
         "left_semi",
     )

@@ -35,3 +35,26 @@ def test_scaling_artifact_is_clean():
     # the artifact must actually carry both scale points per query
     for name, row in art["queries"].items():
         assert row["sf0.1_sec"] > 0 and row["sf1_sec"] > 0, name
+
+
+def test_sf10_spot_is_clean_when_present():
+    path = _latest()
+    if path is None:
+        pytest.skip("no scaling artifact committed yet")
+    art = json.load(open(path))
+    spot = art.get("sf10_spot")
+    if spot is None:
+        pytest.skip("no second-decade spot attached")
+    # every over-bar row must be a DOCUMENTED open finding (the spot
+    # exists to surface second-decade defects; an undocumented failure
+    # is a regression, a documented one is the tool doing its job)
+    undocumented = [
+        n for n in spot["failures"]
+        if n not in (spot.get("open_findings") or {})
+    ]
+    assert undocumented == [], (
+        f"sf1->sf10 queries over the {spot['bar']}x bar with no "
+        f"open-finding entry: {undocumented}"
+    )
+    for name, row in spot["queries"].items():
+        assert row["sf1_sec"] > 0 and row["sf10_sec"] > 0, name

@@ -112,6 +112,15 @@ def _time(spark, name: str, sf_dir: str, runs: int) -> float:
             "overwrite"
         ).save()
         best = min(best, time.monotonic() - t0)
+    # Release plan/broadcast/shuffle references between measurements —
+    # the same inter-query hygiene bench.py applies. Without it the
+    # JVM degrades across the run (measured in the r12 sf10 spot:
+    # q254's sf1 leg 53.6 s on the fresh board vs 137.0 s late in a
+    # degraded JVM, and q237's ratio swung 9.7x -> 17.5x between runs).
+    import gc
+
+    gc.collect()
+    spark.catalog.clearCache()
     return best
 
 

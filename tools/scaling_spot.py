@@ -67,6 +67,15 @@ def _time(spark, name: str, sf_dir: str, runs: int) -> float:
             "overwrite"
         ).save()
         best = min(best, time.monotonic() - t0)
+    # Release plan/broadcast/shuffle references between measurements —
+    # the same inter-query hygiene bench.py applies. Without it the
+    # JVM degrades across the run (measured in the r12 sf10 spot:
+    # q254's sf1 leg 53.6 s on the fresh board vs 137.0 s late in a
+    # degraded JVM, and q237's ratio swung 9.7x -> 17.5x between runs).
+    import gc
+
+    gc.collect()
+    spark.catalog.clearCache()
     return best
 
 
@@ -77,6 +86,11 @@ def main() -> int:
     # ambient env BEFORE the run — at write time the loadavg would be
     # the spot-check's own 32-thread work and 'loaded' would self-flag
     env = _env_block()
+    # a 100x dataset in ONE local JVM needs the heap sized to match —
+    # the same sizing a cluster does per executor. 16g (the sf0.1/sf1
+    # default) OOMed q254's sf10 hop-2 aggregate: 32 concurrent tasks
+    # x 256 MB page requests. Overridable via the env var.
+    os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "64g")
     spark = get_spark()
     REGISTRY["q01_pricing_summary"].fn(spark, sf1).write.format("noop").mode(
         "overwrite"
