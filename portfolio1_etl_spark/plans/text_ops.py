@@ -273,26 +273,44 @@ def q69_langid_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     weights of its bigrams; argmax wins. All-integer scoring keeps the
     math bit-exact cross-engine (no log-probabilities — Java and libm
     ln() can differ in the last ulp). Scale shape: the profile is a
-    broadcastable dim, document grams join it on the gram key, one
-    grouped sum + one ranking window."""
+    broadcastable dim; document grams PRE-AGGREGATE to per-(doc, gram)
+    counts before the profile join (r12 — the sf10 Finding 6 fix:
+    bigrams repeat ~3× per document, and feeding the raw explode into
+    the (doc, lang, p_lang) aggregate put its partial maps into a
+    spill regime at the second decade; the pre-aggregate shrinks both
+    the join probe and the final aggregate's input by the repetition
+    factor, with sum(cnt·w) ≡ the duplicate-row sum exactly), then one
+    grouped integer sum + one ranking window."""
     d = _docs(spark, sf_dir)
-    grams = d.select(
-        "doc_id",
-        "lang",
-        F.explode(
-            F.expr(
-                "transform(sequence(1, greatest(length(text) - 1, 1)),"
-                " i -> substring(text, i, 2))"
-            )
-        ).alias("gram"),
-    ).filter(~F.col("gram").contains(" "))
-    profile = grams.groupBy(
-        F.col("lang").alias("p_lang"), "gram"
-    ).agg(F.count(F.lit(1)).alias("w"))
+    # spread the explode across the full parallelism BEFORE it runs:
+    # file-split sizing sees raw text bytes, not the ~300× gram
+    # amplification behind the explode — at the sf10 checkpoint the
+    # scan planned ~17 splits and one straggler task carried half the
+    # wall-time (SCALING.md Finding 6)
+    npart = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    grams = (
+        d.repartition(npart)
+        .select(
+            "doc_id",
+            "lang",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, greatest(length(text) - 1, 1)),"
+                    " i -> substring(text, i, 2))"
+                )
+            ).alias("gram"),
+        )
+        .filter(~F.col("gram").contains(" "))
+        .groupBy("doc_id", "lang", "gram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    profile = grams.groupBy(F.col("lang").alias("p_lang"), "gram").agg(
+        F.sum("cnt").alias("w")
+    )
     scores = (
         grams.join(F.broadcast(profile), "gram")
         .groupBy("doc_id", "lang", "p_lang")
-        .agg(F.sum("w").alias("score"))
+        .agg(F.sum(F.col("cnt") * F.col("w")).alias("score"))
     )
     from pyspark.sql import Window as W
 
