@@ -52,8 +52,19 @@ def shingle_hashes(
       ))
     ELSE array() END
     """
+    # spread the explode across the configured parallelism BEFORE it
+    # runs: file-split sizing budgets raw text bytes, not the ~50×
+    # shingle amplification behind the explode — at the r12 sf10
+    # checkpoint the documents scan planned ~15 splits on a 32-core
+    # box and every downstream dedup stage inherited the truncated
+    # parallelism (SCALING.md Finding 6, the q69 lesson applied to
+    # the primitive every dedup query shares)
+    npart = int(
+        docs.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+    )
     return (
-        docs.withColumn("toks", F.split(text_col, " "))
+        docs.repartition(npart)
+        .withColumn("toks", F.split(text_col, " "))
         .select(id_col, F.explode(F.expr(shingle_expr)).alias("s"))
         .select(id_col, F.expr(H48.format(c="s")).alias("h"))
     )
