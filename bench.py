@@ -136,7 +136,8 @@ def _env_block() -> dict:
 
 
 def _write_full_artifact(
-    timings: dict[str, float], total: float, sf: float, here: str
+    timings: dict[str, float], total: float, sf: float, here: str,
+    env: dict | None = None,
 ) -> None:
     """Persist ALL headline timings to ``bench_full_r{N}.json`` — in
     the repo ONLY when ``--promote`` is passed; otherwise to a scratch
@@ -226,7 +227,7 @@ def main() -> None:
     total = round(sum(timings.values()), 3)
     here = os.path.dirname(os.path.abspath(__file__))
     _regression_report(timings, here)
-    _write_full_artifact(timings, total, sf, here)
+    _write_full_artifact(timings, total, sf, here, env)
     print(
         json.dumps(
             {
