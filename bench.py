@@ -88,6 +88,30 @@ def _previous_round_timings(here: str) -> tuple[str, dict[str, float]] | None:
     return None
 
 
+def _previous_promoted_timings(here: str) -> tuple[str, dict[str, float]] | None:
+    """Newest in-repo bench_full artifact with ``promoted: true`` —
+    the promote gate's comparison baseline. Driver BENCH captures are
+    deliberately excluded here: they run under load and would make the
+    1.4x regression bar trip on pollution rather than catch it."""
+    import glob
+    import re
+
+    cands = []
+    for p in glob.glob(os.path.join(here, "bench_full_r*.json")):
+        m = re.search(r"bench_full_r0*(\d+)\.json$", os.path.basename(p))
+        if m:
+            cands.append((int(m.group(1)), p))
+    for _, p in sorted(cands, reverse=True):
+        try:
+            with open(p) as f:
+                data = json.load(f)
+            if data.get("promoted") and data.get("queries"):
+                return os.path.basename(p), dict(data["queries"])
+        except (OSError, ValueError, KeyError, TypeError):
+            continue
+    return None
+
+
 def _regression_report(timings: dict[str, float], here: str) -> None:
     """Per-query delta vs the previous round, >2x regressions called
     out — machine-checkable round-over-round perf, on stderr so the
@@ -146,7 +170,16 @@ def _write_full_artifact(
     rows), so this artifact is the durable, complete record — but the
     driver also re-runs bench.py under load, and twice (r10, r11) that
     re-run overwrote the committed idle-machine baseline in the
-    working tree. Promotion is now explicit."""
+    working tree. Promotion is now explicit.
+
+    Promote gate (r13): ``--promote`` is REFUSED (run demoted to a
+    scratch write, non-zero exit) when either pollution signal fires:
+    the pre-run 1-minute loadavg exceeds 2.0 (the r12 promote ran at
+    loadavg 4.7, read 5 queries ~2x high, and flagged nothing), or any
+    query regresses >1.4x vs the previous PROMOTED artifact. Override
+    with ``--promote-anyway=<reason>``; the reason is recorded in the
+    artifact's ``promote_override`` field so the number is never
+    silently trusted."""
     import glob
     import re
     import tempfile
@@ -161,6 +194,43 @@ def _write_full_artifact(
     ]
     n = (max(rounds) + 1) if rounds else 1
     promote = "--promote" in sys.argv
+    override = next(
+        (a.split("=", 1)[1] for a in sys.argv if a.startswith("--promote-anyway=")),
+        None,
+    )
+    if override is not None:
+        promote = True
+    refusals: list[str] = []
+    if promote and override is None:
+        la1 = (env or {}).get("loadavg_1m", -1.0)
+        if la1 > 2.0:
+            refusals.append(
+                f"pre-run loadavg_1m {la1} > 2.0 — not an idle box"
+            )
+        prev = _previous_promoted_timings(here)
+        if prev is not None:
+            pname, pqueries = prev
+            bad = [
+                f"{q} {timings[q]:.2f}s vs {pqueries[q]:.2f}s "
+                f"({timings[q] / pqueries[q]:.2f}x)"
+                for q in timings
+                if q in pqueries
+                and pqueries[q] > 0.5  # sub-0.5s rows are JVM noise
+                and timings[q] / pqueries[q] > 1.4
+            ]
+            if bad:
+                refusals.append(
+                    f"regressions >1.4x vs {pname}: {'; '.join(bad)}"
+                )
+    if refusals:
+        promote = False
+        for r in refusals:
+            print(f"# PROMOTE REFUSED: {r}", file=sys.stderr)
+        print(
+            "# re-run on an idle box, or pass --promote-anyway=<reason> "
+            "to record the cause in the artifact",
+            file=sys.stderr,
+        )
     if promote:
         out = os.path.join(here, f"bench_full_r{n}.json")
     else:
@@ -175,6 +245,7 @@ def _write_full_artifact(
                 "unit": "sec",
                 "runs_per_query": 3,
                 "promoted": promote,
+                "promote_override": override,
                 "env": env,
                 "loadavg_end_1m": _env_block()["loadavg_1m"],
                 "excluded": EXCLUDED,
@@ -186,6 +257,8 @@ def _write_full_artifact(
         f.write("\n")
     kind = "PROMOTED" if promote else "scratch (pass --promote to commit)"
     print(f"# wrote {out} ({len(timings)} queries) [{kind}]", file=sys.stderr)
+    if refusals:
+        sys.exit(3)
 
 
 def main() -> None:

@@ -28,6 +28,90 @@ def test_plans_md_covers_every_registered_query():
     )
 
 
+def test_newest_bench_full_artifact_is_sound():
+    """The committed bench artifact has been damaged at end-of-round
+    three rounds running (r10/r11: load-inflated rewrite; r12: zeroed
+    to an empty file). Make artifact damage a test failure: the newest
+    bench_full_r{N}.json must parse, be a promoted idle-machine run,
+    and cover (nearly) the whole registry."""
+    import glob
+    import json
+
+    paths = glob.glob(os.path.join(ROOT, "bench_full_r*.json"))
+    assert paths, "no bench_full_r{N}.json artifact in the repo"
+    newest = max(
+        paths,
+        key=lambda p: int(
+            re.search(r"bench_full_r0*(\d+)\.json$", os.path.basename(p)).group(1)
+        ),
+    )
+    assert os.path.getsize(newest) > 0, (
+        f"{os.path.basename(newest)} is empty — restore it from git "
+        "history and re-promote (`python bench.py --promote` on an "
+        "idle box)"
+    )
+    with open(newest) as f:
+        data = json.load(f)
+    assert data.get("promoted") is True, (
+        f"{os.path.basename(newest)} is not a promoted artifact — only "
+        "idle-machine `bench.py --promote` runs may live in the repo"
+    )
+    n_queries = len(data.get("queries") or {})
+    assert n_queries >= len(REGISTRY) - 5, (
+        f"{os.path.basename(newest)} covers {n_queries} queries, "
+        f"registry has {len(REGISTRY)} — stale or truncated artifact"
+    )
+
+
+def test_bench_promote_gate_refuses_pollution(tmp_path, monkeypatch):
+    """The r12 promote ran at loadavg 4.7, read 5 queries ~2x high,
+    and flagged nothing. The gate must refuse a loaded box and refuse
+    unexplained >1.4x regressions vs the previous promoted artifact;
+    --promote-anyway=<reason> overrides but records the reason."""
+    import json
+    import shutil
+    import sys
+
+    import pytest
+
+    import bench
+
+    here = str(tmp_path)
+    shutil.copy(os.path.join(ROOT, "BENCH_r12.json"), here)
+    shutil.copy(os.path.join(ROOT, "bench_full_r12.json"), here)
+    prev = json.load(open(os.path.join(ROOT, "bench_full_r12.json")))["queries"]
+    q = "q123_bpe_train"
+
+    monkeypatch.setattr(sys, "argv", ["bench.py", "--promote"])
+    with pytest.raises(SystemExit):
+        bench._write_full_artifact(
+            {q: prev[q]}, 1.0, 0.1, here, env={"loadavg_1m": 5.0}
+        )
+    with pytest.raises(SystemExit):
+        bench._write_full_artifact(
+            {q: prev[q] * 2.0}, 1.0, 0.1, here, env={"loadavg_1m": 0.4}
+        )
+    assert not os.path.exists(os.path.join(here, "bench_full_r13.json"))
+
+    monkeypatch.setattr(
+        sys, "argv", ["bench.py", "--promote-anyway=known cause"]
+    )
+    bench._write_full_artifact(
+        {q: prev[q] * 2.0}, 1.0, 0.1, here, env={"loadavg_1m": 5.0}
+    )
+    art = json.load(open(os.path.join(here, "bench_full_r13.json")))
+    assert art["promoted"] is True
+    assert art["promote_override"] == "known cause"
+
+    os.remove(os.path.join(here, "bench_full_r13.json"))
+    monkeypatch.setattr(sys, "argv", ["bench.py", "--promote"])
+    bench._write_full_artifact(
+        {q: prev[q] * 0.9}, 1.0, 0.1, here, env={"loadavg_1m": 0.4}
+    )
+    art = json.load(open(os.path.join(here, "bench_full_r13.json")))
+    assert art["promoted"] is True and art["promote_override"] is None
+
+
 def test_coverage_md_total_matches_registry():
     with open(os.path.join(ROOT, "COVERAGE.md")) as f:
         cov = f.read()
