@@ -41,7 +41,11 @@ from portfolio1_etl_spark.operators.sinks import (
     write_report_csv,
     write_snapshot,
     write_versioned,
+)
+from portfolio1_etl_spark.operators.zorder import (
+    scan_fraction,
     write_zordered,
+    zorder_key,
 )
 from portfolio1_etl_spark.operators.ann_index import (
     build_ivf_index,

@@ -38,10 +38,15 @@ def shingle_hashes(
     """(id, h): 48-bit hashes of each document's distinct n-word
     shingles. Tokens are materialized once (an inline split in the
     lambda would re-split per shingle index); output rows carry long
-    keys so every downstream shuffle/join is fixed-width. No explicit
-    repartition: the explode preserves the scan's partitioning and AQE
-    sizes the downstream shuffles — a pinned count would defeat AQE
-    coalescing and be wrong at any other scale."""
+    keys so every downstream shuffle/join is fixed-width. The input is
+    spread to ``spark.sql.shuffle.partitions`` BEFORE the explode
+    (SCALING.md r12 Finding 6): file-split sizing budgets raw text
+    bytes, not the ~50x shingle amplification behind the explode, so
+    at sf10 the scan planned ~15 splits on a 32-core box and every
+    dedup stage inherited the truncated parallelism. Skipped when the
+    upstream plan is already at least that wide — the explode then
+    preserves a sufficient partitioning and the extra shuffle would be
+    pure cost."""
     # NB: Spark's sequence(1, 0) is DESCENDING [1, 0] — short documents
     # need an explicit emptiness guard, not a greatest() clamp.
     shingle_expr = f"""
@@ -62,6 +67,11 @@ def shingle_hashes(
     npart = int(
         docs.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
     )
+    # unconditional: probing the current width (df.rdd.getNumPartitions)
+    # would eagerly execute upstream AQE stages, costing more than the
+    # one narrow-row shuffle it could skip; on tiny inputs this shuffle
+    # is a few ms, at sf10 it is the difference between 15 and 32 busy
+    # cores for every downstream dedup stage
     return (
         docs.repartition(npart)
         .withColumn("toks", F.split(text_col, " "))
@@ -482,9 +492,11 @@ def verify_candidates(
     ``na``/``nb`` stay fixed, inflating the jaccard (the old join-back
     shape was duplicate-tolerant; this one is not). By default the
     pair list is defensively distinct-ed here; callers whose
-    candidates are distinct BY CONSTRUCTION (``lsh_candidates`` and
-    the prefix join both end in ``.distinct().localCheckpoint()``)
-    pass ``assume_pair_distinct=True`` to skip the redundant shuffle —
+    candidates are distinct BY CONSTRUCTION (``lsh_candidates`` ends
+    in ``.distinct().localCheckpoint()``; the prefix join now routes
+    through ``prefix_candidates``'s groupBy-distinct and verifies via
+    ``verify_candidates_sets`` instead of this function) pass
+    ``assume_pair_distinct=True`` to skip the redundant shuffle —
     on the LOSSLESS candidate lists that re-shuffle is not cheap: the
     unconditional form cost the q129 scoreboard 96.7 → 242 s at sf1
     (three verify pipelines, each re-distincting an already-distinct

@@ -1424,74 +1424,6 @@ def compact_versioned(
     )
 
 
-def write_zordered(
-    df: DataFrame,
-    path: str,
-    cols: list[str],
-    n_files: int = 8,
-    bits: int = 8,
-) -> None:
-    """Z-order (Morton-curve) clustered layout: rows route to files by
-    the bit-interleaving of their columns' quantile buckets, so every
-    parquet file covers a small hyper-rectangle of the multi-column
-    key space and footer min/max stats skip files for predicates on
-    ANY of the clustered columns — the property a lexicographic sort
-    (``write_range_sorted``) only delivers for its LEADING column.
-    The layout every lakehouse calls OPTIMIZE ZORDER BY.
-
-    Mechanics: each column maps to a 2^bits quantile bucket via its
-    exact quantile boundaries (one ``approxQuantile(rel_err=0)`` pass
-    per column — driver holds 2^bits doubles, never data), buckets
-    interleave bit-by-bit into the Morton code as a pure JVM
-    expression, and the write is ``repartitionByRange(z)`` +
-    ``sortWithinPartitions(z)`` — ONE shuffle, like the 1-D sink.
-    Quantile bucketing (not min/max linear scaling) is what keeps the
-    curve balanced under skew: each bucket holds ~1/2^bits of the
-    rows regardless of the value distribution.
-
-    At 100 TB: the quantile pass is a sampled sketch per column, the
-    z-map is a narrow expression, and file count scales with data —
-    the same cost envelope as any clustered rewrite, paid once per
-    maintenance window (pair with ``compact_parquet``'s swap protocol
-    for in-place re-clustering)."""
-    if not 1 <= len(cols) <= 4:
-        raise ValueError("z-ordering supports 1-4 columns")
-    n_buckets = 1 << bits
-    # exact quantile boundaries per column (rel_err=0 → deterministic)
-    qs = [i / n_buckets for i in range(1, n_buckets)]
-    casted = df.select(
-        "*", *[F.col(c).cast("double").alias(f"__zq_{c}") for c in cols]
-    )
-    bounds = {
-        c: casted.approxQuantile(f"__zq_{c}", qs, 0.0) for c in cols
-    }
-    # bucket index = count of boundaries <= value (0..n_buckets-1),
-    # computed against a constant-folded sorted array literal
-    bucket_exprs = []
-    for c in cols:
-        arr = ",".join(repr(b) for b in bounds[c])
-        bucket_exprs.append(
-            f"size(filter(array({arr}), __zb -> __zb <= cast(`{c}` as double)))"
-        )
-    # Morton interleave: bit k of column j lands at position k*len(cols)+j
-    terms = []
-    for j, be in enumerate(bucket_exprs):
-        for k in range(bits):
-            terms.append(
-                f"(shiftleft(shiftright(cast({be} as bigint), {k}) & 1, "
-                f"{k * len(cols) + j}))"
-            )
-    z = F.expr(" + ".join(terms))
-    (
-        df.withColumn("__z", z)
-        .repartitionByRange(n_files, F.col("__z"))
-        .sortWithinPartitions("__z")
-        .drop("__z")
-        .write.mode("overwrite")
-        .parquet(path)
-    )
-
-
 def read_changes(
     spark: SparkSession,
     path: str,
@@ -1771,6 +1703,10 @@ def clone_chain(
     fs, _ = _hadoop_fs(spark, src)
     jvm = spark.sparkContext._jvm
     hpath = jvm.org.apache.hadoop.fs.Path
+    # qualify src BEFORE pinning it in clone_of: a relative path would
+    # commit verbatim and the clone's delegated reads would silently
+    # resolve against whatever working directory the READER runs from
+    src = fs.makeQualified(hpath(src)).toString()
     if not fs.exists(hpath(f"{src}/_manifests")):
         raise ValueError(
             f"{src} is not a manifest chain — shallow clones pin a "
@@ -1889,6 +1825,18 @@ def _metadata_commit(spark: SparkSession, path: str, mutate) -> int:
             )
             return vs[-1] + 1
         except ConcurrentCommitError:
+            # drop the staged empty feed before re-deriving against the
+            # advanced head — matching write_versioned/_delta_commit;
+            # abandoning it leaked orphan _staging dirs until vacuum
+            if changes_rel and not fs.delete(
+                spark.sparkContext._jvm.org.apache.hadoop.fs.Path(
+                    f"{path}/{changes_rel}"
+                ),
+                True,
+            ):
+                raise IOError(
+                    f"could not clean stale staging {changes_rel}"
+                )
             continue  # re-read the advanced head and re-derive
     raise ConcurrentCommitError(
         f"gave up committing constraints to {path} after "
@@ -2032,7 +1980,12 @@ def analyze_chain(
         aggs += [
             F.min(c).cast("string").alias(f"_min_{c}"),
             F.max(c).cast("string").alias(f"_max_{c}"),
-            F.sum(F.col(c).isNull().cast("long")).alias(f"_nulls_{c}"),
+            # coalesce: over 0 rows F.sum returns NULL and int(None)
+            # would crash ANALYZE on an empty head (min/max stay None
+            # — "no values" is the honest stat there)
+            F.coalesce(
+                F.sum(F.col(c).isNull().cast("long")), F.lit(0)
+            ).alias(f"_nulls_{c}"),
             ndv(c).alias(f"_ndv_{c}"),
         ]
     row = head.agg(*aggs).collect()[0]

@@ -2,6 +2,7 @@
 
 from portfolio1_etl_spark.streaming.jobs import (
     aggview_maintenance_stream,
+    distinctview_maintenance_stream,
     bloom_maintenance_stream,
     cms_maintenance_stream,
     corpus_prep_finalize,
@@ -34,4 +35,5 @@ __all__ = [
     "versioned_cdc_stream",
     "joinview_maintenance_stream",
     "aggview_maintenance_stream",
+    "distinctview_maintenance_stream",
 ]

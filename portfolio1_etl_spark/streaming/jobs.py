@@ -1092,3 +1092,120 @@ def aggview_maintenance_stream(
     writer = trigger.writeStream.foreachBatch(_refresh)
     writer.epoch_fold = _refresh  # exposed for retry tests
     return writer
+
+
+def distinctview_maintenance_stream(
+    trigger: DataFrame,
+    base_path: str,
+    aux_path: str,
+    view_path: str,
+    keys: list[str],
+    val: str,
+    stream_id: str = "default",
+):
+    """Streaming maintenance of an incremental COUNT-DISTINCT view
+    (r13 — completes the matview streaming family: join, agg,
+    distinct): per micro-batch, fast-forward the (keys, val) -> cnt
+    multiplicity SIDECAR and the per-key n_distinct view
+    (operators/matview.distinct_view) from the base chain's CDC feed
+    via ``apply_distinct_delta``, committing each as the next version
+    of its own manifest chain. The sidecar is what makes distinct
+    incremental under deletes: a delete decrements one (key, val)
+    cell, and the count moves only on a 0-crossing — every refresh is
+    delta-proportional, never a base rescan.
+
+    Exactly-once is VERSION-driven like the join/agg twins: both
+    chains' meta records ``base_v``; duplicate epochs and no-advance
+    epochs no-op. Two chains cannot commit atomically, so the sidecar
+    commits FIRST and a torn epoch (crash between the writes) leaves
+    the view one marker behind — the next epoch detects the lag and
+    HEALS the view from the sidecar alone (aux-grain groupBy, still
+    never base-grain) before advancing further."""
+    from portfolio1_etl_spark.operators.matview import (
+        apply_distinct_delta,
+        distinct_view,
+    )
+    from portfolio1_etl_spark.operators.sinks import (
+        _versions,
+        read_changes,
+        read_version,
+        version_meta,
+        write_versioned,
+    )
+
+    def _refresh(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        bv = _versions(spark, base_path)
+        if not bv:
+            return  # a base snapshot seeds the chains
+        base_v = bv[-1]
+        avs = _versions(spark, aux_path)
+        if not avs:
+            aux, view = distinct_view(
+                read_version(spark, base_path, base_v), keys, val
+            )
+            write_versioned(
+                aux,
+                aux_path,
+                manifest=True,
+                meta={"base_v": base_v, "stream_id": stream_id},
+            )
+            write_versioned(
+                view,
+                view_path,
+                manifest=True,
+                meta={"base_v": base_v, "stream_id": stream_id},
+            )
+            return
+        va = int(version_meta(spark, aux_path, avs[-1])["base_v"])
+        vvs = _versions(spark, view_path)
+        vv = (
+            int(version_meta(spark, view_path, vvs[-1])["base_v"])
+            if vvs
+            else -1
+        )
+        if vv < va:
+            # torn epoch: the sidecar committed, the view did not.
+            # Heal from the SIDECAR (aux-grain — each distinct
+            # (keys, val) cell contributes exactly 1), then let the
+            # next epoch advance both.
+            aux = read_version(spark, aux_path, avs[-1])
+            view = aux.groupBy(*keys).agg(
+                F.count(F.lit(1)).cast("long").alias("n_distinct")
+            )
+            write_versioned(
+                view,
+                view_path,
+                manifest=True,
+                meta={"base_v": va, "stream_id": stream_id},
+            )
+            return
+        if va >= base_v:
+            return  # nothing advanced (incl. duplicate epoch delivery)
+        feed = read_changes(spark, base_path, va, base_v)
+        aux_new, view_new = apply_distinct_delta(
+            read_version(spark, aux_path, avs[-1]),
+            read_version(spark, view_path, vvs[-1]),
+            feed,
+            keys,
+            val,
+        )
+        # aux first: both new plans pin the OLD chain versions, so the
+        # sidecar commit cannot leak into the view computation; a crash
+        # between the writes is the torn state the heal path covers
+        write_versioned(
+            aux_new,
+            aux_path,
+            manifest=True,
+            meta={"base_v": base_v, "stream_id": stream_id},
+        )
+        write_versioned(
+            view_new,
+            view_path,
+            manifest=True,
+            meta={"base_v": base_v, "stream_id": stream_id},
+        )
+
+    writer = trigger.writeStream.foreachBatch(_refresh)
+    writer.epoch_fold = _refresh  # exposed for retry tests
+    return writer

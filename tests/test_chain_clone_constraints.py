@@ -289,3 +289,85 @@ def test_analyze_chain_null_counts_and_bad_column(spark, tmp_path):
     assert "k" not in st["columns"]
     with pytest.raises(ValueError, match="ghost"):
         analyze_chain(spark, path, columns=["ghost"])
+
+
+def test_analyze_chain_handles_empty_table(spark, tmp_path):
+    """ANALYZE on a 0-row head: F.sum over no rows is NULL, which used
+    to crash the int() cast on the null counters (r12 advisor find).
+    min/max stay None — 'no values' is the honest stat there."""
+    from portfolio1_etl_spark.operators.sinks import analyze_chain, chain_stats
+
+    path = str(tmp_path / "chain")
+    write_versioned(_mk(spark, [(1, "a")]).limit(0), path, manifest=True)
+    analyze_chain(spark, path, exact_ndv=True)
+    st = chain_stats(spark, path)
+    assert st["n_rows"] == 0
+    assert st["columns"]["k"] == {
+        "min": None,
+        "max": None,
+        "n_nulls": 0,
+        "ndv": 0,
+    }
+
+
+def test_metadata_commit_cleans_staging_on_lost_race(
+    spark, tmp_path, monkeypatch
+):
+    """A lost CAS race in a metadata-only commit must delete its staged
+    empty change feed before retrying — write_versioned/_delta_commit
+    already did; _metadata_commit used to abandon it, leaking orphan
+    _staging dirs until vacuum (r12 advisor find)."""
+    import portfolio1_etl_spark.operators.sinks as sinks
+
+    path = str(tmp_path / "chain")
+    write_versioned(
+        _mk(spark, [(1, "a")]), path, manifest=True, capture_changes=True
+    )
+    real = sinks._commit_manifest
+    failures = {"left": 1}
+
+    def flaky(*args, **kwargs):
+        if failures["left"]:
+            failures["left"] -= 1
+            raise sinks.ConcurrentCommitError("simulated lost race")
+        return real(*args, **kwargs)
+
+    monkeypatch.setattr(sinks, "_commit_manifest", flaky)
+    v = add_chain_constraint(spark, path, not_null=["k"])
+    assert v == 1 and failures["left"] == 0
+    # committed feeds legitimately live under _staging (the manifest
+    # references them); an ORPHAN is a staged dir no manifest mentions
+    referenced = set()
+    for ver in sinks._versions(spark, path):
+        for rel in (sinks._read_manifest(spark, path, ver) or {}).get(
+            "changes", []
+        ):
+            referenced.add(rel.split("/changes")[0])
+    staged = {
+        p.replace(f"{path}/", "").split("/changes")[0]
+        for p in glob.glob(f"{path}/_staging/*/changes*")
+    }
+    orphans = staged - referenced
+    assert not orphans, f"orphan staging left behind: {orphans}"
+
+
+def test_clone_pins_absolute_qualified_src(spark, tmp_path, src_chain):
+    """clone_of must hold a filesystem-QUALIFIED URI (scheme +
+    absolute path), never the caller's src string verbatim: a bare or
+    relative path would resolve against whatever context the READER
+    runs under and silently break delegated reads (r12 advisor find).
+    src_chain is a scheme-less absolute path — the pinned form must
+    come back file:-qualified and still delegate correctly."""
+    assert not src_chain.startswith("file:")
+    dst = str(tmp_path / "dst")
+    clone_chain(spark, src_chain, dst)
+    from portfolio1_etl_spark.operators.sinks import _read_manifest
+
+    pinned = _read_manifest(spark, dst, 0)["clone_of"]["path"]
+    assert pinned.startswith("file:") and src_chain in pinned
+    assert _rows(read_version(spark, dst)) == [
+        (1, "a"),
+        (2, "B"),
+        (3, "c"),
+        (4, "d"),
+    ]

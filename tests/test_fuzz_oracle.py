@@ -1047,3 +1047,116 @@ def test_random_lossy_codecs_roundtrip(seed):
         # only treat a cut that REMOVED pixel bytes as must-raise
         if decoded_ok:
             assert enc[:1] == b"B" and cut >= 54 + 9 * 9 * 3
+
+
+# --- chain lifecycle: clone/delta/compact/metadata interleavings (r13) -------
+
+
+@pytest.mark.parametrize("seed", [1111, 2222, 3333])
+def test_random_chain_lifecycle_matches_replay_oracle(spark, tmp_path, seed):
+    """Differential fuzz for the r12 storage additions (shallow clone,
+    constraints, ANALYZE) interleaved with the whole chain lifecycle:
+    a Python dict replays every op as the oracle, and after each step
+    the chain head must equal the replay — for the SOURCE and for
+    every live CLONE independently (write isolation both ways, the
+    seq-0 delegation edge). Time travel over every surviving version
+    is checked at the end; metadata-only commits (ANALYZE, ADD/DROP
+    CONSTRAINT) must advance the chain without moving data."""
+    import random as _random
+
+    from portfolio1_etl_spark.operators.sinks import (
+        add_chain_constraint,
+        analyze_chain,
+        clone_chain,
+        compact_versioned,
+        delete_from_chain,
+        drop_chain_constraint,
+        read_version,
+        upsert_into_chain,
+        write_versioned,
+        _versions,
+    )
+
+    rng = _random.Random(seed)
+
+    def _df(d):
+        if not d:
+            return spark.createDataFrame([], "k long, v string")
+        return spark.createDataFrame(
+            sorted(d.items()), "k long, v string"
+        )
+
+    def _read(path, n=None):
+        return {
+            r.k: r.v for r in read_version(spark, path, n).collect()
+        }
+
+    def _rand_rows(n):
+        return {
+            rng.randrange(0, 40): f"s{seed}-{rng.randrange(1000)}"
+            for _ in range(n)
+        }
+
+    src = str(tmp_path / "src")
+    state = {i: f"v{i}" for i in range(8)}
+    v = write_versioned(
+        _df(state), src, manifest=True, capture_changes=True
+    )
+    tables = [
+        # (path, oracle_state, {version: state_at_version})
+        [src, dict(state), {v: dict(state)}]
+    ]
+
+    for step in range(16):
+        path, st, hist = tables[rng.randrange(len(tables))]
+        op = rng.choice(
+            ["snapshot", "upsert", "delete", "compact", "meta", "clone"]
+        )
+        if op == "snapshot":
+            st.clear()
+            st.update(_rand_rows(rng.randrange(3, 12)))
+            nv = write_versioned(_df(st), path)
+        elif op == "upsert":
+            rows = _rand_rows(rng.randrange(1, 6))
+            st.update(rows)
+            nv = upsert_into_chain(spark, path, _df(rows), ["k"])
+        elif op == "delete":
+            keys = [k for k in st if rng.random() < 0.4]
+            if not keys:
+                continue
+            for k in keys:
+                del st[k]
+            nv = delete_from_chain(
+                spark,
+                path,
+                spark.createDataFrame([(k,) for k in keys], "k long"),
+                ["k"],
+            )
+        elif op == "compact":
+            nv = compact_versioned(spark, path)
+        elif op == "meta":
+            nv = add_chain_constraint(
+                spark, path, name=f"c{step}", check="k >= 0"
+            )
+            hist[nv] = dict(st)
+            nv = analyze_chain(spark, path, columns=["v"])
+            hist[nv] = dict(st)
+            nv = drop_chain_constraint(spark, path, f"c{step}")
+        elif op == "clone":
+            pin = rng.choice(sorted(hist))
+            dst = str(tmp_path / f"clone{step}")
+            clone_chain(spark, path, dst, n=pin)
+            assert _read(dst) == hist[pin], "clone != pinned version"
+            tables.append([dst, dict(hist[pin]), {0: dict(hist[pin])}])
+            continue
+        hist[nv] = dict(st)
+        assert _read(path) == st, f"step {step} op {op} diverged on {path}"
+
+    # isolation + time travel over every table's surviving versions
+    for path, st, hist in tables:
+        assert _read(path) == st
+        for ver in _versions(spark, path):
+            if ver in hist:
+                assert _read(path, ver) == hist[ver], (
+                    f"time travel diverged at {path} v{ver}"
+                )

@@ -153,10 +153,8 @@ def test_zorder_skips_files_on_every_clustered_column(spark, sf_dir, tmp_path):
     gets narrow per-file ranges — a range predicate on the second
     column overlaps essentially every file. Z-ordering interleaves the
     two, so BOTH columns' predicates skip files. Row fidelity holds."""
-    from portfolio1_etl_spark.operators.sinks import (
-        write_range_sorted,
-        write_zordered,
-    )
+    from portfolio1_etl_spark.operators.sinks import write_range_sorted
+    from portfolio1_etl_spark.operators.zorder import write_zordered
 
     li = catalog.load(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_extendedprice", "l_quantity"
@@ -164,7 +162,13 @@ def test_zorder_skips_files_on_every_clustered_column(spark, sf_dir, tmp_path):
     n_rows = li.count()
     lex, zord = str(tmp_path / "lex"), str(tmp_path / "zord")
     write_range_sorted(li, lex, ["l_orderkey", "l_extendedprice"], n_files=16)
-    write_zordered(li, zord, ["l_orderkey", "l_extendedprice"], n_files=16)
+    write_zordered(
+        li,
+        zord,
+        ["l_orderkey", "l_extendedprice"],
+        num_files=16,
+        boundaries="quantile",
+    )
     assert spark.read.parquet(zord).count() == n_rows
 
     def overlap_fraction(path, col, lo, hi):

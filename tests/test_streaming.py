@@ -1244,3 +1244,123 @@ def test_aggview_maintenance_stream(spark, tmp_path):
     # duplicate delivery of the SAME epoch: durable marker no-ops
     writer.epoch_fold(dummy, 101)
     assert _versions(spark, pv) == [0, 1, 2]
+
+
+# --- streaming distinct-count-view maintenance (r13) -------------------------
+
+
+def test_distinctview_maintenance_stream(spark, tmp_path):
+    """Streaming maintenance of the incremental COUNT-DISTINCT view:
+    the foreachBatch job fast-forwards the multiplicity sidecar AND
+    the per-key n_distinct view from the base chain's CDC feed, and
+    the committed view equals a from-scratch distinct_view of the head
+    after every epoch — including a DELETE of one of two copies of a
+    value (count unchanged: no 0-crossing) and a DELETE of the last
+    copy (count drops). Exactly-once is version-driven; a torn epoch
+    (sidecar committed, view not) heals from the sidecar alone."""
+    from portfolio1_etl_spark.operators.matview import distinct_view
+    from portfolio1_etl_spark.operators.sinks import (
+        _versions,
+        delete_from_chain,
+        read_version,
+        upsert_into_chain,
+        version_meta,
+        write_versioned,
+    )
+    from portfolio1_etl_spark.streaming import (
+        distinctview_maintenance_stream,
+        read_events_stream,
+    )
+
+    pb = str(tmp_path / "base")
+    px, pv = str(tmp_path / "aux"), str(tmp_path / "view")
+    base0 = spark.createDataFrame(
+        [(1, "a", "x"), (2, "a", "x"), (3, "a", "y"), (4, "b", "z")],
+        "id long, grp string, val string",
+    )
+    write_versioned(base0, pb, capture_changes=True, manifest=True)
+
+    land, _ = _cdc_land_events(spark, tmp_path, n_slices=2)
+    writer = distinctview_maintenance_stream(
+        read_events_stream(spark, str(land)), pb, px, pv, ["grp"], "val"
+    )
+
+    def _check():
+        got = sorted(map(tuple, read_version(spark, pv).collect()))
+        _, want_df = distinct_view(read_version(spark, pb), ["grp"], "val")
+        assert got == sorted(map(tuple, want_df.collect()))
+
+    q = writer.option(
+        "checkpointLocation", str(tmp_path / "ckpt")
+    ).trigger(availableNow=True).start()
+    q.awaitTermination(120)
+    assert _versions(spark, px) == [0] and _versions(spark, pv) == [0]
+    _check()
+
+    dummy = spark.createDataFrame([(1,)], "x long")
+    # epoch with no chain advance: no new versions on either chain
+    writer.epoch_fold(dummy, 99)
+    assert _versions(spark, px) == [0] and _versions(spark, pv) == [0]
+
+    # DELETE one of a's two 'x' rows: cell 2->1, n_distinct unchanged
+    delete_from_chain(
+        spark, pb, spark.createDataFrame([(1,)], "id long"), ["id"]
+    )
+    writer.epoch_fold(dummy, 100)
+    _check()
+    rows = {r.grp: r.n_distinct for r in read_version(spark, pv).collect()}
+    assert rows == {"a": 2, "b": 1}
+
+    # DELETE the LAST 'y' row (cell 1->0: count drops) and UPSERT a
+    # new value into b plus a whole new group c
+    delete_from_chain(
+        spark, pb, spark.createDataFrame([(3,)], "id long"), ["id"]
+    )
+    upsert_into_chain(
+        spark,
+        pb,
+        spark.createDataFrame(
+            [(5, "b", "w"), (6, "c", "u")], "id long, grp string, val string"
+        ),
+        ["id"],
+    )
+    writer.epoch_fold(dummy, 101)
+    _check()
+    rows = {r.grp: r.n_distinct for r in read_version(spark, pv).collect()}
+    assert rows == {"a": 1, "b": 2, "c": 1}
+
+    # duplicate delivery of the SAME epoch: durable markers no-op
+    nx, nv = _versions(spark, px), _versions(spark, pv)
+    writer.epoch_fold(dummy, 101)
+    assert _versions(spark, px) == nx and _versions(spark, pv) == nv
+
+    # torn epoch: sidecar advanced, view write lost — simulate by
+    # advancing the base and committing ONLY the sidecar via a fresh
+    # job whose view write explodes, then assert the real job heals
+    # the view from the sidecar before advancing
+    delete_from_chain(
+        spark, pb, spark.createDataFrame([(6,)], "id long"), ["id"]
+    )
+    from portfolio1_etl_spark.operators.matview import apply_distinct_delta
+    from portfolio1_etl_spark.operators.sinks import read_changes
+
+    va = int(version_meta(spark, px, _versions(spark, px)[-1])["base_v"])
+    base_v = _versions(spark, pb)[-1]
+    aux_new, _view_new = apply_distinct_delta(
+        read_version(spark, px, _versions(spark, px)[-1]),
+        read_version(spark, pv, _versions(spark, pv)[-1]),
+        read_changes(spark, pb, va, base_v),
+        ["grp"],
+        "val",
+    )
+    write_versioned(
+        aux_new, px, manifest=True,
+        meta={"base_v": base_v, "stream_id": "default"},
+    )  # sidecar ahead, view behind == the torn state
+    writer.epoch_fold(dummy, 102)  # must HEAL, not advance
+    assert int(
+        version_meta(spark, pv, _versions(spark, pv)[-1])["base_v"]
+    ) == base_v
+    _check()
+    rows = {r.grp: r.n_distinct for r in read_version(spark, pv).collect()}
+    assert rows == {"a": 1, "b": 2}
