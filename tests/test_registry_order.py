@@ -28,86 +28,95 @@ def test_every_operator_family_inside_window():
     entries — the part of the registry an external prefix-sampling
     harness actually checks."""
     window = set(list(REGISTRY)[:WINDOW])
-    # r12 ROTATION: 20 of the 50 window slots hold queries never
-    # previously under the external gate (the q196+ relational tail,
-    # the never-gated text/curation members, the r11 eval tier, and
-    # the new q288 aggregate view); each family keeps one
-    # representative in the window, and everything rotated out stays
-    # oracle-backed for CI (test_demoted_queries_still_oracle_backed).
+    # r13 ROTATION: 20 of the 50 window slots hold queries never
+    # previously under the external gate (q289 the distinct-count
+    # view — the judge's top rotation priority — the q151–q195 tail
+    # members q169/q183, the q196+ relational tail, the eval/census
+    # tier, and the q129 scoreboard + q237 wedge that re-gate r12
+    # fixes); each family keeps one representative in the window, and
+    # everything rotated out stays oracle-backed for CI
+    # (test_demoted_queries_still_oracle_backed).
     families = {
         "relational-agg": "q01_pricing_summary",
         "sets": "q247_bag_set_ops",
-        "fact-fact-join": "q203_large_volume_customers",  # r12: TPC-H
-        # Q18 having-join (the null-safe q248 stays oracle-backed)
-        "topk": "q181_price_size_skyline",
+        "fact-fact-join": "q200_returned_items",  # r13: TPC-H Q10
+        # returned-items join (q203 Q18 rotated out, oracle-backed)
+        "topk": "q269_mmr_diversified_topk",  # r13: diversified top-k
+        # (q181 skyline rotated out)
         "hierarchical-agg": "q262_ratio_to_parent",
         "json": "q238_variant_shredding",  # kept: VARIANT flagship
         "pivot-family": "q28_pivot",
-        "star-join": "q205_profit_by_nation_year",  # r12: TPC-H Q9
-        # (was q199 Q8)
-        "exotic-join": "q246_asof_nearest",
-        "stats-agg": "q280_skew_diagnostics",  # r12: exact order-stat
-        # count-of-counts profiler; re-gates the bigint-div ppm fix
-        # (was q242 weighted median)
-        "collect-agg": "q182_bitmap_distinct",  # r12: bitmap distinct
-        # (was q212 HLL rollup)
+        "star-join": "q202_promo_revenue",  # r13: TPC-H Q14 promo
+        # share (was q205 Q9)
+        "exotic-join": "q183_fuzzy_part_linkage",  # r13: blocked
+        # similarity join (was q246 as-of; stays oracle-backed)
+        "stats-agg": "q227_histogram_quantiles",  # r13: quantiles
+        # from merged histograms (was q280 order-stat profiler)
+        "collect-agg": "q234_value_histogram",  # r13: width-bucket
+        # histogram (was q182 bitmap distinct)
         "interval-join": "q179_geo_grid_knn",  # kept
-        "subquery-scalar": "q167_untapped_customers",  # r12: TPC-H Q22
-        # NOT EXISTS + scalar avg (was q166 correlated EXISTS)
-        "curation-pack": "q107_chunking",  # r12 (was q122)
-        "curation-schedule": "q106_weighted_sample",  # r12:
-        # deterministic mixture sampling (was q258 calibration)
-        "curation-card": "q138_table_stats",  # r12: data-card
-        # profiling (was q186 rule battery)
+        "subquery-scalar": "q169_priority_late_orders",  # r13: TPC-H
+        # Q4 EXISTS (was q167 Q22)
+        "curation-pack": "q107_chunking",
+        "curation-schedule": "q85_stratified_sample",  # r13:
+        # stratified sampling (was q106 weighted)
+        "curation-card": "q276_fd_violation_census",  # r13: FD
+        # profiling (was q138 table stats)
         "pipeline": "q43_enriched_sales",
-        "merge-upsert": "q263_joinview_row_deltas",
-        "cdc": "q288_aggview_row_deltas",  # r12 NEW: the CDC feed
-        # drives an incremental GROUP-BY view (was q244 join view)
+        "merge-upsert": "q289_distinctview_row_deltas",  # r13: its
+        # base chain takes delete_from_chain + re-keying
+        # upsert_into_chain commits — the same delta-commit machinery
+        # q263 exercised (q263 rotated out, stays benched+oracle)
+        "cdc": "q289_distinctview_row_deltas",  # r13 NEW: the CDC
+        # feed drives the count-distinct sidecar view (was q288 agg)
         "warehouse-txn": "q168_versioned_time_travel",
         "stream-window": "q154_gap_fill_resample",
         "stream-session": "q175_activity_islands",
-        "udf-shapes": "q272_jaro_winkler_linkage",  # r12: the
-        # bit-exact Arrow-vectorized UDF (was q134 UDTF)
-        "window-frame": "q170_balance_deciles",  # r12: ntile/
-        # percent_rank/cume_dist (was q213 streak frames)
+        "udf-shapes": "q272_jaro_winkler_linkage",
+        "window-frame": "q49_cohort_retention",  # r13: cohort
+        # retention frames (was q170 deciles)
         "date-spine": "q154_gap_fill_resample",
-        "text-words": "q87_token_histogram",  # r12 (was q235 Zipf)
-        "text-quality": "q96_repetition_filter",  # r12 (was q256)
+        "text-words": "q87_token_histogram",
+        "text-quality": "q96_repetition_filter",
         "text-langid": "q257_tokenizer_fertility",
-        "text-lm": "q119_source_kl",  # r12: per-source divergence
-        # (was q118 unigram logprob)
+        "text-lm": "q119_source_kl",
         "text-bpe": "q109_chunking_bpe",
-        "dedup-exact": "q71_dedup_exact_keep",
+        "dedup-exact": "q267_cluster_keep_best",  # r13: survivorship
+        # keep-best over exact-dup clusters (was q71)
         "dedup-fingerprint": "q79_fingerprint_match",
-        "dedup-minhash": "q73_minhash_lsh",  # re-gates r12's
-        # defensive pair-distinct in verify_candidates
+        "dedup-minhash": "q129_dedup_recall",  # r13: the scoreboard
+        # composes minhash-LSH, df-capped and prefix strategies
+        # against the lossless truth (was q73; re-gates the r12
+        # shingle-repartition fix)
         "dedup-simhash": "q112_image_neardup",
-        "dedup-embedding": "q250_label_centroid_separation",  # r12
-        # (was q125 decontaminate)
+        "dedup-embedding": "q250_label_centroid_separation",
         "dedup-spans": "q97_decontaminate",  # kept
         "dedup-cc": "q139_leakage_safe_split",
-        "graph-iterative": "q243_transitive_closure",
+        "graph-iterative": "q271_label_propagation",  # r13: LPA
+        # fixpoint (was q243 closure)
         "graph-peel": "q163_user_kcore",  # kept
-        "graph-features": "q254_neighborhood_features",  # r12 NEW
-        # family slot: re-gates the hop-2 symmetry halving
+        "graph-features": "q237_clustering_coefficient",  # r13:
+        # wedge closure (was q254; re-gates the r12 shuffle-hash fix)
         "sketch-cms": "q92_cms_heavy_hitters",
         "sketch-bloom": "q104_bloom_prune",
-        "digest-reconcile": "q172_replica_reconcile",
+        "digest-reconcile": "q283_kmv_intersection",  # r13: KMV
+        # digest set-overlap estimation (was q172 replica digests;
+        # stays oracle-backed)
         "cluster-kmeans": "q93_kmeans",
         "sim-knn": "q114_ann_recall",  # kept: the five-pipeline board
         "sim-lsh": "q260_multiprobe_lsh_ann",
-        "sim-ivf": "q270_ivf_incremental_ingest",  # r12: frozen-
-        # codebook ingest (was q265 build+probe)
-        "sim-quantized": "q253_hard_negative_mining",
-        "multimodal-decode": "q112_image_neardup",  # r12: shares the
+        "sim-ivf": "q270_ivf_incremental_ingest",
+        "sim-quantized": "q268_matryoshka_recall",  # r13: truncated-
+        # dim (matryoshka) recall — dimension quantization (was q253)
+        "multimodal-decode": "q112_image_neardup",  # shares the
         # dedup-simhash slot — q112 synthesizes AND PNG-decodes its
-        # thumbs in-pipeline (was q144 ADPCM, now oracle-backed)
-        "multimodal-governance": "q149_video_metadata_census",  # r12
-        # (was q264 stbl census)
-        "timeseries": "q285_forecast_eval",  # r12: rolling-origin
-        # eval board (was q231 Holt point forecast)
-        "mining": "q284_recommender_eval",  # r12: temporal-split
-        # hit-rate board (was q259 golden record)
+        # thumbs in-pipeline
+        "multimodal-governance": "q278_flac_census",  # r13: FLAC
+        # stream census (was q149 video)
+        "timeseries": "q236_holt_backtest",  # r13: Holt backtest
+        # (was q285 forecast eval board)
+        "mining": "q281_item_item_similarity",  # r13: co-occurrence
+        # similarity (was q284 recommender eval)
     }
     outside = {f: q for f, q in families.items() if q not in window}
     assert not outside, f"families outside the {WINDOW}-entry window: {outside}"
