@@ -58,3 +58,28 @@ def test_sf10_spot_is_clean_when_present():
     )
     for name, row in spot["queries"].items():
         assert row["sf1_sec"] > 0 and row["sf10_sec"] > 0, name
+
+
+def test_two_decade_board_covers_its_top_tier():
+    """When the artifact was produced in --decades 2 mode, the
+    attached sf10 spot must carry BOTH decades for the board's top-5
+    heaviest sf1 rows — the standing-board promotion of the r12
+    spot-check (r13)."""
+    path = _latest()
+    if path is None:
+        pytest.skip("no scaling artifact committed yet")
+    art = json.load(open(path))
+    if art.get("decades", 1) < 2:
+        pytest.skip("artifact predates --decades 2 mode")
+    spot = art.get("sf10_spot")
+    assert spot, "--decades 2 artifact without an sf10_spot block"
+    top5 = [
+        n
+        for n, _ in sorted(
+            art["queries"].items(), key=lambda kv: -kv[1]["sf1_sec"]
+        )[:5]
+    ]
+    missing = [n for n in top5 if n not in spot["queries"]]
+    assert missing == [], (
+        f"board top-5 rows missing from the second decade: {missing}"
+    )

@@ -16,6 +16,13 @@ min-of-``runs`` per scale, sf0.1 first then sf1 so cache states match.
 Usage:
   python tools/gen_scale.py /root/testdata/sf0.1 /tmp/spark_graft_sf1 10
   python tools/scaling_check.py [sf1_dir] [runs]
+
+Two-decade mode (r13): ``--decades 2`` [``--sf10=DIR``] additionally
+hands the board's top-5 heaviest sf1 rows to tools/scaling_spot.py in
+a fresh subprocess (fresh JVM, decade-sized heap, its own sf1 re-time)
+so the standing board always carries sf1 AND sf10 evidence for the
+current top tier — the sf10 dataset comes from
+``gen_scale.py /root/testdata/sf0.1 DIR 100``.
 """
 
 from __future__ import annotations
@@ -125,8 +132,16 @@ def _time(spark, name: str, sf_dir: str, runs: int) -> float:
 
 
 def main() -> int:
-    sf1 = sys.argv[1] if len(sys.argv) > 1 else "/tmp/spark_graft_sf1"
-    runs = int(sys.argv[2]) if len(sys.argv) > 2 else 2
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    sf1 = args[0] if args else "/tmp/spark_graft_sf1"
+    runs = int(args[1]) if len(args) > 1 else 2
+    decades = 1
+    sf10_dir = "/tmp/spark_graft_sf10"
+    for a in sys.argv[1:]:
+        if a.startswith("--decades"):
+            decades = int(a.split("=", 1)[1]) if "=" in a else 2
+        if a.startswith("--sf10="):
+            sf10_dir = a.split("=", 1)[1]
     sf01 = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     # ambient env BEFORE the run — at write time the loadavg would be
     # the board's own 32-thread work and 'loaded' would self-flag
@@ -159,6 +174,7 @@ def main() -> int:
     out = {
         "bar": BAR,
         "factor": 10,
+        "decades": decades,
         "runs": runs,
         "env": env,
         "loadavg_end_1m": _env_block()["loadavg_1m"],
@@ -199,6 +215,34 @@ def main() -> int:
     with open(path, "w") as fh:
         json.dump(out, fh, indent=1)
     print(f"wrote {path}")
+    if decades >= 2:
+        # second decade (r13, the r12 verdict's ask #8): hand the
+        # board's top-5 heaviest sf1 rows to scaling_spot in a FRESH
+        # subprocess — a fresh JVM with the decade-sized heap
+        # (scaling_spot sets SPARK_GRAFT_DRIVER_MEM=64g before the
+        # session exists; this JVM's heap is already fixed), and sf1
+        # legs re-timed there so both legs share one clean JVM.
+        import subprocess
+
+        spark.stop()
+        top5 = [
+            n
+            for n, _ in sorted(
+                rows.items(), key=lambda kv: -kv[1]["sf1_sec"]
+            )[:5]
+        ]
+        print(f"second decade: spot-checking {top5} at {sf10_dir}", flush=True)
+        rc = subprocess.call(
+            [
+                sys.executable,
+                os.path.join(here, "tools", "scaling_spot.py"),
+                sf10_dir,
+                str(max(1, runs - 1)),
+                "--queries=" + ",".join(top5),
+            ],
+            env={**os.environ, "SPARK_GRAFT_SF1_DIR": sf1},
+        )
+        return rc or (1 if out["failures"] else 0)
     return 1 if out["failures"] else 0
 
 

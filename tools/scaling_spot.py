@@ -80,8 +80,21 @@ def _time(spark, name: str, sf_dir: str, runs: int) -> float:
 
 
 def main() -> int:
-    sf10 = sys.argv[1] if len(sys.argv) > 1 else "/tmp/spark_graft_sf10"
-    runs = int(sys.argv[2]) if len(sys.argv) > 2 else 1
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    sf10 = args[0] if args else "/tmp/spark_graft_sf10"
+    runs = int(args[1]) if len(args) > 1 else 1
+    # --queries=a,b,c overrides the curated spot set — what
+    # scaling_check --decades 2 passes (its board's top tier), so the
+    # second decade always tracks the CURRENT heaviest queries instead
+    # of a hand-edited list
+    queries = QUERIES
+    for a in sys.argv[1:]:
+        if a.startswith("--queries="):
+            queries = [q for q in a.split("=", 1)[1].split(",") if q]
+    bad = [q for q in queries if q not in REGISTRY]
+    if bad:
+        print(f"unknown queries: {bad}", file=sys.stderr)
+        return 2
     sf1 = os.environ.get("SPARK_GRAFT_SF1_DIR", "/tmp/spark_graft_sf1")
     # ambient env BEFORE the run — at write time the loadavg would be
     # the spot-check's own 32-thread work and 'loaded' would self-flag
@@ -96,7 +109,7 @@ def main() -> int:
         "overwrite"
     ).save()
     rows = {}
-    for name in QUERIES:
+    for name in queries:
         t1 = _time(spark, name, sf1, runs)
         t10 = _time(spark, name, sf10, runs)
         ratio = t10 / t1 if t1 > 0 else float("inf")
