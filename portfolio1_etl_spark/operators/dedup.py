@@ -262,32 +262,49 @@ def prefix_candidates(
         F.least(F.col("a.n"), F.col("b.n")) * t_sum
         >= t_num * (F.col("a.n") + F.col("b.n"))
     )
+    # shuffle_hash, never broadcast: both sides are the SAME
+    # corpus-linear prefix index (~600 MB at the sf10 decade, growing
+    # with the corpus) — a broadcast plan here is the q237 flip class
+    # in reverse: fast while it fits, then a driver OOM at the decade
+    # where it stops fitting. Co-partitioning on h costs two bounded
+    # shuffles of the reduced index and holds at any scale.
     coll = a.join(
-        b,
+        b.hint("shuffle_hash"),
         (F.col("a.h") == F.col("b.h"))
         & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
         & length_ok,
     ).select(
         F.col(f"a.{id_col}").alias("doc_a"),
         F.col(f"b.{id_col}").alias("doc_b"),
-        # struct min under (df, h) = the global sort order picks the
-        # minimal colliding token's ranks; na/nb are pair constants
-        F.struct(
-            F.col("a.df").alias("df"),
-            F.col("a.h").alias("h"),
-            F.col("a.rn").alias("ra"),
-            F.col("b.rn").alias("rb"),
-            F.col("a.n").alias("na"),
-            F.col("b.n").alias("nb"),
-        ).alias("w"),
+        F.col("a.rn").alias("ra"),
+        F.col("b.rn").alias("rb"),
+        F.col("a.n").alias("na"),
+        F.col("b.n").alias("nb"),
     )
+    # The (df, h)-minimal colliding prefix token w is recovered with
+    # PRIMITIVE min aggregates: within each document rn is strictly
+    # increasing in the SAME global (df, h) order, so over a pair's
+    # collision rows min(ra) and min(rb) are both attained AT w —
+    # no min-over-struct needed. That matters at scale: min(struct)
+    # has no fixed-width agg buffer, so Spark plans ObjectHashAggregate
+    # with a sort-based fallback and the r13 sf10 drill measured the
+    # stage at 17x for 8.6x rows (spilled sort of 125 M struct rows);
+    # four long mins stay in whole-stage-codegen HashAggregate with
+    # map-side combine, and the shuffle rows shrink to six numerics
+    # (df/h drop out entirely). na/nb are pair constants, so min() is
+    # just "pick the value" — one aggregate shape for all four.
     ubound = F.lit(1) + F.least(
-        F.col("w.na") - F.col("w.ra"), F.col("w.nb") - F.col("w.rb")
+        F.col("na") - F.col("ra"), F.col("nb") - F.col("rb")
     )
     return (
         coll.groupBy("doc_a", "doc_b")
-        .agg(F.min("w").alias("w"))
-        .filter(ubound * t_sum >= t_num * (F.col("w.na") + F.col("w.nb")))
+        .agg(
+            F.min("ra").alias("ra"),
+            F.min("rb").alias("rb"),
+            F.min("na").alias("na"),
+            F.min("nb").alias("nb"),
+        )
+        .filter(ubound * t_sum >= t_num * (F.col("na") + F.col("nb")))
         .select("doc_a", "doc_b")
     )
 
