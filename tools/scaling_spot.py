@@ -136,18 +136,32 @@ def main() -> int:
     path = os.path.join(here, arts[-1])
     with open(path) as fh:
         art = json.load(fh)
-    art["sf10_spot"] = {
-        "bar": BAR,
-        "factor": 10,
-        "runs": runs,
-        "env": env,
-        "loadavg_end_1m": _env_block()["loadavg_1m"],
-        "queries": rows,
-        "failures": [n for n, r in rows.items() if not r["pass"]],
-    }
+    # --merge: fold these rows into an EXISTING sf10_spot instead of
+    # replacing it — the single-query adjudication path (a row timed
+    # late in a degraded JVM re-measures alone in a fresh one; the
+    # other rows keep their numbers and their env). Each merged row
+    # records the env it was measured under.
+    merge = "--merge" in sys.argv and "sf10_spot" in art
+    if merge:
+        spot = art["sf10_spot"]
+        for n, r in rows.items():
+            spot["queries"][n] = {**r, "remeasured_env": env}
+        spot["failures"] = [
+            n for n, r in spot["queries"].items() if not r["pass"]
+        ]
+    else:
+        art["sf10_spot"] = {
+            "bar": BAR,
+            "factor": 10,
+            "runs": runs,
+            "env": env,
+            "loadavg_end_1m": _env_block()["loadavg_1m"],
+            "queries": rows,
+            "failures": [n for n, r in rows.items() if not r["pass"]],
+        }
     with open(path, "w") as fh:
         json.dump(art, fh, indent=1)
-    print(f"attached sf10_spot to {path}")
+    print(f"attached sf10_spot to {path}" + (" [merged]" if merge else ""))
     return 1 if art["sf10_spot"]["failures"] else 0
 
 
