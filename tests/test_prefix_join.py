@@ -129,3 +129,34 @@ def test_positional_filter_keeps_boundary_pair(spark):
     got = _pairs(prefix_jaccard_pairs(sh, 2, 5))
     assert got == _pairs(jaccard_pairs(sh, 0.4))
     assert len(got) == 1
+
+
+def test_candidate_plan_stays_hash_aggregated_and_never_broadcasts(spark):
+    """Physical-plan guard for the r13 sf10 findings: the pair fold
+    must stay a fixed-width HashAggregate (a min-over-struct regression
+    replans it as ObjectHashAggregate with a sort-based fallback — a
+    spilled struct sort at the decade where partial maps stop
+    fitting), and the collision self-join must never broadcast the
+    corpus-linear prefix index (ShuffledHashJoin via hint; a broadcast
+    is a driver OOM waiting at the decade it stops fitting)."""
+    from portfolio1_etl_spark.operators.dedup import prefix_candidates
+
+    sh = _sh(
+        spark,
+        {d: list(range(d % 7, d % 7 + 10)) for d in range(1, 40)},
+    )
+    plan = (
+        prefix_candidates(sh, 2, 5)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "ObjectHashAggregate" not in plan, (
+        "pair fold left fixed-width hash aggregation — the r13 sf10 "
+        "spill regression (decompose non-primitive aggregates)"
+    )
+    assert "SortAggregate" not in plan
+    assert "BroadcastHashJoin" not in plan, (
+        "collision self-join broadcasts the corpus-linear prefix index"
+    )
+    assert "ShuffledHashJoin" in plan
