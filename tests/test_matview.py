@@ -564,3 +564,67 @@ def test_distinct_view_multi_step_chain(spark, tmp_path):
         assert _rows(view) == _rows(wview)
     # final: a={99}, b={5} (two rows, one value)
     assert _rows(view) == [("a", 1), ("b", 1)]
+
+
+def test_distinct_view_randomized_chain_equals_recompute(spark):
+    """Differential fuzz for the distinct-count delta algebra (the
+    r12 advisor's flagged high-risk surface): a random multi-step
+    insert/delete/re-key walk folds through apply_distinct_delta one
+    feed at a time, and after EVERY step both the sidecar and the view
+    must equal a from-scratch distinct_view of the replayed table —
+    hitting 0-crossings, duplicate-copy churn, group births/deaths,
+    and empty feeds in random interleavings that the single-shot test
+    above cannot."""
+    import random
+
+    from portfolio1_etl_spark.operators.matview import (
+        apply_distinct_delta,
+        distinct_view,
+    )
+
+    for seed in (11, 23, 47):
+        rng = random.Random(seed)
+        # table state: id -> (grp, val); small domains force collisions
+        state = {
+            i: (f"g{rng.randrange(4)}", rng.randrange(5)) for i in range(12)
+        }
+
+        def _df(d):
+            return spark.createDataFrame(
+                [(k, g, v) for k, (g, v) in sorted(d.items())],
+                "id long, grp string, val long",
+            )
+
+        aux, view = distinct_view(_df(state), ["grp"], "val")
+        for step in range(6):
+            feed_rows = []
+            for _ in range(rng.randrange(1, 5)):
+                op = rng.choice(["insert", "delete", "rekey"])
+                if op == "insert":
+                    k = max(state) + 1
+                    g, v = f"g{rng.randrange(4)}", rng.randrange(5)
+                    state[k] = (g, v)
+                    feed_rows.append(("insert", g, v))
+                elif op == "delete" and state:
+                    k = rng.choice(sorted(state))
+                    g, v = state.pop(k)
+                    feed_rows.append(("delete", g, v))
+                elif op == "rekey" and state:
+                    k = rng.choice(sorted(state))
+                    g, v = state[k]
+                    g2, v2 = f"g{rng.randrange(4)}", rng.randrange(5)
+                    state[k] = (g2, v2)
+                    feed_rows.append(("delete", g, v))
+                    feed_rows.append(("insert", g2, v2))
+            feed = spark.createDataFrame(
+                feed_rows or [("insert", "g0", 0)][:0],
+                "_change string, grp string, val long",
+            )
+            aux, view = apply_distinct_delta(aux, view, feed, ["grp"], "val")
+            # localCheckpoint keeps the per-step lineage flat — six
+            # stacked full-outer merges otherwise replan combinatorially
+            aux = aux.localCheckpoint(eager=True)
+            view = view.localCheckpoint(eager=True)
+            waux, wview = distinct_view(_df(state), ["grp"], "val")
+            assert _rows(aux) == _rows(waux), f"seed {seed} step {step} aux"
+            assert _rows(view) == _rows(wview), f"seed {seed} step {step} view"
