@@ -1061,7 +1061,11 @@ def test_random_chain_lifecycle_matches_replay_oracle(spark, tmp_path, seed):
     every live CLONE independently (write isolation both ways, the
     seq-0 delegation edge). Time travel over every surviving version
     is checked at the end; metadata-only commits (ANALYZE, ADD/DROP
-    CONSTRAINT) must advance the chain without moving data."""
+    CONSTRAINT) must advance the chain without moving data; retention
+    ops (prune_versions + vacuum_chain) run on undelegated chains and
+    must never move the head or break surviving-version time travel —
+    file lifetime under delta commits is decided by referencedness
+    across survivors, the subtlest storage invariant here."""
     import random as _random
 
     from portfolio1_etl_spark.operators.sinks import (
@@ -1071,8 +1075,10 @@ def test_random_chain_lifecycle_matches_replay_oracle(spark, tmp_path, seed):
         compact_versioned,
         delete_from_chain,
         drop_chain_constraint,
+        prune_versions,
         read_version,
         upsert_into_chain,
+        vacuum_chain,
         write_versioned,
         _versions,
     )
@@ -1106,11 +1112,19 @@ def test_random_chain_lifecycle_matches_replay_oracle(spark, tmp_path, seed):
         # (path, oracle_state, {version: state_at_version})
         [src, dict(state), {v: dict(state)}]
     ]
+    # clone delegation pins a source VERSION: pruning a source below a
+    # clone's pin breaks the clone BY CONTRACT (zero-copy's flip side,
+    # see clone_chain docstring) — so retention ops only ever run on
+    # tables nothing delegates into
+    pinned: dict[str, int] = {}
 
     for step in range(16):
         path, st, hist = tables[rng.randrange(len(tables))]
         op = rng.choice(
-            ["snapshot", "upsert", "delete", "compact", "meta", "clone"]
+            [
+                "snapshot", "upsert", "delete", "compact", "meta",
+                "clone", "retention",
+            ]
         )
         if op == "snapshot":
             st.clear()
@@ -1148,6 +1162,16 @@ def test_random_chain_lifecycle_matches_replay_oracle(spark, tmp_path, seed):
             clone_chain(spark, path, dst, n=pin)
             assert _read(dst) == hist[pin], "clone != pinned version"
             tables.append([dst, dict(hist[pin]), {0: dict(hist[pin])}])
+            pinned[path] = max(pinned.get(path, -1), pin)
+            continue
+        elif op == "retention":
+            if path in pinned:
+                continue  # a clone delegates into this chain
+            dropped = prune_versions(spark, path, keep=rng.randrange(1, 4))
+            for d in dropped:
+                hist.pop(d, None)
+            vacuum_chain(spark, path)
+            assert _read(path) == st, f"step {step} retention moved data"
             continue
         hist[nv] = dict(st)
         assert _read(path) == st, f"step {step} op {op} diverged on {path}"
