@@ -13,6 +13,7 @@ from portfolio1_etl_spark.operators.multimodal import (
     encode_bmp,
     encode_ppm,
     encode_wav,
+    extract_mp4_samples,
     featurize_media,
     image_metadata_media,
     probe_image_dimensions,

@@ -716,8 +716,14 @@ def sample_frames(media: DataFrame, n_frames: int = 4) -> DataFrame:
     and composites its frame sequence (``gif.decode_gif_frames``) and
     evenly samples ``n_frames`` composited canvases, each re-encoded
     as a single-frame GIF — actual video-frame extraction, not byte
-    math. Codec-backed formats (MP4) fall back to fixed-stride byte
-    chunks; the fan-out schema and batching are identical."""
+    math. MP4 resolves REAL samples (r13): evenly-spaced track-1
+    samples sliced through the stsz/stsc/stco addressing chain
+    (``extract_mp4_samples``) — the compressed sample payloads a
+    downstream decoder consumes; decoding them stays the library
+    boundary. Files whose structure cannot be resolved (no moov, a
+    census-only fixture without stco, a malformed table) fall back to
+    fixed-stride byte chunks; the fan-out schema and batching are
+    identical on every path."""
 
     def _frames_of(b: bytes) -> list[bytes]:
         # the LAST frame always extends to the end so the frames cover
@@ -754,6 +760,16 @@ def sample_frames(media: DataFrame, n_frames: int = 4) -> DataFrame:
                 return [encode_gif(frames[p]) for p in picks]
             except (ValueError, IndexError):
                 pass  # malformed GIF → byte chunks
+        if len(b) >= 8 and b[4:8] == b"ftyp":
+            try:
+                n = probe_mp4_sample_tables(b)[0][2]  # track 1 samples
+                take = min(n_frames, n)
+                picks = [
+                    (i * (n - 1)) // max(take - 1, 1) for i in range(take)
+                ]
+                return extract_mp4_samples(b, track=1, indices=picks)
+            except (ValueError, IndexError, struct.error):
+                pass  # unresolvable structure → byte chunks
         return [
             b[lo:hi] for lo, hi in (_bounds(len(b), i) for i in range(n_frames))
         ]
@@ -1242,62 +1258,137 @@ def encode_mp4_stub(
     )
 
 
-def encode_mp4_sample_tables(tracks: list[dict]) -> bytes:
+def encode_mp4_sample_tables(
+    tracks: list[dict], payloads: list[list[bytes]] | None = None
+) -> bytes:
     """A structurally-valid MP4 whose per-track SAMPLE TABLES (stbl)
     carry real census data — codec fourcc in stsd, decode timeline in
     stts (run-length), sample byte sizes in stsz (uniform or
     per-sample) — inside the full trak → mdia → mdhd/minf → stbl
     nesting a real muxer writes. Each track dict:
     ``{"codec": 4-char str, "timescale": int, "runs": [(count, delta),
-    ...], "sizes": int | list[int]}`` (int = uniform sample size; the
-    sample count then comes from the runs). Media PAYLOAD stays absent
-    (mdat is empty): decode is the documented library boundary; the
-    sample-table census is plain public ISO 14496-12 structure."""
+    ...], "sizes": int | list[int], "samples_per_chunk": int
+    (optional)}`` (int sizes = uniform sample size; the sample count
+    then comes from the runs).
+
+    With ``payloads`` (one ``list[bytes]`` per track, one entry per
+    sample) the file carries a REAL mdat: per-sample sizes come from
+    the payload lengths, samples group into chunks of
+    ``samples_per_chunk`` (default: one chunk per track), and stsc +
+    stco are emitted with correct absolute file offsets — the full
+    ISO 14496-12 addressing chain ``extract_mp4_samples`` resolves.
+    Without it, mdat is empty and stsc/stco absent (census-only
+    fixtures, the pre-r13 shape). Codec DECODE of the payload bytes
+    stays the documented library boundary either way."""
+    if payloads is not None and len(payloads) != len(tracks):
+        raise ValueError("payloads must carry one list per track")
 
     def box(typ: bytes, payload: bytes) -> bytes:
         return struct.pack(">I", 8 + len(payload)) + typ + payload
 
-    mvhd = bytes(20) + struct.pack(">II", 1000, 0)
-    mvhd += bytes(70) + struct.pack(">I", len(tracks) + 1)
-    traks = b""
+    def assemble(chunk_offsets: list[list[int]]) -> bytes:
+        mvhd = bytes(20) + struct.pack(">II", 1000, 0)
+        mvhd += bytes(70) + struct.pack(">I", len(tracks) + 1)
+        traks = b""
+        for i, tr in enumerate(tracks):
+            n_samples = sum(c for c, _ in tr["runs"])
+            tkhd = bytes(12) + struct.pack(">I", i + 1) + bytes(72)
+            # stsd: one sample entry — fourcc + minimal 8-byte body
+            entry = (
+                struct.pack(">I", 16) + tr["codec"].encode("ascii") + bytes(8)
+            )
+            stsd = box(b"stsd", bytes(4) + struct.pack(">I", 1) + entry)
+            stts = box(
+                b"stts",
+                bytes(4)
+                + struct.pack(">I", len(tr["runs"]))
+                + b"".join(struct.pack(">II", c, d) for c, d in tr["runs"]),
+            )
+            if payloads is not None:
+                if len(payloads[i]) != n_samples:
+                    raise ValueError("payload count != stts sample count")
+                sizes = [len(p) for p in payloads[i]]
+            else:
+                sizes = tr["sizes"]
+            if isinstance(sizes, int):
+                stsz = box(
+                    b"stsz", bytes(4) + struct.pack(">II", sizes, n_samples)
+                )
+            else:
+                if len(sizes) != n_samples:
+                    raise ValueError("stsz table length != stts sample count")
+                stsz = box(
+                    b"stsz",
+                    bytes(4)
+                    + struct.pack(">II", 0, n_samples)
+                    + b"".join(struct.pack(">I", s) for s in sizes),
+                )
+            addressing = b""
+            if payloads is not None:
+                spc = tr.get("samples_per_chunk") or n_samples
+                n_chunks = -(-n_samples // spc) if n_samples else 0
+                # one stsc run covers uniform chunking; a short final
+                # chunk needs its own entry (first_chunk is 1-based)
+                ents = [(1, spc)]
+                if n_samples and n_samples % spc and n_chunks > 1:
+                    ents.append((n_chunks, n_samples % spc))
+                stsc = box(
+                    b"stsc",
+                    bytes(4)
+                    + struct.pack(">I", len(ents))
+                    + b"".join(
+                        struct.pack(">III", fc, s, 1) for fc, s in ents
+                    ),
+                )
+                stco = box(
+                    b"stco",
+                    bytes(4)
+                    + struct.pack(">I", len(chunk_offsets[i]))
+                    + b"".join(
+                        struct.pack(">I", o) for o in chunk_offsets[i]
+                    ),
+                )
+                addressing = stsc + stco
+            mdhd = bytes(12) + struct.pack(">II", tr["timescale"], 0) + bytes(4)
+            mdia = box(
+                b"mdia",
+                box(b"mdhd", mdhd)
+                + box(b"minf", box(b"stbl", stsd + stts + stsz + addressing)),
+            )
+            traks += box(b"trak", box(b"tkhd", tkhd) + mdia)
+        mdat = b"" if payloads is None else b"".join(
+            b"".join(ps) for ps in payloads
+        )
+        return (
+            box(b"ftyp", b"isom" + bytes(4) + b"isomiso2")
+            + box(b"moov", box(b"mvhd", mvhd) + traks)
+            + box(b"mdat", mdat)
+        )
+
+    if payloads is None:
+        return assemble([])
+    # two-pass: offsets depend on moov's length, which is offset-count
+    # dependent but not offset-value dependent (fixed-width fields) —
+    # assemble once with zeros to measure, then patch real offsets
+    zero_offsets = []
     for i, tr in enumerate(tracks):
         n_samples = sum(c for c, _ in tr["runs"])
-        tkhd = bytes(12) + struct.pack(">I", i + 1) + bytes(72)
-        # stsd: one sample entry — fourcc + minimal 8-byte entry body
-        entry = struct.pack(">I", 16) + tr["codec"].encode("ascii") + bytes(8)
-        stsd = box(b"stsd", bytes(4) + struct.pack(">I", 1) + entry)
-        stts = box(
-            b"stts",
-            bytes(4)
-            + struct.pack(">I", len(tr["runs"]))
-            + b"".join(struct.pack(">II", c, d) for c, d in tr["runs"]),
-        )
-        sizes = tr["sizes"]
-        if isinstance(sizes, int):
-            stsz = box(
-                b"stsz", bytes(4) + struct.pack(">II", sizes, n_samples)
-            )
-        else:
-            if len(sizes) != n_samples:
-                raise ValueError("stsz table length != stts sample count")
-            stsz = box(
-                b"stsz",
-                bytes(4)
-                + struct.pack(">II", 0, n_samples)
-                + b"".join(struct.pack(">I", s) for s in sizes),
-            )
-        mdhd = bytes(12) + struct.pack(">II", tr["timescale"], 0) + bytes(4)
-        mdia = box(
-            b"mdia",
-            box(b"mdhd", mdhd)
-            + box(b"minf", box(b"stbl", stsd + stts + stsz)),
-        )
-        traks += box(b"trak", box(b"tkhd", tkhd) + mdia)
-    return (
-        box(b"ftyp", b"isom" + bytes(4) + b"isomiso2")
-        + box(b"moov", box(b"mvhd", mvhd) + traks)
-        + box(b"mdat", b"")
+        spc = tr.get("samples_per_chunk") or n_samples
+        zero_offsets.append([0] * (-(-n_samples // spc) if n_samples else 0))
+    draft = assemble(zero_offsets)
+    mdat_payload_start = len(draft) - sum(
+        len(p) for ps in payloads for p in ps
     )
+    offsets, pos = [], mdat_payload_start
+    for i, tr in enumerate(tracks):
+        n_samples = sum(c for c, _ in tr["runs"])
+        spc = tr.get("samples_per_chunk") or n_samples
+        track_offsets = []
+        for c in range(len(zero_offsets[i])):
+            track_offsets.append(pos)
+            pos += sum(len(p) for p in payloads[i][c * spc : (c + 1) * spc])
+        offsets.append(track_offsets)
+    return assemble(offsets)
 
 
 def probe_mp4_sample_tables(
@@ -1420,4 +1511,164 @@ def probe_mp4_sample_tables(
         )
     if not out:
         raise ValueError("MP4 has no tracks")
+    return out
+
+
+def extract_mp4_samples(
+    content: bytes, track: int = 1, indices: list[int] | None = None
+) -> list[bytes]:
+    """Per-sample PAYLOAD extraction from MP4 structure alone — the
+    pre-decode step a GPU video pipeline actually runs at corpus
+    scale: resolve each sample's byte range through the ISO 14496-12
+    addressing chain (stsz sizes → stsc chunk map → stco/co64 chunk
+    offsets) and slice the compressed sample bytes out of mdat, so
+    the decoder downstream receives exactly the samples it was asked
+    for instead of whole files. This is byte-range arithmetic over
+    public container structure; DECODING the returned payloads stays
+    the documented library boundary (operators/audio.py:29).
+
+    ``track`` is 1-based (the stbl census's track_idx); ``indices``
+    selects 0-based sample numbers (default: every sample). Raises
+    ValueError on missing/truncated/inconsistent tables or a sample
+    range outside the file — an extracted sample is either exactly
+    its muxed bytes or an error, never a silent partial slice."""
+    if len(content) < 8 or content[4:8] != b"ftyp":
+        raise ValueError("not an MP4 (missing ftyp)")
+
+    def boxes(b: bytes, pos: int, end: int):
+        while pos + 8 <= end:
+            size = struct.unpack(">I", b[pos : pos + 4])[0]
+            typ = b[pos + 4 : pos + 8]
+            hdr = 8
+            if size == 1:
+                if pos + 16 > end:
+                    raise ValueError("truncated MP4 largesize box")
+                size = struct.unpack(">Q", b[pos + 8 : pos + 16])[0]
+                hdr = 16
+            elif size == 0:
+                size = end - pos
+            if size < hdr or pos + size > end:
+                raise ValueError("malformed MP4 box size")
+            yield typ, pos + hdr, pos + size
+            pos += size
+
+    def child(b: bytes, pos: int, end: int, want: bytes):
+        for typ, body, bend in boxes(b, pos, end):
+            if typ == want:
+                return body, bend
+        return None
+
+    moov = child(content, 0, len(content), b"moov")
+    if moov is None:
+        raise ValueError("MP4 missing moov")
+    idx = 0
+    stbl = None
+    for typ, tb, te in boxes(content, *moov):
+        if typ != b"trak":
+            continue
+        idx += 1
+        if idx != track:
+            continue
+        mdia = child(content, tb, te, b"mdia")
+        minf = child(content, *mdia, b"minf") if mdia else None
+        stbl = child(content, *minf, b"stbl") if minf else None
+        break
+    if stbl is None:
+        raise ValueError(f"track {track}: not found or missing stbl")
+
+    stsz = child(content, *stbl, b"stsz")
+    if stsz is None or stsz[0] + 12 > stsz[1]:
+        raise ValueError(f"track {track}: missing/truncated stsz")
+    uniform, n_samples = struct.unpack(
+        ">II", content[stsz[0] + 4 : stsz[0] + 12]
+    )
+    if uniform:
+        sizes = [uniform] * n_samples
+    else:
+        if stsz[0] + 12 + 4 * n_samples > stsz[1]:
+            raise ValueError(f"track {track}: truncated stsz table")
+        sizes = list(
+            struct.unpack(
+                f">{n_samples}I",
+                content[stsz[0] + 12 : stsz[0] + 12 + 4 * n_samples],
+            )
+        )
+
+    stsc = child(content, *stbl, b"stsc")
+    if stsc is None or stsc[0] + 8 > stsc[1]:
+        raise ValueError(f"track {track}: missing/truncated stsc")
+    n_ents = struct.unpack(">I", content[stsc[0] + 4 : stsc[0] + 8])[0]
+    if stsc[0] + 8 + 12 * n_ents > stsc[1]:
+        raise ValueError(f"track {track}: truncated stsc table")
+    stsc_ents = [
+        struct.unpack(
+            ">III", content[stsc[0] + 8 + 12 * e : stsc[0] + 20 + 12 * e]
+        )[:2]
+        for e in range(n_ents)
+    ]
+    if not stsc_ents or any(spc == 0 for _, spc in stsc_ents):
+        raise ValueError(f"track {track}: degenerate stsc")
+
+    co = child(content, *stbl, b"stco")
+    width = 4
+    if co is None:
+        co = child(content, *stbl, b"co64")
+        width = 8
+    if co is None or co[0] + 8 > co[1]:
+        raise ValueError(f"track {track}: missing stco/co64")
+    n_chunks = struct.unpack(">I", content[co[0] + 4 : co[0] + 8])[0]
+    if co[0] + 8 + width * n_chunks > co[1]:
+        raise ValueError(f"track {track}: truncated chunk-offset table")
+    fmt = ">Q" if width == 8 else ">I"
+    chunk_offsets = [
+        struct.unpack(
+            fmt, content[co[0] + 8 + width * c : co[0] + 8 + width * (c + 1)]
+        )[0]
+        for c in range(n_chunks)
+    ]
+
+    # expand the stsc run-length map: entry (first_chunk, spc) applies
+    # from its 1-based first_chunk until the next entry's
+    spc_of_chunk = []
+    for e, (fc, spc) in enumerate(stsc_ents):
+        last = (
+            stsc_ents[e + 1][0] - 1 if e + 1 < len(stsc_ents) else n_chunks
+        )
+        if fc < 1 or last < fc - 1:
+            raise ValueError(f"track {track}: non-monotone stsc")
+        spc_of_chunk.extend([spc] * (last - fc + 1))
+    if len(spc_of_chunk) != n_chunks:
+        raise ValueError(
+            f"track {track}: stsc covers {len(spc_of_chunk)} chunks, "
+            f"stco has {n_chunks}"
+        )
+    if sum(spc_of_chunk) < n_samples:
+        raise ValueError(
+            f"track {track}: chunk map addresses {sum(spc_of_chunk)} "
+            f"samples, stsz has {n_samples}"
+        )
+
+    # absolute (offset, size) per sample, walking chunks in order
+    ranges: list[tuple[int, int]] = []
+    s = 0
+    for c in range(n_chunks):
+        pos = chunk_offsets[c]
+        for _ in range(spc_of_chunk[c]):
+            if s >= n_samples:
+                break
+            ranges.append((pos, sizes[s]))
+            pos += sizes[s]
+            s += 1
+
+    want = range(n_samples) if indices is None else indices
+    out = []
+    for i in want:
+        if not 0 <= i < n_samples:
+            raise ValueError(f"sample index {i} out of range 0..{n_samples - 1}")
+        off, size = ranges[i]
+        if off + size > len(content):
+            raise ValueError(
+                f"track {track} sample {i}: range {off}+{size} outside file"
+            )
+        out.append(content[off : off + size])
     return out

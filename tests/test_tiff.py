@@ -305,3 +305,123 @@ def test_mp4_sample_table_probe_roundtrip():
     bad = bad[: i + 4] + b"\x00\x00\x00\x09" + bad[i + 8 :]
     with _pytest.raises(ValueError):
         probe_mp4_sample_tables(bad)
+
+
+# --- MP4 sample extraction (r13) --------------------------------------------
+
+
+def _payload_mp4(samples_per_chunk=None, payloads=None):
+    from portfolio1_etl_spark.operators.multimodal import (
+        encode_mp4_sample_tables,
+    )
+
+    payloads = payloads if payloads is not None else [
+        [bytes([i]) * (10 + i) for i in range(7)]
+    ]
+    tr = {
+        "codec": "avc1",
+        "timescale": 90000,
+        "runs": [(len(payloads[0]), 3000)],
+        "sizes": 0,
+    }
+    if samples_per_chunk:
+        tr["samples_per_chunk"] = samples_per_chunk
+    return encode_mp4_sample_tables([tr], payloads=payloads), payloads
+
+
+def test_mp4_extract_samples_roundtrip_single_chunk():
+    """Every sample slices back byte-exact through stsz/stsc/stco when
+    the track muxes as one chunk."""
+    from portfolio1_etl_spark.operators.multimodal import (
+        extract_mp4_samples,
+        probe_mp4_sample_tables,
+    )
+
+    mp4, payloads = _payload_mp4()
+    assert extract_mp4_samples(mp4) == payloads[0]
+    assert extract_mp4_samples(mp4, indices=[6, 0, 3]) == [
+        payloads[0][6], payloads[0][0], payloads[0][3],
+    ]
+    # the census still reads the same file (sizes now payload-derived)
+    (idx, codec, n, total, _, _), = probe_mp4_sample_tables(mp4)
+    assert (idx, codec, n, total) == (
+        1, "avc1", 7, sum(len(p) for p in payloads[0])
+    )
+
+
+def test_mp4_extract_samples_multi_chunk_and_short_tail():
+    """Chunked layout (3 samples per chunk, short final chunk): the
+    stsc run-length map plus per-chunk stco offsets must resolve every
+    sample, including the tail chunk's."""
+    from portfolio1_etl_spark.operators.multimodal import (
+        extract_mp4_samples,
+    )
+
+    mp4, payloads = _payload_mp4(samples_per_chunk=3)
+    assert extract_mp4_samples(mp4) == payloads[0]
+
+
+def test_mp4_extract_samples_two_tracks():
+    from portfolio1_etl_spark.operators.multimodal import (
+        encode_mp4_sample_tables,
+        extract_mp4_samples,
+    )
+
+    pay = [
+        [b"video-%d" % i for i in range(4)],
+        [b"AUDIO" * (i + 1) for i in range(3)],
+    ]
+    mp4 = encode_mp4_sample_tables(
+        [
+            {"codec": "avc1", "timescale": 90000,
+             "runs": [(4, 3000)], "sizes": 0, "samples_per_chunk": 2},
+            {"codec": "mp4a", "timescale": 44100,
+             "runs": [(3, 1024)], "sizes": 0},
+        ],
+        payloads=pay,
+    )
+    assert extract_mp4_samples(mp4, track=1) == pay[0]
+    assert extract_mp4_samples(mp4, track=2) == pay[1]
+
+
+def test_mp4_extract_samples_fails_loudly():
+    import pytest
+
+    from portfolio1_etl_spark.operators.multimodal import (
+        encode_mp4_sample_tables,
+        extract_mp4_samples,
+    )
+
+    mp4, _ = _payload_mp4()
+    with pytest.raises(ValueError, match="not an MP4"):
+        extract_mp4_samples(b"\x00\x00\x00\x08free")
+    with pytest.raises(ValueError, match="out of range"):
+        extract_mp4_samples(mp4, indices=[99])
+    with pytest.raises(ValueError):
+        extract_mp4_samples(mp4, track=9)
+    # census-only fixture (no stsc/stco): refuses, never guesses
+    census_only = encode_mp4_sample_tables(
+        [{"codec": "avc1", "timescale": 90000,
+          "runs": [(4, 3000)], "sizes": 11}]
+    )
+    with pytest.raises(ValueError, match="stsc"):
+        extract_mp4_samples(census_only)
+    # truncating the file below the mdat makes ranges fall outside
+    with pytest.raises(ValueError, match="outside file"):
+        extract_mp4_samples(mp4[: len(mp4) - 30], indices=[6])
+
+
+def test_sample_frames_mp4_returns_real_samples(spark):
+    """The mapInPandas fan-out returns the muxed compressed samples
+    for MP4 (evenly spaced, always including the last), and falls back
+    to byte chunks for an unresolvable census-only file."""
+    from portfolio1_etl_spark.operators.multimodal import sample_frames
+
+    mp4, payloads = _payload_mp4(samples_per_chunk=3)
+    media = spark.createDataFrame(
+        [("a.mp4", bytearray(mp4))], "path string, content binary"
+    )
+    rows = sample_frames(media, n_frames=4).orderBy("frame_no").collect()
+    got = [bytes(r.frame) for r in rows]
+    # picks over 7 samples at n=4: indices 0, 2, 4, 6
+    assert got == [payloads[0][i] for i in (0, 2, 4, 6)]
