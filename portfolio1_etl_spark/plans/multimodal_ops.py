@@ -2226,3 +2226,131 @@ def q278_flac_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         "bits_per_sample long, total_samples long, duration_ms long, "
         "blocks string",
     )
+
+
+# --- q290: MP4 sample extraction census (stsz/stsc/stco slicing, r13) -------
+
+
+def _synthesize_mp4_payload_media(docs):
+    """One-track MP4s with REAL muxed payloads, deterministic from
+    doc_id so the oracle replays the bytes as arithmetic: sample ``i``
+    of doc ``d`` is byte value ``(7d + 13i) % 97 + 1`` repeated
+    ``15 + (d + i) % 23`` times, chunked ``1 + d % 4`` samples per
+    chunk (exercising the short-tail stsc entry). Every 29th doc is a
+    census-only file (no stsc/stco) the extractor must refuse."""
+    from portfolio1_etl_spark.operators.multimodal import (
+        encode_mp4_sample_tables,
+    )
+
+    def _one(doc_id: int) -> bytes:
+        n = 6 + doc_id % 9
+        track = {
+            "codec": "avc1",
+            "timescale": 90000,
+            "runs": [(n, 3000)],
+            "sizes": 64,
+            "samples_per_chunk": 1 + doc_id % 4,
+        }
+        if doc_id % 29 == 0:
+            return encode_mp4_sample_tables([track])
+        payloads = [
+            bytes([(7 * doc_id + 13 * i) % 97 + 1]) * (15 + (doc_id + i) % 23)
+            for i in range(n)
+        ]
+        return encode_mp4_sample_tables([track], payloads=[payloads])
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "path": pdf["doc_id"].astype(str),
+                    "content": [_one(int(d)) for d in pdf["doc_id"]],
+                }
+            )
+
+    return docs.select("doc_id").mapInPandas(
+        op, "path string, content binary"
+    )
+
+
+@query(
+    "q290_mp4_sample_extract",
+    sql="""
+    WITH ok AS (SELECT doc_id, 6 + doc_id % 9 AS n FROM documents
+                WHERE doc_id % 29 <> 0),
+    picks AS (
+      SELECT doc_id, n, i, (i * (n - 1)) // 3 AS p
+      FROM ok, range(4) r(i)),
+    calc AS (
+      SELECT doc_id, i, p,
+             15 + (doc_id + p) % 23 AS n_bytes,
+             (7 * doc_id + 13 * p) % 97 + 1 AS byte_val
+      FROM picks)
+    SELECT doc_id, CAST(i AS BIGINT) AS frame_no,
+           CAST(p AS BIGINT) AS sample_no,
+           CAST(n_bytes AS BIGINT) AS n_bytes,
+           CAST(byte_val AS BIGINT) AS first_byte,
+           CAST(n_bytes * byte_val AS BIGINT) AS byte_sum
+    FROM calc
+    UNION ALL
+    SELECT doc_id, NULL, NULL, NULL, NULL, NULL
+    FROM documents WHERE doc_id % 29 = 0
+    """,
+    operators=("X-multimodal", "X-mp4-extract", "X-media-sampling"),
+)
+def q290_mp4_sample_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-sample payload EXTRACTION census (r13): four evenly-spaced
+    samples per MP4 sliced through the full ISO 14496-12 addressing
+    chain — stsz sizes, the stsc run-length chunk map (with a
+    short-tail entry), stco chunk offsets muxed by the two-pass
+    encoder — each extracted sample audited by exact length, first
+    byte, and byte sum. This is the pre-decode step a GPU video
+    pipeline runs at corpus scale: ship exact compressed samples to
+    the decoder, never whole files (decode of the payload stays the
+    documented library boundary). Census-only files (no stsc/stco,
+    every 29th doc) surface as single NULL rows — the extractor
+    refuses rather than guessing offsets. The oracle replays both the
+    mux and the even-spacing pick arithmetic from doc_id alone, so a
+    one-byte slicing error anywhere in the chain moves the value
+    hash."""
+    from portfolio1_etl_spark.operators.multimodal import (
+        extract_mp4_samples,
+    )
+
+    media = _synthesize_mp4_payload_media(
+        catalog.load(spark, sf_dir, "documents")
+    )
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: dict[str, list] = {
+                "doc_id": [], "frame_no": [], "sample_no": [],
+                "n_bytes": [], "first_byte": [], "byte_sum": [],
+            }
+            for path, content in zip(pdf["path"], pdf["content"]):
+                b = bytes(content)
+                try:
+                    n = 6 + int(path) % 9
+                    picks = [(i * (n - 1)) // 3 for i in range(4)]
+                    samples = extract_mp4_samples(b, track=1, indices=picks)
+                    for i, (p, s) in enumerate(zip(picks, samples)):
+                        rows["doc_id"].append(int(path))
+                        rows["frame_no"].append(i)
+                        rows["sample_no"].append(p)
+                        rows["n_bytes"].append(len(s))
+                        rows["first_byte"].append(s[0] if s else None)
+                        rows["byte_sum"].append(sum(s))
+                except (ValueError, IndexError, struct.error):
+                    rows["doc_id"].append(int(path))
+                    for c in (
+                        "frame_no", "sample_no", "n_bytes",
+                        "first_byte", "byte_sum",
+                    ):
+                        rows[c].append(None)
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(
+        op,
+        "doc_id long, frame_no long, sample_no long, n_bytes long, "
+        "first_byte long, byte_sum long",
+    )

@@ -47,7 +47,6 @@ MODULE_COVERAGE = {
     "Stream-joinview": "streaming.joinview_maintenance_stream — per-epoch Z-relation join-view refresh from two chains' CDC, version-driven exactly-once (tests/test_streaming.py::test_joinview_maintenance_stream)",
     "Stream-custom-state": "streaming.running_user_totals_stream (applyInPandasWithState) (tests/test_streaming.py::test_custom_stateful_running_totals)",
     "X-multimodal": "operators.multimodal (binaryFile source, mapInPandas featurize; REAL PPM/PNG/WAV codecs incl. zlib PNG with full unfiltering, real resize + frame sampling; lossy formats NotImplementedError-gated) (tests/test_multimodal_sinks.py) + q90/q91/q102",
-    "X-mp4-extract": "operators.multimodal.extract_mp4_samples — per-sample payload slicing through the stsz/stsc/stco addressing chain (the pre-decode step a GPU pipeline ships to its decoder; r13), wired into the sample_frames MP4 branch (tests/test_tiff.py::test_mp4_extract_samples_roundtrip_single_chunk and siblings)",
     "X-dedup-dfcap": "operators.dedup.jaccard_pairs(df_cap)/lsh_candidates(bucket_cap) heavy-hitter guards + q77 (tests/test_invariants.py::test_df_cap_bounds_hot_shingle_candidates)",
     "K-compact": "operators.sinks.compact_parquet small-file compaction, URI-scheme paths rejected loudly (tests/test_multimodal_sinks.py::test_compact_parquet_small_files, ::test_compact_parquet_rejects_remote_uris)",
     "EP1/EP2 channels": "sources.channels: all 13 reference channels as configured connectors/feeds (tests/test_channels.py)",
