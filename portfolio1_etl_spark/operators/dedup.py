@@ -321,6 +321,34 @@ def minhash_signatures(sh: DataFrame, id_col: str = "doc_id") -> DataFrame:
     )
 
 
+def band_table(
+    sigs: DataFrame, n_bands: int = 4, id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, band, sig): one row per document per LSH band — the
+    concatenated minhash rows that make up each band's signature.
+    Factored out of ``lsh_candidates`` (r13) so incremental consumers
+    (the streaming near-dup ingest job) can probe new documents'
+    bands against a persisted signature table with the exact same
+    band construction the batch join uses."""
+    rows_per_band = len(MINHASH_PARAMS) // n_bands
+    band_exprs = [
+        F.struct(
+            F.lit(band).alias("band"),
+            F.concat_ws(
+                ",",
+                *[
+                    F.col(f"h{rows_per_band * band + j}").cast("string")
+                    for j in range(rows_per_band)
+                ],
+            ).alias("sig"),
+        )
+        for band in range(n_bands)
+    ]
+    return sigs.select(
+        id_col, F.explode(F.array(*band_exprs)).alias("bs")
+    ).select(id_col, "bs.band", "bs.sig")
+
+
 def lsh_candidates(
     sigs: DataFrame,
     n_bands: int = 4,
@@ -338,23 +366,7 @@ def lsh_candidates(
     so one degenerate signature (e.g. from boilerplate documents)
     otherwise dominates the join. Dropped buckets mean those documents
     can still pair through their other bands."""
-    rows_per_band = len(MINHASH_PARAMS) // n_bands
-    band_exprs = [
-        F.struct(
-            F.lit(band).alias("band"),
-            F.concat_ws(
-                ",",
-                *[
-                    F.col(f"h{rows_per_band * band + j}").cast("string")
-                    for j in range(rows_per_band)
-                ],
-            ).alias("sig"),
-        )
-        for band in range(n_bands)
-    ]
-    bands = sigs.select(
-        id_col, F.explode(F.array(*band_exprs)).alias("bs")
-    ).select(id_col, "bs.band", "bs.sig")
+    bands = band_table(sigs, n_bands, id_col=id_col)
     if bucket_cap is not None:
         hot = (
             bands.groupBy("band", "sig")

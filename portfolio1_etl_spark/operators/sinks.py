@@ -1025,11 +1025,16 @@ def _delta_commit(
     key_cols: list[str],
     keys_df: DataFrame | None = None,
     source_df: DataFrame | None = None,
+    meta: dict | None = None,
 ) -> int:
     """Shared engine of ``delete_from_chain`` / ``upsert_into_chain``:
     commit a new version that REUSES every prior data file byte-for-
     byte and adds only an equality-delete key file (plus, for upsert,
-    the appended source rows). See the public wrappers for semantics."""
+    the appended source rows). See the public wrappers for semantics.
+    ``meta`` (r13) overrides the committed writer metadata for this
+    version — the streaming jobs' exactly-once markers need to ride
+    O(delta) commits; None keeps the prior version's meta carrying
+    forward unchanged (the pre-r13 behavior)."""
     import uuid
 
     fs, _ = _hadoop_fs(spark, path)
@@ -1166,7 +1171,7 @@ def _delta_commit(
                 spark,
                 path,
                 new,
-                m.get("meta") or None,
+                meta if meta is not None else (m.get("meta") or None),
                 files=files,
                 changes=(
                     _list_rel_parquet(spark, path, changes_rel)
@@ -1219,7 +1224,11 @@ def delete_from_chain(
 
 
 def upsert_into_chain(
-    spark: SparkSession, path: str, source_df: DataFrame, key_cols: list[str]
+    spark: SparkSession,
+    path: str,
+    source_df: DataFrame,
+    key_cols: list[str],
+    meta: dict | None = None,
 ) -> int:
     """MERGE (upsert) into a manifest chain as a DELTA commit: every
     base row whose key appears in ``source_df`` is suppressed by an
@@ -1236,7 +1245,7 @@ def upsert_into_chain(
     snapshot diffing). Duplicate keys IN the source replace the base
     rows with every source occurrence (multiset semantics, same as a
     snapshot write of the merged frame). Returns the new version."""
-    return _delta_commit(spark, path, key_cols, source_df=source_df)
+    return _delta_commit(spark, path, key_cols, source_df=source_df, meta=meta)
 
 
 def prune_versions(spark: SparkSession, path: str, keep: int = 3) -> list[int]:

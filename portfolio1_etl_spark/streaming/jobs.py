@@ -1209,3 +1209,142 @@ def distinctview_maintenance_stream(
     writer = trigger.writeStream.foreachBatch(_refresh)
     writer.epoch_fold = _refresh  # exposed for retry tests
     return writer
+
+
+def neardup_ingest_stream(
+    trigger: DataFrame,
+    base_path: str,
+    sig_path: str,
+    pairs_path: str,
+    n_bands: int = 4,
+    stream_id: str = "default",
+):
+    """Incremental near-duplicate detection on document INGEST (r13 —
+    the streaming twin of the batch dedup layer): per micro-batch,
+    MinHash-sign only the documents the base chain's CDC feed
+    INSERTED, probe their LSH bands against the persisted signature
+    table (new-vs-corpus band equi-join — the delta join; the corpus
+    is never re-paired), append the discovered candidate pairs to a
+    pairs chain, and merge the new signatures into the signature
+    chain. Both writes are O(delta) row-level commits
+    (``upsert_into_chain``), never a corpus rewrite — at 100 TB the
+    signature chain is the only standing state and each epoch touches
+    it proportionally to arrivals.
+
+    EQUALITY CONTRACT (pinned by the stream==batch test): after
+    ingesting a corpus in any number of batches, the accumulated pairs
+    chain equals ``lsh_candidates`` over the full corpus (uncapped) —
+    every pair is discovered exactly when its second document arrives,
+    and within-batch pairs come out of the same probe (the new docs'
+    bands are part of the probed table). ``bucket_cap`` is
+    deliberately absent here: a cap decides per-epoch what the batch
+    join decides corpus-wide, so a capped incremental run would
+    diverge from its batch twin exactly when the cap matters.
+
+    Exactly-once: the signature chain's commit meta records
+    ``base_v``; duplicate epochs and no-advance epochs no-op. The
+    pairs commit lands FIRST — a crash between the writes re-runs the
+    epoch against the unchanged signature head and re-upserts the
+    same (doc_a, doc_b) keys, which nets to zero. Ingest means
+    INSERTS: updates/deletes in the feed raise loudly rather than
+    silently leaving stale signatures."""
+    from portfolio1_etl_spark.operators.dedup import (
+        band_table,
+        lsh_candidates,
+        minhash_signatures,
+        shingle_hashes,
+    )
+    from portfolio1_etl_spark.operators.sinks import (
+        _versions,
+        read_changes,
+        read_version,
+        upsert_into_chain,
+        version_meta,
+        write_versioned,
+    )
+
+    def _refresh(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        bv = _versions(spark, base_path)
+        if not bv:
+            return  # a base snapshot seeds the chains
+        base_v = bv[-1]
+        svs = _versions(spark, sig_path)
+        if not svs:
+            docs = read_version(spark, base_path, base_v).select(
+                "doc_id", "text"
+            )
+            sigs = minhash_signatures(shingle_hashes(docs, "text"))
+            pairs = lsh_candidates(sigs, n_bands)
+            write_versioned(
+                pairs,
+                pairs_path,
+                manifest=True,
+                meta={"base_v": base_v, "stream_id": stream_id},
+            )
+            write_versioned(
+                sigs,
+                sig_path,
+                manifest=True,
+                meta={"base_v": base_v, "stream_id": stream_id},
+            )
+            return
+        va = int(version_meta(spark, sig_path, svs[-1])["base_v"])
+        if va >= base_v:
+            return  # nothing advanced (incl. duplicate epoch delivery)
+        feed = read_changes(spark, base_path, va, base_v)
+        non_inserts = feed.filter(F.col("_change") != "insert").limit(1)
+        if non_inserts.count():
+            raise ValueError(
+                "neardup_ingest_stream is insert-only: the feed carries "
+                "updates/deletes, which would leave stale signatures — "
+                "rebuild the chains or route through a full re-sign"
+            )
+        new_docs = feed.select("doc_id", "text")
+        sigs_new = minhash_signatures(
+            shingle_hashes(new_docs, "text")
+        ).localCheckpoint(eager=True)
+        stored = read_version(spark, sig_path, svs[-1])
+        bands_all = band_table(
+            stored.unionByName(sigs_new), n_bands
+        )
+        bands_new = band_table(sigs_new, n_bands)
+        pairs_new = (
+            bands_new.alias("ba")
+            .join(
+                bands_all.alias("bb"),
+                (F.col("ba.band") == F.col("bb.band"))
+                & (F.col("ba.sig") == F.col("bb.sig"))
+                & (F.col("ba.doc_id") != F.col("bb.doc_id")),
+            )
+            .select(
+                F.least(
+                    F.col("ba.doc_id"), F.col("bb.doc_id")
+                ).alias("doc_a"),
+                F.greatest(
+                    F.col("ba.doc_id"), F.col("bb.doc_id")
+                ).alias("doc_b"),
+            )
+            .distinct()
+        )
+        # pairs FIRST: a crash before the signature commit re-runs this
+        # epoch against the unchanged signature head and re-upserts the
+        # same keys (idempotent); the reverse order would lose pairs
+        upsert_into_chain(
+            spark,
+            pairs_path,
+            pairs_new,
+            ["doc_a", "doc_b"],
+            meta={"base_v": base_v, "stream_id": stream_id},
+        )
+        upsert_into_chain(
+            spark,
+            sig_path,
+            sigs_new,
+            ["doc_id"],
+            meta={"base_v": base_v, "stream_id": stream_id},
+        )
+
+    writer = trigger.writeStream.foreachBatch(_refresh)
+    writer.epoch_fold = _refresh  # exposed for retry tests
+    return writer

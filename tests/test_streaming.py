@@ -1364,3 +1364,110 @@ def test_distinctview_maintenance_stream(spark, tmp_path):
     _check()
     rows = {r.grp: r.n_distinct for r in read_version(spark, pv).collect()}
     assert rows == {"a": 1, "b": 2}
+
+
+# --- streaming near-dup ingest (r13) -----------------------------------------
+
+
+def test_neardup_ingest_stream(spark, tmp_path):
+    """Incremental LSH near-dup detection on ingest: after any number
+    of insert epochs, the accumulated pairs chain must equal the BATCH
+    lsh_candidates over the full corpus (uncapped) — pairs appear
+    exactly when their second document arrives, within-batch and
+    cross-batch alike. O(delta) commits carry the exactly-once marker;
+    duplicate epochs no-op; a feed with deletes refuses loudly."""
+    from portfolio1_etl_spark.operators.dedup import (
+        lsh_candidates,
+        minhash_signatures,
+        shingle_hashes,
+    )
+    from portfolio1_etl_spark.operators.sinks import (
+        _versions,
+        delete_from_chain,
+        read_version,
+        upsert_into_chain,
+        write_versioned,
+    )
+    from portfolio1_etl_spark.streaming import (
+        neardup_ingest_stream,
+        read_events_stream,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog again and again "
+    alt = "completely different words about streaming incremental state "
+    docs1 = [
+        (1, base * 4),
+        (2, base * 4 + "tail one"),      # near-dup of 1
+        (3, alt * 4),
+        (4, "unrelated text with its own tokens entirely " * 4),
+    ]
+    docs2 = [
+        (5, base * 4 + "tail two"),      # near-dup of 1/2, CROSS-batch
+        (6, alt * 4 + "extra"),          # near-dup of 3, cross-batch
+        (7, "seven has nothing in common with anything here " * 4),
+        (8, "seven has nothing in common with anything here " * 4),
+        # 7/8 identical: WITHIN-batch pair
+    ]
+
+    def _df(rows):
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    pb = str(tmp_path / "docs")
+    ps, pp = str(tmp_path / "sigs"), str(tmp_path / "pairs")
+    write_versioned(_df(docs1), pb, capture_changes=True, manifest=True)
+
+    land, _ = _cdc_land_events(spark, tmp_path, n_slices=2)
+    writer = neardup_ingest_stream(
+        read_events_stream(spark, str(land)), pb, ps, pp
+    )
+
+    def _batch_pairs(rows):
+        sigs = minhash_signatures(shingle_hashes(_df(rows), "text"))
+        return sorted(
+            (r.doc_a, r.doc_b) for r in lsh_candidates(sigs, 4).collect()
+        )
+
+    def _stream_pairs():
+        return sorted(
+            (r.doc_a, r.doc_b)
+            for r in read_version(spark, pp)
+            .select("doc_a", "doc_b")
+            .collect()
+        )
+
+    q = writer.option(
+        "checkpointLocation", str(tmp_path / "ckpt")
+    ).trigger(availableNow=True).start()
+    q.awaitTermination(120)
+    assert _stream_pairs() == _batch_pairs(docs1)
+    assert _stream_pairs(), "seed corpus has near-dups; pairs expected"
+
+    dummy = spark.createDataFrame([(1,)], "x long")
+    # no-advance epoch: neither chain moves
+    ns, np_ = _versions(spark, ps), _versions(spark, pp)
+    writer.epoch_fold(dummy, 99)
+    assert _versions(spark, ps) == ns and _versions(spark, pp) == np_
+
+    # ingest batch 2: cross-batch AND within-batch pairs discovered
+    upsert_into_chain(spark, pb, _df(docs2), ["doc_id"])
+    writer.epoch_fold(dummy, 100)
+    want = _batch_pairs(docs1 + docs2)
+    assert _stream_pairs() == want
+    assert (7, 8) in want, "within-batch identical pair must be found"
+    assert any(a in (1, 2) and b == 5 for a, b in want), (
+        "cross-batch near-dup of the seed must be found"
+    )
+
+    # duplicate delivery of the SAME epoch: markers no-op
+    ns, np_ = _versions(spark, ps), _versions(spark, pp)
+    writer.epoch_fold(dummy, 100)
+    assert _versions(spark, ps) == ns and _versions(spark, pp) == np_
+
+    # a delete in the feed refuses loudly (stale-signature hazard)
+    delete_from_chain(
+        spark, pb, spark.createDataFrame([(4,)], "doc_id long"), ["doc_id"]
+    )
+    import pytest
+
+    with pytest.raises(ValueError, match="insert-only"):
+        writer.epoch_fold(dummy, 101)

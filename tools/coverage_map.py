@@ -55,6 +55,7 @@ MODULE_COVERAGE = {
     "K-zorder": "operators.zorder.write_zordered — Morton-curve multi-column clustering (linear + skew-proof quantile boundaries); footer-stats scan_fraction proves both-column pruning (tests/test_zorder.py::test_zorder_layout_prunes_both_columns)",
     "S-pydatasource": "sources.pydatasource.FramedFeedDataSource — custom connector via Spark 4's Python DataSource API: partition-per-file reads, site filter pruned at FILE level, staged atomic writes, loud corrupt-frame errors (tests/test_pydatasource.py)",
     "Stream-source-custom": "sources.pydatasource.FramedFeedStreamReader — micro-batch source with name-set offsets (live-directory compacted) over immutable staged files; exactly-once replay pinned by a two-run availableNow checkpoint test (tests/test_pydatasource.py::test_streaming_picks_up_only_new_files)",
+    "Stream-neardup-ingest": "streaming.neardup_ingest_stream — incremental LSH near-dup detection on document ingest: new-vs-corpus band probe per epoch (never re-pairs the corpus), O(delta) signature/pairs commits carrying the exactly-once marker, accumulated pairs == batch lsh_candidates pinned by test (tests/test_streaming.py::test_neardup_ingest_stream)",
     "Stream-chain-cdc": "sources.chain_stream.ChainChangesDataSource — streaming CDC source over a manifest chain: version-number offsets (exactly-once by immutable replay), partition-per-change-file Arrow reads, _commit_version provenance, whole-version batch boundaries (tests/test_chain_stream.py)",
     "K-clone": "operators.sinks.clone_chain — zero-copy shallow clone of a manifest chain (delegated reads, seq-0 base for delta commits, two-way write isolation, materializing compaction) (tests/test_chain_clone_constraints.py)",
     "K-constraints": "operators.sinks.add/drop_chain_constraint — write-time CHECK (ANSI: only FALSE violates) + NOT NULL enforced inside every commit's CAS attempt; metadata-only commits, existing rows validated at ADD, carried through snapshots/deltas/compaction/clones (tests/test_chain_clone_constraints.py)",
