@@ -1471,3 +1471,97 @@ def test_neardup_ingest_stream(spark, tmp_path):
 
     with pytest.raises(ValueError, match="insert-only"):
         writer.epoch_fold(dummy, 101)
+
+
+def test_neardup_ingest_stream_torn_epoch_is_idempotent(spark, tmp_path):
+    """The pairs-first commit order's crash contract, exercised: if an
+    epoch commits its PAIRS but dies before the signature commit, the
+    re-delivered epoch re-runs against the unchanged signature head
+    and re-upserts the same (doc_a, doc_b) keys — the pairs chain
+    still equals the batch twin and the signature marker catches up."""
+    from portfolio1_etl_spark.operators.dedup import (
+        band_table,
+        lsh_candidates,
+        minhash_signatures,
+        shingle_hashes,
+    )
+    from portfolio1_etl_spark.operators.sinks import (
+        _versions,
+        read_changes,
+        read_version,
+        upsert_into_chain,
+        version_meta,
+        write_versioned,
+    )
+    from portfolio1_etl_spark.streaming import (
+        neardup_ingest_stream,
+        read_events_stream,
+    )
+    from pyspark.sql import functions as SF
+
+    text = "torn epoch corpus shares these exact tokens repeatedly "
+    docs1 = [(1, text * 4), (2, text * 4 + "one")]
+    docs2 = [(3, text * 4 + "two"), (4, "nothing shared here at all " * 4)]
+
+    def _df(rows):
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    pb = str(tmp_path / "docs")
+    ps, pp = str(tmp_path / "sigs"), str(tmp_path / "pairs")
+    write_versioned(_df(docs1), pb, capture_changes=True, manifest=True)
+
+    land, _ = _cdc_land_events(spark, tmp_path, n_slices=1)
+    writer = neardup_ingest_stream(
+        read_events_stream(spark, str(land)), pb, ps, pp
+    )
+    dummy = spark.createDataFrame([(1,)], "x long")
+    writer.epoch_fold(dummy, 1)  # seed
+
+    # advance the base, then simulate the torn state: replay the job's
+    # own pairs computation and commit ONLY the pairs chain
+    upsert_into_chain(spark, pb, _df(docs2), ["doc_id"])
+    base_v = _versions(spark, pb)[-1]
+    va = int(version_meta(spark, ps, _versions(spark, ps)[-1])["base_v"])
+    feed = read_changes(spark, pb, va, base_v).select("doc_id", "text")
+    sigs_new = minhash_signatures(shingle_hashes(feed, "text"))
+    stored = read_version(spark, ps)
+    pairs_new = (
+        band_table(sigs_new, 4).alias("ba")
+        .join(
+            band_table(stored.unionByName(sigs_new), 4).alias("bb"),
+            (SF.col("ba.band") == SF.col("bb.band"))
+            & (SF.col("ba.sig") == SF.col("bb.sig"))
+            & (SF.col("ba.doc_id") != SF.col("bb.doc_id")),
+        )
+        .select(
+            SF.least(SF.col("ba.doc_id"), SF.col("bb.doc_id")).alias("doc_a"),
+            SF.greatest(SF.col("ba.doc_id"), SF.col("bb.doc_id")).alias("doc_b"),
+        )
+        .distinct()
+    )
+    upsert_into_chain(
+        spark, pp, pairs_new, ["doc_a", "doc_b"],
+        meta={"base_v": base_v, "stream_id": "default"},
+    )  # pairs landed; signatures did NOT — the torn state
+
+    writer.epoch_fold(dummy, 2)  # re-delivery must heal, not corrupt
+    assert int(
+        version_meta(spark, ps, _versions(spark, ps)[-1])["base_v"]
+    ) == base_v
+    sigs_full = minhash_signatures(
+        shingle_hashes(_df(docs1 + docs2), "text")
+    )
+    want = sorted(
+        (r.doc_a, r.doc_b) for r in lsh_candidates(sigs_full, 4).collect()
+    )
+    got = sorted(
+        (r.doc_a, r.doc_b)
+        for r in read_version(spark, pp).select("doc_a", "doc_b").collect()
+    )
+    assert got == want
+    # and the doubled upsert did not duplicate keys
+    n_all = read_version(spark, pp).count()
+    n_distinct = (
+        read_version(spark, pp).select("doc_a", "doc_b").distinct().count()
+    )
+    assert n_all == n_distinct
