@@ -22,7 +22,21 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from portfolio1_etl_spark.operators.clustering import assign_cells, lloyd_kmeans
-from portfolio1_etl_spark.operators.similarity import cosine
+from portfolio1_etl_spark.operators.similarity import DOT, cosine
+
+#: L2 norm recomputed from the assignment's pass-through ``v`` — the
+#: EXACT expression ``with_norms`` uses, so the persisted value is
+#: bit-identical to the one a join back to the input would fetch,
+#: without the corpus-sized self-join on vec_id that join costs at
+#: scale (r13: each index build/ingest/rebalance paid one full-corpus
+#: equi-join purely to re-attach a value derivable in the narrow map).
+_NRM = "sqrt(" + DOT.format(a="v", b="v") + ")"
+
+
+def _with_nrm(assigned: DataFrame) -> DataFrame:
+    return assigned.select("vec_id", "v", "cell").withColumn(
+        "nrm", F.expr(_NRM)
+    ).select("vec_id", "v", "nrm", "cell")
 
 
 def _current_gen(spark: SparkSession, path: str) -> int | None:
@@ -133,8 +147,7 @@ def build_ivf_index(
     )
     cent.coalesce(1).write.mode("overwrite").parquet(f"{root}/centroids")
     (
-        assigned.select("vec_id", "v", "cell")
-        .join(vecs.select("vec_id", "nrm"), "vec_id")
+        _with_nrm(assigned)
         .write.mode("overwrite")
         .partitionBy("cell")
         .parquet(f"{root}/vectors")
@@ -324,10 +337,7 @@ def rebalance_index(
         vecs, k=k, iters=iters, train_fraction=train_fraction,
         checkpoint_mode=checkpoint_mode,
     )
-    rebuilt = (
-        assigned.select("vec_id", "v", "cell")
-        .join(vecs.select("vec_id", "nrm"), "vec_id")
-    )
+    rebuilt = _with_nrm(assigned)
     if gen is not None:
         new_root = f"{path}/gen={gen + 1}"
         cent.coalesce(1).write.mode("errorifexists").parquet(
@@ -375,8 +385,7 @@ def ingest_vectors(
     cent = spark.read.parquet(f"{root}/centroids")
     assigned = assign_cells(new_vecs.select("vec_id", "v"), cent)
     (
-        assigned.select("vec_id", "v", "cell")
-        .join(new_vecs.select("vec_id", "nrm"), "vec_id")
+        _with_nrm(assigned)
         .write.mode("append")
         .partitionBy("cell")
         .parquet(f"{root}/vectors")
@@ -418,8 +427,7 @@ def ingest_vectors_ivfpq(
         .parquet(f"{path}/codes")
     )
     (
-        assigned.select("vec_id", "v", "cell")
-        .join(new_vecs.select("vec_id", "nrm"), "vec_id")
+        _with_nrm(assigned)
         .write.mode("append")
         .partitionBy("cell")
         .parquet(f"{path}/vectors")
@@ -481,8 +489,7 @@ def build_ivfpq_index(
         .parquet(f"{path}/codes")
     )
     (
-        assigned.select("vec_id", "v", "cell")
-        .join(vecs.select("vec_id", "nrm"), "vec_id")
+        _with_nrm(assigned)
         .write.mode("overwrite")
         .partitionBy("cell")
         .parquet(f"{path}/vectors")

@@ -432,14 +432,15 @@ def connected_components(
         checkpoint_mode,
     )
 
-    def _same_edges(cur: DataFrame, prev: DataFrame) -> bool:
-        # both are DISTINCT sets, so |cur| == |prev| plus cur ⊆ prev is
-        # full set equality; the count probe (cheap — both sides are
-        # materialized checkpoints) short-circuits the exceptAll
-        # shuffle on every still-shrinking round
-        return cur.count() == prev.count() and cur.exceptAll(prev).isEmpty()
-
+    # fixpoint probe: both sides are DISTINCT sets, so |cur| == |prev|
+    # plus cur ⊆ prev is full set equality; the count probe (cheap —
+    # both sides are materialized checkpoints) short-circuits the
+    # exceptAll shuffle on every still-shrinking round. Each round's
+    # count is CARRIED into the next comparison (r13): re-counting the
+    # unchanged previous checkpoint every round was one redundant
+    # Spark job per round per CC consumer (q89/q139/q267 composites).
     prev_e = e
+    prev_cnt = e.count()
     for _ in range(max_iter):
         # Large-star: every neighbor LARGER than u links to the
         # minimum of u's neighborhood (including u itself).
@@ -475,9 +476,10 @@ def connected_components(
             .distinct(),
             checkpoint_mode,
         )
-        if _same_edges(e, prev_e):
+        cnt = e.count()
+        if cnt == prev_cnt and e.exceptAll(prev_e).isEmpty():
             break
-        prev_e = e
+        prev_e, prev_cnt = e, cnt
     else:
         raise RuntimeError(
             f"connected_components did not converge in {max_iter} rounds"
@@ -671,8 +673,15 @@ def span_occurrences(
       )
     ELSE cast(array() as array<struct<wpos: int, s: string>>) END
     """
+    # same pre-explode spread as shingle_hashes (r13): the ~n-per-row
+    # span fan-out plus one md5 per span dwarf the text bytes the scan
+    # split sizing budgets — at sf0.1 the whole span hash ran on the
+    # scan's single split
+    from portfolio1_etl_spark.parallelism import spread_rows
+
     return (
-        docs.withColumn("toks", F.split(text_col, " "))
+        spread_rows(docs)
+        .withColumn("toks", F.split(text_col, " "))
         .select(id_col, F.explode(F.expr(span_expr)).alias("sp"))
         .select(
             id_col,

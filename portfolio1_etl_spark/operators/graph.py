@@ -246,6 +246,10 @@ def kcore_peel(
     from portfolio1_etl_spark.operators.checkpointing import materialize
 
     e = materialize(edges.select("u", "v"), mode=checkpoint_mode)
+    # carried edge count (r13): the fixpoint probe compares |e2| to
+    # |e|, and e was already counted when IT was the round's e2 —
+    # re-counting the unchanged checkpoint was one redundant job/round
+    e_cnt = e.count() if rounds is None else None
     i = 0
     while rounds is None or i < rounds:
         deg = (
@@ -262,9 +266,11 @@ def kcore_peel(
         )
         e2 = materialize(e2, mode=checkpoint_mode)
         if rounds is None:
-            if e2.count() == e.count():
+            e2_cnt = e2.count()
+            if e2_cnt == e_cnt:
                 e = e2
                 break
+            e_cnt = e2_cnt
         e = e2
         i += 1
     return (

@@ -72,6 +72,12 @@ def train_logreg(
     stats = _stats(wdf)
     out: list[DataFrame] = []
     for rnd in range(1, rounds + 1):
+        # the weight update is MATERIALIZED per round deliberately: an
+        # r13 A/B left it lazy and the per-round crossJoin chain then
+        # re-spawned its broadcast jobs inside every later round's
+        # evaluation — 66 → 111 Spark jobs, 3.7 s → 7.3 s at sf0.1 —
+        # so the one tiny localCheckpoint job per round is the cheaper
+        # side of the trade at any scale
         wdf = checkpointing.materialize(
             wdf.crossJoin(stats).select(
                 *[

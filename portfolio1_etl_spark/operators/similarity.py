@@ -78,8 +78,17 @@ def threshold_pairs(
 ) -> DataFrame:
     """All pairs above a cosine threshold within a blocking key — the
     block turns O(n²) into per-block joins (with no natural key, use a
-    signbit bucket as the block)."""
-    a, b = vecs.alias("a"), vecs.alias("b")
+    signbit bucket as the block).
+
+    The probe side is spread to the configured parallelism first
+    (r13): each probe row fans out into deg(block) pairs, each paying
+    a full-dimension dot product — work the scan's byte-budgeted
+    splits cannot see (ONE split at sf0.1 put every pair's cosine on
+    a single core). The build side stays as scanned — the join
+    broadcasts or hashes it anyway."""
+    from portfolio1_etl_spark.parallelism import spread_rows
+
+    a, b = spread_rows(vecs).alias("a"), vecs.alias("b")
     sim = F.expr(DOT.format(a="a.v", b="b.v")) / (F.col("a.nrm") * F.col("b.nrm"))
     return (
         a.join(

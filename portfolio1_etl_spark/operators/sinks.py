@@ -512,18 +512,57 @@ def _align_for_diff(
     return lift(to_df), lift(from_df)
 
 
+def _signed_diff(to_df: DataFrame, from_df: DataFrame) -> DataFrame:
+    """Net multiset delta ``to − from`` as (row cols..., _d long ≠ 0)
+    in ONE aggregate pass (r13): the pair of directional ``exceptAll``
+    calls this replaces each re-scanned BOTH frames, so every diff
+    cost two scans of each input plus two wide aggregates; the
+    signed-count form is one union scan plus one aggregate that yields
+    both directions at once. Multiplicity is exact: net count Δ > 0 is
+    Δ inserts, Δ < 0 is −Δ deletes — identical to exceptAll's
+    max(0, ±Δ) semantics (and, like the set ops, grouping compares
+    with null-safe, NaN-normalizing equality)."""
+    cols = to_df.columns
+    return (
+        to_df.withColumn("_s", F.lit(1))
+        .unionByName(from_df.withColumn("_s", F.lit(-1)))
+        .groupBy(*cols)
+        .agg(F.sum("_s").alias("_d"))
+        .filter(F.col("_d") != 0)
+    )
+
+
+def _replicated(net: DataFrame, positive: bool) -> DataFrame:
+    """One sign of a signed diff restored to multiset form (|Δ| copies
+    per row) — array_repeat + explode, no join, no second aggregate."""
+    cols = [c for c in net.columns if c != "_d"]
+    side = net.filter(F.col("_d") > 0 if positive else F.col("_d") < 0)
+    return side.select(
+        *cols,
+        F.explode(F.expr("array_repeat(1, cast(abs(_d) as int))")).alias("__r"),
+    ).drop("__r")
+
+
 def _step_changes(to_df: DataFrame, from_df: DataFrame) -> DataFrame:
     """The multiset insert/delete feed between two adjacent frames:
     rows in `to` but not `from` surface as ``insert``, the reverse as
-    ``delete`` — ``exceptAll`` so duplicate rows diff by COUNT. A row
-    can never appear under both labels (the counts are max(0, Δ) and
-    max(0, −Δ)), which is what makes per-step feeds net-foldable.
-    Frames with evolved (additive) schemas align to the union of
-    columns first — see ``_align_for_diff``."""
+    ``delete`` — signed-count diff (``_signed_diff``) so duplicate
+    rows diff by COUNT. A row can never appear under both labels (the
+    counts are max(0, Δ) and max(0, −Δ)), which is what makes per-step
+    feeds net-foldable. Frames with evolved (additive) schemas align
+    to the union of columns first — see ``_align_for_diff``."""
     to_df, from_df = _align_for_diff(to_df, from_df)
-    ins = to_df.exceptAll(from_df).withColumn("_change", F.lit("insert"))
-    dels = from_df.exceptAll(to_df).withColumn("_change", F.lit("delete"))
-    return ins.unionByName(dels)
+    net = _signed_diff(to_df, from_df)
+    cols = [c for c in net.columns if c != "_d"]
+    return net.select(
+        *cols,
+        F.explode(
+            F.expr(
+                "array_repeat(CASE WHEN _d > 0 THEN 'insert' ELSE 'delete' END, "
+                "cast(abs(_d) as int))"
+            )
+        ).alias("_change"),
+    )
 
 
 def _hadoop_fs(spark: SparkSession, path: str):
@@ -1515,16 +1554,14 @@ def read_changes(
         )
         ins_rows = allf.filter(F.col("_change") == "insert").drop("_change")
         del_rows = allf.filter(F.col("_change") == "delete").drop("_change")
-        fwd_ins = ins_rows.exceptAll(del_rows)
-        fwd_del = del_rows.exceptAll(ins_rows)
+        net = _signed_diff(ins_rows, del_rows)
     else:
-        to_df = read_version(spark, path, hi)
-        from_df = read_version(spark, path, lo)
-        fwd_ins = to_df.exceptAll(from_df)
-        fwd_del = from_df.exceptAll(to_df)
+        net = _signed_diff(
+            read_version(spark, path, hi), read_version(spark, path, lo)
+        )
     if from_version > to_version:  # reverse span inverts the feed
-        fwd_ins, fwd_del = fwd_del, fwd_ins
-    return _classified_feed(fwd_ins, fwd_del, key_cols)
+        net = net.withColumn("_d", -F.col("_d"))
+    return _classified_feed(_replicated(net, True), _replicated(net, False), key_cols)
 
 
 def change_feed(
@@ -1540,9 +1577,8 @@ def change_feed(
     overwrite). On-scoreboard as q151 (plans/warehouse_ops), where the
     DuckDB oracle replays EXCEPT ALL both ways + the keyed
     reclassification CTE."""
-    return _classified_feed(
-        to_df.exceptAll(from_df), from_df.exceptAll(to_df), key_cols
-    )
+    net = _signed_diff(to_df, from_df)
+    return _classified_feed(_replicated(net, True), _replicated(net, False), key_cols)
 
 
 def _classified_feed(

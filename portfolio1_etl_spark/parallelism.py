@@ -1,0 +1,40 @@
+"""Scale-adaptive parallelism helper (r13 optimization round).
+
+The class of defect this fixes (SCALING.md r12 Finding 6, the q69
+lesson): Spark sizes scan splits by INPUT BYTES, so a stage whose
+per-row cost dwarfs its input bytes — a ×64 row fan-out, a greedy
+longest-match tokenizer, a Python codec decoding every row — inherits
+however few splits the scan planned and runs on a fraction of the
+configured parallelism. ``spread_rows`` right-sizes such a stage's
+input to ``spark.sql.shuffle.partitions`` with one round-robin
+exchange of the NARROW input rows (ids, text keys — never the
+amplified output), the same remedy ``operators.dedup.shingle_hashes``
+applies before its ~50× explode.
+
+The partition count is conf-derived, never a constant: locally it is
+the core count; on a cluster it is the configured 2-3× total-core
+width every other shuffled stage already uses — so the repartition is
+right-sizing to the session's declared parallelism at any scale.
+
+Only use this in front of work whose per-row cost clearly dominates a
+fixed-width row shuffle (codec decode, tokenizer loops, bounded row
+fan-outs); a plain explode feeding one aggregate does not qualify —
+the aggregate's own exchange already spreads it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def spread_rows(df: DataFrame, npart: int | None = None) -> DataFrame:
+    """Round-robin repartition of ``df`` to the configured shuffle
+    parallelism (or an explicit ``npart``) ahead of CPU-heavy narrow
+    work. Callers must only feed PARTITIONING-INDEPENDENT pipelines
+    (per-row outputs, exact/integer or rounded-before-fold aggregates)
+    — every registry consumer is value-hash-gated against the oracle,
+    which enforces exactly that."""
+    n = npart or int(
+        df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+    )
+    return df.repartition(n)

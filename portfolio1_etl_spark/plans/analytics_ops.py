@@ -1111,12 +1111,22 @@ def q277_poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer-ratio doubles — deterministic, no percentile
     interpolation). u = h48/2^48 divides a 48-bit int by a power of
     two: exact, bit-identical."""
+    from portfolio1_etl_spark.parallelism import spread_rows
+
     o = _t(spark, sf_dir, "orders")
     c = _t(spark, sf_dir, "customer")
-    base = o.join(c, F.col("o_custkey") == F.col("c_custkey")).select(
-        F.col("c_mktsegment").alias("segment"),
-        "o_orderkey",
-        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents"),
+    # spread the ×64 replicate fan-out across the configured
+    # parallelism BEFORE it runs: the 64 md5 evaluations per base row
+    # dwarf one round-robin shuffle of the 3-column base (the
+    # shingle_hashes explode-parallelism class — scan splits budget
+    # raw bytes, not the fan-out behind the crossJoin; at sf0.1 the
+    # scan plans ONE split and 9.6 M hash evaluations ran on one core)
+    base = spread_rows(
+        o.join(c, F.col("o_custkey") == F.col("c_custkey")).select(
+            F.col("c_mktsegment").alias("segment"),
+            "o_orderkey",
+            F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents"),
+        )
     )
     reps = spark.range(_BOOT_B).select(F.col("id").alias("b"))
     u = (

@@ -10,9 +10,11 @@ the identical greedy walk with a recursive CTE over the same
 vocabulary VALUES, so a single wrong piece boundary anywhere in the
 corpus changes counts/hashes and fails the gate.
 
-Scale shape: tokenization itself is a narrow map (zero shuffles at
-any corpus size). q108 adds the one aggregation shuffle of a
-wordcount; q109 stays shuffle-free end-to-end like q107.
+Scale shape: tokenization itself is a narrow map; its input is first
+spread to the configured parallelism with one round-robin exchange of
+the raw text rows (r13 — scan splits budget text bytes, not the
+per-word tokenizer loop behind them). q108 adds the one aggregation
+shuffle of a wordcount on top.
 """
 
 from __future__ import annotations
@@ -32,6 +34,22 @@ from portfolio1_etl_spark.plans.registry import query
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return catalog.load(spark, sf_dir, "documents")
+
+
+def _docs_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents spread to the configured parallelism — ONLY for the
+    consumers that run the greedy longest-match tokenizer (a per-word
+    JVM loop whose cost dwarfs the text bytes; scan splits budget raw
+    bytes, not that work — at sf0.1 the scan plans ONE split and the
+    whole tokenize ran on one core; the shingle_hashes class, r13).
+    The q123/q124 word census deliberately stays on the raw scan: a
+    plain split+explode feeding one aggregate gets its parallelism
+    from the aggregate's own exchange, and an r13 A/B of spreading it
+    measured a regression — exactly the non-qualifying case the
+    parallelism module documents."""
+    from portfolio1_etl_spark.parallelism import spread_rows
+
+    return spread_rows(catalog.load(spark, sf_dir, "documents"))
 
 
 _CHUNK, _STRIDE = 64, 48  # 64-token windows, 16-token overlap (as q107)
@@ -59,7 +77,7 @@ def q108_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     TakeOrdered. The vocabulary rides in the plan as a constant-folded
     array literal — the expression-level equivalent of a broadcast
     map, with no join and no Python boundary."""
-    d = _docs(spark, sf_dir)
+    d = _docs_spread(spark, sf_dir)
     return (
         d.select(F.explode(doc_pieces("text")).alias("piece"))
         .groupBy("piece")
@@ -221,10 +239,12 @@ def q109_chunking_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     CONTENT in order, so the oracle verifies both the tokenizer (piece
     identity and order) and the packing arithmetic in one gate.
 
-    Plan: tokenize + chunk are per-row expressions feeding one
-    posexplode — zero shuffles at any corpus size (PLANS.md-guarded),
-    exactly the production shape for sharding 100 TB into windows."""
-    d = _docs(spark, sf_dir)
+    Plan: one round-robin spread of the raw text rows (r13 — the
+    tokenizer loop dwarfs the text bytes the scan's splits budget),
+    then tokenize + chunk as per-row expressions feeding one
+    posexplode — no key shuffle at any corpus size, exactly the
+    production shape for sharding 100 TB into windows."""
+    d = _docs_spread(spark, sf_dir)
     toks = d.select("doc_id", doc_pieces("text").alias("toks"))
     exploded = toks.select(
         "doc_id",

@@ -484,8 +484,14 @@ def q121_sequence_pack_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     start offset and fails the hash. Plan shape identical to q117:
     narrow tokenize map → ONE uniform-shard window shuffle."""
     from portfolio1_etl_spark.functions.bpe import doc_pieces
+    from portfolio1_etl_spark.parallelism import spread_rows
 
-    d = _docs(spark, sf_dir).select(
+    # spread before the tokenizer: doc_pieces is the greedy
+    # longest-match JVM loop, far heavier than the text bytes the
+    # scan's split sizing budgets (ONE split at sf0.1 — the
+    # shingle_hashes class, r13); outputs are per-row + exact-integer
+    # window sums, so partition layout cannot move the hash
+    d = spread_rows(_docs(spark, sf_dir)).select(
         "doc_id",
         F.size(doc_pieces("text")).alias("n_tokens"),
         F.expr(_PACK_KEY_SPARK).alias("k"),

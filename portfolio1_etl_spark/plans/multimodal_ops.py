@@ -97,6 +97,34 @@ def q90_multimodal_featurize(spark: SparkSession, sf_dir: str) -> DataFrame:
 _IMG_N, _AUD_N = 8 * 8 * 3, 256
 
 
+def _spread_ids(docs):
+    """doc_id input for a PIXEL/SAMPLE-DECODE-HEAVY media synthesizer,
+    spread to the configured parallelism (r13): synthesis AND the
+    decode that follows are per-row Python codec work whose cost
+    dwarfs one round-robin shuffle of bare 8-byte ids — while the
+    documents scan plans splits by TEXT bytes (ONE split at sf0.1, so
+    the whole encode+decode chain ran on a single core). Shuffling
+    only the ids keeps the heavy synthesized payload out of any
+    exchange (the guide's decide-with-small-rows rule); the
+    round-robin key is partition-layout only and every downstream
+    output is a per-row function of doc_id, so results are
+    partitioning-independent.
+
+    Applied SELECTIVELY by measurement (r13 A/B at sf0.1): kept where
+    full pixel/sample decode dominates (PNG, dHash thumbs, JPEG
+    lossy/transcode, GIF animation, TIFF unpack, ADPCM, MP3 frame
+    walks, MP4 payload extraction — 1.4-3.2× faster); REVERTED to the
+    raw scan for light header-walk censuses (q91 PPM/WAV features,
+    q137/q149/q162/q164/q241/q264/q278 metadata/sample walks, mu-law
+    table lookups) where the extra exchange + per-partition Python
+    dispatch exceeded the decode work (measured up to 4.9× slower
+    spread)."""
+    from portfolio1_etl_spark.parallelism import spread_rows
+
+    return spread_rows(docs.select("doc_id"))
+
+
+
 def _synthesize_media(docs):
     """doc_id → real media bytes (PPM P6 / WAV PCM16) via mapInPandas.
     The pixel/sample generators are pure integer functions of
@@ -211,7 +239,7 @@ def _synthesize_png(docs):
                 rows["meta"].append({"length": len(content), "mime": "image/png"})
             yield pd.DataFrame(rows)
 
-    return docs.select("doc_id").mapInPandas(op, MEDIA_SCHEMA)
+    return _spread_ids(docs).mapInPandas(op, MEDIA_SCHEMA)
 
 
 @query(
@@ -292,7 +320,7 @@ def _synthesize_thumbs(docs):
                 rows["meta"].append({"length": len(content), "mime": "image/png"})
             yield pd.DataFrame(rows)
 
-    return docs.select("doc_id").mapInPandas(op, MEDIA_SCHEMA)
+    return _spread_ids(docs).mapInPandas(op, MEDIA_SCHEMA)
 
 
 #: DuckDB replay of the dHash: integer grayscale per pixel from the
@@ -658,7 +686,7 @@ def _synthesize_lossy_media(docs):
                 }
             )
 
-    return docs.select("doc_id").mapInPandas(
+    return _spread_ids(docs).mapInPandas(
         op, "path string, modality string, content binary"
     )
 
@@ -845,7 +873,7 @@ def _synthesize_adpcm_media(docs):
                 }
             )
 
-    return docs.select("doc_id").mapInPandas(
+    return _spread_ids(docs).mapInPandas(
         op, "path string, modality string, content binary"
     )
 
@@ -973,7 +1001,7 @@ def _synthesize_animations(docs):
                 }
             )
 
-    return docs.select("doc_id").mapInPandas(
+    return _spread_ids(docs).mapInPandas(
         op, "path string, modality string, content binary"
     )
 
@@ -1124,7 +1152,7 @@ def _synthesize_exif_tiff_media(docs):
                 }
             )
 
-    return docs.select("doc_id").mapInPandas(
+    return _spread_ids(docs).mapInPandas(
         op, "path string, modality string, content binary"
     )
 
@@ -1355,7 +1383,7 @@ def _synthesize_mp3_media(docs):
                 }
             )
 
-    return docs.select("doc_id").mapInPandas(
+    return _spread_ids(docs).mapInPandas(
         op, "path string, modality string, content binary"
     )
 
@@ -1697,7 +1725,7 @@ def _synthesize_mp3_vbr_media(docs):
                 }
             )
 
-    return docs.select("doc_id").mapInPandas(
+    return _spread_ids(docs).mapInPandas(
         op, "path string, modality string, content binary"
     )
 
@@ -2268,7 +2296,7 @@ def _synthesize_mp4_payload_media(docs):
                 }
             )
 
-    return docs.select("doc_id").mapInPandas(
+    return _spread_ids(docs).mapInPandas(
         op, "path string, content binary"
     )
 

@@ -954,8 +954,16 @@ def q266_maxsim_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = vecs.filter(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
     )
-    c = vecs.filter(F.col("vec_id") >= 8).select(
-        F.col("vec_id").alias("neighbor_id"), "v"
+    # spread the corpus side before the broadcast cross: the 64
+    # sub-dot folds per (query, doc) pair are ~4k multiplies per
+    # corpus row — work the scan's single byte-budgeted split cannot
+    # see (the q277/shingle explode-parallelism class, r13)
+    from portfolio1_etl_spark.parallelism import spread_rows
+
+    c = spread_rows(
+        vecs.filter(F.col("vec_id") >= 8).select(
+            F.col("vec_id").alias("neighbor_id"), "v"
+        )
     )
     d, ns = _MAXSIM_DIM, _MAXSIM_NSUB
     terms = []
