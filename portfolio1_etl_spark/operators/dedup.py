@@ -741,8 +741,14 @@ def remove_repeated_spans(
         "named_struct('w', bw, 'p', bi + 1)), "
         "bs -> __cov is null or not array_contains(__cov, bs.p)), bs -> bs.w)"
     ).format(t=text_col)
+    # the rebuild side is spread too (r13): the kept-words transform
+    # re-tokenizes and filters every document's token array — per-row
+    # work far above the text bytes, single-split at sf0.1 otherwise
+    from portfolio1_etl_spark.parallelism import spread_rows
+
     return (
-        docs.join(cov_per_doc, id_col, "left")
+        spread_rows(docs)
+        .join(cov_per_doc, id_col, "left")
         .select(
             id_col,
             F.concat_ws(" ", F.expr(kept_words)).alias("text_clean"),

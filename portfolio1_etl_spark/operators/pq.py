@@ -55,7 +55,17 @@ def split_subspaces(
     vecs: DataFrame, n_sub: int, sub_dim: int, id_col: str = "vec_id"
 ) -> DataFrame:
     """(id, sub, sv): the vector column ``v`` cut into ``n_sub``
-    contiguous ``sub_dim``-wide subvectors."""
+    contiguous ``sub_dim``-wide subvectors.
+
+    The input is spread to the configured parallelism first (r13):
+    every consumer runs the folded per-(vector, subspace) distance
+    argmin — k rounded subvector distances per output row — and the
+    ×n_sub explode amplifies rows behind the scan's byte-budgeted
+    splits (ONE split at sf0.1 put the whole encode on one core; the
+    shingle_hashes class)."""
+    from portfolio1_etl_spark.parallelism import spread_rows
+
+    vecs = spread_rows(vecs)
     subs = F.array(
         *[
             F.struct(

@@ -55,8 +55,14 @@ def brute_force_topk(
     """Exact cosine top-k per query: query set broadcast, corpus
     streams; ranking is a per-query window (per-partition top-k before
     the final shuffle). The correctness baseline for the ANN variants."""
+    from portfolio1_etl_spark.parallelism import spread_rows
+
     q = _queries_view(queries, id_col)
-    sims = corpus.join(
+    # spread the corpus before the per-(query, vector) cosine folds:
+    # |queries| full-dimension dot products per corpus row dwarf one
+    # round-robin shuffle of the vector rows, and the scan's byte-
+    # budgeted splits can't see that (ONE split at sf0.1 — r13)
+    sims = spread_rows(corpus).join(
         F.broadcast(q), F.col("query_id") != F.col(id_col)
     ).select(
         "query_id",
@@ -171,8 +177,16 @@ def quantized_topk(
     external query vectors would need their own quantize pass against
     the corpus bounds; ids absent from the corpus contribute no
     results)."""
-    # the quantized table feeds both join sides — materialize once
-    qv = scalar_quantize(vecs, id_col).localCheckpoint(eager=True)
+    from portfolio1_etl_spark.parallelism import spread_rows
+
+    # the quantized table feeds both join sides — materialize once.
+    # Spread BEFORE the checkpoint (r13): AQE coalesces the tiny
+    # regroup shuffle to ~1 partition, the checkpoint freezes that
+    # layout, and the integer-L2 shortlist pass then ran single-core;
+    # the explicit width is pinned through the checkpoint instead.
+    qv = spread_rows(scalar_quantize(vecs, id_col)).localCheckpoint(
+        eager=True
+    )
     corpus_q = qv
     queries_q = queries.select(F.col(id_col).alias("query_id")).join(
         qv.select(F.col(id_col).alias("query_id"), F.col("qv").alias("qqv")),
@@ -255,7 +269,12 @@ def signbit_lsh_topk(
     vectors a single hyperplane split hides). No dedup is needed: a
     corpus row has exactly one bucket and the probe signatures are
     distinct, so each (query, neighbor) pair matches at most once."""
-    bucketed = corpus.withColumn("bucket", signbit_bucket(n_bits))
+    from portfolio1_etl_spark.parallelism import spread_rows
+
+    # spread before the in-bucket cosine re-rank (r13): candidate
+    # volume per corpus row is bucket-collision-bound, each paying a
+    # full-dimension dot product the scan's splits can't see
+    bucketed = spread_rows(corpus).withColumn("bucket", signbit_bucket(n_bits))
     q = (
         queries.withColumn("qbucket0", signbit_bucket(n_bits))
         .select(

@@ -45,7 +45,18 @@ def collect_table_stats(
             F.min(F.col(c).cast("double")).alias(f"__mn_{c}"),
             F.max(F.col(c).cast("double")).alias(f"__mx_{c}"),
         ]
-    wide = df.agg(F.count(F.lit(1)).alias("__n"), *aggs)
+    # project to the stat columns and spread to the configured
+    # parallelism (r13): the exact-NDV form Expands every row ×(1 +
+    # |cols|) with an all-columns dedup key, and that partial
+    # aggregate inherited the scan's byte-budgeted splits (ONE split
+    # at sf0.1 hashed 4.2 M expanded lineitem rows on one core).
+    # Counts/NDV/min/max are exact and fold-order-free, so partition
+    # layout cannot move a value.
+    from portfolio1_etl_spark.parallelism import spread_rows
+
+    wide = spread_rows(df.select(*cols)).agg(
+        F.count(F.lit(1)).alias("__n"), *aggs
+    )
     stack = F.explode(
         F.array(
             *[

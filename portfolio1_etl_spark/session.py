@@ -58,6 +58,18 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Prefer shuffled-hash over sort-merge when the planner's size
+        # conditions fit (guide §9 / r13): both sides still shuffle,
+        # but the build side hashes per partition instead of BOTH
+        # sides sorting — the sort is pure overhead for equi-joins
+        # whose output feeds an aggregate. Hints on the known
+        # quadratic probes (graph closure, prefix index) already force
+        # SHUFFLE_HASH where it is load-bearing; this makes the
+        # planner's default agree at every other eligible join. Risk
+        # profile: a build partition that outgrows memory — bounded
+        # here by AQE skew splitting plus the same per-partition
+        # budget every hinted join already relies on.
+        .config("spark.sql.join.preferSortMergeJoin", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.parquet.filterPushdown", "true")

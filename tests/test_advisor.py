@@ -54,14 +54,20 @@ def test_dim_broadcasts_fact_does_not(spark, dim, fact):
         joined = apply_join_advice(fact, dim, "k", advice=adv)
         assert "BroadcastHashJoin" in _plan(joined)
 
-        # fact ⋈ fact: both sides over threshold → sort-merge, no hint
+        # fact ⋈ fact: both sides over threshold → no broadcast; the
+        # "sort_merge" verdict means "shuffle join, Catalyst picks the
+        # physical form" — under the session's
+        # preferSortMergeJoin=false (r13) that may legitimately plan
+        # ShuffledHashJoin when a build side fits per partition
         adv2 = advise_join(fact, fact, "k", "k", exact_ndv=True,
                            broadcast_threshold_bytes=64 * 1024)
         assert adv2["strategy"] == "sort_merge"
         joined2 = apply_join_advice(
             fact, fact.withColumnRenamed("v", "v2"), "k", advice=adv2
         )
-        assert "SortMergeJoin" in _plan(joined2)
+        p2 = _plan(joined2)
+        assert "SortMergeJoin" in p2 or "ShuffledHashJoin" in p2
+        assert "BroadcastHashJoin" not in p2
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
 
