@@ -223,12 +223,20 @@ def test_redaction_plan_is_narrow_map(spark, sf_dir):
 
 @pytest.mark.parametrize("name", ["q117_sequence_pack", "q121_sequence_pack_bpe"])
 def test_sequence_pack_plan_has_single_shard_exchange(spark, sf_dir, name):
-    """Packers: ONE shuffle (the shard window) and nothing keyed on a
-    low-cardinality column other than the uniform hash shard — the
-    BPE tokenize stage must stay a narrow map, adding no Exchange."""
+    """Packers: ONE keyed shuffle (the shard window) and nothing keyed
+    on a low-cardinality column other than the uniform hash shard.  The
+    BPE packer additionally gets at most ONE keyless round-robin spread
+    of the narrow (doc_id, text) rows in front of the tokenizer loop —
+    round-robin cannot skew and carries no synthesized payload."""
     plan = _formatted_plan(REGISTRY[name].fn(spark, sf_dir))
     tree = plan.split("\n\n")[0]
-    assert tree.count("Exchange") == 1
+    n_exchanges = tree.count("Exchange")
+    n_roundrobin = plan.count("RoundRobinPartitioning")
+    assert n_exchanges - n_roundrobin == 1  # exactly one keyed shard shuffle
+    assert n_roundrobin <= 1
+    # the keyed exchange must be the uniform hash shard, nothing else
+    assert plan.count("hashpartitioning(") == 1
+    assert "hashpartitioning(shard" in plan
 
 
 def test_pack_boundaries_with_giant_doc(spark, tmp_path):
