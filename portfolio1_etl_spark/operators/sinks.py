@@ -512,6 +512,22 @@ def _align_for_diff(
     return lift(to_df), lift(from_df)
 
 
+#: Internal marker column of the signed-diff feed. ``_marker_name``
+#: keeps it collision-free against user columns per call.
+_DIFF_COL = "_d"
+
+
+def _marker_name(base: str, taken) -> str:
+    """``base`` suffixed with underscores until absent from ``taken``
+    — internal marker columns must never collide with (and silently
+    replace or ambiguate) a user column of the same name."""
+    name = base
+    taken = set(taken)
+    while name in taken:
+        name += "_"
+    return name
+
+
 def _signed_diff(to_df: DataFrame, from_df: DataFrame) -> DataFrame:
     """Net multiset delta ``to − from`` as (row cols..., _d long ≠ 0)
     in ONE aggregate pass (r13): the pair of directional ``exceptAll``
@@ -521,26 +537,45 @@ def _signed_diff(to_df: DataFrame, from_df: DataFrame) -> DataFrame:
     both directions at once. Multiplicity is exact: net count Δ > 0 is
     Δ inserts, Δ < 0 is −Δ deletes — identical to exceptAll's
     max(0, ±Δ) semantics (and, like the set ops, grouping compares
-    with null-safe, NaN-normalizing equality)."""
+    with null-safe, NaN-normalizing equality).
+
+    The sign column name derives collision-free from the input
+    columns (r14 — a user table carrying its own ``_s`` would have
+    been silently corrupted: withColumn REPLACES same-named columns,
+    rows then never cancel); the net-count column is pinned ``_d``
+    for the ``_replicated``/consumer contract and REFUSED loudly in
+    inputs (the old exceptAll path accepted it, but every consumer of
+    the signed form already reserves it)."""
     cols = to_df.columns
+    if _DIFF_COL in cols:
+        raise ValueError(
+            f"column {_DIFF_COL!r} is reserved by the change-feed "
+            "machinery; rename it before diffing versioned snapshots"
+        )
+    s = _marker_name("_s", cols)
     return (
-        to_df.withColumn("_s", F.lit(1))
-        .unionByName(from_df.withColumn("_s", F.lit(-1)))
+        to_df.withColumn(s, F.lit(1))
+        .unionByName(from_df.withColumn(s, F.lit(-1)))
         .groupBy(*cols)
-        .agg(F.sum("_s").alias("_d"))
-        .filter(F.col("_d") != 0)
+        .agg(F.sum(s).alias(_DIFF_COL))
+        .filter(F.col(_DIFF_COL) != 0)
     )
 
 
 def _replicated(net: DataFrame, positive: bool) -> DataFrame:
     """One sign of a signed diff restored to multiset form (|Δ| copies
-    per row) — array_repeat + explode, no join, no second aggregate."""
-    cols = [c for c in net.columns if c != "_d"]
-    side = net.filter(F.col("_d") > 0 if positive else F.col("_d") < 0)
+    per row) — array_repeat + explode, no join, no second aggregate.
+    The repeat count stays BIGINT via sequence() (r14 — casting to int
+    with ANSI off would wrap a multiplicity over 2^31 and array_repeat
+    on the negative wrap returns an EMPTY array: rows silently vanish
+    instead of failing)."""
+    cols = [c for c in net.columns if c != _DIFF_COL]
+    side = net.filter(F.col(_DIFF_COL) > 0 if positive else F.col(_DIFF_COL) < 0)
+    rep = _marker_name("__r", cols)
     return side.select(
         *cols,
-        F.explode(F.expr("array_repeat(1, cast(abs(_d) as int))")).alias("__r"),
-    ).drop("__r")
+        F.explode(F.expr(f"sequence(1L, abs({_DIFF_COL}))")).alias(rep),
+    ).drop(rep)
 
 
 def _step_changes(to_df: DataFrame, from_df: DataFrame) -> DataFrame:
@@ -553,16 +588,15 @@ def _step_changes(to_df: DataFrame, from_df: DataFrame) -> DataFrame:
     to the union of columns first — see ``_align_for_diff``."""
     to_df, from_df = _align_for_diff(to_df, from_df)
     net = _signed_diff(to_df, from_df)
-    cols = [c for c in net.columns if c != "_d"]
+    cols = [c for c in net.columns if c != _DIFF_COL]
+    rep = _marker_name("__r", cols)
     return net.select(
         *cols,
-        F.explode(
-            F.expr(
-                "array_repeat(CASE WHEN _d > 0 THEN 'insert' ELSE 'delete' END, "
-                "cast(abs(_d) as int))"
-            )
-        ).alias("_change"),
-    )
+        F.when(F.col(_DIFF_COL) > 0, F.lit("insert"))
+        .otherwise(F.lit("delete"))
+        .alias("_change"),
+        F.explode(F.expr(f"sequence(1L, abs({_DIFF_COL}))")).alias(rep),
+    ).drop(rep)
 
 
 def _hadoop_fs(spark: SparkSession, path: str):

@@ -127,12 +127,34 @@ def q33_stats_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q34_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact interpolated percentiles (both engines use the same
-    (n−1)·q linear interpolation over the sorted values)."""
+    (n−1)·q linear interpolation over the sorted values).
+
+    Shape (r14): ONE ``percentile`` aggregate over the array of
+    requested quantiles — three separate calls each built their own
+    full value buffer per group (3× the accumulate/merge work for
+    identical output: the interpolation reads the same sorted counts
+    map). The 2-column projection is spread to the configured
+    parallelism first so the partial aggregates don't inherit the
+    scan's single split (guide §2) — the percentile buffer is a
+    value→count map whose merge is order-free, so partition layout
+    cannot move the exact result."""
+    from portfolio1_etl_spark.parallelism import spread_rows
+
     li = _t(spark, sf_dir, "lineitem")
-    return li.groupBy(F.col("l_returnflag").alias("returnflag")).agg(
-        F.round(F.percentile("l_extendedprice", F.lit(0.25)), 4).alias("p25"),
-        F.round(F.percentile("l_extendedprice", F.lit(0.50)), 4).alias("p50"),
-        F.round(F.percentile("l_extendedprice", F.lit(0.75)), 4).alias("p75"),
+    pct = F.percentile(
+        "l_extendedprice",
+        F.array(F.lit(0.25), F.lit(0.50), F.lit(0.75)),
+    )
+    return (
+        spread_rows(li.select("l_returnflag", "l_extendedprice"))
+        .groupBy(F.col("l_returnflag").alias("returnflag"))
+        .agg(pct.alias("_p"))
+        .select(
+            "returnflag",
+            F.round(F.col("_p")[0], 4).alias("p25"),
+            F.round(F.col("_p")[1], 4).alias("p50"),
+            F.round(F.col("_p")[2], 4).alias("p75"),
+        )
     )
 
 

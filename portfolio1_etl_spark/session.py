@@ -58,18 +58,18 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
-        # Prefer shuffled-hash over sort-merge when the planner's size
-        # conditions fit (guide §9 / r13): both sides still shuffle,
-        # but the build side hashes per partition instead of BOTH
-        # sides sorting — the sort is pure overhead for equi-joins
-        # whose output feeds an aggregate. Hints on the known
-        # quadratic probes (graph closure, prefix index) already force
-        # SHUFFLE_HASH where it is load-bearing; this makes the
-        # planner's default agree at every other eligible join. Risk
-        # profile: a build partition that outgrows memory — bounded
-        # here by AQE skew splitting plus the same per-partition
-        # budget every hinted join already relies on.
-        .config("spark.sql.join.preferSortMergeJoin", "false")
+        # preferSortMergeJoin stays at its DEFAULT (true) — the r13
+        # global flip to false was A/B'd at idle in r14
+        # (plans/r14/ab_preferSortMergeJoin.txt, 17 join-heavy
+        # queries, interleaved min-of-3): the only plan it changed
+        # was q31's full-outer SMJ -> SHJ, which ran ~40% SLOWER
+        # (0.43s -> 0.60s; plans/r14/q31_full_outer_join_*_pref.txt),
+        # and every other join either broadcasts under the 64 MB
+        # threshold or keeps SMJ. The quadratic probes that do want
+        # shuffled-hash (graph closure, prefix index) force it with
+        # explicit SHUFFLE_HASH hints at the join site, which also
+        # scopes the no-spill build-side memory risk to joins whose
+        # per-partition build size is known-bounded.
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.parquet.filterPushdown", "true")

@@ -337,10 +337,15 @@ def test_multimodal_paths_have_no_skewed_exchange(spark, sf_dir):
         plan = _formatted_plan(REGISTRY[name].fn(spark, sf_dir))
         tree = plan.split("\n\n")[0]
         assert tree.count("Exchange") <= 1, f"{name} plans >1 shuffle:\n{tree}"
-        assert "hashpartitioning(modality" not in plan
+        # with at most ONE Exchange in the tree, banning hash
+        # partitioning anywhere in the plan pins that single exchange
+        # to the keyless round-robin form — checking only for the
+        # presence of RoundRobinPartitioning would let a hash exchange
+        # slide through alongside it (r13 ADVICE)
+        assert "hashpartitioning(" not in plan, (
+            f"{name}: keyed exchange in a decode path:\n{plan}"
+        )
         if "Exchange" in tree:
-            # the spread must be the keyless round-robin form, never a
-            # hash exchange on some synthesized column
             assert "RoundRobinPartitioning" in plan, (
                 f"{name}: pre-map exchange is not round-robin:\n{plan}"
             )

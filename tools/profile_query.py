@@ -5,7 +5,8 @@ bench_full artifact): time the Python-side plan construction
 (``fn(spark, sf_dir)`` — py4j round-trips, scratch-dir rebuilds,
 index writes) separately from the Spark execution (noop sink), count
 the Spark jobs each phase launched, and optionally dump
-``explain('formatted')`` to ``plans/r13/<name>_<tag>.txt``.
+``explain('formatted')`` to ``plans/<round>/<name>_<tag>.txt``
+(``--round``, default r14).
 
 Usage:
     python tools/profile_query.py [--sf DIR] [--plans TAG] [--runs N] q1 q2 ...
@@ -43,7 +44,7 @@ def main() -> None:
 
     spark = get_spark(app_name="profile")
     here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    plans_dir = os.path.join(here, "plans", "r13")
+    plans_dir = os.path.join(here, "plans", opts.get("--round", "r14"))
     os.makedirs(plans_dir, exist_ok=True)
 
     names = args or list(REGISTRY)
