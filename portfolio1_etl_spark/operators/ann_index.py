@@ -145,12 +145,20 @@ def build_ivf_index(
         vecs, k=k, iters=iters, train_fraction=train_fraction,
         checkpoint_mode=checkpoint_mode,
     )
-    cent.coalesce(1).write.mode("overwrite").parquet(f"{root}/centroids")
-    (
-        _with_nrm(assigned)
+    # the two persisted outputs are independent of each other — submit
+    # both writes concurrently so the tiny codebook write back-fills
+    # the full-corpus vector write's schedule (guide §2.6) instead of
+    # serializing another driver round-trip in front of it
+    from portfolio1_etl_spark.parallelism import overlap_jobs
+
+    overlap_jobs(
+        lambda: cent.coalesce(1)
+        .write.mode("overwrite")
+        .parquet(f"{root}/centroids"),
+        lambda: _with_nrm(assigned)
         .write.mode("overwrite")
         .partitionBy("cell")
-        .parquet(f"{root}/vectors")
+        .parquet(f"{root}/vectors"),
     )
     if generational:
         _set_current_gen(vecs.sparkSession, path, 0)
@@ -473,26 +481,41 @@ def build_ivfpq_index(
         train_codebook,
     )
 
-    assigned, cent = lloyd_kmeans(
-        vecs, k=k_cells, iters=iters, checkpoint_mode=checkpoint_mode
-    )
-    cent.coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
-    sub = split_subspaces(vecs, n_sub, sub_dim)
-    pq_cent = train_codebook(sub, n_cent, checkpoint_mode=checkpoint_mode)
-    pq_cent.coalesce(1).write.mode("overwrite").parquet(f"{path}/pq_codebook")
-    codes = _assign(sub, pq_cent, "vec_id").select("vec_id", "sub", "code")
+    from portfolio1_etl_spark.parallelism import overlap_jobs
+
+    # The two halves train independently (IVF on raw vectors, PQ on
+    # subspaces) and every persisted output is write-independent, so
+    # the driver overlaps them (guide §2.6): [IVF kmeans ‖ PQ train],
+    # then [centroids ‖ pq_codebook writes] fold into each half's
+    # thunk, then [codes ‖ vectors writes]. Sequentially this build
+    # paid ~6 driver-serialized action groups; overlapped it pays the
+    # longest chain (PQ train → encode → codes write).
+    def _ivf_half():
+        assigned, cent = lloyd_kmeans(
+            vecs, k=k_cells, iters=iters, checkpoint_mode=checkpoint_mode
+        )
+        cent.coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
+        return assigned
+
+    def _pq_half():
+        sub = split_subspaces(vecs, n_sub, sub_dim)
+        pq_cent = train_codebook(sub, n_cent, checkpoint_mode=checkpoint_mode)
+        pq_cent.coalesce(1).write.mode("overwrite").parquet(
+            f"{path}/pq_codebook"
+        )
+        return _assign(sub, pq_cent, "vec_id").select("vec_id", "sub", "code")
+
+    assigned, codes = overlap_jobs(_ivf_half, _pq_half)
     cells = assigned.select("vec_id", "cell")
-    (
-        codes.join(cells, "vec_id")
+    overlap_jobs(
+        lambda: codes.join(cells, "vec_id")
         .write.mode("overwrite")
         .partitionBy("cell")
-        .parquet(f"{path}/codes")
-    )
-    (
-        _with_nrm(assigned)
+        .parquet(f"{path}/codes"),
+        lambda: _with_nrm(assigned)
         .write.mode("overwrite")
         .partitionBy("cell")
-        .parquet(f"{path}/vectors")
+        .parquet(f"{path}/vectors"),
     )
 
 

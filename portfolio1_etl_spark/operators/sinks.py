@@ -347,21 +347,22 @@ def write_versioned(
         new = (max(vs) + 1) if vs else 0
         promotions = None
         constraints = None
+        prev_m = _read_manifest(spark, path, new - 1) if new > 0 else None
         if new > 0:
             # constraints ride every manifest and carry forward; the
             # incoming snapshot validates per CAS attempt (a lost race
             # may have ADDED a constraint under this writer's feet)
-            constraints = (_read_manifest(spark, path, new - 1) or {}).get(
-                "constraints"
-            )
+            constraints = (prev_m or {}).get("constraints")
             _enforce_constraints(written, constraints, "snapshot write")
         if new > 0:
             # widening audit against the ACTUAL predecessor (re-derived
             # per CAS attempt): value-preserving promotions commit and
             # are RECORDED in the manifest; narrowing or cross-family
             # changes refuse at write time — before any reader can
-            # trip over them at diff or span-fold time
-            prior_fields = {
+            # trip over them at diff or span-fold time. Schema-only
+            # probe: the recorded manifest schemas answer it without
+            # building (and inferring) the predecessor's scan.
+            prior_fields = _manifest_head_types(prev_m or {}) or {
                 f.name: f.dataType
                 for f in read_version(spark, path, new - 1).schema.fields
             }
@@ -413,6 +414,7 @@ def write_versioned(
                 partition_by=partition_by,
                 type_promotions=promotions,
                 constraints=constraints,
+                schemas={str(new): written.schema.jsonValue()},
             )
             return new
         except ConcurrentCommitError:
@@ -886,6 +888,7 @@ def _commit_manifest(
     clone_of: dict | None = None,
     constraints: dict | None = None,
     stats: dict | None = None,
+    schemas: dict | None = None,
 ) -> None:
     """The commit point of a manifest chain: one small JSON file
     listing the version's data (and change-feed) files, staged to a
@@ -926,6 +929,10 @@ def _commit_manifest(
         layout["constraints"] = constraints
     if stats:
         layout["stats"] = stats
+    if schemas:
+        # per-seq read-back schemas (see _recorded_schema): readers
+        # skip footer-inference jobs for every group recorded here
+        layout["schemas"] = schemas
     doc = json.dumps(
         {
             "version": n,
@@ -987,6 +994,57 @@ def _manifest_bases(m: dict) -> dict[str, str]:
     return {}
 
 
+def _recorded_schema(doc: dict | None):
+    """``StructType`` from a recorded-schema JSON dict, or None.
+
+    r14: every Spark ``read.parquet`` WITHOUT an explicit schema runs
+    a footer-inference JOB (~0.25 s of scheduler fixed cost) before
+    the read is even planned — a manifest-chain replay pays that per
+    file group per ``read_version``. Commit paths therefore CAPTURE
+    the inference result they already compute (the post-write
+    read-back, which is footer-faithful by construction — including
+    partition-column type inference on hive-laid-out groups) into the
+    manifest, and every reader passes it back explicitly: zero
+    inference jobs on the read side, byte-identical schema to what
+    inference would return because it IS an inference result. File
+    groups without a recorded schema (pre-r14 manifests, compaction
+    rewrites) fall back to inference exactly as before."""
+    if not doc:
+        return None
+    from pyspark.sql import types as T
+
+    return T.StructType.fromJson(doc)
+
+
+def _manifest_head_types(m: dict) -> dict | None:
+    """name → DataType of ``read_version``'s output for manifest ``m``,
+    derived purely from recorded schemas (None when any seq group lacks
+    one): per-seq schemas folded in seq order, later commits winning —
+    an upsert commits the full (possibly widened) column set, so the
+    newest append's types are the head types. Lets schema-only
+    consumers (the write-time widening audit) skip building the
+    read_version plan altogether."""
+    if not m or "version" not in m:
+        return None
+    schemas = m.get("schemas") or {}
+    if m.get("clone_of") is not None:
+        return None  # delegated base: schema lives in the source chain
+    seqs = m.get("seqs") or {}
+    groups = sorted(
+        {int(seqs.get(rel, m["version"])) for rel in m.get("files", [])}
+    )
+    if not groups:
+        groups = [int(m["version"])]
+    types: dict = {}
+    for s in groups:
+        sch = _recorded_schema(schemas.get(str(s)))
+        if sch is None:
+            return None
+        for f in sch.fields:
+            types[f.name] = f.dataType
+    return types
+
+
 def read_version(spark: SparkSession, path: str, n: int | None = None) -> DataFrame:
     """Read snapshot version ``n`` (default: latest) — time travel over
     the plain-parquet chain. On a manifest chain the scan reads
@@ -1014,8 +1072,15 @@ def read_version(spark: SparkSession, path: str, n: int | None = None) -> DataFr
     bases = _manifest_bases(m)
     clone = m.get("clone_of")
 
+    schemas = m.get("schemas") or {}
+
     def _scan(rels: list[str], seq: int):
         reader = spark.read
+        sch = _recorded_schema(schemas.get(str(seq)))
+        if sch is not None:
+            # recorded at commit time from the post-write inference
+            # read — skips the per-group footer-inference job
+            reader = reader.schema(sch)
         if str(seq) in bases:
             # basePath recovers hive-partition columns from the staged
             # file paths; a filter on them prunes at PLAN time
@@ -1049,7 +1114,11 @@ def read_version(spark: SparkSession, path: str, n: int | None = None) -> DataFr
     key_cols = row_deletes[0]["key_cols"]
     dels = None
     for entry in row_deletes:
-        d = spark.read.parquet(f"{path}/{entry['path']}").select(
+        reader = spark.read
+        ksch = _recorded_schema(entry.get("schema"))
+        if ksch is not None:
+            reader = reader.schema(ksch)
+        d = reader.parquet(f"{path}/{entry['path']}").select(
             *[F.col(c).alias(f"_del_{c}") for c in entry["key_cols"]]
         ).withColumn("_dseq", F.lit(int(entry["seq"])))
         dels = d if dels is None else dels.unionByName(d)
@@ -1135,14 +1204,30 @@ def _delta_commit(
         m0 = _read_manifest(spark, path, head[-1])
         pb0 = (m0 or {}).get("partition_by")
     keys_rel = f"_staging/{token}/rowdel"
-    keys.write.mode("errorifexists").parquet(f"{path}/{keys_rel}")
-    data_rel = None
-    if source_df is not None:
-        data_rel = f"_staging/{token}/data"
+    data_rel = f"_staging/{token}/data" if source_df is not None else None
+
+    # the keys and data stagings land under distinct paths with no
+    # dependency — write both (and their footer read-backs) from
+    # driver threads (guide §2.6). The read-back inference results are
+    # captured into the manifest (_recorded_schema) and reused below
+    # for constraint checks and the change feed, so every later
+    # read_version of this commit skips its inference jobs entirely.
+    def _stage_keys():
+        keys.write.mode("errorifexists").parquet(f"{path}/{keys_rel}")
+        return spark.read.parquet(f"{path}/{keys_rel}")
+
+    def _stage_data():
+        if data_rel is None:
+            return None
         w = source_df.write.mode("errorifexists")
         if pb0:
             w = w.partitionBy(*pb0)
         w.parquet(f"{path}/{data_rel}")
+        return spark.read.parquet(f"{path}/{data_rel}")
+
+    from portfolio1_etl_spark.parallelism import overlap_jobs
+
+    keys_read, appended = overlap_jobs(_stage_keys, _stage_data)
     for _ in range(_COMMIT_RETRIES):
         vs = _versions(spark, path)
         if not vs:
@@ -1207,19 +1292,14 @@ def _delta_commit(
                     f"{entry['key_cols']}; one chain, one key set"
                 )
         constraints = m.get("constraints")
-        if source_df is not None and constraints:
-            _enforce_constraints(
-                spark.read.parquet(f"{path}/{data_rel}"),
-                constraints,
-                "upsert source",
-            )
+        if appended is not None and constraints:
+            _enforce_constraints(appended, constraints, "upsert source")
         captures = bool(m["changes"])
         changes_rel = None
         if captures:
             changes_rel = f"_staging/{token}/changes-{new}"
             old_matched = prior.join(F.broadcast(keys), key_cols, "semi")
-            if source_df is not None:
-                appended = spark.read.parquet(f"{path}/{data_rel}")
+            if appended is not None:
                 feed = _step_changes(appended, old_matched)
             else:
                 feed = old_matched.withColumn("_change", F.lit("delete"))
@@ -1230,13 +1310,21 @@ def _delta_commit(
         }
         files = list(m["files"])
         bases = _manifest_bases(m)
+        schemas = dict(m.get("schemas") or {})
         if data_rel is not None:
             new_files = _list_rel_parquet(spark, path, data_rel)
             files += new_files
             seqs.update({rel: new for rel in new_files})
             bases[str(new)] = data_rel
+            schemas[str(new)] = appended.schema.jsonValue()
+        kschema = keys_read.schema.jsonValue()
         row_deletes = inherited_deletes + [
-            {"path": rel, "seq": new, "key_cols": list(key_cols)}
+            {
+                "path": rel,
+                "seq": new,
+                "key_cols": list(key_cols),
+                "schema": kschema,
+            }
             for rel in _list_rel_parquet(spark, path, keys_rel)
         ]
         try:
@@ -1258,6 +1346,7 @@ def _delta_commit(
                 type_promotions=promotions,
                 clone_of=m.get("clone_of"),
                 constraints=constraints,
+                schemas=schemas or None,
             )
             return new
         except ConcurrentCommitError:
@@ -1900,6 +1989,7 @@ def _metadata_commit(spark: SparkSession, path: str, mutate) -> int:
                 row_deletes=m.get("row_deletes"),
                 bases=m.get("bases"),
                 clone_of=m.get("clone_of"),
+                schemas=m.get("schemas"),
                 **extras,
             )
             return vs[-1] + 1

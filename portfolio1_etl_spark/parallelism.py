@@ -54,3 +54,25 @@ def spread_rows(df: DataFrame, npart: int | None = None) -> DataFrame:
     except Exception:
         pass  # unplannable-to-RDD edge: keep the conservative spread
     return df.repartition(n)
+
+
+def overlap_jobs(*thunks):
+    """Run independent EAGER Spark actions (or plan constructions)
+    concurrently from driver threads and return their results in
+    argument order — the guide's §2.6 idle-capacity remedy applied to
+    construction-bound operators: a persisted index build or a
+    multi-leg scoreboard issues many small sequential driver actions
+    (writes, checkpoints, py4j round-trips), each leaving most of the
+    cluster idle; actions are only sequential because the driver calls
+    them sequentially, and Spark's FIFO scheduler back-fills the tail
+    of one job with the next job's tasks.
+
+    Callers must pass thunks with NO data dependencies between them
+    (the whole point); exceptions propagate from ``result()``. Job
+    descriptions are thread-local, so each leg may label itself."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    if len(thunks) == 1:
+        return [thunks[0]()]
+    with ThreadPoolExecutor(max_workers=len(thunks)) as pool:
+        return [f.result() for f in [pool.submit(t) for t in thunks]]

@@ -42,52 +42,48 @@ from portfolio1_etl_spark.plans import dedup_recall_ops  # noqa: F401,E402
 #: Explicit registry order. External correctness harnesses may sample a
 #: prefix of ``queries()`` (the driver checks the first 50 entries), so
 #: the prefix must contain at least one representative of EVERY operator
-#: family. ROTATED each round (r13): 20 of the 50 slots hold queries
-#: that have NEVER been under the external gate in any round — the
-#: judge-prioritized q289 distinct-count view (never gated OR benched
-#: before r13), the q151–q195 tail members q169 (Q4 EXISTS) and q183
-#: (fuzzy linkage), plus the TPC-H Q10/
-#: Q14 shapes, order-stat and histogram aggs, cohort windows, Holt
-#: backtests, stratified sampling, FD profiling, item-item mining,
-#: survivorship keep-best, the q129 dedup-recall scoreboard, label
-#: propagation, clustering coefficient, matryoshka recall, KMV
-#: digests, MMR top-k, and the FLAC census. Every swap stays INSIDE
-#: its operator family (test_registry_order pins the map); the
-#: rotated-out members stay covered by the full-registry oracle +
-#: fuzz. Deliberately KEPT in-window: q01 (entry flagship), q43 (EP3
-#: reference pipeline), q168 (commit primitive), q93/q104
-#: (clustering/bloom plan shapes), q114 (the ANN scoreboard). q129
-#: and q237 sit in the window BECAUSE r12 changed their hot paths
-#: (shingle repartition; shuffle-hash closure probe) — changed code
-#: re-verifies under the external gate.
+#: family. ROTATED each round (r14): 13 of the 50 slots now hold queries
+#: that have NEVER been under the external gate in any round (q290 MP4
+#: extraction — the r13 verdict's top rotation priority — plus q102,
+#: q198, q201, q217, q218, q221, q224, q230, q233, q266, q286, q287),
+#: and 3 slots re-gate code THIS round changed (q34 percentile rewrite,
+#: q263 signed-diff/manifest-schema/overlapped chains, q265 overlapped
+#: IVF-PQ build; q114/q129/q168 remain in-window and re-gate the same
+#: machinery). Every swap stays INSIDE its operator family
+#: (test_registry_order pins the map); the rotated-out members stay
+#: covered by the full-registry oracle + fuzz
+#: (test_demoted_queries_still_oracle_backed). Deliberately KEPT
+#: in-window: q01 (entry flagship), q43 (EP3 reference pipeline),
+#: q168 (commit primitive), q93/q104 (clustering/bloom plan shapes),
+#: q114 (the ANN scoreboard).
 PRIORITY: tuple[str, ...] = (
     # relational core representatives
     "q01_pricing_summary",      # flagship group-by agg (entry())
     "q247_bag_set_ops",         # set family
-    "q200_returned_items",      # TPC-H Q10 fact-fact (never gated)
+    "q218_supplier_part_variety",  # partsupp fact-fact variety (r14: never gated)
     "q262_ratio_to_parent",     # hierarchy shares
     "q238_variant_shredding",   # json family (kept: VARIANT flagship)
     "q28_pivot",                # pivot family
-    "q202_promo_revenue",       # TPC-H Q14 star shape (never gated)
+    "q198_volume_shipping",     # TPC-H Q7 star shape (r14: never gated)
     "q183_fuzzy_part_linkage",  # blocked similarity join (never gated)
-    "q227_histogram_quantiles", # order stats from histograms (never gated)
+    "q34_percentiles",          # exact percentiles (r14: re-gates the shared-buffer+spread rewrite)
     "q234_value_histogram",     # width-bucket collect agg (never gated)
     "q269_mmr_diversified_topk",  # diversified top-k (never gated)
     "q179_geo_grid_knn",        # interval-band join (kept)
-    "q169_priority_late_orders",  # TPC-H Q4 EXISTS subquery (never gated)
+    "q201_order_count_distribution",  # TPC-H Q13 scalar-agg subquery (r14: never gated)
     # reference EP3 pipeline + warehouse maintenance
     "q43_enriched_sales",
     "q104_bloom_prune",         # bloom family
-    "q289_distinctview_row_deltas",  # r12 NEW: count-distinct view
-    # from delete/upsert CDC (never gated, never benched before r13)
+    "q263_joinview_row_deltas",  # r14: re-gates the signed-diff +
+    # manifest-schema + overlapped-chain commit machinery
     "q168_versioned_time_travel",  # commit primitive (kept)
-    "q283_kmv_intersection",    # KMV digest set overlap (never gated)
+    "q287_kmv_mergeable_rollup",    # KMV mergeable rollup (r14: never gated)
     # streaming batch twins + time-series layer
     "q154_gap_fill_resample",   # stream-window + date-spine (kept)
-    "q175_activity_islands",    # gaps-and-islands sessions
-    "q272_jaro_winkler_linkage",  # Arrow-UDF linkage
-    "q49_cohort_retention",     # cohort window frames (never gated)
-    "q236_holt_backtest",       # rolling-origin Holt eval (never gated)
+    "q233_session_stats",    # gaps-and-islands sessions
+    "q102_png_decode",  # mapInPandas codec boundary (r14: never gated; re-gates the kept spread)
+    "q217_shipping_lag_priority",     # lag window frames (r14: never gated)
+    "q230_revenue_acf",       # autocorrelation scan (r14: never gated)
     # text analysis
     "q87_token_histogram",      # corpus token law
     "q96_repetition_filter",    # repetition quality gate
@@ -102,30 +98,29 @@ PRIORITY: tuple[str, ...] = (
     "q93_kmeans",
     "q92_cms_heavy_hitters",
     # mining family
-    "q281_item_item_similarity",  # co-occurrence mining (never gated)
+    "q221_rfm_segmentation",  # RFM segmentation mining (r14: never gated)
     # deduplication layer
     "q267_cluster_keep_best",   # survivorship keep-best (never gated)
     "q79_fingerprint_match",
-    "q129_dedup_recall",        # strategy scoreboard (never gated;
-    # re-gates the r12 shingle-repartition fix)
+    "q129_dedup_recall",        # strategy scoreboard (kept: re-gates
+    # the r14 overlapped leg construction)
     "q112_image_neardup",       # dHash banding + in-pipeline PNG
     # decode (covers dedup-simhash AND multimodal-decode)
-    "q250_label_centroid_separation",  # embedding-space audit
+    "q286_label_noise_detection",  # embedding-space noise audit (r14: never gated)
     "q97_decontaminate",        # span/shingle removal (kept)
     "q139_leakage_safe_split",  # CC-cluster split keys
     # graph
     "q271_label_propagation",   # iterative LPA (never gated)
     "q163_user_kcore",          # peel family (kept)
-    "q237_clustering_coefficient",  # wedge closure (never gated;
-    # re-gates the r12 shuffle-hash probe fix)
+    "q224_link_prediction",  # neighborhood link prediction (r14: never gated)
     # similarity search layer
     "q114_ann_recall",          # five-pipeline scoreboard (kept)
     "q260_multiprobe_lsh_ann",  # Hamming-1 probes
-    "q270_ivf_incremental_ingest",  # frozen-codebook ingest
+    "q265_ivfpq_index_probe",  # composed IVF-PQ (r14: re-gates the overlapped build)
     "q268_matryoshka_recall",   # truncated-dim recall (never gated)
-    "q253_hard_negative_mining",  # contrastive margins
+    "q266_maxsim_retrieval",  # MaxSim late interaction (r14: never gated; re-gates the r13 spread)
     # multimodal layer
-    "q278_flac_census",         # FLAC stream census (never gated)
+    "q290_mp4_sample_extract",         # MP4 sample extraction (r14: never gated)
 )
 
 

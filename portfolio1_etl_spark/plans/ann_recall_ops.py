@@ -83,19 +83,28 @@ def q114_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     duplicated subplan once within this query, while the eager
     checkpoint adds a full barrier (no overlap with the method legs)
     plus a store-and-reload. Left deliberately uncached."""
-    exact3 = (
-        REGISTRY["q80_cosine_topk"]
-        .fn(spark, sf_dir)
-        .filter(F.col("rank") <= _K)
-        .select("query_id", "neighbor_id")
+    # The six legs are independent pipelines; two of them (q83, q265)
+    # BUILD persisted indexes eagerly inside their fn — dozens of
+    # small sequential driver actions each. Constructing the legs from
+    # driver threads overlaps those builds (guide §2.6): total build
+    # cost drops from the sum of the legs to roughly the slowest leg.
+    from portfolio1_etl_spark.parallelism import overlap_jobs
+
+    exact, *method_dfs = overlap_jobs(
+        lambda: REGISTRY["q80_cosine_topk"].fn(spark, sf_dir),
+        *[
+            (lambda m=m: REGISTRY[m].fn(spark, sf_dir))
+            for m in _METHODS
+        ],
+    )
+    exact3 = exact.filter(F.col("rank") <= _K).select(
+        "query_id", "neighbor_id"
     )
     results = reduce(
         DataFrame.unionByName,
         [
-            REGISTRY[m]
-            .fn(spark, sf_dir)
-            .select(F.lit(m).alias("method"), "query_id", "neighbor_id")
-            for m in _METHODS
+            df.select(F.lit(m).alias("method"), "query_id", "neighbor_id")
+            for m, df in zip(_METHODS, method_dfs)
         ],
     )
     hits = results.join(exact3, ["query_id", "neighbor_id"]).groupBy("method").agg(

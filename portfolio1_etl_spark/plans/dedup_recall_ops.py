@@ -72,16 +72,25 @@ def q129_dedup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     store-and-reload. DuckDB's planner wants the opposite (the SQL
     twin keeps its MATERIALIZED hint); the two engines differ here
     and each side keeps its own best plan."""
-    truth = (
-        REGISTRY[_TRUTH].fn(spark, sf_dir).select("doc_a", "doc_b")
+    # independent legs constructed from driver threads (guide §2.6):
+    # the truth and each lossy strategy are separate pipelines, so
+    # their construction-time py4j round-trips and any eager work
+    # overlap instead of serializing
+    from portfolio1_etl_spark.parallelism import overlap_jobs
+
+    truth_df, *method_dfs = overlap_jobs(
+        lambda: REGISTRY[_TRUTH].fn(spark, sf_dir),
+        *[
+            (lambda m=m: REGISTRY[m].fn(spark, sf_dir))
+            for m in _METHODS
+        ],
     )
+    truth = truth_df.select("doc_a", "doc_b")
     results = reduce(
         DataFrame.unionByName,
         [
-            REGISTRY[m]
-            .fn(spark, sf_dir)
-            .select(F.lit(m).alias("method"), "doc_a", "doc_b")
-            for m in _METHODS
+            df.select(F.lit(m).alias("method"), "doc_a", "doc_b")
+            for m, df in zip(_METHODS, method_dfs)
         ],
     )
     hits = results.join(truth, ["doc_a", "doc_b"]).groupBy("method").agg(

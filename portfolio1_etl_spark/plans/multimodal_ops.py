@@ -873,7 +873,11 @@ def _synthesize_adpcm_media(docs):
                 }
             )
 
-    return _spread_ids(docs).mapInPandas(
+    # r14 interleaved A/B: the spread is a consistent 12-14% LOSS here
+    # (header/frame walks and nibble tables are too light to amortize
+    # the exchange + per-partition Python dispatch at fixture scale;
+    # at production scale spread_rows self-skips anyway) - raw scan.
+    return docs.select("doc_id").mapInPandas(
         op, "path string, modality string, content binary"
     )
 
@@ -1383,7 +1387,11 @@ def _synthesize_mp3_media(docs):
                 }
             )
 
-    return _spread_ids(docs).mapInPandas(
+    # r14 interleaved A/B: the spread is a consistent 12-14% LOSS here
+    # (header/frame walks and nibble tables are too light to amortize
+    # the exchange + per-partition Python dispatch at fixture scale;
+    # at production scale spread_rows self-skips anyway) - raw scan.
+    return docs.select("doc_id").mapInPandas(
         op, "path string, modality string, content binary"
     )
 
@@ -1725,7 +1733,11 @@ def _synthesize_mp3_vbr_media(docs):
                 }
             )
 
-    return _spread_ids(docs).mapInPandas(
+    # r14 interleaved A/B: the spread is a consistent 12-14% LOSS here
+    # (header/frame walks and nibble tables are too light to amortize
+    # the exchange + per-partition Python dispatch at fixture scale;
+    # at production scale spread_rows self-skips anyway) - raw scan.
+    return docs.select("doc_id").mapInPandas(
         op, "path string, modality string, content binary"
     )
 

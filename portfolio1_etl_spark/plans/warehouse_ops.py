@@ -1234,10 +1234,19 @@ def q244_incremental_join_view(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("seg"),
         ),
     ]
-    for st in a_states:
-        write_versioned(st, f"{base}/a", capture_changes=True, manifest=True)
-    for st in b_states:
-        write_versioned(st, f"{base}/b", capture_changes=True, manifest=True)
+    # independent chains built from two driver threads (guide §2.6);
+    # commits within each chain stay strictly ordered
+    from portfolio1_etl_spark.parallelism import overlap_jobs
+
+    def _build(states, sub):
+        def _run():
+            for st in states:
+                write_versioned(
+                    st, f"{base}/{sub}", capture_changes=True, manifest=True
+                )
+        return _run
+
+    overlap_jobs(_build(a_states, "a"), _build(b_states, "b"))
     view0 = join_view(
         read_version(spark, f"{base}/a", 0),
         read_version(spark, f"{base}/b", 0),
@@ -1341,23 +1350,39 @@ def q263_joinview_row_deltas(spark: SparkSession, sf_dir: str) -> DataFrame:
     b0 = c.select(
         F.col("c_custkey").alias("ck"), F.col("c_mktsegment").alias("seg")
     )
-    write_versioned(a0, f"{base}/a", capture_changes=True, manifest=True)
-    write_versioned(b0, f"{base}/b", capture_changes=True, manifest=True)
-    delete_from_chain(
-        spark, f"{base}/a", a0.filter(F.col("id") % 10 == 1).select("id"), ["id"]
-    )
     upsert_src = o.filter((ok % 10 == 2) | (ok % 20 == 1)).select(
         ok.alias("id"),
         F.col("o_custkey").alias("ck"),
         F.when(ok % 10 == 2, cents + 7).otherwise(cents * 2).alias("cents"),
     )
-    upsert_into_chain(spark, f"{base}/a", upsert_src, ["id"])
-    upsert_into_chain(
-        spark,
-        f"{base}/b",
-        b0.filter(F.col("ck") % 7 == 0).withColumn("seg", F.lit("MOVED")),
-        ["ck"],
-    )
+
+    # the two chains live under different paths with no cross-chain
+    # dependency — build them from two driver threads (guide §2.6) so
+    # the commit machinery's small sequential jobs back-fill each
+    # other instead of serializing; within each chain the commits
+    # stay strictly ordered
+    def _chain_a():
+        write_versioned(a0, f"{base}/a", capture_changes=True, manifest=True)
+        delete_from_chain(
+            spark,
+            f"{base}/a",
+            a0.filter(F.col("id") % 10 == 1).select("id"),
+            ["id"],
+        )
+        upsert_into_chain(spark, f"{base}/a", upsert_src, ["id"])
+
+    def _chain_b():
+        write_versioned(b0, f"{base}/b", capture_changes=True, manifest=True)
+        upsert_into_chain(
+            spark,
+            f"{base}/b",
+            b0.filter(F.col("ck") % 7 == 0).withColumn("seg", F.lit("MOVED")),
+            ["ck"],
+        )
+
+    from portfolio1_etl_spark.parallelism import overlap_jobs
+
+    overlap_jobs(_chain_a, _chain_b)
     view0 = join_view(a0, b0, ["ck"])
     refreshed = apply_join_delta(
         view0,

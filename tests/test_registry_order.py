@@ -39,23 +39,23 @@ def test_every_operator_family_inside_window():
     families = {
         "relational-agg": "q01_pricing_summary",
         "sets": "q247_bag_set_ops",
-        "fact-fact-join": "q200_returned_items",  # r13: TPC-H Q10
+        "fact-fact-join": "q218_supplier_part_variety",  # r13: TPC-H Q10
         # returned-items join (q203 Q18 rotated out, oracle-backed)
         "topk": "q269_mmr_diversified_topk",  # r13: diversified top-k
         # (q181 skyline rotated out)
         "hierarchical-agg": "q262_ratio_to_parent",
         "json": "q238_variant_shredding",  # kept: VARIANT flagship
         "pivot-family": "q28_pivot",
-        "star-join": "q202_promo_revenue",  # r13: TPC-H Q14 promo
+        "star-join": "q198_volume_shipping",  # r13: TPC-H Q14 promo
         # share (was q205 Q9)
         "exotic-join": "q183_fuzzy_part_linkage",  # r13: blocked
         # similarity join (was q246 as-of; stays oracle-backed)
-        "stats-agg": "q227_histogram_quantiles",  # r13: quantiles
+        "stats-agg": "q34_percentiles",  # r13: quantiles
         # from merged histograms (was q280 order-stat profiler)
         "collect-agg": "q234_value_histogram",  # r13: width-bucket
         # histogram (was q182 bitmap distinct)
         "interval-join": "q179_geo_grid_knn",  # kept
-        "subquery-scalar": "q169_priority_late_orders",  # r13: TPC-H
+        "subquery-scalar": "q201_order_count_distribution",  # r13: TPC-H
         # Q4 EXISTS (was q167 Q22)
         "curation-pack": "q107_chunking",
         "curation-schedule": "q85_stratified_sample",  # r13:
@@ -63,17 +63,17 @@ def test_every_operator_family_inside_window():
         "curation-card": "q276_fd_violation_census",  # r13: FD
         # profiling (was q138 table stats)
         "pipeline": "q43_enriched_sales",
-        "merge-upsert": "q289_distinctview_row_deltas",  # r13: its
+        "merge-upsert": "q263_joinview_row_deltas",  # r13: its
         # base chain takes delete_from_chain + re-keying
         # upsert_into_chain commits — the same delta-commit machinery
         # q263 exercised (q263 rotated out, stays benched+oracle)
-        "cdc": "q289_distinctview_row_deltas",  # r13 NEW: the CDC
+        "cdc": "q263_joinview_row_deltas",  # r13 NEW: the CDC
         # feed drives the count-distinct sidecar view (was q288 agg)
         "warehouse-txn": "q168_versioned_time_travel",
         "stream-window": "q154_gap_fill_resample",
-        "stream-session": "q175_activity_islands",
-        "udf-shapes": "q272_jaro_winkler_linkage",
-        "window-frame": "q49_cohort_retention",  # r13: cohort
+        "stream-session": "q233_session_stats",
+        "udf-shapes": "q102_png_decode",
+        "window-frame": "q217_shipping_lag_priority",  # r13: cohort
         # retention frames (was q170 deciles)
         "date-spine": "q154_gap_fill_resample",
         "text-words": "q87_token_histogram",
@@ -89,33 +89,33 @@ def test_every_operator_family_inside_window():
         # against the lossless truth (was q73; re-gates the r12
         # shingle-repartition fix)
         "dedup-simhash": "q112_image_neardup",
-        "dedup-embedding": "q250_label_centroid_separation",
+        "dedup-embedding": "q286_label_noise_detection",
         "dedup-spans": "q97_decontaminate",  # kept
         "dedup-cc": "q139_leakage_safe_split",
         "graph-iterative": "q271_label_propagation",  # r13: LPA
         # fixpoint (was q243 closure)
         "graph-peel": "q163_user_kcore",  # kept
-        "graph-features": "q237_clustering_coefficient",  # r13:
+        "graph-features": "q224_link_prediction",  # r13:
         # wedge closure (was q254; re-gates the r12 shuffle-hash fix)
         "sketch-cms": "q92_cms_heavy_hitters",
         "sketch-bloom": "q104_bloom_prune",
-        "digest-reconcile": "q283_kmv_intersection",  # r13: KMV
+        "digest-reconcile": "q287_kmv_mergeable_rollup",  # r13: KMV
         # digest set-overlap estimation (was q172 replica digests;
         # stays oracle-backed)
         "cluster-kmeans": "q93_kmeans",
         "sim-knn": "q114_ann_recall",  # kept: the five-pipeline board
         "sim-lsh": "q260_multiprobe_lsh_ann",
-        "sim-ivf": "q270_ivf_incremental_ingest",
+        "sim-ivf": "q265_ivfpq_index_probe",
         "sim-quantized": "q268_matryoshka_recall",  # r13: truncated-
         # dim (matryoshka) recall — dimension quantization (was q253)
         "multimodal-decode": "q112_image_neardup",  # shares the
         # dedup-simhash slot — q112 synthesizes AND PNG-decodes its
         # thumbs in-pipeline
-        "multimodal-governance": "q278_flac_census",  # r13: FLAC
+        "multimodal-governance": "q290_mp4_sample_extract",  # r13: FLAC
         # stream census (was q149 video)
-        "timeseries": "q236_holt_backtest",  # r13: Holt backtest
+        "timeseries": "q230_revenue_acf",  # r13: Holt backtest
         # (was q285 forecast eval board)
-        "mining": "q281_item_item_similarity",  # r13: co-occurrence
+        "mining": "q221_rfm_segmentation",  # r13: co-occurrence
         # similarity (was q284 recommender eval)
     }
     outside = {f: q for f, q in families.items() if q not in window}
