@@ -428,17 +428,19 @@ def ingest_vectors_ivfpq(
     cells = assigned.select("vec_id", "cell")
     sub = split_subspaces(new_vecs, int(n_sub), int(sub_dim))
     codes = _assign(sub, pq_cent, "vec_id").select("vec_id", "sub", "code")
-    (
-        codes.join(cells, "vec_id")
+    # the two appends land in independent directories — overlapped
+    # driver actions (guide §2.6), same as the build's write pair
+    from portfolio1_etl_spark.parallelism import overlap_jobs
+
+    overlap_jobs(
+        lambda: codes.join(cells, "vec_id")
         .write.mode("append")
         .partitionBy("cell")
-        .parquet(f"{path}/codes")
-    )
-    (
-        _with_nrm(assigned)
+        .parquet(f"{path}/codes"),
+        lambda: _with_nrm(assigned)
         .write.mode("append")
         .partitionBy("cell")
-        .parquet(f"{path}/vectors")
+        .parquet(f"{path}/vectors"),
     )
 
 
